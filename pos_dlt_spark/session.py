@@ -1,0 +1,54 @@
+"""SparkSession factory.
+
+Local test runs use ``local[$SPARK_GRAFT_CPUS]`` (default all cores) with a
+shuffle-partition count matched to cores — the reference relies on Databricks
+cluster defaults (RUNME.py:113-118); on a real cluster the same builder is
+used with ``master`` unset and the documented conf below.
+
+Cluster-scale notes (100 TB target):
+- AQE on: runtime coalescing, skew-join splitting, dynamic broadcast.
+- ``spark.sql.shuffle.partitions`` should be ~2-3x total executor cores on a
+  real cluster; AQE coalesces down, so err high (e.g. 4000 on 1000 cores).
+- ``spark.sql.files.maxPartitionBytes`` at the default 128m keeps scan tasks
+  memory-safe; with 100 TB input that is ~800k scan tasks — fine, they are
+  cheap and stream through executors.
+- Arrow enabled for every pandas-interop path (Pandas UDFs, toPandas).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+
+def get_spark(app_name: str = "pos_dlt_spark", shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or reuse) the session.
+
+    Timezone is pinned to UTC so event-time semantics are stable and results
+    compare bit-for-bit against external oracles (DuckDB is UTC-naive).
+    """
+    cpus = default_parallelism()
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    )
+    if not os.environ.get("SPARK_GRAFT_ON_CLUSTER"):
+        builder = builder.master(f"local[{cpus}]")
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
