@@ -196,3 +196,362 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             n.alias("count_order"),
         )
     )
+
+
+@query(
+    "tpch_q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join, filter, group, top-k with a total
+    tiebreak order (revenue is DECIMAL-exact so the top-10 set is identical
+    across engines)."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    one = F.lit(1).cast("decimal(18,2)")
+    revenue = F.sum(
+        F.col("l_extendedprice").cast("decimal(18,2)") * (one - F.col("l_discount").cast("decimal(18,2)"))
+    ).cast("double")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "inner")
+        .join(li, li.l_orderkey == orders.o_orderkey, "inner")
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(revenue.alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "tpch_q5_local_supplier_volume",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join with a non-key equality (c_nationkey =
+    s_nationkey), date range filter, group-agg. Dims (region/nation/supplier)
+    are broadcast; the fact joins shuffle on orderkey."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    one = F.lit(1).cast("decimal(18,2)")
+    revenue = F.sum(
+        F.col("l_extendedprice").cast("decimal(18,2)") * (one - F.col("l_discount").cast("decimal(18,2)"))
+    ).cast("double")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "inner")
+        .join(li, li.l_orderkey == orders.o_orderkey, "inner")
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+            "inner",
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey, "inner")
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey, "inner")
+        .groupBy("n_name")
+        .agg(revenue.alias("revenue"))
+    )
+
+
+@query(
+    "orders_top10_by_price",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def orders_top10_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sort + limit (reference O1-O4): Spark plans TakeOrderedAndProject
+    (per-partition top-k + driver merge), not a full sort."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join (NOT EXISTS)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "customers_with_urgent_orders",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def customers_with_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join (EXISTS) with a pushed-down filter on the probe side."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "nation_customer_stats",
+    oracle="""
+    SELECT n_name,
+           COUNT(*) AS n_customers,
+           COUNT(DISTINCT c_mktsegment) AS n_segments,
+           CAST(MIN(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS min_bal,
+           CAST(MAX(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS max_bal,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def nation_customer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dim join + min/max/count-distinct/exact-avg aggregate."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    n = F.count(F.lit(1))
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey, "inner")
+        .groupBy("n_name")
+        .agg(
+            n.alias("n_customers"),
+            F.countDistinct("c_mktsegment").alias("n_segments"),
+            F.min(bal).cast("double").alias("min_bal"),
+            F.max(bal).cast("double").alias("max_bal"),
+            (F.sum(bal).cast("double") / n).alias("avg_bal"),
+        )
+    )
+
+
+@query(
+    "events_distinct_pairs",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def events_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT DISTINCT (reference A3)."""
+    return load_table(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+
+
+@query(
+    "setops_shared_nations",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def setops_shared_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT set op."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@query(
+    "setops_customer_only_nations",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def setops_customer_only_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT set op (set semantics — subtract, not exceptAll)."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)
+
+
+@query(
+    "events_json_extract",
+    oracle="""
+    SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k
+    FROM events
+    """,
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json on a JSON string column (reference F2)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    ev = load_table(spark, sf_dir, "events")
+    schema = StructType([StructField("k", LongType())])
+    return ev.select(
+        "event_id", F.from_json(F.col("props"), schema).getField("k").alias("k")
+    )
+
+
+@query(
+    "pos_silver_parse_events",
+    oracle="""
+    SELECT event_id, user_id,
+           CASE WHEN event_type = 'error' THEN NULL ELSE event_id END AS item_id,
+           CASE WHEN event_type = 'error' THEN NULL
+                ELSE CAST(FLOOR(value) AS BIGINT) END AS qty
+    FROM events
+    """,
+)
+def pos_silver_parse_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silver parse chain (reference 03:308-320): serialize each event to a
+    nested JSON payload (struct + items array), cast binary->string,
+    from_json, project nested fields, explode_outer. 'error' events carry a
+    NULL items array — explode_outer must keep their header rows. The JSON
+    round-trip is the identity, which the flat SQL oracle states directly."""
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    items = F.when(
+        F.col("event_type") != "error",
+        F.array(
+            F.struct(
+                F.col("event_id").alias("item_id"),
+                F.floor(F.col("value")).cast("long").alias("qty"),
+            )
+        ),
+    )
+    payload = F.to_json(
+        F.struct(F.col("event_id"), F.col("user_id"), items.alias("items"))
+    ).cast("binary")
+    item_schema = StructType([StructField("item_id", LongType()), StructField("qty", LongType())])
+    payload_schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("items", ArrayType(item_schema)),
+        ]
+    )
+    parsed = ev.select(payload.alias("value")).select(
+        F.from_json(F.col("value").cast("string"), payload_schema).alias("event")
+    )
+    return (
+        parsed.select(
+            F.col("event.event_id").alias("event_id"),
+            F.col("event.user_id").alias("user_id"),
+            F.explode_outer(F.col("event.items")).alias("item"),
+        )
+        .withColumn("item_id", F.col("item.item_id"))
+        .withColumn("qty", F.col("item.qty"))
+        .drop("item")
+    )
+
+
+@query(
+    "events_hourly_rollup",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour_start, event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window aggregate (batch form of the streaming
+    windowed agg; F.window buckets align to the epoch like date_trunc)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("hour_start"), "event_type", "n_events", "n_users", "total_value")
+    )
+
+
+@query(
+    "events_window_funcs",
+    oracle="""
+    SELECT event_id, user_id, value,
+           row_number() OVER w AS rn,
+           lag(event_id) OVER w AS prev_event_id,
+           lead(event_id) OVER w AS next_event_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def events_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window functions (SURVEY §2.8: exposed even though the reference
+    solves latest-per-key via CDC instead): row_number, lag, lead, running
+    sum over a total per-user order."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.lag("event_id").over(w).alias("prev_event_id"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+        F.sum(F.col("value").cast("decimal(18,2)")).over(wsum).cast("double").alias("running_value"),
+    )

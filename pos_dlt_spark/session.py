@@ -44,6 +44,10 @@ def get_spark(app_name: str = "pos_dlt_spark", shuffle_partitions: int | None = 
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # testdata events.parquet carries TIMESTAMP(NANOS) which the vectorized
+        # reader rejects; read as long and convert in the loader (ns -> us,
+        # same truncation DuckDB applies).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
