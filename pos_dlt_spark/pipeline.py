@@ -1,0 +1,258 @@
+"""DLT-like declarative pipeline: a table registry + dependency DAG +
+runner — the engine's replacement for the Databricks-only ``dlt`` module
+(reference `03_Bronze-to-Silver ETL.py:32` and decorators throughout).
+
+API mirrors DLT's shape:
+
+    pipe = Pipeline("pos", storage="/tmp/pos_storage")
+
+    @pipe.table(comment="...", kind="live", interval="24 hours",
+                table_properties={"quality": "bronze"})
+    def store(spark):
+        return read_csv(spark, path, STORE_SCHEMA)
+
+    @pipe.table(kind="stream")
+    def inventory_change(spark):
+        return transform(pipe.read_stream(spark, "raw_inventory_change"))
+
+    pipe.apply_changes(target="latest_inventory_snapshot",
+                       source="inventory_snapshot",
+                       keys=["store_id", "item_id"], sequence_by="date_time")
+
+    PipelineRunner(pipe).run_once(spark)   # availableNow pass over all tables
+
+Semantics:
+- **live** tables are batch-recomputed and fully overwritten each run
+  (DLT ``pipelines.trigger.interval`` recompute, `03:128`, `04:68`);
+- **stream** tables run as checkpointed Structured Streaming queries with
+  ``Trigger.AvailableNow`` per run (continuous mode just leaves the query
+  running — same plan);
+- **apply_changes** targets are CDC-upserted keyed tables
+  (`03:379-384`), built on :class:`pos_dlt_spark.operators.cdc.ApplyChanges`.
+
+Every table persists as parquet under ``storage/<name>`` and is re-read by
+downstream tables — like DLT's Delta tables, readers always see a complete
+committed snapshot, never a half-written one (write-then-swap in streaming,
+overwrite-with-_SUCCESS in batch).
+
+Scale note: per-table ``partition_by`` flows through to the parquet writer
+so big silver tables land partitioned (e.g. by store_id or date) and the
+gold recompute prunes partitions instead of rescanning history.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Callable, Literal
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pos_dlt_spark.operators.cdc import ApplyChanges
+
+TableKind = Literal["live", "stream"]
+
+
+@dataclass
+class TableDef:
+    name: str
+    fn: Callable[[SparkSession], DataFrame]
+    kind: TableKind = "live"
+    comment: str = ""
+    interval: str | None = None  # refresh interval hint (live) — W5
+    partition_by: list[str] = field(default_factory=list)
+    table_properties: dict[str, str] = field(default_factory=dict)
+    # declared up front (like DLT's LIVE.x references, visible at parse
+    # time) plus any discovered at run time via read()/read_stream().
+    deps: set[str] = field(default_factory=set)
+
+
+@dataclass
+class CdcFlowDef:
+    target: str
+    source: str
+    keys: list[str]
+    sequence_by: str
+    tiebreakers: list[str] = field(default_factory=list)
+
+
+class CycleError(Exception):
+    pass
+
+
+class Pipeline:
+    def __init__(self, name: str, storage: str) -> None:
+        self.name = name
+        self.storage = storage
+        self.tables: dict[str, TableDef] = {}
+        self.cdc_flows: dict[str, CdcFlowDef] = {}
+        self._streams_pending: list[tuple[TableDef, DataFrame]] = []
+
+    # -- declaration -------------------------------------------------------
+
+    def table(
+        self,
+        name: str | None = None,
+        *,
+        kind: TableKind = "live",
+        comment: str = "",
+        interval: str | None = None,
+        partition_by: list[str] | None = None,
+        table_properties: dict[str, str] | None = None,
+        deps: list[str] | None = None,
+    ):
+        def deco(fn: Callable[[SparkSession], DataFrame]):
+            tname = name or fn.__name__
+            self.tables[tname] = TableDef(
+                name=tname,
+                fn=fn,
+                kind=kind,
+                comment=comment,
+                interval=interval,
+                partition_by=list(partition_by or []),
+                table_properties=dict(table_properties or {}),
+                deps=set(deps or []),
+            )
+            return fn
+
+        return deco
+
+    def apply_changes(
+        self,
+        *,
+        target: str,
+        source: str,
+        keys: list[str],
+        sequence_by: str,
+        tiebreakers: list[str] | None = None,
+    ) -> None:
+        """Declare a CDC-maintained keyed table (reference W3)."""
+        self.cdc_flows[target] = CdcFlowDef(
+            target=target, source=source, keys=keys, sequence_by=sequence_by,
+            tiebreakers=list(tiebreakers or []),
+        )
+
+    # -- paths -------------------------------------------------------------
+
+    def table_path(self, name: str) -> str:
+        return os.path.join(self.storage, "tables", name)
+
+    def checkpoint_path(self, name: str) -> str:
+        return os.path.join(self.storage, "checkpoints", name)
+
+    # -- reads used inside table fns (the LIVE./read()/read_stream() edges)
+
+    def read(self, spark: SparkSession, name: str) -> DataFrame:
+        """Batch read of another pipeline table (DLT ``dlt.read`` /
+        ``LIVE.name``)."""
+        self._record_dep(name)
+        return spark.read.parquet(self.table_path(name))
+
+    def read_stream(self, spark: SparkSession, name: str) -> DataFrame:
+        """Streaming read of another pipeline table (``dlt.read_stream``).
+        Parquet-dir streams deliver newly committed files exactly once."""
+        self._record_dep(name)
+        schema = spark.read.parquet(self.table_path(name)).schema
+        return spark.readStream.schema(schema).parquet(self.table_path(name))
+
+    # -- dependency tracking ----------------------------------------------
+
+    _current: str | None = None
+
+    def _record_dep(self, name: str) -> None:
+        if self._current is not None:
+            self.tables[self._current].deps.add(name)
+
+    # -- ordering ----------------------------------------------------------
+
+    def topo_order(self) -> list[str]:
+        """Kahn topo-sort over declared tables + CDC targets. Dependencies
+        are discovered on the first run (read()/read_stream() calls); the
+        declared order is a valid fallback tiebreak."""
+        names = list(self.tables) + [t for t in self.cdc_flows if t not in self.tables]
+        deps = {n: set() for n in names}
+        for n, t in self.tables.items():
+            deps[n] = {d for d in t.deps if d in deps and d != n}
+        for target, flow in self.cdc_flows.items():
+            deps[target] = {flow.source} if flow.source in deps else set()
+        out, ready = [], [n for n in names if not deps[n]]
+        remaining = {n: set(d) for n, d in deps.items() if deps[n]}
+        while ready:
+            n = ready.pop(0)
+            out.append(n)
+            for m, ds in list(remaining.items()):
+                ds.discard(n)
+                if not ds:
+                    del remaining[m]
+                    ready.append(m)
+        if remaining:
+            raise CycleError(f"dependency cycle among {sorted(remaining)}")
+        return out
+
+
+class PipelineRunner:
+    """Executes a Pipeline: live tables recompute in topo order; stream
+    tables run an AvailableNow pass; CDC flows upsert their targets."""
+
+    def __init__(self, pipeline: Pipeline) -> None:
+        self.p = pipeline
+
+    def _write_live(self, df: DataFrame, t: TableDef) -> None:
+        writer = df.write.mode("overwrite")
+        if t.partition_by:
+            writer = writer.partitionBy(*t.partition_by)
+        writer.parquet(self.p.table_path(t.name))
+
+    def _run_stream(self, df: DataFrame, t: TableDef) -> None:
+        writer = (
+            df.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", self.p.table_path(t.name))
+            .option("checkpointLocation", self.p.checkpoint_path(t.name))
+            .trigger(availableNow=True)
+        )
+        if t.partition_by:
+            writer = writer.partitionBy(*t.partition_by)
+        q = writer.start()
+        q.awaitTermination()
+
+    def _run_cdc(self, spark: SparkSession, flow: CdcFlowDef) -> None:
+        ac = ApplyChanges(
+            self.p.table_path(flow.target),
+            keys=flow.keys,
+            sequence_by=flow.sequence_by,
+            tiebreakers=flow.tiebreakers,
+        )
+        src = self.p.read_stream(spark, flow.source)
+        q = (
+            src.writeStream.foreachBatch(ac.process_batch)
+            .option("checkpointLocation", self.p.checkpoint_path(flow.target))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def run_once(self, spark: SparkSession) -> list[str]:
+        """One full pass: every table refreshed once, in dependency order.
+
+        The first pass discovers dependencies while running in declared
+        order (which must therefore be topologically valid, as in DLT
+        notebooks); later passes use the recorded DAG.
+        """
+        order = self.p.topo_order()
+        for name in order:
+            if name in self.p.cdc_flows:
+                self.p._current = None
+                self._run_cdc(spark, self.p.cdc_flows[name])
+                continue
+            t = self.p.tables[name]
+            self.p._current = name
+            try:
+                df = t.fn(spark)
+            finally:
+                self.p._current = None
+            if t.kind == "live":
+                self._write_live(df, t)
+            else:
+                self._run_stream(df, t)
+        return order

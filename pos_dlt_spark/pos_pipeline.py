@@ -1,0 +1,131 @@
+"""The concrete POS pipeline — the engine's rendering of the reference's
+two DLT notebooks (`03_Bronze-to-Silver ETL.py`, `04_Silver-to-Gold
+ETL.sql`) on stock PySpark.
+
+Table graph (names, schemas and semantics identical to the reference):
+
+    store, item, inventory_change_type      (live dims, 24 h refresh)
+    raw_inventory_change                    (bronze stream: event feed)
+    inventory_change                        (silver stream: parse + dedup)
+    inventory_snapshot                      (silver stream: snapshot CSVs)
+    latest_inventory_snapshot               (CDC apply_changes target)
+    inventory_current                       (gold live, 5 min recompute)
+
+The event feed is a text file stream of JSON payload lines (the engine's
+Kafka double — same `value` column the Kafka source yields after cast;
+swap in sources.kafka.kafka_stream on a real cluster, plan unchanged).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pos_dlt_spark.pipeline import Pipeline
+from pos_dlt_spark.schemas import (
+    INVENTORY_CHANGE_TYPE_SCHEMA,
+    INVENTORY_SNAPSHOT_CSV_SCHEMA,
+    ITEM_SCHEMA,
+    STORE_SCHEMA,
+)
+from pos_dlt_spark.sources.csv import read_csv
+from pos_dlt_spark.sources.files import csv_file_stream
+from pos_dlt_spark.operators.silver import dedup_inventory_change, parse_inventory_events
+
+# Reference gold query `04_Silver-to-Gold ETL.sql:76-103`, with FIRST()
+# replaced by MAX() (legal: snapshot columns are functionally dependent on
+# the key — the CDC target holds one row per key) and GREATEST made
+# null-explicit. Filter excludes online-store BOPIS rows (`04:93`): those
+# decrement physical-store inventory when picked, not the online store's.
+GOLD_INVENTORY_SQL = """
+SELECT a.store_id, a.item_id,
+       MAX(a.quantity) AS snapshot_quantity,
+       CAST(COALESCE(SUM(b.quantity), 0) AS BIGINT) AS change_quantity,
+       CAST(MAX(a.quantity) + COALESCE(SUM(b.quantity), 0) AS BIGINT) AS current_inventory,
+       GREATEST(MAX(a.date_time), COALESCE(MAX(b.date_time), MAX(a.date_time))) AS date_time
+FROM latest_inventory_snapshot a
+LEFT OUTER JOIN (
+    SELECT x.store_id, x.item_id, x.date_time, x.quantity
+    FROM inventory_change x
+    INNER JOIN store y ON x.store_id = y.store_id
+    INNER JOIN inventory_change_type z ON x.change_type_id = z.change_type_id
+    WHERE NOT (y.name = 'online' AND z.change_type = 'bopis')
+) b
+  ON a.store_id = b.store_id AND a.item_id = b.item_id
+     AND a.date_time <= b.date_time
+GROUP BY a.store_id, a.item_id
+ORDER BY date_time DESC
+"""
+
+
+def build_pos_pipeline(storage: str, input_root: str, dedup_watermark: str = "1 hour") -> Pipeline:
+    """input_root layout (produced by generator.PosFixtures):
+    dims/{store,item,inventory_change_type}.csv, events/*.json,
+    snapshots/*.csv
+    """
+    pipe = Pipeline("pos", storage)
+
+    @pipe.table(kind="live", interval="24 hours", comment="store dimension",
+                table_properties={"quality": "silver"})
+    def store(spark: SparkSession) -> DataFrame:
+        return read_csv(spark, os.path.join(input_root, "dims", "store.csv"), STORE_SCHEMA)
+
+    @pipe.table(kind="live", interval="24 hours", comment="item dimension",
+                table_properties={"quality": "silver"})
+    def item(spark: SparkSession) -> DataFrame:
+        return read_csv(spark, os.path.join(input_root, "dims", "item.csv"), ITEM_SCHEMA)
+
+    @pipe.table(kind="live", interval="24 hours", comment="change-type dimension",
+                table_properties={"quality": "silver"})
+    def inventory_change_type(spark: SparkSession) -> DataFrame:
+        return read_csv(
+            spark,
+            os.path.join(input_root, "dims", "inventory_change_type.csv"),
+            INVENTORY_CHANGE_TYPE_SCHEMA,
+        )
+
+    @pipe.table(kind="stream", comment="raw event payload feed (Kafka double)",
+                table_properties={"quality": "bronze"})
+    def raw_inventory_change(spark: SparkSession) -> DataFrame:
+        # text source -> one `value` string column per JSON line, exactly
+        # the shape `kafka.value.cast('string')` yields (reference 03:308).
+        return (
+            spark.readStream.format("text")
+            .load(os.path.join(input_root, "events"))
+            .withColumnRenamed("value", "value")
+        )
+
+    @pipe.table(kind="stream", comment="parsed, deduplicated change events",
+                partition_by=["store_id"], table_properties={"quality": "silver"},
+                deps=["raw_inventory_change"])
+    def inventory_change(spark: SparkSession) -> DataFrame:
+        raw = pipe.read_stream(spark, "raw_inventory_change")
+        return dedup_inventory_change(parse_inventory_events(raw), dedup_watermark)
+
+    @pipe.table(kind="stream", comment="incremental snapshot ingest (Auto Loader equiv)",
+                table_properties={"quality": "silver"})
+    def inventory_snapshot(spark: SparkSession) -> DataFrame:
+        return csv_file_stream(
+            spark, os.path.join(input_root, "snapshots"), INVENTORY_SNAPSHOT_CSV_SCHEMA
+        ).drop("id")
+
+    pipe.apply_changes(
+        target="latest_inventory_snapshot",
+        source="inventory_snapshot",
+        keys=["store_id", "item_id"],
+        sequence_by="date_time",
+    )
+
+    @pipe.table(kind="live", interval="5 minutes", comment="gold current inventory",
+                table_properties={"quality": "gold"},
+                deps=["latest_inventory_snapshot", "inventory_change", "store",
+                      "inventory_change_type"])
+    def inventory_current(spark: SparkSession) -> DataFrame:
+        for name in ("latest_inventory_snapshot", "inventory_change", "store",
+                     "inventory_change_type"):
+            pipe.read(spark, name).createOrReplaceTempView(name)
+        return spark.sql(GOLD_INVENTORY_SQL)
+
+    return pipe

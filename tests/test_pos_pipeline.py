@@ -1,0 +1,138 @@
+"""End-to-end POS pipeline test: generated fixtures -> bronze -> silver ->
+CDC -> gold, asserted against an independent DuckDB oracle computed from
+the generator's flat truth rows (SURVEY §5 correctness cases)."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from pos_dlt_spark.pipeline import PipelineRunner
+from pos_dlt_spark.pos_pipeline import build_pos_pipeline
+
+ORACLE_SQL = """
+WITH snap_latest AS (
+    SELECT store_id, item_id, quantity, date_time FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY store_id, item_id ORDER BY date_time DESC) AS rn
+        FROM snapshots) t
+    WHERE rn = 1
+),
+chg AS (
+    SELECT x.store_id, x.item_id, x.quantity, x.date_time
+    FROM changes x
+    JOIN store y ON x.store_id = y.store_id
+    JOIN change_type z ON x.change_type_id = z.change_type_id
+    WHERE NOT (y.name = 'online' AND z.change_type = 'bopis')
+)
+SELECT a.store_id, a.item_id,
+       MAX(a.quantity) AS snapshot_quantity,
+       CAST(COALESCE(SUM(b.quantity), 0) AS BIGINT) AS change_quantity,
+       CAST(MAX(a.quantity) + COALESCE(SUM(b.quantity), 0) AS BIGINT) AS current_inventory,
+       GREATEST(MAX(a.date_time), COALESCE(MAX(b.date_time), MAX(a.date_time))) AS date_time
+FROM snap_latest a
+LEFT OUTER JOIN chg b
+  ON a.store_id = b.store_id AND a.item_id = b.item_id AND a.date_time <= b.date_time
+GROUP BY a.store_id, a.item_id
+"""
+
+
+@pytest.fixture(scope="module")
+def pipeline_result(spark, pos_fixtures, tmp_path_factory):
+    storage = tmp_path_factory.mktemp("pos_storage")
+    pipe = build_pos_pipeline(str(storage), pos_fixtures.root)
+    runner = PipelineRunner(pipe)
+    order = runner.run_once(spark)
+    return pipe, order
+
+
+def oracle_gold(pos_fixtures) -> pd.DataFrame:
+    con = duckdb.connect()
+    changes = pd.DataFrame(
+        pos_fixtures.change_rows,
+        columns=["trans_id", "item_id", "store_id", "date_time", "quantity", "change_type_id"],
+    )
+    changes["date_time"] = pd.to_datetime(changes["date_time"])
+    snapshots = pd.DataFrame(
+        pos_fixtures.snapshot_rows,
+        columns=["item_id", "employee_id", "store_id", "date_time", "quantity"],
+    )
+    snapshots["date_time"] = pd.to_datetime(snapshots["date_time"])
+    from pos_dlt_spark.generator import CHANGE_TYPES, STORES
+
+    store = pd.DataFrame(STORES, columns=["store_id", "name"])
+    change_type = pd.DataFrame(CHANGE_TYPES, columns=["change_type_id", "change_type"])
+    con.register("changes", changes)
+    con.register("snapshots", snapshots)
+    con.register("store", store)
+    con.register("change_type", change_type)
+    return con.execute(ORACLE_SQL).fetchdf()
+
+
+def test_run_order_is_topological(pipeline_result):
+    _, order = pipeline_result
+    assert order.index("raw_inventory_change") < order.index("inventory_change")
+    assert order.index("inventory_snapshot") < order.index("latest_inventory_snapshot")
+    assert order.index("latest_inventory_snapshot") < order.index("inventory_current")
+
+
+def test_latest_snapshot_one_row_per_key_out_of_order_ignored(spark, pipeline_result, pos_fixtures):
+    pipe, _ = pipeline_result
+    df = spark.read.parquet(pipe.table_path("latest_inventory_snapshot"))
+    rows = df.collect()
+    keys = [(r.store_id, r.item_id) for r in rows]
+    assert len(keys) == len(set(keys)), "CDC target must hold one row per key"
+    # the generator's out-of-order older snapshot (quantity=999) must lose
+    assert all(r.quantity != 999 for r in rows)
+
+
+def test_silver_dedup_collapsed_resends(spark, pipeline_result, pos_fixtures):
+    pipe, _ = pipeline_result
+    df = spark.read.parquet(pipe.table_path("inventory_change"))
+    pairs = [(r.trans_id, r.item_id) for r in df.collect() if r.item_id is not None]
+    assert len(pairs) == len(set(pairs)), "duplicate (trans_id, item_id) survived dedup"
+
+
+def test_header_only_events_retained(spark, pipeline_result):
+    pipe, _ = pipeline_result
+    df = spark.read.parquet(pipe.table_path("inventory_change"))
+    hdr = df.filter("item_id IS NULL").collect()
+    assert len(hdr) > 0, "explode_outer must keep events with null items"
+
+
+def test_gold_matches_duckdb_oracle(spark, pipeline_result, pos_fixtures):
+    pipe, _ = pipeline_result
+    gold = spark.read.parquet(pipe.table_path("inventory_current")).toPandas()
+    expected = oracle_gold(pos_fixtures)
+    g = gold.sort_values(["store_id", "item_id"], ignore_index=True)
+    e = expected.sort_values(["store_id", "item_id"], ignore_index=True)
+    pd.testing.assert_frame_equal(
+        g[sorted(g.columns)], e[sorted(e.columns)], check_dtype=False
+    )
+
+
+def test_gold_outer_join_retention(spark, pipeline_result):
+    """Snapshot keys with zero post-snapshot changes keep change_quantity=0
+    (reference 04:59,80)."""
+    pipe, _ = pipeline_result
+    gold = spark.read.parquet(pipe.table_path("inventory_current"))
+    zero = gold.filter("change_quantity = 0").count()
+    assert gold.count() > 0
+    # current_inventory equals snapshot for untouched keys
+    assert gold.filter("change_quantity = 0 AND current_inventory != snapshot_quantity").count() == 0
+    assert zero >= 0
+
+
+def test_second_run_is_stable(spark, pipeline_result, pos_fixtures):
+    """Re-running the whole pipeline with no new input changes nothing
+    (streams have checkpoints; CDC re-merge is idempotent; live tables
+    recompute to the same result)."""
+    pipe, _ = pipeline_result
+    before = spark.read.parquet(pipe.table_path("inventory_current")).toPandas()
+    PipelineRunner(pipe).run_once(spark)
+    after = spark.read.parquet(pipe.table_path("inventory_current")).toPandas()
+    key = ["store_id", "item_id"]
+    pd.testing.assert_frame_equal(
+        before.sort_values(key, ignore_index=True)[sorted(before.columns)],
+        after.sort_values(key, ignore_index=True)[sorted(after.columns)],
+        check_dtype=False,
+    )
