@@ -1,0 +1,194 @@
+"""Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+SimHash, and n-gram Jaccard.
+
+Design for 100 TB:
+- **Signatures are per-row array expressions** (``transform`` /
+  ``array_min`` / ``aggregate`` over the token array) — computed inside
+  whole-stage codegen with NO explode and NO shuffle. A 100 TB corpus
+  streams through map tasks once.
+- **The only shuffles are the LSH band self-joins**, which hash-partition
+  on (band_index, band_value) — exactly the key that buckets near-dups
+  together. Bucket sizes are bounded by collision probability, not corpus
+  size; a pathological hot bucket (e.g. empty documents) should be capped
+  with a bucket-size limit before the pair join.
+- **Verification joins only candidate pairs** (LSH output), never all
+  pairs: O(candidates), not O(n^2).
+
+Hashes are the portable md5-based :func:`pos_dlt_spark.functions.phash`
+so every signature is verifiable against the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pos_dlt_spark.functions import phash
+from pos_dlt_spark.operators.text import tokens
+
+
+# -- shingling --------------------------------------------------------------
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of lowercased text (array<string>).
+    Pure array expression: no explode."""
+    toks = tokens(text)
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    joined = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)])
+    )
+    # guard: docs shorter than n tokens get a single whole-doc shingle
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, joined).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+# -- exact dedup ------------------------------------------------------------
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Group documents by normalized-text hash; keep the min id as the
+    canonical representative. One hash-shuffle on the 32-char digest."""
+    normalized = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    return (
+        df.select(F.col(id_col), F.md5(normalized).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# -- MinHash + LSH ----------------------------------------------------------
+
+
+def minhash_signature(text: Column, n_hashes: int = 8, shingle_n: int = 3) -> list[Column]:
+    """k minhash values per document: min over shingles of the salted
+    portable hash. Each is an array_min(transform(...)) — per-row, no
+    shuffle, no explode."""
+    sh = word_shingles(text, shingle_n)
+    out = []
+    for i in range(n_hashes):
+        # NB: single-arg lambda — a two-arg lambda would make F.transform
+        # pass the element INDEX as the second arg. The closure over `i` is
+        # safe because F.transform builds the expression eagerly here.
+        salt = f"{i}:"
+        out.append(F.array_min(F.transform(sh, lambda s: phash(s, salt=salt))).alias(f"mh{i}"))
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    n_hashes: int = 8, shingle_n: int = 3,
+) -> DataFrame:
+    return df.select(F.col(id_col), *minhash_signature(F.col(text_col), n_hashes, shingle_n))
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, id_col: str = "doc_id", n_hashes: int = 8, bands: int = 4
+) -> DataFrame:
+    """Banding: documents agreeing on all rows of any band are candidates.
+    Implemented as one unpivot (band rows) + a self-equi-join on
+    (band_index, band_key) -> shuffle co-locates likely-dups only."""
+    rows_per_band = n_hashes // bands
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws("_", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("band_key")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.band_key") == F.col("b.band_key"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_for_pairs(
+    pairs: DataFrame, docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs: two broadcast-or-hash
+    joins against the per-doc shingle sets, then pure array math
+    (|A∩B| / (|A|+|B|-|A∩B|) — same formula the SQL oracle uses)."""
+    sets = docs.select(F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("sh"))
+    a = sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    return (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .select("id_a", "id_b", (inter / union).alias("jaccard"))
+    )
+
+
+def minhash_lsh_dedup_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    n_hashes: int = 8, bands: int = 4, shingle_n: int = 3, threshold: float = 0.5,
+) -> DataFrame:
+    """Full near-dup pipeline: signatures -> LSH candidates -> exact
+    Jaccard verify -> threshold."""
+    sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n)
+    pairs = lsh_candidate_pairs(sig, id_col, n_hashes, bands)
+    return jaccard_for_pairs(pairs, df, text_col, id_col, shingle_n).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+# -- SimHash ----------------------------------------------------------------
+
+
+def simhash(text: Column, bits: int = 16, shingle_n: int = 3) -> Column:
+    """SimHash over shingles: bit b is set when at least half the shingles
+    have bit b set in their hash (majority sign). Per-row expression."""
+    sh = word_shingles(text, shingle_n)
+    n = F.size(sh)
+    out = F.lit(0).cast("bigint")
+    for b in range(bits):
+        mask = 1 << b
+        cnt = F.size(F.filter(sh, lambda s: (phash(s).bitwiseAND(F.lit(mask))) != 0))
+        out = out + F.when(cnt * 2 >= n, F.lit(mask)).otherwise(F.lit(0))
+    return out
+
+
+def simhash_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    bits: int = 16, max_hamming: int = 2,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: block on half-hash bands (a pair within
+    hamming distance d must agree on at least one of d+1 equal chunks),
+    then verify bit_count(xor) <= d."""
+    half = bits // 2
+    sh = df.select(F.col(id_col), simhash(F.col(text_col), bits).alias("sh"))
+    chunks = [
+        (F.col("sh").bitwiseAND(F.lit((1 << half) - 1))).alias("c0"),
+        (F.shiftright("sh", half)).alias("c1"),
+    ]
+    blocked = sh.select(id_col, "sh", *chunks)
+    a, b = blocked.alias("a"), blocked.alias("b")
+    same_chunk = (F.col("a.c0") == F.col("b.c0")) | (F.col("a.c1") == F.col("b.c1"))
+    hamming = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+    return (
+        a.join(b, on=[same_chunk, F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -1,0 +1,157 @@
+"""Similarity search over embedding columns (array<float>).
+
+Determinism note: cosine similarity is computed over embeddings
+**quantized to integers** (floor(x * 1000)) so the dot products and norms
+are exact integer math — bit-identical in any engine and any summation
+order. The final similarity is a fixed-order double expression over those
+exact integers. This is what makes ANN results verifiable against a SQL
+oracle; un-quantized float sums would differ in the last ulp between
+engines and could flip near-tied top-k ranks.
+
+Scale design:
+- brute-force top-k broadcasts the (small) probe set against the corpus —
+  one scan, no shuffle on the corpus side, per-partition top-k via window;
+  right for "a handful of probes x billions of vectors".
+- LSH-bucketed ANN (random hyperplane signs) prunes the corpus to matching
+  buckets first — right for "all-pairs / many probes". Plane vectors are
+  generated from a seeded RNG on the driver and inlined as literals, so
+  the plan stays deterministic and executor-side.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def quantized(vec: Column, scale: int = 1000) -> Column:
+    """array<float> -> array<bigint>, floor(x*scale). floor (not round):
+    round's half-way tie-breaking differs between engines; floor never ties."""
+    return F.transform(vec, lambda x: F.floor(x.cast("double") * scale).cast("bigint"))
+
+
+def int_dot(a: Column, b: Column) -> Column:
+    """Exact integer dot product — order-independent."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("bigint"), lambda acc, x: acc + x
+    )
+
+
+def cosine_sim_quantized(a: Column, b: Column) -> Column:
+    """dot / sqrt(|a|^2) / sqrt(|b|^2) over quantized vectors; fixed
+    left-to-right division order."""
+    return (
+        int_dot(a, b).cast("double")
+        / F.sqrt(int_dot(a, a).cast("double"))
+        / F.sqrt(int_dot(b, b).cast("double"))
+    )
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per probe: broadcast probes x scan corpus,
+    rank by (sim desc, id asc) — the deterministic baseline every ANN
+    variant is validated against."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), quantized(F.col(vec_col)).alias("qc")
+    )
+    p = probes.select(F.col(id_col).alias("probe_id"), quantized(F.col(vec_col)).alias("qp"))
+    sim = cosine_sim_quantized(F.col("qp"), F.col("qc"))
+    w = Window.partitionBy("probe_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        c.crossJoin(F.broadcast(p))
+        .filter(F.col("probe_id") != F.col("neighbor_id"))
+        .select("probe_id", "neighbor_id", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = "label",
+) -> DataFrame:
+    """Embedding near-duplicate pairs above a cosine threshold. With a
+    blocking column the self-join shuffles on it (candidates only within a
+    block); without one this is all-pairs — use :func:`lsh_ann_pairs` at
+    scale instead."""
+    base = df.select(
+        F.col(id_col), quantized(F.col(vec_col)).alias("q"),
+        *( [F.col(block_col)] if block_col else [] ),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    cond = [F.col(f"a.{id_col}") < F.col(f"b.{id_col}")]
+    if block_col:
+        cond.append(F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    sim = cosine_sim_quantized(F.col("a.q"), F.col("b.q"))
+    return (
+        a.join(b, on=cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            sim.alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane LSH bucket id: bit i = sign(dot(vec, plane_i)).
+    Planes are literal arrays -> evaluated in codegen, no UDF."""
+    sig = F.lit(0).cast("bigint")
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(v)) for v in plane])
+        dot = F.aggregate(
+            F.zip_with(vec, lit_plane, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sig = sig + F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return sig
+
+
+def make_planes(dim: int, n_planes: int = 12, seed: int = 42) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def lsh_ann_pairs(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    n_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Scale path for near-dup pairs: bucket by hyperplane signature
+    (vectors with high cosine land in the same bucket with probability
+    (1 - theta/pi)^n_planes), self-join within buckets only, verify with
+    exact quantized cosine."""
+    planes = make_planes(dim, n_planes, seed)
+    sig = df.select(
+        F.col(id_col),
+        quantized(F.col(vec_col)).alias("q"),
+        hyperplane_signature(F.col(vec_col), planes).alias("bucket"),
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    sim = cosine_sim_quantized(F.col("a.q"), F.col("b.q"))
+    return (
+        a.join(b, on=[F.col("a.bucket") == F.col("b.bucket"), F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            sim.alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )

@@ -1,0 +1,133 @@
+"""Text-analysis operators for training-data pipelines (SURVEY §7.4 /
+BASELINE.json north star): token counting, quality scoring, language ID,
+document fingerprinting.
+
+Everything is built from JVM-side column expressions (split / filter /
+transform / aggregate) — no Python UDFs — so the operators run inside
+whole-stage codegen and scale linearly with no shuffle: each is a pure
+per-row map over the documents table.
+
+Portability: the same computations are expressible in ANSI SQL (see the
+oracle strings in queries.py); hashes are md5-based (identical across
+engines) rather than murmur3 (engine-specific).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Minimal per-language stopword lists for the heuristic language ID.
+# Order matters: ties resolve by this priority.
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "that", "it", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "los", "se", "no"],
+    "de": ["der", "die", "das", "und", "ist", "von", "zu", "mit", "den", "nicht"],
+    "fr": ["le", "la", "les", "de", "et", "un", "est", "que", "pour", "dans"],
+    "zh": ["de5", "le5", "shi4", "zai4", "you3"],  # romanized placeholders
+}
+
+LANG_PRIORITY = ["en", "es", "de", "fr", "zh"]
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization of lowercased text."""
+    return F.split(F.trim(F.lower(text)), r"\s+")
+
+
+def bpe_ish_tokens(text_colname: str) -> Column:
+    """A BPE-ish sub-word split: words plus punctuation as separate tokens
+    (the regex keeps letter runs, digit runs, and single punctuation marks —
+    roughly what a byte-pair vocabulary's word-boundary pre-tokenizer does).
+    """
+    return F.expr(
+        f"regexp_extract_all(lower({text_colname}), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)"
+    )
+
+
+def n_tokens(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def punct_count(text: Column) -> Column:
+    """Count of non-alphanumeric, non-space characters (portable character
+    class, not [[:punct:]] which differs between regex engines)."""
+    lowered = F.lower(text)
+    return F.length(lowered) - F.length(F.regexp_replace(lowered, "[^a-z0-9\\s]", ""))
+
+
+def stopword_count(text: Column, lang: str = "en") -> Column:
+    words = STOPWORDS[lang]
+    lit_words = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens(text), lambda t: F.array_contains(lit_words, t)))
+
+
+def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document quality features + a composite score in [0, ~1].
+
+    Heuristics follow the usual LLM-corpus filters (C4/Gopher-style):
+    too-short docs, punctuation-free or punctuation-heavy docs, and
+    stopword-free docs are penalized.
+    """
+    text = F.col(text_col)
+    ntok = n_tokens(text).cast("bigint")
+    nchars = F.length(text).cast("bigint")
+    npunct = punct_count(text).cast("bigint")
+    nstop = stopword_count(text, "en").cast("bigint")
+    mean_word_len = (nchars.cast("double") / ntok)
+    stop_ratio = nstop.cast("double") / ntok
+    punct_ratio = npunct.cast("double") / nchars
+    # fixed evaluation order, pure double arithmetic -> engine-portable
+    score = (
+        F.least(ntok.cast("double") / F.lit(100.0), F.lit(1.0)) * F.lit(0.4)
+        + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * F.lit(0.4)
+        + (F.lit(1.0) - F.least(punct_ratio * F.lit(10.0), F.lit(1.0))) * F.lit(0.2)
+    )
+    return df.select(
+        F.col(id_col),
+        ntok.alias("n_tokens"),
+        nchars.alias("n_chars_computed"),
+        npunct.alias("n_punct"),
+        nstop.alias("n_stopwords"),
+        mean_word_len.alias("mean_word_len"),
+        stop_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def langid(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic language ID: count stopword hits per language, pick the
+    argmax with a fixed priority order for ties ('und' when no hits)."""
+    text = F.col(text_col)
+    scores = {lang: stopword_count(text, lang) for lang in LANG_PRIORITY}
+    out = df.select(
+        F.col(id_col), *[scores[lang].alias(f"score_{lang}") for lang in LANG_PRIORITY]
+    )
+    # chained CASE in priority order: first language whose score is maximal
+    max_score = F.greatest(*[F.col(f"score_{lang}") for lang in LANG_PRIORITY])
+    pred = F.when(max_score == 0, F.lit("und"))
+    for lang in LANG_PRIORITY:
+        pred = pred.when(F.col(f"score_{lang}") == max_score, F.lit(lang))
+    return out.withColumn("lang_pred", pred)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Document fingerprints: md5 of whitespace-normalized lowercase text
+    (exact-dup key) plus a 32-bit rolling polynomial hash over tokens
+    (order-sensitive, so reordered-word docs get different fingerprints
+    while whitespace/case changes do not)."""
+    text = F.col(text_col)
+    normalized = F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
+    from pos_dlt_spark.functions import phash
+
+    rolling = F.aggregate(
+        tokens(text),
+        F.lit(0).cast("bigint"),
+        lambda acc, t: (acc * F.lit(31) + phash(t)) % F.lit(2147483647),
+    )
+    return df.select(
+        F.col(id_col),
+        F.md5(normalized.cast("binary")).alias("md5_fingerprint"),
+        rolling.alias("rolling_hash"),
+    )

@@ -1,0 +1,299 @@
+"""Training-data pipeline queries (SURVEY §7.4): text analysis, dedup
+family, similarity search — each registered with a DuckDB oracle built from
+the same portable primitives (md5-based hashes, integer-quantized cosine,
+fixed-order double arithmetic) so results hash-match across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pos_dlt_spark.functions import phash_sql
+from pos_dlt_spark.operators import dedup as D
+from pos_dlt_spark.operators import similarity as S
+from pos_dlt_spark.operators import text as T
+from pos_dlt_spark.queries import query
+from pos_dlt_spark.tables import load_table
+
+# ---------------------------------------------------------------------------
+# shared DuckDB SQL fragments (twins of the Spark column expressions)
+# ---------------------------------------------------------------------------
+
+_TOKS = r"regexp_split_to_array(trim(lower(text)), '\s+')"
+
+# word 3-shingles, distinct, whole-doc fallback for short docs
+_SH = (
+    "CASE WHEN len(toks) >= 3 THEN list_distinct(list_transform(range(1, len(toks)-1), "
+    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) "
+    "ELSE [array_to_string(toks, ' ')] END"
+)
+
+_TOKS_CTE = f"toks_t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)"
+_SH_CTE = f"sh_t AS (SELECT doc_id, {_SH} AS sh FROM toks_t)"
+
+N_HASHES, BANDS, SHINGLE_N = 8, 4, 3
+
+
+def _mh_sql(i: int) -> str:
+    return f"list_min(list_transform(sh, s -> {phash_sql('s', f'{i}:')}))"
+
+
+_SIG_CTE = "sig AS (SELECT doc_id, " + ", ".join(
+    f"{_mh_sql(i)} AS mh{i}" for i in range(N_HASHES)
+) + " FROM sh_t)"
+
+_ROWS_PER_BAND = N_HASHES // BANDS
+_BANDS_CTE = "bands AS (" + " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, concat_ws('_', "
+    + ", ".join(f"mh{b * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND))
+    + ") AS band_key FROM sig"
+    for b in range(BANDS)
+) + ")"
+
+_QUANT = "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return f"list_sum(list_transform(range(1, len({a})+1), i -> {a}[i] * {b}[i]))"
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"CAST({_dot_sql(a, b)} AS DOUBLE) / sqrt(CAST({_dot_sql(a, a)} AS DOUBLE)) "
+        f"/ sqrt(CAST({_dot_sql(b, b)} AS DOUBLE))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+_STOP_EN = ", ".join(f"'{w}'" for w in T.STOPWORDS["en"])
+_NPUNCT = r"length(lower(text)) - length(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'))"
+_NSTOP = f"len(list_filter(toks, t -> t IN ({_STOP_EN})))"
+
+
+@query(
+    "text_quality_features",
+    oracle=f"""
+    WITH {_TOKS_CTE}
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_computed,
+           CAST({_NPUNCT} AS BIGINT) AS n_punct,
+           CAST({_NSTOP} AS BIGINT) AS n_stopwords,
+           CAST(length(text) AS DOUBLE) / len(toks) AS mean_word_len,
+           CAST({_NSTOP} AS DOUBLE) / len(toks) AS stopword_ratio,
+           CAST({_NPUNCT} AS DOUBLE) / length(text) AS punct_ratio,
+           least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.4
+             + least(CAST({_NSTOP} AS DOUBLE) / len(toks) * 5.0, 1.0) * 0.4
+             + (1.0 - least(CAST({_NPUNCT} AS DOUBLE) / length(text) * 10.0, 1.0)) * 0.2
+               AS quality_score
+    FROM toks_t
+    """,
+)
+def text_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality features + composite score — C4/Gopher-style corpus
+    filtering signals, all JVM-side expressions (operators/text.py)."""
+    return T.quality_features(load_table(spark, sf_dir, "documents"))
+
+
+def _langid_oracle() -> str:
+    score_cols = []
+    for lang in T.LANG_PRIORITY:
+        words = ", ".join(f"'{w}'" for w in T.STOPWORDS[lang])
+        score_cols.append(f"len(list_filter(toks, t -> t IN ({words}))) AS score_{lang}")
+    maxexpr = "greatest(" + ", ".join(f"score_{lang}" for lang in T.LANG_PRIORITY) + ")"
+    case = f"CASE WHEN {maxexpr} = 0 THEN 'und' " + " ".join(
+        f"WHEN score_{lang} = {maxexpr} THEN '{lang}'" for lang in T.LANG_PRIORITY
+    ) + " END"
+    return f"""
+    WITH {_TOKS_CTE},
+    scores AS (SELECT doc_id, {', '.join(score_cols)} FROM toks_t)
+    SELECT doc_id, {', '.join('CAST(score_' + lang + ' AS INTEGER) AS score_' + lang for lang in T.LANG_PRIORITY)},
+           {case} AS lang_pred
+    FROM scores
+    """
+
+
+@query("text_langid", oracle=_langid_oracle())
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic stopword-count language ID with fixed tie priority."""
+    return T.langid(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"""
+    WITH {_TOKS_CTE}
+    SELECT doc_id,
+           md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS md5_fingerprint,
+           list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks, t -> {phash_sql('t')})),
+                       (acc, h) -> (acc * 31 + h) % 2147483647) AS rolling_hash
+    FROM toks_t
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5 content fingerprint + order-sensitive rolling token hash."""
+    return T.fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact_docs",
+    oracle=r"""
+    SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS content_hash,
+           MIN(doc_id) AS canonical_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on normalized content, min-id canonical."""
+    return D.exact_dedup_groups(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_minhash_signatures",
+    oracle=f"""
+    WITH {_TOKS_CTE}, {_SH_CTE}, {_SIG_CTE}
+    SELECT * FROM sig
+    """,
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (8 portable salted hashes over word 3-shingles) —
+    per-row array expressions, no explode, no shuffle."""
+    return D.minhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_minhash_lsh_pairs",
+    oracle=f"""
+    WITH {_TOKS_CTE}, {_SH_CTE}, {_SIG_CTE}, {_BANDS_CTE},
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+             / (CAST(len(sa.sh) + len(sb.sh) AS DOUBLE) - len(list_intersect(sa.sh, sb.sh)))
+               AS jaccard
+    FROM cand JOIN sh_t sa ON cand.id_a = sa.doc_id
+              JOIN sh_t sb ON cand.id_b = sb.doc_id
+    WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+             / (CAST(len(sa.sh) + len(sb.sh) AS DOUBLE) - len(list_intersect(sa.sh, sb.sh))) >= 0.5
+    """,
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full near-dup pipeline: signatures -> LSH banding self-join ->
+    exact Jaccard verification at threshold 0.5. The corpus has planted
+    near-duplicates; both engines must find the same pairs."""
+    return D.minhash_lsh_dedup_pairs(
+        load_table(spark, sf_dir, "documents"), n_hashes=N_HASHES, bands=BANDS,
+        shingle_n=SHINGLE_N, threshold=0.5,
+    )
+
+
+def _simhash_oracle(bits: int = 16) -> str:
+    h = phash_sql("s")
+    terms = []
+    for b in range(bits):
+        cnt = f"len(list_filter(sh, s -> ({h} & {1 << b}) != 0))"
+        terms.append(f"CASE WHEN 2 * {cnt} >= len(sh) THEN {1 << b} ELSE 0 END")
+    return f"""
+    WITH {_TOKS_CTE}, {_SH_CTE}
+    SELECT doc_id, CAST({' + '.join(terms)} AS BIGINT) AS simhash
+    FROM sh_t
+    """
+
+
+@query("dedup_simhash", oracle=_simhash_oracle())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document (majority bit over shingle hashes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", D.simhash(F.col("text"), bits=16).alias("simhash"))
+
+
+@query(
+    "dedup_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH {_TOKS_CTE}, {_SH_CTE},
+    capped AS (SELECT * FROM sh_t WHERE doc_id < 500)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (CAST(len(a.sh) + len(b.sh) AS DOUBLE) - len(list_intersect(a.sh, b.sh)))
+               AS jaccard
+    FROM capped a JOIN capped b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (CAST(len(a.sh) + len(b.sh) AS DOUBLE) - len(list_intersect(a.sh, b.sh))) >= 0.2
+    """,
+)
+def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs 3-gram Jaccard on a capped id range (doc_id < 500) — the
+    exact baseline the LSH pipeline approximates. Capped because all-pairs
+    is O(n^2); the scale path IS dedup_minhash_lsh_pairs."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    sets = docs.select(F.col("doc_id"), D.word_shingles(F.col("text"), SHINGLE_N).alias("sh"))
+    a = sets.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sets.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    jac = inter / union
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "emb_cosine_near_dup_pairs",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, label, {_QUANT} AS qv FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_cos_sql('a.qv', 'b.qv')} AS sim
+    FROM q a JOIN q b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_cos_sql('a.qv', 'b.qv')} >= 0.35
+    """,
+)
+def emb_cosine_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (label-blocked self-join, quantized-exact
+    cosine >= 0.35). Unblocked scale path: similarity.lsh_ann_pairs."""
+    return S.cosine_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.35, block_col="label"
+    )
+
+
+@query(
+    "ann_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, {_QUANT} AS qv FROM embeddings),
+    probes AS (SELECT vec_id AS probe_id, qv AS qp FROM q WHERE vec_id < 10),
+    sims AS (
+        SELECT probe_id, c.vec_id AS neighbor_id, {_cos_sql('qp', 'c.qv')} AS sim
+        FROM probes JOIN q c ON c.vec_id != probe_id
+    )
+    SELECT probe_id, neighbor_id, sim, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rank
+        FROM sims) t
+    WHERE rank <= 5
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for probe vectors (vec_id < 10): broadcast
+    probes x corpus scan, deterministic (sim desc, id) ranking."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    out = S.brute_force_topk(emb, probes, k=5)
+    return out.select("probe_id", "neighbor_id", "sim", "rank")

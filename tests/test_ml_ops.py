@@ -1,0 +1,126 @@
+"""Unit tests for the training-data operators that aren't fully covered by
+the oracle gate: multimodal plumbing, LSH ANN, simhash pairs."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pos_dlt_spark.operators import dedup as D
+from pos_dlt_spark.operators import multimodal as M
+from pos_dlt_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),  # near-dup of 0
+        (2, "completely different text about spark engines and shuffles"),
+        (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (4, "short doc"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_groups(spark, docs):
+    out = {r.content_hash: (r.canonical_id, r.n_copies) for r in D.exact_dedup_groups(docs).collect()}
+    assert sum(n for _, n in out.values()) == 5
+    assert (0, 2) in out.values()  # docs 0 and 3 collapse, min id kept
+
+
+def test_minhash_lsh_finds_near_dup(spark, docs):
+    pairs = {(r.id_a, r.id_b) for r in D.minhash_lsh_dedup_pairs(docs, threshold=0.3).collect()}
+    assert (0, 3) in pairs  # exact dup always collides
+    # near-dup (0,1) shares 7 of 9 shingles (jaccard ~0.56) — should be found
+    assert (0, 1) in pairs or (1, 3) in pairs
+
+
+def test_simhash_identical_docs_equal(spark, docs):
+    sh = {r.doc_id: r.sh for r in docs.select("doc_id", D.simhash(F.col("text")).alias("sh")).collect()}
+    assert sh[0] == sh[3]
+    assert 0 <= sh[0] < (1 << 16)
+
+
+def test_simhash_pairs_blocked(spark, docs):
+    pairs = {(r.id_a, r.id_b) for r in D.simhash_pairs(docs, max_hamming=3).collect()}
+    assert (0, 3) in pairs
+
+
+def test_brute_force_topk_matches_python(spark):
+    import math
+    import random
+
+    rng = random.Random(7)
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(30)]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    probes = df.filter(F.col("vec_id") < 2)
+    got = {
+        (r.probe_id, r.rank): r.neighbor_id
+        for r in S.brute_force_topk(df, probes, k=3).collect()
+    }
+
+    def cos(a, b):
+        qa = [math.floor(x * 1000) for x in a]
+        qb = [math.floor(x * 1000) for x in b]
+        dot = sum(x * y for x, y in zip(qa, qb))
+        return dot / math.sqrt(sum(x * x for x in qa)) / math.sqrt(sum(x * x for x in qb))
+
+    for p in range(2):
+        sims = sorted(
+            ((cos(vecs[p][1], v), -i) for i, v in vecs if i != p), reverse=True
+        )
+        expect = [-s[1] for s in sims[:3]]
+        assert [got[(p, r + 1)] for r in range(3)] == expect
+
+
+def test_lsh_ann_pairs_subset_of_brute_force(spark):
+    import random
+
+    rng = random.Random(11)
+    base = [rng.uniform(-1, 1) for _ in range(16)]
+    vecs = []
+    for i in range(40):
+        if i % 4 == 0:  # clusters of near-dups
+            vecs.append((i, [x + rng.uniform(-0.01, 0.01) for x in base]))
+        else:
+            vecs.append((i, [rng.uniform(-1, 1) for _ in range(16)]))
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    lsh = {(r.id_a, r.id_b) for r in S.lsh_ann_pairs(df, dim=16, threshold=0.99).collect()}
+    brute = {
+        (r.id_a, r.id_b)
+        for r in S.cosine_near_dup_pairs(df, threshold=0.99, block_col=None).collect()
+    }
+    assert lsh <= brute
+    assert len(lsh) > 0  # the planted cluster must be found
+    # recall on the planted cluster should be high (same bucket w.h.p.)
+    assert len(lsh) >= len(brute) // 2
+
+
+def test_multimodal_fake_decode_plumbing(spark):
+    rows = [
+        (1, "image", b"\x00\x10\x20\xff" * 100, "image/fake", (4, 4, None, None)),
+        (2, "audio", b"\x80\x81" * 50, "audio/fake", (None, None, 2000, 16000)),
+        (3, "image", None, "image/fake", (0, 0, None, None)),
+    ]
+    from pos_dlt_spark.schemas import MEDIA_SCHEMA
+
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r.media_id: r for r in M.extract_media_features(df, fake=True).collect()}
+    assert out[1].n_bytes == 400
+    assert len(out[1].feature) == 8
+    assert abs(sum(out[1].feature) - 1.0) < 1e-9
+    assert out[3].n_bytes == 0 and out[3].feature == [0.0] * 8
+
+
+def test_multimodal_real_decode_raises(spark):
+    with pytest.raises(NotImplementedError):
+        M.decode_media(b"abc", "image", fake=False)
+
+
+def test_frame_sample_stub(spark):
+    from pos_dlt_spark.schemas import MEDIA_SCHEMA
+
+    df = spark.createDataFrame(
+        [(1, "video", b"x", "video/fake", (None, None, 3500, None))], MEDIA_SCHEMA
+    )
+    frames = [r.frame_ts_ms for r in M.frame_sample_stub(df, every_ms=1000).collect()]
+    assert frames == [0, 1000, 2000, 3000]
