@@ -32,8 +32,18 @@ from pos_dlt_spark.operators.text import tokens
 
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of lowercased text (array<string>).
-    Pure array expression: no explode."""
-    toks = tokens(text)
+
+    PERFORMANCE: only pass an already-materialized token/text *attribute*
+    here. Higher-order functions run interpreted (outside whole-stage
+    codegen) and re-evaluate the lambda body per array element, so a
+    non-trivial expression for ``text`` gets recomputed O(#shingles) times
+    per row. For DataFrame-level work use :func:`shingle_table`, which
+    stages tokenization into its own projection first.
+    """
+    return _shingles_from_tokens(tokens(text), n)
+
+
+def _shingles_from_tokens(toks: Column, n: int) -> Column:
     idx = F.sequence(F.lit(0), F.size(toks) - n)
     joined = F.transform(
         idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)])
@@ -41,6 +51,24 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     # guard: docs shorter than n tokens get a single whole-doc shingle
     return F.array_distinct(
         F.when(F.size(toks) >= n, joined).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+def shingle_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    n: int = 3, out_col: str = "sh",
+) -> DataFrame:
+    """id + materialized ``sh`` shingle-array column.
+
+    Two stacked projections: tokens first, shingles second. Each heavy
+    alias (regexp split, shingle build) is referenced multiple times
+    downstream, so Catalyst's CollapseProject keeps the stages separate and
+    every row tokenizes exactly once — instead of once per array element
+    inside the (interpreted) higher-order-function lambdas.
+    """
+    toks_df = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    return toks_df.select(
+        F.col(id_col), _shingles_from_tokens(F.col("__toks"), n).alias(out_col)
     )
 
 
@@ -64,16 +92,16 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc
 # -- MinHash + LSH ----------------------------------------------------------
 
 
-def minhash_signature(text: Column, n_hashes: int = 8, shingle_n: int = 3) -> list[Column]:
-    """k minhash values per document: min over shingles of the salted
-    portable hash. Each is an array_min(transform(...)) — per-row, no
-    shuffle, no explode."""
-    sh = word_shingles(text, shingle_n)
+def minhash_signature(sh: Column, n_hashes: int = 8) -> list[Column]:
+    """k minhash values from a shingle-array column: min over shingles of
+    the salted portable hash. Each is an array_min(transform(...)) —
+    per-row, no shuffle, no explode. ``sh`` must be an attribute (see
+    :func:`word_shingles` performance note)."""
     out = []
     for i in range(n_hashes):
         # NB: single-arg lambda — a two-arg lambda would make F.transform
-        # pass the element INDEX as the second arg. The closure over `i` is
-        # safe because F.transform builds the expression eagerly here.
+        # pass the element INDEX as the second arg. The closure over `salt`
+        # is safe because F.transform builds the expression eagerly here.
         salt = f"{i}:"
         out.append(F.array_min(F.transform(sh, lambda s: phash(s, salt=salt))).alias(f"mh{i}"))
     return out
@@ -83,7 +111,8 @@ def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     n_hashes: int = 8, shingle_n: int = 3,
 ) -> DataFrame:
-    return df.select(F.col(id_col), *minhash_signature(F.col(text_col), n_hashes, shingle_n))
+    sh_df = shingle_table(df, text_col, id_col, shingle_n)
+    return sh_df.select(F.col(id_col), *minhash_signature(F.col("sh"), n_hashes))
 
 
 def lsh_candidate_pairs(
@@ -125,7 +154,7 @@ def jaccard_for_pairs(
     """Exact shingle-set Jaccard for candidate pairs: two broadcast-or-hash
     joins against the per-doc shingle sets, then pure array math
     (|A∩B| / (|A|+|B|-|A∩B|) — same formula the SQL oracle uses)."""
-    sets = docs.select(F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("sh"))
+    sets = shingle_table(docs, text_col, id_col, shingle_n)
     a = sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
@@ -154,7 +183,9 @@ def minhash_lsh_dedup_pairs(
 
 def simhash(text: Column, bits: int = 16, shingle_n: int = 3) -> Column:
     """SimHash over shingles: bit b is set when at least half the shingles
-    have bit b set in their hash (majority sign). Per-row expression."""
+    have bit b set in their hash (majority sign). Per-row expression —
+    only for already-cheap ``text`` inputs; use :func:`simhash_table` for
+    DataFrame work (it hashes each shingle once, not once per bit)."""
     sh = word_shingles(text, shingle_n)
     n = F.size(sh)
     out = F.lit(0).cast("bigint")
@@ -165,6 +196,27 @@ def simhash(text: Column, bits: int = 16, shingle_n: int = 3) -> Column:
     return out
 
 
+def simhash_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    bits: int = 16, shingle_n: int = 3, out_col: str = "simhash",
+) -> DataFrame:
+    """SimHash as a staged DataFrame op: tokenize -> shingle -> hash each
+    shingle ONCE into an int array -> 16 cheap bit-count filters over that
+    array. Same values as :func:`simhash`, O(#shingles) md5 calls per row
+    instead of O(bits * #shingles^2) interpreted re-evaluations."""
+    sh_df = shingle_table(df, text_col, id_col, shingle_n)
+    hs_df = sh_df.select(
+        F.col(id_col), F.transform(F.col("sh"), lambda s: phash(s)).alias("__hs")
+    )
+    hs, n = F.col("__hs"), F.size(F.col("__hs"))
+    out = F.lit(0).cast("bigint")
+    for b in range(bits):
+        mask = 1 << b
+        cnt = F.size(F.filter(hs, lambda h: h.bitwiseAND(F.lit(mask)) != 0))
+        out = out + F.when(cnt * 2 >= n, F.lit(mask)).otherwise(F.lit(0))
+    return hs_df.select(F.col(id_col), out.alias(out_col))
+
+
 def simhash_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     bits: int = 16, max_hamming: int = 2,
@@ -173,7 +225,7 @@ def simhash_pairs(
     hamming distance d must agree on at least one of d+1 equal chunks),
     then verify bit_count(xor) <= d."""
     half = bits // 2
-    sh = df.select(F.col(id_col), simhash(F.col(text_col), bits).alias("sh"))
+    sh = simhash_table(df, text_col, id_col, bits, out_col="sh")
     chunks = [
         (F.col("sh").bitwiseAND(F.lit((1 << half) - 1))).alias("c0"),
         (F.shiftright("sh", half)).alias("c1"),

@@ -216,9 +216,9 @@ def _simhash_oracle(bits: int = 16) -> str:
 
 @query("dedup_simhash", oracle=_simhash_oracle())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash per document (majority bit over shingle hashes)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", D.simhash(F.col("text"), bits=16).alias("simhash"))
+    """16-bit SimHash per document (majority bit over shingle hashes),
+    staged so each shingle is md5-hashed once per row."""
+    return D.simhash_table(load_table(spark, sf_dir, "documents"), bits=16)
 
 
 @query(
@@ -240,7 +240,7 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact baseline the LSH pipeline approximates. Capped because all-pairs
     is O(n^2); the scale path IS dedup_minhash_lsh_pairs."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
-    sets = docs.select(F.col("doc_id"), D.word_shingles(F.col("text"), SHINGLE_N).alias("sh"))
+    sets = D.shingle_table(docs, n=SHINGLE_N)
     a = sets.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sets.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
