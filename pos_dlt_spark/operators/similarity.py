@@ -105,24 +105,33 @@ def cosine_near_dup_pairs(
     )
 
 
-def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
-    """Random-hyperplane LSH bucket id: bit i = sign(dot(vec, plane_i)).
-    Planes are literal arrays -> evaluated in codegen, no UDF."""
+def hyperplane_signature(qvec: Column, planes: list[list[int]]) -> Column:
+    """Random-hyperplane LSH bucket id: bit i = sign(dot(qvec, plane_i)).
+
+    Planes are INTEGER (Rademacher ±1) literal arrays and ``qvec`` is the
+    quantized vector, so every dot product is exact bigint math — the
+    bucket id is bit-identical in any engine (a float dot near zero could
+    flip a sign between engines and desynchronize candidate sets).
+    Sign-random-projection LSH with ±1 entries has the same collision
+    guarantee as Gaussian planes (Charikar, STOC'02 — SimHash family).
+    ``qvec`` must be a materialized attribute (HOF lambdas re-evaluate
+    their inputs per element)."""
     sig = F.lit(0).cast("bigint")
     for i, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(float(v)) for v in plane])
+        lit_plane = F.array(*[F.lit(int(v)) for v in plane])
         dot = F.aggregate(
-            F.zip_with(vec, lit_plane, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
+            F.zip_with(qvec, lit_plane, lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
             lambda acc, x: acc + x,
         )
         sig = sig + F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0))
     return sig
 
 
-def make_planes(dim: int, n_planes: int = 12, seed: int = 42) -> list[list[float]]:
+def make_planes(dim: int, n_planes: int = 12, seed: int = 42) -> list[list[int]]:
+    """Seeded Rademacher (±1) hyperplanes, driver-side, inlined as literals."""
     rng = random.Random(seed)
-    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+    return [[rng.choice((-1, 1)) for _ in range(dim)] for _ in range(n_planes)]
 
 
 def lsh_ann_pairs(
@@ -139,10 +148,11 @@ def lsh_ann_pairs(
     (1 - theta/pi)^n_planes), self-join within buckets only, verify with
     exact quantized cosine."""
     planes = make_planes(dim, n_planes, seed)
-    sig = df.select(
+    q_df = df.select(F.col(id_col), quantized(F.col(vec_col)).alias("q"))
+    sig = q_df.select(
         F.col(id_col),
-        quantized(F.col(vec_col)).alias("q"),
-        hyperplane_signature(F.col(vec_col), planes).alias("bucket"),
+        F.col("q"),
+        hyperplane_signature(F.col("q"), planes).alias("bucket"),
     )
     a, b = sig.alias("a"), sig.alias("b")
     sim = cosine_sim_quantized(F.col("a.q"), F.col("b.q"))
@@ -154,4 +164,78 @@ def lsh_ann_pairs(
             sim.alias("sim"),
         )
         .filter(F.col("sim") >= threshold)
+    )
+
+
+# -- IVF (inverted-file) ANN -------------------------------------------------
+
+
+def _centroid_sims(qvec: Column, centroids: list[tuple[int, list[int]]]) -> Column:
+    """array<struct<negsim,cid>> of (negated) cosine to each centroid.
+    Struct ordering gives argmax-sim with lowest-cid tiebreak via array_min."""
+    return F.array(
+        *[
+            F.struct(
+                (cosine_sim_quantized(qvec, F.array(*[F.lit(int(v)) for v in cv])) * -1).alias("negsim"),
+                F.lit(int(cid)).alias("cid"),
+            )
+            for cid, cv in centroids
+        ]
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN top-k: assign every corpus vector to its nearest
+    centroid (the inverted lists), then each probe searches only the
+    ``nprobe`` closest lists.
+
+    The centroid set is a MODEL ARTIFACT: tiny (``n_centroids`` rows),
+    collected to the driver once and inlined as literals, so both the
+    assignment and the probe routing are pure per-row expressions — the
+    100 TB corpus is scanned exactly once with NO shuffle for assignment;
+    the only shuffles are the candidate join (hash on cid) and the final
+    per-probe top-k window. v1 picks the first ``n_centroids`` vectors by
+    id as centroids — deterministic stand-in for a k-means fit, which
+    plugs in here without changing the query shape.
+    """
+    cent_rows = (
+        corpus.filter(F.col(id_col) < n_centroids)
+        .select(F.col(id_col), quantized(F.col(vec_col)).alias("cq"))
+        .collect()
+    )
+    centroids = sorted((int(r[0]), list(r[1])) for r in cent_rows)
+
+    qc = corpus.select(F.col(id_col).alias("neighbor_id"), quantized(F.col(vec_col)).alias("qc"))
+    assign = qc.select(
+        "neighbor_id", "qc", F.array_min(_centroid_sims(F.col("qc"), centroids))["cid"].alias("cid")
+    )
+
+    qp = probes.select(F.col(id_col).alias("probe_id"), quantized(F.col(vec_col)).alias("qp"))
+    probe_cents = qp.select(
+        "probe_id",
+        "qp",
+        F.explode(
+            F.transform(
+                F.slice(F.array_sort(_centroid_sims(F.col("qp"), centroids)), 1, nprobe),
+                lambda s: s["cid"],
+            )
+        ).alias("cid"),
+    )
+
+    sim = cosine_sim_quantized(F.col("qp"), F.col("qc"))
+    w = Window.partitionBy("probe_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        assign.join(F.broadcast(probe_cents), "cid")
+        .filter(F.col("probe_id") != F.col("neighbor_id"))
+        .select("probe_id", "neighbor_id", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
     )

@@ -297,3 +297,108 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = emb.filter(F.col("vec_id") < 10)
     out = S.brute_force_topk(emb, probes, k=5)
     return out.select("probe_id", "neighbor_id", "sim", "rank")
+
+
+# -- LSH-bucketed ANN (scale path) ------------------------------------------
+
+EMB_DIM, N_PLANES, LSH_SEED = 64, 12, 42
+
+
+def _lsh_oracle(threshold: float) -> str:
+    planes = S.make_planes(EMB_DIM, N_PLANES, LSH_SEED)
+    bucket_terms = []
+    for i, plane in enumerate(planes):
+        lit = "[" + ", ".join(str(v) for v in plane) + "]"
+        dot = f"list_sum(list_transform(range(1, {EMB_DIM + 1}), i -> qv[i] * ({lit})[i]))"
+        bucket_terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << i} ELSE 0 END)")
+    bucket = " + ".join(bucket_terms)
+    return f"""
+    WITH q AS (SELECT vec_id, {_QUANT} AS qv FROM embeddings),
+    sig AS (SELECT vec_id, qv, {bucket} AS bucket FROM q)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_cos_sql('a.qv', 'b.qv')} AS sim
+    FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {_cos_sql('a.qv', 'b.qv')} >= {threshold}
+    """
+
+
+@query("ann_lsh_pairs", oracle=_lsh_oracle(0.2))
+def ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unblocked near-dup pairs via sign-random-projection LSH: 12
+    Rademacher hyperplanes bucket the corpus (exact integer dots), the
+    self-join runs within buckets only, survivors are verified with exact
+    quantized cosine. This is the 100 TB path emb_cosine_near_dup_pairs's
+    label-blocked join approximates."""
+    return S.lsh_ann_pairs(
+        load_table(spark, sf_dir, "embeddings"),
+        dim=EMB_DIM, threshold=0.2, n_planes=N_PLANES, seed=LSH_SEED,
+    )
+
+
+# -- IVF ANN ----------------------------------------------------------------
+
+N_CENTROIDS, NPROBE = 8, 2
+
+
+def _ivf_oracle(k: int = 5) -> str:
+    cos_qc = _cos_sql("q.qv", "c.cv")
+    cos_pc = _cos_sql("p.qv", "c.cv")
+    cos_pn = _cos_sql("pc.qp", "a.qc")
+    return f"""
+    WITH q AS (SELECT vec_id, {_QUANT} AS qv FROM embeddings),
+    cents AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < {N_CENTROIDS}),
+    asg AS (
+        SELECT vec_id AS neighbor_id, qv AS qc, cid FROM (
+            SELECT q.vec_id, q.qv, c.cid,
+                   row_number() OVER (PARTITION BY q.vec_id ORDER BY {cos_qc} DESC, c.cid) AS rn
+            FROM q CROSS JOIN cents c) t
+        WHERE rn = 1),
+    pc AS (
+        SELECT probe_id, qp, cid FROM (
+            SELECT p.vec_id AS probe_id, p.qv AS qp, c.cid,
+                   row_number() OVER (PARTITION BY p.vec_id ORDER BY {cos_pc} DESC, c.cid) AS rn
+            FROM q p CROSS JOIN cents c WHERE p.vec_id < 10) t
+        WHERE rn <= {NPROBE}),
+    sims AS (
+        SELECT pc.probe_id, a.neighbor_id, {cos_pn} AS sim
+        FROM pc JOIN asg a ON a.cid = pc.cid AND a.neighbor_id != pc.probe_id)
+    SELECT probe_id, neighbor_id, sim, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rank
+        FROM sims) t
+    WHERE rank <= {k}
+    """
+
+
+@query("ann_ivf_topk", oracle=_ivf_oracle())
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-5: corpus assigned to nearest of 8 centroid lists (one
+    scan, centroids inlined as literals — no shuffle), probes search their
+    2 nearest lists only. Same probes as ann_cosine_topk so recall can be
+    compared against the brute-force baseline."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    out = S.ivf_topk(emb, probes, k=5, nprobe=NPROBE, n_centroids=N_CENTROIDS)
+    return out.select("probe_id", "neighbor_id", "sim", "rank")
+
+
+# -- multimodal plumbing -----------------------------------------------------
+
+
+@query("multimodal_media_features", oracle=None)  # rows-only: decode is a stub
+def multimodal_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary media pipeline over Arrow batches: documents stand in
+    as payloads (utf-8 bytes), kind cycles image/audio/video, features come
+    from the deterministic fake decoder via mapInPandas. The Spark-side
+    plumbing (binary column, batch shapes, partition parallelism) is the
+    real 100 TB path; the codec call is the only stub."""
+    from pos_dlt_spark.operators import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    return M.extract_media_features(media, fake=True)

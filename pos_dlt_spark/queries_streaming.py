@@ -1,0 +1,172 @@
+"""Streaming queries for the correctness gate.
+
+Each entry runs a REAL Structured Streaming query (file source ->
+transform -> sink) with ``Trigger.AvailableNow`` and returns the final
+result as a batch DataFrame. The end states are deterministic — windowed
+aggregates in complete mode, and a latest-per-key CDC merge that is
+commutative across micro-batch boundaries — so they get full DuckDB
+oracles, proving the streaming operators (watermark, windowed agg,
+foreachBatch upsert; reference `03_Bronze-to-Silver ETL.py:321-322,
+376-384`) compute the same answers as their batch twins.
+
+Scale notes: the windowed aggregate shuffles on (window, event_type) with
+partial aggregation map-side; state per group is one row. The CDC target
+is bounded by key cardinality, not stream length (operators/cdc.py). The
+multi-file replay below exists to force multiple micro-batches through the
+merge — on a real cluster the same code points at a landing directory.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from pos_dlt_spark.operators.cdc import ApplyChanges
+from pos_dlt_spark.queries import query
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet, with the same ns->us timestamp
+    normalization as tables.load_table."""
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    # the file source wants a directory: scan sf_dir, globbed to this table
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if isinstance(schema["ts"].dataType, LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+@query(
+    "streaming_hourly_rollup",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window streaming aggregate: watermarked 1-hour windows of
+    event counts and exact (decimal) value sums, complete-mode memory sink.
+    The oracle is the identical batch GROUP BY — streaming and batch must
+    agree exactly once the stream drains."""
+    name = f"hourly_rollup_{uuid.uuid4().hex[:8]}"
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_dec"),
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("w.start").alias("hour_start"),
+        "event_type",
+        "n_events",
+        F.col("sum_dec").cast("double").alias("sum_value"),
+    )
+
+
+@query(
+    "streaming_cdc_latest_state",
+    oracle="""
+    SELECT user_id, event_type, event_id, ts, value FROM (
+        SELECT user_id, event_type, event_id, ts, value,
+               row_number() OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events) t
+    WHERE rn = 1
+    """,
+)
+def streaming_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end streaming CDC (the reference's ``apply_changes``): events
+    are replayed as multiple parquet files, streamed two files per
+    micro-batch through a foreachBatch latest-per-key upsert, and the final
+    target state must equal the batch row_number() oracle — out-of-order
+    rows across batch boundaries must lose to newer rows already merged."""
+    from pos_dlt_spark.tables import load_table
+
+    work = tempfile.mkdtemp(prefix="cdc_stream_")
+    try:
+        land = os.path.join(work, "landing")
+        events = load_table(spark, sf_dir, "events").select(
+            "user_id", "event_type", "event_id", "ts", "value"
+        )
+        events.repartition(6).write.parquet(land)
+
+        ac = ApplyChanges(
+            os.path.join(work, "target"),
+            keys=["user_id", "event_type"],
+            sequence_by="ts",
+            tiebreakers=["event_id"],
+        )
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", "2")
+            .parquet(land)
+        )
+        q = (
+            stream.writeStream.foreachBatch(ac.process_batch)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        final = spark.read.parquet(ac.target_path).select(
+            "user_id", "event_type", "event_id", "ts", "value"
+        )
+        # materialize before the temp dir disappears
+        out = spark.createDataFrame(final.collect(), final.schema)
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "streaming_distinct_keys",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def streaming_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup (reference `03:321-322`): dropDuplicates on
+    the key columns under a watermark. Projecting to the dedup keys makes
+    the result order-independent, so it equals batch SELECT DISTINCT."""
+    name = f"distinct_keys_{uuid.uuid4().hex[:8]}"
+    dedup = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "24 hours")
+        .select("user_id", "event_type", "ts")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    q = (
+        dedup.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
