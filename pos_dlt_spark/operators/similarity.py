@@ -49,6 +49,20 @@ def cosine_sim_quantized(a: Column, b: Column) -> Column:
     )
 
 
+def norm(q: Column) -> Column:
+    """sqrt(|q|^2) of a quantized vector — precompute this per ROW before a
+    pair join; recomputing it per PAIR triples the (interpreted) dot-product
+    work and repeats each row's norm once per partner."""
+    return F.sqrt(int_dot(q, q).cast("double"))
+
+
+def cosine_sim_prenormed(qa: Column, qb: Column, na: Column, nb: Column) -> Column:
+    """Same value as :func:`cosine_sim_quantized` — identical double op
+    sequence (dot, sqrt, /, /) — but with the norms taken from precomputed
+    columns."""
+    return int_dot(qa, qb).cast("double") / na / nb
+
+
 def brute_force_topk(
     corpus: DataFrame,
     probes: DataFrame,
@@ -61,9 +75,11 @@ def brute_force_topk(
     variant is validated against."""
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), quantized(F.col(vec_col)).alias("qc")
-    )
-    p = probes.select(F.col(id_col).alias("probe_id"), quantized(F.col(vec_col)).alias("qp"))
-    sim = cosine_sim_quantized(F.col("qp"), F.col("qc"))
+    ).select("neighbor_id", "qc", norm(F.col("qc")).alias("nc"))
+    p = probes.select(
+        F.col(id_col).alias("probe_id"), quantized(F.col(vec_col)).alias("qp")
+    ).select("probe_id", "qp", norm(F.col("qp")).alias("np_"))
+    sim = cosine_sim_prenormed(F.col("qp"), F.col("qc"), F.col("np_"), F.col("nc"))
     w = Window.partitionBy("probe_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
         c.crossJoin(F.broadcast(p))
@@ -89,11 +105,12 @@ def cosine_near_dup_pairs(
         F.col(id_col), quantized(F.col(vec_col)).alias("q"),
         *( [F.col(block_col)] if block_col else [] ),
     )
+    base = base.select("*", norm(F.col("q")).alias("n"))
     a, b = base.alias("a"), base.alias("b")
     cond = [F.col(f"a.{id_col}") < F.col(f"b.{id_col}")]
     if block_col:
         cond.append(F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
-    sim = cosine_sim_quantized(F.col("a.q"), F.col("b.q"))
+    sim = cosine_sim_prenormed(F.col("a.q"), F.col("b.q"), F.col("a.n"), F.col("b.n"))
     return (
         a.join(b, on=cond)
         .select(
@@ -152,10 +169,11 @@ def lsh_ann_pairs(
     sig = q_df.select(
         F.col(id_col),
         F.col("q"),
+        norm(F.col("q")).alias("n"),
         hyperplane_signature(F.col("q"), planes).alias("bucket"),
     )
     a, b = sig.alias("a"), sig.alias("b")
-    sim = cosine_sim_quantized(F.col("a.q"), F.col("b.q"))
+    sim = cosine_sim_prenormed(F.col("a.q"), F.col("b.q"), F.col("a.n"), F.col("b.n"))
     return (
         a.join(b, on=[F.col("a.bucket") == F.col("b.bucket"), F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
         .select(
@@ -170,18 +188,17 @@ def lsh_ann_pairs(
 # -- IVF (inverted-file) ANN -------------------------------------------------
 
 
-def _centroid_sims(qvec: Column, centroids: list[tuple[int, list[int]]]) -> Column:
+def _centroid_sims(qvec: Column, nq: Column, centroids: list[tuple[int, list[int]]]) -> Column:
     """array<struct<negsim,cid>> of (negated) cosine to each centroid.
-    Struct ordering gives argmax-sim with lowest-cid tiebreak via array_min."""
-    return F.array(
-        *[
-            F.struct(
-                (cosine_sim_quantized(qvec, F.array(*[F.lit(int(v)) for v in cv])) * -1).alias("negsim"),
-                F.lit(int(cid)).alias("cid"),
-            )
-            for cid, cv in centroids
-        ]
-    )
+    Struct ordering gives argmax-sim with lowest-cid tiebreak via array_min.
+    Centroid norms fold to constants; the row norm comes in precomputed."""
+    out = []
+    for cid, cv in centroids:
+        lit_c = F.array(*[F.lit(int(v)) for v in cv])
+        cc = sum(int(v) * int(v) for v in cv)
+        sim = int_dot(qvec, lit_c).cast("double") / nq / F.sqrt(F.lit(cc).cast("double"))
+        out.append(F.struct((sim * -1).alias("negsim"), F.lit(int(cid)).alias("cid")))
+    return F.array(*out)
 
 
 def ivf_topk(
@@ -213,24 +230,32 @@ def ivf_topk(
     )
     centroids = sorted((int(r[0]), list(r[1])) for r in cent_rows)
 
-    qc = corpus.select(F.col(id_col).alias("neighbor_id"), quantized(F.col(vec_col)).alias("qc"))
+    qc = corpus.select(
+        F.col(id_col).alias("neighbor_id"), quantized(F.col(vec_col)).alias("qc")
+    ).select("neighbor_id", "qc", norm(F.col("qc")).alias("nc"))
     assign = qc.select(
-        "neighbor_id", "qc", F.array_min(_centroid_sims(F.col("qc"), centroids))["cid"].alias("cid")
+        "neighbor_id",
+        "qc",
+        "nc",
+        F.array_min(_centroid_sims(F.col("qc"), F.col("nc"), centroids))["cid"].alias("cid"),
     )
 
-    qp = probes.select(F.col(id_col).alias("probe_id"), quantized(F.col(vec_col)).alias("qp"))
+    qp = probes.select(
+        F.col(id_col).alias("probe_id"), quantized(F.col(vec_col)).alias("qp")
+    ).select("probe_id", "qp", norm(F.col("qp")).alias("np_"))
     probe_cents = qp.select(
         "probe_id",
         "qp",
+        "np_",
         F.explode(
             F.transform(
-                F.slice(F.array_sort(_centroid_sims(F.col("qp"), centroids)), 1, nprobe),
+                F.slice(F.array_sort(_centroid_sims(F.col("qp"), F.col("np_"), centroids)), 1, nprobe),
                 lambda s: s["cid"],
             )
         ).alias("cid"),
     )
 
-    sim = cosine_sim_quantized(F.col("qp"), F.col("qc"))
+    sim = cosine_sim_prenormed(F.col("qp"), F.col("qc"), F.col("np_"), F.col("nc"))
     w = Window.partitionBy("probe_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
         assign.join(F.broadcast(probe_cents), "cid")

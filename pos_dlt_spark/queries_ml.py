@@ -139,6 +139,30 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.fingerprint(load_table(spark, sf_dir, "documents"))
 
 
+@query(
+    "text_token_counts",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
+           CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS n_unique_bpe
+    FROM documents
+    """,
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish pre-token
+    split (letter runs / digit runs / single punctuation) — the usual
+    LLM-corpus length signals, all JVM-side regex expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    bpe = T.bpe_ish_tokens("text")
+    return docs.select(
+        "doc_id",
+        F.size(T.tokens(F.col("text"))).cast("bigint").alias("n_ws_tokens"),
+        F.size(bpe).cast("bigint").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(bpe)).cast("bigint").alias("n_unique_bpe"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # dedup family
 # ---------------------------------------------------------------------------
