@@ -1,0 +1,112 @@
+"""Plan regression tests: pin the physical-plan properties that make the
+queries scale-safe (see pos_dlt_spark/plans/__init__.py). These run at
+sf0.001 — plan shape, not data volume, is under test."""
+
+import pytest
+
+import pos_dlt_spark.queries as Q
+import pos_dlt_spark.queries_ml  # noqa: F401
+from pos_dlt_spark.plans import (
+    assert_in_plan,
+    assert_not_in_plan,
+    count_op,
+    pushed_filters,
+    scan_read_schemas,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def q(spark):
+    def build(name):
+        return Q.REGISTRY[name].fn(spark, SF)
+
+    return build
+
+
+def test_gold_reuses_window_partitioning_for_join(q):
+    """The CDC window hash-partitions on (store_id, item_id); the outer
+    range join must REUSE that partitioning — exactly one exchange on the
+    snapshot side, and the latest-per-key must use the WindowGroupLimit
+    map-side top-1 (not a full window over every row)."""
+    df = q("pos_gold_inventory_current")
+    assert_in_plan(df, "WindowGroupLimit", "BroadcastHashJoin")
+    # exchanges: snapshot keys, change-side keys for the SMJ — the window's
+    # exchange doubles as the join's left-side exchange.
+    assert count_op(df, "Exchange hashpartitioning") <= 2 + count_op(df, "BroadcastExchange")
+
+
+def test_gold_dims_are_broadcast(q):
+    df = q("pos_gold_inventory_current")
+    assert count_op(df, "BroadcastHashJoin") >= 2  # supplier + part dims
+
+
+def test_top10_uses_take_ordered_not_global_sort(q):
+    df = q("orders_top10_by_price")
+    assert_in_plan(df, "TakeOrderedAndProject")
+    assert_not_in_plan(df, "Exchange rangepartitioning")
+
+
+def test_q1_scan_prunes_columns_and_pushes_filter(q):
+    df = q("tpch_q1_pricing_summary")
+    schemas = scan_read_schemas(df)
+    assert len(schemas) == 1
+    # 7 needed columns only — no orderkey/partkey/comment off disk
+    assert "l_comment" not in schemas[0] and "l_orderkey" not in schemas[0]
+    assert any("l_shipdate" in f for f in pushed_filters(df))
+
+
+def test_q1_aggregates_map_side(q):
+    """partial+final hash aggregate: the shuffle moves one row per
+    (flag, status) per task, not the fact table."""
+    df = q("tpch_q1_pricing_summary")
+    assert count_op(df, "HashAggregate") == 2
+    assert count_op(df, "Exchange hashpartitioning") == 1
+
+
+def test_q5_dims_broadcast(q):
+    df = q("tpch_q5_local_supplier_volume")
+    assert count_op(df, "BroadcastHashJoin") >= 3  # supplier, nation, region
+
+
+def test_semi_anti_joins_stay_joins(q):
+    for name, op in [
+        ("customers_without_orders", "LeftAnti"),
+        ("customers_with_urgent_orders", "LeftSemi"),
+    ]:
+        assert_in_plan(q(name), op)
+
+
+def test_minhash_is_scan_only(q):
+    """Signature computation must be a pure map: no exchange, no explode."""
+    df = q("dedup_minhash_signatures")
+    assert count_op(df, "Exchange") == 0
+    assert count_op(df, "Generate") == 0
+
+
+def test_lsh_pairs_shuffle_only_on_bands_and_distinct(q):
+    """The only exchanges allowed are the band-bucket join sides and the
+    candidate distinct — never an all-pairs cross join."""
+    df = q("dedup_minhash_lsh_pairs")
+    assert_not_in_plan(df, "CartesianProduct", "BroadcastNestedLoopJoin")
+
+
+def test_text_ops_are_scan_only(q):
+    for name in ["text_quality_features", "text_langid", "text_fingerprint", "text_token_counts"]:
+        assert count_op(q(name), "Exchange") == 0, name
+
+
+def test_ann_brute_force_broadcasts_probes(q):
+    """Corpus side must not shuffle for the similarity compute — probes are
+    broadcast; the only exchange is the per-probe top-k window."""
+    df = q("ann_cosine_topk")
+    assert count_op(df, "BroadcastExchange") >= 1
+    assert count_op(df, "Exchange hashpartitioning") <= 1
+
+
+def test_ivf_assignment_has_no_centroid_shuffle(q):
+    """Centroid assignment is literal-inlined per-row math; the corpus scan
+    must not shuffle before the candidate join."""
+    df = q("ann_ivf_topk")
+    assert_not_in_plan(df, "CartesianProduct")
