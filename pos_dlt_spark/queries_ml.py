@@ -164,6 +164,68 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# sessionization + skew-resistant aggregation (events table)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_sessionized",
+    oracle="""
+    WITH e AS (SELECT user_id, ts, value, epoch_us(ts) AS tus FROM events),
+    flagged AS (
+        SELECT user_id, ts, value, tus,
+               CASE WHEN lag(tus) OVER w IS NULL
+                         OR tus - lag(tus) OVER w >= 1800000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)),
+    sess AS (
+        SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tus
+                                      ROWS UNBOUNDED PRECEDING) AS sess_no
+        FROM flagged)
+    SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM sess GROUP BY user_id, sess_no
+    """,
+)
+def events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions (30-min) per user via Spark's built-in
+    session_window aggregate; the oracle derives the same islands with
+    lag/cumsum. The streaming twin with custom state lives in
+    streaming/sessions.py (applyInPandasWithState)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+    )
+
+
+@query(
+    "events_distinct_users_salted",
+    oracle="""
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+    FROM events GROUP BY event_type
+    """,
+)
+def events_distinct_users_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per event type via value-hash salting
+    (operators/skew.py): low-cardinality groups are the classic hot-key
+    case for exact distinct at 100 TB; the salt spreads each group's value
+    set over 16 reducers and the per-bucket counts sum exactly."""
+    from pos_dlt_spark.operators.skew import salted_count_distinct
+
+    return salted_count_distinct(
+        load_table(spark, sf_dir, "events"), ["event_type"], "user_id", buckets=16
+    )
+
+
+# ---------------------------------------------------------------------------
 # dedup family
 # ---------------------------------------------------------------------------
 

@@ -105,6 +105,19 @@ def test_ann_brute_force_broadcasts_probes(q):
     assert count_op(df, "Exchange hashpartitioning") <= 1
 
 
+def test_salted_distinct_spreads_hot_groups(q):
+    """The salted count-distinct must shuffle on (key, salt) first — more
+    entropy than the bare group key — then combine per key."""
+    df = q("events_distinct_users_salted")
+    from pos_dlt_spark.plans import physical_plan
+
+    plan = physical_plan(df)
+    assert "__salt" in plan
+    # count_distinct itself plans two-phase, so: (key,salt,v) expand,
+    # (key,salt) count, (key) combine — every early shuffle carries salt.
+    assert 2 <= count_op(df, "Exchange hashpartitioning") <= 3
+
+
 def test_ivf_assignment_has_no_centroid_shuffle(q):
     """Centroid assignment is literal-inlined per-row math; the corpus scan
     must not shuffle before the candidate join."""
