@@ -18,6 +18,7 @@ Cluster-scale notes (100 TB target):
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -49,6 +50,14 @@ def get_spark(app_name: str = "pos_dlt_spark", shuffle_partitions: int | None = 
         # same truncation DuckDB applies).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
+        # managed tables (bucketed layouts) land in tmp, not the repo cwd
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE",
+                os.path.join(tempfile.gettempdir(), "pos_dlt_warehouse"),
+            ),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
     if not os.environ.get("SPARK_GRAFT_ON_CLUSTER"):
