@@ -31,9 +31,23 @@ def main() -> None:
     sf = float(m.group(1)) if m else None
     spark = get_spark("bench")
 
-    # JVM/codegen warmup on a trivial action so the first measured query
-    # doesn't pay session startup.
+    # JVM warmup so the first measured query doesn't pay session startup:
+    # a trivial action plus one pass through the parquet-reader / join /
+    # window codegen paths using the two smallest dims. Each measured query
+    # still compiles and executes its own full plan.
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pos_dlt_spark.tables import load_table
+
     spark.range(1000).selectExpr("sum(id)").collect()
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    (
+        nation.join(region, nation.n_regionkey == region.r_regionkey)
+        .withColumn("rn", F.row_number().over(Window.partitionBy("r_regionkey").orderBy("n_nationkey")))
+        .write.format("noop").mode("overwrite").save()
+    )
 
     times: dict[str, float] = {}
     for name, q in REGISTRY.items():
