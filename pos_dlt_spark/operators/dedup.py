@@ -147,16 +147,32 @@ def lsh_candidate_pairs(
     )
 
 
+def hashed_shingle_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    n: int = 3, out_col: str = "hsh",
+) -> DataFrame:
+    """id + array<bigint> of hashed distinct shingles. Set operations over
+    bigints are far cheaper than over shingle strings; Jaccard over the
+    hash sets equals Jaccard over the string sets (the oracle applies the
+    identical md5-derived hash, so even a collision cannot desynchronize
+    the two engines)."""
+    sh_df = shingle_table(df, text_col, id_col, n)
+    return sh_df.select(
+        F.col(id_col),
+        F.array_distinct(F.transform(F.col("sh"), lambda s: phash(s))).alias(out_col),
+    )
+
+
 def jaccard_for_pairs(
     pairs: DataFrame, docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     shingle_n: int = 3,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs: two broadcast-or-hash
-    joins against the per-doc shingle sets, then pure array math
-    (|A∩B| / (|A|+|B|-|A∩B|) — same formula the SQL oracle uses)."""
-    sets = shingle_table(docs, text_col, id_col, shingle_n)
-    a = sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    joins against the per-doc HASHED shingle sets, then pure integer array
+    math (|A∩B| / (|A|+|B|-|A∩B|) — the SQL oracle hashes identically)."""
+    sets = hashed_shingle_table(docs, text_col, id_col, shingle_n)
+    a = sets.select(F.col(id_col).alias("id_a"), F.col("hsh").alias("sh_a"))
+    b = sets.select(F.col(id_col).alias("id_b"), F.col("hsh").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
     union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
     return (

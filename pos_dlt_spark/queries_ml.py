@@ -31,6 +31,12 @@ _SH = (
 
 _TOKS_CTE = f"toks_t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)"
 _SH_CTE = f"sh_t AS (SELECT doc_id, {_SH} AS sh FROM toks_t)"
+# hashed shingle sets — Jaccard is computed over these (twin of
+# dedup.hashed_shingle_table; same md5 hash -> identical on both engines)
+_HSH_CTE = (
+    "hs_t AS (SELECT doc_id, "
+    f"list_distinct(list_transform(sh, s -> {phash_sql('s')})) AS hsh FROM sh_t)"
+)
 
 N_HASHES, BANDS, SHINGLE_N = 8, 4, 3
 
@@ -261,20 +267,20 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_minhash_lsh_pairs",
     oracle=f"""
-    WITH {_TOKS_CTE}, {_SH_CTE}, {_SIG_CTE}, {_BANDS_CTE},
+    WITH {_TOKS_CTE}, {_SH_CTE}, {_HSH_CTE}, {_SIG_CTE}, {_BANDS_CTE},
     cand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM bands a JOIN bands b
           ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
     )
     SELECT id_a, id_b,
-           CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-             / (CAST(len(sa.sh) + len(sb.sh) AS DOUBLE) - len(list_intersect(sa.sh, sb.sh)))
+           CAST(len(list_intersect(sa.hsh, sb.hsh)) AS DOUBLE)
+             / (CAST(len(sa.hsh) + len(sb.hsh) AS DOUBLE) - len(list_intersect(sa.hsh, sb.hsh)))
                AS jaccard
-    FROM cand JOIN sh_t sa ON cand.id_a = sa.doc_id
-              JOIN sh_t sb ON cand.id_b = sb.doc_id
-    WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-             / (CAST(len(sa.sh) + len(sb.sh) AS DOUBLE) - len(list_intersect(sa.sh, sb.sh))) >= 0.5
+    FROM cand JOIN hs_t sa ON cand.id_a = sa.doc_id
+              JOIN hs_t sb ON cand.id_b = sb.doc_id
+    WHERE CAST(len(list_intersect(sa.hsh, sb.hsh)) AS DOUBLE)
+             / (CAST(len(sa.hsh) + len(sb.hsh) AS DOUBLE) - len(list_intersect(sa.hsh, sb.hsh))) >= 0.5
     """,
 )
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -310,25 +316,26 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_ngram_jaccard_pairs",
     oracle=f"""
-    WITH {_TOKS_CTE}, {_SH_CTE},
-    capped AS (SELECT * FROM sh_t WHERE doc_id < 500)
+    WITH {_TOKS_CTE}, {_SH_CTE}, {_HSH_CTE},
+    capped AS (SELECT * FROM hs_t WHERE doc_id < 500)
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-             / (CAST(len(a.sh) + len(b.sh) AS DOUBLE) - len(list_intersect(a.sh, b.sh)))
+           CAST(len(list_intersect(a.hsh, b.hsh)) AS DOUBLE)
+             / (CAST(len(a.hsh) + len(b.hsh) AS DOUBLE) - len(list_intersect(a.hsh, b.hsh)))
                AS jaccard
     FROM capped a JOIN capped b ON a.doc_id < b.doc_id
-    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-             / (CAST(len(a.sh) + len(b.sh) AS DOUBLE) - len(list_intersect(a.sh, b.sh))) >= 0.2
+    WHERE CAST(len(list_intersect(a.hsh, b.hsh)) AS DOUBLE)
+             / (CAST(len(a.hsh) + len(b.hsh) AS DOUBLE) - len(list_intersect(a.hsh, b.hsh))) >= 0.2
     """,
 )
 def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs 3-gram Jaccard on a capped id range (doc_id < 500) — the
     exact baseline the LSH pipeline approximates. Capped because all-pairs
-    is O(n^2); the scale path IS dedup_minhash_lsh_pairs."""
+    is O(n^2); the scale path IS dedup_minhash_lsh_pairs. Jaccard runs on
+    hashed shingle sets (integer intersects; oracle hashes identically)."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
-    sets = D.shingle_table(docs, n=SHINGLE_N)
-    a = sets.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sets.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    sets = D.hashed_shingle_table(docs, n=SHINGLE_N)
+    a = sets.select(F.col("doc_id").alias("id_a"), F.col("hsh").alias("sh_a"))
+    b = sets.select(F.col("doc_id").alias("id_b"), F.col("hsh").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
     union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
     jac = inter / union
