@@ -555,3 +555,53 @@ def events_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("event_id").over(w).alias("next_event_id"),
         F.sum(F.col("value").cast("decimal(18,2)")).over(wsum).cast("double").alias("running_value"),
     )
+
+
+@query(
+    "orders_rollup_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def orders_rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional aggregation: ROLLUP over (status, priority) —
+    subtotal and grand-total rows carry NULL group keys in both engines."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+        )
+    )
+
+
+@query(
+    "lineitem_pivot_returnflag",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN l_returnflag = 'A'
+                         THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS qty_A,
+           CAST(SUM(CASE WHEN l_returnflag = 'N'
+                         THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS qty_N,
+           CAST(SUM(CASE WHEN l_returnflag = 'R'
+                         THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS qty_R
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def lineitem_pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: quantity totals per linestatus spread across returnflag
+    columns. Explicit pivot values keep the plan one-pass (no distinct-scan
+    to discover columns) — the form that scales."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum(F.col("l_quantity").cast("bigint")))
+        .withColumnsRenamed({"A": "qty_A", "N": "qty_N", "R": "qty_R"})
+    )
