@@ -392,6 +392,72 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("probe_id", "neighbor_id", "sim", "rank")
 
 
+# -- composed corpus-cleaning pipeline --------------------------------------
+
+
+@query(
+    "corpus_clean_pipeline",
+    oracle=f"""
+    WITH {_TOKS_CTE}, {_SH_CTE}, {_HSH_CTE}, {_SIG_CTE}, {_BANDS_CTE},
+    feats AS (
+        SELECT doc_id,
+               least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.4
+                 + least(CAST({_NSTOP} AS DOUBLE) / len(toks) * 5.0, 1.0) * 0.4
+                 + (1.0 - least(CAST({_NPUNCT} AS DOUBLE) / length(text) * 10.0, 1.0)) * 0.2
+                   AS quality_score
+        FROM toks_t),
+    quality AS (SELECT doc_id FROM feats WHERE quality_score >= 0.3),
+    exact_canon AS (
+        SELECT MIN(doc_id) AS doc_id
+        FROM documents
+        GROUP BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))),
+    survivors0 AS (
+        SELECT q.doc_id FROM quality q JOIN exact_canon e ON q.doc_id = e.doc_id),
+    near_pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+    near_dropped AS (
+        SELECT DISTINCT p.id_b AS doc_id
+        FROM near_pairs p
+        JOIN hs_t sa ON p.id_a = sa.doc_id
+        JOIN hs_t sb ON p.id_b = sb.doc_id
+        WHERE CAST(len(list_intersect(sa.hsh, sb.hsh)) AS DOUBLE)
+                / (CAST(len(sa.hsh) + len(sb.hsh) AS DOUBLE)
+                   - len(list_intersect(sa.hsh, sb.hsh))) >= 0.5)
+    SELECT s.doc_id FROM survivors0 s
+    LEFT JOIN near_dropped d ON s.doc_id = d.doc_id
+    WHERE d.doc_id IS NULL
+    """,
+)
+def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data use case, end to end: quality filter
+    (score >= 0.3) -> exact dedup (min-id canonical survives) -> near-dup
+    removal (greedy: the higher id of every verified MinHash-LSH pair at
+    jaccard >= 0.5 drops). Returns surviving doc_ids. Each stage is the
+    already-gated operator; this query proves they compose into one plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    quality = (
+        T.quality_features(docs)
+        .filter(F.col("quality_score") >= 0.3)
+        .select("doc_id")
+    )
+    exact_canon = D.exact_dedup_groups(docs).select(
+        F.col("canonical_id").alias("doc_id")
+    )
+    near_dropped = (
+        D.minhash_lsh_dedup_pairs(
+            docs, n_hashes=N_HASHES, bands=BANDS, shingle_n=SHINGLE_N, threshold=0.5
+        )
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        quality.join(exact_canon, "doc_id")
+        .join(near_dropped, "doc_id", "left_anti")
+    )
+
+
 # -- LSH-bucketed ANN (scale path) ------------------------------------------
 
 EMB_DIM, N_PLANES, LSH_SEED = 64, 12, 42

@@ -28,6 +28,11 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # session TZ pins event-time semantics (window/date_trunc boundaries,
+    # DuckDB-oracle timestamp parity). It is a RUNTIME conf, so set it here
+    # too in case the caller's session (e.g. the driver's) didn't: every
+    # query path goes through load_table before touching a timestamp.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # events.ts is TIMESTAMP(NANOS) in parquet; with
     # spark.sql.legacy.parquet.nanosAsLong it surfaces as a long of epoch
