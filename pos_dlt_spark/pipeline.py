@@ -43,6 +43,8 @@ gold recompute prunes partitions instead of rescanning history.
 from __future__ import annotations
 
 import os
+import re
+import time
 from dataclasses import dataclass, field
 from typing import Callable, Literal
 
@@ -232,6 +234,24 @@ class PipelineRunner:
         )
         q.awaitTermination()
 
+    def run_table(self, spark: SparkSession, name: str) -> None:
+        """Refresh a single table (dependencies are NOT recursed — callers
+        order by topo_order())."""
+        if name in self.p.cdc_flows:
+            self.p._current = None
+            self._run_cdc(spark, self.p.cdc_flows[name])
+            return
+        t = self.p.tables[name]
+        self.p._current = name
+        try:
+            df = t.fn(spark)
+        finally:
+            self.p._current = None
+        if t.kind == "live":
+            self._write_live(df, t)
+        else:
+            self._run_stream(df, t)
+
     def run_once(self, spark: SparkSession) -> list[str]:
         """One full pass: every table refreshed once, in dependency order.
 
@@ -241,18 +261,58 @@ class PipelineRunner:
         """
         order = self.p.topo_order()
         for name in order:
-            if name in self.p.cdc_flows:
-                self.p._current = None
-                self._run_cdc(spark, self.p.cdc_flows[name])
-                continue
-            t = self.p.tables[name]
-            self.p._current = name
-            try:
-                df = t.fn(spark)
-            finally:
-                self.p._current = None
-            if t.kind == "live":
-                self._write_live(df, t)
-            else:
-                self._run_stream(df, t)
+            self.run_table(spark, name)
         return order
+
+
+def parse_interval(spec: str) -> float:
+    """'24 hours' / '5 minutes' / '30 seconds' -> seconds (the DLT
+    ``pipelines.trigger.interval`` grammar subset the reference uses)."""
+    m = re.fullmatch(r"\s*(\d+(?:\.\d+)?)\s*(second|minute|hour|day)s?\s*", spec)
+    if not m:
+        raise ValueError(f"bad interval: {spec!r}")
+    mult = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}[m.group(2)]
+    return float(m.group(1)) * mult
+
+
+class PipelineScheduler:
+    """Per-table recompute scheduling (reference W5: 24 h dims, 5 min gold,
+    continuous streams — `03:128,186,215`, `04:68`).
+
+    Each tick (:meth:`run_due`) refreshes, in dependency order, every table
+    whose interval has elapsed; tables without an interval (streams, CDC
+    flows, un-intervaled live tables) refresh every tick — streams just
+    drain whatever is newly available, which is DLT's continuous mode under
+    an AvailableNow micro-batch regime. ``clock`` is injectable so tests
+    drive time explicitly instead of sleeping.
+    """
+
+    def __init__(self, runner: PipelineRunner, clock: Callable[[], float] = time.monotonic):
+        self.runner = runner
+        self.clock = clock
+        self._next_due: dict[str, float] = {}
+
+    def due(self) -> list[str]:
+        now = self.clock()
+        return [
+            name
+            for name in self.runner.p.topo_order()
+            if self._next_due.get(name, float("-inf")) <= now
+        ]
+
+    def run_due(self, spark: SparkSession) -> list[str]:
+        ran = []
+        for name in self.due():
+            self.runner.run_table(spark, name)
+            ran.append(name)
+            t = self.runner.p.tables.get(name)
+            if t is not None and t.interval:
+                self._next_due[name] = self.clock() + parse_interval(t.interval)
+        return ran
+
+    def run_for(self, spark: SparkSession, duration: float, poll: float = 1.0) -> None:
+        """Drive the pipeline for ``duration`` seconds of wall clock."""
+        deadline = self.clock() + duration
+        while self.clock() < deadline:
+            self.run_due(spark)
+            time.sleep(poll)
