@@ -368,9 +368,7 @@ def emb_cosine_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "ann_cosine_topk",
-    oracle=f"""
+_ANN_TOPK_ORACLE = f"""
     WITH q AS (SELECT vec_id, {_QUANT} AS qv FROM embeddings),
     probes AS (SELECT vec_id AS probe_id, qv AS qp FROM q WHERE vec_id < 10),
     sims AS (
@@ -381,8 +379,10 @@ def emb_cosine_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rank
         FROM sims) t
     WHERE rank <= 5
-    """,
-)
+    """
+
+
+@query("ann_cosine_topk", oracle=_ANN_TOPK_ORACLE)
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for probe vectors (vec_id < 10): broadcast
     probes x corpus scan, deterministic (sim desc, id) ranking."""
@@ -456,6 +456,18 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality.join(exact_canon, "doc_id")
         .join(near_dropped, "doc_id", "left_anti")
     )
+
+
+@query("ann_cosine_topk_vectorized", oracle=_ANN_TOPK_ORACLE)
+def ann_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME top-5 search on the Arrow/numpy path: one int64 matmul per
+    corpus batch instead of per-pair array lambdas — the physical shape
+    that wins when probe sets grow. Identical oracle: both paths must
+    produce bit-identical similarities."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    out = S.brute_force_topk_vectorized(emb, probes, k=5)
+    return out.select("probe_id", "neighbor_id", "sim", "rank")
 
 
 # -- LSH-bucketed ANN (scale path) ------------------------------------------
