@@ -45,8 +45,20 @@ def parse_inventory_events(raw: DataFrame, value_col: str = "value") -> DataFram
 
 
 def dedup_inventory_change(df: DataFrame, watermark: str = "1 hour") -> DataFrame:
-    """Watermarked stateful dedup (reference W1/W2, `03:321-322`)."""
-    return df.withWatermark("date_time", watermark).dropDuplicates(["trans_id", "item_id"])
+    """Watermarked stateful dedup (reference W1/W2, `03:321-322`).
+
+    The reference writes ``dropDuplicates(['trans_id','item_id'])`` under a
+    watermark — but plain dropDuplicates only evicts state when the event
+    time column is part of the dedup KEYS, so that exact form keeps state
+    for every key ever seen (unbounded at 100 TB). We use
+    ``dropDuplicatesWithinWatermark`` — the operator Spark added for
+    precisely this pattern: dedup on the business keys alone, state evicted
+    once the watermark passes an entry's event time + delay. Same intended
+    semantics (resent fragments within the 1 h horizon collapse), bounded
+    memory."""
+    return df.withWatermark("date_time", watermark).dropDuplicatesWithinWatermark(
+        ["trans_id", "item_id"]
+    )
 
 
 def strip_braces(col: str | F.Column) -> F.Column:

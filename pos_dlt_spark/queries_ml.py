@@ -551,6 +551,41 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("probe_id", "neighbor_id", "sim", "rank")
 
 
+def _ivf_recall_oracle() -> str:
+    return f"""
+    WITH bf AS ({_ANN_TOPK_ORACLE}),
+    ivf AS ({_ivf_oracle()})
+    SELECT bf.probe_id,
+           CAST(COUNT(ivf.neighbor_id) AS DOUBLE) / 5.0 AS recall_at_5
+    FROM bf LEFT JOIN ivf
+      ON bf.probe_id = ivf.probe_id AND bf.neighbor_id = ivf.neighbor_id
+    GROUP BY bf.probe_id
+    """
+
+
+@query("ann_ivf_recall", oracle=_ivf_recall_oracle())
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measure, don't guess: recall@5 of the IVF path against the exact
+    brute-force baseline, per probe — the ANN quality metric shipped as a
+    query so any parameter change (nprobe, centroids) shows its recall
+    cost in the same gate that checks correctness."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    bf = S.brute_force_topk(emb, probes, k=5).select("probe_id", "neighbor_id")
+    ivf = S.ivf_topk(emb, probes, k=5, nprobe=NPROBE, n_centroids=N_CENTROIDS).select(
+        F.col("probe_id").alias("p2"), F.col("neighbor_id").alias("n2")
+    )
+    return (
+        bf.join(
+            ivf,
+            (F.col("probe_id") == F.col("p2")) & (F.col("neighbor_id") == F.col("n2")),
+            "left",
+        )
+        .groupBy("probe_id")
+        .agg((F.count("n2").cast("double") / F.lit(5.0)).alias("recall_at_5"))
+    )
+
+
 # -- multimodal plumbing -----------------------------------------------------
 
 

@@ -1,6 +1,7 @@
 """Silver parse chain + streaming dedup (reference `03:299-324`)."""
 
 import json
+import os
 
 from pyspark.sql import functions as F
 
@@ -86,6 +87,50 @@ def test_streaming_dedup_collapses_fragment_resends(spark, tmp_path):
         ("tx", 2, -2),
         ("ty", 1, -3),
     }
+
+
+def test_streaming_dedup_state_bounded_by_watermark(spark, tmp_path):
+    """W1/W2 contract (`03:321-322`) as dropDuplicatesWithinWatermark
+    delivers it: the 1 h horizon bounds STATE — once the watermark passes
+    an entry's event time, its state row is evicted (observable in the
+    state-operator metrics) — while a resend arriving behind the watermark
+    is filtered as late input, so the output stays exactly-once. Plain
+    dropDuplicates on business keys would never evict (the reference's
+    literal form is unbounded at scale); see operators/silver.py."""
+    import time as _time
+
+    events_dir = tmp_path / "events"
+    events_dir.mkdir()
+    first = _payload("t1", 1, "2021-01-01 10:00:00", 1, [{"item_id": 1, "quantity": -1}])
+    advance = _payload("t2", 1, "2021-01-01 13:00:00", 1, [{"item_id": 1, "quantity": -2}])
+    now = _time.time()
+    for i, (name, content) in enumerate(
+        [("a.json", first), ("b.json", advance), ("c.json", first)]
+    ):
+        p = events_dir / name
+        p.write_text(content + "\n")
+        os.utime(p, (now + i * 10, now + i * 10))  # force batch order
+
+    raw = spark.readStream.format("text").option("maxFilesPerTrigger", "1").load(str(events_dir))
+    silver = dedup_inventory_change(parse_inventory_events(raw))
+    q = (
+        silver.writeStream.format("memory")
+        .queryName("late_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = [r.trans_id for r in spark.sql("SELECT * FROM late_out").collect()]
+    assert sorted(rows) == ["t1", "t2"]  # exactly-once output
+    # bounded state: after the watermark hit 12:00, t1's entry is gone
+    state_rows = [
+        op["numRowsTotal"]
+        for p in q.recentProgress
+        for op in p.get("stateOperators", [])
+    ]
+    assert state_rows[-1] == 1 and max(state_rows) == 2
 
 
 def test_strip_braces(spark):
