@@ -169,6 +169,41 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_lsh_levenshtein_pairs",
+    oracle=f"""
+    WITH {_TOKS_CTE}, {_SH_CTE}, {_SIG_CTE}, {_BANDS_CTE},
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_distance
+    FROM cand JOIN documents da ON cand.id_a = da.doc_id
+              JOIN documents db ON cand.id_b = db.doc_id
+    WHERE levenshtein(da.text, db.text) <= 80
+    """,
+)
+def dedup_lsh_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy dedup: MinHash-LSH candidates verified by character edit
+    distance instead of Jaccard — catches small in-place edits shingles
+    miss. Levenshtein is exact integer dynamic programming, identical in
+    both engines; running it only on LSH candidates keeps the O(len^2)
+    comparison off the hot path."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = D.minhash_signatures(docs, n_hashes=N_HASHES, shingle_n=SHINGLE_N)
+    pairs = D.lsh_candidate_pairs(sig, n_hashes=N_HASHES, bands=BANDS)
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
+    dist = F.levenshtein("text_a", "text_b")
+    return (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .select("id_a", "id_b", dist.cast("bigint").alias("edit_distance"))
+        .filter(F.col("edit_distance") <= 80)
+    )
+
+
 # ---------------------------------------------------------------------------
 # sessionization + skew-resistant aggregation (events table)
 # ---------------------------------------------------------------------------
