@@ -621,6 +621,44 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "emb_label_centroids",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, label, {_QUANT} AS qv FROM embeddings)
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           list_transform(range(1, 65),
+                          i -> CAST(list_sum(list_transform(list(qv), v -> v[i])) AS BIGINT)) AS sum_vec
+    FROM q GROUP BY label
+    """,
+)
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid accumulators via applyInPandas (grouped-map):
+    each label group becomes one Arrow batch, numpy sums the quantized
+    vectors column-wise — exact int64, so the grouped-map path is
+    oracle-verifiable. Emitting (sum_vec, n) instead of the mean keeps
+    the result exact and lets callers combine partial centroids — the
+    k-means-update shape for the IVF training step."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select("label", S.quantized(F.col("embedding")).alias("qv"))
+
+    def centroid(pdf: pd.DataFrame) -> pd.DataFrame:
+        M = np.array([np.asarray(v, dtype=np.int64) for v in pdf["qv"]])
+        return pd.DataFrame(
+            {
+                "label": [int(pdf["label"].iloc[0])],
+                "n_vectors": [len(pdf)],
+                "sum_vec": [M.sum(axis=0).tolist()],
+            }
+        )
+
+    return q.groupBy("label").applyInPandas(
+        centroid, "label int, n_vectors long, sum_vec array<bigint>"
+    )
+
+
 # -- multimodal plumbing -----------------------------------------------------
 
 

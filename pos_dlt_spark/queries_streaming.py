@@ -146,6 +146,47 @@ def streaming_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_stream_static_join",
+    oracle="""
+    SELECT n.n_name, COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def streaming_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join (reference W7): the event stream joins a static
+    broadcast dim mid-stream, then aggregates — the silver-joins-dims shape
+    with the dim resolved fresh per micro-batch. Complete-mode memory sink;
+    the oracle is the identical batch join+GROUP BY."""
+    from pos_dlt_spark.tables import load_table
+
+    name = f"stream_static_{uuid.uuid4().hex[:8]}"
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = (
+        _events_stream(spark, sf_dir)
+        .withColumn("nk", F.col("user_id") % 25)
+        .join(F.broadcast(nation), F.col("nk") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_dec"),
+        )
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "n_name", "n_events", F.col("sum_dec").cast("double").alias("sum_value")
+    )
+
+
+@query(
     "streaming_distinct_keys",
     oracle="SELECT DISTINCT user_id, event_type FROM events",
 )
