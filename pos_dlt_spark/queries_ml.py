@@ -102,7 +102,7 @@ _NSTOP = f"len(list_filter(toks, t -> t IN ({_STOP_EN})))"
 def text_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc quality features + composite score — C4/Gopher-style corpus
     filtering signals, all JVM-side expressions (operators/text.py)."""
-    return T.quality_features(load_table(spark, sf_dir, "documents"))
+    return T.quality_features(load_table(spark, sf_dir, "documents", spread=True))
 
 
 def _langid_oracle() -> str:
@@ -126,7 +126,7 @@ def _langid_oracle() -> str:
 @query("text_langid", oracle=_langid_oracle())
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic stopword-count language ID with fixed tie priority."""
-    return T.langid(load_table(spark, sf_dir, "documents"))
+    return T.langid(load_table(spark, sf_dir, "documents", spread=True))
 
 
 @query(
@@ -142,7 +142,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """md5 content fingerprint + order-sensitive rolling token hash."""
-    return T.fingerprint(load_table(spark, sf_dir, "documents"))
+    return T.fingerprint(load_table(spark, sf_dir, "documents", spread=True))
 
 
 @query(
@@ -159,7 +159,7 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting two ways: whitespace tokens and a BPE-ish pre-token
     split (letter runs / digit runs / single punctuation) — the usual
     LLM-corpus length signals, all JVM-side regex expressions."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     bpe = T.bpe_ish_tokens("text")
     return docs.select(
         "doc_id",
@@ -191,7 +191,7 @@ def dedup_lsh_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     miss. Levenshtein is exact integer dynamic programming, identical in
     both engines; running it only on LSH candidates keeps the O(len^2)
     comparison off the hot path."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     sig = D.minhash_signatures(docs, n_hashes=N_HASHES, shingle_n=SHINGLE_N)
     pairs = D.lsh_candidate_pairs(sig, n_hashes=N_HASHES, bands=BANDS)
     a = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
@@ -283,7 +283,7 @@ def events_distinct_users_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy on normalized content, min-id canonical."""
-    return D.exact_dedup_groups(load_table(spark, sf_dir, "documents"))
+    return D.exact_dedup_groups(load_table(spark, sf_dir, "documents", spread=True))
 
 
 @query(
@@ -296,7 +296,7 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (8 portable salted hashes over word 3-shingles) —
     per-row array expressions, no explode, no shuffle."""
-    return D.minhash_signatures(load_table(spark, sf_dir, "documents"))
+    return D.minhash_signatures(load_table(spark, sf_dir, "documents", spread=True))
 
 
 @query(
@@ -323,7 +323,7 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact Jaccard verification at threshold 0.5. The corpus has planted
     near-duplicates; both engines must find the same pairs."""
     return D.minhash_lsh_dedup_pairs(
-        load_table(spark, sf_dir, "documents"), n_hashes=N_HASHES, bands=BANDS,
+        load_table(spark, sf_dir, "documents", spread=True), n_hashes=N_HASHES, bands=BANDS,
         shingle_n=SHINGLE_N, threshold=0.5,
     )
 
@@ -345,7 +345,7 @@ def _simhash_oracle(bits: int = 16) -> str:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash per document (majority bit over shingle hashes),
     staged so each shingle is md5-hashed once per row."""
-    return D.simhash_table(load_table(spark, sf_dir, "documents"), bits=16)
+    return D.simhash_table(load_table(spark, sf_dir, "documents", spread=True), bits=16)
 
 
 @query(
@@ -367,7 +367,7 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact baseline the LSH pipeline approximates. Capped because all-pairs
     is O(n^2); the scale path IS dedup_minhash_lsh_pairs. Jaccard runs on
     hashed shingle sets (integer intersects; oracle hashes identically)."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    docs = load_table(spark, sf_dir, "documents", spread=True).filter(F.col("doc_id") < 500)
     sets = D.hashed_shingle_table(docs, n=SHINGLE_N)
     a = sets.select(F.col("doc_id").alias("id_a"), F.col("hsh").alias("sh_a"))
     b = sets.select(F.col("doc_id").alias("id_b"), F.col("hsh").alias("sh_b"))
@@ -399,7 +399,7 @@ def emb_cosine_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs (label-blocked self-join, quantized-exact
     cosine >= 0.35). Unblocked scale path: similarity.lsh_ann_pairs."""
     return S.cosine_near_dup_pairs(
-        load_table(spark, sf_dir, "embeddings"), threshold=0.35, block_col="label"
+        load_table(spark, sf_dir, "embeddings", spread=True), threshold=0.35, block_col="label"
     )
 
 
@@ -421,7 +421,7 @@ _ANN_TOPK_ORACLE = f"""
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for probe vectors (vec_id < 10): broadcast
     probes x corpus scan, deterministic (sim desc, id) ranking."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
     probes = emb.filter(F.col("vec_id") < 10)
     out = S.brute_force_topk(emb, probes, k=5)
     return out.select("probe_id", "neighbor_id", "sim", "rank")
@@ -471,7 +471,7 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     removal (greedy: the higher id of every verified MinHash-LSH pair at
     jaccard >= 0.5 drops). Returns surviving doc_ids. Each stage is the
     already-gated operator; this query proves they compose into one plan."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     quality = (
         T.quality_features(docs)
         .filter(F.col("quality_score") >= 0.3)
@@ -499,7 +499,7 @@ def ann_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus batch instead of per-pair array lambdas — the physical shape
     that wins when probe sets grow. Identical oracle: both paths must
     produce bit-identical similarities."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
     probes = emb.filter(F.col("vec_id") < 10)
     out = S.brute_force_topk_vectorized(emb, probes, k=5)
     return out.select("probe_id", "neighbor_id", "sim", "rank")
@@ -535,7 +535,7 @@ def ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantized cosine. This is the 100 TB path emb_cosine_near_dup_pairs's
     label-blocked join approximates."""
     return S.lsh_ann_pairs(
-        load_table(spark, sf_dir, "embeddings"),
+        load_table(spark, sf_dir, "embeddings", spread=True),
         dim=EMB_DIM, threshold=0.2, n_planes=N_PLANES, seed=LSH_SEED,
     )
 
@@ -580,7 +580,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan, centroids inlined as literals — no shuffle), probes search their
     2 nearest lists only. Same probes as ann_cosine_topk so recall can be
     compared against the brute-force baseline."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
     probes = emb.filter(F.col("vec_id") < 10)
     out = S.ivf_topk(emb, probes, k=5, nprobe=NPROBE, n_centroids=N_CENTROIDS)
     return out.select("probe_id", "neighbor_id", "sim", "rank")
@@ -604,7 +604,7 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force baseline, per probe — the ANN quality metric shipped as a
     query so any parameter change (nprobe, centroids) shows its recall
     cost in the same gate that checks correctness."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
     probes = emb.filter(F.col("vec_id") < 10)
     bf = S.brute_force_topk(emb, probes, k=5).select("probe_id", "neighbor_id")
     ivf = S.ivf_topk(emb, probes, k=5, nprobe=NPROBE, n_centroids=N_CENTROIDS).select(
@@ -641,7 +641,7 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
     q = emb.select("label", S.quantized(F.col("embedding")).alias("qv"))
 
     def centroid(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -671,7 +671,7 @@ def multimodal_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     real 100 TB path; the codec call is the only stub."""
     from pos_dlt_spark.operators import multimodal as M
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     media = docs.select(
         F.col("doc_id").alias("media_id"),
         F.element_at(

@@ -27,7 +27,16 @@ TESTDATA_TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(spark: SparkSession, sf_dir: str, name: str, spread: bool = False) -> DataFrame:
+    """Load a TESTDATA table.
+
+    ``spread=True`` round-robins the scan across all cores WHEN the file
+    yields fewer input splits than the cluster has parallelism — the local
+    testdata is one single-row-group parquet file per table, which Spark
+    cannot split, so every downstream per-row operator would otherwise run
+    in ONE task. On a real lake (thousands of files/row groups) the
+    condition is false and this is a no-op; pay the tiny shuffle only for
+    compute-heavy per-row operators (minhash, text features, matmuls)."""
     # session TZ pins event-time semantics (window/date_trunc boundaries,
     # DuckDB-oracle timestamp parity). It is a RUNTIME conf, so set it here
     # too in case the caller's session (e.g. the driver's) didn't: every
@@ -42,6 +51,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if spread:
+        cores = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < cores:
+            df = df.repartition(cores)
     return df
 
 
