@@ -226,7 +226,10 @@ def brute_force_topk_vectorized(
             nids = pdf[id_col].to_numpy(dtype=np.int64)
             cn = np.sqrt((C * C).sum(axis=1).astype(np.float64))
             sims = (C @ P.T).astype(np.float64)  # exact int64 dots
-            sims = sims / cn[:, None] / pn[None, :]
+            # divide by the PROBE norm first, then the corpus norm — the
+            # same order as cosine_sim_prenormed and the SQL oracle; double
+            # division is order-sensitive at the last ulp
+            sims = sims / pn[None, :] / cn[:, None]
             frames = []
             for j in range(len(pids)):
                 col = sims[:, j]

@@ -95,6 +95,51 @@ def test_lsh_ann_pairs_subset_of_brute_force(spark):
     assert len(lsh) >= len(brute) // 2
 
 
+def test_vectorized_topk_bit_identical_to_expression(spark):
+    """The numpy-matmul path must reproduce the expression path exactly —
+    same neighbors, same ranks, same floating-point sims."""
+    import random
+
+    rng = random.Random(3)
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(12)]) for i in range(60)]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    probes = df.filter(F.col("vec_id") < 4)
+    expr_out = {
+        (r.probe_id, r.rank): (r.neighbor_id, r.sim)
+        for r in S.brute_force_topk(df, probes, k=4).collect()
+    }
+    vec_out = {
+        (r.probe_id, r.rank): (r.neighbor_id, r.sim)
+        for r in S.brute_force_topk_vectorized(df, probes, k=4).collect()
+    }
+    assert expr_out == vec_out  # includes exact float equality
+
+
+def test_simhash_table_matches_column_form(spark, docs):
+    a = {r.doc_id: r.simhash for r in D.simhash_table(docs, bits=16).collect()}
+    b = {r.doc_id: r.sh for r in docs.select("doc_id", D.simhash(F.col("text"), bits=16).alias("sh")).collect()}
+    assert a == b
+
+
+def test_ivf_topk_sane(spark):
+    import random
+
+    rng = random.Random(5)
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(50)]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    probes = df.filter(F.col("vec_id") < 3)
+    out = S.ivf_topk(df, probes, k=3, nprobe=2, n_centroids=4).collect()
+    by_probe = {}
+    for r in out:
+        by_probe.setdefault(r.probe_id, []).append((r.rank, r.neighbor_id, r.sim))
+    for p, rows in by_probe.items():
+        rows.sort()
+        assert [r[0] for r in rows] == list(range(1, len(rows) + 1))
+        sims = [r[2] for r in rows]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r[1] != p for r in rows)
+
+
 def test_multimodal_fake_decode_plumbing(spark):
     rows = [
         (1, "image", b"\x00\x10\x20\xff" * 100, "image/fake", (4, 4, None, None)),
