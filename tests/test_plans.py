@@ -126,3 +126,30 @@ def test_ivf_assignment_has_no_centroid_shuffle(q):
     must not shuffle before the candidate join."""
     df = q("ann_ivf_topk")
     assert_not_in_plan(df, "CartesianProduct")
+
+
+def test_q6_pushes_all_filters_to_scan(q):
+    """TPC-H Q6 shape: all four predicates reach the parquet scan and the
+    scan reads only the 4 referenced columns."""
+    import pos_dlt_spark.queries_analytics  # noqa: F401
+
+    df = q("tpch_q6_forecast_revenue")
+    schemas = scan_read_schemas(df)
+    assert len(schemas) == 1
+    for col in ["l_orderkey", "l_returnflag", "l_linestatus"]:
+        assert col not in schemas[0]
+    pf = " ".join(pushed_filters(df))
+    for col in ["l_shipdate", "l_discount", "l_quantity"]:
+        assert col in pf
+
+
+def test_q18_having_prefilter_is_broadcast(q):
+    """The HAVING pre-aggregate (few hot orders) must reach the big join as
+    a broadcast semi join, not a shuffle."""
+    import pos_dlt_spark.queries_analytics  # noqa: F401
+
+    df = q("tpch_q18_large_volume_customer")
+    from pos_dlt_spark.plans import physical_plan
+
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
