@@ -282,3 +282,36 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataF
             F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("totacctbal"),
         )
     )
+
+
+@query(
+    "tpch_q17_small_quantity_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) / 7 AS DOUBLE) AS avg_yearly,
+           COUNT(*) AS n
+    FROM lineitem l1
+    WHERE l_quantity < (SELECT 0.2 * AVG(l_quantity)
+                        FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
+    """,
+)
+def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: compare each row to its group's aggregate
+    (correlated scalar subquery). Implemented as a window average over
+    l_partkey — one shuffle, no self-join rescan of the fact table, which
+    is the halving-the-IO rewrite that matters at 100 TB. The threshold is
+    exact across engines: integer-valued quantities sum exactly in double,
+    so avg is a correctly-rounded quotient in both."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey")
+    return (
+        li.withColumn("avg_q", F.avg("l_quantity").over(w))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_q"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")) / 7)
+            .cast("double")
+            .alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
