@@ -22,6 +22,7 @@ import os
 import shutil
 import tempfile
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -29,6 +30,30 @@ from pyspark.sql.types import LongType
 
 from pos_dlt_spark.operators.cdc import ApplyChanges
 from pos_dlt_spark.queries import query
+
+
+@contextmanager
+def _stream_state_partitions(spark: SparkSession):
+    """Pin ``spark.sql.shuffle.partitions`` for the duration of a stateful
+    streaming query start, then restore it.
+
+    Unlike batch (where AQE coalesces small shuffles at runtime), stateful
+    streaming disables AQE and creates one state store per shuffle
+    partition, and the count is FROZEN into the checkpoint at first start.
+    So it must be an explicit choice sized to state cardinality — number of
+    live keys / windows — not to the batch scan width. Per-partition state
+    stores cost fixed startup+snapshot overhead per micro-batch, so
+    oversizing (e.g. a batch-oriented 32 for a few hundred join-state rows)
+    multiplies latency ~5x on this workload. Tune with
+    ``$SPARK_GRAFT_STREAM_PARTITIONS`` (default 8 locally; on a real
+    cluster set ~2-4x executor cores, or re-checkpoint to rescale)."""
+    n = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8")
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n)
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -72,14 +97,15 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_dec"),
         )
     )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).select(
         F.col("w.start").alias("hour_start"),
         "event_type",
@@ -128,13 +154,14 @@ def streaming_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("maxFilesPerTrigger", "2")
             .parquet(land)
         )
-        q = (
-            stream.writeStream.foreachBatch(ac.process_batch)
-            .option("checkpointLocation", os.path.join(work, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with _stream_state_partitions(spark):
+            q = (
+                stream.writeStream.foreachBatch(ac.process_batch)
+                .option("checkpointLocation", os.path.join(work, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         final = spark.read.parquet(ac.target_path).select(
             "user_id", "event_type", "event_id", "ts", "value"
         )
@@ -173,14 +200,15 @@ def streaming_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_dec"),
         )
     )
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_state_partitions(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).select(
         "n_name", "n_events", F.col("sum_dec").cast("double").alias("sum_value")
     )
@@ -241,14 +269,15 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_ts",
         "click_ts",
     )
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_state_partitions(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -268,12 +297,13 @@ def streaming_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
-    q = (
-        dedup.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_state_partitions(spark):
+        q = (
+            dedup.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
