@@ -16,11 +16,16 @@ Two forms:
 
 Scale notes (100 TB): the window and the merge both hash-partition on the
 key columns only — state per key is one row, so target size is bounded by
-key cardinality, not stream length. On a real cluster the parquet rewrite
-would be a Delta/Iceberg MERGE (same logical plan: anti-join + union +
-window); the rewrite here keeps v1 dependency-free while preserving the
-exact sequence semantics. Partition the target by a stable key hash bucket
-so each micro-batch rewrites only touched buckets.
+key cardinality, not stream length. With ``n_buckets`` set, the target is
+stored partitioned by a key-hash bucket and each micro-batch reads and
+rewrites ONLY the buckets its keys touch (dynamic partition overwrite) —
+merge cost tracks batch key-spread, not target size, which is what a
+Delta/Iceberg MERGE's file pruning buys. The parquet rewrite keeps v1
+dependency-free while preserving the exact sequence semantics; the
+per-partition overwrite is not a single atomic transaction across buckets
+(that is the part a table format adds), so readers must gate on query
+quiesce — acceptable for the 5-minute-recompute consumption pattern the
+reference uses (`04:167`).
 """
 
 from __future__ import annotations
@@ -70,11 +75,18 @@ class ApplyChanges:
         keys: Sequence[str],
         sequence_by: str,
         tiebreakers: Sequence[str] = (),
+        n_buckets: int | None = None,
     ) -> None:
         self.target_path = target_path
         self.keys = list(keys)
         self.sequence_by = sequence_by
         self.tiebreakers = list(tiebreakers)
+        self.n_buckets = n_buckets
+
+    def _with_bucket(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "__bucket", F.pmod(F.hash(*[F.col(k) for k in self.keys]), F.lit(self.n_buckets))
+        )
 
     # -- merge logic (pure DataFrame in / DataFrame out, unit-testable) ----
 
@@ -99,13 +111,26 @@ class ApplyChanges:
 
     # -- foreachBatch sink --------------------------------------------------
 
+    def _target_exists(self) -> bool:
+        if os.path.exists(os.path.join(self.target_path, "_SUCCESS")):
+            return True
+        # dynamic partition overwrite suppresses _SUCCESS: bucket dirs are
+        # the marker (each one is fully written before the job commits)
+        return os.path.isdir(self.target_path) and any(
+            e.startswith("__bucket=") for e in os.listdir(self.target_path)
+        )
+
     def read_target(self, spark: SparkSession) -> DataFrame | None:
-        if not os.path.exists(os.path.join(self.target_path, "_SUCCESS")):
+        if not self._target_exists():
             return None
-        return spark.read.parquet(self.target_path)
+        df = spark.read.parquet(self.target_path)
+        return df.drop("__bucket") if "__bucket" in df.columns else df
 
     def process_batch(self, batch: DataFrame, epoch_id: int) -> None:
         if len(batch.take(1)) == 0:
+            return
+        if self.n_buckets is not None:
+            self._process_batch_bucketed(batch)
             return
         spark = batch.sparkSession
         target = self.read_target(spark)
@@ -122,3 +147,45 @@ class ApplyChanges:
             import shutil
 
             shutil.rmtree(final_tmp)
+
+    def _process_batch_bucketed(self, batch: DataFrame) -> None:
+        """Partial-rewrite merge: read and overwrite only the key-hash
+        buckets the batch touches. The touched-bucket list is a bounded
+        driver collect (<= n_buckets values). Untouched bucket partitions
+        are never read or written — merge I/O scales with the batch's key
+        spread, not the target's size."""
+        spark = batch.sparkSession
+        incoming = self._with_bucket(
+            latest_per_key(batch, self.keys, self.sequence_by, self.tiebreakers)
+        ).localCheckpoint(eager=True)  # cut lineage: read once, used thrice
+        touched = [r[0] for r in incoming.select("__bucket").distinct().collect()]
+
+        target = None
+        if self._target_exists():
+            target = (
+                spark.read.parquet(self.target_path)
+                .filter(F.col("__bucket").isin(touched))  # partition-pruned scan
+            )
+        if target is None:
+            merged = incoming
+        else:
+            tagged_target = target.withColumn("__is_target", F.lit(1))
+            tagged_in = incoming.withColumn("__is_target", F.lit(0))
+            merged = latest_per_key(
+                tagged_target.unionByName(tagged_in),
+                self.keys,
+                self.sequence_by,
+                tiebreakers=[*self.tiebreakers, "__is_target"],
+            ).drop("__is_target")
+
+        before = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                merged.repartition("__bucket")
+                .write.mode("overwrite")
+                .partitionBy("__bucket")
+                .parquet(self.target_path)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", before)

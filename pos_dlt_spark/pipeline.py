@@ -76,6 +76,7 @@ class CdcFlowDef:
     keys: list[str]
     sequence_by: str
     tiebreakers: list[str] = field(default_factory=list)
+    n_buckets: int | None = None  # partial-rewrite merge (see operators/cdc.py)
 
 
 class CycleError(Exception):
@@ -127,11 +128,14 @@ class Pipeline:
         keys: list[str],
         sequence_by: str,
         tiebreakers: list[str] | None = None,
+        n_buckets: int | None = None,
     ) -> None:
-        """Declare a CDC-maintained keyed table (reference W3)."""
+        """Declare a CDC-maintained keyed table (reference W3). With
+        ``n_buckets`` the target is key-hash-bucketed and each micro-batch
+        rewrites only touched buckets — set it for large targets."""
         self.cdc_flows[target] = CdcFlowDef(
             target=target, source=source, keys=keys, sequence_by=sequence_by,
-            tiebreakers=list(tiebreakers or []),
+            tiebreakers=list(tiebreakers or []), n_buckets=n_buckets,
         )
 
     # -- paths -------------------------------------------------------------
@@ -224,6 +228,7 @@ class PipelineRunner:
             keys=flow.keys,
             sequence_by=flow.sequence_by,
             tiebreakers=flow.tiebreakers,
+            n_buckets=flow.n_buckets,
         )
         src = self.p.read_stream(spark, flow.source)
         q = (

@@ -143,6 +143,12 @@ def streaming_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         events.repartition(6).write.parquet(land)
 
+        # Full-rewrite mode on purpose: this replay's batches are uniform
+        # over the key space, so every micro-batch touches every bucket and
+        # ApplyChanges(n_buckets=...) partial rewrite would degenerate to a
+        # full rewrite plus partition overhead. Bucketed mode is for the
+        # realistic large-target case (batch key-spread << target keys);
+        # tests/test_cdc.py proves untouched buckets are never rewritten.
         ac = ApplyChanges(
             os.path.join(work, "target"),
             keys=["user_id", "event_type"],

@@ -92,3 +92,68 @@ def test_streaming_upsert_end_to_end(spark, tmp_path, ac):
         (1, 2): (datetime(2021, 1, 1), 20),
         (1, 3): (datetime(2021, 1, 2), 30),
     }
+
+
+def test_bucketed_merge_same_result_as_full_rewrite(spark, tmp_path):
+    """n_buckets changes the storage/IO strategy only — final state must be
+    identical to the full-rewrite mode across multi-batch out-of-order
+    replay."""
+    batches = [
+        [(1, 1, datetime(2021, 1, 2), 20), (2, 2, datetime(2021, 1, 1), 5)],
+        [(1, 1, datetime(2021, 1, 1), 10),  # out-of-order: must lose
+         (3, 3, datetime(2021, 1, 4), 40)],
+        [(2, 2, datetime(2021, 1, 9), 9), (1, 1, datetime(2021, 1, 8), 80)],
+    ]
+    full = ApplyChanges(str(tmp_path / "full"), keys=KEYS, sequence_by="date_time")
+    buck = ApplyChanges(
+        str(tmp_path / "buck"), keys=KEYS, sequence_by="date_time", n_buckets=4
+    )
+    for i, rows in enumerate(batches):
+        full.process_batch(df_of(spark, rows), i)
+        buck.process_batch(df_of(spark, rows), i)
+    assert as_dict(full.read_target(spark)) == as_dict(buck.read_target(spark))
+    assert as_dict(buck.read_target(spark)) == {
+        (1, 1): (datetime(2021, 1, 8), 80),
+        (2, 2): (datetime(2021, 1, 9), 9),
+        (3, 3): (datetime(2021, 1, 4), 40),
+    }
+
+
+def test_bucketed_merge_leaves_untouched_buckets_alone(spark, tmp_path):
+    """A batch touching one key must not rewrite parquet files in other
+    buckets — the property that makes merge cost track batch key-spread
+    instead of target size."""
+    import glob
+    import os as _os
+
+    ac = ApplyChanges(
+        str(tmp_path / "t"), keys=KEYS, sequence_by="date_time", n_buckets=8
+    )
+    # seed many keys so several buckets exist
+    seed = [(k, k, datetime(2021, 1, 1), k) for k in range(1, 30)]
+    ac.process_batch(df_of(spark, seed), 0)
+    files_before = {
+        f: _os.path.getmtime(f)
+        for f in glob.glob(str(tmp_path / "t" / "__bucket=*" / "*.parquet"))
+    }
+    assert len({_os.path.dirname(f) for f in files_before}) > 1  # multiple buckets
+
+    ac.process_batch(df_of(spark, [(1, 1, datetime(2021, 2, 1), 99)]), 1)
+    files_after = {
+        f: _os.path.getmtime(f)
+        for f in glob.glob(str(tmp_path / "t" / "__bucket=*" / "*.parquet"))
+    }
+    # every bucket dir except the touched one kept identical files+mtimes
+    from pyspark.sql import functions as F
+
+    touched = (
+        df_of(spark, [(1, 1, datetime(2021, 2, 1), 99)])
+        .select(F.pmod(F.hash("store_id", "item_id"), F.lit(8)).alias("b"))
+        .collect()[0][0]
+    )
+    touched_dir = str(tmp_path / "t" / f"__bucket={touched}")
+    for f, mtime in files_before.items():
+        if not f.startswith(touched_dir):
+            assert f in files_after and files_after[f] == mtime, f
+    # and the merge actually landed
+    assert as_dict(ac.read_target(spark))[(1, 1)] == (datetime(2021, 2, 1), 99)
