@@ -315,3 +315,65 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@query(
+    "orders_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+)
+def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (neither rollup nor cube): per-status and
+    per-priority totals in ONE expand+aggregate pass over the scan instead
+    of two scans unioned. Declared through the spark.sql entry point — the
+    engine's SQL surface is the same Catalyst front end as the DataFrame
+    API (reference entry point 2, SURVEY §3.2)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """)
+
+
+@query(
+    "lineitem_approx_quantiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS exact_median,
+           TRUE AS approx_within_rank_tol
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def lineitem_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile sketch (approx_percentile, Greenwald-Khanna) validated
+    in-query against the exact median: the sketch's answer must sit within
+    the value range spanned by +-2% of the rank around the true median.
+    At 100 TB the sketch's bounded mergeable state replaces the exact
+    percentile's full sort — this query pins that the accuracy contract
+    holds. (Engines' sketches differ, so the oracle checks the asserted
+    tolerance flag, not sketch equality.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_quantity, 0.5)").alias("exact_median"),
+            F.expr("approx_percentile(l_quantity, 0.5, 100)").alias("approx_median"),
+            F.expr("percentile(l_quantity, 0.48)").alias("lo"),
+            F.expr("percentile(l_quantity, 0.52)").alias("hi"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_median",
+            ((F.col("approx_median") >= F.col("lo")) & (F.col("approx_median") <= F.col("hi")))
+            .alias("approx_within_rank_tol"),
+        )
+    )
