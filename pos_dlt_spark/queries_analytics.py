@@ -377,3 +377,43 @@ def lineitem_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("approx_within_rank_tol"),
         )
     )
+
+
+@query(
+    "events_click_attribution_batch",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           p.user_id, p.ts AS purchase_ts, c.ts AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+    """,
+)
+def events_click_attribution_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch interval join via time-bucketization (operators/rangejoin.py):
+    clicks in the hour before each purchase. Same semantics as the
+    streaming twin (streaming_stream_stream_join) and the same oracle —
+    but as a bucketed equi-join whose per-group fan-in is two adjacent
+    hour buckets, not every same-user pair."""
+    from pos_dlt_spark.operators.rangejoin import interval_join_bucketed
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    return interval_join_bucketed(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_time="purchase_ts",
+        right_time="click_ts",
+        window="1 hour",
+    ).select("purchase_id", "click_id", "user_id", "purchase_ts", "click_ts")
