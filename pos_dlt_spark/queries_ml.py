@@ -624,38 +624,36 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "emb_label_centroids",
     oracle=f"""
-    WITH q AS (SELECT vec_id, label, {_QUANT} AS qv FROM embeddings)
-    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors,
-           list_transform(range(1, 65),
-                          i -> CAST(list_sum(list_transform(list(qv), v -> v[i])) AS BIGINT)) AS sum_vec
-    FROM q GROUP BY label
+    WITH q AS (SELECT label, {_QUANT} AS qv FROM embeddings)
+    SELECT label,
+           CAST(i - 1 AS INT) AS dim_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(qv[CAST(i AS INT)]) AS BIGINT) AS sum_component
+    FROM q CROSS JOIN range(1, 65) t(i)
+    GROUP BY label, i
     """,
 )
 def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-label centroid accumulators via applyInPandas (grouped-map):
-    each label group becomes one Arrow batch, numpy sums the quantized
-    vectors column-wise — exact int64, so the grouped-map path is
-    oracle-verifiable. Emitting (sum_vec, n) instead of the mean keeps
-    the result exact and lets callers combine partial centroids — the
-    k-means-update shape for the IVF training step."""
-    import numpy as np
-    import pandas as pd
+    """Per-label centroid accumulators, fully JVM-side: posexplode the
+    quantized vector to (label, dim_idx, component) rows, then a plain
+    hash aggregate. Exact int64, so oracle-verifiable. Emitting sums + n
+    (not the mean) keeps the result exact and combinable — the
+    k-means-update shape the IVF training step reuses.
 
+    Scale: the explode is ×dim rows but never materializes a label group
+    in one place — partial (map-side) aggregation reduces each task to at
+    most labels×dim partial rows before the shuffle, so a hot label costs
+    nothing extra. This replaces a grouped-map applyInPandas that needed a
+    whole label group in a single pandas frame (OOM on a skewed label)."""
     emb = load_table(spark, sf_dir, "embeddings", spread=True)
     q = emb.select("label", S.quantized(F.col("embedding")).alias("qv"))
-
-    def centroid(pdf: pd.DataFrame) -> pd.DataFrame:
-        M = np.array([np.asarray(v, dtype=np.int64) for v in pdf["qv"]])
-        return pd.DataFrame(
-            {
-                "label": [int(pdf["label"].iloc[0])],
-                "n_vectors": [len(pdf)],
-                "sum_vec": [M.sum(axis=0).tolist()],
-            }
+    return (
+        q.select("label", F.posexplode("qv").alias("dim_idx", "component"))
+        .groupBy("label", "dim_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum("component").alias("sum_component"),
         )
-
-    return q.groupBy("label").applyInPandas(
-        centroid, "label int, n_vectors long, sum_vec array<bigint>"
     )
 
 

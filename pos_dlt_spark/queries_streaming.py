@@ -18,6 +18,7 @@ merge — on a real cluster the same code points at a landing directory.
 
 from __future__ import annotations
 
+import atexit
 import os
 import shutil
 import tempfile
@@ -59,6 +60,11 @@ def _stream_state_partitions(spark: SparkSession):
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet, with the same ns->us timestamp
     normalization as tables.load_table."""
+    from pos_dlt_spark.tables import ensure_session_confs
+
+    # events.ts is TIMESTAMP(NANOS): the schema probe below needs the
+    # nanosAsLong conf on ANY session, including the driver's vanilla one.
+    ensure_session_confs(spark)
     path = os.path.join(sf_dir, "events.parquet")
     schema = spark.read.parquet(path).schema
     # the file source wants a directory: scan sf_dir, globbed to this table
@@ -135,47 +141,47 @@ def streaming_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows across batch boundaries must lose to newer rows already merged."""
     from pos_dlt_spark.tables import load_table
 
+    # Session-lifetime workdir, cleaned at interpreter exit (atexit), NOT at
+    # return: the result DataFrame must stay readable after this function so
+    # we can return a distributed parquet scan of the target instead of
+    # collect()ing the whole CDC state through the driver (which is bounded
+    # by key cardinality here but a driver OOM at 100x the keys).
     work = tempfile.mkdtemp(prefix="cdc_stream_")
-    try:
-        land = os.path.join(work, "landing")
-        events = load_table(spark, sf_dir, "events").select(
-            "user_id", "event_type", "event_id", "ts", "value"
-        )
-        events.repartition(6).write.parquet(land)
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    land = os.path.join(work, "landing")
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts", "value"
+    )
+    events.repartition(6).write.parquet(land)
 
-        # Full-rewrite mode on purpose: this replay's batches are uniform
-        # over the key space, so every micro-batch touches every bucket and
-        # ApplyChanges(n_buckets=...) partial rewrite would degenerate to a
-        # full rewrite plus partition overhead. Bucketed mode is for the
-        # realistic large-target case (batch key-spread << target keys);
-        # tests/test_cdc.py proves untouched buckets are never rewritten.
-        ac = ApplyChanges(
-            os.path.join(work, "target"),
-            keys=["user_id", "event_type"],
-            sequence_by="ts",
-            tiebreakers=["event_id"],
+    # Full-rewrite mode on purpose: this replay's batches are uniform
+    # over the key space, so every micro-batch touches every bucket and
+    # ApplyChanges(n_buckets=...) partial rewrite would degenerate to a
+    # full rewrite plus partition overhead. Bucketed mode is for the
+    # realistic large-target case (batch key-spread << target keys);
+    # tests/test_cdc.py proves untouched buckets are never rewritten.
+    ac = ApplyChanges(
+        os.path.join(work, "target"),
+        keys=["user_id", "event_type"],
+        sequence_by="ts",
+        tiebreakers=["event_id"],
+    )
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(land)
+    )
+    with _stream_state_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(ac.process_batch)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
         )
-        stream = (
-            spark.readStream.schema(events.schema)
-            .option("maxFilesPerTrigger", "2")
-            .parquet(land)
-        )
-        with _stream_state_partitions(spark):
-            q = (
-                stream.writeStream.foreachBatch(ac.process_batch)
-                .option("checkpointLocation", os.path.join(work, "ckpt"))
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
-        final = spark.read.parquet(ac.target_path).select(
-            "user_id", "event_type", "event_id", "ts", "value"
-        )
-        # materialize before the temp dir disappears
-        out = spark.createDataFrame(final.collect(), final.schema)
-        return out
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
+        q.awaitTermination()
+    return spark.read.parquet(ac.target_path).select(
+        "user_id", "event_type", "event_id", "ts", "value"
+    )
 
 
 @query(

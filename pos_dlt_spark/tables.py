@@ -27,6 +27,25 @@ TESTDATA_TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Make any SparkSession able to run our queries, whoever built it.
+
+    Both confs are RUNTIME-settable, so setting them here (rather than only
+    in session.get_spark's builder) means a vanilla
+    ``SparkSession.builder.getOrCreate()`` — e.g. the correctness driver's —
+    works identically to our tuned session:
+
+    - session TZ pins event-time semantics (window/date_trunc boundaries,
+      DuckDB-oracle timestamp parity).
+    - ``nanosAsLong``: events.parquet stores ts as TIMESTAMP(NANOS), which
+      Spark's vectorized reader rejects outright (PARQUET_TYPE_ILLEGAL)
+      unless this legacy conf surfaces it as an epoch-nanos long; callers
+      then truncate to micros exactly like DuckDB does on read.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str, spread: bool = False) -> DataFrame:
     """Load a TESTDATA table.
 
@@ -37,11 +56,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str, spread: bool = False
     in ONE task. On a real lake (thousands of files/row groups) the
     condition is false and this is a no-op; pay the tiny shuffle only for
     compute-heavy per-row operators (minhash, text features, matmuls)."""
-    # session TZ pins event-time semantics (window/date_trunc boundaries,
-    # DuckDB-oracle timestamp parity). It is a RUNTIME conf, so set it here
-    # too in case the caller's session (e.g. the driver's) didn't: every
-    # query path goes through load_table before touching a timestamp.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # events.ts is TIMESTAMP(NANOS) in parquet; with
     # spark.sql.legacy.parquet.nanosAsLong it surfaces as a long of epoch

@@ -82,9 +82,27 @@ def main() -> int:
     only = set(sys.argv[2:])
 
     import __spark_entry__ as e
-    from pos_dlt_spark.session import get_spark
 
-    spark = get_spark("check_oracle")
+    if os.environ.get("SPARK_GRAFT_TUNED"):
+        # fast local iteration path only — NOT what the driver runs
+        from pos_dlt_spark.session import get_spark
+
+        spark = get_spark("check_oracle")
+    else:
+        # Mirror the driver: a VANILLA session with none of session.py's
+        # confs, so any query that silently depends on a builder-time conf
+        # (the round-1 nanosAsLong bug) fails here first. local[32]/32
+        # shuffle partitions only keep the mirror fast; they are sizing, not
+        # semantics.
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.appName("check_oracle_vanilla")
+            .master("local[32]")
+            .config("spark.sql.shuffle.partitions", "32")
+            .config("spark.driver.memory", "8g")
+            .getOrCreate()
+        )
     con = duckdb_conn(sf_dir)
     qs, oracles = e.queries(), e.oracle_sql()
     failed = []
