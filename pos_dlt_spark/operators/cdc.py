@@ -17,24 +17,37 @@ Two forms:
 Scale notes (100 TB): the window and the merge both hash-partition on the
 key columns only — state per key is one row, so target size is bounded by
 key cardinality, not stream length. With ``n_buckets`` set, the target is
-stored partitioned by a key-hash bucket and each micro-batch reads and
-rewrites ONLY the buckets its keys touch (dynamic partition overwrite) —
+stored as key-hash bucket directories tracked by a single manifest file and
+each micro-batch reads and rewrites ONLY the buckets its keys touch —
 merge cost tracks batch key-spread, not target size, which is what a
-Delta/Iceberg MERGE's file pruning buys. The parquet rewrite keeps v1
-dependency-free while preserving the exact sequence semantics; the
-per-partition overwrite is not a single atomic transaction across buckets
-(that is the part a table format adds), so readers must gate on query
-quiesce — acceptable for the 5-minute-recompute consumption pattern the
-reference uses (`04:167`).
+Delta/Iceberg MERGE's file pruning buys.
+
+Atomicity (the part a table format adds, rebuilt here in miniature à la
+Delta's _delta_log): every micro-batch writes its touched buckets into a
+FRESH ``epoch_<n>`` directory, then commits by atomically replacing
+``_manifest.json`` (one ``os.replace``) to point those buckets at their
+new directories. A reader resolves the manifest once and scans exactly the
+referenced directories, so it sees the complete pre-commit state or the
+complete post-commit state — never a mix. Superseded bucket directories
+are retained for one commit generation before deletion so a reader that
+resolved the old manifest can finish its scan (the VACUUM-retention idea;
+production would make the retention time-based). The manifest also pins
+``n_buckets`` + ``keys`` and the merge fails fast on mismatch — re-routing
+keys to different buckets by changing ``n_buckets`` mid-life would
+silently leave stale duplicates in untouched partitions.
 """
 
 from __future__ import annotations
 
+import json
 import os
+import shutil
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+MANIFEST = "_manifest.json"
 
 
 def latest_per_key(
@@ -109,29 +122,88 @@ class ApplyChanges:
         )
         return merged.drop("__is_target")
 
+    # -- manifest (bucketed mode's commit log) ------------------------------
+
+    def _manifest_path(self) -> str:
+        return os.path.join(self.target_path, MANIFEST)
+
+    def _read_manifest(self) -> dict | None:
+        try:
+            with open(self._manifest_path()) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+
+    def _validate_layout(self, manifest: dict | None) -> None:
+        """Fail fast instead of silently corrupting: a bucketed flow must
+        not point at a target written with different bucketing (keys would
+        re-route and stale rows would linger in never-touched buckets), and
+        an unbucketed flow must not clobber a manifest-tracked target."""
+        if self.n_buckets is None:
+            if manifest is not None:
+                raise ValueError(
+                    f"target {self.target_path} is a bucketed (manifest) table; "
+                    "construct ApplyChanges with the same n_buckets="
+                    f"{manifest['n_buckets']}"
+                )
+            return
+        if manifest is not None:
+            if manifest["n_buckets"] != self.n_buckets or manifest["keys"] != self.keys:
+                raise ValueError(
+                    "bucket spec mismatch: target has n_buckets="
+                    f"{manifest['n_buckets']} keys={manifest['keys']}, flow has "
+                    f"n_buckets={self.n_buckets} keys={self.keys}; changing either "
+                    "re-routes keys across buckets and corrupts the merge"
+                )
+            return
+        if os.path.isdir(self.target_path) and any(
+            e == "_SUCCESS" or e.startswith("__bucket=") or e.startswith("epoch_")
+            for e in os.listdir(self.target_path)
+        ):
+            raise ValueError(
+                f"target {self.target_path} exists but has no {MANIFEST}: "
+                "refusing to bucket-merge into an unbucketed or legacy layout"
+            )
+
+    def _commit_manifest(self, manifest: dict) -> None:
+        """One atomic pointer swap = the transaction commit."""
+        os.makedirs(self.target_path, exist_ok=True)
+        tmp = self._manifest_path() + f".tmp_{manifest['version']}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._manifest_path())
+
     # -- foreachBatch sink --------------------------------------------------
 
     def _target_exists(self) -> bool:
         if os.path.exists(os.path.join(self.target_path, "_SUCCESS")):
             return True
-        # dynamic partition overwrite suppresses _SUCCESS: bucket dirs are
-        # the marker (each one is fully written before the job commits)
-        return os.path.isdir(self.target_path) and any(
-            e.startswith("__bucket=") for e in os.listdir(self.target_path)
-        )
+        return self._read_manifest() is not None
 
     def read_target(self, spark: SparkSession) -> DataFrame | None:
+        """Current committed state. Bucketed targets resolve the manifest to
+        concrete bucket directories — path-level pruning, no partition
+        discovery — and the snapshot stays readable through one subsequent
+        commit (retention) even while a merge runs."""
+        manifest = self._read_manifest()
+        if manifest is not None:
+            paths = [os.path.join(self.target_path, p) for p in manifest["buckets"].values()]
+            if not paths:
+                return None
+            return spark.read.parquet(*paths)
         if not self._target_exists():
             return None
-        df = spark.read.parquet(self.target_path)
-        return df.drop("__bucket") if "__bucket" in df.columns else df
+        return spark.read.parquet(self.target_path)
 
     def process_batch(self, batch: DataFrame, epoch_id: int) -> None:
         if len(batch.take(1)) == 0:
             return
         if self.n_buckets is not None:
-            self._process_batch_bucketed(batch)
+            self._process_batch_bucketed(batch, epoch_id)
             return
+        self._validate_layout(self._read_manifest())
         spark = batch.sparkSession
         target = self.read_target(spark)
         merged = self.merge(target, batch)
@@ -144,48 +216,82 @@ class ApplyChanges:
             os.rename(self.target_path, final_tmp)
         os.rename(tmp, self.target_path)
         if os.path.exists(final_tmp):
-            import shutil
-
             shutil.rmtree(final_tmp)
 
-    def _process_batch_bucketed(self, batch: DataFrame) -> None:
-        """Partial-rewrite merge: read and overwrite only the key-hash
-        buckets the batch touches. The touched-bucket list is a bounded
-        driver collect (<= n_buckets values). Untouched bucket partitions
-        are never read or written — merge I/O scales with the batch's key
-        spread, not the target's size."""
+    def _process_batch_bucketed(self, batch: DataFrame, epoch_id: int) -> None:
+        """Partial-rewrite merge with an atomic manifest commit.
+
+        Only the key-hash buckets the batch touches are read and rewritten
+        (the touched-bucket list is a bounded driver collect, <= n_buckets
+        values); untouched buckets keep their existing directories, so merge
+        I/O scales with the batch's key spread, not the target's size. The
+        new bucket versions land in a fresh ``epoch_<id>`` directory and
+        become visible only via :meth:`_commit_manifest`'s single
+        ``os.replace`` — a reader never observes a half-merged target.
+        Directories superseded by THIS commit are deleted on the NEXT one
+        (one-generation retention for in-flight readers)."""
         spark = batch.sparkSession
+        manifest = self._read_manifest()
+        self._validate_layout(manifest)
         incoming = self._with_bucket(
             latest_per_key(batch, self.keys, self.sequence_by, self.tiebreakers)
         ).localCheckpoint(eager=True)  # cut lineage: read once, used thrice
-        touched = [r[0] for r in incoming.select("__bucket").distinct().collect()]
+        touched = [int(r[0]) for r in incoming.select("__bucket").distinct().collect()]
 
-        target = None
-        if self._target_exists():
-            target = (
-                spark.read.parquet(self.target_path)
-                .filter(F.col("__bucket").isin(touched))  # partition-pruned scan
-            )
-        if target is None:
-            merged = incoming
-        else:
-            tagged_target = target.withColumn("__is_target", F.lit(1))
-            tagged_in = incoming.withColumn("__is_target", F.lit(0))
-            merged = latest_per_key(
-                tagged_target.unionByName(tagged_in),
-                self.keys,
-                self.sequence_by,
-                tiebreakers=[*self.tiebreakers, "__is_target"],
-            ).drop("__is_target")
+        merged = incoming
+        if manifest is not None:
+            touched_paths = [
+                os.path.join(self.target_path, manifest["buckets"][str(b)])
+                for b in touched
+                if str(b) in manifest["buckets"]
+            ]
+            if touched_paths:
+                # bucket dirs don't store __bucket (partitionBy strips it);
+                # recompute from the keys — same hash, deterministic
+                target = self._with_bucket(spark.read.parquet(*touched_paths))
+                tagged_target = target.withColumn("__is_target", F.lit(1))
+                tagged_in = incoming.withColumn("__is_target", F.lit(0))
+                merged = latest_per_key(
+                    tagged_target.unionByName(tagged_in),
+                    self.keys,
+                    self.sequence_by,
+                    tiebreakers=[*self.tiebreakers, "__is_target"],
+                ).drop("__is_target")
 
-        before = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (
-                merged.repartition("__bucket")
-                .write.mode("overwrite")
-                .partitionBy("__bucket")
-                .parquet(self.target_path)
-            )
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", before)
+        # Dir name includes the manifest generation it will commit as: a
+        # foreachBatch retry of an epoch whose commit DID land re-runs with a
+        # bumped version, so it writes a fresh dir instead of overwriting the
+        # one the live manifest (and this very merge's target read) points at.
+        version = (manifest["version"] + 1) if manifest else 0
+        epoch_dir = f"epoch_{epoch_id}_g{version}"
+        (
+            merged.repartition("__bucket")
+            .write.mode("overwrite")  # overwrite: retry of an uncommitted epoch
+            .partitionBy("__bucket")
+            .parquet(os.path.join(self.target_path, epoch_dir))
+        )
+
+        buckets = dict(manifest["buckets"]) if manifest else {}
+        retired = [buckets[str(b)] for b in touched if str(b) in buckets]
+        for b in touched:
+            buckets[str(b)] = os.path.join(epoch_dir, f"__bucket={b}")
+        new_manifest = {
+            "version": version,
+            "n_buckets": self.n_buckets,
+            "keys": self.keys,
+            "sequence_by": self.sequence_by,
+            "buckets": buckets,
+            "retired": retired,
+        }
+        self._commit_manifest(new_manifest)
+        # GC the generation retired by the PREVIOUS commit: anyone who
+        # resolved that manifest has had a full commit cycle to finish.
+        for rel in manifest["retired"] if manifest else ():
+            gone = os.path.join(self.target_path, rel)
+            shutil.rmtree(gone, ignore_errors=True)
+            parent = os.path.dirname(gone)
+            try:  # drop the epoch dir once only job markers (_SUCCESS) remain
+                if all(e.startswith("_") for e in os.listdir(parent)):
+                    shutil.rmtree(parent, ignore_errors=True)
+            except FileNotFoundError:
+                pass

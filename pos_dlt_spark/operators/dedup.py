@@ -237,21 +237,47 @@ def simhash_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     bits: int = 16, max_hamming: int = 2,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: block on half-hash bands (a pair within
-    hamming distance d must agree on at least one of d+1 equal chunks),
-    then verify bit_count(xor) <= d."""
-    half = bits // 2
+    """Near-dup pairs by SimHash.
+
+    Blocking: split each signature into ``max_hamming + 1`` disjoint bit
+    chunks — by pigeonhole, two signatures within hamming distance d MUST
+    agree exactly on at least one of d+1 chunks (d differing bits cannot
+    dirty all d+1 of them), so recall over the <= d ball is complete.
+    Each row explodes into d+1 ``(chunk_idx, chunk_val)`` keys and
+    candidates come from a self-EQUI-join on that pair of columns — a
+    hash-partitioned join on chunk buckets, never an all-pairs product
+    (an OR-of-chunk-equalities condition would force a nested-loop plan).
+    Candidates are then verified with ``bit_count(a ^ b) <= d`` and
+    deduped (a pair can collide in several chunks)."""
+    n_chunks = max_hamming + 1
+    if n_chunks > bits:
+        raise ValueError(f"max_hamming={max_hamming} needs more chunks than {bits} bits")
+    base, extra = divmod(bits, n_chunks)
+    widths = [base + (1 if i < extra else 0) for i in range(n_chunks)]
     sh = simhash_table(df, text_col, id_col, bits, out_col="sh")
-    chunks = [
-        (F.col("sh").bitwiseAND(F.lit((1 << half) - 1))).alias("c0"),
-        (F.shiftright("sh", half)).alias("c1"),
-    ]
-    blocked = sh.select(id_col, "sh", *chunks)
-    a, b = blocked.alias("a"), blocked.alias("b")
-    same_chunk = (F.col("a.c0") == F.col("b.c0")) | (F.col("a.c1") == F.col("b.c1"))
+    chunk_structs, off = [], 0
+    for i, w in enumerate(widths):
+        chunk_structs.append(
+            F.struct(
+                F.lit(i).alias("ci"),
+                F.shiftright("sh", off).bitwiseAND(F.lit((1 << w) - 1)).alias("cv"),
+            )
+        )
+        off += w
+    exploded = sh.select(
+        id_col, "sh", F.explode(F.array(*chunk_structs)).alias("c")
+    ).select(id_col, "sh", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
+    a, b = exploded.alias("a"), exploded.alias("b")
     hamming = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
     return (
-        a.join(b, on=[same_chunk, F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+        a.join(
+            b,
+            on=[
+                F.col("a.ci") == F.col("b.ci"),
+                F.col("a.cv") == F.col("b.cv"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),

@@ -134,16 +134,17 @@ def test_bucketed_merge_leaves_untouched_buckets_alone(spark, tmp_path):
     ac.process_batch(df_of(spark, seed), 0)
     files_before = {
         f: _os.path.getmtime(f)
-        for f in glob.glob(str(tmp_path / "t" / "__bucket=*" / "*.parquet"))
+        for f in glob.glob(str(tmp_path / "t" / "epoch_*" / "__bucket=*" / "*.parquet"))
     }
     assert len({_os.path.dirname(f) for f in files_before}) > 1  # multiple buckets
 
     ac.process_batch(df_of(spark, [(1, 1, datetime(2021, 2, 1), 99)]), 1)
     files_after = {
         f: _os.path.getmtime(f)
-        for f in glob.glob(str(tmp_path / "t" / "__bucket=*" / "*.parquet"))
+        for f in glob.glob(str(tmp_path / "t" / "epoch_*" / "__bucket=*" / "*.parquet"))
     }
-    # every bucket dir except the touched one kept identical files+mtimes
+    # every seeded bucket file except the touched bucket's survives untouched
+    # (same path, same mtime) — the touched one is superseded by the new epoch
     from pyspark.sql import functions as F
 
     touched = (
@@ -151,9 +152,72 @@ def test_bucketed_merge_leaves_untouched_buckets_alone(spark, tmp_path):
         .select(F.pmod(F.hash("store_id", "item_id"), F.lit(8)).alias("b"))
         .collect()[0][0]
     )
-    touched_dir = str(tmp_path / "t" / f"__bucket={touched}")
+    touched_suffix = f"__bucket={touched}"
     for f, mtime in files_before.items():
-        if not f.startswith(touched_dir):
+        if touched_suffix not in f:
             assert f in files_after and files_after[f] == mtime, f
     # and the merge actually landed
     assert as_dict(ac.read_target(spark))[(1, 1)] == (datetime(2021, 2, 1), 99)
+
+
+def test_manifest_reader_racing_merge_sees_complete_state(spark, tmp_path):
+    """A DataFrame resolved from the pre-merge manifest must stay fully
+    readable (retention) while a merge commits, and must show the complete
+    OLD state — never a half-merged mix. Re-resolving after the commit shows
+    the complete NEW state."""
+    ac = ApplyChanges(
+        str(tmp_path / "t"), keys=KEYS, sequence_by="date_time", n_buckets=4
+    )
+    seed = [(k, k, datetime(2021, 1, 1), k) for k in range(1, 20)]
+    ac.process_batch(df_of(spark, seed), 0)
+
+    reader_df = ac.read_target(spark)  # resolves manifest v0's paths NOW
+    update = [(k, k, datetime(2021, 2, 1), 100 + k) for k in range(1, 20)]
+    ac.process_batch(df_of(spark, update), 1)  # touches every bucket
+
+    old = as_dict(reader_df)  # scan runs AFTER the commit, against v0 paths
+    assert old == {(k, k): (datetime(2021, 1, 1), k) for k in range(1, 20)}
+    new = as_dict(ac.read_target(spark))
+    assert new == {(k, k): (datetime(2021, 2, 1), 100 + k) for k in range(1, 20)}
+
+
+def test_manifest_bucket_spec_mismatch_fails_fast(spark, tmp_path):
+    """Changing n_buckets (or dropping it) against an existing bucketed
+    target must raise, not silently strand stale rows in re-routed buckets."""
+    path = str(tmp_path / "t")
+    ApplyChanges(path, keys=KEYS, sequence_by="date_time", n_buckets=4).process_batch(
+        df_of(spark, [(1, 1, datetime(2021, 1, 1), 10)]), 0
+    )
+    with pytest.raises(ValueError, match="bucket spec mismatch"):
+        ApplyChanges(path, keys=KEYS, sequence_by="date_time", n_buckets=8).process_batch(
+            df_of(spark, [(1, 1, datetime(2021, 1, 2), 20)]), 1
+        )
+    with pytest.raises(ValueError, match="bucketed .manifest. table"):
+        ApplyChanges(path, keys=KEYS, sequence_by="date_time").process_batch(
+            df_of(spark, [(1, 1, datetime(2021, 1, 2), 20)]), 1
+        )
+
+
+def test_manifest_gc_keeps_exactly_one_retired_generation(spark, tmp_path):
+    """Buckets superseded by commit N are deleted at commit N+1 — one
+    generation of retention for in-flight readers, no unbounded growth."""
+    import json as _json
+    import os as _os
+
+    ac = ApplyChanges(
+        str(tmp_path / "t"), keys=KEYS, sequence_by="date_time", n_buckets=2
+    )
+    for i in range(4):  # same key every time → same bucket rewritten 4×
+        ac.process_batch(df_of(spark, [(1, 1, datetime(2021, 1, 1 + i), i)]), i)
+    manifest = _json.load(open(tmp_path / "t" / "_manifest.json"))
+    live = {_os.path.join(str(tmp_path / "t"), p) for p in manifest["buckets"].values()}
+    retired = {_os.path.join(str(tmp_path / "t"), p) for p in manifest["retired"]}
+    on_disk = {
+        _os.path.join(str(tmp_path / "t"), e, b)
+        for e in _os.listdir(tmp_path / "t")
+        if e.startswith("epoch_")
+        for b in _os.listdir(tmp_path / "t" / e)
+        if b.startswith("__bucket=")
+    }
+    assert on_disk == live | retired  # nothing older than one generation
+    assert as_dict(ac.read_target(spark)) == {(1, 1): (datetime(2021, 1, 4), 3)}

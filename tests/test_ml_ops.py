@@ -45,6 +45,39 @@ def test_simhash_pairs_blocked(spark, docs):
     assert (0, 3) in pairs
 
 
+def test_simhash_pairs_recall_complete_vs_brute_force(spark):
+    """Pigeonhole blocking must find EVERY pair within max_hamming — in
+    particular pairs whose differing bits straddle chunks (the case a
+    2-chunk split at d=2 silently missed). Compare against an all-pairs
+    hamming scan computed driver-side."""
+    import itertools
+    import random
+
+    rng = random.Random(3)
+    words = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf", "hotel"]
+    rows = [
+        (i, " ".join(rng.choice(words) for _ in range(12))) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    for d in (1, 2):
+        sh = {r.doc_id: r.sh for r in D.simhash_table(df, out_col="sh").collect()}
+        expect = {
+            (a, b)
+            for a, b in itertools.combinations(sorted(sh), 2)
+            if bin(sh[a] ^ sh[b]).count("1") <= d
+        }
+        got = {(r.id_a, r.id_b) for r in D.simhash_pairs(df, max_hamming=d).collect()}
+        assert got == expect, f"max_hamming={d}"
+
+
+def test_simhash_pairs_plan_is_equi_join(spark, docs):
+    """The chunk blocking must plan as a hash/merge equi-join, never a
+    nested-loop all-pairs product — that is the whole point of blocking."""
+    plan = D.simhash_pairs(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_brute_force_topk_matches_python(spark):
     import math
     import random
