@@ -9,8 +9,9 @@ Design for 100 TB:
 - **The only shuffles are the LSH band self-joins**, which hash-partition
   on (band_index, band_value) — exactly the key that buckets near-dups
   together. Bucket sizes are bounded by collision probability, not corpus
-  size; a pathological hot bucket (e.g. empty documents) should be capped
-  with a bucket-size limit before the pair join.
+  size; a pathological hot bucket (e.g. thousands of near-identical docs
+  sharing one signature) is capped by ``max_bucket_size`` before the pair
+  join, with :func:`lsh_hot_buckets` as the audit of what was skipped.
 - **Verification joins only candidate pairs** (LSH output), never all
   pairs: O(candidates), not O(n^2).
 
@@ -115,12 +116,8 @@ def minhash_signatures(
     return sh_df.select(F.col(id_col), *minhash_signature(F.col("sh"), n_hashes))
 
 
-def lsh_candidate_pairs(
-    sig: DataFrame, id_col: str = "doc_id", n_hashes: int = 8, bands: int = 4
-) -> DataFrame:
-    """Banding: documents agreeing on all rows of any band are candidates.
-    Implemented as one unpivot (band rows) + a self-equi-join on
-    (band_index, band_key) -> shuffle co-locates likely-dups only."""
+def _banded(sig: DataFrame, id_col: str, n_hashes: int, bands: int) -> DataFrame:
+    """Unpivot a signature table into (id, band, band_key) rows."""
     rows_per_band = n_hashes // bands
     band_cols = [
         F.struct(
@@ -129,9 +126,54 @@ def lsh_candidate_pairs(
         )
         for b in range(bands)
     ]
-    banded = sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")).select(
+    return sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")).select(
         id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("band_key")
     )
+
+
+def lsh_hot_buckets(
+    sig: DataFrame, id_col: str = "doc_id", n_hashes: int = 8, bands: int = 4,
+    max_bucket_size: int = 100,
+) -> DataFrame:
+    """The (band, band_key, n_docs) buckets LARGER than ``max_bucket_size`` —
+    the audit twin of :func:`lsh_candidate_pairs`'s cap, so a pipeline can
+    count/log exactly which buckets (and how many docs) candidate generation
+    skipped instead of dropping them silently."""
+    return (
+        _banded(sig, id_col, n_hashes, bands)
+        .groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > max_bucket_size)
+    )
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, id_col: str = "doc_id", n_hashes: int = 8, bands: int = 4,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Banding: documents agreeing on all rows of any band are candidates.
+    Implemented as one unpivot (band rows) + a self-equi-join on
+    (band_index, band_key) -> shuffle co-locates likely-dups only.
+
+    ``max_bucket_size`` caps the quadratic blowup of pathological hot
+    buckets (e.g. thousands of near-empty docs sharing one signature): any
+    bucket with more docs than the cap is excluded from pair generation via
+    a broadcast anti-join (there can be at most n/cap hot buckets, so the
+    exclusion list is always tiny). Use :func:`lsh_hot_buckets` with the
+    same cap to surface what was skipped; run exact dedup FIRST so identical
+    docs collapse before LSH ever sees them. ``None`` (default) keeps exact
+    LSH semantics — every bucket joins."""
+    banded = _banded(sig, id_col, n_hashes, bands)
+    if max_bucket_size is not None:
+        w_counts = (
+            banded.groupBy("band", "band_key")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_bucket_size)
+            .select("band", "band_key")
+        )
+        banded = banded.join(
+            F.broadcast(w_counts), on=["band", "band_key"], how="left_anti"
+        )
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -184,11 +226,12 @@ def jaccard_for_pairs(
 def minhash_lsh_dedup_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     n_hashes: int = 8, bands: int = 4, shingle_n: int = 3, threshold: float = 0.5,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Full near-dup pipeline: signatures -> LSH candidates -> exact
     Jaccard verify -> threshold."""
     sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n)
-    pairs = lsh_candidate_pairs(sig, id_col, n_hashes, bands)
+    pairs = lsh_candidate_pairs(sig, id_col, n_hashes, bands, max_bucket_size)
     return jaccard_for_pairs(pairs, df, text_col, id_col, shingle_n).filter(
         F.col("jaccard") >= threshold
     )

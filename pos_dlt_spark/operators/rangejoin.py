@@ -52,9 +52,17 @@ def interval_join_bucketed(
     if clash:
         raise ValueError(f"right columns collide with left columns: {sorted(clash)}")
 
-    # Bucket width = the window in microseconds, via an interval literal so
-    # '1 hour'/'30 minutes' parse like everywhere else (epoch + interval).
-    width = F.expr(f"unix_micros(timestamp '1970-01-01 00:00:00' + INTERVAL {window})")
+    # Bucket width = the window in microseconds. Evaluated ONCE driver-side
+    # (a LocalRelation plan, no scan) from a timezone-anchored literal: a bare
+    # `timestamp '1970-01-01'` parses in the SESSION timezone, so on a UTC+N
+    # session its unix_micros is -N hours and the width would come out short —
+    # or negative, silently dropping every match via the bucket equi-join.
+    [(width_micros,)] = left.sparkSession.sql(
+        f"SELECT unix_micros(timestamp '1970-01-01 00:00:00+00:00' + INTERVAL {window})"
+    ).collect()
+    if width_micros is None or width_micros <= 0:
+        raise ValueError(f"window must be a positive interval, got {window!r}")
+    width = F.lit(width_micros)
 
     lb = F.floor(F.unix_micros(F.col(left_time)) / width)
     l_tagged = left.withColumn(_BUCKET, lb)

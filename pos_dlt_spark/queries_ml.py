@@ -328,6 +328,28 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_lsh_bucket_audit",
+    oracle=f"""
+    WITH {_TOKS_CTE}, {_SH_CTE}, {_SIG_CTE}, {_BANDS_CTE}
+    SELECT band, band_key, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM bands
+    GROUP BY band, band_key
+    HAVING COUNT(*) > 1
+    """,
+)
+def dedup_lsh_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket-size audit (``lsh_hot_buckets`` at cap=1): every banding
+    bucket holding 2+ docs — the quantity the ``max_bucket_size`` hot-bucket
+    cap inspects before candidate generation, surfaced so a pipeline can
+    log what the cap would skip instead of dropping silently."""
+    sig = D.minhash_signatures(
+        load_table(spark, sf_dir, "documents", spread=True),
+        n_hashes=N_HASHES, shingle_n=SHINGLE_N,
+    )
+    return D.lsh_hot_buckets(sig, n_hashes=N_HASHES, bands=BANDS, max_bucket_size=1)
+
+
 def _simhash_oracle(bits: int = 16) -> str:
     h = phash_sql("s")
     terms = []

@@ -34,6 +34,30 @@ def test_minhash_lsh_finds_near_dup(spark, docs):
     assert (0, 1) in pairs or (1, 3) in pairs
 
 
+def test_lsh_hot_bucket_cap_skips_pathological_bucket(spark):
+    """1k identical docs share every band bucket — uncapped that is ~500k
+    candidate pairs (quadratic). With max_bucket_size the hot buckets are
+    anti-joined away, pair generation stays tiny, and lsh_hot_buckets
+    reports exactly what was skipped."""
+    boiler = "lorem ipsum dolor sit amet " * 4
+    rows = [(i, boiler) for i in range(1000)]
+    rows += [
+        (2000, "the quick brown fox jumps over the lazy dog"),
+        (2001, "the quick brown fox jumps over the lazy cat"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sig = D.minhash_signatures(df)
+
+    capped = D.lsh_candidate_pairs(sig, max_bucket_size=100).collect()
+    pair_ids = {(r.id_a, r.id_b) for r in capped}
+    assert all(i >= 2000 for p in pair_ids for i in p)  # hot bucket skipped
+    assert len(capped) <= 10  # nowhere near the ~500k uncapped pairs
+
+    hot = D.lsh_hot_buckets(sig, max_bucket_size=100).collect()
+    assert len(hot) == 4  # the boilerplate signature is hot in all 4 bands
+    assert all(r.n_docs == 1000 for r in hot)
+
+
 def test_simhash_identical_docs_equal(spark, docs):
     sh = {r.doc_id: r.sh for r in docs.select("doc_id", D.simhash(F.col("text")).alias("sh")).collect()}
     assert sh[0] == sh[3]

@@ -69,6 +69,33 @@ def test_plans_as_equi_join_not_nested_loop(spark):
     assert "__rj_bucket" in plan  # join keys carry the bucket
 
 
+def test_results_independent_of_session_timezone(spark):
+    """Bucket width must come from a timezone-anchored epoch: on a UTC-N
+    session a bare epoch literal would shrink the width (or go negative and
+    drop all matches). Matches are absolute instants — same under any TZ."""
+    lefts = [(1, _ts("2024-01-01 12:10:00"), 10)]
+    rights = [(1, _ts("2024-01-01 11:50:00"), 20), (1, _ts("2024-01-01 10:00:00"), 21)]
+    before = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for tz in ("America/New_York", "Asia/Tokyo"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            assert _run(spark, lefts, rights) == {(10, 20)}, tz
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", before)
+
+
+def test_negative_window_rejected(spark):
+    l = spark.createDataFrame([(1, _ts("2024-01-01 12:00:00"), 10)], ["k", "lt", "lid"])
+    r = spark.createDataFrame([(1, _ts("2024-01-01 11:30:00"), 20)], ["k", "rt", "rid"])
+    try:
+        interval_join_bucketed(
+            l, r, on=["k"], left_time="lt", right_time="rt", window="-1 hour"
+        )
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
 def test_column_collision_rejected(spark):
     l = spark.createDataFrame([(1, _ts("2024-01-01 12:00:00"), "x")], ["k", "lt", "rid"])
     r = spark.createDataFrame([(1, _ts("2024-01-01 11:30:00"), "y")], ["k", "rt", "rid"])
