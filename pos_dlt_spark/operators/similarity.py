@@ -275,6 +275,79 @@ def _centroid_sims(qvec: Column, nq: Column, centroids: list[tuple[int, list[int
     return F.array(*out)
 
 
+def kmeans_fit(
+    corpus: DataFrame,
+    n_centroids: int = 8,
+    iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_mod: int | None = None,
+) -> list[tuple[int, list[int]]]:
+    """Lloyd k-means over quantized integer vectors; returns the
+    ``[(cid, centroid_vec), ...]`` model artifact :func:`ivf_topk` accepts.
+
+    Every step is JVM-side and bounded on the driver:
+
+    - **assignment** is a per-row expression (centroids inlined as
+      literals, like :func:`ivf_topk`'s routing) — one corpus scan per
+      iteration, no shuffle;
+    - **update** is SPHERICAL (normalize-then-average): each vector is
+      rescaled to a fixed integer norm before summing, so the new centroid
+      is the mean DIRECTION of its cluster — the update that monotonically
+      improves the mean-cosine objective the assignment step optimizes
+      (plain means optimize euclidean distance, the wrong objective for
+      cosine ANN). Sums posexplode to (cid, dim, component) rows and
+      hash-aggregate — partial map-side combine means a hot cluster never
+      materializes in one place (the `emb_label_centroids` shape); only
+      ``n_centroids × dim`` finished rows reach the driver;
+    - **new centroids** are floor(sum/count) integer means — deterministic,
+      no float accumulation order to diverge.
+
+    ``sample_mod`` fits on the deterministic 1-in-m id-hash sample — at
+    100 TB you fit the model on a sample and assign the full corpus once,
+    exactly what this + :func:`ivf_topk`'s ``centroids=`` plug supports.
+    Init = the ``n_centroids`` lowest-id vectors (deterministic); an empty
+    cluster keeps its previous centroid.
+    """
+    qc = corpus.select(F.col(id_col).alias("__id"), quantized(F.col(vec_col)).alias("qc"))
+    if sample_mod is not None:
+        qc = qc.filter(F.pmod(F.hash(F.col("__id")), F.lit(sample_mod)) == 0)
+    qc = qc.select("__id", "qc", norm(F.col("qc")).alias("nc")).persist()
+    try:
+        init = qc.orderBy("__id").limit(n_centroids).collect()
+        if len(init) < n_centroids:
+            raise ValueError(f"need >= {n_centroids} vectors to fit, got {len(init)}")
+        centroids = [(cid, list(r.qc)) for cid, r in enumerate(init)]
+        dim = len(centroids[0][1])
+        for _ in range(iters):
+            assigned = qc.select(
+                F.array_min(_centroid_sims(F.col("qc"), F.col("nc"), centroids))["cid"].alias("cid"),
+                "qc",
+                "nc",
+            )
+            unit = F.transform(  # rescale to norm ~1e5: spherical update
+                F.col("qc"), lambda x: F.floor(x * 100000 / F.col("nc")).cast("bigint")
+            )
+            stats = (
+                assigned.select("cid", F.posexplode(unit).alias("dim", "comp"))
+                .groupBy("cid", "dim")
+                .agg(F.sum("comp").alias("s"), F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            acc: dict[int, dict[int, tuple[int, int]]] = {}
+            for r in stats:
+                acc.setdefault(int(r.cid), {})[int(r.dim)] = (int(r.s), int(r.n))
+            centroids = [
+                (cid, [acc[cid][d][0] // acc[cid][d][1] for d in range(dim)])
+                if cid in acc
+                else (cid, old)
+                for cid, old in centroids
+            ]
+        return centroids
+    finally:
+        qc.unpersist()
+
+
 def ivf_topk(
     corpus: DataFrame,
     probes: DataFrame,
@@ -283,6 +356,7 @@ def ivf_topk(
     n_centroids: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[tuple[int, list[int]]] | None = None,
 ) -> DataFrame:
     """IVF-style ANN top-k: assign every corpus vector to its nearest
     centroid (the inverted lists), then each probe searches only the
@@ -293,16 +367,18 @@ def ivf_topk(
     assignment and the probe routing are pure per-row expressions — the
     100 TB corpus is scanned exactly once with NO shuffle for assignment;
     the only shuffles are the candidate join (hash on cid) and the final
-    per-probe top-k window. v1 picks the first ``n_centroids`` vectors by
-    id as centroids — deterministic stand-in for a k-means fit, which
-    plugs in here without changing the query shape.
+    per-probe top-k window. Pass ``centroids`` (e.g. from
+    :func:`kmeans_fit`) to use a trained model; the default picks the
+    first ``n_centroids`` vectors by id — the deterministic, SQL-oracle-
+    expressible baseline.
     """
-    cent_rows = (
-        corpus.filter(F.col(id_col) < n_centroids)
-        .select(F.col(id_col), quantized(F.col(vec_col)).alias("cq"))
-        .collect()
-    )
-    centroids = sorted((int(r[0]), list(r[1])) for r in cent_rows)
+    if centroids is None:
+        cent_rows = (
+            corpus.filter(F.col(id_col) < n_centroids)
+            .select(F.col(id_col), quantized(F.col(vec_col)).alias("cq"))
+            .collect()
+        )
+        centroids = sorted((int(r[0]), list(r[1])) for r in cent_rows)
 
     qc = corpus.select(
         F.col(id_col).alias("neighbor_id"), quantized(F.col(vec_col)).alias("qc")

@@ -643,6 +643,32 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ann_ivf_kmeans_recall", oracle=None)  # iterative fit: not SQL-expressible
+def ann_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of IVF with k-means-FITTED centroids (4 Lloyd iterations,
+    similarity.kmeans_fit) against the exact brute-force baseline — the
+    quality gate for the trained model, alongside ann_ivf_recall's
+    first-N-centroid baseline. No SQL oracle: the fit is an iterative
+    algorithm (per-iteration argmin + re-aggregation), the class the gate
+    documents as rows-only."""
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    probes = emb.filter(F.col("vec_id") < 10)
+    fitted = S.kmeans_fit(emb, n_centroids=N_CENTROIDS, iters=4)
+    bf = S.brute_force_topk(emb, probes, k=5).select("probe_id", "neighbor_id")
+    ivf = S.ivf_topk(
+        emb, probes, k=5, nprobe=NPROBE, n_centroids=N_CENTROIDS, centroids=fitted
+    ).select(F.col("probe_id").alias("p2"), F.col("neighbor_id").alias("n2"))
+    return (
+        bf.join(
+            ivf,
+            (F.col("probe_id") == F.col("p2")) & (F.col("neighbor_id") == F.col("n2")),
+            "left",
+        )
+        .groupBy("probe_id")
+        .agg((F.count("n2").cast("double") / F.lit(5.0)).alias("recall_at_5"))
+    )
+
+
 @query(
     "emb_label_centroids",
     oracle=f"""

@@ -102,6 +102,45 @@ def test_simhash_pairs_plan_is_equi_join(spark, docs):
     assert "CartesianProduct" not in plan
 
 
+def test_kmeans_fit_improves_objective_and_holds_recall(spark):
+    """The fitted centroids must (a) be deterministic across runs, (b)
+    improve the spherical k-means objective — mean cosine of every vector
+    to its assigned centroid — over the first-N stand-in, and (c) keep
+    IVF recall@5 above a floor. Recall@5 itself moves by single neighbors
+    (1/50) on this near-uniform synthetic corpus, so the objective is the
+    gate that shows the fit is real; recall is a floor, not a comparison."""
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.001")
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).cache()
+    probes = emb.filter(F.col("vec_id") < 10)
+
+    fitted = S.kmeans_fit(emb, n_centroids=8, iters=4)
+    assert fitted == S.kmeans_fit(emb, n_centroids=8, iters=4)  # deterministic
+
+    first_n = sorted(
+        (int(r[0]), list(r[1]))
+        for r in emb.filter(F.col("vec_id") < 8)
+        .select("vec_id", S.quantized(F.col("embedding")).alias("cq"))
+        .collect()
+    )
+
+    def objective(cents):
+        qc = emb.select(S.quantized(F.col("embedding")).alias("qc"))
+        qc = qc.select("qc", S.norm(F.col("qc")).alias("nc"))
+        best = qc.select(
+            (F.array_min(S._centroid_sims(F.col("qc"), F.col("nc"), cents))["negsim"] * -1).alias("s")
+        )
+        return best.agg(F.avg("s")).collect()[0][0]
+
+    assert objective(fitted) > objective(first_n)
+
+    bf = {(r.probe_id, r.neighbor_id) for r in S.brute_force_topk(emb, probes, k=5).collect()}
+    ivf = S.ivf_topk(emb, probes, k=5, nprobe=2, n_centroids=8, centroids=fitted)
+    hits = {(r.probe_id, r.neighbor_id) for r in ivf.collect()}
+    assert len(bf & hits) / len(bf) >= 0.75
+
+
 def test_brute_force_topk_matches_python(spark):
     import math
     import random
