@@ -1,0 +1,209 @@
+"""Corpus-assembly operators for LLM training-data pipelines: deterministic
+dataset splits, sequence packing, benchmark decontamination, TF-IDF terms.
+
+These are the steps between "clean documents" (operators/text.py,
+operators/dedup.py) and "training batches":
+
+- :func:`split_assign` — stable train/val/test assignment by content-free
+  id hash, so membership never changes when the corpus is re-filtered.
+- :func:`pack_sequences` — assign documents to fixed-token-budget bins in
+  deterministic id order (the GPT-style "pack then chunk" layout), with a
+  DISTRIBUTED prefix sum: a naive global-order window would funnel 100 TB
+  through one partition; instead each id-range part cumsums locally and
+  only the per-part totals (``n_parts`` longs) pass through the driver.
+- :func:`contamination_pairs` — n-gram-hash overlap between a training
+  corpus and an eval/benchmark set (decontamination): bucketed equi-join
+  on shingle hash, never an all-pairs scan.
+- :func:`tfidf_top_terms` — per-document top-k characteristic terms by
+  classic ``tf * ln(N/df)``. A division-only weight (``tf*N/df``) would
+  dodge any ln() engine drift but is NOT rank-equivalent (tf multiplies
+  the weight, so log-vs-ratio reorders terms — an everywhere-term with
+  high tf would beat a rare term); double comparisons survive the
+  oracle's 12-significant-digit canonicalization like the cosine queries.
+
+Everything is JVM column expressions + hash-partitioned joins/aggs; the
+only driver-side values are bounded model-size artifacts (per-part totals,
+the corpus doc count).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pos_dlt_spark.functions import phash
+from pos_dlt_spark.operators.dedup import hashed_shingle_table
+from pos_dlt_spark.operators.text import tokens
+
+SPLIT_SALT = "split:"
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: Sequence[int] = (80, 10, 10),
+    names: Sequence[str] = ("train", "val", "test"),
+) -> DataFrame:
+    """Add ``split_bucket`` (0-99) and ``split`` columns by salted id hash.
+
+    Hashing the ID (not the content) keeps membership stable under
+    re-cleaning: a document whose text changes stays in its split, so no
+    eval example ever leaks into train across pipeline versions. The hash
+    is the portable md5 :func:`~pos_dlt_spark.functions.phash`, so the
+    assignment is reproducible in any engine, not just this one.
+    """
+    if len(weights) != len(names) or sum(weights) != 100:
+        raise ValueError(f"weights must sum to 100 and pair with names, got {weights}")
+    bucket = F.pmod(phash(F.col(id_col).cast("string"), salt=SPLIT_SALT), F.lit(100))
+    edges, acc = [], 0
+    for w, n in zip(weights, names):
+        acc += w
+        edges.append((acc, n))
+    expr = F.lit(edges[-1][1])
+    for upper, name in reversed(edges[:-1]):
+        expr = F.when(F.col("split_bucket") < upper, F.lit(name)).otherwise(expr)
+    # build lowest-first: when chain above evaluates smallest upper bound last
+    out = df.withColumn("split_bucket", bucket)
+    return out.withColumn("split", expr)
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 512,
+    n_parts: int = 64,
+) -> DataFrame:
+    """Pack documents into fixed-token-budget bins in ascending id order.
+
+    Returns (id, n_tokens, bin_id, bin_offset): document ``i`` starts at
+    ``bin_offset`` tokens into bin ``bin_id`` when documents are
+    concatenated in id order and chunked every ``budget`` tokens — the
+    standard packed-sequence layout (a doc straddling a boundary continues
+    into the next bin; the tokenizer-side chunker handles the cut).
+
+    Scale: a single global-order running sum would shuffle the whole
+    corpus into ONE partition. Instead ids are range-bucketed into
+    ``n_parts`` parts (bounds from one min/max aggregate), each part
+    cumsums independently under a per-part window, and the part PREFIX
+    offsets — ``n_parts`` longs, a bounded model artifact — are computed
+    on the driver and joined back as a literal map. Two scans, no global
+    sort, identical result to the global window (the oracle proves it).
+    """
+    toks = df.select(F.col(id_col), F.size(tokens(F.col(text_col))).cast("bigint").alias("n_tokens"))
+    lo, hi = toks.agg(F.min(id_col), F.max(id_col)).first()
+    if lo is None:
+        return toks.withColumn("bin_id", F.lit(None).cast("bigint")).withColumn(
+            "bin_offset", F.lit(None).cast("bigint")
+        )
+    range_size = max(1, (int(hi) - int(lo) + n_parts) // n_parts)
+    part = ((F.col(id_col) - F.lit(int(lo))) / F.lit(range_size)).cast("bigint")
+    parted = toks.withColumn("__part", part)
+
+    totals = dict(
+        (int(r[0]), int(r[1]))
+        for r in parted.groupBy("__part").agg(F.sum("n_tokens")).collect()
+    )
+    prefix, acc = {}, 0
+    for p in sorted(totals):
+        prefix[p] = acc
+        acc += totals[p]
+    offset_map = F.create_map(
+        *[F.lit(v) for kv in prefix.items() for v in kv]
+    )
+
+    w = (
+        Window.partitionBy("__part")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_before = offset_map[F.col("__part")] + F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return (
+        parted.withColumn("__before", cum_before)
+        .select(
+            id_col,
+            "n_tokens",
+            F.floor(F.col("__before") / budget).alias("bin_id"),
+            F.pmod(F.col("__before"), F.lit(budget)).alias("bin_offset"),
+        )
+    )
+
+
+def contamination_pairs(
+    train: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    min_shared: int = 5,
+) -> DataFrame:
+    """(train_id, bench_id, n_shared_shingles, bench_overlap) for every
+    train/benchmark document pair sharing >= ``min_shared`` distinct word
+    ``shingle_n``-grams — the decontamination check run before training so
+    eval answers are not memorized from leaked benchmark text.
+
+    Shape: both sides reduce to exploded (shingle_hash, id) rows and meet
+    in a hash equi-join on the shingle hash — cost is proportional to
+    matching shingles, never |train| x |bench|. The benchmark side is tiny
+    by nature (eval sets are thousands of docs), so it broadcasts; overlap
+    is counted per pair AFTER the join, and ``bench_overlap`` normalizes
+    by the benchmark doc's shingle count (the side you must protect).
+    """
+    t = hashed_shingle_table(train, text_col, id_col, shingle_n).select(
+        F.col(id_col).alias("train_id"), F.explode("hsh").alias("h")
+    )
+    bsets = hashed_shingle_table(benchmark, text_col, id_col, shingle_n)
+    b = bsets.select(
+        F.col(id_col).alias("bench_id"), F.size("hsh").alias("bench_size"), F.explode("hsh").alias("h")
+    )
+    return (
+        t.join(F.broadcast(b), "h")
+        .groupBy("train_id", "bench_id", "bench_size")
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))  # hsh is distinct per doc
+        .filter(F.col("n_shared_shingles") >= min_shared)
+        .select(
+            "train_id",
+            "bench_id",
+            F.col("n_shared_shingles").cast("bigint").alias("n_shared_shingles"),
+            (F.col("n_shared_shingles").cast("double") / F.col("bench_size").cast("double")).alias(
+                "bench_overlap"
+            ),
+        )
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by ``tf * ln(N/df)``.
+
+    One token explode -> (doc, token) count (tf, map-side combined), one
+    (token) count over that for document frequency, a hash join tf x df,
+    and a per-doc top-k window with a token-name tiebreak. ``N`` (total
+    docs) is the one driver-side scalar, bounded by definition. The idf
+    log's argument is computed as one division so the oracle can mirror
+    the operation order exactly.
+    """
+    n_docs = df.count()
+    tf = (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    score = F.col("tf").cast("double") * F.log(
+        F.lit(float(n_docs)) / F.col("df").cast("double")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("token"))
+    return (
+        tf.join(dfreq, "token")
+        .select(id_col, "token", F.col("tf").cast("bigint").alias("tf"),
+                F.col("df").cast("bigint").alias("df"), score.alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

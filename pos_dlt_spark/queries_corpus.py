@@ -1,0 +1,123 @@
+"""Corpus-assembly queries: dataset split, sequence packing, benchmark
+decontamination, TF-IDF terms — the operators/corpus.py surface wired into
+the oracle gate over the `documents` table.
+
+Determinism notes (same rules as queries.py's header):
+- split buckets come from the portable md5 phash, identical in DuckDB;
+- packing's distributed prefix sum must equal the oracle's single global
+  window cumsum — that equality IS the correctness claim;
+- tf-idf scores are tf * ln(N/df) with the log's argument built by ONE
+  division, mirrored verbatim in the oracle; ties break on the token
+  string, and double values ride the gate's 12-digit canonicalization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pos_dlt_spark.functions import phash_sql
+from pos_dlt_spark.operators import corpus as C
+from pos_dlt_spark.queries import query
+from pos_dlt_spark.queries_ml import _HSH_CTE, _SH_CTE, _TOKS_CTE
+from pos_dlt_spark.tables import load_table
+
+_BUCKET_SQL = phash_sql("CAST(doc_id AS VARCHAR)", C.SPLIT_SALT) + " % 100"
+_NTOK_SQL = r"CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT)"
+PACK_BUDGET = 512
+BENCH_MAX_ID = 25  # docs 0..24 stand in for the benchmark/eval set
+MIN_SHARED = 5
+
+
+@query(
+    "corpus_split_assign",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({_BUCKET_SQL} AS BIGINT) AS split_bucket,
+           CASE WHEN {_BUCKET_SQL} < 80 THEN 'train'
+                WHEN {_BUCKET_SQL} < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by salted id hash
+    (content-free: re-cleaning text never moves a doc across splits)."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return C.split_assign(docs).select("doc_id", "split_bucket", "split")
+
+
+@query(
+    "corpus_pack_sequences",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_NTOK_SQL} AS n_tokens FROM documents),
+    c AS (
+        SELECT doc_id, n_tokens,
+               SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS cb
+        FROM toks)
+    SELECT doc_id, n_tokens,
+           CAST(cb // {PACK_BUDGET} AS BIGINT) AS bin_id,
+           CAST(cb % {PACK_BUDGET} AS BIGINT) AS bin_offset
+    FROM c
+    """,
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into {budget}-token bins in id order. The Spark side
+    computes the running sum with a DISTRIBUTED per-id-range prefix sum (no
+    global single-partition window); the oracle is the naive global window
+    cumsum — their equality is exactly the operator's correctness claim."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return C.pack_sequences(docs, budget=PACK_BUDGET, n_parts=16)
+
+
+@query(
+    "corpus_decontamination",
+    oracle=f"""
+    WITH {_TOKS_CTE}, {_SH_CTE}, {_HSH_CTE},
+    t AS (SELECT doc_id AS train_id, unnest(hsh) AS h FROM hs_t WHERE doc_id >= {BENCH_MAX_ID}),
+    b AS (SELECT doc_id AS bench_id, len(hsh) AS bench_size, unnest(hsh) AS h
+          FROM hs_t WHERE doc_id < {BENCH_MAX_ID})
+    SELECT train_id, bench_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_shingles,
+           CAST(COUNT(*) AS DOUBLE) / CAST(bench_size AS DOUBLE) AS bench_overlap
+    FROM t JOIN b USING (h)
+    GROUP BY train_id, bench_id, bench_size
+    HAVING COUNT(*) >= {MIN_SHARED}
+    """,
+)
+def corpus_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: train docs (id >= 25) sharing >= 5 word
+    3-gram shingles with any benchmark doc (id < 25), via a broadcast
+    equi-join on shingle hash — never an all-pairs comparison. The corpus's
+    planted near-duplicates make the expected leaks."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    bench = docs.filter(F.col("doc_id") < BENCH_MAX_ID)
+    train = docs.filter(F.col("doc_id") >= BENCH_MAX_ID)
+    return C.contamination_pairs(train, bench, min_shared=MIN_SHARED)
+
+
+@query(
+    "corpus_tfidf_top_terms",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    tok AS (SELECT doc_id, unnest(toks) AS token FROM toks_t),
+    tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+    dfreq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    n_t AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+    s AS (
+        SELECT doc_id, token, tf, df,
+               CAST(tf AS DOUBLE) * ln((SELECT n FROM n_t) / CAST(df AS DOUBLE)) AS score
+        FROM tf JOIN dfreq USING (token))
+    SELECT doc_id, token, tf, df, score, CAST(rank AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rank
+          FROM s) r
+    WHERE rank <= 3
+    """,
+)
+def corpus_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by classic tf * ln(N/df),
+    token-name tiebreak; double scores ride the gate's 12-digit
+    canonicalization like the cosine queries."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return C.tfidf_top_terms(docs, k=3)

@@ -1,0 +1,91 @@
+"""Unit tests for corpus-assembly operators: packing's distributed prefix
+sum vs a naive reference, split stability, contamination planting."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pos_dlt_spark.operators import corpus as C
+
+
+def test_pack_sequences_matches_naive_for_sparse_ids_any_parts(spark):
+    """The per-part prefix sum must equal a global-order cumsum for ANY
+    n_parts and for sparse, irregular ids (empty id ranges, uneven part
+    sizes)."""
+    rows = [
+        (3, "a b c"),          # 3 tokens
+        (17, "d e"),           # 2
+        (18, "f g h i j"),     # 5
+        (400, "k"),            # 1
+        (401, "l m n o"),      # 4
+        (999, "p q r"),        # 3
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    counts = {r[0]: len(r[1].split()) for r in rows}
+    expect, before = {}, 0
+    for i in sorted(counts):
+        expect[i] = (counts[i], before // 4, before % 4)
+        before += counts[i]
+    for n_parts in (1, 2, 7, 64):
+        got = {
+            r.doc_id: (r.n_tokens, r.bin_id, r.bin_offset)
+            for r in C.pack_sequences(df, budget=4, n_parts=n_parts).collect()
+        }
+        assert got == expect, f"n_parts={n_parts}"
+
+
+def test_pack_sequences_empty_input(spark):
+    df = spark.createDataFrame([], "doc_id bigint, text string")
+    assert C.pack_sequences(df).count() == 0
+
+
+def test_split_assign_stable_and_partitioned(spark):
+    df = spark.createDataFrame([(i, f"doc {i}") for i in range(200)], ["doc_id", "text"])
+    out = C.split_assign(df).select("doc_id", "split_bucket", "split").collect()
+    by_id = {r.doc_id: (r.split_bucket, r.split) for r in out}
+    # stable: same assignment on re-run and content-independent
+    df2 = spark.createDataFrame([(i, "CHANGED") for i in range(200)], ["doc_id", "text"])
+    out2 = {r.doc_id: (r.split_bucket, r.split) for r in C.split_assign(df2).select("doc_id", "split_bucket", "split").collect()}
+    assert by_id == out2
+    # buckets map to the right names
+    for bucket, split in by_id.values():
+        expected = "train" if bucket < 80 else ("val" if bucket < 90 else "test")
+        assert split == expected
+    assert {s for _, s in by_id.values()} == {"train", "val", "test"}
+
+
+def test_split_assign_rejects_bad_weights(spark):
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        C.split_assign(df, weights=(50, 30))  # sums to 80
+    with pytest.raises(ValueError):
+        C.split_assign(df, weights=(50, 50), names=("a",))
+
+
+def test_contamination_finds_planted_leak_only(spark):
+    bench = spark.createDataFrame(
+        [(0, "the secret benchmark question about prime factorization of large numbers")],
+        ["doc_id", "text"],
+    )
+    train = spark.createDataFrame(
+        [
+            (100, "the secret benchmark question about prime factorization of large numbers indeed"),
+            (101, "a completely unrelated training document about cooking pasta"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = C.contamination_pairs(train, bench, min_shared=5).collect()
+    assert [(r.train_id, r.bench_id) for r in out] == [(100, 0)]
+    assert out[0].bench_overlap > 0.9
+
+
+def test_tfidf_rare_term_outranks_common(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "common common common zebra"),
+            (1, "common words here"),
+            (2, "common words there"),
+        ],
+        ["doc_id", "text"],
+    )
+    top = {r.doc_id: r.token for r in C.tfidf_top_terms(df, k=1).collect()}
+    assert top[0] == "zebra"  # df=1 beats tf=3 of the everywhere-term

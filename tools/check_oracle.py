@@ -105,10 +105,14 @@ def main() -> int:
         )
     con = duckdb_conn(sf_dir)
     qs, oracles = e.queries(), e.oracle_sql()
+    if only:
+        unknown = only - set(qs)
+        if unknown:
+            print(f"unknown queries: {sorted(unknown)}")
+            return 2
+        qs = {n: f for n, f in qs.items() if n in only}
     failed = []
     for name, fn in qs.items():
-        if only and name not in only:
-            continue
         try:
             sdf = fn(spark, sf_dir)
             if name in oracles:
