@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pos_dlt_spark.queries import REGISTRY  # noqa: E402
 import pos_dlt_spark.queries_analytics  # noqa: E402,F401  (registers analytics queries)
+import pos_dlt_spark.queries_corpus  # noqa: E402,F401  (registers corpus-assembly queries)
 import pos_dlt_spark.queries_ml  # noqa: E402,F401  (registers ML queries)
 import pos_dlt_spark.queries_streaming  # noqa: E402,F401  (registers streaming queries)
 from pos_dlt_spark.session import get_spark  # noqa: E402

@@ -21,6 +21,12 @@ operators/dedup.py) and "training batches":
   high tf would beat a rare term); double comparisons survive the
   oracle's 12-significant-digit canonicalization like the cosine queries.
 
+- :func:`stratified_sample` — deterministic per-stratum hash sampling
+  (language/source mix control): pure per-row filter, no shuffle, no RNG
+  state, reproducible in any engine.
+- :func:`repeated_ngram_ratio` — Gopher-style within-doc repetition
+  signal (1 - distinct/total n-grams), a per-row array expression.
+
 Everything is JVM column expressions + hash-partitioned joins/aggs; the
 only driver-side values are bounded model-size artifacts (per-part totals,
 the corpus doc count).
@@ -67,6 +73,70 @@ def split_assign(
     # build lowest-first: when chain above evaluates smallest upper bound last
     out = df.withColumn("split_bucket", bucket)
     return out.withColumn("split", expr)
+
+
+SAMPLE_SALT = "sample:"
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, int],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: int = 0,
+) -> DataFrame:
+    """Keep ``rates[stratum]`` percent of each stratum, deterministically.
+
+    A document is kept iff its salted id hash mod 100 falls under its
+    stratum's rate — a pure per-row filter (no shuffle, no RNG state, no
+    sampleBy seed to lose between runs), so the sample is reproducible
+    across engines, re-runs, and cluster sizes, and a document's
+    membership never flaps when other rows change. Strata not listed get
+    ``default_rate``. This is the up/down-sampling step that sets a
+    training corpus's language/source mix.
+    """
+    for k, v in rates.items():
+        if not 0 <= v <= 100:
+            raise ValueError(f"rate for {k!r} must be 0..100, got {v}")
+    if not 0 <= default_rate <= 100:
+        raise ValueError(f"default_rate must be 0..100, got {default_rate}")
+    bucket = F.pmod(phash(F.col(id_col).cast("string"), salt=SAMPLE_SALT), F.lit(100))
+    rate = F.lit(default_rate)
+    for stratum, pct in sorted(rates.items()):
+        rate = F.when(F.col(stratum_col) == stratum, F.lit(pct)).otherwise(rate)
+    return df.filter(bucket < rate)
+
+
+def repeated_ngram_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Within-document repetition: 1 - distinct/total word ``n``-grams
+    (0 = no repetition), plus the raw counts — the Gopher-class quality
+    filter that catches boilerplate/looping text. Pure per-row array
+    expression over one tokenize pass; docs shorter than ``n`` tokens have
+    a single whole-doc gram and ratio 0."""
+    toks = tokens(F.col(text_col))
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    out = df.select(F.col(id_col), grams.alias("__g"))
+    total, distinct = F.size("__g"), F.size(F.array_distinct("__g"))
+    return out.select(
+        id_col,
+        total.cast("bigint").alias("n_ngrams"),
+        distinct.cast("bigint").alias("n_distinct_ngrams"),
+        (F.lit(1.0) - distinct.cast("double") / total.cast("double")).alias("repeated_ratio"),
+    )
 
 
 def pack_sequences(
@@ -151,12 +221,19 @@ def contamination_pairs(
     is counted per pair AFTER the join, and ``bench_overlap`` normalizes
     by the benchmark doc's shingle count (the side you must protect).
     """
+    # explode_OUTER, deliberately: plain explode lets Catalyst infer a
+    # `size(hsh) > 0` constraint and push the whole md5-shingle expression
+    # DOWN below the spread repartition as a scan filter — the unsplittable
+    # single-file scan then computes every hash in one task (and the spread
+    # stage recomputes them). Outer generate infers no constraint, so the
+    # heavy projection stays above the exchange. Null h rows (shingle-less
+    # docs) can't match an inner equi-join and cost nothing.
     t = hashed_shingle_table(train, text_col, id_col, shingle_n).select(
-        F.col(id_col).alias("train_id"), F.explode("hsh").alias("h")
+        F.col(id_col).alias("train_id"), F.explode_outer("hsh").alias("h")
     )
     bsets = hashed_shingle_table(benchmark, text_col, id_col, shingle_n)
     b = bsets.select(
-        F.col(id_col).alias("bench_id"), F.size("hsh").alias("bench_size"), F.explode("hsh").alias("h")
+        F.col(id_col).alias("bench_id"), F.size("hsh").alias("bench_size"), F.explode_outer("hsh").alias("h")
     )
     return (
         t.join(F.broadcast(b), "h")
@@ -190,8 +267,10 @@ def tfidf_top_terms(
     the operation order exactly.
     """
     n_docs = df.count()
-    tf = (
-        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
+    tf = (  # explode_outer: don't let an inferred size()>0 constraint push
+        # the tokenize expression below the scan (see contamination_pairs);
+        # split() never yields an empty array, so semantics are identical
+        df.select(F.col(id_col), F.explode_outer(tokens(F.col(text_col))).alias("token"))
         .groupBy(id_col, "token")
         .agg(F.count(F.lit(1)).alias("tf"))
     )

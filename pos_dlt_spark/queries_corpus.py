@@ -97,6 +97,57 @@ def corpus_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.contamination_pairs(train, bench, min_shared=MIN_SHARED)
 
 
+SAMPLE_RATES = {"en": 30, "de": 100, "es": 100, "fr": 100, "zh": 100}
+_SAMPLE_BUCKET_SQL = phash_sql("CAST(doc_id AS VARCHAR)", C.SAMPLE_SALT) + " % 100"
+_RATE_SQL = "CASE lang " + " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in sorted(SAMPLE_RATES.items())
+) + " ELSE 0 END"
+
+
+@query(
+    "corpus_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE {_SAMPLE_BUCKET_SQL} < {_RATE_SQL}
+    """,
+)
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language sampling that downweights the
+    over-represented language (en at 30%, others kept) — the corpus-mix
+    control step. Pure per-row hash filter: no RNG seed, no shuffle,
+    membership reproducible in any engine."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return C.stratified_sample(docs, SAMPLE_RATES).select("doc_id", "lang")
+
+
+_GRAMS_SQL = (
+    "CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks)-1), "
+    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) "
+    "ELSE [array_to_string(toks, ' ')] END"
+)
+
+
+@query(
+    "corpus_repeated_ngrams",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    g AS (SELECT doc_id, {_GRAMS_SQL} AS grams FROM toks_t)
+    SELECT doc_id,
+           CAST(len(grams) AS BIGINT) AS n_ngrams,
+           CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct_ngrams,
+           1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / CAST(len(grams) AS DOUBLE)
+             AS repeated_ratio
+    FROM g
+    """,
+)
+def corpus_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc repeated word-3-gram ratio (Gopher-style repetition
+    filter) — per-row array expression, one tokenize pass, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return C.repeated_ngram_ratio(docs)
+
+
 @query(
     "corpus_tfidf_top_terms",
     oracle=f"""
