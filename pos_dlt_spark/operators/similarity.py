@@ -397,7 +397,12 @@ def ivf_topk(
         "probe_id",
         "qp",
         "np_",
-        F.explode(
+        # explode_OUTER: plain explode makes Catalyst infer size()>0 over
+        # this whole centroid-sims expression and push it into the probe
+        # scan's DataFilters, where it is re-evaluated per row for zero
+        # pruning benefit. The slice is never empty (centroids is a
+        # non-empty literal), so outer semantics are identical.
+        F.explode_outer(
             F.transform(
                 F.slice(F.array_sort(_centroid_sims(F.col("qp"), F.col("np_"), centroids)), 1, nprobe),
                 lambda s: s["cid"],
