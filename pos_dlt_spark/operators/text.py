@@ -62,6 +62,23 @@ def stopword_count(text: Column, lang: str = "en") -> Column:
     return F.size(F.filter(tokens(text), lambda t: F.array_contains(lit_words, t)))
 
 
+def quality_score(text: Column) -> Column:
+    """The composite quality score in [0, ~1] as a standalone column
+    expression (fixed evaluation order, pure double arithmetic ->
+    engine-portable) — usable directly as a streaming-side filter."""
+    ntok = n_tokens(text).cast("bigint")
+    nchars = F.length(text).cast("bigint")
+    npunct = punct_count(text).cast("bigint")
+    nstop = stopword_count(text, "en").cast("bigint")
+    stop_ratio = nstop.cast("double") / ntok
+    punct_ratio = npunct.cast("double") / nchars
+    return (
+        F.least(ntok.cast("double") / F.lit(100.0), F.lit(1.0)) * F.lit(0.4)
+        + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * F.lit(0.4)
+        + (F.lit(1.0) - F.least(punct_ratio * F.lit(10.0), F.lit(1.0))) * F.lit(0.2)
+    )
+
+
 def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-document quality features + a composite score in [0, ~1].
 
@@ -77,12 +94,7 @@ def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     mean_word_len = (nchars.cast("double") / ntok)
     stop_ratio = nstop.cast("double") / ntok
     punct_ratio = npunct.cast("double") / nchars
-    # fixed evaluation order, pure double arithmetic -> engine-portable
-    score = (
-        F.least(ntok.cast("double") / F.lit(100.0), F.lit(1.0)) * F.lit(0.4)
-        + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * F.lit(0.4)
-        + (F.lit(1.0) - F.least(punct_ratio * F.lit(10.0), F.lit(1.0))) * F.lit(0.2)
-    )
+    score = quality_score(text)
     return df.select(
         F.col(id_col),
         ntok.alias("n_tokens"),

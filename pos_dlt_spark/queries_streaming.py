@@ -293,6 +293,80 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+_QS_TOKS = r"regexp_split_to_array(trim(lower(text)), '\s+')"
+_QS_NPUNCT = r"length(lower(text)) - length(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'))"
+_QS_NSTOP = (
+    "len(list_filter({toks}, t -> t IN ('the','a','and','of','to','in','is','that','it','for')))"
+).format(toks=_QS_TOKS)
+_QS_SCORE = (
+    f"least(CAST(len({_QS_TOKS}) AS DOUBLE) / 100.0, 1.0) * 0.4"
+    f" + least(CAST({_QS_NSTOP} AS DOUBLE) / len({_QS_TOKS}) * 5.0, 1.0) * 0.4"
+    f" + (1.0 - least(CAST({_QS_NPUNCT} AS DOUBLE) / length(text) * 10.0, 1.0)) * 0.2"
+)
+
+
+@query(
+    "streaming_corpus_ingest",
+    oracle=f"""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM (
+        SELECT DISTINCT lang,
+               md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h
+        FROM documents
+        WHERE {_QS_SCORE} >= 0.3)
+    GROUP BY lang
+    """,
+)
+def streaming_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus ingest, composed end to end: documents replayed as
+    multiple files -> quality filter (stateless expression) -> stateful
+    exact dedup on the normalized-content hash ACROSS micro-batches ->
+    per-language surviving counts. The batch oracle is DISTINCT (lang,
+    md5) under the same quality predicate — arrival order cannot matter
+    because dedup keys, not winners, are what survives the projection.
+
+    Scale: dedup state is one row per distinct content hash — bounded by
+    corpus distinct count, the exact semantics of global exact dedup (no
+    watermark by design: an old duplicate must stay a duplicate forever).
+    For bounded-state near-real-time variants, compose with
+    dropDuplicatesWithinWatermark instead (operators/silver.py)."""
+    from pos_dlt_spark.operators.text import quality_score
+    from pos_dlt_spark.tables import load_table
+
+    work = tempfile.mkdtemp(prefix="corpus_stream_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    land = os.path.join(work, "landing")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    docs.repartition(6).write.parquet(land)
+
+    name = f"corpus_ingest_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(land)
+    )
+    surv = (
+        stream.filter(quality_score(F.col("text")) >= 0.3)
+        .select(
+            "lang",
+            F.md5(F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")).alias("h"),
+        )
+        .dropDuplicates(["lang", "h"])
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    with _stream_state_partitions(spark):
+        q = (
+            surv.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
+
+
 @query(
     "streaming_distinct_keys",
     oracle="SELECT DISTINCT user_id, event_type FROM events",
