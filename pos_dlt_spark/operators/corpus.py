@@ -139,6 +139,73 @@ def repeated_ngram_ratio(
     )
 
 
+def global_rank(
+    df: DataFrame,
+    order_cols: Sequence,
+    rank_col: str = "rank",
+    n_parts: int = 64,
+) -> DataFrame:
+    """1-based global row_number over ``order_cols`` WITHOUT funneling the
+    dataset through a single-partition window.
+
+    ``Window.orderBy`` with no partition key is the classic 100 TB trap:
+    one task sorts and numbers everything. Instead: (1)
+    ``repartitionByRange`` on the order — each partition holds a
+    contiguous key range; (2) row_number within each partition (window
+    keyed on the partition id, so the sort is local); (3) add per-
+    partition prefix offsets — ``n_parts`` counts through the driver, a
+    bounded model artifact (the same two-phase shape as
+    :func:`pack_sequences`). Result is identical to the global window.
+
+    ``order_cols`` must be a TOTAL order (include a unique tiebreaker):
+    rows tied on a range boundary would otherwise be numbered
+    arbitrarily within their partition.
+    """
+    ranged = df.repartitionByRange(n_parts, *order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    counts = dict(
+        (int(r[0]), int(r[1])) for r in ranged.groupBy("__pid").count().collect()
+    )
+    prefix, acc = {}, 0
+    for p in sorted(counts):
+        prefix[p] = acc
+        acc += counts[p]
+    if not prefix:
+        return df.withColumn(rank_col, F.lit(None).cast("bigint"))
+    offset_map = F.create_map(*[F.lit(v) for kv in prefix.items() for v in kv])
+    w = Window.partitionBy("__pid").orderBy(*order_cols)
+    return (
+        ranged.withColumn(
+            rank_col,
+            (offset_map[F.col("__pid")] + F.row_number().over(w)).cast("bigint"),
+        )
+        .drop("__pid")
+    )
+
+
+def build_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """(token, n_occurrences, vocab_id): corpus-wide token counts filtered
+    to ``min_count``, ids assigned by frequency rank (ties broken by token
+    string) via :func:`global_rank` — the tokenizer-vocabulary build step,
+    with no single-partition sort anywhere in the plan."""
+    counts = (
+        df.select(F.explode_outer(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= min_count)
+    )
+    return global_rank(
+        counts,
+        [F.col("n_occurrences").desc(), F.col("token")],
+        rank_col="vocab_id",
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -149,6 +149,31 @@ def corpus_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_vocab",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+        FROM documents),
+    c AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        FROM tok GROUP BY 1 HAVING COUNT(*) >= 5)
+    SELECT token, n_occurrences,
+           CAST(row_number() OVER (ORDER BY n_occurrences DESC, token) AS BIGINT)
+             AS vocab_id
+    FROM c
+    """,
+)
+def corpus_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary build: corpus-wide token counts (min_count=5),
+    ids by frequency rank. The Spark side assigns ids with the DISTRIBUTED
+    global_rank (range partition + local row_number + prefix offsets); the
+    oracle is the naive global window — their equality is the operator's
+    correctness claim, mirroring corpus_pack_sequences."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return C.build_vocab(docs, min_count=5)
+
+
+@query(
     "corpus_tfidf_top_terms",
     oracle=f"""
     WITH {_TOKS_CTE},

@@ -185,6 +185,62 @@ def streaming_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_cdc_bucketed_state",
+    oracle="""
+    SELECT user_id, event_type, event_id, ts, value FROM (
+        SELECT user_id, event_type, event_id, ts, value,
+               row_number() OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events) t
+    WHERE rn = 1
+    """,
+)
+def streaming_cdc_bucketed_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME CDC merge as streaming_cdc_latest_state but through the
+    BUCKETED manifest path (n_buckets=8): partial-rewrite merges with
+    atomic manifest commits must converge to the identical latest-per-key
+    oracle. This replay's uniform keys touch every bucket per batch (the
+    partial-rewrite I/O advantage shows only when batch key-spread <<
+    target keys — tests/test_cdc.py proves that property); what this query
+    gates is the manifest merge's CORRECTNESS across micro-batches."""
+    from pos_dlt_spark.tables import load_table
+
+    work = tempfile.mkdtemp(prefix="cdc_bucketed_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    land = os.path.join(work, "landing")
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts", "value"
+    )
+    events.repartition(6).write.parquet(land)
+
+    ac = ApplyChanges(
+        os.path.join(work, "target"),
+        keys=["user_id", "event_type"],
+        sequence_by="ts",
+        tiebreakers=["event_id"],
+        n_buckets=8,
+    )
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(land)
+    )
+    with _stream_state_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(ac.process_batch)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return ac.read_target(spark).select(
+        "user_id", "event_type", "event_id", "ts", "value"
+    )
+
+
+@query(
     "streaming_stream_static_join",
     oracle="""
     SELECT n.n_name, COUNT(*) AS n_events,

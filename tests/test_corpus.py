@@ -78,6 +78,42 @@ def test_contamination_finds_planted_leak_only(spark):
     assert out[0].bench_overlap > 0.9
 
 
+def test_global_rank_matches_naive_window_any_parts(spark):
+    """Range-partition + local row_number + prefix offsets must equal the
+    single-partition global window for any partition count, including
+    duplicate order-key values (with a unique tiebreaker)."""
+    import random
+
+    rng = random.Random(5)
+    rows = [(i, rng.randint(0, 9)) for i in range(300)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    expect = {
+        k: r + 1
+        for r, (k, _) in enumerate(sorted(rows, key=lambda x: (-x[1], x[0])))
+    }
+    for n_parts in (1, 3, 17, 64):
+        got = {
+            r.k: r.rank
+            for r in C.global_rank(
+                df, [F.col("v").desc(), F.col("k")], n_parts=n_parts
+            ).collect()
+        }
+        assert got == expect, f"n_parts={n_parts}"
+
+
+def test_global_rank_no_single_partition_window(spark):
+    """The plan must not contain a partition-less (global) Window sort —
+    the whole point of the operator."""
+    df = spark.createDataFrame([(i, i % 5) for i in range(50)], ["k", "v"])
+    plan = (
+        C.global_rank(df, [F.col("v").desc(), F.col("k")])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SinglePartition" not in plan
+
+
 def test_tfidf_rare_term_outranks_common(spark):
     df = spark.createDataFrame(
         [
