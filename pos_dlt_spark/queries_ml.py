@@ -710,6 +710,59 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- multimodal plumbing -----------------------------------------------------
 
 
+_MEDIA_CTE = """
+media AS (
+    SELECT doc_id AS media_id,
+           CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                                        WHEN 1 THEN 'audio'
+                                        ELSE 'video' END AS kind,
+           list_transform(range(1, length(text) + 1),
+                          i -> ascii(substring(text, i, 1))) AS bs,
+           CAST(length(text) AS BIGINT) AS n_bytes
+    FROM documents)
+"""
+
+
+@query(
+    "multimodal_media_features_checked",
+    oracle=f"""
+    WITH {_MEDIA_CTE}
+    SELECT media_id, kind, n_bytes,
+           CAST(list_sum(bs) AS DOUBLE) / n_bytes AS byte_mean,
+           CAST(d AS INT) AS dim,
+           CAST(len(list_filter(bs, b -> b // 32 = d)) AS DOUBLE) / n_bytes AS value
+    FROM media CROSS JOIN range(0, 8) t(d)
+    WHERE n_bytes > 0
+    """,
+)
+def multimodal_media_features_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal fake-decode pipeline, value-checked: the corpus is
+    ASCII, so the mapInPandas byte-histogram decoder (byte>>5 buckets,
+    exact int-ratio doubles) is reproducible in SQL over ascii() codes —
+    upgrading this path from a rows-only smoke check to a full oracle. The
+    array feature column is posexploded to scalar rows because the gate's
+    canonicalizer cannot sort list cells (the emb_label_centroids lesson)."""
+    from pos_dlt_spark.operators import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    feats = M.extract_media_features(media, fake=True)
+    return feats.filter(F.col("n_bytes") > 0).select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "byte_mean",
+        F.posexplode("feature").alias("dim", "value"),
+    )
+
+
 @query("multimodal_media_features", oracle=None)  # rows-only: decode is a stub
 def multimodal_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Opaque-binary media pipeline over Arrow batches: documents stand in
