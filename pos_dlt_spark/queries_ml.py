@@ -350,6 +350,62 @@ def dedup_lsh_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.lsh_hot_buckets(sig, n_hashes=N_HASHES, bands=BANDS, max_bucket_size=1)
 
 
+@query(
+    "dedup_duplicate_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_TOKS_CTE}, {_SH_CTE}, {_HSH_CTE}, {_SIG_CTE}, {_BANDS_CTE},
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+        SELECT id_a, id_b
+        FROM cand JOIN hs_t sa ON cand.id_a = sa.doc_id
+                  JOIN hs_t sb ON cand.id_b = sb.doc_id
+        WHERE CAST(len(list_intersect(sa.hsh, sb.hsh)) AS DOUBLE)
+                 / (CAST(len(sa.hsh) + len(sb.hsh) AS DOUBLE)
+                    - len(list_intersect(sa.hsh, sb.hsh))) >= 0.5
+    ),
+    sym AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION
+        SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    reach AS (
+        SELECT a, b FROM sym
+        UNION
+        SELECT r.a AS a, s.b AS b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    comp AS (
+        SELECT a AS doc_id, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a
+    ),
+    sizes AS (SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY component)
+    SELECT c.doc_id, c.component,
+           CAST(s.cluster_size AS BIGINT) AS cluster_size,
+           CAST(c.doc_id = c.component AS INTEGER) AS keep
+    FROM comp c JOIN sizes s ON c.component = s.component
+    """,
+)
+def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End of the near-dup pipeline: LSH pairs -> connected components ->
+    one canonical doc (min id) per duplicate cluster.
+
+    Spark side is the alternating large-star/small-star algorithm
+    (operators/cluster.py — O(log^2 n) shuffle rounds, no driver graph
+    state); the oracle computes the same components via a recursive
+    transitive closure, which DuckDB can afford at gate scale but which
+    would be O(n * m) on a real corpus — the log-round algorithm IS the
+    100 TB design."""
+    from pos_dlt_spark.operators.cluster import duplicate_clusters
+
+    pairs = D.minhash_lsh_dedup_pairs(
+        load_table(spark, sf_dir, "documents", spread=True),
+        n_hashes=N_HASHES, bands=BANDS, shingle_n=SHINGLE_N, threshold=0.5,
+    ).select("id_a", "id_b")
+    return duplicate_clusters(pairs)
+
+
 def _simhash_oracle(bits: int = 16) -> str:
     h = phash_sql("s")
     terms = []
