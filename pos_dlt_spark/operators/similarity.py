@@ -32,6 +32,22 @@ def quantized(vec: Column, scale: int = 1000) -> Column:
     return F.transform(vec, lambda x: F.floor(x.cast("double") * scale).cast("bigint"))
 
 
+def quantized_int8(vec: Column) -> Column:
+    """array<float> -> int8-range codes (as bigint for exact arithmetic):
+    symmetric per-vector scalar quantization, q = floor(x * 127/max|x|).
+
+    Cosine is invariant under per-vector uniform scaling, so the codes
+    drop straight into the same integer dot/norm machinery — this is the
+    4x-compression storage path (1 byte/dim on disk vs float32; the scale
+    factor need not even be kept for cosine). A zero vector gets all-zero
+    codes instead of a division by zero. Deterministic across engines: the
+    scale is one double division of exact values, the code one double
+    multiply + floor."""
+    max_abs = F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double"))))
+    scale = F.when(max_abs > 0, F.lit(127.0) / max_abs).otherwise(F.lit(0.0))
+    return F.transform(vec, lambda x: F.floor(x.cast("double") * scale).cast("bigint"))
+
+
 def int_dot(a: Column, b: Column) -> Column:
     """Exact integer dot product — order-independent."""
     return F.aggregate(
@@ -69,15 +85,18 @@ def brute_force_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantizer=quantized,
 ) -> DataFrame:
     """Exact cosine top-k per probe: broadcast probes x scan corpus,
     rank by (sim desc, id asc) — the deterministic baseline every ANN
-    variant is validated against."""
+    variant is validated against. ``quantizer`` picks the code scheme
+    (default milli-quantized bigints; :func:`quantized_int8` for the
+    1-byte-per-dim compressed path)."""
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), quantized(F.col(vec_col)).alias("qc")
+        F.col(id_col).alias("neighbor_id"), quantizer(F.col(vec_col)).alias("qc")
     ).select("neighbor_id", "qc", norm(F.col("qc")).alias("nc"))
     p = probes.select(
-        F.col(id_col).alias("probe_id"), quantized(F.col(vec_col)).alias("qp")
+        F.col(id_col).alias("probe_id"), quantizer(F.col(vec_col)).alias("qp")
     ).select("probe_id", "qp", norm(F.col("qp")).alias("np_"))
     sim = cosine_sim_prenormed(F.col("qp"), F.col("qc"), F.col("np_"), F.col("nc"))
     w = Window.partitionBy("probe_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))

@@ -505,6 +505,91 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("probe_id", "neighbor_id", "sim", "rank")
 
 
+_MAXABS = "list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))"
+_QUANT8 = (
+    "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * "
+    f"(CASE WHEN {_MAXABS} > 0 THEN 127.0 / {_MAXABS} ELSE 0.0 END)) AS BIGINT))"
+)
+
+_ANN_TOPK_INT8_ORACLE = f"""
+    WITH q AS (SELECT vec_id, {_QUANT8} AS qv FROM embeddings),
+    probes AS (SELECT vec_id AS probe_id, qv AS qp FROM q WHERE vec_id < 10),
+    sims AS (
+        SELECT probe_id, c.vec_id AS neighbor_id, {_cos_sql('qp', 'c.qv')} AS sim
+        FROM probes JOIN q c ON c.vec_id != probe_id
+    )
+    SELECT probe_id, neighbor_id, sim, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rank
+        FROM sims) t
+    WHERE rank <= 5
+    """
+
+
+@query("ann_cosine_topk_int8", oracle=_ANN_TOPK_INT8_ORACLE)
+def ann_cosine_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-5 over int8-range codes (symmetric per-vector scalar
+    quantization, similarity.quantized_int8) — the 1-byte-per-dim
+    compressed-storage path. Cosine is scale-invariant per vector, so the
+    codes reuse the exact-integer dot/norm machinery unchanged; at 100 TB
+    this quarters the bytes scanned per query vs float32."""
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    probes = emb.filter(F.col("vec_id") < 10)
+    out = S.brute_force_topk(emb, probes, k=5, quantizer=S.quantized_int8)
+    return out.select("probe_id", "neighbor_id", "sim", "rank")
+
+
+@query(
+    "ann_int8_recall",
+    oracle=f"""
+    WITH qm AS (SELECT vec_id, {_QUANT} AS qv FROM embeddings),
+    q8 AS (SELECT vec_id, {_QUANT8} AS qv FROM embeddings),
+    pm AS (SELECT vec_id AS probe_id, qv AS qp FROM qm WHERE vec_id < 10),
+    p8 AS (SELECT vec_id AS probe_id, qv AS qp FROM q8 WHERE vec_id < 10),
+    topm AS (
+        SELECT probe_id, neighbor_id FROM (
+            SELECT probe_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY probe_id
+                       ORDER BY {_cos_sql('qp', 'c.qv')} DESC, c.vec_id) AS rank
+            FROM pm JOIN qm c ON c.vec_id != probe_id) t
+        WHERE rank <= 5),
+    top8 AS (
+        SELECT probe_id, neighbor_id FROM (
+            SELECT probe_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY probe_id
+                       ORDER BY {_cos_sql('qp', 'c.qv')} DESC, c.vec_id) AS rank
+            FROM p8 JOIN q8 c ON c.vec_id != probe_id) t
+        WHERE rank <= 5)
+    SELECT m.probe_id,
+           CAST(COUNT(e.neighbor_id) AS DOUBLE) / 5.0 AS recall_at_5
+    FROM topm m
+    LEFT JOIN top8 e
+      ON m.probe_id = e.probe_id AND m.neighbor_id = e.neighbor_id
+    GROUP BY m.probe_id
+    """,
+)
+def ann_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the int8-code path against the milli-quantized baseline
+    — the quantization-quality metric shipped as a gate query, like
+    ann_ivf_recall for the index path."""
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    probes = emb.filter(F.col("vec_id") < 10)
+    bf = S.brute_force_topk(emb, probes, k=5).select("probe_id", "neighbor_id")
+    i8 = S.brute_force_topk(emb, probes, k=5, quantizer=S.quantized_int8).select(
+        F.col("probe_id").alias("p2"), F.col("neighbor_id").alias("n2")
+    )
+    return (
+        bf.join(
+            i8,
+            (F.col("probe_id") == F.col("p2")) & (F.col("neighbor_id") == F.col("n2")),
+            "left",
+        )
+        .groupBy("probe_id")
+        .agg((F.count("n2").cast("double") / F.lit(5.0)).alias("recall_at_5"))
+    )
+
+
 # -- composed corpus-cleaning pipeline --------------------------------------
 
 
