@@ -417,3 +417,66 @@ def events_click_attribution_batch(spark: SparkSession, sf_dir: str) -> DataFram
         right_time="click_ts",
         window="1 hour",
     ).select("purchase_id", "click_id", "user_id", "purchase_ts", "click_ts")
+
+
+@query(
+    "orders_window_frames",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+               RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS spend_90d,
+           CAST(COUNT(*) OVER (
+               PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+               RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS n_orders_90d,
+           CAST(date_diff('day', o_orderdate,
+               lead(o_orderdate) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+             AS INTEGER) AS days_to_next,
+           CAST(ntile(4) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             AS INTEGER) AS date_quartile,
+           percent_rank() OVER (
+               PARTITION BY o_custkey ORDER BY o_totalprice) AS price_pct_rank
+    FROM orders
+    WHERE o_custkey < 200
+    """,
+)
+def orders_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-frame coverage: a RANGE frame (trailing 90 days of spend per
+    customer, ordered by epoch seconds so both engines share one numeric
+    frame definition), lead() gaps, ntile quartiles, and percent_rank —
+    each over a total tiebreak order except where SQL tie semantics are
+    themselves deterministic (RANGE peers aggregate order-independently;
+    percent_rank gives ties equal rank).
+
+    Scale note: all five functions share the PARTITION BY o_custkey key, so
+    Catalyst plans ONE shuffle; the two ORDER BY variants become two Window
+    nodes over the same exchange, not two shuffles."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    from pyspark.sql import Window
+
+    epoch = F.unix_timestamp("o_orderdate")
+    w_range = (
+        Window.partitionBy("o_custkey")
+        .orderBy(epoch)
+        .rangeBetween(-90 * 86400, Window.currentRow)
+    )
+    w_seq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_price = Window.partitionBy("o_custkey").orderBy("o_totalprice")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w_range)
+        .cast("double")
+        .alias("spend_90d"),
+        F.count(F.lit(1)).over(w_range).alias("n_orders_90d"),
+        F.datediff(F.lead("o_orderdate").over(w_seq), F.col("o_orderdate"))
+        .cast("int")
+        .alias("days_to_next"),
+        F.ntile(4).over(w_seq).alias("date_quartile"),
+        F.percent_rank().over(w_price).alias("price_pct_rank"),
+    )
