@@ -62,3 +62,31 @@ def compact_parquet_table(
     os.rename(tmp, path)
     shutil.rmtree(old)
     return parquet_file_count(path)
+
+
+def write_bucketed_table(
+    df,
+    spark: SparkSession,
+    name: str,
+    bucket_cols: list[str],
+    n_buckets: int = 8,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist ``df`` as a bucketed + sorted managed table.
+
+    Bucketing is THE shuffle-elimination lever for repeated big-table
+    equi-joins and aggregations: two tables bucketed (and sorted) the same
+    way on the join key sort-merge-join with **zero Exchange and zero
+    Sort** in the plan — each task zips bucket i with bucket i. At 100 TB
+    that turns every recurring fact-to-fact join from a full network
+    shuffle into a local merge. The cost is paid once at write time
+    (one shuffle into n_buckets) and amortized over every downstream join,
+    exactly like the reference pre-partitions its silver tables by store.
+
+    Spark only persists bucket metadata through the catalog
+    (``saveAsTable``); plain ``parquet(path)`` writes lose it. Tables land
+    in the session's warehouse dir.
+    """
+    writer = df.write.format("parquet").mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    writer = writer.sortBy(*(sort_cols or bucket_cols))
+    writer.saveAsTable(name)
