@@ -24,6 +24,7 @@ import pos_dlt_spark.queries_analytics  # noqa: E402,F401  (registers analytics 
 import pos_dlt_spark.queries_corpus  # noqa: E402,F401  (registers corpus-assembly queries)
 import pos_dlt_spark.queries_ml  # noqa: E402,F401  (registers ML queries)
 import pos_dlt_spark.queries_streaming  # noqa: E402,F401  (registers streaming queries)
+import pos_dlt_spark.queries_tpch  # noqa: E402,F401  (registers TPC-H batch-2 queries)
 from pos_dlt_spark.session import get_spark  # noqa: E402
 
 

@@ -49,3 +49,42 @@ def salted_count_distinct(
         .agg(F.count_distinct(F.col("__v")).alias("__partial"))
     )
     return phase1.groupBy(*keys).agg(F.sum("__partial").alias(out_col))
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join resistant to hot keys on the LEFT (big/skewed) side.
+
+    Standard replicate-and-salt: every left row gains a deterministic salt
+    ``pmod(xxhash64(whole row), salt)`` appended to the join key; every
+    right row is replicated ``salt`` times (explode of a literal range),
+    once per salt value. The join key becomes (keys..., salt), so
+    a key owning 30% of the left table spreads over ``salt`` reducers
+    instead of melting one.
+
+    Result is row-identical to ``left.join(right, on, how)`` for inner and
+    left joins (each left row still meets each matching right row exactly
+    once — on exactly one salt). Right/full joins would need null-extension
+    handling per salt replica and are rejected.
+
+    When to use: only when the hot keys are NOT known in advance (else
+    split-broadcast just those keys) and AQE's skew-join splitting cannot
+    kick in (e.g. the skew appears after upstream operators, or the
+    runtime is below AQE's thresholds). Costs: right side inflated x
+    ``salt`` through the shuffle. AQE handles most skew for free —
+    this operator is the explicit fallback, and its plan keeps both
+    scans + one shuffle each, nothing else.
+    """
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
+    lsalt = F.pmod(F.xxhash64(*left.columns), F.lit(salt)).cast("int").alias("__salt")
+    l2 = left.select("*", lsalt)
+    r2 = right.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))).alias("__salt")
+    )
+    return l2.join(r2, [*on, "__salt"], how).drop("__salt")
