@@ -353,3 +353,72 @@ def tfidf_top_terms(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def bigram_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_n: int = 50,
+) -> DataFrame:
+    """Phrase mining: top adjacent-word pairs by pointwise mutual
+    information, PMI = ln(P(ab) / (P(a) P(b))).
+
+    All probabilities stay EXACT integer counts until one final
+    double division + ln per surviving bigram:
+
+        pmi = ln( (c_ab * N * N) / (M * c_a * c_b) )
+
+    (N total tokens, M total bigrams) — so the score is engine-portable
+    (the tf-idf query rides the same single-ln pattern through the gate's
+    12-digit canonicalization). The exact-bigint numerator needs
+    c_ab * N^2 < 2^63: valid to ~2B-token corpora; past that, divide
+    through in double before the products instead.
+
+    Plan shape: one tokenize pass feeds both the unigram and bigram
+    explode-count aggregations; the two scalar totals ride broadcast
+    single-row cross joins (no driver round-trip); unigram counts join
+    back by word — broadcastable while the vocabulary is, shuffle
+    otherwise. min_count prunes the bigram tail BEFORE the joins."""
+    toks_df = df.select(tokens(F.col(text_col)).alias("toks"))
+    uni = (
+        toks_df.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_w"))
+    )
+    n_tot = uni.agg(F.sum("c_w").alias("n"))
+    toks = F.col("toks")
+    pair_idx = F.sequence(F.lit(1), F.size(toks) - 1)
+    bigrams = F.transform(
+        pair_idx,
+        lambda i: F.struct(
+            F.element_at(toks, i.cast("int")).alias("w1"),
+            F.element_at(toks, (i + 1).cast("int")).alias("w2"),
+        ),
+    )
+    bc = (
+        toks_df.filter(F.size(toks) >= 2)
+        .select(F.explode(bigrams).alias("b"))
+        .select("b.w1", "b.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    m_tot = bc.agg(F.sum("c_ab").alias("m"))
+    ua = uni.select(F.col("w").alias("w1"), F.col("c_w").alias("c_a"))
+    ub = uni.select(F.col("w").alias("w2"), F.col("c_w").alias("c_b"))
+    num = (F.col("c_ab") * F.col("n") * F.col("n")).cast("double")
+    den = (F.col("m") * F.col("c_a") * F.col("c_b")).cast("double")
+    return (
+        bc.filter(F.col("c_ab") >= min_count)
+        .join(F.broadcast(n_tot))
+        .join(F.broadcast(m_tot))
+        .join(ua, "w1")
+        .join(ub, "w2")
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("bigram"),
+            "c_ab",
+            F.log(num / den).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "bigram")
+        .limit(top_n)
+    )

@@ -197,3 +197,41 @@ def corpus_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonicalization like the cosine queries."""
     docs = load_table(spark, sf_dir, "documents", spread=True)
     return C.tfidf_top_terms(docs, k=3)
+
+
+@query(
+    "corpus_bigram_pmi",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    uc AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS c_w
+        FROM (SELECT unnest(toks) AS w FROM toks_t)
+        GROUP BY w),
+    n_t AS (SELECT CAST(SUM(c_w) AS BIGINT) AS n FROM uc),
+    bg AS (
+        SELECT list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS bs
+        FROM toks_t WHERE len(toks) >= 2),
+    bc AS (
+        SELECT bigram,
+               split_part(bigram, ' ', 1) AS w1,
+               split_part(bigram, ' ', 2) AS w2,
+               CAST(COUNT(*) AS BIGINT) AS c_ab
+        FROM (SELECT unnest(bs) AS bigram FROM bg)
+        GROUP BY bigram),
+    m_t AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS m FROM bc)
+    SELECT bigram, c_ab,
+           ln(CAST(c_ab * n * n AS DOUBLE) / CAST(m * ua.c_w * ub.c_w AS DOUBLE)) AS pmi
+    FROM bc, n_t, m_t
+    JOIN uc ua ON bc.w1 = ua.w
+    JOIN uc ub ON bc.w2 = ub.w
+    WHERE c_ab >= {MIN_SHARED}
+    ORDER BY pmi DESC, bigram
+    LIMIT 50
+    """,
+)
+def corpus_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-50 adjacent word pairs by PMI (min support
+    {MIN_SHARED}) — exact integer counts end-to-end, one double division +
+    ln per surviving bigram (operators/corpus.bigram_pmi)."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return C.bigram_pmi(docs, min_count=MIN_SHARED, top_n=50)
