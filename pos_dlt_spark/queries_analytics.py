@@ -480,3 +480,90 @@ def orders_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w_seq).alias("date_quartile"),
         F.percent_rank().over(w_price).alias("price_pct_rank"),
     )
+
+
+@query(
+    "events_funnel_counts",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS v_ts FROM events
+        WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS c_ts
+        FROM events e JOIN v ON e.user_id = v.user_id AND e.ts >= v.v_ts
+        WHERE e.event_type = 'click' GROUP BY e.user_id),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS p_ts
+        FROM events e JOIN c ON e.user_id = c.user_id AND e.ts >= c.c_ts
+        WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_view,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_view_click,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_view_click_purchase
+    """,
+)
+def events_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users whose first view precedes a click precedes a
+    purchase. Three stage tables, each one aggregation + one equi-join with
+    a residual time bound (never a per-row correlated subquery); the three
+    scalar counts meet in broadcast single-row cross joins."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .join(F.broadcast(c.agg(F.count(F.lit(1)).alias("n_view_click"))))
+        .join(F.broadcast(p.agg(F.count(F.lit(1)).alias("n_view_click_purchase"))))
+    )
+
+
+@query(
+    "events_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, epoch_us(MIN(ts)) // 604800000000 AS cohort_week
+        FROM events GROUP BY user_id)
+    SELECT cohort_week,
+           (epoch_us(e.ts) // 604800000000) - cohort_week AS weeks_since,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM events e JOIN firsts f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-activity week,
+    counted distinct in each subsequent week. Week indexes are exact
+    integer epoch-microsecond division (no date_trunc dialect drift).
+    The firsts aggregation and the final count share the user_id /
+    cohort-key shuffles; nothing touches the driver."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    # `div` = exact bigint floor division, matching DuckDB's `//` — a double
+    # division + cast could round up across a week boundary.
+    week_of = lambda c: F.expr(f"unix_micros({c}) div 604800000000")  # noqa: E731
+    firsts = ev.groupBy("user_id").agg(week_of("min(ts)").alias("cohort_week"))
+    return (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (week_of("ts") - F.col("cohort_week")).alias("weeks_since"),
+        )
+        .groupBy("cohort_week", "weeks_since")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
