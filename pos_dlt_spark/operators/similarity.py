@@ -281,17 +281,28 @@ def brute_force_topk_vectorized(
 # -- IVF (inverted-file) ANN -------------------------------------------------
 
 
-def _centroid_sims(qvec: Column, nq: Column, centroids: list[tuple[int, list[int]]]) -> Column:
+def _centroid_sims(qvec: str, nq: str, centroids: list[tuple[int, list[int]]]) -> Column:
     """array<struct<negsim,cid>> of (negated) cosine to each centroid.
     Struct ordering gives argmax-sim with lowest-cid tiebreak via array_min.
-    Centroid norms fold to constants; the row norm comes in precomputed."""
-    out = []
+    Centroid norms fold to constants; the row norm comes in precomputed.
+
+    ``qvec``/``nq`` are COLUMN NAMES: the whole expression is rendered as
+    one SQL string and parsed by a single ``F.expr``. Composing it from
+    ``F.lit``/``F.array`` objects instead costs n_centroids x dim py4j
+    round-trips (4000+ driver calls, ~3 s of plan-build latency per query
+    — measured; the parse of the equivalent ~5 KB string is
+    milliseconds). Same arithmetic, same plan."""
+    parts = []
     for cid, cv in centroids:
-        lit_c = F.array(*[F.lit(int(v)) for v in cv])
+        arr = "array(" + ",".join(f"{int(v)}L" for v in cv) + ")"
         cc = sum(int(v) * int(v) for v in cv)
-        sim = int_dot(qvec, lit_c).cast("double") / nq / F.sqrt(F.lit(cc).cast("double"))
-        out.append(F.struct((sim * -1).alias("negsim"), F.lit(int(cid)).alias("cid")))
-    return F.array(*out)
+        dot = (
+            f"aggregate(zip_with({qvec}, {arr}, (x, y) -> x * y), "
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        )
+        sim = f"CAST({dot} AS DOUBLE) / {nq} / sqrt(CAST({cc} AS DOUBLE))"
+        parts.append(f"named_struct('negsim', ({sim}) * -1, 'cid', {int(cid)})")
+    return F.expr("array(" + ", ".join(parts) + ")")
 
 
 def kmeans_fit(
@@ -340,7 +351,7 @@ def kmeans_fit(
         dim = len(centroids[0][1])
         for _ in range(iters):
             assigned = qc.select(
-                F.array_min(_centroid_sims(F.col("qc"), F.col("nc"), centroids))["cid"].alias("cid"),
+                F.array_min(_centroid_sims("qc", "nc", centroids))["cid"].alias("cid"),
                 "qc",
                 "nc",
             )
@@ -406,7 +417,7 @@ def ivf_topk(
         "neighbor_id",
         "qc",
         "nc",
-        F.array_min(_centroid_sims(F.col("qc"), F.col("nc"), centroids))["cid"].alias("cid"),
+        F.array_min(_centroid_sims("qc", "nc", centroids))["cid"].alias("cid"),
     )
 
     qp = probes.select(
@@ -423,7 +434,7 @@ def ivf_topk(
         # non-empty literal), so outer semantics are identical.
         F.explode_outer(
             F.transform(
-                F.slice(F.array_sort(_centroid_sims(F.col("qp"), F.col("np_"), centroids)), 1, nprobe),
+                F.slice(F.array_sort(_centroid_sims("qp", "np_", centroids)), 1, nprobe),
                 lambda s: s["cid"],
             )
         ).alias("cid"),

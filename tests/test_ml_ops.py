@@ -129,7 +129,7 @@ def test_kmeans_fit_improves_objective_and_holds_recall(spark):
         qc = emb.select(S.quantized(F.col("embedding")).alias("qc"))
         qc = qc.select("qc", S.norm(F.col("qc")).alias("nc"))
         best = qc.select(
-            (F.array_min(S._centroid_sims(F.col("qc"), F.col("nc"), cents))["negsim"] * -1).alias("s")
+            (F.array_min(S._centroid_sims("qc", "nc", cents))["negsim"] * -1).alias("s")
         )
         return best.agg(F.avg("s")).collect()[0][0]
 
