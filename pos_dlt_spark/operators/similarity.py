@@ -141,27 +141,27 @@ def cosine_near_dup_pairs(
     )
 
 
-def hyperplane_signature(qvec: Column, planes: list[list[int]]) -> Column:
+def hyperplane_signature(qvec: str, planes: list[list[int]]) -> Column:
     """Random-hyperplane LSH bucket id: bit i = sign(dot(qvec, plane_i)).
 
-    Planes are INTEGER (Rademacher ±1) literal arrays and ``qvec`` is the
-    quantized vector, so every dot product is exact bigint math — the
-    bucket id is bit-identical in any engine (a float dot near zero could
-    flip a sign between engines and desynchronize candidate sets).
-    Sign-random-projection LSH with ±1 entries has the same collision
-    guarantee as Gaussian planes (Charikar, STOC'02 — SimHash family).
-    ``qvec`` must be a materialized attribute (HOF lambdas re-evaluate
-    their inputs per element)."""
-    sig = F.lit(0).cast("bigint")
+    Planes are INTEGER (Rademacher ±1) literal arrays and ``qvec`` (a
+    column NAME — the whole signature renders as one SQL string, see
+    :func:`_centroid_sims` for why) is the quantized vector, so every dot
+    product is exact bigint math — the bucket id is bit-identical in any
+    engine (a float dot near zero could flip a sign between engines and
+    desynchronize candidate sets). Sign-random-projection LSH with ±1
+    entries has the same collision guarantee as Gaussian planes
+    (Charikar, STOC'02 — SimHash family). ``qvec`` must be a materialized
+    attribute (HOF lambdas re-evaluate their inputs per element)."""
+    terms = ["CAST(0 AS BIGINT)"]
     for i, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(int(v)) for v in plane])
-        dot = F.aggregate(
-            F.zip_with(qvec, lit_plane, lambda x, y: x * y),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
+        arr = "array(" + ",".join(f"{int(v)}L" for v in plane) + ")"
+        dot = (
+            f"aggregate(zip_with({qvec}, {arr}, (x, y) -> x * y), "
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
         )
-        sig = sig + F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-    return sig
+        terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << i}L ELSE 0L END)")
+    return F.expr(" + ".join(terms))
 
 
 def make_planes(dim: int, n_planes: int = 12, seed: int = 42) -> list[list[int]]:
@@ -189,7 +189,7 @@ def lsh_ann_pairs(
         F.col(id_col),
         F.col("q"),
         norm(F.col("q")).alias("n"),
-        hyperplane_signature(F.col("q"), planes).alias("bucket"),
+        hyperplane_signature("q", planes).alias("bucket"),
     )
     a, b = sig.alias("a"), sig.alias("b")
     sim = cosine_sim_prenormed(F.col("a.q"), F.col("b.q"), F.col("a.n"), F.col("b.n"))
