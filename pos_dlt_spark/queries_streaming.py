@@ -449,3 +449,67 @@ def streaming_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return spark.table(name)
+
+
+@query(
+    "streaming_user_running_stats",
+    oracle="""
+    SELECT user_id, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_value_u,
+           epoch_us(MAX(ts)) AS last_ts_us
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def streaming_user_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful processing (streaming/twstate.py): per-user
+    per-event-type running stats carried in GroupState across FORCED
+    multiple micro-batches (maxFilesPerTrigger=2 over a 6-file landing
+    dir). Each batch emits the touched pairs stamped with a per-key update
+    sequence; the final latest-per-pair selection must equal the plain
+    batch GROUP BY — the cross-batch state-accumulation invariance is what
+    this gates. Exact integer accumulators (value quantized to micros
+    JVM-side) make the equality bit-for-bit. twstate.py also carries the
+    transformWithStateInPandas twin (execution-waived here: no protobuf in
+    the container)."""
+    from pos_dlt_spark.streaming.twstate import running_user_stats
+    from pos_dlt_spark.tables import load_table
+
+    name = f"tws_stats_{uuid.uuid4().hex[:8]}"
+    work = tempfile.mkdtemp(prefix="tws_stats_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    land = os.path.join(work, "landing")
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr("CAST(floor(value * 1000000) AS BIGINT)").alias("value_u"),
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+    )
+    events.repartition(6).write.parquet(land)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(land)
+    )
+    updates = running_user_stats(stream)
+    with _stream_state_partitions(spark):
+        q = (
+            updates.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "event_type").orderBy(F.col("update_seq").desc())
+    return (
+        spark.table(name)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "event_type", "n_events", "sum_value_u", "last_ts_us")
+    )

@@ -1,0 +1,170 @@
+"""Cross-batch running per-user statistics — custom stateful streaming.
+
+Two implementations of the same operator:
+
+- :func:`running_user_stats` — ``applyInPandasWithState`` (GroupState),
+  the API this container can execute; used by the oracle-gated
+  ``streaming_user_running_stats`` query.
+- :class:`RunningUserStats` — the Spark 4.x ``transformWithStateInPandas``
+  StatefulProcessor twin (typed named state: MapState + ValueState, TTL
+  and timer support). **Waiver**: the stateful-processor protocol speaks
+  protobuf to a driver-side state server, and ``google.protobuf`` is not
+  installed in this container, so the class cannot execute here —
+  ``tests/test_streaming_state.py`` asserts the contract (plan builds,
+  protobuf-import gate) and skips execution when protobuf is absent.
+  The semantics are pinned by the executable GroupState twin: both emit
+  per-batch updates stamped with a per-key sequence so the latest row per
+  (user, event_type) equals the batch GROUP BY however the stream is
+  chopped into micro-batches.
+
+Determinism: counters and maxima are exact integers (values enter as
+``floor(value * 1e6)`` bigints, timestamps as epoch-micros), so
+accumulation order across batches/rows cannot perturb the result.
+
+Scale notes: state per user is O(n_event_types), the shape state stores
+are built for; emission is only the pairs touched per batch. In
+production the GroupState version bounds lifetime with a timeout
+(``GroupStateTimeout``) and the processor version with ``ttlDurationMs``;
+the gate replay is finite so neither is set.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = (
+    "user_id long, event_type string, n_events long, sum_value_u long, "
+    "last_ts_us long, update_seq long"
+)
+# parallel arrays: GroupState holds one flat struct per key
+STATE_SCHEMA = (
+    "seq long, types array<string>, ns array<long>, sums array<long>, "
+    "maxs array<long>"
+)
+
+
+def _merge_batch(
+    stats: dict[str, list[int]], pdfs: Iterator[pd.DataFrame]
+) -> set[str]:
+    """Fold a micro-batch's rows into per-event-type (n, sum, max) stats;
+    returns the set of types touched."""
+    touched: set[str] = set()
+    for pdf in pdfs:
+        if pdf.empty:
+            continue
+        g = pdf.groupby("event_type", sort=True).agg(
+            n=("event_type", "size"), s=("value_u", "sum"), m=("ts_us", "max")
+        )
+        for etype, row in g.iterrows():
+            cur = stats.setdefault(str(etype), [0, 0, -(1 << 62)])
+            cur[0] += int(row["n"])
+            cur[1] += int(row["s"])
+            cur[2] = max(cur[2], int(row["m"]))
+            touched.add(str(etype))
+    return touched
+
+
+def running_user_stats(events: DataFrame) -> DataFrame:
+    """events(user_id, event_type, value_u, ts_us) stream ->
+    (user_id, event_type, n_events, sum_value_u, last_ts_us, update_seq)
+    update rows; take the max-seq row per pair for the final totals."""
+
+    def fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            seq, types, ns, sums, maxs = state.get
+            stats = {t: [n, s, m] for t, n, s, m in zip(types, ns, sums, maxs)}
+        else:
+            seq, stats = 0, {}
+        seq += 1
+        touched = _merge_batch(stats, pdfs)
+        items = sorted(stats.items())
+        state.update(
+            (
+                seq,
+                [t for t, _ in items],
+                [v[0] for _, v in items],
+                [v[1] for _, v in items],
+                [v[2] for _, v in items],
+            )
+        )
+        out = [
+            (user_id, t, *stats[t], seq)
+            for t in sorted(touched)
+        ]
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "user_id", "event_type", "n_events", "sum_value_u",
+                    "last_ts_us", "update_seq",
+                ],
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+try:  # the modern-API twin: importable only where protobuf exists
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningUserStats(StatefulProcessor):
+        """transformWithStateInPandas twin of :func:`running_user_stats`:
+        MapState(event_type -> (n, sum_value_u, last_ts_us)) +
+        ValueState(seq) per user. See module docstring for the execution
+        waiver in this container."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._stats = handle.getMapState(
+                "stats",
+                "event_type string",
+                "n long, sum_value_u long, last_ts_us long",
+            )
+            self._seq = handle.getValueState("seq", "seq long")
+
+        def handleInputRows(
+            self, key, rows: Iterator[pd.DataFrame], timerValues
+        ) -> Iterator[pd.DataFrame]:
+            (user_id,) = key
+            seq = (self._seq.get() or (0,))[0] + 1
+            self._seq.update((seq,))
+            stats: dict[str, list[int]] = {}
+            for k in self._stats.keys():
+                v = self._stats.getValue(k)
+                stats[k[0]] = list(v)
+            touched = _merge_batch(stats, rows)
+            out = []
+            for etype in sorted(touched):
+                n, s, m = stats[etype]
+                self._stats.updateValue((etype,), (n, s, m))
+                out.append((user_id, etype, n, s, m, seq))
+            if out:
+                yield pd.DataFrame(
+                    out,
+                    columns=[
+                        "user_id", "event_type", "n_events", "sum_value_u",
+                        "last_ts_us", "update_seq",
+                    ],
+                )
+
+        def close(self) -> None:
+            pass
+
+except ImportError:  # pragma: no cover - pyspark always ships the module
+    RunningUserStats = None  # type: ignore[assignment]
