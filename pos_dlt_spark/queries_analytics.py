@@ -567,3 +567,53 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "weeks_since")
         .agg(F.count_distinct("user_id").alias("n_users"))
     )
+
+
+@query(
+    "events_hll_mergeable_sketches",
+    oracle="""
+    WITH per_type AS (
+        SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+        FROM events GROUP BY event_type),
+    overall AS (SELECT COUNT(DISTINCT user_id) AS n_exact FROM events)
+    SELECT event_type, n_exact, TRUE AS sketch_within_5pct
+    FROM per_type
+    UNION ALL
+    SELECT '__all__' AS event_type, n_exact, TRUE AS sketch_within_5pct
+    FROM overall
+    """,
+)
+def events_hll_mergeable_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datasketches HLL: per-event-type user sketches UNIONED into an
+    overall sketch (hll_union_agg) — the property approx_count_distinct
+    lacks. At 100 TB this is how distinct counts pre-aggregate: store one
+    fixed-size sketch per partition/day, merge at query time instead of
+    re-shuffling raw ids. Both levels are validated in-query against the
+    exact counts (5% tolerance; sketches are deterministic for fixed
+    input), so the gate pins estimate sanity without the oracle needing
+    the sketch bits."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").alias("n_exact"),
+    )
+    ok = (
+        F.abs(F.hll_sketch_estimate("sk") - F.col("n_exact"))
+        <= F.greatest(F.col("n_exact") * 0.05, F.lit(1.0))
+    ).alias("sketch_within_5pct")
+    typed = per_type.select("event_type", "n_exact", ok)
+    overall = (
+        per_type.agg(
+            F.hll_union_agg("sk").alias("sk"),
+        )
+        .crossJoin(F.broadcast(ev.agg(F.count_distinct("user_id").alias("n_exact"))))
+        .select(
+            F.lit("__all__").alias("event_type"),
+            "n_exact",
+            (
+                F.abs(F.hll_sketch_estimate("sk") - F.col("n_exact"))
+                <= F.greatest(F.col("n_exact") * 0.05, F.lit(1.0))
+            ).alias("sketch_within_5pct"),
+        )
+    )
+    return typed.unionByName(overall)
