@@ -182,17 +182,34 @@ class ApplyChanges:
             return True
         return self._read_manifest() is not None
 
-    def read_target(self, spark: SparkSession) -> DataFrame | None:
+    def read_target(self, spark: SparkSession, previous: bool = False) -> DataFrame | None:
         """Current committed state. Bucketed targets resolve the manifest to
         concrete bucket directories — path-level pruning, no partition
         discovery — and the snapshot stays readable through one subsequent
-        commit (retention) even while a merge runs."""
+        commit (retention) even while a merge runs.
+
+        ``previous=True`` is TIME TRAVEL one commit back (Delta
+        ``VERSION AS OF <n-1>``): the manifest records the prior commit's
+        full bucket map, and its directories survive exactly until the
+        next commit (the same one-generation retention that protects
+        in-flight readers). Returns None when no prior commit exists;
+        raises if the flow is unbucketed (no manifest, no history)."""
         manifest = self._read_manifest()
         if manifest is not None:
-            paths = [os.path.join(self.target_path, p) for p in manifest["buckets"].values()]
+            if previous:
+                prev = manifest.get("prev_buckets")
+                if prev is None:
+                    return None
+                paths = [os.path.join(self.target_path, p) for p in prev.values()]
+            else:
+                paths = [os.path.join(self.target_path, p) for p in manifest["buckets"].values()]
             if not paths:
                 return None
             return spark.read.parquet(*paths)
+        if previous:
+            raise ValueError(
+                f"target {self.target_path} is not manifest-tracked: no snapshot history"
+            )
         if not self._target_exists():
             return None
         return spark.read.parquet(self.target_path)
@@ -282,6 +299,9 @@ class ApplyChanges:
             "sequence_by": self.sequence_by,
             "buckets": buckets,
             "retired": retired,
+            # full prior mapping = one generation of time travel; its dirs
+            # are exactly the ones retention keeps until the next commit
+            "prev_buckets": dict(manifest["buckets"]) if manifest else None,
         }
         self._commit_manifest(new_manifest)
         # GC the generation retired by the PREVIOUS commit: anyone who

@@ -221,3 +221,36 @@ def test_manifest_gc_keeps_exactly_one_retired_generation(spark, tmp_path):
     }
     assert on_disk == live | retired  # nothing older than one generation
     assert as_dict(ac.read_target(spark)) == {(1, 1): (datetime(2021, 1, 4), 3)}
+
+
+def test_time_travel_previous_snapshot(spark, tmp_path):
+    """read_target(previous=True) = the state as of one commit back; the
+    window slides with each commit and the oldest generation's dirs are
+    GC'd exactly when they leave the window."""
+    ac = ApplyChanges(
+        str(tmp_path / "tt"), keys=KEYS, sequence_by="date_time", n_buckets=4
+    )
+    assert ac.read_target(spark) is None
+    ac.process_batch(df_of(spark, [(1, 1, datetime(2021, 1, 1), 10)]), 0)
+    assert ac.read_target(spark, previous=True) is None  # no prior commit
+    ac.process_batch(df_of(spark, [(1, 1, datetime(2021, 1, 2), 20),
+                                   (2, 2, datetime(2021, 1, 2), 5)]), 1)
+    assert as_dict(ac.read_target(spark)) == {
+        (1, 1): (datetime(2021, 1, 2), 20),
+        (2, 2): (datetime(2021, 1, 2), 5),
+    }
+    assert as_dict(ac.read_target(spark, previous=True)) == {
+        (1, 1): (datetime(2021, 1, 1), 10),
+    }
+    ac.process_batch(df_of(spark, [(1, 1, datetime(2021, 1, 3), 30)]), 2)
+    assert as_dict(ac.read_target(spark, previous=True)) == {
+        (1, 1): (datetime(2021, 1, 2), 20),
+        (2, 2): (datetime(2021, 1, 2), 5),
+    }
+
+
+def test_time_travel_rejects_unbucketed(spark, tmp_path):
+    ac = ApplyChanges(str(tmp_path / "flat"), keys=KEYS, sequence_by="date_time")
+    ac.process_batch(df_of(spark, [(1, 1, datetime(2021, 1, 1), 10)]), 0)
+    with pytest.raises(ValueError, match="no snapshot history"):
+        ac.read_target(spark, previous=True)
