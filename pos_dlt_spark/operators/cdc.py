@@ -46,6 +46,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 MANIFEST = "_manifest.json"
 
@@ -89,12 +90,17 @@ class ApplyChanges:
         sequence_by: str,
         tiebreakers: Sequence[str] = (),
         n_buckets: int | None = None,
+        merge_schema: bool = False,
     ) -> None:
         self.target_path = target_path
         self.keys = list(keys)
         self.sequence_by = sequence_by
         self.tiebreakers = list(tiebreakers)
         self.n_buckets = n_buckets
+        # Delta's schema.autoMerge equivalent, and like it opt-in: a batch
+        # may ADD columns (existing rows read them as null) or omit columns
+        # (incoming rows get null). Off = any column-set drift fails fast.
+        self.merge_schema = merge_schema
 
     def _with_bucket(self, df: DataFrame) -> DataFrame:
         return df.withColumn(
@@ -112,10 +118,16 @@ class ApplyChanges:
         # whenNotMatched insert.  A target row only loses to an incoming row
         # with a strictly greater (sequence, tiebreakers...) ordering because
         # the window tiebreak below prefers the existing row on exact ties.
+        if set(target.columns) != set(batch.columns) and not self.merge_schema:
+            raise ValueError(
+                "batch schema drifted from target "
+                f"(target={sorted(target.columns)} batch={sorted(batch.columns)}); "
+                "pass merge_schema=True to evolve"
+            )
         tagged_target = target.withColumn("__is_target", F.lit(1))
         tagged_in = incoming.withColumn("__is_target", F.lit(0))
         merged = latest_per_key(
-            tagged_target.unionByName(tagged_in),
+            tagged_target.unionByName(tagged_in, allowMissingColumns=self.merge_schema),
             self.keys,
             self.sequence_by,
             tiebreakers=[*self.tiebreakers, "__is_target"],
@@ -205,7 +217,13 @@ class ApplyChanges:
                 paths = [os.path.join(self.target_path, p) for p in manifest["buckets"].values()]
             if not paths:
                 return None
-            return spark.read.parquet(*paths)
+            reader = spark.read
+            if manifest.get("schema"):
+                # manifest-pinned schema: after evolution old bucket dirs
+                # lack the new columns; an explicit schema null-fills them
+                # on scan with NO per-file footer merge (mergeSchema cost)
+                reader = reader.schema(StructType.fromJson(json.loads(manifest["schema"])))
+            return reader.parquet(*paths)
         if previous:
             raise ValueError(
                 f"target {self.target_path} is not manifest-tracked: no snapshot history"
@@ -250,6 +268,15 @@ class ApplyChanges:
         spark = batch.sparkSession
         manifest = self._read_manifest()
         self._validate_layout(manifest)
+        pinned = manifest.get("schema") if manifest else None
+        if pinned is not None:
+            pinned_cols = {f["name"] for f in json.loads(pinned)["fields"]}
+            if set(batch.columns) != pinned_cols and not self.merge_schema:
+                raise ValueError(
+                    "batch schema drifted from target "
+                    f"(target={sorted(pinned_cols)} batch={sorted(batch.columns)}); "
+                    "pass merge_schema=True to evolve"
+                )
         incoming = self._with_bucket(
             latest_per_key(batch, self.keys, self.sequence_by, self.tiebreakers)
         ).localCheckpoint(eager=True)  # cut lineage: read once, used thrice
@@ -265,11 +292,14 @@ class ApplyChanges:
             if touched_paths:
                 # bucket dirs don't store __bucket (partitionBy strips it);
                 # recompute from the keys — same hash, deterministic
-                target = self._with_bucket(spark.read.parquet(*touched_paths))
+                reader = spark.read
+                if pinned is not None:
+                    reader = reader.schema(StructType.fromJson(json.loads(pinned)))
+                target = self._with_bucket(reader.parquet(*touched_paths))
                 tagged_target = target.withColumn("__is_target", F.lit(1))
                 tagged_in = incoming.withColumn("__is_target", F.lit(0))
                 merged = latest_per_key(
-                    tagged_target.unionByName(tagged_in),
+                    tagged_target.unionByName(tagged_in, allowMissingColumns=self.merge_schema),
                     self.keys,
                     self.sequence_by,
                     tiebreakers=[*self.tiebreakers, "__is_target"],
@@ -302,6 +332,9 @@ class ApplyChanges:
             # full prior mapping = one generation of time travel; its dirs
             # are exactly the ones retention keeps until the next commit
             "prev_buckets": dict(manifest["buckets"]) if manifest else None,
+            "schema": StructType(
+                [f for f in merged.schema.fields if f.name != "__bucket"]
+            ).json(),
         }
         self._commit_manifest(new_manifest)
         # GC the generation retired by the PREVIOUS commit: anyone who

@@ -4,6 +4,7 @@ intra-batch latest-per-key, out-of-order rejection, idempotent re-runs."""
 from datetime import datetime
 
 import pytest
+from pyspark.sql import functions as F
 
 from pos_dlt_spark.operators.cdc import ApplyChanges, latest_per_key
 
@@ -254,3 +255,47 @@ def test_time_travel_rejects_unbucketed(spark, tmp_path):
     ac.process_batch(df_of(spark, [(1, 1, datetime(2021, 1, 1), 10)]), 0)
     with pytest.raises(ValueError, match="no snapshot history"):
         ac.read_target(spark, previous=True)
+
+
+def test_schema_evolution_bucketed(spark, tmp_path):
+    """merge_schema=True: a later batch may add columns; old rows read
+    null, the manifest pins the evolved schema, untouched old bucket dirs
+    stay readable without mergeSchema footer scans."""
+    ac = ApplyChanges(
+        str(tmp_path / "ev"), keys=KEYS, sequence_by="date_time",
+        n_buckets=4, merge_schema=True,
+    )
+    ac.process_batch(df_of(spark, [(1, 1, datetime(2021, 1, 1), 10),
+                                   (2, 2, datetime(2021, 1, 1), 5)]), 0)
+    evolved = df_of(spark, [(3, 3, datetime(2021, 1, 2), 30)]).withColumn(
+        "origin", F.lit("belgium")
+    )
+    ac.process_batch(evolved, 1)
+    out = ac.read_target(spark)
+    assert "origin" in out.columns
+    rows = {(r["store_id"], r["item_id"]): r["origin"] for r in out.collect()}
+    assert rows[(3, 3)] == "belgium"
+    assert rows[(1, 1)] is None and rows[(2, 2)] is None
+    # next batch WITHOUT the new column still merges (nulls for it)
+    ac.process_batch(df_of(spark, [(1, 1, datetime(2021, 1, 5), 99)]), 2)
+    out2 = {(r["store_id"], r["item_id"]): (r["quantity"], r["origin"])
+            for r in ac.read_target(spark).collect()}
+    assert out2[(1, 1)] == (99, None)
+    assert out2[(3, 3)] == (30, "belgium")
+
+
+def test_schema_drift_fails_fast_without_flag(spark, tmp_path):
+    for extra in ({}, {"n_buckets": 4}):
+        ac = ApplyChanges(
+            str(tmp_path / f"strict{len(extra)}"), keys=KEYS,
+            sequence_by="date_time", **extra,
+        )
+        ac.process_batch(df_of(spark, [(1, 1, datetime(2021, 1, 1), 10)]), 0)
+        evolved = df_of(spark, [(2, 2, datetime(2021, 1, 2), 20)]).withColumn(
+            "origin", F.lit("x")
+        )
+        with pytest.raises(Exception, match="drift|resolve|missing"):
+            if extra:
+                ac._process_batch_bucketed(evolved, 1)
+            else:
+                ac.merge(ac.read_target(spark), evolved)
