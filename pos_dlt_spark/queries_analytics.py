@@ -617,3 +617,80 @@ def events_hll_mergeable_sketches(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     return typed.unionByName(overall)
+
+
+@query(
+    "lineitem_exact_correlation",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(
+             CAST(COUNT(*) * SUM(qd * pd) - SUM(qd) * SUM(pd) AS DOUBLE)
+             / sqrt(CAST(COUNT(*) * SUM(qd * qd) - SUM(qd) * SUM(qd) AS DOUBLE))
+             / sqrt(CAST(COUNT(*) * SUM(pd * pd) - SUM(pd) * SUM(pd) AS DOUBLE))
+           AS DOUBLE) AS corr_qty_price
+    FROM (SELECT l_returnflag,
+                 CAST(l_quantity AS BIGINT) AS qd,
+                 CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS pd
+          FROM lineitem)
+    GROUP BY l_returnflag
+    """,
+)
+def lineitem_exact_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation from EXACT co-moments: built-in corr()
+    accumulates float co-moments in partition order (never hash-matchable
+    across engines); here the five sums are exact integers carried in
+    DECIMAL(38,0) (DuckDB: HUGEINT) — safe past 10^38 — and the only
+    floats are the final fixed-order expression. Same single-pass
+    partial-aggregation plan shape as corr() itself."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qd = F.col("l_quantity").cast("bigint")
+    pd_ = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint")
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    base = li.select("l_returnflag", qd.alias("qd"), pd_.alias("pd"))
+    agg = base.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d(F.col("qd") * F.col("pd"))).alias("sxy"),
+        F.sum(d(F.col("qd"))).alias("sx"),
+        F.sum(d(F.col("pd"))).alias("sy"),
+        F.sum(d(F.col("qd") * F.col("qd"))).alias("sxx"),
+        F.sum(d(F.col("pd") * F.col("pd"))).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return agg.select(
+        "l_returnflag",
+        "n",
+        (num / F.sqrt(vx) / F.sqrt(vy)).alias("corr_qty_price"),
+    )
+
+
+@query(
+    "orders_price_histogram",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+           CAST(floor(o_totalprice / 50000.0) AS BIGINT) * 50000.0 AS bucket_lo,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def orders_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram: one double division + floor per row (both
+    engines evaluate the identical op sequence), then a count aggregation
+    — the deterministic building block behind distribution profiling;
+    width_bucket()/histogram_numeric() are engine-specific and not
+    hash-matchable."""
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 50000.0).cast("bigint")
+    return (
+        orders.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            "bucket",
+            (F.col("bucket") * 50000.0).alias("bucket_lo"),
+            "n_orders",
+        )
+    )

@@ -465,8 +465,10 @@ def streaming_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_user_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary stateful processing (streaming/twstate.py): per-user
     per-event-type running stats carried in GroupState across FORCED
-    multiple micro-batches (maxFilesPerTrigger=2 over a 6-file landing
-    dir). Each batch emits the touched pairs stamped with a per-key update
+    multiple micro-batches (maxFilesPerTrigger=2 over a 4-file landing
+    dir — two batches, the minimum that crosses a batch boundary; each
+    extra batch re-pays a state-store snapshot + Python round trip for no
+    extra evidence). Each batch emits the touched pairs stamped with a per-key update
     sequence; the final latest-per-pair selection must equal the plain
     batch GROUP BY — the cross-batch state-accumulation invariance is what
     this gates. Exact integer accumulators (value quantized to micros
@@ -486,7 +488,7 @@ def streaming_user_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(floor(value * 1000000) AS BIGINT)").alias("value_u"),
         F.unix_micros(F.col("ts")).alias("ts_us"),
     )
-    events.repartition(6).write.parquet(land)
+    events.repartition(4).write.parquet(land)
 
     stream = (
         spark.readStream.schema(events.schema)
