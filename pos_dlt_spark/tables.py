@@ -68,7 +68,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str, spread: bool = False
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     if spread:
         cores = spark.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < cores:
+        # file count bounds the scan's split count for these single-row-group
+        # files; checking it avoids df.rdd's plan->RDD conversion per call
+        if len(df.inputFiles()) < cores:
             df = df.repartition(cores)
     return df
 
