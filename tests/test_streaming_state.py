@@ -162,3 +162,67 @@ def test_transform_with_state_twin_contract(spark):
     if not _has_protobuf():
         pytest.skip("google.protobuf absent: transformWithState execution waived")
     assert plan.count() >= 0
+
+
+# ---------------------------------------------------------------------------
+# watermark late-data semantics (SURVEY W1/W6): rows older than the
+# watermark are dropped from stateful aggregation, and the drop is
+# observable in the query's progress metrics
+# ---------------------------------------------------------------------------
+
+
+def test_watermark_drops_late_rows_in_append_agg(spark, tmp_path):
+    import json as _json
+
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import functions as F
+
+    land = str(tmp_path / "late_land")
+    schema = "user_id long, ts timestamp, value long"
+    # batch 1: events at minute 0 and minute 30 -> watermark advances to 30m-10m=20m
+    b1 = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 12, 0), 1), (1, dt.datetime(2024, 1, 1, 12, 30), 1)],
+        schema,
+    )
+    # batch 2: a LATE event at minute 1 (window [0,10) closed: watermark 20m) and
+    # a fresh one at minute 40
+    b2 = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 12, 1), 100), (1, dt.datetime(2024, 1, 1, 12, 40), 1)],
+        schema,
+    )
+    import os as _os
+
+    _os.makedirs(land)
+    b1.coalesce(1).write.mode("append").parquet(land)
+    stream = (
+        spark.readStream.schema(b1.schema).option("maxFilesPerTrigger", "100").parquet(land)
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes"))
+        .agg(F.sum("value").alias("s"))
+    )
+    q = (
+        agg.writeStream.format("memory").queryName("late_agg")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    b2.coalesce(1).write.mode("append").parquet(land)
+    q.processAllAvailable()
+    q.stop()
+    rows = {
+        (r["window"]["start"].minute, r["s"])
+        for r in spark.table("late_agg").collect()
+    }
+    # the late value=100 must NOT appear in any emitted window; the
+    # [0,10) window closed with s=1
+    assert (0, 1) in rows
+    assert not any(s >= 100 for _, s in rows), rows
+    # and the drop is observable: some progress reported a dropped row
+    dropped = 0
+    for p in q.recentProgress:
+        for op in _json.loads(p.json).get("stateOperators", []):
+            dropped += op.get("numRowsDroppedByWatermark", 0)
+    assert dropped >= 1
