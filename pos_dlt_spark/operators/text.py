@@ -143,3 +143,52 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         F.md5(normalized.cast("binary")).alias("md5_fingerprint"),
         rolling.alias("rolling_hash"),
     )
+
+
+# -- PII / boilerplate scrubbing --------------------------------------------
+# Conservative regex subset (char classes, +/*/{m,n}, alternation) that
+# parses identically under Java regex (Spark) and RE2 (DuckDB/Go tools), so
+# a lakehouse twin of this scrub produces byte-identical text. No
+# lookarounds (RE2 lacks them).
+SCRUB_PATTERNS = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "url": (r"https?://[^\s]+", "<URL>"),
+    "ipv4": (r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
+    "phone": (r"\+?[0-9][0-9() .-]{7,}[0-9]", "<PHONE>"),
+    "long_number": (r"[0-9]{9,}", "<NUM>"),
+}
+# order matters: URLs before IPs (a URL may contain an IP), emails before
+# phone (digits in local parts), specific before generic number runs
+SCRUB_ORDER = ("url", "email", "ipv4", "phone", "long_number")
+
+
+def scrub_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    kinds: tuple[str, ...] = SCRUB_ORDER,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Replace emails/URLs/IPs/phone numbers/long digit runs with typed
+    placeholder tokens, and count each replacement per row (``n_<kind>``
+    columns) so a pipeline can quantify and threshold PII density instead
+    of scrubbing blind.
+
+    Pure per-row JVM regexp expressions — one projection, no UDF, no
+    shuffle; at 100 TB this runs at scan speed inside whole-stage codegen.
+    Counts are computed against the PRE-scrub text with the same ordered
+    masking (a URL's digits must not also count as a phone), by measuring
+    each pattern on the text as scrubbed by the preceding kinds."""
+    out_col = out_col or f"{text_col}_scrubbed"
+    work = df
+    cur = F.col(text_col)
+    tmp_cols = []
+    for i, kind in enumerate(kinds):
+        pat, token = SCRUB_PATTERNS[kind]
+        tmp = f"__scrub_{i}"
+        work = work.withColumn(
+            f"n_{kind}", F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0)))
+        ).withColumn(tmp, F.regexp_replace(cur, pat, token))
+        cur = F.col(tmp)
+        tmp_cols.append(tmp)
+    work = work.withColumn(out_col, cur)
+    return work.drop(*tmp_cols)
