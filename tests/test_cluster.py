@@ -31,12 +31,14 @@ def _union_find(edges):
 
 def _check(spark, edges):
     df = spark.createDataFrame(edges, "src long, dst long")
-    got = {
-        (r["id"], r["component"])
-        for r in connected_components(df, "src", "dst").collect()
-    }
     want = set(_union_find([e for e in edges if e[0] != e[1]]).items())
-    assert got == want
+    # both paths: driver fast path (default) and forced distributed stars
+    for thresh in (100_000, 0):
+        got = {
+            (r["id"], r["component"])
+            for r in connected_components(df, "src", "dst", driver_threshold=thresh).collect()
+        }
+        assert got == want, f"threshold={thresh}"
 
 
 def test_two_triangles_and_bridge(spark):
