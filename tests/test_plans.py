@@ -153,3 +153,21 @@ def test_q18_having_prefilter_is_broadcast(q):
 
     plan = physical_plan(df)
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_join_strategy_hints_are_honored(spark):
+    """Engine knob coverage: per-join strategy hints override the
+    planner's size-based choice — the escape hatch when statistics lie
+    (e.g. a post-filter side the optimizer thinks is big). AQE may still
+    re-plan around BAD hints, so each hint is checked on the side it
+    pins."""
+    from pos_dlt_spark.plans import physical_plan
+
+    big = spark.range(0, 50_000).selectExpr("id AS k", "id % 7 AS v")
+    small = spark.range(0, 64).selectExpr("id AS k", "id % 3 AS w")
+    merged = big.join(small.hint("merge"), "k")
+    assert "SortMergeJoin" in physical_plan(merged)
+    shuffled = big.join(small.hint("shuffle_hash"), "k")
+    assert "ShuffledHashJoin" in physical_plan(shuffled)
+    bcast = big.join(small.hint("broadcast"), "k")
+    assert "BroadcastHashJoin" in physical_plan(bcast)
