@@ -694,3 +694,84 @@ def orders_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
         )
     )
+
+
+@query(
+    "events_heavy_hitters",
+    oracle="""
+    SELECT event_type, user_id, n FROM (
+        SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS n,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY COUNT(*) DESC, user_id
+               ) AS rk
+        FROM events
+        GROUP BY event_type, user_id) t
+    WHERE rk <= 5
+    """,
+)
+def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 heavy hitters per event type: two-phase — a map-side-
+    combining count aggregation collapses the raw stream to (type, user)
+    cardinality BEFORE the rank window, so the window's sort sees |keys|
+    rows, not |events|. The 100 TB shape for 'top accounts by traffic';
+    the sketch alternative (approx_top_k) is not hash-matchable."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    counts = ev.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy(F.col("n").desc(), "user_id")
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("event_type", "user_id", "n")
+    )
+
+
+@query(
+    "orders_price_anomalies",
+    oracle="""
+    WITH moments AS (
+        SELECT o_custkey,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(pd) AS s1, SUM(pd * pd) AS s2
+        FROM (SELECT o_custkey,
+                     CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS pd
+              FROM orders)
+        GROUP BY o_custkey)
+    SELECT o.o_orderkey, o.o_custkey,
+           CAST((CAST(m.n AS DOUBLE) * CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                 - CAST(m.s1 AS DOUBLE))
+                / sqrt(CAST(m.n * m.s2 - m.s1 * m.s1 AS DOUBLE)) AS DOUBLE) AS zscore
+    FROM orders o JOIN moments m ON o.o_custkey = m.o_custkey
+    WHERE m.n >= 5
+      AND abs(CAST((CAST(m.n AS DOUBLE) * CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                    - CAST(m.s1 AS DOUBLE))
+                   / sqrt(CAST(m.n * m.s2 - m.s1 * m.s1 AS DOUBLE)) AS DOUBLE)) > 2.5
+    """,
+)
+def orders_price_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer z-score outliers from EXACT integer moments (same
+    determinism device as lineitem_exact_correlation): z = (n*x - s1) /
+    sqrt(n*s2 - s1^2) — algebraically n^(1/2)-scaled, so the |z| > 2.5
+    threshold is compared on sqrt(n)*z; both engines build the identical
+    fixed-order double expression, making even the threshold cut
+    hash-stable. One aggregation + one broadcastable join back."""
+    orders = load_table(spark, sf_dir, "orders")
+    pd_ = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    base = orders.select("o_orderkey", "o_custkey", "o_totalprice", pd_.alias("pd"))
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    moments = base.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d(F.col("pd"))).alias("s1"),
+        F.sum(d(F.col("pd") * F.col("pd"))).alias("s2"),
+    ).filter(F.col("n") >= 5)
+    j = base.join(moments.withColumnRenamed("o_custkey", "ck"), F.col("o_custkey") == F.col("ck"))
+    z = (
+        (F.col("n").cast("double") * (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("double")
+         - F.col("s1").cast("double"))
+        / F.sqrt((F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double"))
+    )
+    return (
+        j.select("o_orderkey", "o_custkey", z.alias("zscore"))
+        .filter(F.abs(F.col("zscore")) > 2.5)
+    )
