@@ -1,0 +1,75 @@
+"""Property-based tests for the round-2 operators: salted_join must be
+row-identical to the plain join for ANY input and salt, and
+connected_components must equal a union-find for ANY edge list on BOTH
+execution paths (driver fast path + distributed stars)."""
+
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pos_dlt_spark.operators.cluster import connected_components
+from pos_dlt_spark.operators.skew import salted_join
+
+LEFT = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 99)),  # (k, lv): hot keys likely
+    min_size=0, max_size=30,
+)
+RIGHT = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 99)),  # (k, rv): dup keys allowed
+    min_size=0, max_size=10,
+)
+EDGES = st.lists(
+    st.tuples(st.integers(0, 15), st.integers(0, 15)),
+    min_size=0, max_size=25,
+)
+
+_SETTINGS = settings(
+    max_examples=12, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(left=LEFT, right=RIGHT, salt=st.sampled_from([1, 3, 8]), how=st.sampled_from(["inner", "left"]))
+@_SETTINGS
+def test_salted_join_row_identical(spark, left, right, salt, how):
+    ldf = spark.createDataFrame(left, "k long, lv long") if left else spark.createDataFrame([], "k long, lv long")
+    rdf = spark.createDataFrame(right, "k long, rv long") if right else spark.createDataFrame([], "k long, rv long")
+    got = Counter(tuple(r) for r in salted_join(ldf, rdf, ["k"], salt=salt, how=how).collect())
+    want = Counter(tuple(r) for r in ldf.join(rdf, ["k"], how).collect())
+    assert got == want
+
+
+def _uf(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        if a == b:
+            continue
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+@given(edges=EDGES, forced_distributed=st.booleans())
+@_SETTINGS
+def test_connected_components_matches_union_find(spark, edges, forced_distributed):
+    df = (
+        spark.createDataFrame(edges, "src long, dst long")
+        if edges
+        else spark.createDataFrame([], "src long, dst long")
+    )
+    thresh = 0 if forced_distributed else 100_000
+    got = {
+        (r["id"], r["component"])
+        for r in connected_components(df, "src", "dst", driver_threshold=thresh).collect()
+    }
+    assert got == set(_uf(edges).items())
