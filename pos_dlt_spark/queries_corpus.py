@@ -235,3 +235,40 @@ def corpus_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ln per surviving bigram (operators/corpus.bigram_pmi)."""
     docs = load_table(spark, sf_dir, "documents", spread=True)
     return C.bigram_pmi(docs, min_count=MIN_SHARED, top_n=50)
+
+
+_CAP_RANK_SQL = phash_sql("CAST(doc_id AS VARCHAR)", "domaincap:")
+
+
+@query(
+    "corpus_domain_cap",
+    oracle=f"""
+    SELECT doc_id, source, CAST(rk AS BIGINT) AS rk FROM (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source ORDER BY {_CAP_RANK_SQL}, doc_id
+               ) AS rk
+        FROM documents) t
+    WHERE rk <= 100
+    """,
+)
+def corpus_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (corpus-mix balancing: no source may
+    contribute more than K docs). Selection ranks by a salted portable
+    hash, then doc_id — deterministic, content-free (re-cleaning text
+    never changes who survives), and uniformly random within each source
+    for any K. The rank window partitions by source, so a giant domain
+    sorts only its own rows; at real scale swap row_number for a two-phase
+    per-partition pre-cap (cap*partitions) before the window if a single
+    domain exceeds one task's memory."""
+    from pos_dlt_spark.functions import phash
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    rank_key = phash(F.col("doc_id").cast("string"), "domaincap:")
+    w = Window.partitionBy("source").orderBy(rank_key, "doc_id")
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 100)
+    )

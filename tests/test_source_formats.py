@@ -1,0 +1,43 @@
+"""Source/sink format breadth: the engine round-trips parquet, ORC, JSON
+and CSV with explicit schemas (Avro needs the external spark-avro package
+— not bundled, documented as out of scope)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "json", "csv"])
+def test_format_roundtrip(spark, tmp_path, fmt):
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).alias("grp"),
+        F.concat(F.lit("name_"), F.col("id")).alias("name"),
+        (F.col("id") * 1.5).alias("score"),
+    )
+    path = str(tmp_path / fmt)
+    w = df.write.format(fmt).mode("overwrite")
+    if fmt == "csv":
+        w = w.option("header", "true")
+    w.save(path)
+    r = spark.read.format(fmt)
+    if fmt == "csv":
+        r = r.option("header", "true").schema(df.schema)
+    elif fmt == "json":
+        r = r.schema(df.schema)
+    back = r.load(path)
+    # file sources surface everything nullable; names + types must survive
+    assert [(f.name, f.dataType) for f in back.schema.fields] == [
+        (f.name, f.dataType) for f in df.schema.fields
+    ]
+    got = sorted(tuple(x) for x in back.collect())
+    want = sorted(tuple(x) for x in df.collect())
+    assert got == want
+
+
+def test_orc_predicate_pushdown(spark, tmp_path):
+    path = str(tmp_path / "orc_pd")
+    spark.range(10_000).selectExpr("id AS k", "id % 100 AS v").write.format("orc").save(path)
+    df = spark.read.format("orc").load(path).filter(F.col("k") < 10)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(k), LessThan(k,10)]" in plan or "LessThan(k,10)" in plan
+    assert df.count() == 10
