@@ -422,3 +422,46 @@ def bigram_pmi(
         .orderBy(F.col("pmi").desc(), "bigram")
         .limit(top_n)
     )
+
+
+def domain_cap(
+    df: DataFrame,
+    cap: int,
+    by: str = "source",
+    id_col: str = "doc_id",
+    rank_salt: str = "domaincap:",
+    pre_buckets: int | None = 64,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per ``by`` group, chosen by a salted
+    portable hash of the id (content-free, uniformly random, stable
+    across reruns). Returns (id, by, rk) with rk in [1, cap].
+
+    Two-phase at scale: a giant domain would otherwise funnel ALL its
+    rows through one row_number task. Phase 1 ranks within
+    (by, hash-bucket) — ``pre_buckets`` independent windows per domain —
+    and keeps ``cap`` per bucket, shrinking the worst domain to
+    cap * pre_buckets rows. Phase 2 runs the exact per-domain window on
+    that bounded remnant. Any row in the true top-``cap`` of its domain
+    ranks <= cap in its own bucket too, so the pre-cap drops no
+    survivor and the result is IDENTICAL to the single-window form
+    (tested), while the big sort never happens.
+    """
+    from pos_dlt_spark.functions import phash
+    from pyspark.sql import Window
+
+    key = phash(F.col(id_col).cast("string"), rank_salt)
+    base = df.select(F.col(id_col), F.col(by), key.alias("__rk_key"))
+    if pre_buckets is not None:
+        bucket = F.pmod(F.xxhash64(F.col(id_col)), F.lit(pre_buckets))
+        w_pre = Window.partitionBy(F.col(by), bucket).orderBy("__rk_key", id_col)
+        base = (
+            base.withColumn("__pre", F.row_number().over(w_pre))
+            .filter(F.col("__pre") <= cap)
+            .drop("__pre")
+        )
+    w = Window.partitionBy(by).orderBy("__rk_key", id_col)
+    return (
+        base.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= cap)
+        .drop("__rk_key")
+    )

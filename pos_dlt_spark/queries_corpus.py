@@ -261,14 +261,5 @@ def corpus_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorts only its own rows; at real scale swap row_number for a two-phase
     per-partition pre-cap (cap*partitions) before the window if a single
     domain exceeds one task's memory."""
-    from pos_dlt_spark.functions import phash
-    from pyspark.sql import Window
-
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    rank_key = phash(F.col("doc_id").cast("string"), "domaincap:")
-    w = Window.partitionBy("source").orderBy(rank_key, "doc_id")
-    return (
-        docs.select("doc_id", "source")
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 100)
-    )
+    return C.domain_cap(docs, cap=100).select("doc_id", "source", "rk")

@@ -125,3 +125,20 @@ def test_tfidf_rare_term_outranks_common(spark):
     )
     top = {r.doc_id: r.token for r in C.tfidf_top_terms(df, k=1).collect()}
     assert top[0] == "zebra"  # df=1 beats tf=3 of the everywhere-term
+
+
+def test_domain_cap_two_phase_identical_to_single_window(spark):
+    """The pre-cap must drop no survivor: two-phase == single-window
+    (pre_buckets=None) on a skewed corpus, and no domain exceeds the cap."""
+    from pyspark.sql import functions as F
+
+    from pos_dlt_spark.operators.corpus import domain_cap
+
+    rows = [(i, "big" if i < 400 else f"s{i % 7}") for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    two = {tuple(r) for r in domain_cap(df, cap=20, pre_buckets=8).collect()}
+    one = {tuple(r) for r in domain_cap(df, cap=20, pre_buckets=None).collect()}
+    assert two == one
+    per = domain_cap(df, cap=20, pre_buckets=8).groupBy("source").count().collect()
+    assert all(r["count"] <= 20 for r in per)
+    assert {r["source"]: r["count"] for r in per}["big"] == 20
