@@ -775,3 +775,60 @@ def orders_price_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.select("o_orderkey", "o_custkey", z.alias("zscore"))
         .filter(F.abs(F.col("zscore")) > 2.5)
     )
+
+
+@query(
+    "events_sliding_distinct_users",
+    oracle="""
+    WITH days AS (SELECT DISTINCT date_trunc('day', ts) AS d FROM events)
+    SELECT days.d,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users_7d_exact,
+           TRUE AS sketch_within_5pct
+    FROM days
+    JOIN events e
+      ON e.ts >= days.d - INTERVAL 6 DAY
+     AND e.ts < days.d + INTERVAL 1 DAY
+    GROUP BY days.d
+    """,
+)
+def events_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day — THE pre-aggregation case
+    sketches exist for. Exact sliding distinct cannot reuse daily
+    aggregates (distinct does not sum), so at 100 TB you either re-scan 7
+    days of raw events per day (the day-grid join the oracle runs, x7
+    read amplification) or store ONE fixed-size HLL sketch per day and
+    union 7 of them per window — this query computes BOTH: the exact
+    count via the day-grid join and the sketch path via hll_union_agg
+    over a 6-day-trailing row window on the daily-sketch table, validated
+    in-query at 5%."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    daily = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("d")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    w = (
+        Window.orderBy(F.unix_micros(F.col("d")))
+        .rangeBetween(-6 * 86400 * 1_000_000, Window.currentRow)
+    )
+    sketched = daily.select(
+        "d", F.hll_sketch_estimate(F.hll_union_agg("sk").over(w)).alias("est")
+    )
+    days = ev.select(F.date_trunc("day", F.col("ts")).alias("d")).distinct()
+    exact = (
+        days.join(
+            ev,
+            (F.col("ts") >= F.col("d") - F.expr("INTERVAL 6 DAYS"))
+            & (F.col("ts") < F.col("d") + F.expr("INTERVAL 1 DAY")),
+        )
+        .groupBy("d")
+        .agg(F.count_distinct("user_id").alias("n_users_7d_exact"))
+    )
+    return exact.join(sketched, "d").select(
+        "d",
+        "n_users_7d_exact",
+        (
+            F.abs(F.col("est") - F.col("n_users_7d_exact"))
+            <= F.greatest(F.col("n_users_7d_exact") * 0.05, F.lit(1.0))
+        ).alias("sketch_within_5pct"),
+    )
