@@ -348,3 +348,28 @@ class ApplyChanges:
                     shutil.rmtree(parent, ignore_errors=True)
             except FileNotFoundError:
                 pass
+
+
+def scd2_history(
+    df: DataFrame,
+    keys: Sequence[str],
+    sequence_by: str,
+    tiebreakers: Sequence[str] = (),
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 view of a change stream: one row
+    per version with ``valid_from`` / ``valid_to`` / ``is_current``
+    (valid_to = next version's sequence value, open interval; NULL while
+    current). The history twin of :func:`latest_per_key` — same
+    single shuffle on the keys, a lead() window instead of row_number,
+    so a target can serve both "latest state" (apply_changes) and
+    "as of any time" (this + an as-of join on valid_from) from one pass.
+    Ties on (sequence, tiebreakers) keep every version row; callers
+    dedupe upstream if exact duplicates are possible (the gate query
+    dedupes on the full tuple first)."""
+    order = [F.col(sequence_by).asc(), *[F.col(t).asc() for t in tiebreakers]]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("valid_from", F.col(sequence_by))
+        .withColumn("valid_to", F.lead(sequence_by).over(w))
+        .withColumn("is_current", F.col("valid_to").isNull().cast("int"))
+    )

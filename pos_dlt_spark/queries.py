@@ -605,3 +605,51 @@ def lineitem_pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("l_quantity").cast("bigint")))
         .withColumnsRenamed({"A": "qty_A", "N": "qty_N", "R": "qty_R"})
     )
+
+
+@query(
+    "pos_scd2_inventory_history",
+    oracle="""
+    WITH changes AS (
+        SELECT DISTINCT l_suppkey AS store_id, l_partkey AS item_id,
+               l_shipdate AS date_time, CAST(l_quantity AS INTEGER) AS quantity,
+               l_orderkey, l_linenumber
+        FROM lineitem
+        WHERE l_suppkey < 10
+    )
+    SELECT store_id, item_id, quantity, date_time AS valid_from,
+           lead(date_time) OVER (
+               PARTITION BY store_id, item_id
+               ORDER BY date_time, l_orderkey, l_linenumber
+           ) AS valid_to,
+           CAST(lead(date_time) OVER (
+               PARTITION BY store_id, item_id
+               ORDER BY date_time, l_orderkey, l_linenumber
+           ) IS NULL AS INTEGER) AS is_current
+    FROM changes
+    """,
+)
+def pos_scd2_inventory_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history of the POS snapshot stream (stores < 10): every
+    change becomes a version row with [valid_from, valid_to) and an
+    is_current flag — the warehouse twin of apply_changes' latest-state
+    view, from the same single key-shuffle (operators/cdc.scd2_history).
+    Row identity is deduped on the full tuple first so the versioning is
+    well-defined under replayed events."""
+    from pos_dlt_spark.operators.cdc import scd2_history
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") < 10)
+    changes = li.select(
+        F.col("l_suppkey").alias("store_id"),
+        F.col("l_partkey").alias("item_id"),
+        F.col("l_shipdate").alias("date_time"),
+        F.col("l_quantity").cast("integer").alias("quantity"),
+        "l_orderkey",
+        "l_linenumber",
+    ).distinct()
+    return scd2_history(
+        changes,
+        keys=["store_id", "item_id"],
+        sequence_by="date_time",
+        tiebreakers=["l_orderkey", "l_linenumber"],
+    ).select("store_id", "item_id", "quantity", "valid_from", "valid_to", "is_current")
