@@ -91,6 +91,7 @@ class ApplyChanges:
         tiebreakers: Sequence[str] = (),
         n_buckets: int | None = None,
         merge_schema: bool = False,
+        bucket_keys: Sequence[str] | None = None,
     ) -> None:
         self.target_path = target_path
         self.keys = list(keys)
@@ -101,10 +102,22 @@ class ApplyChanges:
         # may ADD columns (existing rows read them as null) or omit columns
         # (incoming rows get null). Off = any column-set drift fails fast.
         self.merge_schema = merge_schema
+        # Bucket routing may use a SUBSET of the merge keys (e.g. bucket a
+        # (store, item) target by store alone): all of a store's items then
+        # co-locate in one bucket, which makes store-level rollups
+        # bucket-local (operators/incremental.py) and clusters reads, at
+        # the cost of coarser partial-rewrite pruning (one item's change
+        # rewrites its whole store's bucket).
+        self.bucket_keys = list(bucket_keys) if bucket_keys is not None else self.keys
+        if not set(self.bucket_keys) <= set(self.keys):
+            raise ValueError(
+                f"bucket_keys {self.bucket_keys} must be a subset of keys {self.keys}"
+            )
 
     def _with_bucket(self, df: DataFrame) -> DataFrame:
         return df.withColumn(
-            "__bucket", F.pmod(F.hash(*[F.col(k) for k in self.keys]), F.lit(self.n_buckets))
+            "__bucket",
+            F.pmod(F.hash(*[F.col(k) for k in self.bucket_keys]), F.lit(self.n_buckets)),
         )
 
     # -- merge logic (pure DataFrame in / DataFrame out, unit-testable) ----
@@ -160,11 +173,19 @@ class ApplyChanges:
                 )
             return
         if manifest is not None:
-            if manifest["n_buckets"] != self.n_buckets or manifest["keys"] != self.keys:
+            # older manifests predate bucket_keys: they bucketed by keys
+            m_bucket_keys = manifest.get("bucket_keys", manifest["keys"])
+            if (
+                manifest["n_buckets"] != self.n_buckets
+                or manifest["keys"] != self.keys
+                or m_bucket_keys != self.bucket_keys
+            ):
                 raise ValueError(
                     "bucket spec mismatch: target has n_buckets="
-                    f"{manifest['n_buckets']} keys={manifest['keys']}, flow has "
-                    f"n_buckets={self.n_buckets} keys={self.keys}; changing either "
+                    f"{manifest['n_buckets']} keys={manifest['keys']} "
+                    f"bucket_keys={m_bucket_keys}, flow has "
+                    f"n_buckets={self.n_buckets} keys={self.keys} "
+                    f"bucket_keys={self.bucket_keys}; changing any of these "
                     "re-routes keys across buckets and corrupts the merge"
                 )
             return
@@ -326,6 +347,7 @@ class ApplyChanges:
             "version": version,
             "n_buckets": self.n_buckets,
             "keys": self.keys,
+            "bucket_keys": self.bucket_keys,
             "sequence_by": self.sequence_by,
             "buckets": buckets,
             "retired": retired,

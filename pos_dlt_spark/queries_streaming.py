@@ -515,3 +515,84 @@ def streaming_user_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .select("user_id", "event_type", "n_events", "sum_value_u", "last_ts_us")
     )
+
+
+@query(
+    "streaming_incremental_gold",
+    oracle="""
+    WITH latest AS (
+        SELECT store_id, item_id, quantity FROM (
+            SELECT l_suppkey AS store_id, l_partkey AS item_id,
+                   CAST(l_quantity AS INTEGER) AS quantity,
+                   row_number() OVER (
+                       PARTITION BY l_suppkey, l_partkey
+                       ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC
+                   ) AS rn
+            FROM lineitem
+            WHERE l_suppkey < 20) t
+        WHERE rn = 1)
+    SELECT store_id, CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(quantity) AS BIGINT) AS total_qty
+    FROM latest
+    GROUP BY store_id
+    """,
+)
+def streaming_incremental_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL gold: the reference recomputes gold in full every 5
+    minutes (`04_Silver-to-Gold ETL.sql`); here every micro-batch merges
+    into a bucketed CDC silver (keys store+item, bucketed by store) and
+    then refreshes a store-level rollup view for ONLY the buckets that
+    merge touched (operators/incremental.py) — O(changed stores) gold
+    work per batch instead of O(silver). The drained view must equal the
+    batch latest-per-key + GROUP BY oracle exactly."""
+    from pos_dlt_spark.operators.incremental import IncrementalKeyedView
+    from pos_dlt_spark.tables import load_table
+
+    work = tempfile.mkdtemp(prefix="inc_gold_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    land = os.path.join(work, "landing")
+    changes = load_table(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") < 20).select(
+        F.col("l_suppkey").alias("store_id"),
+        F.col("l_partkey").alias("item_id"),
+        F.col("l_shipdate").alias("date_time"),
+        F.col("l_quantity").cast("integer").alias("quantity"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    changes.repartition(4).write.parquet(land)
+
+    ac = ApplyChanges(
+        os.path.join(work, "silver"),
+        keys=["store_id", "item_id"],
+        sequence_by="date_time",
+        tiebreakers=["l_orderkey", "l_linenumber"],
+        n_buckets=8,
+        bucket_keys=["store_id"],
+    )
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("store_id").agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("quantity").cast("bigint")).alias("total_qty"),
+        )
+
+    view = IncrementalKeyedView(ac, os.path.join(work, "gold"), rollup, keys=["store_id"])
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        ac.process_batch(batch, epoch_id)
+        view.refresh(spark)
+
+    stream = (
+        spark.readStream.schema(changes.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(land)
+    )
+    with _stream_state_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return view.read(spark).select("store_id", "n_items", "total_qty")
