@@ -596,3 +596,69 @@ def streaming_incremental_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return view.read(spark).select("store_id", "n_items", "total_qty")
+
+
+@query(
+    "streaming_update_mode_rollup",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def streaming_update_mode_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE output mode (the third mode next to append/complete in the
+    gate): an unwindowed running aggregate emits only the groups CHANGED
+    by each micro-batch. The memory sink therefore accumulates several
+    versions per group across the forced multi-batch replay; the final
+    answer is the LAST version per group (max insertion order via a
+    monotonic batch counter), which must equal the batch GROUP BY. This
+    is the streaming-dashboard shape: per-type totals updated in place,
+    no watermark needed because state is one row per group."""
+    from pos_dlt_spark.tables import load_table
+
+    name = f"upd_rollup_{uuid.uuid4().hex[:8]}"
+    work = tempfile.mkdtemp(prefix="upd_rollup_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    land = os.path.join(work, "landing")
+    events = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    events.repartition(4).write.parquet(land)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(land)
+    )
+    # approx_count_distinct would be a sketch; exact distinct users per
+    # type is a stateful distinct -> dropDuplicates upstream of the count
+    agg = (
+        stream.dropDuplicates(["event_type", "user_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    counts = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    with _stream_state_partitions(spark):
+        q1 = (
+            counts.writeStream.format("memory").queryName(name + "_n")
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(work, "ckpt_n"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q1.awaitTermination()
+        q2 = (
+            agg.writeStream.format("memory").queryName(name + "_u")
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(work, "ckpt_u"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination()
+    def latest(table: str, col: str) -> DataFrame:
+        # a running count only grows, so the final state per group is its
+        # MAX across all update emissions — no dependence on the memory
+        # sink's row order
+        return spark.table(table).groupBy("event_type").agg(F.max(col).alias(col))
+
+    return latest(name + "_n", "n_events").join(latest(name + "_u", "n_users"), "event_type")
