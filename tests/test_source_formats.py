@@ -41,3 +41,37 @@ def test_orc_predicate_pushdown(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(k), LessThan(k,10)]" in plan or "LessThan(k,10)" in plan
     assert df.count() == 10
+
+
+def test_csv_malformed_record_modes(spark, tmp_path):
+    """Corrupt-input policy knobs on the CSV source: PERMISSIVE null-fills
+    and captures the raw line in the corrupt-record column, DROPMALFORMED
+    silently drops, FAILFAST raises — the three dirty-lake behaviors."""
+    p = tmp_path / "dirty.csv"
+    p.write_text("k,v\n1,10\nnot_an_int,20\n3,thirty\n4,40\n")
+    schema = "k long, v long, _corrupt string"
+
+    perm = (
+        spark.read.option("header", "true").option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .schema(schema).csv(str(p))
+    ).collect()
+    assert len(perm) == 4
+    bad = [r for r in perm if r["_corrupt"] is not None]
+    assert {r["_corrupt"] for r in bad} == {"not_an_int,20", "3,thirty"}
+    assert all(r["k"] in (1, 4) for r in perm if r["_corrupt"] is None)
+
+    dropped = (
+        spark.read.option("header", "true").option("mode", "DROPMALFORMED")
+        .schema("k long, v long").csv(str(p))
+    ).collect()
+    assert sorted((r["k"], r["v"]) for r in dropped) == [(1, 10), (4, 40)]
+
+    import pytest as _pytest
+
+    failfast = (
+        spark.read.option("header", "true").option("mode", "FAILFAST")
+        .schema("k long, v long").csv(str(p))
+    )
+    with _pytest.raises(Exception, match="FAILFAST|Malformed|MALFORMED"):
+        failfast.collect()
