@@ -77,6 +77,15 @@ class CdcFlowDef:
     sequence_by: str
     tiebreakers: list[str] = field(default_factory=list)
     n_buckets: int | None = None  # partial-rewrite merge (see operators/cdc.py)
+    bucket_keys: list[str] | None = None  # route by a key subset (rollup locality)
+
+
+@dataclass
+class IncViewDef:
+    target: str
+    source: str  # a CDC flow target declared with n_buckets
+    transform: Callable[[DataFrame], DataFrame]
+    keys: list[str]
 
 
 class CycleError(Exception):
@@ -89,6 +98,7 @@ class Pipeline:
         self.storage = storage
         self.tables: dict[str, TableDef] = {}
         self.cdc_flows: dict[str, CdcFlowDef] = {}
+        self.inc_views: dict[str, IncViewDef] = {}
         self._streams_pending: list[tuple[TableDef, DataFrame]] = []
 
     # -- declaration -------------------------------------------------------
@@ -129,13 +139,42 @@ class Pipeline:
         sequence_by: str,
         tiebreakers: list[str] | None = None,
         n_buckets: int | None = None,
+        bucket_keys: list[str] | None = None,
     ) -> None:
         """Declare a CDC-maintained keyed table (reference W3). With
         ``n_buckets`` the target is key-hash-bucketed and each micro-batch
-        rewrites only touched buckets — set it for large targets."""
+        rewrites only touched buckets — set it for large targets.
+        ``bucket_keys`` routes buckets by a key subset so downstream
+        incremental views grouped on that subset stay bucket-local."""
         self.cdc_flows[target] = CdcFlowDef(
             target=target, source=source, keys=keys, sequence_by=sequence_by,
             tiebreakers=list(tiebreakers or []), n_buckets=n_buckets,
+            bucket_keys=list(bucket_keys) if bucket_keys else None,
+        )
+
+    def incremental_view(
+        self,
+        *,
+        target: str,
+        source: str,
+        transform: Callable[[DataFrame], DataFrame],
+        keys: list[str] | None = None,
+    ) -> None:
+        """Declare an incrementally-maintained keyed view over a bucketed
+        CDC flow (operators/incremental.py): each pipeline pass refreshes
+        only the buckets the CDC merge touched since the last refresh —
+        the O(delta) alternative to a full `kind="live"` gold recompute.
+        ``keys`` must contain the flow's bucket-routing columns; defaults
+        to the flow's keys."""
+        flow = self.cdc_flows.get(source)
+        if flow is None or flow.n_buckets is None:
+            raise ValueError(
+                f"incremental_view source {source!r} must be a CDC flow "
+                "declared with n_buckets"
+            )
+        self.inc_views[target] = IncViewDef(
+            target=target, source=source, transform=transform,
+            keys=list(keys) if keys else list(flow.keys),
         )
 
     # -- paths -------------------------------------------------------------
@@ -150,8 +189,20 @@ class Pipeline:
 
     def read(self, spark: SparkSession, name: str) -> DataFrame:
         """Batch read of another pipeline table (DLT ``dlt.read`` /
-        ``LIVE.name``)."""
+        ``LIVE.name``). Manifest-tracked tables (bucketed CDC flows and
+        incremental views) resolve through their manifest — a raw
+        recursive parquet read would mix live and retired epoch dirs."""
         self._record_dep(name)
+        flow = self.cdc_flows.get(name)
+        is_manifest = (flow is not None and flow.n_buckets is not None) or (
+            name in self.inc_views
+        )
+        if is_manifest:
+            # reader-only handle: read_target touches nothing but the
+            # manifest, so the keyed spec is irrelevant here
+            return ApplyChanges(
+                self.table_path(name), keys=["__r"], sequence_by="__r", n_buckets=1
+            ).read_target(spark)
         return spark.read.parquet(self.table_path(name))
 
     def read_stream(self, spark: SparkSession, name: str) -> DataFrame:
@@ -175,12 +226,18 @@ class Pipeline:
         """Kahn topo-sort over declared tables + CDC targets. Dependencies
         are discovered on the first run (read()/read_stream() calls); the
         declared order is a valid fallback tiebreak."""
-        names = list(self.tables) + [t for t in self.cdc_flows if t not in self.tables]
+        names = (
+            list(self.tables)
+            + [t for t in self.cdc_flows if t not in self.tables]
+            + [t for t in self.inc_views if t not in self.tables]
+        )
         deps = {n: set() for n in names}
         for n, t in self.tables.items():
             deps[n] = {d for d in t.deps if d in deps and d != n}
         for target, flow in self.cdc_flows.items():
             deps[target] = {flow.source} if flow.source in deps else set()
+        for target, view in self.inc_views.items():
+            deps[target] = {view.source}
         out, ready = [], [n for n in names if not deps[n]]
         remaining = {n: set(d) for n, d in deps.items() if deps[n]}
         while ready:
@@ -222,14 +279,30 @@ class PipelineRunner:
         q = writer.start()
         q.awaitTermination()
 
-    def _run_cdc(self, spark: SparkSession, flow: CdcFlowDef) -> None:
-        ac = ApplyChanges(
+    def _flow_ac(self, flow: CdcFlowDef) -> ApplyChanges:
+        return ApplyChanges(
             self.p.table_path(flow.target),
             keys=flow.keys,
             sequence_by=flow.sequence_by,
             tiebreakers=flow.tiebreakers,
             n_buckets=flow.n_buckets,
+            bucket_keys=flow.bucket_keys,
         )
+
+    def _run_inc_view(self, spark: SparkSession, view) -> None:
+        from pos_dlt_spark.operators.incremental import IncrementalKeyedView
+
+        flow = self.p.cdc_flows[view.source]
+        ikv = IncrementalKeyedView(
+            self._flow_ac(flow),
+            self.p.table_path(view.target),
+            view.transform,
+            keys=view.keys,
+        )
+        ikv.refresh(spark)
+
+    def _run_cdc(self, spark: SparkSession, flow: CdcFlowDef) -> None:
+        ac = self._flow_ac(flow)
         src = self.p.read_stream(spark, flow.source)
         q = (
             src.writeStream.foreachBatch(ac.process_batch)
@@ -245,6 +318,10 @@ class PipelineRunner:
         if name in self.p.cdc_flows:
             self.p._current = None
             self._run_cdc(spark, self.p.cdc_flows[name])
+            return
+        if name in self.p.inc_views:
+            self.p._current = None
+            self._run_inc_view(spark, self.p.inc_views[name])
             return
         t = self.p.tables[name]
         self.p._current = name

@@ -109,3 +109,61 @@ def test_table_metadata_recorded(tmp_path):
     assert t.interval == "24 hours"
     assert t.table_properties["quality"] == "silver"
     assert t.partition_by == ["store_id"]
+
+
+def test_incremental_view_in_pipeline(spark, tmp_path):
+    """Pipeline-API wiring of IncrementalKeyedView: declare a bucketed CDC
+    flow + an incremental view over it; run_once refreshes in dependency
+    order; the view equals a full recompute and a second pass with no new
+    data refreshes zero buckets."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from pos_dlt_spark.pipeline import Pipeline, PipelineRunner
+
+    p = Pipeline("incdemo", storage=str(tmp_path / "store"))
+
+    @p.table(kind="live")
+    def changes(spark_):
+        rows = [(s, i, datetime(2021, 1, 1), s * 10 + i)
+                for s in range(1, 4) for i in range(1, 4)]
+        return spark_.createDataFrame(
+            rows, "store_id long, item_id long, date_time timestamp, quantity long"
+        )
+
+    p.apply_changes(
+        target="silver", source="changes", keys=["store_id", "item_id"],
+        sequence_by="date_time", n_buckets=4, bucket_keys=["store_id"],
+    )
+
+    def rollup(df):
+        return df.groupBy("store_id").agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("quantity").alias("total_qty"),
+        )
+
+    p.incremental_view(target="gold", source="silver", transform=rollup, keys=["store_id"])
+
+    runner = PipelineRunner(p)
+    order = runner.run_once(spark)
+    assert order.index("changes") < order.index("silver") < order.index("gold")
+    got = {tuple(r) for r in p.read(spark, "gold").collect()}
+    assert got == {(s, 3, sum(s * 10 + i for i in range(1, 4))) for s in range(1, 4)}
+    # idempotent second pass: no source change -> no stale buckets
+    from pos_dlt_spark.operators.incremental import IncrementalKeyedView
+
+    flow_ac = runner._flow_ac(p.cdc_flows["silver"])
+    view = IncrementalKeyedView(flow_ac, p.table_path("gold"), rollup, keys=["store_id"])
+    assert view.stale_buckets() == []
+
+
+def test_incremental_view_requires_bucketed_source(tmp_path):
+    from pos_dlt_spark.pipeline import Pipeline
+
+    p = Pipeline("bad", storage=str(tmp_path / "s"))
+    p.apply_changes(target="flat", source="x", keys=["k"], sequence_by="t")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_buckets"):
+        p.incremental_view(target="v", source="flat", transform=lambda d: d)
