@@ -662,3 +662,108 @@ def streaming_update_mode_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.table(table).groupBy("event_type").agg(F.max(col).alias(col))
 
     return latest(name + "_n", "n_events").join(latest(name + "_u", "n_users"), "event_type")
+
+
+@query(
+    "streaming_stream_stream_left_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           p.user_id, p.ts AS purchase_ts, c.ts AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+    """,
+)
+def streaming_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the hard mode of
+    streaming joins: an unmatched purchase's null row can only be emitted
+    once the watermark proves no matching click can still arrive, so
+    correctness depends on watermark-driven state eviction, not just
+    matching. Tail rows near stream end would stay stuck in state (their
+    eviction bound is past the final watermark); a far-future FLUSH
+    SENTINEL row on each side — delivered in a second micro-batch so the
+    watermark has advanced, with no-data batches flushing the remainder —
+    pushes the watermark past every real row's bound, and the sentinels
+    are filtered from the output. This is the standard drain pattern for
+    finite replays of outer-joined streams; the result must equal the
+    batch LEFT JOIN exactly."""
+    from pyspark.sql import Row
+
+    from pos_dlt_spark.tables import load_table
+
+    name = f"ss_left_{uuid.uuid4().hex[:8]}"
+    work = tempfile.mkdtemp(prefix="ss_left_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    land = os.path.join(work, "landing")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "ts")
+    ev.filter(F.col("event_type").isin("purchase", "click")).repartition(2).write.parquet(land)
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    import datetime as _dt
+
+    flush_ts = max_ts + _dt.timedelta(hours=12)
+    sentinel = spark.createDataFrame(
+        [
+            Row(event_id=-1, user_id=-1, event_type="purchase", ts=flush_ts),
+            Row(event_id=-2, user_id=-1, event_type="click", ts=flush_ts),
+        ],
+        ev.schema,
+    )
+    # separate file, written after the data files -> later mtime -> the
+    # file stream delivers it in a later micro-batch than the real rows
+    sentinel.coalesce(1).write.mode("append").parquet(land)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(land)
+    )
+    p = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    c = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(land)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    joined = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+        "left_outer",
+    )
+    with _stream_state_partitions(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.table(name)
+        .filter(F.col("purchase_id") > 0)  # drop the flush sentinel
+        .select(
+            "purchase_id",
+            "click_id",
+            F.col("p_user").alias("user_id"),
+            "purchase_ts",
+            "click_ts",
+        )
+    )
