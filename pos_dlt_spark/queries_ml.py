@@ -784,16 +784,95 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_ivf_kmeans_recall", oracle=None)  # iterative fit: not SQL-expressible
+def _kmeans_cents_cte(iters: int = 2, n_centroids: int = N_CENTROIDS) -> tuple[str, str]:
+    """CTE chain computing similarity.kmeans_fit's centroids in SQL: the
+    2-iteration Lloyd loop UNROLLED (assignment argmax-cosine ->
+    spherical floor-rescale -> per-dim sums -> floor-mean; empty clusters
+    keep their previous centroid via LEFT JOIN + COALESCE). Verified to
+    reproduce the Spark fit bit-for-bit — every step is exact integer
+    math or a mirrored fixed-order double op. floor(CAST(s AS DOUBLE)/n)
+    NOT s // n: DuckDB's // truncates while Python's floors, and spherical
+    sums go negative."""
+    parts = [
+        f"q AS (SELECT vec_id, {_QUANT} AS qv FROM embeddings)",
+        "qn AS (SELECT vec_id, qv, "
+        f"sqrt(CAST({_dot_sql('qv', 'qv')} AS DOUBLE)) AS nc FROM q)",
+        f"c0 AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < {n_centroids})",
+    ]
+    prev = "c0"
+    for it in range(1, iters + 1):
+        cos = _cos_sql("qn.qv", "c.cv")
+        parts += [
+            f"""a{it} AS (
+            SELECT vec_id, qv, nc, cid FROM (
+                SELECT qn.vec_id, qn.qv, qn.nc, c.cid,
+                       row_number() OVER (
+                           PARTITION BY qn.vec_id ORDER BY {cos} DESC, c.cid) AS rn
+                FROM qn CROSS JOIN {prev} c) t
+            WHERE rn = 1)""",
+            f"""u{it} AS (
+            SELECT cid, i, CAST(floor(qv[CAST(i AS INT)] * 100000 / nc) AS BIGINT) AS comp
+            FROM (SELECT cid, nc, qv, unnest(range(1, len(qv)+1)) AS i FROM a{it}))""",
+            f"""s{it} AS (
+            SELECT cid, i, SUM(comp) AS s, COUNT(*) AS n FROM u{it} GROUP BY cid, i)""",
+            f"""cv{it} AS (
+            SELECT cid, list(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) ORDER BY i) AS cv
+            FROM s{it} GROUP BY cid)""",
+            f"""c{it} AS (
+            SELECT p.cid, COALESCE(cv{it}.cv, p.cv) AS cv
+            FROM {prev} p LEFT JOIN cv{it} ON p.cid = cv{it}.cid)""",
+        ]
+        prev = f"c{it}"
+    return ",\n".join(parts), prev
+
+
+def _kmeans_recall_oracle() -> str:
+    cents_cte, cents = _kmeans_cents_cte(iters=2)
+    cos_qc = _cos_sql("q.qv", "c.cv")
+    cos_pc = _cos_sql("p.qv", "c.cv")
+    cos_pn = _cos_sql("pc.qp", "a.qc")
+    return f"""
+    WITH {cents_cte},
+    asg AS (
+        SELECT vec_id AS neighbor_id, qv AS qc, cid FROM (
+            SELECT q.vec_id, q.qv, c.cid,
+                   row_number() OVER (PARTITION BY q.vec_id ORDER BY {cos_qc} DESC, c.cid) AS rn
+            FROM q CROSS JOIN {cents} c) t
+        WHERE rn = 1),
+    pc AS (
+        SELECT probe_id, qp, cid FROM (
+            SELECT p.vec_id AS probe_id, p.qv AS qp, c.cid,
+                   row_number() OVER (PARTITION BY p.vec_id ORDER BY {cos_pc} DESC, c.cid) AS rn
+            FROM q p CROSS JOIN {cents} c WHERE p.vec_id < 10) t
+        WHERE rn <= {NPROBE}),
+    ivf AS (
+        SELECT probe_id, neighbor_id FROM (
+            SELECT pc.probe_id, a.neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY pc.probe_id
+                       ORDER BY {cos_pn} DESC, a.neighbor_id) AS rank
+            FROM pc JOIN asg a ON a.cid = pc.cid AND a.neighbor_id != pc.probe_id) t
+        WHERE rank <= 5),
+    bf AS ({_ANN_TOPK_ORACLE})
+    SELECT bf.probe_id,
+           CAST(COUNT(ivf.neighbor_id) AS DOUBLE) / 5.0 AS recall_at_5
+    FROM bf LEFT JOIN ivf
+      ON bf.probe_id = ivf.probe_id AND bf.neighbor_id = ivf.neighbor_id
+    GROUP BY bf.probe_id
+    """
+
+
+@query("ann_ivf_kmeans_recall", oracle=_kmeans_recall_oracle())
 def ann_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of IVF with k-means-FITTED centroids (similarity.kmeans_fit)
     against the exact brute-force baseline — the quality gate for the
     trained model, alongside ann_ivf_recall's first-N-centroid baseline.
     2 Lloyd iterations: the spherical objective's gain is front-loaded
     (0.187->0.255 of its 0.270 4-iter value on this corpus) and each extra
-    iteration is a full corpus scan. No SQL oracle: the fit is an iterative
-    algorithm (per-iteration argmin + re-aggregation), the class the gate
-    documents as rows-only."""
+    iteration is a full corpus scan. The oracle UNROLLS the 2-iteration
+    fit into SQL CTEs (_kmeans_cents_cte) — exact integer math + mirrored
+    fixed-order doubles reproduce the Spark centroids bit-for-bit, so
+    even the trained path is hash-gated, not rows-only."""
     emb = load_table(spark, sf_dir, "embeddings", spread=True)
     probes = emb.filter(F.col("vec_id") < 10)
     fitted = S.kmeans_fit(emb, n_centroids=N_CENTROIDS, iters=2)
