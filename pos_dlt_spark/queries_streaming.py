@@ -767,3 +767,88 @@ def streaming_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataF
             "click_ts",
         )
     )
+
+
+@query(
+    "streaming_sessionized_native",
+    oracle="""
+    WITH e AS (SELECT user_id, ts, value, epoch_us(ts) AS tus FROM events),
+    flagged AS (
+        SELECT user_id, ts, value, tus,
+               CASE WHEN lag(tus) OVER w IS NULL
+                         OR tus - lag(tus) OVER w >= 1800000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)),
+    sess AS (
+        SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tus
+                                      ROWS UNBOUNDED PRECEDING) AS sess_no
+        FROM flagged)
+    SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM sess GROUP BY user_id, sess_no
+    """,
+)
+def streaming_sessionized_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window in STREAMING mode (the third sessionizer:
+    batch session_window = events_sessionized, custom GroupState =
+    streaming/sessions.py): watermarked gap-sessions emit in append mode
+    only once the watermark proves them closed, so the drain needs the
+    same flush-sentinel pattern as the outer join — one far-future row
+    advances the global watermark past every real session's close bound,
+    then is filtered out. Forced multi-batch; must equal the batch
+    lag/cumsum oracle exactly."""
+    from pyspark.sql import Row
+
+    from pos_dlt_spark.tables import load_table
+
+    name = f"sess_native_{uuid.uuid4().hex[:8]}"
+    work = tempfile.mkdtemp(prefix="sess_native_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    land = os.path.join(work, "landing")
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    ev.repartition(4).write.parquet(land)
+    import datetime as _dt
+
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    sentinel = spark.createDataFrame(
+        [Row(user_id=-1, ts=max_ts + _dt.timedelta(hours=12), value=0.0)], ev.schema
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(land)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(land)
+    )
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_dec"),
+        )
+    )
+    with _stream_state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.table(name)
+        .filter(F.col("user_id") >= 0)
+        .select(
+            "user_id",
+            "session_start",
+            "session_end",
+            "n_events",
+            F.col("sum_dec").cast("double").alias("sum_value"),
+        )
+    )
