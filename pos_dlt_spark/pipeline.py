@@ -19,6 +19,11 @@ API mirrors DLT's shape:
                        source="inventory_snapshot",
                        keys=["store_id", "item_id"], sequence_by="date_time")
 
+    @pipe.table(kind="stream")
+    @pipe.expect_or_drop("valid_qty", "quantity >= 0")   # DLT expectations
+    def clean(spark):
+        return pipe.read_stream(spark, "inventory_change")
+
     PipelineRunner(pipe).run_once(spark)   # availableNow pass over all tables
 
 Semantics:
@@ -42,8 +47,10 @@ gold recompute prunes partitions instead of rescanning history.
 
 from __future__ import annotations
 
+import json
 import os
 import re
+import shutil
 import time
 from dataclasses import dataclass, field
 from typing import Callable, Literal
@@ -53,6 +60,31 @@ from pyspark.sql import DataFrame, SparkSession
 from pos_dlt_spark.operators.cdc import ApplyChanges
 
 TableKind = Literal["live", "stream"]
+
+ExpectationAction = Literal["allow", "drop", "fail"]
+
+
+@dataclass
+class ExpectationDef:
+    """One data-quality constraint on a table (DLT expectations:
+    ``@dlt.expect`` / ``expect_or_drop`` / ``expect_or_fail``). The
+    condition is a SQL boolean expression over the table's columns; a row
+    violates when the condition is false OR null (exactly the rows a
+    ``WHERE condition`` filter would remove)."""
+
+    name: str
+    condition: str
+    action: ExpectationAction = "allow"
+
+
+class ExpectationFailed(Exception):
+    """An ``expect_or_fail`` constraint saw >= 1 violating row."""
+
+    def __init__(self, table: str, metrics: dict[str, dict]) -> None:
+        failed = {n: m for n, m in metrics.items() if m["failed"] and m["action"] == "fail"}
+        super().__init__(f"expectations failed on table {table!r}: {failed}")
+        self.table = table
+        self.metrics = metrics
 
 
 @dataclass
@@ -67,6 +99,7 @@ class TableDef:
     # declared up front (like DLT's LIVE.x references, visible at parse
     # time) plus any discovered at run time via read()/read_stream().
     deps: set[str] = field(default_factory=set)
+    expectations: list[ExpectationDef] = field(default_factory=list)
 
 
 @dataclass
@@ -125,10 +158,50 @@ class Pipeline:
                 partition_by=list(partition_by or []),
                 table_properties=dict(table_properties or {}),
                 deps=set(deps or []),
+                # expectation decorators sit BELOW @pipe.table (DLT style),
+                # so they have already run and tagged fn by the time we get
+                # here; declaration order is preserved.
+                expectations=list(getattr(fn, "_pos_dlt_expectations", [])),
             )
             return fn
 
         return deco
+
+    # -- expectations (DLT @dlt.expect family) ----------------------------
+
+    def _expect_deco(self, exps: list[ExpectationDef]):
+        def deco(fn):
+            pending = list(getattr(fn, "_pos_dlt_expectations", []))
+            # stacked decorators apply bottom-up; prepend so the top-most
+            # declaration reads first, like DLT's
+            fn._pos_dlt_expectations = exps + pending
+            return fn
+
+        return deco
+
+    def expect(self, name: str, condition: str):
+        """Record violation metrics for ``condition``; keep all rows
+        (DLT ``@dlt.expect``)."""
+        return self._expect_deco([ExpectationDef(name, condition, "allow")])
+
+    def expect_or_drop(self, name: str, condition: str):
+        """Drop violating rows and record how many (``@dlt.expect_or_drop``)."""
+        return self._expect_deco([ExpectationDef(name, condition, "drop")])
+
+    def expect_or_fail(self, name: str, condition: str):
+        """Abort the table update if any row violates
+        (``@dlt.expect_or_fail``). Batch updates are atomic: the previous
+        table contents survive a failed refresh untouched."""
+        return self._expect_deco([ExpectationDef(name, condition, "fail")])
+
+    def expect_all(self, conds: dict[str, str]):
+        return self._expect_deco([ExpectationDef(n, c, "allow") for n, c in conds.items()])
+
+    def expect_all_or_drop(self, conds: dict[str, str]):
+        return self._expect_deco([ExpectationDef(n, c, "drop") for n, c in conds.items()])
+
+    def expect_all_or_fail(self, conds: dict[str, str]):
+        return self._expect_deco([ExpectationDef(n, c, "fail") for n, c in conds.items()])
 
     def apply_changes(
         self,
@@ -255,18 +328,112 @@ class Pipeline:
 
 class PipelineRunner:
     """Executes a Pipeline: live tables recompute in topo order; stream
-    tables run an AvailableNow pass; CDC flows upsert their targets."""
+    tables run an AvailableNow pass; CDC flows upsert their targets.
+
+    Expectation metrics ride the table's own write job via
+    ``DataFrame.observe`` — violation counts cost ZERO extra scans at any
+    scale (an AggregatingAccumulator on the already-running plan), unlike
+    a separate ``count()`` pass which would re-read the table. Metrics
+    land in :attr:`expectation_metrics` and are appended to
+    ``storage/_events/expectations.jsonl`` (the DLT event-log analogue).
+    """
 
     def __init__(self, pipeline: Pipeline) -> None:
         self.p = pipeline
+        # table -> expectation name -> {action, condition, passed, failed}
+        self.expectation_metrics: dict[str, dict[str, dict]] = {}
+
+    # -- expectations ------------------------------------------------------
+
+    @staticmethod
+    def _expectation_aggs(exps: list[ExpectationDef]):
+        from pyspark.sql import functions as F
+
+        # a row VIOLATES when the condition is false or null — exactly the
+        # rows `WHERE condition` would remove, so drop-mode filtering and
+        # these counters can never disagree
+        aggs = [
+            F.sum(F.when(F.expr(e.condition), 0).otherwise(1)).cast("bigint").alias(e.name)
+            for e in exps
+        ]
+        aggs.append(F.count(F.lit(1)).cast("bigint").alias("__rows"))
+        return aggs
+
+    @staticmethod
+    def _apply_drops(df: DataFrame, exps: list[ExpectationDef]) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        for e in exps:
+            if e.action == "drop":
+                df = df.filter(F.expr(e.condition))
+        return df
+
+    def _record_metrics(self, table: str, exps: list[ExpectationDef], row) -> dict[str, dict]:
+        rows = int(row["__rows"] or 0)
+        metrics = {}
+        for e in exps:
+            failed = int(row[e.name] or 0)
+            metrics[e.name] = {
+                "action": e.action,
+                "condition": e.condition,
+                "passed": rows - failed,
+                "failed": failed,
+            }
+        self.expectation_metrics[table] = metrics
+        events = os.path.join(self.p.storage, "_events")
+        os.makedirs(events, exist_ok=True)
+        with open(os.path.join(events, "expectations.jsonl"), "a") as f:
+            f.write(json.dumps({"ts": time.time(), "table": table, "expectations": metrics}) + "\n")
+        return metrics
+
+    @staticmethod
+    def _fail_violations(metrics: dict[str, dict]) -> bool:
+        return any(m["failed"] for m in metrics.values() if m["action"] == "fail")
 
     def _write_live(self, df: DataFrame, t: TableDef) -> None:
+        exps = t.expectations
+        obs = None
+        if exps:
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            # observe BEFORE drop filters: failed == dropped by definition
+            df = df.observe(obs, *self._expectation_aggs(exps))
+            df = self._apply_drops(df, exps)
+        final = self.p.table_path(t.name)
+        has_fail = any(e.action == "fail" for e in exps)
+        # fail-mode updates are atomic: write beside the live table, check
+        # the observed counts, then swap — a failed refresh leaves the
+        # previous contents untouched (DLT-on-Delta's abort semantics)
+        dest = final + ".__pending__" if has_fail else final
+        if has_fail and os.path.exists(dest):
+            shutil.rmtree(dest)
         writer = df.write.mode("overwrite")
         if t.partition_by:
             writer = writer.partitionBy(*t.partition_by)
-        writer.parquet(self.p.table_path(t.name))
+        writer.parquet(dest)
+        if exps:
+            metrics = self._record_metrics(t.name, exps, obs.get)
+            if has_fail:
+                if self._fail_violations(metrics):
+                    shutil.rmtree(dest, ignore_errors=True)
+                    raise ExpectationFailed(t.name, metrics)
+                old = final + ".__old__"
+                if os.path.exists(old):
+                    shutil.rmtree(old)
+                if os.path.exists(final):
+                    os.replace(final, old)
+                os.replace(dest, final)
+                shutil.rmtree(old, ignore_errors=True)
 
     def _run_stream(self, df: DataFrame, t: TableDef) -> None:
+        exps = t.expectations
+        obs_name = f"__expectations_{t.name}"
+        if exps:
+            # streaming observe: per-micro-batch metric rows surface in
+            # StreamingQueryProgress.observedMetrics; totals are the sum
+            df = df.observe(obs_name, *self._expectation_aggs(exps))
+            df = self._apply_drops(df, exps)
         writer = (
             df.writeStream.outputMode("append")
             .format("parquet")
@@ -278,6 +445,23 @@ class PipelineRunner:
             writer = writer.partitionBy(*t.partition_by)
         q = writer.start()
         q.awaitTermination()
+        if exps:
+            totals = {e.name: 0 for e in exps}
+            totals["__rows"] = 0
+            for prog in q.recentProgress:
+                om = getattr(prog, "observedMetrics", None) or {}
+                row = om.get(obs_name)
+                if row is None:
+                    continue
+                for k in totals:
+                    totals[k] += int(row[k] or 0)
+            metrics = self._record_metrics(t.name, exps, totals)
+            if self._fail_violations(metrics):
+                # parquet micro-batches already committed stay committed —
+                # fail-mode on a stream is detect-and-halt (stop the
+                # pipeline before downstream tables consume the batch),
+                # not a rollback; use expect_or_drop for containment
+                raise ExpectationFailed(t.name, metrics)
 
     def _flow_ac(self, flow: CdcFlowDef) -> ApplyChanges:
         return ApplyChanges(
