@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pos_dlt_spark.functions import phash_sql
 from pos_dlt_spark.operators.asof import asof_join
 from pos_dlt_spark.queries import query
 from pos_dlt_spark.tables import load_table
@@ -617,6 +618,57 @@ def events_hll_mergeable_sketches(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     return typed.unionByName(overall)
+
+
+_CMS_D, _CMS_W = 4, 1024
+
+
+def _cms_hash_sql(i: int) -> str:
+    return f"{phash_sql('CAST(user_id AS VARCHAR)', f'cms{i}:')} % {_CMS_W}"
+
+
+@query(
+    "events_cms_heavy_hitters",
+    oracle=f"""
+    WITH cms AS (
+        SELECT r, b, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+            {" UNION ALL ".join(f"SELECT {i} AS r, {_cms_hash_sql(i)} AS b FROM events" for i in range(_CMS_D))}
+        ) GROUP BY r, b),
+    exact AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n
+        FROM events GROUP BY user_id
+        ORDER BY exact_n DESC, user_id LIMIT 20),
+    probes AS (
+        {" UNION ALL ".join(f"SELECT user_id, exact_n, {i} AS r, {_cms_hash_sql(i)} AS b FROM exact" for i in range(_CMS_D))})
+    SELECT p.user_id, p.exact_n, MIN(c.cnt) AS cms_est,
+           MIN(c.cnt) >= p.exact_n AS never_underestimates
+    FROM probes p JOIN cms c ON p.r = c.r AND p.b = c.b
+    GROUP BY p.user_id, p.exact_n
+    """,
+)
+def events_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimates for the top-20 exact heavy
+    hitters (operators/sketch.py). The exact path shuffles one row per
+    distinct key; the sketch bounds the shuffle to d*w = 4096 counter
+    cells no matter how many distinct keys exist — the scale path when
+    the key domain is unbounded. md5-salted cell hashes make the sketch
+    bit-identical in DuckDB, so estimates (not just the guarantee) are
+    oracle-gated; `never_underestimates` pins the CMS one-sided-error
+    property in both engines."""
+    from pos_dlt_spark.operators.sketch import cms_build, cms_estimate
+
+    ev = load_table(spark, sf_dir, "events")
+    cms = cms_build(ev, "user_id", d=_CMS_D, w=_CMS_W)
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "user_id")
+        .limit(20)
+    )
+    est = cms_estimate(cms, exact, "user_id", d=_CMS_D, w=_CMS_W)
+    return est.withColumn(
+        "never_underestimates", F.col("cms_est") >= F.col("exact_n")
+    )
 
 
 @query(
