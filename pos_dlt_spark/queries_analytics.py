@@ -620,6 +620,66 @@ def events_hll_mergeable_sketches(spark: SparkSession, sf_dir: str) -> DataFrame
     return typed.unionByName(overall)
 
 
+_TS_STEP_US = 21_600_000_000  # 6 hours
+
+
+@query(
+    "events_resampled_6h",
+    oracle=f"""
+    WITH obs AS (
+        SELECT user_id, slot, value FROM (
+            SELECT user_id, epoch_us(ts) // {_TS_STEP_US} AS slot, value,
+                   row_number() OVER (
+                       PARTITION BY user_id, epoch_us(ts) // {_TS_STEP_US}
+                       ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events WHERE event_type = 'purchase') t
+        WHERE rn = 1),
+    ranges AS (SELECT user_id, MIN(slot) AS lo, MAX(slot) AS hi FROM obs GROUP BY user_id),
+    grid AS (SELECT user_id, unnest(generate_series(lo, hi)) AS slot FROM ranges),
+    j AS (SELECT g.user_id, g.slot, o.value
+          FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.slot = o.slot),
+    f AS (
+        SELECT user_id, slot, value,
+               last_value(value IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY slot
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill,
+               last_value(CASE WHEN value IS NOT NULL THEN slot END IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY slot
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_slot,
+               first_value(value IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY slot
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_value,
+               first_value(CASE WHEN value IS NOT NULL THEN slot END IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY slot
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_slot
+        FROM j)
+    SELECT user_id, slot, make_timestamp(slot * {_TS_STEP_US}) AS slot_start,
+           value, value_ffill,
+           CASE WHEN value IS NOT NULL THEN value
+                WHEN prev_slot IS NOT NULL AND next_slot IS NOT NULL THEN
+                    value_ffill + (next_value - value_ffill)
+                    * CAST(slot - prev_slot AS DOUBLE)
+                    / CAST(next_slot - prev_slot AS DOUBLE)
+                ELSE coalesce(value_ffill, next_value) END AS value_interp
+    FROM f
+    """,
+)
+def events_resampled_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization (operators/timeseries.py): each user's
+    sparse purchase series resampled onto a 6-hour grid between their
+    first and last purchase, with LOCF forward-fill and linear
+    interpolation across gaps. Pure DataFrame ops — slot reduction,
+    sequence-explode grid, co-partitioned left join, ignorenulls window
+    fills; doubles hash-match because both engines evaluate the identical
+    fixed-order interpolation expression."""
+    from pos_dlt_spark.operators.timeseries import resample_ffill
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    return resample_ffill(
+        ev, ["user_id"], "ts", "value", _TS_STEP_US, tiebreakers=["event_id"]
+    )
+
+
 _CMS_D, _CMS_W = 4, 1024
 
 
