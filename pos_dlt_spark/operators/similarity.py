@@ -378,6 +378,174 @@ def kmeans_fit(
         qc.unpersist()
 
 
+# -- PQ (product quantization, ADC scan) -------------------------------------
+
+
+def _pq_code(sqcol: str, book: list[tuple[int, list[int]]]) -> Column:
+    """Sub-quantizer code: argmin euclidean distance to the codebook.
+    ``|x - c|^2 = |x|^2 - 2x.c + |c|^2`` and ``|x|^2`` is constant per row,
+    so the argmin of ``|c|^2 - 2x.c`` suffices — exact bigint math, min-cid
+    tiebreak via lexicographic array_min on (d, cid) structs. ``sqcol`` is
+    a column NAME (materialized attribute; see hyperplane_signature)."""
+    parts = []
+    for cid, cv in book:
+        arr = "array(" + ",".join(f"{int(v)}L" for v in cv) + ")"
+        cc = sum(int(v) * int(v) for v in cv)
+        dot = (
+            f"aggregate(zip_with({sqcol}, {arr}, (x, y) -> x * y), "
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        )
+        parts.append(f"named_struct('d', {cc}L - 2 * ({dot}), 'cid', {int(cid)})")
+    return F.expr("array_min(array(" + ", ".join(parts) + "))['cid']")
+
+
+def pq_fit(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 8,
+    ksub: int = 8,
+    iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[tuple[int, list[int]]]]:
+    """Fit ``m`` product-quantizer codebooks of ``ksub`` sub-centroids each
+    over the quantized corpus (model artifact for :func:`pq_topk`).
+
+    ``iters=0`` uses the first ``ksub`` vectors' sub-slices — the
+    deterministic, SQL-oracle-expressible baseline (same contract as
+    ivf_topk's default centroids). ``iters>0`` runs Lloyd euclidean
+    k-means per subspace, all ``m`` subspaces updated in ONE corpus scan
+    per iteration (explode to (subspace, code, dim) partial sums —
+    map-side combine, nothing hot materializes); new centers are exact
+    floor-mean integers, empty clusters keep their previous center."""
+    sub, rem = divmod(dim, m)
+    if rem:
+        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
+    qc = corpus.select(F.col(id_col).alias("__id"), quantized(F.col(vec_col)).alias("q"))
+    sl = qc.select(
+        "__id", *[F.slice("q", j * sub + 1, sub).alias(f"s{j}") for j in range(m)]
+    )
+    init = sl.orderBy("__id").limit(ksub).collect()
+    if len(init) < ksub:
+        raise ValueError(f"need >= {ksub} vectors to fit, got {len(init)}")
+    books = [[(c, list(init[c][f"s{j}"])) for c in range(ksub)] for j in range(m)]
+    for _ in range(iters):
+        per_sub = F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    _pq_code(f"s{j}", books[j]).alias("code"),
+                    F.col(f"s{j}").alias("sv"),
+                )
+                for j in range(m)
+            ]
+        )
+        stats = (
+            sl.select(F.explode_outer(per_sub).alias("e"))
+            .select("e.j", "e.code", F.posexplode_outer("e.sv").alias("dim", "comp"))
+            .groupBy("j", "code", "dim")
+            .agg(F.sum("comp").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        acc: dict[tuple[int, int], dict[int, tuple[int, int]]] = {}
+        for r in stats:
+            acc.setdefault((int(r.j), int(r.code)), {})[int(r.dim)] = (int(r.s), int(r.n))
+        books = [
+            [
+                (cid, [acc[(j, cid)][d][0] // acc[(j, cid)][d][1] for d in range(sub)])
+                if (j, cid) in acc
+                else (cid, old)
+                for cid, old in books[j]
+            ]
+            for j in range(m)
+        ]
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    books: list[list[tuple[int, list[int]]]],
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as ``m`` codes + the reconstructed squared norm
+    -> (vec_id, c0..c{m-1}, ansq). This is the compressed representation:
+    with ksub=256 it is one byte per subspace on disk — at 100 TB the
+    encoded table replaces the raw vectors in every ANN scan."""
+    m = len(books)
+    sub = dim // m
+    qc = corpus.select(F.col(id_col).alias("vec_id"), quantized(F.col(vec_col)).alias("q"))
+    sl = qc.select(
+        "vec_id", *[F.slice("q", j * sub + 1, sub).alias(f"s{j}") for j in range(m)]
+    )
+    coded = sl.select(
+        "vec_id", *[_pq_code(f"s{j}", books[j]).alias(f"c{j}") for j in range(m)]
+    )
+    normsq_terms = []
+    for j, book in enumerate(books):
+        ccs = "array(" + ",".join(f"{sum(int(v) * int(v) for v in cv)}L" for _, cv in book) + ")"
+        normsq_terms.append(f"element_at({ccs}, c{j} + 1)")
+    return coded.select(
+        "vec_id",
+        *[f"c{j}" for j in range(m)],
+        F.expr(" + ".join(normsq_terms)).alias("ansq"),
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    books: list[list[tuple[int, list[int]]]],
+    dim: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ-ADC approximate top-k: probes precompute one lookup table per
+    subspace (dot to each sub-centroid — ksub*m dots, once per PROBE), and
+    every corpus row's approximate similarity is then ``m`` array lookups
+    + adds instead of a dim-length dot per pair — the asymmetric-distance
+    scan of Jegou et al. (TPAMI'11), declaratively. Approximate cosine =
+    adc_dot / |probe| / sqrt(reconstructed |corpus|^2); exact integers
+    inside, fixed-order doubles outside, so the whole path SQL-oracles."""
+    m = len(books)
+    sub = dim // m
+    enc = pq_encode(corpus, books, dim, id_col, vec_col).withColumnRenamed(
+        "vec_id", "neighbor_id"
+    )
+    p = probes.select(F.col(id_col).alias("probe_id"), quantized(F.col(vec_col)).alias("qp"))
+    p = p.select("probe_id", "qp", norm(F.col("qp")).alias("np_"))
+    p = p.select(
+        "probe_id", "np_", *[F.slice("qp", j * sub + 1, sub).alias(f"p{j}") for j in range(m)]
+    )
+    lut_cols = []
+    for j, book in enumerate(books):
+        dots = []
+        for _, cv in book:
+            arr = "array(" + ",".join(f"{int(v)}L" for v in cv) + ")"
+            dots.append(
+                f"aggregate(zip_with(p{j}, {arr}, (x, y) -> x * y), "
+                "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            )
+        lut_cols.append(F.expr("array(" + ", ".join(dots) + ")").alias(f"lut{j}"))
+    pl = p.select("probe_id", "np_", *lut_cols)
+    adot = " + ".join(f"element_at(lut{j}, c{j} + 1)" for j in range(m))
+    sim = (
+        F.expr(f"CAST({adot} AS BIGINT)").cast("double")
+        / F.col("np_")
+        / F.sqrt(F.col("ansq").cast("double"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        enc.crossJoin(F.broadcast(pl))
+        .filter(F.col("probe_id") != F.col("neighbor_id"))
+        .select("probe_id", "neighbor_id", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     probes: DataFrame,

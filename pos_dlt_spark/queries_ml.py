@@ -784,6 +784,133 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- PQ (product quantization, ADC) -----------------------------------------
+
+PQ_M, PQ_KSUB = 8, 8
+_PQ_SUB = EMB_DIM // PQ_M
+
+
+def _pq_topk_oracle(k: int = 5) -> str:
+    """DuckDB twin of pq_fit(iters=0) + pq_encode + pq_topk: codebooks are
+    the first-ksub vectors' sub-slices, codes are per-subspace argmin of
+    |c|^2 - 2x.c with min-cid tiebreak, and the ADC similarity is the sum
+    of per-subspace LUT dots over the probe, normalized by the probe norm
+    and the reconstructed corpus norm — the exact mirror of the Spark
+    expression order."""
+    m, sub, ksub = PQ_M, _PQ_SUB, PQ_KSUB
+    parts = [f"q AS (SELECT vec_id, {_QUANT} AS qv FROM embeddings)"]
+    slices = ", ".join(f"qv[{j * sub + 1}:{(j + 1) * sub}] AS s{j}" for j in range(m))
+    parts.append(f"subs AS (SELECT vec_id, qv, {slices} FROM q)")
+    parts.append(
+        "bk AS (SELECT vec_id AS cid, "
+        + ", ".join(f"s{j} AS b{j}" for j in range(m))
+        + f" FROM subs WHERE vec_id < {ksub})"
+    )
+    for j in range(m):
+        dot = _dot_sql(f"s.s{j}", f"b.b{j}")
+        cc = _dot_sql(f"b.b{j}", f"b.b{j}")
+        parts.append(
+            f"""code{j} AS (
+        SELECT vec_id, cid AS c{j}, bsq AS bsq{j} FROM (
+            SELECT s.vec_id, b.cid, {cc} AS bsq,
+                   row_number() OVER (PARTITION BY s.vec_id
+                                      ORDER BY ({cc} - 2 * ({dot})), b.cid) AS rn
+            FROM subs s CROSS JOIN bk b) t WHERE rn = 1)"""
+        )
+    enc_joins = " ".join(
+        f"JOIN code{j} ON code{j}.vec_id = code0.vec_id" for j in range(1, m)
+    )
+    parts.append(
+        "enc AS (SELECT code0.vec_id AS neighbor_id, "
+        + ", ".join(f"c{j}" for j in range(m))
+        + ", (" + " + ".join(f"bsq{j}" for j in range(m)) + ") AS ansq "
+        + f"FROM code0 {enc_joins})"
+    )
+    parts.append(
+        f"pr AS (SELECT vec_id AS probe_id, "
+        f"sqrt(CAST({_dot_sql('qv', 'qv')} AS DOUBLE)) AS np, "
+        + ", ".join(f"s{j}" for j in range(m))
+        + " FROM subs WHERE vec_id < 10)"
+    )
+    for j in range(m):
+        parts.append(
+            f"lut{j} AS (SELECT p.probe_id, b.cid, "
+            f"{_dot_sql(f'p.s{j}', f'b.b{j}')} AS v FROM pr p CROSS JOIN bk b)"
+        )
+    lut_joins = " ".join(
+        f"JOIN lut{j} l{j} ON l{j}.probe_id = p.probe_id AND l{j}.cid = e.c{j}"
+        for j in range(m)
+    )
+    adot = " + ".join(f"l{j}.v" for j in range(m))
+    parts.append(
+        f"""sims AS (
+        SELECT p.probe_id, e.neighbor_id,
+               CAST({adot} AS DOUBLE) / p.np / sqrt(CAST(e.ansq AS DOUBLE)) AS sim
+        FROM pr p JOIN enc e ON e.neighbor_id != p.probe_id {lut_joins})"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+    SELECT probe_id, neighbor_id, sim, rank FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rank
+        FROM sims) t
+    WHERE rank <= {k}
+    """
+    )
+
+
+@query("ann_pq_topk", oracle=_pq_topk_oracle())
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC approximate top-5 (similarity.pq_fit/pq_encode/pq_topk):
+    the 64-dim corpus is encoded as 8 sub-quantizer codes + a
+    reconstructed norm, probes carry one dot-product lookup table per
+    subspace, and each candidate costs 8 lookups + adds instead of a
+    64-term dot. The first-ksub codebook baseline keeps the whole path —
+    fit, encode, ADC scan — expressible as a SQL oracle."""
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    probes = emb.filter(F.col("vec_id") < 10)
+    books = S.pq_fit(emb, dim=EMB_DIM, m=PQ_M, ksub=PQ_KSUB, iters=0)
+    return S.pq_topk(emb, probes, books, dim=EMB_DIM, k=5).select(
+        "probe_id", "neighbor_id", "sim", "rank"
+    )
+
+
+@query(
+    "ann_pq_recall",
+    oracle=f"""
+    WITH bf AS ({_ANN_TOPK_ORACLE}),
+    pq AS ({_pq_topk_oracle()})
+    SELECT bf.probe_id,
+           CAST(COUNT(pq.neighbor_id) AS DOUBLE) / 5.0 AS recall_at_5
+    FROM bf LEFT JOIN pq
+      ON bf.probe_id = pq.probe_id AND bf.neighbor_id = pq.neighbor_id
+    GROUP BY bf.probe_id
+    """,
+)
+def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the PQ-ADC path against exact brute force — the
+    compression-quality metric for the coded corpus, alongside
+    ann_int8_recall (scalar codes) and ann_ivf_recall (index pruning)."""
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    probes = emb.filter(F.col("vec_id") < 10)
+    books = S.pq_fit(emb, dim=EMB_DIM, m=PQ_M, ksub=PQ_KSUB, iters=0)
+    bf = S.brute_force_topk(emb, probes, k=5).select("probe_id", "neighbor_id")
+    pq = S.pq_topk(emb, probes, books, dim=EMB_DIM, k=5).select(
+        F.col("probe_id").alias("p2"), F.col("neighbor_id").alias("n2")
+    )
+    return (
+        bf.join(
+            pq,
+            (F.col("probe_id") == F.col("p2")) & (F.col("neighbor_id") == F.col("n2")),
+            "left",
+        )
+        .groupBy("probe_id")
+        .agg((F.count("n2").cast("double") / F.lit(5.0)).alias("recall_at_5"))
+    )
+
+
 def _kmeans_cents_cte(iters: int = 2, n_centroids: int = N_CENTROIDS) -> tuple[str, str]:
     """CTE chain computing similarity.kmeans_fit's centroids in SQL: the
     2-iteration Lloyd loop UNROLLED (assignment argmax-cosine ->
