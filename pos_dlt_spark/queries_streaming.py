@@ -58,12 +58,13 @@ def _stream_state_partitions(spark: SparkSession):
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the events parquet, with the same ns->us timestamp
-    normalization as tables.load_table."""
-    from pos_dlt_spark.tables import ensure_session_confs
+    """readStream over the events parquet, with the same timestamp
+    normalization as tables.load_table (nanos-long truncation or NTZ->LTZ
+    cast, whichever the current parquet encoding needs)."""
+    from pos_dlt_spark.tables import ensure_session_confs, normalize_timestamps
 
-    # events.ts is TIMESTAMP(NANOS): the schema probe below needs the
-    # nanosAsLong conf on ANY session, including the driver's vanilla one.
+    # the schema probe below must work on ANY session, incl. the driver's
+    # vanilla one (nanosAsLong for TIMESTAMP(NANOS) files, UTC for the cast).
     ensure_session_confs(spark)
     path = os.path.join(sf_dir, "events.parquet")
     schema = spark.read.parquet(path).schema
@@ -73,9 +74,7 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if isinstance(schema["ts"].dataType, LongType):
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stream
+    return normalize_timestamps(stream, "events")
 
 
 @query(

@@ -46,6 +46,34 @@ def ensure_session_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
 
+def normalize_timestamps(df: DataFrame, name: str = "") -> DataFrame:
+    """Surface every timestamp column as session-TZ TIMESTAMP regardless of
+    the parquet writer's physical choice. The driver's generator has shipped
+    two encodings across rounds:
+
+    - TIMESTAMP(NANOS): unreadable by Spark's vectorized reader unless
+      ``nanosAsLong`` surfaces it as epoch-nanos long — truncate to micros
+      exactly like DuckDB does on read (events.ts only; nanos rounds).
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark reads TIMESTAMP_NTZ,
+      which batch ops tolerate but ``withWatermark`` rejects outright
+      (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). With the session TZ pinned to
+      UTC the NTZ->LTZ cast is value-preserving and lands on the same
+      instant DuckDB's naive read produces.
+
+    Normalizing here (once, at the scan) means every downstream operator
+    sees one stable type whatever the next regeneration emits.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str, spread: bool = False) -> DataFrame:
     """Load a TESTDATA table.
 
@@ -58,14 +86,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str, spread: bool = False
     compute-heavy per-row operators (minhash, text features, matmuls)."""
     ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # events.ts is TIMESTAMP(NANOS) in parquet; with
-    # spark.sql.legacy.parquet.nanosAsLong it surfaces as a long of epoch
-    # nanoseconds. Truncate to microseconds exactly like DuckDB does on read.
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
-
-    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    df = normalize_timestamps(df, name)
     if spread:
         cores = spark.sparkContext.defaultParallelism
         # file count bounds the scan's split count for these single-row-group
