@@ -465,3 +465,80 @@ def domain_cap(
         .filter(F.col("rk") <= cap)
         .drop("__rk_key")
     )
+
+
+def duplicate_ngram_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Position-level duplicate-substring detection (the span analogue of
+    exact-substring training-data dedup, cf. Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better" — theirs is a suffix-array
+    pass; a distributed engine gets the same token-granular spans from
+    positional n-grams):
+
+    1. every document emits its word ``n``-grams WITH positions
+       (one staged projection, then a per-row array transform);
+    2. an n-gram is *duplicated* if it occurs in >= ``min_docs`` distinct
+       documents (hash-partitioned agg on the portable md5 gram hash);
+    3. each document's duplicated positions are merged into maximal
+       spans — positions p, q (p<q) chain iff q <= p + n, i.e. their
+       [p, p+n) windows overlap or touch — via one per-doc sort window
+       (lag + running flag-sum), a doc_id-partitioned shuffle.
+
+    Returns (id_col, span_start, span_end, span_tokens): token-index
+    spans, end-exclusive, covering every token that sits inside some
+    cross-document duplicated n-gram.
+
+    Scale: the gram table is the explode of the corpus (~tokens rows); both
+    shuffles (gram hash, doc_id) are equi-partitioned aggregations with
+    map-side combine; nothing is all-pairs, nothing funnels through one
+    task. Short docs (< n tokens) cannot carry a span and are skipped.
+    """
+    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks")).filter(
+        F.size("__toks") >= n
+    )
+    grams = toks.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("__toks") - n),
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.col("__toks"), (i + 1).cast("int"), n)
+                ),
+            )
+        ).alias("pos", "gram"),
+    ).select(F.col(id_col), F.col("pos").cast("bigint").alias("pos"), phash(F.col("gram")).alias("gh"))
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.count_distinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("gh")
+    )
+    hits = grams.join(dup, "gh", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    flagged = hits.withColumn(
+        "__ns",
+        F.when(
+            F.lag("pos").over(w).isNull() | (F.col("pos") - F.lag("pos").over(w) > n),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "__sid", F.sum("__ns").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        flagged.groupBy(id_col, "__sid")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + n).alias("span_end"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
+        )
+    )

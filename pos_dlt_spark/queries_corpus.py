@@ -263,3 +263,42 @@ def corpus_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     domain exceeds one task's memory."""
     docs = load_table(spark, sf_dir, "documents", spread=True)
     return C.domain_cap(docs, cap=100).select("doc_id", "source", "rk")
+
+
+SPAN_N = 8
+_TOKS_SQL = r"regexp_split_to_array(trim(lower(text)), '\s+')"
+
+
+@query(
+    "corpus_duplicate_spans",
+    oracle=f"""
+    WITH toks_t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    pos_t AS (SELECT doc_id, toks, unnest(range(0, len(toks)-{SPAN_N}+1)) AS pos
+              FROM toks_t WHERE len(toks) >= {SPAN_N}),
+    g AS (SELECT doc_id, pos,
+                 {phash_sql(f"array_to_string(toks[pos+1:pos+{SPAN_N}], ' ')")} AS gh
+          FROM pos_t),
+    dup AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2),
+    d AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gh)),
+    f AS (SELECT doc_id, pos,
+                 CASE WHEN lag(pos) OVER w IS NULL
+                           OR pos - lag(pos) OVER w > {SPAN_N}
+                      THEN 1 ELSE 0 END AS ns
+          FROM d WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    s AS (SELECT *, SUM(ns) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS UNBOUNDED PRECEDING) AS sid FROM f)
+    SELECT doc_id, MIN(pos) AS span_start,
+           MAX(pos) + {SPAN_N} AS span_end,
+           MAX(pos) + {SPAN_N} - MIN(pos) AS span_tokens
+    FROM s GROUP BY doc_id, sid
+    """,
+)
+def corpus_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-level exact-substring duplication (corpus.
+    duplicate_ngram_spans): maximal token spans covered by word 8-grams
+    occurring in >= 2 documents — the span analogue of suffix-array
+    training-data dedup, as two equi-partitioned shuffles (gram hash agg,
+    per-doc interval merge). The oracle rebuilds the same spans with
+    DuckDB window CTEs over the identical md5 gram hash."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return C.duplicate_ngram_spans(docs, n=SPAN_N, min_docs=2)
