@@ -192,3 +192,56 @@ def scrub_pii(
         tmp_cols.append(tmp)
     work = work.withColumn(out_col, cur)
     return work.drop(*tmp_cols)
+
+
+def unigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Model-based quality scoring with a corpus-fit unigram LM: each
+    document's mean token log-probability under Laplace-smoothed corpus
+    frequencies, ln((c+1)/(N+V)). Low scores flag rare-token-heavy junk
+    (mojibake, hex dumps); implausibly high scores flag degenerate
+    repetition — the classic cheap filter between heuristics and a real
+    LM perplexity pass.
+
+    Exactness: per-token log-probs are quantized to integer micro-nats
+    (floor(ln(p)*1e6) as bigint) BEFORE summation, so the per-doc
+    aggregation is exact integer arithmetic — no double-sum order
+    nondeterminism — and only the final mean performs float division.
+    Engine-portable modulo a < 1e-10-probability ulp-at-grid-boundary on
+    ln(); the oracle mirrors the formula verbatim.
+
+    Scale: token frequencies are a groupBy(token) agg (map-side combined);
+    the (doc, token) tf table joins the vocab on token — broadcastable
+    while the vocab fits, an equi-shuffle join beyond; corpus totals ride
+    a 1-row crossJoin, never a collect.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    totals = vocab.agg(
+        F.sum("c").alias("N"), F.count(F.lit(1)).alias("V")
+    )
+    lp_micro = F.expr(
+        "CAST(floor(ln(CAST(c + 1 AS DOUBLE) / CAST(N + V AS DOUBLE)) * 1000000) AS BIGINT)"
+    )
+    scored = (
+        tf.join(vocab, "tok")
+        .crossJoin(F.broadcast(totals))
+        .withColumn("lp_micro", lp_micro)
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("lp_micro")).alias("sum_lp_micro"),
+        )
+        .withColumn(
+            "avg_logprob",
+            F.expr(
+                "CAST(sum_lp_micro AS DOUBLE) / CAST(n_tokens AS DOUBLE) / 1e6"
+            ),
+        )
+    )

@@ -1129,3 +1129,36 @@ def multimodal_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode(F.col("text"), "UTF-8").alias("payload"),
     )
     return M.extract_media_features(media, fake=True)
+
+
+@query(
+    "text_unigram_logprob",
+    oracle=r"""
+    WITH toks AS (SELECT doc_id,
+                         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+                  FROM documents),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    vocab AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY 1),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS N, CAST(COUNT(*) AS BIGINT) AS V FROM vocab),
+    s AS (SELECT tf.doc_id, tf.tf,
+                 CAST(floor(ln(CAST(v.c + 1 AS DOUBLE) / CAST(t.N + t.V AS DOUBLE))
+                            * 1000000) AS BIGINT) AS lp
+          FROM tf JOIN vocab v USING (tok), tot t)
+    SELECT doc_id,
+           CAST(SUM(tf) AS BIGINT) AS n_tokens,
+           CAST(SUM(tf * lp) AS BIGINT) AS sum_lp_micro,
+           CAST(SUM(tf * lp) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE) / 1e6 AS avg_logprob
+    FROM s GROUP BY doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-fit unigram-LM quality score per document
+    (operators/text.py:unigram_logprob): mean Laplace-smoothed token
+    log-probability, with per-token log-probs quantized to integer
+    micro-nats before the (exact, order-independent) per-doc sum. The
+    one rows-level float op each engine performs is the final mean's
+    division."""
+    from pos_dlt_spark.operators.text import unigram_logprob
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return unigram_logprob(docs)
