@@ -617,3 +617,104 @@ def ivf_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    books: list[list[tuple[int, list[int]]]],
+    dim: int,
+    k: int = 5,
+    nprobe: int = 2,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[tuple[int, list[int]]] | None = None,
+) -> DataFrame:
+    """IVF routing + PQ-ADC scoring — the composition that actually ships
+    at 100 TB (FAISS's IVFPQ, declaratively): the corpus is scanned ONCE,
+    producing per row its inverted-list id (nearest centroid) AND its m
+    PQ codes + reconstructed norm; probes search only their ``nprobe``
+    lists, and each surviving candidate costs m LUT lookups + adds
+    instead of a dim-length dot. Candidate volume shrinks by
+    nprobe/n_centroids AND per-candidate cost by dim/m versus brute
+    force, multiplicatively.
+
+    Both models are driver-side literals (centroids: n_centroids rows;
+    codebooks: m*ksub sub-vectors), so assignment and encoding are pure
+    per-row expressions — no shuffle touches the corpus until the
+    candidate equi-join on cid. Exact integer math inside, fixed-order
+    doubles at the sim, so the full path SQL-oracles like its parents.
+    """
+    m = len(books)
+    sub = dim // m
+    if centroids is None:
+        cent_rows = (
+            corpus.filter(F.col(id_col) < n_centroids)
+            .select(F.col(id_col), quantized(F.col(vec_col)).alias("cq"))
+            .collect()
+        )
+        centroids = sorted((int(r[0]), list(r[1])) for r in cent_rows)
+
+    qc = corpus.select(
+        F.col(id_col).alias("neighbor_id"), quantized(F.col(vec_col)).alias("qc")
+    ).select("neighbor_id", "qc", norm(F.col("qc")).alias("nc"))
+    # one corpus projection chain: list id + sub-slices -> codes + norm
+    sliced = qc.select(
+        "neighbor_id",
+        F.array_min(_centroid_sims("qc", "nc", centroids))["cid"].alias("cid"),
+        *[F.slice("qc", j * sub + 1, sub).alias(f"s{j}") for j in range(m)],
+    )
+    coded = sliced.select(
+        "neighbor_id", "cid", *[_pq_code(f"s{j}", books[j]).alias(f"c{j}") for j in range(m)]
+    )
+    normsq_terms = []
+    for j, book in enumerate(books):
+        ccs = "array(" + ",".join(f"{sum(int(v) * int(v) for v in cv)}L" for _, cv in book) + ")"
+        normsq_terms.append(f"element_at({ccs}, c{j} + 1)")
+    enc = coded.select(
+        "neighbor_id", "cid", *[f"c{j}" for j in range(m)],
+        F.expr(" + ".join(normsq_terms)).alias("ansq"),
+    )
+
+    p = probes.select(
+        F.col(id_col).alias("probe_id"), quantized(F.col(vec_col)).alias("qp")
+    ).select("probe_id", "qp", norm(F.col("qp")).alias("np_"))
+    p = p.select(
+        "probe_id", "qp", "np_",
+        *[F.slice("qp", j * sub + 1, sub).alias(f"p{j}") for j in range(m)],
+    )
+    lut_cols = []
+    for j, book in enumerate(books):
+        dots = []
+        for _, cv in book:
+            arr = "array(" + ",".join(f"{int(v)}L" for v in cv) + ")"
+            dots.append(
+                f"aggregate(zip_with(p{j}, {arr}, (x, y) -> x * y), "
+                "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            )
+        lut_cols.append(F.expr("array(" + ", ".join(dots) + ")").alias(f"lut{j}"))
+    pl = p.select(
+        "probe_id", "np_", *lut_cols,
+        F.explode_outer(
+            F.transform(
+                F.slice(F.array_sort(_centroid_sims("qp", "np_", centroids)), 1, nprobe),
+                lambda s: s["cid"],
+            )
+        ).alias("cid"),
+    )
+
+    adot = " + ".join(f"element_at(lut{j}, c{j} + 1)" for j in range(m))
+    sim = (
+        F.expr(f"CAST({adot} AS BIGINT)").cast("double")
+        / F.col("np_")
+        / F.sqrt(F.col("ansq").cast("double"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        enc.join(F.broadcast(pl), "cid")
+        .filter(F.col("probe_id") != F.col("neighbor_id"))
+        .select("probe_id", "neighbor_id", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

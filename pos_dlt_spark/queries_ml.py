@@ -71,6 +71,21 @@ def _cos_sql(a: str, b: str) -> str:
     )
 
 
+def _materialize_ctes(parts: list[str]) -> list[str]:
+    """Mark each CTE ``AS MATERIALIZED``: DuckDB inlines CTEs by default,
+    and the PQ/IVF-PQ oracles' flattened join graphs (~20 relations once
+    enc's 8-way self-join and the 8 LUTs inline) stall its join-order
+    planner for MINUTES (measured: ann_pq_topk >170 s planning vs 0.5 s
+    materialized at sf0.001). Materialization pins each CTE as its own
+    small pipeline, which is also how the Spark side executes."""
+    import re
+
+    return [
+        re.sub(r"^(\s*)(\w+) AS \(", r"\1\2 AS MATERIALIZED (", p, count=1)
+        for p in parts
+    ]
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -850,7 +865,7 @@ def _pq_topk_oracle(k: int = 5) -> str:
     )
     return (
         "WITH "
-        + ",\n".join(parts)
+        + ",\n".join(_materialize_ctes(parts))
         + f"""
     SELECT probe_id, neighbor_id, sim, rank FROM (
         SELECT *, row_number() OVER (
@@ -1162,3 +1177,143 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents", spread=True)
     return unigram_logprob(docs)
+
+
+# -- IVF-PQ (routing + ADC, composed) ---------------------------------------
+
+
+def _ivfpq_oracle(k: int = 5) -> str:
+    """DuckDB twin of similarity.ivfpq_topk with first-N centroids and
+    iters=0 codebooks: the IVF oracle's routing CTEs feeding the PQ
+    oracle's encode/LUT CTEs — candidates restricted to the probe's
+    nprobe lists, scored by ADC."""
+    m, sub, ksub = PQ_M, _PQ_SUB, PQ_KSUB
+    cos_qc = _cos_sql("q.qv", "c.cv")
+    cos_pc = _cos_sql("p.qv", "c.cv")
+    slices = ", ".join(f"qv[{j * sub + 1}:{(j + 1) * sub}] AS s{j}" for j in range(m))
+    parts = [
+        f"q AS (SELECT vec_id, {_QUANT} AS qv FROM embeddings)",
+        f"cents AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < {N_CENTROIDS})",
+        f"""asg AS (SELECT vec_id, cid FROM (
+            SELECT q.vec_id, c.cid,
+                   row_number() OVER (PARTITION BY q.vec_id
+                                      ORDER BY {cos_qc} DESC, c.cid) AS rn
+            FROM q CROSS JOIN cents c) t WHERE rn = 1)""",
+        f"subs AS (SELECT vec_id, qv, {slices} FROM q)",
+        "bk AS (SELECT vec_id AS cid, "
+        + ", ".join(f"s{j} AS b{j}" for j in range(m))
+        + f" FROM subs WHERE vec_id < {ksub})",
+    ]
+    for j in range(m):
+        dot = _dot_sql(f"s.s{j}", f"b.b{j}")
+        cc = _dot_sql(f"b.b{j}", f"b.b{j}")
+        parts.append(
+            f"""code{j} AS (
+        SELECT vec_id, cid AS c{j}, bsq AS bsq{j} FROM (
+            SELECT s.vec_id, b.cid, {cc} AS bsq,
+                   row_number() OVER (PARTITION BY s.vec_id
+                                      ORDER BY ({cc} - 2 * ({dot})), b.cid) AS rn
+            FROM subs s CROSS JOIN bk b) t WHERE rn = 1)"""
+        )
+    enc_joins = " ".join(
+        f"JOIN code{j} ON code{j}.vec_id = code0.vec_id" for j in range(1, m)
+    )
+    parts.append(
+        "enc AS (SELECT code0.vec_id AS neighbor_id, "
+        + ", ".join(f"c{j}" for j in range(m))
+        + ", (" + " + ".join(f"bsq{j}" for j in range(m)) + ") AS ansq "
+        + f"FROM code0 {enc_joins})"
+    )
+    parts.append(
+        f"""pc AS (SELECT probe_id, cid FROM (
+            SELECT p.vec_id AS probe_id, c.cid,
+                   row_number() OVER (PARTITION BY p.vec_id
+                                      ORDER BY {cos_pc} DESC, c.cid) AS rn
+            FROM q p CROSS JOIN cents c WHERE p.vec_id < 10) t
+        WHERE rn <= {NPROBE})"""
+    )
+    parts.append(
+        f"pr AS (SELECT vec_id AS probe_id, "
+        f"sqrt(CAST({_dot_sql('qv', 'qv')} AS DOUBLE)) AS np, "
+        + ", ".join(f"s{j}" for j in range(m))
+        + " FROM subs WHERE vec_id < 10)"
+    )
+    for j in range(m):
+        parts.append(
+            f"lut{j} AS (SELECT p.probe_id, b.cid, "
+            f"{_dot_sql(f'p.s{j}', f'b.b{j}')} AS v FROM pr p CROSS JOIN bk b)"
+        )
+    lut_joins = " ".join(
+        f"JOIN lut{j} l{j} ON l{j}.probe_id = pc.probe_id AND l{j}.cid = e.c{j}"
+        for j in range(m)
+    )
+    adot = " + ".join(f"l{j}.v" for j in range(m))
+    parts.append(
+        f"""sims AS (
+        SELECT pc.probe_id, e.neighbor_id,
+               CAST({adot} AS DOUBLE) / p.np / sqrt(CAST(e.ansq AS DOUBLE)) AS sim
+        FROM pc
+        JOIN asg a ON a.cid = pc.cid
+        JOIN enc e ON e.neighbor_id = a.vec_id AND e.neighbor_id != pc.probe_id
+        JOIN pr p ON p.probe_id = pc.probe_id {lut_joins})"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(_materialize_ctes(parts))
+        + f"""
+    SELECT probe_id, neighbor_id, sim, rank FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rank
+        FROM sims) t
+    WHERE rank <= {k}
+    """
+    )
+
+
+@query("ann_ivfpq_topk", oracle=_ivfpq_oracle())
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN top-5 (similarity.ivfpq_topk): one corpus scan emits
+    each vector's inverted-list id AND its PQ codes; probes search their
+    2 nearest of 8 lists and score candidates by 8 LUT lookups — the
+    candidate count and the per-candidate cost both shrink, which is the
+    FAISS-style configuration a 100 TB vector store actually runs."""
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    probes = emb.filter(F.col("vec_id") < 10)
+    books = S.pq_fit(emb, dim=EMB_DIM, m=PQ_M, ksub=PQ_KSUB, iters=0)
+    return S.ivfpq_topk(
+        emb, probes, books, dim=EMB_DIM, k=5, nprobe=NPROBE, n_centroids=N_CENTROIDS
+    ).select("probe_id", "neighbor_id", "sim", "rank")
+
+
+@query(
+    "ann_ivfpq_recall",
+    oracle=f"""
+    WITH bf AS ({_ANN_TOPK_ORACLE}),
+    ivfpq AS ({_ivfpq_oracle()})
+    SELECT bf.probe_id,
+           CAST(COUNT(ivfpq.neighbor_id) AS DOUBLE) / 5.0 AS recall_at_5
+    FROM bf LEFT JOIN ivfpq
+      ON bf.probe_id = ivfpq.probe_id AND bf.neighbor_id = ivfpq.neighbor_id
+    GROUP BY bf.probe_id
+    """,
+)
+def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the composed IVF-PQ path vs exact brute force — its
+    loss is bounded below by max(ivf, pq) individually; shipping it as a
+    gate query makes the compounding visible every round."""
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    probes = emb.filter(F.col("vec_id") < 10)
+    books = S.pq_fit(emb, dim=EMB_DIM, m=PQ_M, ksub=PQ_KSUB, iters=0)
+    bf = S.brute_force_topk(emb, probes, k=5).select("probe_id", "neighbor_id")
+    ap = S.ivfpq_topk(
+        emb, probes, books, dim=EMB_DIM, k=5, nprobe=NPROBE, n_centroids=N_CENTROIDS
+    ).select(F.col("probe_id").alias("p2"), F.col("neighbor_id").alias("n2"))
+    return (
+        bf.join(
+            ap,
+            (F.col("probe_id") == F.col("p2")) & (F.col("neighbor_id") == F.col("n2")),
+            "left",
+        )
+        .groupBy("probe_id")
+        .agg((F.count("n2").cast("double") / F.lit(5.0)).alias("recall_at_5"))
+    )
