@@ -253,6 +253,100 @@ class ApplyChanges:
             return None
         return spark.read.parquet(self.target_path)
 
+    def delete_keys(self, spark: SparkSession, doomed: DataFrame) -> int:
+        """Propagate key deletions through the target (right-to-be-forgotten
+        / retention enforcement — Delta ``DELETE WHERE key IN ...``
+        equivalent). ``doomed`` carries the merge-key columns; every target
+        row matching one of its keys is removed.
+
+        Bucketed targets only: deletion is a transactional partial rewrite —
+        doomed keys route to their buckets by the same hash as the merge,
+        ONLY those buckets are re-read and anti-joined, the survivors land
+        in a fresh ``delete_g<version>`` epoch dir, and one manifest swap
+        commits. Untouched buckets keep their directories byte-for-byte; a
+        bucket whose every row is doomed loses its manifest pointer
+        entirely. Readers racing the delete see the old or the new complete
+        state, and ``read_target(previous=True)`` still serves the
+        pre-delete snapshot for one generation — the audit trail.
+
+        Returns the number of rows deleted. I/O and the two bookkeeping
+        counts scale with the touched buckets, never the target size.
+        """
+        if self.n_buckets is None:
+            raise ValueError(
+                "delete_keys requires the bucketed (manifest) layout; "
+                "unbucketed targets have no transactional partial rewrite"
+            )
+        manifest = self._read_manifest()
+        if manifest is None:
+            return 0
+        self._validate_layout(manifest)
+        doomed_k = self._with_bucket(
+            doomed.select(*self.keys).distinct()
+        ).localCheckpoint(eager=True)
+        touched = [int(r[0]) for r in doomed_k.select("__bucket").distinct().collect()]
+        touched_paths = [
+            os.path.join(self.target_path, manifest["buckets"][str(b)])
+            for b in touched
+            if str(b) in manifest["buckets"]
+        ]
+        if not touched_paths:
+            return 0
+        reader = spark.read
+        if manifest.get("schema"):
+            reader = reader.schema(StructType.fromJson(json.loads(manifest["schema"])))
+        target = self._with_bucket(reader.parquet(*touched_paths))
+        kept = target.join(
+            doomed_k.select(*self.keys), self.keys, "left_anti"
+        ).localCheckpoint(eager=True)  # one compute: counted, written, scanned
+        n_deleted = target.count() - kept.count()
+        if n_deleted == 0:
+            return 0
+
+        version = manifest["version"] + 1
+        epoch_dir = f"delete_g{version}"
+        (
+            kept.repartition("__bucket")
+            .write.mode("overwrite")
+            .partitionBy("__bucket")
+            .parquet(os.path.join(self.target_path, epoch_dir))
+        )
+        surviving = {int(r[0]) for r in kept.select("__bucket").distinct().collect()}
+        buckets = dict(manifest["buckets"])
+        retired = [buckets[str(b)] for b in touched if str(b) in buckets]
+        for b in touched:
+            if str(b) not in buckets:
+                continue
+            if b in surviving:
+                buckets[str(b)] = os.path.join(epoch_dir, f"__bucket={b}")
+            else:
+                del buckets[str(b)]
+        new_manifest = {
+            "version": version,
+            "n_buckets": self.n_buckets,
+            "keys": self.keys,
+            "bucket_keys": self.bucket_keys,
+            "sequence_by": self.sequence_by,
+            "buckets": buckets,
+            "retired": retired,
+            "prev_buckets": dict(manifest["buckets"]),
+            "schema": manifest.get("schema")
+            or StructType(
+                [f for f in kept.schema.fields if f.name != "__bucket"]
+            ).json(),
+        }
+        self._commit_manifest(new_manifest)
+        for rel in manifest.get("retired", ()):
+            gone = os.path.join(self.target_path, rel)
+            shutil.rmtree(gone, ignore_errors=True)
+            parent = os.path.dirname(gone)
+            try:
+                if all(e.startswith("_") for e in os.listdir(parent)):
+                    shutil.rmtree(parent, ignore_errors=True)
+            except FileNotFoundError:
+                pass
+        return n_deleted
+
     def process_batch(self, batch: DataFrame, epoch_id: int) -> None:
         if len(batch.take(1)) == 0:
             return
