@@ -542,3 +542,89 @@ def duplicate_ngram_spans(
             (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
         )
     )
+
+
+EPOCH_SALT = "epoch:"
+
+
+def epoch_shuffle(
+    df: DataFrame, epoch: int, id_col: str = "doc_id", n_parts: int = 64
+) -> DataFrame:
+    """Deterministic cross-run training-data shuffle: every epoch is a
+    full permutation of the corpus, reproducible on any engine, with no
+    RNG state — order is the salted content-free id hash (rehashing per
+    epoch gives independent permutations), and positions come from
+    :func:`global_rank`'s two-phase distributed row_number, so no 100 TB
+    single-partition sort. (doc_id, position): position is 0-based.
+
+    This is the data-order contract a training run needs: restartable
+    from any step (position is a pure function of (epoch, doc_id)),
+    identical across re-runs and cluster sizes.
+    """
+    key = phash(F.col(id_col).cast("string"), f"{EPOCH_SALT}{epoch}:")
+    ranked = global_rank(
+        df.select(F.col(id_col), key.alias("__shuf")),
+        [F.col("__shuf"), F.col(id_col)],
+        rank_col="__r",
+        n_parts=n_parts,
+    )
+    return ranked.select(
+        id_col, (F.col("__r") - 1).alias("position"), F.col("__shuf").alias("shuffle_key")
+    )
+
+
+def mixture_interleave(
+    sources: Sequence[tuple[DataFrame, str, int]],
+    id_col: str = "doc_id",
+    n_parts: int = 64,
+) -> DataFrame:
+    """Weighted-mixture schedule over several corpora (the sampling step
+    that turns N cleaned sources into ONE training stream with target
+    proportions): source s with weight w emits its r-th document at
+    virtual time ~ r/w, so documents interleave in weight proportion from
+    the start rather than concatenating source-by-source.
+
+    Deterministic and engine-portable: within-source order is the salted
+    id hash (an epoch-0 :func:`epoch_shuffle`), virtual time is the
+    integer ``(r+1)*1_000_000 div w`` (exact in any engine; ties break on
+    (source, r)), and both the per-source ranks and the final positions
+    use the distributed two-phase rank — the full schedule for a 100 TB
+    mixture never funnels through one task.
+
+    Returns (source, doc_id, position) with position 0-based over the
+    combined stream.
+    """
+    ranked = []
+    for df, name, weight in sources:
+        if weight <= 0:
+            raise ValueError(f"weight for {name!r} must be positive, got {weight}")
+        key = phash(F.col(id_col).cast("string"), f"mix:{name}:")
+        r = global_rank(
+            df.select(F.col(id_col), key.alias("__shuf")),
+            [F.col("__shuf"), F.col(id_col)],
+            rank_col="__r",
+            n_parts=n_parts,
+        )
+        ranked.append(
+            r.select(
+                F.lit(name).alias("source"),
+                F.col(id_col),
+                # integer div, NOT float-divide-then-cast: an IEEE quotient
+                # that rounds up to a whole number would truncate one off
+                # from the exact floor both engines must agree on
+                F.expr(f"(__r * CAST(1000000 AS BIGINT)) div {weight}").alias("__vt"),
+                (F.col("__r") - 1).alias("__sr"),
+            )
+        )
+    allr = ranked[0]
+    for r in ranked[1:]:
+        allr = allr.unionByName(r)
+    out = global_rank(
+        allr,
+        [F.col("__vt"), F.col("source"), F.col("__sr")],
+        rank_col="__pos",
+        n_parts=n_parts,
+    )
+    return out.select(
+        "source", id_col, (F.col("__pos") - 1).alias("position")
+    )

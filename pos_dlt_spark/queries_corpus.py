@@ -302,3 +302,60 @@ def corpus_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB window CTEs over the identical md5 gram hash."""
     docs = load_table(spark, sf_dir, "documents", spread=True)
     return C.duplicate_ngram_spans(docs, n=SPAN_N, min_docs=2)
+
+
+_EPOCH = 1
+_EP_KEY = phash_sql("CAST(doc_id AS VARCHAR)", f"{C.EPOCH_SALT}{_EPOCH}:")
+
+
+@query(
+    "corpus_epoch_shuffle",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY {_EP_KEY}, doc_id) - 1 AS BIGINT) AS position,
+           {_EP_KEY} AS shuffle_key
+    FROM documents
+    """,
+)
+def corpus_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch-1 training shuffle (corpus.epoch_shuffle):
+    position is a pure function of (epoch, doc_id) — restartable,
+    engine-portable, and a fresh permutation per epoch — computed with
+    the two-phase distributed rank, no global single-partition sort. The
+    oracle is the naive global window over the same salted hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    return C.epoch_shuffle(docs, epoch=_EPOCH)
+
+
+_MIX = (("en", 3), ("de", 1), ("fr", 1))
+
+
+def _mix_oracle() -> str:
+    branches = []
+    for name, w in _MIX:
+        key = phash_sql("CAST(doc_id AS VARCHAR)", f"mix:{name}:")
+        branches.append(f"""
+        SELECT '{name}' AS source, doc_id,
+               (row_number() OVER (ORDER BY {key}, doc_id) * 1000000) // {w} AS vt,
+               row_number() OVER (ORDER BY {key}, doc_id) - 1 AS sr
+        FROM documents WHERE lang = '{name}'""")
+    return f"""
+    WITH u AS ({" UNION ALL ".join(branches)})
+    SELECT source, doc_id,
+           CAST(row_number() OVER (ORDER BY vt, source, sr) - 1 AS BIGINT) AS position
+    FROM u
+    """
+
+
+@query("corpus_mixture_interleave", oracle=_mix_oracle())
+def corpus_mixture_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted mixture schedule (corpus.mixture_interleave): en/de/fr
+    sub-corpora interleave 3:1:1 by integer virtual time over per-source
+    deterministic shuffles — the step that turns N cleaned sources into
+    one proportioned training stream without concatenation artifacts.
+    Both rank levels are the distributed two-phase row_number."""
+    docs = load_table(spark, sf_dir, "documents")
+    sources = [
+        (docs.filter(F.col("lang") == name), name, w) for name, w in _MIX
+    ]
+    return C.mixture_interleave(sources)
