@@ -5,6 +5,8 @@ sf0.001 — plan shape, not data volume, is under test."""
 import pytest
 
 import pos_dlt_spark.queries as Q
+import pos_dlt_spark.queries_analytics  # noqa: F401
+import pos_dlt_spark.queries_corpus  # noqa: F401
 import pos_dlt_spark.queries_ml  # noqa: F401
 from pos_dlt_spark.plans import (
     assert_in_plan,
@@ -171,3 +173,50 @@ def test_join_strategy_hints_are_honored(spark):
     assert "ShuffledHashJoin" in physical_plan(shuffled)
     bcast = big.join(small.hint("broadcast"), "k")
     assert "BroadcastHashJoin" in physical_plan(bcast)
+
+
+def test_duplicate_spans_two_hash_shuffles(q):
+    """Gram-hash agg + per-doc interval merge: equi-partitioned exchanges
+    only — no broadcast of the corpus, no all-pairs join, and the count of
+    hash exchanges stays at the designed 3 (gram agg, semi-join probe
+    side reuse, doc window)."""
+    df = q("corpus_duplicate_spans")
+    assert_not_in_plan(df, "CartesianProduct", "BroadcastNestedLoopJoin")
+    assert count_op(df, "Exchange hashpartitioning") <= 4
+
+
+def test_unigram_logprob_broadcasts_totals_not_vocab_rows(q):
+    """The 1-row corpus totals ride a broadcast crossJoin; the (doc,tok)
+    x vocab join is an equi-join, never a nested loop."""
+    df = q("text_unigram_logprob")
+    assert count_op(df, "BroadcastNestedLoopJoin") <= 1  # the 1-row totals
+    assert_not_in_plan(df, "CartesianProduct")
+
+
+def test_ivfpq_single_corpus_scan_and_broadcast_probes(q):
+    """Assignment + encoding fuse into one corpus scan (no join between
+    an 'assign' pass and an 'encode' pass), and probes broadcast into the
+    candidate join."""
+    df = q("ann_ivfpq_topk")
+    from pos_dlt_spark.plans import physical_plan
+
+    plan = physical_plan(df)
+    assert plan.count("Scan parquet") == 2, plan  # corpus + probes, once each
+    assert_in_plan(df, "BroadcastHashJoin")
+
+
+def test_bloom_prefilter_no_extra_exchange_on_fact(q):
+    """The bloom probe is a scan-stage Filter: the fact side reaches the
+    join through its filter with no additional exchange beyond the join's
+    own, and no nested-loop anywhere."""
+    df = q("join_bloom_prefilter")
+    assert_not_in_plan(df, "CartesianProduct", "BroadcastNestedLoopJoin")
+    assert_in_plan(df, "xxhash64")
+
+
+def test_epoch_shuffle_uses_range_partition_not_single_sort(q):
+    """The distributed rank shows a rangepartitioning exchange and a
+    partition-local window — never a global single-partition Sort."""
+    df = q("corpus_epoch_shuffle")
+    assert count_op(df, "Exchange rangepartitioning") >= 1
+    assert count_op(df, "Exchange SinglePartition") == 0
