@@ -853,3 +853,78 @@ def streaming_sessionized_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sum_dec").cast("double").alias("sum_value"),
         )
     )
+
+
+@query(
+    "streaming_ann_index_build",
+    oracle="""
+    WITH q AS (SELECT vec_id,
+                      list_transform(embedding,
+                          x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+               FROM embeddings),
+    cents AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < 8)
+    SELECT vec_id, cid FROM (
+        SELECT q.vec_id, c.cid,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                   CAST(list_sum(list_transform(range(1, len(q.qv)+1),
+                        i -> q.qv[i] * c.cv[i])) AS DOUBLE)
+                   / sqrt(CAST(list_sum(list_transform(range(1, len(q.qv)+1),
+                        i -> q.qv[i] * q.qv[i])) AS DOUBLE))
+                   / sqrt(CAST(list_sum(list_transform(range(1, len(c.cv)+1),
+                        i -> c.cv[i] * c.cv[i])) AS DOUBLE)) DESC, c.cid) AS rn
+        FROM q CROSS JOIN cents c) t
+    WHERE rn = 1
+    """,
+)
+def streaming_ann_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index build AS A STREAM: embedding vectors arrive in
+    micro-batches, each batch assigns its vectors to the nearest of 8
+    centroid lists (centroids are plan literals — no shuffle touches the
+    vectors), and assignments append into a ``cid=``-partitioned parquet
+    index. The partitioned layout IS the inverted file: a probe routed to
+    nprobe lists reads only those directories (partition pruning,
+    pinned in tests/test_plans.py). Must equal the batch assignment
+    (the IVF oracle's asg CTE) exactly once the stream drains — arrival
+    order cannot matter because assignment is per-row pure."""
+    from pos_dlt_spark.operators import similarity as S
+
+    work = tempfile.mkdtemp(prefix="ann_ingest_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    land = os.path.join(work, "landing")
+    index = os.path.join(work, "index")
+    from pos_dlt_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb.repartition(4).write.parquet(land)
+    cent_rows = (
+        emb.filter(F.col("vec_id") < 8)
+        .select(F.col("vec_id"), S.quantized(F.col("embedding")).alias("cq"))
+        .collect()
+    )
+    centroids = sorted((int(r[0]), list(r[1])) for r in cent_rows)
+
+    def assign_batch(batch: DataFrame, epoch_id: int) -> None:
+        qc = batch.select(
+            "vec_id", S.quantized(F.col("embedding")).alias("qc")
+        ).select("vec_id", "qc", S.norm(F.col("qc")).alias("nc"))
+        out = qc.select(
+            "vec_id",
+            F.array_min(S._centroid_sims("qc", "nc", centroids))["cid"].alias("cid"),
+        )
+        out.write.mode("append").partitionBy("cid").parquet(index)
+
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(land)
+    )
+    q = (
+        stream.writeStream.foreachBatch(assign_batch)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(index).select(
+        "vec_id", F.col("cid").cast("bigint").alias("cid")
+    )

@@ -220,3 +220,21 @@ def test_epoch_shuffle_uses_range_partition_not_single_sort(q):
     df = q("corpus_epoch_shuffle")
     assert count_op(df, "Exchange rangepartitioning") >= 1
     assert count_op(df, "Exchange SinglePartition") == 0
+
+
+def test_streamed_ann_index_prunes_partitions(q):
+    """The cid=-partitioned index built by the streaming ingest IS the
+    inverted file: routing a probe to 2 lists must become PartitionFilters
+    on the index scan — reading nprobe directories, not the corpus."""
+    import pos_dlt_spark.queries_streaming  # noqa: F401 (registers)
+    from pyspark.sql import functions as F
+
+    from pos_dlt_spark.plans import formatted_plan
+
+    df = q("streaming_ann_index_build")
+    probe_lists = df.filter(F.col("cid").isin(2, 5))
+    plan = formatted_plan(probe_lists)
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "cid" in pf.group(1), plan
