@@ -245,3 +245,75 @@ def unigram_logprob(
             ),
         )
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam_num: int = 7,
+    lam_den: int = 10,
+) -> DataFrame:
+    """Interpolated-bigram LM quality scoring — one tier above
+    :func:`unigram_logprob` and the last stop before real perplexity:
+    each within-document transition scores
+    ``ln(λ·P_bi(w|prev) + (1-λ)·P_uni(w))`` with Laplace smoothing on
+    both terms and λ = lam_num/lam_den. Repetitive junk scores HIGH
+    (predictable transitions), shuffled-word salad scores LOW even when
+    its unigrams are common — exactly the failure mode unigram scoring
+    can't see.
+
+    Portability: the inner probability is composed as a fixed-order chain
+    of IEEE double ops mirrored verbatim in the oracle SQL, then quantized
+    to integer micro-nats BEFORE the per-doc sum — the aggregation is
+    exact integer math, summation order free.
+
+    Scale: bigram counts are a groupBy((prev,w)) agg; transitions join the
+    bigram, unigram, and context tables on their keys (equi-shuffles,
+    broadcastable while the vocab fits); corpus totals ride a 1-row
+    crossJoin. Docs with < 2 tokens have no transitions and drop out.
+    """
+    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks")).filter(
+        F.size("__toks") >= 2
+    )
+    pairs = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(__toks) - 2), "
+                "i -> struct(__toks[i] AS prev, __toks[i + 1] AS tok))"
+            )
+        ).alias("p"),
+    ).select(id_col, F.col("p.prev").alias("prev"), F.col("p.tok").alias("tok"))
+    tf = pairs.groupBy(id_col, "prev", "tok").agg(F.count(F.lit(1)).alias("tf"))
+
+    all_toks = df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+    uni = all_toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cu"))
+    totals = uni.agg(F.sum("cu").alias("N"), F.count(F.lit(1)).alias("V"))
+    bi = pairs.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("cb"))
+    ctx = pairs.groupBy("prev").agg(F.count(F.lit(1)).alias("cp"))
+
+    lam = f"(CAST({lam_num} AS DOUBLE) / CAST({lam_den} AS DOUBLE))"
+    p_bi = "(CAST(cb + 1 AS DOUBLE) / CAST(cp + V AS DOUBLE))"
+    p_uni = "(CAST(cu + 1 AS DOUBLE) / CAST(N + V AS DOUBLE))"
+    lp_micro = F.expr(
+        f"CAST(floor(ln({lam} * {p_bi} + (1.0 - {lam}) * {p_uni}) * 1000000) AS BIGINT)"
+    )
+    scored = (
+        tf.join(bi, ["prev", "tok"])
+        .join(ctx, "prev")
+        .join(uni, "tok")
+        .crossJoin(F.broadcast(totals))
+        .withColumn("lp_micro", lp_micro)
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("n_transitions"),
+            F.sum(F.col("tf") * F.col("lp_micro")).alias("sum_lp_micro"),
+        )
+        .withColumn(
+            "avg_logprob",
+            F.expr("CAST(sum_lp_micro AS DOUBLE) / CAST(n_transitions AS DOUBLE) / 1e6"),
+        )
+    )

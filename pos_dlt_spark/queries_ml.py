@@ -1317,3 +1317,49 @@ def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("probe_id")
         .agg((F.count("n2").cast("double") / F.lit(5.0)).alias("recall_at_5"))
     )
+
+
+@query(
+    "text_bigram_logprob",
+    oracle=r"""
+    WITH toks_b AS (SELECT doc_id,
+                           regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                    FROM documents),
+    pairs AS (SELECT doc_id, toks[i] AS prev, toks[i + 1] AS tok
+              FROM toks_b, unnest(range(1, len(toks))) AS u(i)
+              WHERE len(toks) >= 2),
+    tf AS (SELECT doc_id, prev, tok, COUNT(*) AS tf FROM pairs GROUP BY 1, 2, 3),
+    alltok AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+               FROM documents),
+    uni AS (SELECT tok, COUNT(*) AS cu FROM alltok GROUP BY 1),
+    tot AS (SELECT CAST(SUM(cu) AS BIGINT) AS N, CAST(COUNT(*) AS BIGINT) AS V FROM uni),
+    bi AS (SELECT prev, tok, COUNT(*) AS cb FROM pairs GROUP BY 1, 2),
+    ctx AS (SELECT prev, COUNT(*) AS cp FROM pairs GROUP BY 1),
+    s AS (SELECT tf.doc_id, tf.tf,
+                 CAST(floor(ln(
+                     (CAST(7 AS DOUBLE) / CAST(10 AS DOUBLE))
+                       * (CAST(bi.cb + 1 AS DOUBLE) / CAST(ctx.cp + t.V AS DOUBLE))
+                     + (1.0 - (CAST(7 AS DOUBLE) / CAST(10 AS DOUBLE)))
+                       * (CAST(uni.cu + 1 AS DOUBLE) / CAST(t.N + t.V AS DOUBLE))
+                 ) * 1000000) AS BIGINT) AS lp
+          FROM tf
+          JOIN bi ON bi.prev = tf.prev AND bi.tok = tf.tok
+          JOIN ctx ON ctx.prev = tf.prev
+          JOIN uni ON uni.tok = tf.tok, tot t)
+    SELECT doc_id,
+           CAST(SUM(tf) AS BIGINT) AS n_transitions,
+           CAST(SUM(tf * lp) AS BIGINT) AS sum_lp_micro,
+           CAST(SUM(tf * lp) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE) / 1e6 AS avg_logprob
+    FROM s GROUP BY doc_id
+    """,
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated-bigram LM scoring (operators/text.py:bigram_logprob,
+    λ=0.7): per-transition ln(λ·P_bi + (1-λ)·P_uni) in integer micro-nats
+    — catches word-salad that unigram frequencies can't. The probability
+    chain is a fixed-order IEEE double expression mirrored verbatim in
+    the oracle; sums are exact bigints."""
+    from pos_dlt_spark.operators.text import bigram_logprob
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return bigram_logprob(docs)
