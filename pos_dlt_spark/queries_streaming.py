@@ -747,10 +747,13 @@ def streaming_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataF
         & (F.col("click_ts") <= F.col("purchase_ts")),
         "left_outer",
     )
+    # parquet sink + distributed re-scan: the joined rows never pass
+    # through a driver-held memory-sink relation
+    out_dir = os.path.join(work, "joined")
     with _stream_state_partitions(spark):
         q = (
-            joined.writeStream.format("memory")
-            .queryName(name)
+            joined.writeStream.format("parquet")
+            .option("path", out_dir)
             .outputMode("append")
             .option("checkpointLocation", os.path.join(work, "ckpt"))
             .trigger(availableNow=True)
@@ -758,7 +761,7 @@ def streaming_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataF
         )
         q.awaitTermination()
     return (
-        spark.table(name)
+        spark.read.parquet(out_dir)
         .filter(F.col("purchase_id") > 0)  # drop the flush sentinel
         .select(
             "purchase_id",
@@ -832,10 +835,15 @@ def streaming_sessionized_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_dec"),
         )
     )
+    # append-mode rows land in a parquet sink under the session-lifetime
+    # workdir, and the result is a distributed re-scan — the ~95k session
+    # rows never funnel through a driver-held memory-sink relation (the
+    # same no-driver-materialization rule as the CDC target)
+    out_dir = os.path.join(work, "sessions")
     with _stream_state_partitions(spark):
         q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
+            agg.writeStream.format("parquet")
+            .option("path", out_dir)
             .outputMode("append")
             .option("checkpointLocation", os.path.join(work, "ckpt"))
             .trigger(availableNow=True)
@@ -843,7 +851,7 @@ def streaming_sessionized_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return (
-        spark.table(name)
+        spark.read.parquet(out_dir)
         .filter(F.col("user_id") >= 0)
         .select(
             "user_id",
