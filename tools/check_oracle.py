@@ -13,6 +13,7 @@ from __future__ import annotations
 import math
 import os
 import sys
+import time
 
 import duckdb
 import pandas as pd
@@ -112,7 +113,9 @@ def main() -> int:
             return 2
         qs = {n: f for n, f in qs.items() if n in only}
     failed = []
+    timings: dict[str, float] = {}
     for name, fn in qs.items():
+        t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
             if name in oracles:
@@ -124,14 +127,17 @@ def main() -> int:
                 print(f"  (rows-only) {name}: {n} rows")
         except Exception as ex:  # noqa: BLE001
             errs = [f"EXCEPTION: {type(ex).__name__}: {ex}"]
+        timings[name] = time.time() - t0
         if errs:
             failed.append(name)
-            print(f"FAIL {name}")
+            print(f"FAIL {name}  [{timings[name]:.1f}s]")
             for err in errs:
                 print(f"  {err}")
         else:
-            print(f"OK   {name}")
-    print(f"\n{len(qs) - len(failed)}/{len(qs)} queries match at {sf_dir}")
+            print(f"OK   {name}  [{timings[name]:.1f}s]")
+    slow = sorted(timings.items(), key=lambda kv: -kv[1])[:8]
+    print("\nslowest (spark+duckdb per query): " + ", ".join(f"{n}={t:.1f}s" for n, t in slow))
+    print(f"{len(qs) - len(failed)}/{len(qs)} queries match at {sf_dir}")
     return 1 if failed else 0
 
 
