@@ -73,3 +73,57 @@ def test_connected_components_matches_union_find(spark, edges, forced_distribute
         for r in connected_components(df, "src", "dst", driver_threshold=thresh).collect()
     }
     assert got == set(_uf(edges).items())
+
+
+# -- duplicate_ngram_spans vs brute force -----------------------------------
+
+DOCS = st.lists(
+    st.lists(st.sampled_from("abcde"), min_size=0, max_size=12),  # small alphabet -> collisions likely
+    min_size=1, max_size=8,
+)
+
+
+def _brute_spans(docs, n):
+    """Reference: positional n-grams, cross-doc duplicated grams, merged
+    [p, p+n) intervals chaining while next.pos <= prev.pos + n."""
+    grams = {}  # gram -> set(doc)
+    pos = {}  # doc -> [p, ...]
+    for d, toks in enumerate(docs):
+        for p in range(len(toks) - n + 1):
+            grams.setdefault(tuple(toks[p : p + n]), set()).add(d)
+    for d, toks in enumerate(docs):
+        ps = [
+            p
+            for p in range(len(toks) - n + 1)
+            if len(grams[tuple(toks[p : p + n])]) >= 2
+        ]
+        if ps:
+            pos[d] = ps
+    out = set()
+    for d, ps in pos.items():
+        start, end = ps[0], ps[0] + n
+        for p in ps[1:]:
+            if p <= end:  # p - prev <= n  <=>  p <= prev + n; end tracks prev+n
+                end = p + n
+            else:
+                out.add((d, start, end))
+                start, end = p, p + n
+        out.add((d, start, end))
+    return out
+
+
+@given(docs=DOCS, n=st.sampled_from([2, 3]))
+@_SETTINGS
+def test_duplicate_spans_equal_brute_force(spark, docs, n):
+    from pos_dlt_spark.operators.corpus import duplicate_ngram_spans
+
+    rows = [(i, " ".join(t)) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in duplicate_ngram_spans(df, n=n, min_docs=2).collect()
+    }
+    # brute force works on the same whitespace tokens; empty docs tokenize
+    # to [''] (split of ''), mirroring tokens()'s behavior on empty text
+    toks = [t if t else [""] for t in docs]
+    assert got == _brute_spans(toks, n)
