@@ -1,4 +1,5 @@
-"""TPC-H-shape query batch 2 (q7/q8/q10/q12/q13/q14/q15/q19/q21).
+"""TPC-H-shape query batch 2 (q7/q8/q10/q12/q13/q14/q15/q19/q21) plus the
+partsupp-dependent batch 3 (q2/q9/q11/q16/q20) over a DERIVED partsupp.
 
 The testdata star schema is slimmed TPC-H (no partsupp table; lineitem has
 no l_shipmode/l_commitdate/l_receiptdate; part has no p_container), so
@@ -6,7 +7,9 @@ queries whose predicates need those columns are *adapted* to equivalent
 shapes over the available columns — the operator structure under test
 (join topology, correlated [NOT] EXISTS, disjunctive pushdown, scalar
 subquery, outer-join distribution) is the point, not the TPC-H parameter
-text. q2/q9/q11/q16/q20 need partsupp and are omitted.
+text. The partsupp five derive their table deterministically from
+part x supplier (see the batch-3 banner below) so every TPC-H operator
+shape is now exercised.
 
 Determinism rules follow the queries.py header: money aggregated as
 DECIMAL(18,2) and cast to DOUBLE once at the end; every top-k carries a
@@ -443,3 +446,312 @@ def tpch_q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFra
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# partsupp-dependent shapes (q2/q9/q11/q16/q20). The testdata has no
+# partsupp table, so one is DERIVED deterministically from part x supplier
+# — 4 suppliers per part at (p_partkey + i*37) mod |supplier|, quantities
+# and costs from the portable md5 phash — with the IDENTICAL derivation in
+# the DuckDB oracle CTE. The operator shapes under test (correlated min,
+# profit join topology, HAVING scalar subquery, NOT-IN anti join + distinct
+# count, nested correlated IN) are exactly TPC-H's; only the table is
+# synthetic. Costs stay integer CENTS through every aggregate (exact,
+# order-free); division to currency happens once per output row.
+# ---------------------------------------------------------------------------
+
+from pos_dlt_spark.functions import phash, phash_sql  # noqa: E402
+
+_PS_SUPP = "(p_partkey + i * 37) % ns"
+_PS_CTE = f"""
+ns_t AS (SELECT COUNT(*) AS ns FROM supplier),
+partsupp AS (
+    SELECT p_partkey AS ps_partkey,
+           {_PS_SUPP} AS ps_suppkey,
+           ({phash_sql(f"CAST(p_partkey AS VARCHAR) || '-' || CAST({_PS_SUPP} AS VARCHAR) || '-av'")}) % 9999 + 1 AS ps_availqty,
+           ({phash_sql(f"CAST(p_partkey AS VARCHAR) || '-' || CAST({_PS_SUPP} AS VARCHAR) || '-sc'")}) % 100000 + 1 AS ps_supplycost_cents
+    FROM part, (SELECT unnest(range(0, 4)) AS i) t_i, ns_t
+)"""
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark twin of _PS_CTE: 4 deterministic suppliers per part.
+    |supplier| rides a 1-row broadcast crossJoin (no collect); availqty
+    and cost come from the engine-portable md5 phash, so the derived
+    table is bit-identical to the oracle's CTE on any engine."""
+    part = load_table(spark, sf_dir, "part").select("p_partkey")
+    ns = load_table(spark, sf_dir, "supplier").agg(F.count(F.lit(1)).alias("ns"))
+    base = (
+        part.crossJoin(F.broadcast(ns))
+        .select("p_partkey", "ns", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("i"))
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            F.pmod(F.col("p_partkey") + F.col("i") * 37, F.col("ns")).alias("ps_suppkey"),
+        )
+    )
+    key = F.concat_ws(
+        "-", F.col("ps_partkey").cast("string"), F.col("ps_suppkey").cast("string")
+    )
+    return base.select(
+        "ps_partkey",
+        "ps_suppkey",
+        (F.pmod(phash(F.concat(key, F.lit("-av"))), F.lit(9999)) + 1).alias("ps_availqty"),
+        (F.pmod(phash(F.concat(key, F.lit("-sc"))), F.lit(100000)) + 1).alias(
+            "ps_supplycost_cents"
+        ),
+    )
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    oracle=f"""
+    WITH {_PS_CTE},
+    elig AS (
+        SELECT ps.ps_partkey, ps.ps_supplycost_cents,
+               s.s_acctbal, s.s_name, n.n_name
+        FROM partsupp ps
+        JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'ASIA'),
+    fil AS (
+        SELECT e.* FROM elig e
+        JOIN part p ON p.p_partkey = e.ps_partkey
+        WHERE p.p_size = 15 AND p.p_type = 'ECONOMY'),
+    m AS (SELECT ps_partkey, MIN(ps_supplycost_cents) AS mn FROM fil GROUP BY 1)
+    SELECT f.s_acctbal, f.s_name, f.n_name, f.ps_partkey,
+           CAST(f.ps_supplycost_cents AS DOUBLE) / 100 AS supplycost
+    FROM fil f JOIN m ON m.ps_partkey = f.ps_partkey
+                     AND f.ps_supplycost_cents = m.mn
+    ORDER BY f.s_acctbal DESC, f.n_name, f.s_name, f.ps_partkey
+    LIMIT 100
+    """,
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: the correlated min-cost subquery, decorrelated the
+    way an engine should — compute min cost per part over the
+    region-eligible supplier set ONCE (groupBy), join back on
+    (part, cost=min). Integer-cents equality join, no correlated
+    re-execution per row."""
+    ps = _partsupp(spark, sf_dir)
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "ECONOMY")
+    )
+    elig = (
+        ps.join(supp, ps["ps_suppkey"] == supp["s_suppkey"])
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    fil = elig.join(
+        F.broadcast(part.select("p_partkey")), F.col("ps_partkey") == F.col("p_partkey")
+    )
+    mn = fil.groupBy(F.col("ps_partkey").alias("__pk")).agg(
+        F.min("ps_supplycost_cents").alias("mn")
+    )
+    out = fil.join(
+        mn,
+        (F.col("ps_partkey") == F.col("__pk"))
+        & (F.col("ps_supplycost_cents") == F.col("mn")),
+    )
+    return (
+        out.select(
+            "s_acctbal", "s_name", "n_name", "ps_partkey",
+            (F.col("ps_supplycost_cents").cast("double") / 100).alias("supplycost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "ps_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "tpch_q9_product_profit",
+    oracle=f"""
+    WITH {_PS_CTE}
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS o_year,
+           CAST(SUM({_REV}) AS DOUBLE) AS revenue,
+           CAST(SUM(ps.ps_supplycost_cents * CAST(l.l_quantity AS BIGINT)) AS BIGINT)
+               AS supply_cost_cents
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN partsupp ps ON ps.ps_partkey = l.l_partkey AND ps.ps_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%gear%'
+    GROUP BY 1, 2
+    """,
+)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit topology — lineitem joined to part,
+    supplier, the (partkey, suppkey) composite-keyed partsupp, orders,
+    and nation. Only ~1/4 of lineitem rows survive the partsupp composite
+    join (4 of |supplier| suppliers carry each part) — the join IS a
+    filter, which is Q9's planning trap. Revenue aggregates in
+    DECIMAL(18,2); cost stays integer cents."""
+    ps = _partsupp(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    j = (
+        li.join(F.broadcast(part.select("p_partkey")), li["l_partkey"] == F.col("p_partkey"))
+        .join(supp, li["l_suppkey"] == F.col("s_suppkey"))
+        .join(
+            ps,
+            (li["l_partkey"] == ps["ps_partkey"]) & (li["l_suppkey"] == ps["ps_suppkey"]),
+        )
+        .join(orders, li["l_orderkey"] == F.col("o_orderkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return j.groupBy(
+        F.col("n_name").alias("nation"),
+        F.year("o_orderdate").cast("int").alias("o_year"),
+    ).agg(
+        F.sum(_rev_col()).cast("double").alias("revenue"),
+        F.sum(F.col("ps_supplycost_cents") * F.col("l_quantity").cast("bigint"))
+        .cast("bigint")
+        .alias("supply_cost_cents"),
+    )
+
+
+@query(
+    "tpch_q11_important_stock",
+    oracle=f"""
+    WITH {_PS_CTE},
+    v AS (
+        SELECT ps.ps_partkey,
+               CAST(SUM(ps.ps_supplycost_cents * ps.ps_availqty) AS BIGINT) AS value_cents
+        FROM partsupp ps
+        JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_name = 'NATION_1'
+        GROUP BY 1),
+    tot AS (SELECT CAST(SUM(value_cents) AS BIGINT) AS t FROM v)
+    SELECT ps_partkey, value_cents
+    FROM v, tot
+    WHERE value_cents * 1000 > t
+    """,
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: HAVING against a scalar subquery over the SAME
+    aggregation — parts holding > 0.1% of one nation's stock value. The
+    threshold compare is exact integer math (value*1000 > total), no
+    float fraction; the total rides a 1-row broadcast."""
+    ps = _partsupp(spark, sf_dir)
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    v = (
+        ps.join(supp, ps["ps_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("ps_partkey")
+        .agg(
+            F.sum(F.col("ps_supplycost_cents") * F.col("ps_availqty"))
+            .cast("bigint")
+            .alias("value_cents")
+        )
+    )
+    tot = v.agg(F.sum("value_cents").cast("bigint").alias("t"))
+    return (
+        v.crossJoin(F.broadcast(tot))
+        .filter(F.col("value_cents") * 1000 > F.col("t"))
+        .select("ps_partkey", "value_cents")
+    )
+
+
+@query(
+    "tpch_q16_supplier_relationship",
+    oracle=f"""
+    WITH {_PS_CTE}
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT ps.ps_suppkey) AS BIGINT) AS supplier_cnt
+    FROM partsupp ps
+    JOIN part p ON p.p_partkey = ps.ps_partkey
+    WHERE p.p_brand <> 'Brand#9'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND ps.ps_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    """,
+)
+def tpch_q16_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: NOT IN over a subquery as an ANTI JOIN (the
+    excluded 'complaint' suppliers stand in as negative-balance ones —
+    the key set is non-null so NOT IN and anti join agree), then a
+    COUNT(DISTINCT) per (brand, type, size) bucket."""
+    ps = _partsupp(spark, sf_dir)
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#9")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+    )
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("ps_suppkey"))
+    )
+    return (
+        ps.join(bad, "ps_suppkey", "left_anti")
+        .join(F.broadcast(part), ps["ps_partkey"] == part["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("ps_suppkey").cast("bigint").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "tpch_q20_potential_promotion",
+    oracle=f"""
+    WITH {_PS_CTE},
+    shipped AS (
+        SELECT l_partkey, l_suppkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY 1, 2),
+    cand AS (
+        SELECT DISTINCT ps.ps_suppkey
+        FROM partsupp ps
+        JOIN part p ON p.p_partkey = ps.ps_partkey AND p.p_name LIKE 'small%'
+        JOIN shipped sh ON sh.l_partkey = ps.ps_partkey AND sh.l_suppkey = ps.ps_suppkey
+        WHERE ps.ps_availqty * 2 > sh.qty)
+    SELECT s.s_name, s.s_nationkey
+    FROM supplier s JOIN cand ON cand.ps_suppkey = s.s_suppkey
+    """,
+)
+def tpch_q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: the nested correlated IN chain (suppliers whose
+    stock of 'small%' parts exceeds half what they shipped in 1996)
+    decorrelated into joins — shipped quantities pre-aggregated per
+    (part, supplier), the excess test as exact integer compare
+    (2*availqty > qty), then a distinct semi join back to supplier."""
+    ps = _partsupp(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    supp = load_table(spark, sf_dir, "supplier")
+    shipped = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("qty"))
+    )
+    cand = (
+        ps.join(F.broadcast(part.select("p_partkey")), ps["ps_partkey"] == F.col("p_partkey"))
+        .join(
+            shipped,
+            (ps["ps_partkey"] == shipped["l_partkey"])
+            & (ps["ps_suppkey"] == shipped["l_suppkey"]),
+        )
+        .filter(F.col("ps_availqty") * 2 > F.col("qty"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    return supp.join(
+        cand, supp["s_suppkey"] == cand["ps_suppkey"], "left_semi"
+    ).select("s_name", "s_nationkey")
