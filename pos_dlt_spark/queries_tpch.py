@@ -541,8 +541,8 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_size") == 15) & (F.col("p_type") == "ECONOMY")
     )
     elig = (
-        ps.join(supp, ps["ps_suppkey"] == supp["s_suppkey"])
-        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        ps.join(F.broadcast(supp), ps["ps_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
     )
     fil = elig.join(
@@ -600,7 +600,7 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     j = (
         li.join(F.broadcast(part.select("p_partkey")), li["l_partkey"] == F.col("p_partkey"))
-        .join(supp, li["l_suppkey"] == F.col("s_suppkey"))
+        .join(F.broadcast(supp), li["l_suppkey"] == F.col("s_suppkey"))
         .join(
             ps,
             (li["l_partkey"] == ps["ps_partkey"]) & (li["l_suppkey"] == ps["ps_suppkey"]),
@@ -646,7 +646,7 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
     v = (
-        ps.join(supp, ps["ps_suppkey"] == supp["s_suppkey"])
+        ps.join(F.broadcast(supp), ps["ps_suppkey"] == supp["s_suppkey"])
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("ps_partkey")
         .agg(
