@@ -628,3 +628,51 @@ def mixture_interleave(
     return out.select(
         "source", id_col, (F.col("__pos") - 1).alias("position")
     )
+
+
+SAMPLE_WS_SALT = "ws:"
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    by: str | None = None,
+    id_col: str = "doc_id",
+    pre_buckets: int | None = 32,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement — k rows (per
+    ``by`` group, or globally when ``by`` is None) drawn with probability
+    proportional to ``weight_col``, Efraimidis–Spirakis style: each row's
+    key is ln(u)/w with u a content-free salted-hash uniform in (0, 1],
+    and the k largest keys win. No RNG state, reproducible in any engine
+    (the key chain is identical IEEE double ops both sides), restartable.
+
+    Skew: the naive per-group window funnels a giant group through one
+    task. Same two-phase trick as :func:`domain_cap` (and the same
+    correctness argument): rows pre-rank within (group, hash-bucket) and
+    only each bucket's top-k reach the exact final window — any true
+    top-k row ranks <= k in its own bucket, so no survivor is dropped.
+    """
+    u = (phash(F.col(id_col).cast("string"), SAMPLE_WS_SALT) + 1).cast("double") / F.lit(
+        4294967296.0
+    )
+    score = F.log(u) / F.col(weight_col).cast("double")
+    group = [by] if by else []
+    base = df.withColumn("__ws", score)
+    if pre_buckets is not None:
+        bucket = F.pmod(F.xxhash64(F.col(id_col)), F.lit(pre_buckets))
+        w_pre = Window.partitionBy(*group, bucket).orderBy(
+            F.col("__ws").desc(), F.col(id_col)
+        )
+        base = (
+            base.withColumn("__pre", F.row_number().over(w_pre))
+            .filter(F.col("__pre") <= k)
+            .drop("__pre")
+        )
+    w = Window.partitionBy(*group).orderBy(F.col("__ws").desc(), F.col(id_col))
+    return (
+        base.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk", "__ws")
+    )

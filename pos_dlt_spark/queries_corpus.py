@@ -359,3 +359,38 @@ def corpus_mixture_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         (docs.filter(F.col("lang") == name), name, w) for name, w in _MIX
     ]
     return C.mixture_interleave(sources)
+
+
+_WS_KEY = (
+    f"ln((CAST({phash_sql('CAST(doc_id AS VARCHAR)', C.SAMPLE_WS_SALT)} + 1 AS DOUBLE))"
+    " / 4294967296.0) / CAST(ntok AS DOUBLE)"
+)
+
+
+@query(
+    "corpus_weighted_sample",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, lang, {_NTOK_SQL} AS ntok FROM documents),
+    s AS (SELECT doc_id, lang, ntok, {_WS_KEY} AS key FROM w),
+    r AS (SELECT lang, doc_id, ntok,
+                 row_number() OVER (PARTITION BY lang ORDER BY key DESC, doc_id) AS rk
+          FROM s)
+    SELECT lang, doc_id, CAST(ntok AS BIGINT) AS n_tokens
+    FROM r WHERE rk <= 5
+    """,
+)
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (corpus.weighted_sample,
+    Efraimidis–Spirakis): 5 docs per language, probability proportional
+    to token count, keys ln(u)/w from the salted md5 uniform — no RNG
+    state, identical IEEE op chain in both engines, two-phase windows so
+    a giant language never funnels through one task."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    from pos_dlt_spark.operators.text import tokens as _tk
+
+    with_w = docs.select(
+        "doc_id", "lang", F.size(_tk(F.col("text"))).cast("bigint").alias("n_tokens")
+    )
+    return C.weighted_sample(
+        with_w, k=5, weight_col="n_tokens", by="lang", pre_buckets=8
+    ).select("lang", "doc_id", "n_tokens")

@@ -45,3 +45,33 @@ def test_mixture_rejects_bad_weight(spark):
     a = spark.range(10).select(F.col("id").alias("doc_id"))
     with pytest.raises(ValueError, match="positive"):
         C.mixture_interleave([(a, "x", 0)])
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    """Statistical sanity + mechanics: k per group, no replacement, and
+    across groups the heavy-weight rows win far more often than light
+    ones (weight 100 vs 1)."""
+    from pyspark.sql import functions as F
+
+    # group = i % 20, so members step by 20; weight must vary WITHIN a
+    # group -> key it off i // 20 (10 heavy + 10 light per group)
+    rows = [(i, "g%d" % (i % 20), 100 if (i // 20) % 2 == 0 else 1) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, w long")
+    out = C.weighted_sample(df, k=3, weight_col="w", by="grp", pre_buckets=4).collect()
+    assert len(out) == 60 and len({r["doc_id"] for r in out}) == 60
+    per_group = {}
+    for r in out:
+        per_group.setdefault(r["grp"], []).append(r["doc_id"])
+    assert all(len(v) == 3 for v in per_group.values())
+    heavy = sum(1 for r in out if r["w"] == 100)
+    assert heavy >= 45, heavy  # E[heavy] ~ 59/60 at 100:1 odds
+
+
+def test_weighted_sample_two_phase_equals_single_window(spark):
+    from pyspark.sql import functions as F
+
+    rows = [(i, "g", (i % 7) + 1) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, w long")
+    two = {r["doc_id"] for r in C.weighted_sample(df, 10, "w", by="grp", pre_buckets=16).collect()}
+    one = {r["doc_id"] for r in C.weighted_sample(df, 10, "w", by="grp", pre_buckets=None).collect()}
+    assert two == one
