@@ -64,12 +64,20 @@ def normalize_timestamps(df: DataFrame, name: str = "") -> DataFrame:
     sees one stable type whatever the next regeneration emits.
     """
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType, TimestampNTZType
+    from pyspark.sql.types import DateType, LongType, TimestampNTZType
 
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
-    for c in ntz:
+    # DATE included as generator-drift insurance (no date columns today):
+    # a DATE-typed o_orderdate would otherwise surface as datetime.date
+    # rows against the oracle's midnight timestamps and break date_trunc /
+    # interval arithmetic; the midnight-UTC cast is value-preserving.
+    fix = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (TimestampNTZType, DateType))
+    ]
+    for c in fix:
         df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
