@@ -394,3 +394,125 @@ def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.weighted_sample(
         with_w, k=5, weight_col="n_tokens", by="lang", pre_buckets=8
     ).select("lang", "doc_id", "n_tokens")
+
+
+def _training_set_oracle() -> str:
+    from pos_dlt_spark.queries_ml import (
+        _BANDS_CTE,
+        _NPUNCT,
+        _NSTOP,
+        _SIG_CTE,
+    )
+
+    return f"""
+    WITH {_TOKS_CTE}, {_SH_CTE}, {_HSH_CTE}, {_SIG_CTE}, {_BANDS_CTE},
+    feats AS (
+        SELECT doc_id,
+               least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.4
+                 + least(CAST({_NSTOP} AS DOUBLE) / len(toks) * 5.0, 1.0) * 0.4
+                 + (1.0 - least(CAST({_NPUNCT} AS DOUBLE) / length(text) * 10.0, 1.0)) * 0.2
+                   AS quality_score
+        FROM toks_t),
+    quality AS (SELECT doc_id FROM feats WHERE quality_score >= 0.3),
+    exact_canon AS (
+        SELECT MIN(doc_id) AS doc_id
+        FROM documents
+        GROUP BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))),
+    survivors0 AS (
+        SELECT q.doc_id FROM quality q JOIN exact_canon e ON q.doc_id = e.doc_id),
+    near_pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+    near_dropped AS (
+        SELECT DISTINCT p.id_b AS doc_id
+        FROM near_pairs p
+        JOIN hs_t sa ON p.id_a = sa.doc_id
+        JOIN hs_t sb ON p.id_b = sb.doc_id
+        WHERE CAST(len(list_intersect(sa.hsh, sb.hsh)) AS DOUBLE)
+                / (CAST(len(sa.hsh) + len(sb.hsh) AS DOUBLE)
+                   - len(list_intersect(sa.hsh, sb.hsh))) >= 0.5),
+    clean AS (
+        SELECT s.doc_id FROM survivors0 s
+        LEFT JOIN near_dropped d ON s.doc_id = d.doc_id
+        WHERE d.doc_id IS NULL),
+    t_sh AS (SELECT c.doc_id AS train_id, unnest(h.hsh) AS h
+             FROM clean c JOIN hs_t h ON h.doc_id = c.doc_id
+             WHERE c.doc_id >= {BENCH_MAX_ID}),
+    b_sh AS (SELECT doc_id AS bench_id, unnest(hsh) AS h
+             FROM hs_t WHERE doc_id < {BENCH_MAX_ID}),
+    contam AS (
+        SELECT train_id AS doc_id FROM t_sh JOIN b_sh USING (h)
+        GROUP BY train_id, bench_id HAVING COUNT(*) >= {MIN_SHARED}),
+    kept AS (
+        SELECT c.doc_id FROM clean c
+        WHERE c.doc_id >= {BENCH_MAX_ID}
+          AND c.doc_id NOT IN (SELECT doc_id FROM contam)
+          AND {_BUCKET_SQL} < 80),
+    lens AS (SELECT k.doc_id, {_NTOK_SQL} AS n_tokens
+             FROM kept k JOIN documents USING (doc_id)),
+    packed AS (
+        SELECT doc_id, n_tokens,
+               SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS cb
+        FROM lens)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cb // {PACK_BUDGET} AS BIGINT) AS bin_id,
+           CAST(cb % {PACK_BUDGET} AS BIGINT) AS bin_offset
+    FROM packed
+    """
+
+
+@query("corpus_training_set_pipeline", oracle=_training_set_oracle())
+def corpus_training_set_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE corpus-assembly workload as ONE declarative plan:
+    quality filter -> exact dedup (min-id canonical) -> MinHash-LSH
+    near-dup removal -> benchmark decontamination (drop train docs
+    sharing >= 5 shingles with any bench doc) -> 80% train split by
+    salted hash -> token-budget sequence packing with the distributed
+    prefix sum. Every stage is an already-gated operator; this query is
+    the proof they compose — Catalyst sees one tree, reuses the
+    tokenize/shingle projections, and never materializes an intermediate
+    table. Output: the packed training set (doc_id, n_tokens, bin_id,
+    bin_offset)."""
+    from pos_dlt_spark.operators import dedup as D
+    from pos_dlt_spark.operators import text as T
+    from pos_dlt_spark.queries_ml import BANDS, N_HASHES, SHINGLE_N
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    quality = (
+        T.quality_features(docs).filter(F.col("quality_score") >= 0.3).select("doc_id")
+    )
+    exact_canon = D.exact_dedup_groups(docs).select(
+        F.col("canonical_id").alias("doc_id")
+    )
+    near_dropped = (
+        D.minhash_lsh_dedup_pairs(
+            docs, n_hashes=N_HASHES, bands=BANDS, shingle_n=SHINGLE_N, threshold=0.5
+        )
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    clean = quality.join(exact_canon, "doc_id").join(near_dropped, "doc_id", "left_anti")
+    train_pool = docs.join(
+        clean.filter(F.col("doc_id") >= BENCH_MAX_ID), "doc_id", "left_semi"
+    )
+    bench = docs.filter(F.col("doc_id") < BENCH_MAX_ID)
+    contam = (
+        C.contamination_pairs(train_pool, bench, shingle_n=SHINGLE_N, min_shared=MIN_SHARED)
+        .select(F.col("train_id").alias("doc_id"))
+        .distinct()
+    )
+    kept = (
+        C.split_assign(train_pool.join(contam, "doc_id", "left_anti"))
+        .filter(F.col("split") == "train")
+        .select("doc_id", "text")
+        # pack_sequences runs two bounded driver actions (id min/max,
+        # per-part counts) before the final result: checkpointing the
+        # survivor set here makes the expensive clean/LSH/decontam
+        # upstream execute ONCE instead of once per action (13.5 -> ~4 s
+        # at sf0.001). The materialized set is the cleaned corpus —
+        # exactly what a real pipeline persists between stages anyway.
+        .localCheckpoint(eager=True)
+    )
+    return C.pack_sequences(kept, budget=PACK_BUDGET, n_parts=16)
