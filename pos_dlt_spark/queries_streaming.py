@@ -811,7 +811,11 @@ def streaming_sessionized_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     atexit.register(shutil.rmtree, work, ignore_errors=True)
     land = os.path.join(work, "landing")
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
-    ev.repartition(4).write.parquet(land)
+    # 2 data files at maxFilesPerTrigger=2 -> one data batch, then the
+    # sentinel batch, then the no-data flush: session state still crosses
+    # batch boundaries (what the query demonstrates) at the minimum
+    # micro-batch count — each extra batch re-pays state snapshots
+    ev.repartition(2).write.parquet(land)
     import datetime as _dt
 
     max_ts = ev.agg(F.max("ts")).collect()[0][0]

@@ -238,3 +238,12 @@ def test_streamed_ann_index_prunes_partitions(q):
 
     pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert pf and "cid" in pf.group(1), plan
+
+
+def test_training_set_pipeline_no_allpairs(q):
+    """Six composed stages must stay equi-everything: no cartesian or
+    nested-loop anywhere in the full training-set assembly plan."""
+    df = q("corpus_training_set_pipeline")
+    assert_not_in_plan(df, "CartesianProduct")
+    # the only BNLJ allowed is a 1-row literal broadcast (none expected)
+    assert count_op(df, "BroadcastNestedLoopJoin") == 0
