@@ -676,3 +676,46 @@ def weighted_sample(
         .filter(F.col("__rk") <= k)
         .drop("__rk", "__ws")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    max_tokens: int = 128,
+    stride: int = 96,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Context-window chunking: split each document into windows of
+    ``max_tokens`` tokens starting every ``stride`` tokens (overlap =
+    max_tokens - stride, the standard sliding layout for LM training and
+    retrieval indexing). Pure per-row array expressions — one tokenize
+    projection, a per-row transform over the start offsets, one explode;
+    no shuffle, runs at scan speed.
+
+    Returns (id, chunk_idx, start_tok, end_tok, n_chunk_tokens,
+    chunk_text) with end_tok exclusive and clamped to the doc length;
+    every doc yields >= 1 chunk (a short doc is one short chunk).
+    """
+    if stride <= 0 or max_tokens <= 0:
+        raise ValueError(f"max_tokens and stride must be positive, got {max_tokens}, {stride}")
+    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    n = F.size("__toks")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n - 1, F.lit(stride)),
+        lambda s: F.struct(
+            s.alias("start_tok"),
+            F.least(s + max_tokens, n).alias("end_tok"),
+            F.array_join(
+                F.slice(F.col("__toks"), (s + 1).cast("int"), max_tokens), " "
+            ).alias("chunk_text"),
+        ),
+    )
+    out = toks.select(F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "c"))
+    return out.select(
+        id_col,
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.col("c.start_tok").cast("bigint").alias("start_tok"),
+        F.col("c.end_tok").cast("bigint").alias("end_tok"),
+        (F.col("c.end_tok") - F.col("c.start_tok")).cast("bigint").alias("n_chunk_tokens"),
+        F.col("c.chunk_text"),
+    )

@@ -516,3 +516,33 @@ def corpus_training_set_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     return C.pack_sequences(kept, budget=PACK_BUDGET, n_parts=16)
+
+
+CHUNK_MAX, CHUNK_STRIDE = 64, 48
+
+
+@query(
+    "corpus_chunk_documents",
+    oracle=f"""
+    WITH toks_c AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    c AS (SELECT doc_id, toks, len(toks) AS n,
+                 unnest(range(0, len(toks), {CHUNK_STRIDE})) AS start
+          FROM toks_c)
+    SELECT doc_id,
+           CAST(start // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+           CAST(start AS BIGINT) AS start_tok,
+           CAST(least(start + {CHUNK_MAX}, n) AS BIGINT) AS end_tok,
+           CAST(least(start + {CHUNK_MAX}, n) - start AS BIGINT) AS n_chunk_tokens,
+           array_to_string(toks[start + 1 : least(start + {CHUNK_MAX}, n)], ' ')
+               AS chunk_text
+    FROM c
+    """,
+)
+def corpus_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding context-window chunking (corpus.chunk_documents): 64-token
+    windows every 48 tokens (16-token overlap) — the LM-training /
+    retrieval-indexing layout — as pure per-row array expressions, no
+    shuffle. chunk_idx is start/stride by construction, mirrored exactly
+    in the oracle."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return C.chunk_documents(docs, max_tokens=CHUNK_MAX, stride=CHUNK_STRIDE)
