@@ -546,3 +546,116 @@ def corpus_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the oracle."""
     docs = load_table(spark, sf_dir, "documents", spread=True)
     return C.chunk_documents(docs, max_tokens=CHUNK_MAX, stride=CHUNK_STRIDE)
+
+
+def _audit_oracle() -> str:
+    from pos_dlt_spark.queries_ml import (
+        _BANDS_CTE,
+        _NPUNCT,
+        _NSTOP,
+        _SIG_CTE,
+    )
+
+    return f"""
+    WITH {_TOKS_CTE}, {_SH_CTE}, {_HSH_CTE}, {_SIG_CTE}, {_BANDS_CTE},
+    feats AS (
+        SELECT doc_id,
+               least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.4
+                 + least(CAST({_NSTOP} AS DOUBLE) / len(toks) * 5.0, 1.0) * 0.4
+                 + (1.0 - least(CAST({_NPUNCT} AS DOUBLE) / length(text) * 10.0, 1.0)) * 0.2
+                   AS quality_score
+        FROM toks_t),
+    quality AS (SELECT doc_id FROM feats WHERE quality_score >= 0.3),
+    exact_canon AS (
+        SELECT MIN(doc_id) AS doc_id
+        FROM documents
+        GROUP BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))),
+    survivors0 AS (
+        SELECT q.doc_id FROM quality q JOIN exact_canon e ON q.doc_id = e.doc_id),
+    near_pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+    near_dropped AS (
+        SELECT DISTINCT p.id_b AS doc_id
+        FROM near_pairs p
+        JOIN hs_t sa ON p.id_a = sa.doc_id
+        JOIN hs_t sb ON p.id_b = sb.doc_id
+        WHERE CAST(len(list_intersect(sa.hsh, sb.hsh)) AS DOUBLE)
+                / (CAST(len(sa.hsh) + len(sb.hsh) AS DOUBLE)
+                   - len(list_intersect(sa.hsh, sb.hsh))) >= 0.5),
+    clean AS (
+        SELECT s.doc_id FROM survivors0 s
+        LEFT JOIN near_dropped d ON s.doc_id = d.doc_id
+        WHERE d.doc_id IS NULL),
+    t_sh AS (SELECT c.doc_id AS train_id, unnest(h.hsh) AS h
+             FROM clean c JOIN hs_t h ON h.doc_id = c.doc_id
+             WHERE c.doc_id >= {BENCH_MAX_ID}),
+    b_sh AS (SELECT doc_id AS bench_id, unnest(hsh) AS h
+             FROM hs_t WHERE doc_id < {BENCH_MAX_ID}),
+    contam AS (
+        SELECT DISTINCT train_id AS doc_id FROM (
+            SELECT train_id, bench_id FROM t_sh JOIN b_sh USING (h)
+            GROUP BY train_id, bench_id HAVING COUNT(*) >= {MIN_SHARED}))
+    SELECT 'ingested' AS stage, CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs
+    UNION ALL SELECT 'quality_pass', CAST((SELECT COUNT(*) FROM quality) AS BIGINT)
+    UNION ALL SELECT 'exact_canonical', CAST((SELECT COUNT(*) FROM exact_canon) AS BIGINT)
+    UNION ALL SELECT 'near_dup_dropped', CAST((SELECT COUNT(*) FROM near_dropped) AS BIGINT)
+    UNION ALL SELECT 'clean', CAST((SELECT COUNT(*) FROM clean) AS BIGINT)
+    UNION ALL SELECT 'contaminated', CAST((SELECT COUNT(*) FROM contam) AS BIGINT)
+    """
+
+
+@query("corpus_pipeline_audit", oracle=_audit_oracle())
+def corpus_pipeline_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-loss funnel of the cleaning pipeline as exact counts — the
+    observability row a data team watches per ingest batch (how many docs
+    each stage admitted or dropped, so a filter regression shows up as a
+    count cliff, not a silent quality drift). Stages share one cached
+    base; each count is a bounded 1-row aggregate."""
+    from pos_dlt_spark.operators import dedup as D
+    from pos_dlt_spark.operators import text as T
+    from pos_dlt_spark.queries_ml import BANDS, N_HASHES, SHINGLE_N
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    quality = (
+        T.quality_features(docs).filter(F.col("quality_score") >= 0.3).select("doc_id")
+    )
+    exact_canon = D.exact_dedup_groups(docs).select(
+        F.col("canonical_id").alias("doc_id")
+    )
+    near_dropped = (
+        D.minhash_lsh_dedup_pairs(
+            docs, n_hashes=N_HASHES, bands=BANDS, shingle_n=SHINGLE_N, threshold=0.5
+        )
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    clean = quality.join(exact_canon, "doc_id").join(near_dropped, "doc_id", "left_anti")
+    train_pool = docs.join(
+        clean.filter(F.col("doc_id") >= BENCH_MAX_ID), "doc_id", "left_semi"
+    )
+    bench = docs.filter(F.col("doc_id") < BENCH_MAX_ID)
+    contam = (
+        C.contamination_pairs(
+            train_pool, bench, shingle_n=SHINGLE_N, min_shared=MIN_SHARED
+        )
+        .select(F.col("train_id").alias("doc_id"))
+        .distinct()
+    )
+
+    def n(label: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs")).select(
+            F.lit(label).alias("stage"), "n_docs"
+        )
+
+    out = n("ingested", docs)
+    for label, df in [
+        ("quality_pass", quality),
+        ("exact_canonical", exact_canon),
+        ("near_dup_dropped", near_dropped),
+        ("clean", clean),
+        ("contaminated", contam),
+    ]:
+        out = out.unionByName(n(label, df))
+    return out
