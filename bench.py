@@ -4,6 +4,12 @@
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
+The registry has grown past what fits in the driver's 2000-char stdout
+tail (r02's full per-query line truncated and its perf record parsed as
+null), so the printed line is COMPACT — total, per-family subtotals, the
+10 slowest queries, query count — and the full per-query map is written
+to ``BENCH_DETAIL.json`` beside this file for round-over-round diffing.
+
 Each query is fully materialized through the ``noop`` sink so the entire
 physical plan executes (a bare ``count()`` would let Catalyst prune
 aggregate expressions).
@@ -135,17 +141,43 @@ def main() -> None:
         print(f"# {name}: {times[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(
             {
                 "metric": "total_query_wall_time",
                 "value": total,
                 "unit": "sec",
-                "queries": times,
                 "sf": sf,
-            }
+                "n_queries": len(times),
+                "queries": times,
+            },
+            f,
+            indent=1,
+            sort_keys=True,
         )
+        f.write("\n")
+
+    families: dict[str, float] = {}
+    for name, t in times.items():
+        fam = name.split("_", 1)[0]
+        families[fam] = round(families.get(fam, 0.0) + t, 3)
+    slowest = dict(sorted(times.items(), key=lambda kv: -kv[1])[:10])
+    line = json.dumps(
+        {
+            "metric": "total_query_wall_time",
+            "value": total,
+            "unit": "sec",
+            "sf": sf,
+            "n_queries": len(times),
+            "families": families,
+            "queries": slowest,
+            "detail": "BENCH_DETAIL.json",
+        }
     )
+    # hard guard: the driver keeps only a 2000-char stdout tail
+    assert len(line) < 1500, f"bench summary line too long ({len(line)} chars)"
+    print(line)
 
 
 if __name__ == "__main__":

@@ -45,7 +45,13 @@ DEFAULT_K = 5
 def _positions_sql(key_sql: str, m_bits: int, k: int) -> str:
     """k Bloom positions of ``key_sql`` as an array<bigint> SQL expression.
 
-    Shared verbatim by build and probe so the hashed types line up."""
+    Shared verbatim by build and probe so the hashed types line up.
+    CONTRACT: ``xxhash64`` hashes each numeric width differently (an INT 5
+    and a BIGINT 5 land on different positions), so callers pairing a
+    build with a probe must pass byte-identical key TYPES, not just equal
+    values. ``bloom_prefilter_join`` enforces this by casting integral
+    keys to BIGINT on both sides; direct users of ``bloom_build`` /
+    ``bloom_filter_expr`` carry the same obligation."""
     return (
         f"transform(sequence(0, {k - 1}), "
         f"i -> pmod(xxhash64({key_sql}, i), CAST({m_bits} AS BIGINT)))"
@@ -117,9 +123,28 @@ def bloom_prefilter_join(
     measured ~0.3 s extra warm plan/codegen cost per query vs right-sized
     (several seconds on a cold JVM).
     """
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    integral = (ByteType, ShortType, IntegerType, LongType)
+    ftype = fact.schema[fact_key].dataType
+    dtype = dim.schema[dim_key].dataType
+    if isinstance(ftype, integral) and isinstance(dtype, integral):
+        # xxhash64 is width-sensitive: INT 5 and BIGINT 5 hash to different
+        # positions. Widen both sides to BIGINT so build and probe agree
+        # even when the fact/dim columns differ in integral width.
+        fact_sql = f"CAST({fact_key} AS BIGINT)"
+        dim_sql = f"CAST({dim_key} AS BIGINT)"
+    elif ftype == dtype:
+        fact_sql, dim_sql = fact_key, dim_key
+    else:
+        raise TypeError(
+            f"bloom_prefilter_join keys must hash identically: "
+            f"fact[{fact_key}]={ftype.simpleString()} vs "
+            f"dim[{dim_key}]={dtype.simpleString()}"
+        )
     if m_bits is None:
         n = dim.select(dim_key).distinct().count()
         m_bits = max(1 << 14, min(1 << 20, 1 << (8 * max(n, 1) - 1).bit_length()))
-    words = bloom_build(dim, dim_key, m_bits, k)
-    pre = fact.filter(bloom_filter_expr(fact_key, words, m_bits, k))
+    words = bloom_build(dim, dim_sql, m_bits, k)
+    pre = fact.filter(bloom_filter_expr(fact_sql, words, m_bits, k))
     return pre.join(dim, pre[fact_key] == dim[dim_key], "inner")

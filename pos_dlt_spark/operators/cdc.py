@@ -29,9 +29,11 @@ FRESH ``epoch_<n>`` directory, then commits by atomically replacing
 new directories. A reader resolves the manifest once and scans exactly the
 referenced directories, so it sees the complete pre-commit state or the
 complete post-commit state — never a mix. Superseded bucket directories
-are retained for one commit generation before deletion so a reader that
-resolved the old manifest can finish its scan (the VACUUM-retention idea;
-production would make the retention time-based). The manifest also pins
+are retained for ``retention`` commit generations (default 1) before
+deletion, so a reader that resolved an old manifest can finish its scan
+and ``read_target(version=...)`` can time-travel that many generations
+back — the same contract as Delta's VACUUM retention, counted in commits
+rather than hours. The manifest also pins
 ``n_buckets`` + ``keys`` and the merge fails fast on mismatch — re-routing
 keys to different buckets by changing ``n_buckets`` mid-life would
 silently leave stale duplicates in untouched partitions.
@@ -92,12 +94,19 @@ class ApplyChanges:
         n_buckets: int | None = None,
         merge_schema: bool = False,
         bucket_keys: Sequence[str] | None = None,
+        retention: int = 1,
     ) -> None:
         self.target_path = target_path
         self.keys = list(keys)
         self.sequence_by = sequence_by
         self.tiebreakers = list(tiebreakers)
         self.n_buckets = n_buckets
+        # How many PRIOR commit generations stay readable (time travel) and
+        # how long superseded bucket dirs survive before GC — Delta VACUUM
+        # retention, counted in commits. 1 = the original behavior.
+        if retention < 1:
+            raise ValueError(f"retention must be >= 1, got {retention}")
+        self.retention = retention
         # Delta's schema.autoMerge equivalent, and like it opt-in: a batch
         # may ADD columns (existing rows read them as null) or omit columns
         # (incoming rows get null). Off = any column-set drift fails fast.
@@ -208,6 +217,79 @@ class ApplyChanges:
             os.fsync(f.fileno())
         os.replace(tmp, self._manifest_path())
 
+    @staticmethod
+    def _history_of(manifest: dict) -> list[dict]:
+        """Prior generations, most recent first. Pre-retention manifests
+        recorded only ``prev_buckets`` (exactly one generation)."""
+        hist = manifest.get("history")
+        if hist is not None:
+            return hist
+        prev = manifest.get("prev_buckets")
+        return [{"version": manifest["version"] - 1, "buckets": prev}] if prev else []
+
+    @staticmethod
+    def _retired_log_of(manifest: dict) -> list[dict]:
+        """Superseded-dir log: which commit retired which directories.
+        Pre-retention manifests carried a flat ``retired`` list (implicitly
+        retired by that manifest's own commit)."""
+        log = manifest.get("retired_log")
+        if log is not None:
+            return log
+        flat = manifest.get("retired") or []
+        return [{"version": manifest["version"], "dirs": flat}] if flat else []
+
+    def _commit_and_gc(
+        self,
+        manifest: dict | None,
+        version: int,
+        buckets: dict,
+        retired: list[str],
+        schema_json: str,
+    ) -> None:
+        """Commit generation ``version`` and GC dirs older than retention.
+
+        A dir retired at commit v belongs to the states of generations
+        < v; it must survive while generation v-1 is still retained, i.e.
+        until the current version reaches v + retention."""
+        history = (
+            [
+                {"version": manifest["version"], "buckets": dict(manifest["buckets"])},
+                *self._history_of(manifest),
+            ][: self.retention]
+            if manifest
+            else []
+        )
+        log = ([{"version": version, "dirs": retired}] if retired else []) + (
+            self._retired_log_of(manifest) if manifest else []
+        )
+        gc_entries = [e for e in log if e["version"] <= version - self.retention]
+        keep_log = [e for e in log if e["version"] > version - self.retention]
+        new_manifest = {
+            "version": version,
+            "n_buckets": self.n_buckets,
+            "keys": self.keys,
+            "bucket_keys": self.bucket_keys,
+            "sequence_by": self.sequence_by,
+            "buckets": buckets,
+            "retired": retired,
+            "retired_log": keep_log,
+            "history": history,
+            # back-compat mirror of history[0] for pre-retention readers
+            "prev_buckets": dict(history[0]["buckets"]) if history else None,
+            "schema": schema_json,
+        }
+        self._commit_manifest(new_manifest)
+        for entry in gc_entries:
+            for rel in entry["dirs"]:
+                gone = os.path.join(self.target_path, rel)
+                shutil.rmtree(gone, ignore_errors=True)
+                parent = os.path.dirname(gone)
+                try:  # drop the epoch dir once only job markers remain
+                    if all(e.startswith("_") for e in os.listdir(parent)):
+                        shutil.rmtree(parent, ignore_errors=True)
+                except FileNotFoundError:
+                    pass
+
     # -- foreachBatch sink --------------------------------------------------
 
     def _target_exists(self) -> bool:
@@ -215,27 +297,47 @@ class ApplyChanges:
             return True
         return self._read_manifest() is not None
 
-    def read_target(self, spark: SparkSession, previous: bool = False) -> DataFrame | None:
+    def read_target(
+        self,
+        spark: SparkSession,
+        previous: bool = False,
+        version: int | None = None,
+    ) -> DataFrame | None:
         """Current committed state. Bucketed targets resolve the manifest to
         concrete bucket directories — path-level pruning, no partition
-        discovery — and the snapshot stays readable through one subsequent
-        commit (retention) even while a merge runs.
+        discovery — and superseded snapshots stay readable for
+        ``retention`` subsequent commits even while merges run.
 
-        ``previous=True`` is TIME TRAVEL one commit back (Delta
-        ``VERSION AS OF <n-1>``): the manifest records the prior commit's
-        full bucket map, and its directories survive exactly until the
-        next commit (the same one-generation retention that protects
-        in-flight readers). Returns None when no prior commit exists;
-        raises if the flow is unbucketed (no manifest, no history)."""
+        ``previous=True`` is TIME TRAVEL one commit back;
+        ``version=<n>`` is Delta ``VERSION AS OF n`` for any generation
+        still inside the retention window (the manifest records each
+        retained generation's full bucket map, and GC honors the window).
+        Returns None when no prior commit exists; raises if the requested
+        version fell out of retention or the flow is unbucketed (no
+        manifest, no history)."""
         manifest = self._read_manifest()
         if manifest is not None:
-            if previous:
-                prev = manifest.get("prev_buckets")
-                if prev is None:
+            if version is not None and version != manifest["version"]:
+                hit = next(
+                    (e for e in self._history_of(manifest) if e["version"] == version),
+                    None,
+                )
+                if hit is None:
+                    retained = [e["version"] for e in self._history_of(manifest)]
+                    raise ValueError(
+                        f"version {version} not retained (current="
+                        f"{manifest['version']}, retained={retained}, "
+                        f"retention={self.retention})"
+                    )
+                bmap = hit["buckets"]
+            elif previous:
+                hist = self._history_of(manifest)
+                if not hist:
                     return None
-                paths = [os.path.join(self.target_path, p) for p in prev.values()]
+                bmap = hist[0]["buckets"]
             else:
-                paths = [os.path.join(self.target_path, p) for p in manifest["buckets"].values()]
+                bmap = manifest["buckets"]
+            paths = [os.path.join(self.target_path, p) for p in bmap.values()]
             if not paths:
                 return None
             reader = spark.read
@@ -321,31 +423,26 @@ class ApplyChanges:
                 buckets[str(b)] = os.path.join(epoch_dir, f"__bucket={b}")
             else:
                 del buckets[str(b)]
-        new_manifest = {
-            "version": version,
-            "n_buckets": self.n_buckets,
-            "keys": self.keys,
-            "bucket_keys": self.bucket_keys,
-            "sequence_by": self.sequence_by,
-            "buckets": buckets,
-            "retired": retired,
-            "prev_buckets": dict(manifest["buckets"]),
-            "schema": manifest.get("schema")
+        self._commit_and_gc(
+            manifest,
+            version,
+            buckets,
+            retired,
+            manifest.get("schema")
             or StructType(
                 [f for f in kept.schema.fields if f.name != "__bucket"]
             ).json(),
-        }
-        self._commit_manifest(new_manifest)
-        for rel in manifest.get("retired", ()):
-            gone = os.path.join(self.target_path, rel)
-            shutil.rmtree(gone, ignore_errors=True)
-            parent = os.path.dirname(gone)
-            try:
-                if all(e.startswith("_") for e in os.listdir(parent)):
-                    shutil.rmtree(parent, ignore_errors=True)
-            except FileNotFoundError:
-                pass
+        )
         return n_deleted
+
+    def _recover_unbucketed(self) -> None:
+        """A crash between the two renames below strands the live state in
+        ``.__old`` with no target dir; restore it before merging so the
+        next batch sees the last complete state instead of an empty
+        target."""
+        old = self.target_path + ".__old"
+        if not os.path.exists(self.target_path) and os.path.exists(old):
+            os.rename(old, self.target_path)
 
     def process_batch(self, batch: DataFrame, epoch_id: int) -> None:
         if len(batch.take(1)) == 0:
@@ -354,11 +451,17 @@ class ApplyChanges:
             self._process_batch_bucketed(batch, epoch_id)
             return
         self._validate_layout(self._read_manifest())
+        self._recover_unbucketed()
         spark = batch.sparkSession
         target = self.read_target(spark)
         merged = self.merge(target, batch)
-        # Write-then-swap keeps the read path consistent: readers see either
-        # the old or the new complete state, never a partial directory.
+        # Write-then-swap keeps the read path consistent FOR THE WRITER'S
+        # OWN cadence; note the two renames are not jointly atomic — a
+        # concurrent reader can hit the instant where target_path does not
+        # exist, and a crash between them strands state in .__old (healed
+        # by _recover_unbucketed on the next batch). The bucketed manifest
+        # layout is the mode with true reader isolation; this unbucketed
+        # path trades that for zero metadata.
         tmp = self.target_path + f".__epoch_{epoch_id}"
         merged.write.mode("overwrite").parquet(tmp)
         final_tmp = self.target_path + ".__old"
@@ -378,8 +481,9 @@ class ApplyChanges:
         new bucket versions land in a fresh ``epoch_<id>`` directory and
         become visible only via :meth:`_commit_manifest`'s single
         ``os.replace`` — a reader never observes a half-merged target.
-        Directories superseded by THIS commit are deleted on the NEXT one
-        (one-generation retention for in-flight readers)."""
+        Directories superseded by a commit are deleted ``retention``
+        commits later (in-flight readers and time travel both ride that
+        window)."""
         spark = batch.sparkSession
         manifest = self._read_manifest()
         self._validate_layout(manifest)
@@ -437,33 +541,18 @@ class ApplyChanges:
         retired = [buckets[str(b)] for b in touched if str(b) in buckets]
         for b in touched:
             buckets[str(b)] = os.path.join(epoch_dir, f"__bucket={b}")
-        new_manifest = {
-            "version": version,
-            "n_buckets": self.n_buckets,
-            "keys": self.keys,
-            "bucket_keys": self.bucket_keys,
-            "sequence_by": self.sequence_by,
-            "buckets": buckets,
-            "retired": retired,
-            # full prior mapping = one generation of time travel; its dirs
-            # are exactly the ones retention keeps until the next commit
-            "prev_buckets": dict(manifest["buckets"]) if manifest else None,
-            "schema": StructType(
+        # Commit this generation; GC only dirs retired more than
+        # `retention` commits ago — every retained generation's bucket map
+        # (time travel) and any reader that resolved one stays servable.
+        self._commit_and_gc(
+            manifest,
+            version,
+            buckets,
+            retired,
+            StructType(
                 [f for f in merged.schema.fields if f.name != "__bucket"]
             ).json(),
-        }
-        self._commit_manifest(new_manifest)
-        # GC the generation retired by the PREVIOUS commit: anyone who
-        # resolved that manifest has had a full commit cycle to finish.
-        for rel in manifest["retired"] if manifest else ():
-            gone = os.path.join(self.target_path, rel)
-            shutil.rmtree(gone, ignore_errors=True)
-            parent = os.path.dirname(gone)
-            try:  # drop the epoch dir once only job markers (_SUCCESS) remain
-                if all(e.startswith("_") for e in os.listdir(parent)):
-                    shutil.rmtree(parent, ignore_errors=True)
-            except FileNotFoundError:
-                pass
+        )
 
 
 def scd2_history(

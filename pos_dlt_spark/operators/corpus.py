@@ -161,8 +161,15 @@ def global_rank(
     rows tied on a range boundary would otherwise be numbered
     arbitrarily within their partition.
     """
-    ranged = df.repartitionByRange(n_parts, *order_cols).withColumn(
-        "__pid", F.spark_partition_id()
+    # localCheckpoint pins the range partitioning: repartitionByRange
+    # reservoir-samples its boundaries, so evaluating `ranged` twice (the
+    # counts collect below, then the final window) against nondeterministic
+    # upstream partition order could sample DIFFERENT boundaries — prefix
+    # offsets applied to a partitioning other than the one ranked.
+    ranged = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     counts = dict(
         (int(r[0]), int(r[1])) for r in ranged.groupBy("__pid").count().collect()
@@ -659,7 +666,11 @@ def weighted_sample(
     )
     score = F.log(u) / F.col(weight_col).cast("double")
     group = [by] if by else []
-    base = df.withColumn("__ws", score)
+    # Efraimidis–Spirakis requires strictly positive weights: w=0 gives
+    # ln(u)/0 -> null/-inf and w<0 flips the key sign, silently inverting
+    # selection probability. Rows violating the contract never qualify, so
+    # drop them up front (same contract mixture_interleave asserts).
+    base = df.filter(F.col(weight_col).cast("double") > 0).withColumn("__ws", score)
     if pre_buckets is not None:
         bucket = F.pmod(F.xxhash64(F.col(id_col)), F.lit(pre_buckets))
         w_pre = Window.partitionBy(*group, bucket).orderBy(

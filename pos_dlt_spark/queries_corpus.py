@@ -371,7 +371,8 @@ _WS_KEY = (
     "corpus_weighted_sample",
     oracle=f"""
     WITH w AS (SELECT doc_id, lang, {_NTOK_SQL} AS ntok FROM documents),
-    s AS (SELECT doc_id, lang, ntok, {_WS_KEY} AS key FROM w),
+    s AS (SELECT doc_id, lang, ntok, {_WS_KEY} AS key FROM w
+          WHERE CAST(ntok AS DOUBLE) > 0),
     r AS (SELECT lang, doc_id, ntok,
                  row_number() OVER (PARTITION BY lang ORDER BY key DESC, doc_id) AS rk
           FROM s)

@@ -699,8 +699,18 @@ def streaming_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataF
     atexit.register(shutil.rmtree, work, ignore_errors=True)
     land = os.path.join(work, "landing")
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "ts")
-    ev.filter(F.col("event_type").isin("purchase", "click")).repartition(2).write.parquet(land)
-    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    # observe() rides the landing write itself — the flush-sentinel
+    # timestamp costs zero extra scans of events
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    (
+        ev.filter(F.col("event_type").isin("purchase", "click"))
+        .observe(obs, F.max("ts").alias("max_ts"))
+        .repartition(2)
+        .write.parquet(land)
+    )
+    max_ts = obs.get["max_ts"]
     import datetime as _dt
 
     flush_ts = max_ts + _dt.timedelta(hours=12)
@@ -815,10 +825,15 @@ def streaming_sessionized_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sentinel batch, then the no-data flush: session state still crosses
     # batch boundaries (what the query demonstrates) at the minimum
     # micro-batch count — each extra batch re-pays state snapshots
-    ev.repartition(2).write.parquet(land)
+    # observe() on the landing write: one scan yields both the landed
+    # files and the flush-sentinel timestamp
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    ev.observe(obs, F.max("ts").alias("max_ts")).repartition(2).write.parquet(land)
     import datetime as _dt
 
-    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    max_ts = obs.get["max_ts"]
     sentinel = spark.createDataFrame(
         [Row(user_id=-1, ts=max_ts + _dt.timedelta(hours=12), value=0.0)], ev.schema
     )
@@ -916,6 +931,15 @@ def streaming_ann_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = sorted((int(r[0]), list(r[1])) for r in cent_rows)
 
     def assign_batch(batch: DataFrame, epoch_id: int) -> None:
+        # foreachBatch is at-least-once: a retried micro-batch must not
+        # double-append its assignments. Each epoch writes to its own
+        # epoch=-keyed subtree (overwrite, so a partial crash rewrites
+        # cleanly) and a completed epoch — marked by Spark's _SUCCESS —
+        # is skipped on redelivery. cid= stays a partition column one
+        # level down, so probe routing still prunes directories.
+        epoch_dir = os.path.join(index, f"epoch={int(epoch_id)}")
+        if os.path.exists(os.path.join(epoch_dir, "_SUCCESS")):
+            return
         qc = batch.select(
             "vec_id", S.quantized(F.col("embedding")).alias("qc")
         ).select("vec_id", "qc", S.norm(F.col("qc")).alias("nc"))
@@ -923,7 +947,7 @@ def streaming_ann_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             F.array_min(S._centroid_sims("qc", "nc", centroids))["cid"].alias("cid"),
         )
-        out.write.mode("append").partitionBy("cid").parquet(index)
+        out.write.mode("overwrite").partitionBy("cid").parquet(epoch_dir)
 
     stream = (
         spark.readStream.schema(emb.schema)
@@ -937,6 +961,9 @@ def streaming_ann_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    # epoch= is a physical idempotency key, not part of the index schema;
+    # cid= remains a discovered partition column, so .filter(cid ...)
+    # still prunes to nprobe directories
     return spark.read.parquet(index).select(
         "vec_id", F.col("cid").cast("bigint").alias("cid")
     )

@@ -73,3 +73,22 @@ def test_bitmap_word_bounds(spark, tables):
     words = B.bloom_build(dim, "o_orderkey", m_bits=m, k=3)
     assert len(words) == m // 64
     assert any(w != 0 for w in words)
+
+
+def test_mixed_integral_key_widths_no_false_negatives(spark, tables):
+    """xxhash64 hashes INT and BIGINT differently; the join must widen
+    both sides to BIGINT so an int fact key still probes the positions a
+    bigint dim key set (silent false negatives otherwise)."""
+    fact, dim = tables
+    dim = dim.select(F.col("o_orderkey").cast("bigint").alias("o_orderkey"))
+    fact = fact.select(F.col("l_orderkey").cast("int").alias("l_orderkey"))
+    got = B.bloom_prefilter_join(fact, dim, "l_orderkey", "o_orderkey").count()
+    want = fact.join(dim, fact["l_orderkey"] == dim["o_orderkey"]).count()
+    assert got == want and want > 0
+
+
+def test_incompatible_key_types_fail_fast(spark, tables):
+    fact, dim = tables
+    dim = dim.select(F.col("o_orderkey").cast("string").alias("o_orderkey"))
+    with pytest.raises(TypeError, match="hash identically"):
+        B.bloom_prefilter_join(fact, dim, "l_orderkey", "o_orderkey")

@@ -299,3 +299,97 @@ def test_schema_drift_fails_fast_without_flag(spark, tmp_path):
                 ac._process_batch_bucketed(evolved, 1)
             else:
                 ac.merge(ac.read_target(spark), evolved)
+
+
+def test_retention_n_generations_time_travel_and_gc(spark, tmp_path):
+    """retention=3: any of the last 3 prior generations is readable via
+    read_target(version=...), older ones raise, and their dirs are GC'd
+    exactly when they leave the window (Delta VACUUM semantics in commit
+    units)."""
+    import json as _json
+    import os as _os
+
+    root = tmp_path / "ret"
+    ac = ApplyChanges(
+        str(root), keys=KEYS, sequence_by="date_time", n_buckets=2, retention=3
+    )
+    for i in range(6):  # versions 0..5, same key -> same bucket rewritten
+        ac.process_batch(df_of(spark, [(1, 1, datetime(2021, 1, 1 + i), i)]), i)
+
+    # current = v5; v4, v3, v2 retained; v1 and older out of window
+    assert as_dict(ac.read_target(spark)) == {(1, 1): (datetime(2021, 1, 6), 5)}
+    for v in (4, 3, 2):
+        assert as_dict(ac.read_target(spark, version=v)) == {
+            (1, 1): (datetime(2021, 1, 1 + v), v)
+        }
+    assert as_dict(ac.read_target(spark, version=5)) == as_dict(ac.read_target(spark))
+    with pytest.raises(ValueError, match="not retained"):
+        ac.read_target(spark, version=1)
+    # previous=True == version=current-1
+    assert as_dict(ac.read_target(spark, previous=True)) == {
+        (1, 1): (datetime(2021, 1, 5), 4)
+    }
+
+    # disk holds exactly the live + retained-generation dirs, nothing older
+    manifest = _json.load(open(root / "_manifest.json"))
+    referenced = set(manifest["buckets"].values())
+    for entry in manifest["history"]:
+        referenced |= set(entry["buckets"].values())
+    on_disk = {
+        _os.path.join(e, b)
+        for e in _os.listdir(root)
+        if e.startswith("epoch_")
+        for b in _os.listdir(root / e)
+        if b.startswith("__bucket=")
+    }
+    assert on_disk == referenced
+    assert len(manifest["history"]) == 3
+
+
+def test_retention_default_matches_old_one_generation_manifest(spark, tmp_path):
+    """A pre-retention manifest (prev_buckets/retired, no history) is read
+    and upgraded in place: the next commit preserves its one prior
+    generation and GC's its retired dirs on schedule."""
+    import json as _json
+
+    root = tmp_path / "legacy"
+    ac = ApplyChanges(str(root), keys=KEYS, sequence_by="date_time", n_buckets=2)
+    ac.process_batch(df_of(spark, [(1, 1, datetime(2021, 1, 1), 10)]), 0)
+    ac.process_batch(df_of(spark, [(1, 1, datetime(2021, 1, 2), 20)]), 1)
+    # rewrite the manifest in the legacy shape (drop the new fields)
+    mpath = root / "_manifest.json"
+    m = _json.load(open(mpath))
+    for k in ("history", "retired_log"):
+        m.pop(k, None)
+    _json.dump(m, open(mpath, "w"))
+    ac2 = ApplyChanges(str(root), keys=KEYS, sequence_by="date_time", n_buckets=2)
+    assert as_dict(ac2.read_target(spark, previous=True)) == {
+        (1, 1): (datetime(2021, 1, 1), 10)
+    }
+    ac2.process_batch(df_of(spark, [(1, 1, datetime(2021, 1, 3), 30)]), 2)
+    assert as_dict(ac2.read_target(spark, previous=True)) == {
+        (1, 1): (datetime(2021, 1, 2), 20)
+    }
+
+
+def test_retention_validation():
+    with pytest.raises(ValueError, match="retention"):
+        ApplyChanges("/tmp/x", keys=KEYS, sequence_by="date_time", retention=0)
+
+
+def test_unbucketed_crash_between_renames_recovers(spark, tmp_path):
+    """Crash window in the unbucketed write-then-swap: live state stranded
+    in .__old with no target dir. The next batch must heal it and merge
+    against the pre-crash state, not an empty target."""
+    import os as _os
+
+    path = str(tmp_path / "crash")
+    ac = ApplyChanges(path, keys=KEYS, sequence_by="date_time")
+    ac.process_batch(df_of(spark, [(1, 1, datetime(2021, 1, 1), 10)]), 0)
+    # simulate the crash: target renamed away, replacement never landed
+    _os.rename(path, path + ".__old")
+    ac.process_batch(df_of(spark, [(2, 2, datetime(2021, 1, 2), 5)]), 1)
+    assert as_dict(ac.read_target(spark)) == {
+        (1, 1): (datetime(2021, 1, 1), 10),
+        (2, 2): (datetime(2021, 1, 2), 5),
+    }

@@ -142,3 +142,15 @@ def test_domain_cap_two_phase_identical_to_single_window(spark):
     per = domain_cap(df, cap=20, pre_buckets=8).groupBy("source").count().collect()
     assert all(r["count"] <= 20 for r in per)
     assert {r["source"]: r["count"] for r in per}["big"] == 20
+
+
+def test_weighted_sample_drops_nonpositive_weights(spark):
+    """Efraimidis–Spirakis needs w > 0: a zero weight divides by zero and
+    a negative one inverts the key sign. Such rows must never be sampled."""
+    from pos_dlt_spark.operators import corpus as C
+
+    rows = [(i, float(w)) for i, w in enumerate([5, 3, 0, -2, 4, 1])]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    out = C.weighted_sample(df, k=10, weight_col="w", pre_buckets=None)
+    ids = {r["doc_id"] for r in out.collect()}
+    assert ids == {0, 1, 4, 5}
