@@ -689,6 +689,82 @@ def weighted_sample(
     )
 
 
+def bpe_pair_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int | None = None,
+) -> DataFrame:
+    """Corpus-wide adjacent-token-pair frequencies — the counting step of
+    BPE/WordPiece tokenizer training (each merge round picks the most
+    frequent pair; driving the loop is a driver-side ``top_k=1`` pick per
+    round over re-tokenized text, and THIS op is the whole distributed
+    cost of a round).
+
+    Per row: one array expression builds the (left, right) pairs from the
+    token array — no explode of tokens first, so the only shuffle is the
+    pair-count hash aggregate (map-side partial combine does the heavy
+    lifting: the pair distribution is Zipfian, so partial aggregation
+    collapses most of the volume before the exchange). With ``top_k``,
+    the final order+limit is a TakeOrderedAndProject, never a global
+    sort.
+
+    Returns (left, right, n_pairs), ordered by count desc then pair asc
+    when ``top_k`` is set.
+    """
+    toks = tokens(F.col(text_col))
+    idx = F.sequence(F.lit(0), F.size(toks) - 2)
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            idx,
+            lambda i: F.struct(
+                F.element_at(toks, (i + 1).cast("int")).alias("left"),
+                F.element_at(toks, (i + 2).cast("int")).alias("right"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<left:string,right:string>>"))
+    out = (
+        df.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.left").alias("left"), F.col("p.right").alias("right"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    if top_k is not None:
+        out = out.orderBy(
+            F.col("n_pairs").desc(), F.col("left"), F.col("right")
+        ).limit(top_k)
+    return out
+
+
+def quality_quantile_bins(
+    df: DataFrame,
+    score_col: str,
+    n_bins: int = 10,
+    id_col: str = "doc_id",
+    n_parts: int = 64,
+) -> DataFrame:
+    """EXACT quantile binning of documents by a score column — the
+    curriculum/importance-binning step (e.g. decile-by-quality mixtures).
+
+    ``bin = (rank-1) * n_bins div N`` over the total order
+    (score, id) — same exact boundaries in any engine, no ntile()
+    remainder-distribution ambiguity and no approx-percentile epsilon.
+    The global rank is the two-phase distributed :func:`global_rank`
+    (range partition + per-partition offsets), and N comes from the same
+    bounded driver collect global_rank already does — binning costs ONE
+    extra integer expression, not a second pass.
+    """
+    ranked = global_rank(
+        df, [F.col(score_col), F.col(id_col)], rank_col="__qrank", n_parts=n_parts
+    )
+    n = df.count()
+    if n == 0:
+        return df.withColumn("quality_bin", F.lit(None).cast("bigint"))
+    return ranked.withColumn(
+        "quality_bin",
+        F.expr(f"(__qrank - 1) * {n_bins} div {n}").cast("bigint"),
+    ).drop("__qrank")
+
+
 def chunk_documents(
     df: DataFrame,
     max_tokens: int = 128,

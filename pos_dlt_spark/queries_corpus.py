@@ -660,3 +660,63 @@ def corpus_pipeline_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]:
         out = out.unionByName(n(label, df))
     return out
+
+
+BPE_TOP_K = 100
+
+
+@query(
+    "corpus_bpe_pair_counts",
+    oracle=f"""
+    WITH toks AS (SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+                  FROM documents),
+    p AS (SELECT t[i] AS lhs, t[i + 1] AS rhs
+          FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i))
+    SELECT lhs, rhs, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM p GROUP BY lhs, rhs
+    ORDER BY n_pairs DESC, lhs, rhs
+    LIMIT {BPE_TOP_K}
+    """,
+)
+def corpus_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-token-pair frequencies (corpus.bpe_pair_counts) — the
+    counting step of BPE tokenizer training. Pairs are built per row by
+    one array expression (no token explode), so the only shuffle is the
+    Zipf-collapsed pair-count hash aggregate; the top-k is a
+    TakeOrderedAndProject, never a global sort."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return C.bpe_pair_counts(docs, top_k=BPE_TOP_K).select(
+        F.col("left").alias("lhs"), F.col("right").alias("rhs"), "n_pairs"
+    )
+
+
+QQ_BINS = 10
+
+
+@query(
+    "corpus_quality_quantile_bins",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_NTOK_SQL} AS score FROM documents),
+    r AS (SELECT doc_id, score,
+                 row_number() OVER (ORDER BY score, doc_id) AS rn,
+                 COUNT(*) OVER () AS n
+          FROM w)
+    SELECT doc_id, score, CAST((rn - 1) * {QQ_BINS} // n AS BIGINT) AS quality_bin
+    FROM r
+    """,
+)
+def corpus_quality_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact decile binning by score (corpus.quality_quantile_bins):
+    bin = (rank-1)*k div N over the (score, doc_id) total order — identical
+    boundaries in any engine (no ntile remainder ambiguity, no
+    approx-percentile epsilon). Rank is the two-phase distributed
+    global_rank; binning adds one integer expression on top."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    from pos_dlt_spark.operators.text import tokens as _tk
+
+    scored = docs.select(
+        "doc_id", F.size(_tk(F.col("text"))).cast("bigint").alias("score")
+    )
+    return C.quality_quantile_bins(scored, "score", n_bins=QQ_BINS).select(
+        "doc_id", "score", "quality_bin"
+    )

@@ -154,3 +154,50 @@ def test_weighted_sample_drops_nonpositive_weights(spark):
     out = C.weighted_sample(df, k=10, weight_col="w", pre_buckets=None)
     ids = {r["doc_id"] for r in out.collect()}
     assert ids == {0, 1, 4, 5}
+
+
+def test_bpe_pair_counts_tiny_corpus(spark):
+    from pos_dlt_spark.operators import corpus as C
+
+    df = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b"), (3, "x"), (4, "")], ["doc_id", "text"]
+    )
+    out = {(r["left"], r["right"]): r["n_pairs"] for r in C.bpe_pair_counts(df).collect()}
+    # doc1: (a,b)(b,a)(a,b)(b,c); doc2: (a,b); docs 3,4: no pairs
+    assert out == {("a", "b"): 3, ("b", "a"): 1, ("b", "c"): 1}
+
+
+def test_bpe_pair_counts_topk_is_take_ordered(spark):
+    from pos_dlt_spark.operators import corpus as C
+    from pos_dlt_spark.plans import assert_in_plan, assert_not_in_plan
+    from pos_dlt_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    df = C.bpe_pair_counts(docs, top_k=50)
+    assert_in_plan(df, "TakeOrderedAndProject")
+    assert_not_in_plan(df, "Exchange rangepartitioning")
+
+
+def test_quality_quantile_bins_exact_boundaries(spark):
+    """bin = (rank-1)*k div N: 7 rows into 3 bins -> sizes 3,2,2 with the
+    LOW bins taking the remainder (floor formula, not ntile's)."""
+    from pos_dlt_spark.operators import corpus as C
+
+    df = spark.createDataFrame(
+        [(i, float(100 - i)) for i in range(7)], ["doc_id", "score"]
+    )
+    out = C.quality_quantile_bins(df, "score", n_bins=3, n_parts=4)
+    by_bin = {}
+    for r in out.collect():
+        by_bin.setdefault(r["quality_bin"], []).append(r["doc_id"])
+    # ascending score order = doc_id 6,5,4,3,2,1,0
+    assert sorted(by_bin[0]) == [4, 5, 6]
+    assert sorted(by_bin[1]) == [2, 3]
+    assert sorted(by_bin[2]) == [0, 1]
+
+
+def test_quality_quantile_bins_empty(spark):
+    from pos_dlt_spark.operators import corpus as C
+
+    df = spark.createDataFrame([], "doc_id long, score double")
+    assert C.quality_quantile_bins(df, "score").count() == 0
