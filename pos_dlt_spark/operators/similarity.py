@@ -718,3 +718,79 @@ def ivfpq_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+# -- SemDeDup (semantic deduplication) ---------------------------------------
+
+
+def seed_centroids(
+    corpus: DataFrame, k: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> list[tuple[int, list[int]]]:
+    """Deterministic centroid seeds: the ``k`` lowest-id vectors, quantized,
+    with the source row's id as the cluster id — the same init
+    :func:`kmeans_fit` uses, exposed standalone so a SQL oracle can
+    reproduce the model exactly (``ORDER BY id LIMIT k``). Bounded
+    collect: k rows."""
+    rows = (
+        corpus.select(F.col(id_col).alias("__id"), quantized(F.col(vec_col)).alias("q"))
+        .orderBy("__id")
+        .limit(k)
+        .collect()
+    )
+    if len(rows) < k:
+        raise ValueError(f"need >= {k} vectors, got {len(rows)}")
+    return [(int(r["__id"]), list(r.q)) for r in rows]
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: list[tuple[int, list[int]]],
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): assign each
+    embedding to its nearest centroid (argmax cosine, lowest-cid tiebreak),
+    then within each cluster mark every vector that has an EARLIER-id
+    neighbor with cosine >= ``threshold`` as a semantic duplicate of the
+    lowest such id. Returns one row per input vector:
+    ``(id, cluster, dup_of nullable)`` — ``dup_of IS NULL`` is the keep set.
+
+    Scale design: the model is a bounded artifact (fit via
+    :func:`kmeans_fit` on a sample at 100 TB, or :func:`seed_centroids`
+    for the oracle-exact path); assignment is one scan with inlined
+    centroid literals (no shuffle, same machinery as :func:`ivf_topk`
+    routing); the pair stage is a self-equi-join ON the cluster id — cost
+    is sum of per-cluster squares, so ``k`` must grow with the corpus
+    (SemDeDup's published config: k ~ n/1000, keeping clusters ~constant
+    size; a hot cluster is the same failure mode as an LSH hot bucket and
+    is bounded the same way — pick k, or cap via sampling)."""
+    q = df.select(F.col(id_col), quantized(F.col(vec_col)).alias("q"))
+    q = q.select(id_col, "q", norm(F.col("q")).alias("n"))
+    assigned = q.select(
+        id_col,
+        "q",
+        "n",
+        F.array_min(_centroid_sims("q", "n", centroids))["cid"].alias("cluster"),
+    )
+    a = assigned.select(
+        F.col("cluster"),
+        F.col(id_col).alias("id_a"),
+        F.col("q").alias("qa"),
+        F.col("n").alias("na"),
+    )
+    b = assigned.select(
+        F.col("cluster"),
+        F.col(id_col).alias("id_b"),
+        F.col("q").alias("qb"),
+        F.col("n").alias("nb"),
+    )
+    sim = cosine_sim_prenormed(F.col("qa"), F.col("qb"), F.col("na"), F.col("nb"))
+    pairs = (
+        a.join(b, on="cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+    dup_of = pairs.groupBy(F.col("id_b").alias(id_col)).agg(F.min("id_a").alias("dup_of"))
+    return assigned.select(id_col, "cluster").join(dup_of, on=id_col, how="left")

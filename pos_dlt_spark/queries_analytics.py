@@ -982,3 +982,50 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
+
+
+@query(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        FROM events),
+    cnt AS (
+        SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY event_type, next_type)
+    SELECT event_type, next_type, n,
+           CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY event_type) AS p
+    FROM cnt
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of per-user event sequences
+    (sequence mining / behavioral fingerprinting): lead() within each
+    user's (ts, event_id)-ordered stream, then count and row-normalize per
+    source state. Scales: the lead window shuffles once on user_id (high
+    cardinality, no skew), the count is a map-side-combined hash aggregate,
+    and the normalizing window runs over the tiny (src, dst) state matrix.
+    The probability divides two exact counts — deterministic across
+    engines."""
+    from pyspark.sql import Window
+
+    seq = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.lead("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("next_type"),
+    )
+    cnt = (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return cnt.select(
+        "event_type",
+        "next_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(Window.partitionBy("event_type"))).alias("p"),
+    )

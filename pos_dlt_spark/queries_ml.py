@@ -1366,3 +1366,51 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents", spread=True)
     return bigram_logprob(docs)
+
+
+# ---------------------------------------------------------------------------
+# semantic deduplication (SemDeDup)
+# ---------------------------------------------------------------------------
+
+_SEMD_K, _SEMD_TAU = 8, 0.45
+
+
+def _semdedup_oracle() -> str:
+    cos_qc = _cos_sql("q.qv", "c.cv")
+    cos_ab = _cos_sql("a.qv", "b.qv")
+    parts = [
+        f"q AS (SELECT vec_id, {_QUANT} AS qv FROM embeddings)",
+        f"cents AS (SELECT vec_id AS cid, qv AS cv FROM q ORDER BY vec_id LIMIT {_SEMD_K})",
+        f"""asg AS (
+        SELECT vec_id, qv, cid AS cluster FROM (
+            SELECT q.vec_id, q.qv, c.cid,
+                   row_number() OVER (PARTITION BY q.vec_id ORDER BY {cos_qc} DESC, c.cid) AS rn
+            FROM q CROSS JOIN cents c) t
+        WHERE rn = 1)""",
+        f"""dup AS (
+        SELECT b.vec_id, MIN(a.vec_id) AS dup_of
+        FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        WHERE {cos_ab} >= {_SEMD_TAU}
+        GROUP BY b.vec_id)""",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(_materialize_ctes(parts))
+        + """
+    SELECT asg.vec_id, asg.cluster, dup.dup_of
+    FROM asg LEFT JOIN dup ON asg.vec_id = dup.vec_id
+    """
+    )
+
+
+@query("dedup_semantic_clusters", oracle=_semdedup_oracle())
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster embeddings around the 8 seed
+    centroids, then within each cluster mark every vector with an
+    earlier-id cosine-0.45 neighbor as a duplicate of the lowest such id —
+    one row per vector, ``dup_of IS NULL`` = the keep set. Scale path:
+    fit centroids with ``similarity.kmeans_fit`` on a sample (k ~ n/1000)
+    and the same operator runs unchanged; seeds keep the oracle exact."""
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    cents = S.seed_centroids(emb, k=_SEMD_K)
+    return S.semantic_dedup(emb, cents, threshold=_SEMD_TAU)

@@ -265,3 +265,37 @@ def test_frame_sample_stub(spark):
     )
     frames = [r.frame_ts_ms for r in M.frame_sample_stub(df, every_ms=1000).collect()]
     assert frames == [0, 1000, 2000, 3000]
+
+
+def test_semantic_dedup_marks_known_duplicates(spark):
+    # cluster A around (1,0,...), cluster B around (0,1,...): ids 0/1 seed
+    # the centroids; 10/11 are near-copies of 0; 20 is the B loner.
+    rows = [
+        (0, [1.0, 0.05, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.05, 0.0]),
+        (10, [0.99, 0.06, 0.0, 0.0]),
+        (11, [0.98, 0.04, 0.01, 0.0]),
+        (20, [0.05, 0.9, -0.4, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = S.seed_centroids(df, k=2)
+    assert [cid for cid, _ in cents] == [0, 1]
+    out = S.semantic_dedup(df, cents, threshold=0.9)
+    got = {r.vec_id: (r.cluster, r.dup_of) for r in out.collect()}
+    assert set(got) == {0, 1, 10, 11, 20}
+    assert got[0] == (0, None)  # earliest id in its cluster keeps
+    assert got[10] == (0, 0) and got[11] == (0, 0)  # duplicates of 0
+    assert got[1][1] is None and got[20][1] is None  # B pair below 0.9
+    # keep set = dup_of IS NULL
+    keep = {r.vec_id for r in out.filter(F.col("dup_of").isNull()).collect()}
+    assert keep == {0, 1, 20}
+
+
+def test_semantic_dedup_pair_stage_is_equi_join(spark):
+    df = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0, 0.5]) for i in range(12)],
+        "vec_id long, embedding array<float>",
+    )
+    out = S.semantic_dedup(df, S.seed_centroids(df, k=3), threshold=0.5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
