@@ -317,3 +317,68 @@ def bigram_logprob(
             F.expr("CAST(sum_lp_micro AS DOUBLE) / CAST(n_transitions AS DOUBLE) / 1e6"),
         )
     )
+
+
+def dsir_logratio(
+    df: DataFrame,
+    target_filter: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Data Selection with Importance Resampling (DSIR, Xie et al. 2023,
+    arXiv:2302.03169), unigram variant: score every document by its
+    log importance ratio ln(p_target(doc) / p_raw(doc)) under two
+    Laplace-smoothed unigram LMs — the target LM fit on the rows matching
+    ``target_filter`` (the small high-quality slice being imitated), the
+    raw LM fit on the whole corpus. High scores = looks like the target;
+    feed ``log_ratio_micro`` to :func:`~pos_dlt_spark.operators.corpus.
+    weighted_sample` (after exp/shift) or threshold it to select.
+
+    Both LMs smooth with the FULL corpus vocabulary size V, so a token
+    absent from the target slice still gets a finite ln((0+1)/(N_t+V))
+    and the ratio stays defined — one left join, no OOV special case.
+
+    Exactness: per-token log-probs quantize to integer micro-nats before
+    the per-doc sum (the :func:`unigram_logprob` discipline) — exact
+    integer aggregation, engine-portable; only ``avg_log_ratio`` divides.
+
+    Scale: two token-frequency aggregates (map-side combined) + one
+    tf-to-vocab equi-join — identical shape to :func:`unigram_logprob`;
+    the target LM rides the same vocab table via a left join, so the
+    marginal cost of the second LM is one more broadcastable dim.
+    """
+    toks = df.select(
+        F.col(id_col), target_filter.alias("__t"), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("c_all"),
+        F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("c_t"),
+    )
+    totals = vocab.agg(
+        F.sum("c_all").alias("N_all"),
+        F.sum("c_t").alias("N_t"),
+        F.count(F.lit(1)).alias("V"),
+    )
+    lp_t = F.expr(
+        "CAST(floor(ln(CAST(c_t + 1 AS DOUBLE) / CAST(N_t + V AS DOUBLE)) * 1000000) AS BIGINT)"
+    )
+    lp_all = F.expr(
+        "CAST(floor(ln(CAST(c_all + 1 AS DOUBLE) / CAST(N_all + V AS DOUBLE)) * 1000000) AS BIGINT)"
+    )
+    scored = (
+        tf.join(vocab, "tok")
+        .crossJoin(F.broadcast(totals))
+        .withColumn("d_micro", lp_t - lp_all)
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("d_micro")).alias("log_ratio_micro"),
+        )
+        .withColumn(
+            "avg_log_ratio",
+            F.expr("CAST(log_ratio_micro AS DOUBLE) / CAST(n_tokens AS DOUBLE) / 1e6"),
+        )
+    )

@@ -1414,3 +1414,38 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings", spread=True)
     cents = S.seed_centroids(emb, k=_SEMD_K)
     return S.semantic_dedup(emb, cents, threshold=_SEMD_TAU)
+
+
+@query(
+    "corpus_dsir_importance",
+    oracle=r"""
+    WITH toks AS (SELECT doc_id, lang = 'en' AS t,
+                         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+                  FROM documents),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    vocab AS (SELECT tok, COUNT(*) AS c_all,
+                     CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS c_t
+              FROM toks GROUP BY 1),
+    tot AS (SELECT CAST(SUM(c_all) AS BIGINT) AS N_all,
+                   CAST(SUM(c_t) AS BIGINT) AS N_t,
+                   CAST(COUNT(*) AS BIGINT) AS V FROM vocab),
+    s AS (SELECT tf.doc_id, tf.tf,
+                 CAST(floor(ln(CAST(v.c_t + 1 AS DOUBLE) / CAST(t.N_t + t.V AS DOUBLE))
+                            * 1000000) AS BIGINT)
+                 - CAST(floor(ln(CAST(v.c_all + 1 AS DOUBLE) / CAST(t.N_all + t.V AS DOUBLE))
+                              * 1000000) AS BIGINT) AS d
+          FROM tf JOIN vocab v USING (tok), tot t)
+    SELECT doc_id,
+           CAST(SUM(tf) AS BIGINT) AS n_tokens,
+           CAST(SUM(tf * d) AS BIGINT) AS log_ratio_micro,
+           CAST(SUM(tf * d) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE) / 1e6 AS avg_log_ratio
+    FROM s GROUP BY doc_id
+    """,
+)
+def corpus_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance scores (target = the English slice): per-document
+    log ratio of a target-fit vs corpus-fit unigram LM, integer micro-nat
+    exact (operators/text.py:dsir_logratio). The selection front-end for
+    weighted_sample / mixture_interleave."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return T.dsir_logratio(docs, target_filter=F.col("lang") == "en")

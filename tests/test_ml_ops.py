@@ -299,3 +299,22 @@ def test_semantic_dedup_pair_stage_is_equi_join(spark):
     out = S.semantic_dedup(df, S.seed_centroids(df, k=3), threshold=0.5)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_dsir_logratio_ranks_target_like_docs_higher(spark):
+    from pos_dlt_spark.operators.text import dsir_logratio
+
+    rows = [
+        (0, "alpha beta gamma alpha beta", "en"),    # target slice
+        (1, "alpha gamma beta beta alpha", "en"),    # target slice
+        (2, "alpha beta gamma beta alpha", "xx"),    # raw, target-like
+        (3, "zork quux blarg zork quux blarg", "xx"),  # raw, off-target
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = dsir_logratio(df, target_filter=F.col("lang") == "en")
+    got = {r.doc_id: r.avg_log_ratio for r in out.collect()}
+    assert set(got) == {0, 1, 2, 3}
+    # the target-like doc outscores the off-target doc
+    assert got[2] > got[3]
+    # log-ratio of target members is positive, off-target junk negative
+    assert got[0] > 0 and got[3] < 0
