@@ -806,3 +806,135 @@ def chunk_documents(
         (F.col("c.end_tok") - F.col("c.start_tok")).cast("bigint").alias("n_chunk_tokens"),
         F.col("c.chunk_text"),
     )
+
+
+# -- BPE tokenizer training (char-level merge loop) --------------------------
+
+# Each symbol in a word's working sequence is wrapped \x01sym\x02. A merge
+# of (l, r) is then one non-overlapping left-to-right string replace of
+# "\x01l\x02\x01r\x02" with "\x01lr\x02" — which is exactly BPE's greedy
+# within-word merge semantics ("aaa" + merge a+a -> [aa, a]), because
+# consecutive occurrences share no characters in this encoding and both
+# Spark's and DuckDB's replace() resume scanning after each replacement.
+_BPE_L, _BPE_R = "\x01", "\x02"
+
+
+def bpe_word_freqs(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq, s) — the word-frequency table BPE trains on, with
+    ``s`` the delimiter-wrapped character sequence. THIS is the classic
+    BPE scale trick: after one map-side-combined aggregate the trainer
+    never touches the corpus again — every merge round runs over the
+    vocabulary (Zipf-bounded, ~sqrt of corpus size), not the text."""
+    toks = df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+    return toks.groupBy("word").agg(F.count(F.lit(1)).alias("freq")).select(
+        "word",
+        "freq",
+        F.regexp_replace(F.col("word"), "(.)", _BPE_L + "$1" + _BPE_R).alias("s"),
+    )
+
+
+def _bpe_syms(s: Column) -> Column:
+    """Delimited sequence string -> array of symbols."""
+    inner = F.substring(s, F.lit(2), F.length(s) - 2)
+    return F.split(inner, _BPE_R + _BPE_L)
+
+
+def bpe_seq_pair_counts(wf: DataFrame) -> DataFrame:
+    """(lhs, rhs, c): freq-weighted adjacent-symbol pair counts over the
+    word-frequency table — one merge round's entire distributed cost.
+    Pairs are built per row by one array expression; the only shuffle is
+    the Zipf-collapsed pair hash aggregate."""
+    syms = F.col("__syms")
+    idx = F.sequence(F.lit(0), F.size(syms) - 2)
+    pairs = F.when(
+        F.size(syms) >= 2,
+        F.transform(
+            idx,
+            lambda i: F.struct(
+                F.element_at(syms, (i + 1).cast("int")).alias("lhs"),
+                F.element_at(syms, (i + 2).cast("int")).alias("rhs"),
+            ),
+        ),
+    ).otherwise(F.array())
+    return (
+        wf.select("freq", _bpe_syms(F.col("s")).alias("__syms"))
+        .select("freq", F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
+        .agg(F.sum("freq").alias("c"))
+    )
+
+
+def bpe_learn_merges(
+    df: DataFrame, n_merges: int = 4, text_col: str = "text"
+) -> list[tuple[str, str, int]]:
+    """Train ``n_merges`` BPE merge rules over the corpus: per round,
+    count freq-weighted adjacent symbol pairs, pick the most frequent
+    (ties: lexicographic (lhs, rhs) — deterministic across engines for
+    BMP text, where UTF-8 and UTF-16 binary orders agree), and merge its
+    occurrences greedily left-to-right in every word.
+
+    Driver state is bounded: one 1-row ordered-limit collect per round
+    (the model artifact, like kmeans_fit's centroid pulls); the merge
+    itself is a string-replace column rewrite, executor-side. Returns
+    ``[(lhs, rhs, pair_count), ...]`` in merge order."""
+    wf = bpe_word_freqs(df, text_col).persist()
+    try:
+        wf.count()
+        merges: list[tuple[str, str, int]] = []
+        cur = wf
+        for _ in range(n_merges):
+            top = (
+                bpe_seq_pair_counts(cur)
+                .orderBy(F.col("c").desc(), "lhs", "rhs")
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            l, r, c = top[0].lhs, top[0].rhs, int(top[0].c)
+            merges.append((l, r, c))
+            cur = cur.withColumn(
+                "s",
+                F.replace(
+                    F.col("s"),
+                    F.lit(_BPE_L + l + _BPE_R + _BPE_L + r + _BPE_R),
+                    F.lit(_BPE_L + l + r + _BPE_R),
+                ),
+            )
+        return merges
+    finally:
+        wf.unpersist()
+
+
+def bpe_apply_merges(
+    df: DataFrame,
+    merges: list[tuple[str, str, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Encode every document with learned merge rules (in training order,
+    greedy within each word): ``(id, n_words, n_subwords)``. One scan, no
+    shuffle — the merges are inlined literals, the per-word rewrite is a
+    chain of len(merges) string replaces inside one projection."""
+
+    def encode_word(w: Column) -> Column:
+        s = F.regexp_replace(w, "(.)", _BPE_L + "$1" + _BPE_R)
+        for l, r, _c in merges:
+            s = F.replace(
+                s,
+                F.lit(_BPE_L + l + _BPE_R + _BPE_L + r + _BPE_R),
+                F.lit(_BPE_L + l + r + _BPE_R),
+            )
+        # symbol count = number of "\x01" delimiters left
+        return F.length(s) - F.length(F.replace(s, F.lit(_BPE_L), F.lit("")))
+
+    toks = tokens(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        F.size(toks).cast("bigint").alias("n_words"),
+        F.aggregate(
+            F.transform(toks, encode_word),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("n_subwords"),
+    )

@@ -720,3 +720,111 @@ def corpus_quality_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.quality_quantile_bins(scored, "score", n_bins=QQ_BINS).select(
         "doc_id", "score", "quality_bin"
     )
+
+
+# -- BPE trainer (iterative merge loop) --------------------------------------
+
+BPE_MERGES = 4
+_BL, _BR = "chr(1)", "chr(2)"  # the \x01 / \x02 symbol delimiters, as SQL
+
+
+def _bpe_oracle_parts(n: int) -> list[str]:
+    """CTE chain for an n-round BPE trainer: wf0 (word freqs + delimited
+    char sequences), then per round r: p{r} pair counts, t{r} argmax
+    merge, wf{r} merged sequences. MATERIALIZED is load-bearing — each
+    wf CTE is referenced twice per round and DuckDB would inline the
+    chain exponentially."""
+    syms = (
+        f"str_split(CASE WHEN length(s) >= 2 THEN substring(s, 2, length(s)-2) "
+        f"ELSE '' END, {_BR} || {_BL})"
+    )
+    parts = [
+        r"bpe_w AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word"
+        r" FROM documents)",
+        f"wf0 AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq, "
+        f"regexp_replace(word, '(.)', {_BL} || '\\1' || {_BR}, 'g') AS s "
+        f"FROM bpe_w GROUP BY word)",
+    ]
+    for r in range(1, n + 1):
+        parts.append(
+            f"""p{r} AS (SELECT l AS lhs, r2 AS rhs, CAST(SUM(freq) AS BIGINT) AS c FROM (
+            SELECT freq,
+                   unnest(list_transform(range(1, len(syms)), i -> syms[i])) AS l,
+                   unnest(list_transform(range(1, len(syms)), i -> syms[i+1])) AS r2
+            FROM (SELECT freq, {syms} AS syms FROM wf{r - 1}) u) v
+        GROUP BY l, r2)"""
+        )
+        parts.append(f"t{r} AS (SELECT lhs, rhs, c FROM p{r} ORDER BY c DESC, lhs, rhs LIMIT 1)")
+        parts.append(
+            f"wf{r} AS (SELECT word, freq, "
+            f"replace(s, {_BL} || t.lhs || {_BR} || {_BL} || t.rhs || {_BR}, "
+            f"{_BL} || t.lhs || t.rhs || {_BR}) AS s "
+            f"FROM wf{r - 1} CROSS JOIN t{r} t)"
+        )
+    return parts
+
+
+def _bpe_learn_oracle() -> str:
+    from pos_dlt_spark.queries_ml import _materialize_ctes
+
+    sel = "\nUNION ALL ".join(
+        f"SELECT {r} AS merge_round, lhs, rhs, c AS n_pairs FROM t{r}"
+        for r in range(1, BPE_MERGES + 1)
+    )
+    return "WITH " + ",\n".join(_materialize_ctes(_bpe_oracle_parts(BPE_MERGES))) + "\n" + sel
+
+
+@query("corpus_bpe_learn_merges", oracle=_bpe_learn_oracle())
+def corpus_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train 4 BPE merge rules over the corpus (corpus.bpe_learn_merges):
+    per round one freq-weighted pair aggregate over the word-frequency
+    table (never the corpus) and a 1-row argmax collect — the returned
+    4-row rule table IS the bounded model artifact, like kmeans
+    centroids. The oracle unrolls the identical 4 rounds in SQL."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    merges = C.bpe_learn_merges(docs, n_merges=BPE_MERGES)
+    return spark.createDataFrame(
+        [(i + 1, l, r, c) for i, (l, r, c) in enumerate(merges)],
+        "merge_round int, lhs string, rhs string, n_pairs bigint",
+    )
+
+
+def _bpe_tokenize_oracle() -> str:
+    from pos_dlt_spark.queries_ml import _materialize_ctes
+
+    s = f"regexp_replace(word, '(.)', {_BL} || '\\1' || {_BR}, 'g')"
+    for r in range(1, BPE_MERGES + 1):
+        s = (
+            f"replace({s}, {_BL} || t{r}.lhs || {_BR} || {_BL} || t{r}.rhs || {_BR}, "
+            f"{_BL} || t{r}.lhs || t{r}.rhs || {_BR})"
+        )
+    joins = " ".join(f"CROSS JOIN t{r}" for r in range(1, BPE_MERGES + 1))
+    parts = _bpe_oracle_parts(BPE_MERGES) + [
+        f"""dw AS (SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+        FROM documents)""",
+        f"""enc AS (SELECT doc_id,
+               length(es) - length(replace(es, {_BL}, '')) AS n_sub
+        FROM (SELECT doc_id, {s} AS es FROM dw {joins}) z)""",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(_materialize_ctes(parts))
+        + """
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(n_sub) AS BIGINT) AS n_subwords
+    FROM enc GROUP BY doc_id
+    """
+    )
+
+
+@query("corpus_bpe_tokenize", oracle=_bpe_tokenize_oracle())
+def corpus_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode the corpus with the 4 learned BPE rules: per document the
+    word count and post-merge subword count — compression you can read
+    off as n_subwords/n_words. One corpus scan, merges inlined as
+    literals, no shuffle beyond the per-doc projection; distributed
+    verification of the trainer the `_learn_merges` query collects."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    merges = C.bpe_learn_merges(docs, n_merges=BPE_MERGES)
+    return C.bpe_apply_merges(docs, merges)

@@ -201,3 +201,32 @@ def test_quality_quantile_bins_empty(spark):
 
     df = spark.createDataFrame([], "doc_id long, score double")
     assert C.quality_quantile_bins(df, "score").count() == 0
+
+
+def test_bpe_learn_merges_hand_corpus(spark):
+    df = spark.createDataFrame([(0, "aa ab"), (1, "aa aa")], "doc_id long, text string")
+    merges = C.bpe_learn_merges(df, n_merges=4)
+    # (a,a) appears 3x weighted by word freq (aa x3), then (a,b) 1x;
+    # the loop stops when pairs run dry
+    assert merges == [("a", "a", 3), ("a", "b", 1)]
+    out = {r.doc_id: (r.n_words, r.n_subwords) for r in C.bpe_apply_merges(df, merges).collect()}
+    assert out == {0: (2, 2), 1: (2, 2)}
+
+
+def test_bpe_merge_is_greedy_left_to_right(spark):
+    # "aaa" with merge (a,a) must become [aa, a], not [aa, aa] or [a, aaa]:
+    # round 1 counts (a,a) 2x in "aaa" but merges non-overlapping
+    df = spark.createDataFrame([(0, "aaa aaa")], "doc_id long, text string")
+    merges = C.bpe_learn_merges(df, n_merges=1)
+    assert merges == [("a", "a", 4)]  # two adjacent pairs per word, two words
+    out = C.bpe_apply_merges(df, merges).collect()[0]
+    assert (out.n_words, out.n_subwords) == (2, 4)  # each word -> [aa, a]
+
+
+def test_bpe_consecutive_pairs_both_merge(spark):
+    # "abab": merge (a,b) must hit BOTH occurrences -> [ab, ab]
+    df = spark.createDataFrame([(0, "abab")], "doc_id long, text string")
+    merges = C.bpe_learn_merges(df, n_merges=1)
+    assert merges[0][:2] == ("a", "b")
+    out = C.bpe_apply_merges(df, merges).collect()[0]
+    assert out.n_subwords == 2
