@@ -191,6 +191,51 @@ def global_rank(
     )
 
 
+def global_cumsum(
+    df: DataFrame,
+    order_cols: Sequence,
+    val_col: str,
+    cum_col: str = "cum",
+    n_parts: int = 64,
+) -> DataFrame:
+    """Global running total of integer ``val_col`` over ``order_cols``
+    WITHOUT the single-partition window: the :func:`global_rank` two-phase
+    shape with per-partition SUM offsets instead of counts —
+    repartitionByRange on the order, within-partition running sum, plus a
+    prefix of the ``n_parts`` partition totals collected through the
+    driver (bounded model artifact). Exact: intended for integer-quantized
+    values (cents, micro-units) so the running sum has no float order
+    sensitivity. ``order_cols`` must be a total order."""
+    ranged = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    sums = dict(
+        (int(r[0]), int(r[1] or 0))
+        for r in ranged.groupBy("__pid").agg(F.sum(val_col).alias("s")).collect()
+    )
+    prefix, acc = {}, 0
+    for p in sorted(sums):
+        prefix[p] = acc
+        acc += sums[p]
+    if not prefix:
+        return df.withColumn(cum_col, F.lit(None).cast("bigint"))
+    offset_map = F.create_map(*[F.lit(v) for kv in prefix.items() for v in kv])
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ranged.withColumn(
+            cum_col,
+            (offset_map[F.col("__pid")] + F.sum(val_col).over(w)).cast("bigint"),
+        )
+        .drop("__pid")
+    )
+
+
 def build_vocab(
     df: DataFrame,
     text_col: str = "text",

@@ -755,3 +755,66 @@ def tpch_q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return supp.join(
         cand, supp["s_suppkey"] == cand["ps_suppkey"], "left_semi"
     ).select("s_name", "s_nationkey")
+
+
+@query(
+    "pos_abc_classification",
+    oracle=f"""
+    WITH rev AS (
+        SELECT l_partkey AS item_id,
+               CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                             AS BIGINT)) AS BIGINT) AS r_cents
+        FROM lineitem GROUP BY 1),
+    c AS (
+        SELECT item_id, r_cents,
+               CAST(SUM(r_cents) OVER (
+                   ORDER BY r_cents DESC, item_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+               CAST(SUM(r_cents) OVER () AS BIGINT) AS tot
+        FROM rev)
+    SELECT item_id, r_cents, cum,
+           CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) AS cum_share,
+           CASE WHEN 5 * cum <= 4 * tot THEN 'A'
+                WHEN 20 * cum <= 19 * tot THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM c
+    """,
+)
+def pos_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) inventory classification — the retail-analytics staple
+    over the POS schema: items ranked by revenue, running revenue share,
+    class A/B/C at the 80%/95% cuts.
+
+    Scale: per-row revenue floor-quantizes to integer cents BEFORE
+    aggregation (the micro-units discipline — DECIMAL casts of doubles
+    round differently across engines), so every sum is exact integer
+    math; the running total is corpus.global_cumsum — the two-phase
+    range-partitioned prefix sum, NOT a single-partition global window —
+    and the class cuts compare exact integers (5*cum <= 4*tot), so no
+    float boundary flapping between engines. The grand total rides a
+    1-row broadcast cross join."""
+    from pos_dlt_spark.operators.corpus import global_cumsum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.floor(
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) * 100
+    ).cast("bigint")
+    rev = (
+        li.groupBy(F.col("l_partkey").alias("item_id"))
+        .agg(F.sum(cents).cast("bigint").alias("r_cents"))
+    )
+    cum = global_cumsum(
+        rev, [F.col("r_cents").desc(), F.col("item_id")], "r_cents", cum_col="cum"
+    )
+    tot = rev.agg(F.sum("r_cents").cast("bigint").alias("tot"))
+    out = cum.crossJoin(F.broadcast(tot))
+    return out.select(
+        "item_id",
+        "r_cents",
+        "cum",
+        (F.col("cum").cast("double") / F.col("tot").cast("double")).alias("cum_share"),
+        F.when(5 * F.col("cum") <= 4 * F.col("tot"), "A")
+        .when(20 * F.col("cum") <= 19 * F.col("tot"), "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )

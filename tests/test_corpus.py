@@ -230,3 +230,20 @@ def test_bpe_consecutive_pairs_both_merge(spark):
     assert merges[0][:2] == ("a", "b")
     out = C.bpe_apply_merges(df, merges).collect()[0]
     assert out.n_subwords == 2
+
+
+def test_global_cumsum_equals_single_window(spark):
+    import random
+
+    from pyspark.sql import Window
+
+    rnd = random.Random(7)
+    rows = [(i, rnd.randint(-50, 1000)) for i in range(500)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = C.global_cumsum(df, [F.col("v").desc(), F.col("k")], "v", n_parts=8)
+    w = (
+        Window.orderBy(F.col("v").desc(), F.col("k"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = df.withColumn("cum", F.sum("v").over(w))
+    assert {(r.k, r.cum) for r in got.collect()} == {(r.k, r.cum) for r in want.collect()}
