@@ -748,6 +748,7 @@ def semantic_dedup(
     threshold: float = 0.45,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    vectorized: bool = False,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): assign each
     embedding to its nearest centroid (argmax cosine, lowest-cid tiebreak),
@@ -765,14 +766,22 @@ def semantic_dedup(
     (SemDeDup's published config: k ~ n/1000, keeping clusters ~constant
     size; a hot cluster is the same failure mode as an LSH hot bucket and
     is bounded the same way — pick k, or cap via sampling)."""
-    q = df.select(F.col(id_col), quantized(F.col(vec_col)).alias("q"))
-    q = q.select(id_col, "q", norm(F.col("q")).alias("n"))
-    assigned = q.select(
-        id_col,
-        "q",
-        "n",
-        F.array_min(_centroid_sims("q", "n", centroids))["cid"].alias("cluster"),
-    )
+    if vectorized:
+        # one numpy matmul per Arrow batch instead of k interpreted dots
+        # per row — bit-identical assignment (see assign_centroids_
+        # vectorized); pick this when k is large (k ~ n/1000 at scale)
+        assigned = assign_centroids_vectorized(
+            df, centroids, id_col=id_col, vec_col=vec_col
+        ).select(id_col, "q", "n", F.col("cluster").cast("int").alias("cluster"))
+    else:
+        q = df.select(F.col(id_col), quantized(F.col(vec_col)).alias("q"))
+        q = q.select(id_col, "q", norm(F.col("q")).alias("n"))
+        assigned = q.select(
+            id_col,
+            "q",
+            "n",
+            F.array_min(_centroid_sims("q", "n", centroids))["cid"].alias("cluster"),
+        )
     a = assigned.select(
         F.col("cluster"),
         F.col(id_col).alias("id_a"),
@@ -794,3 +803,53 @@ def semantic_dedup(
     )
     dup_of = pairs.groupBy(F.col("id_b").alias(id_col)).agg(F.min("id_a").alias("dup_of"))
     return assigned.select(id_col, "cluster").join(dup_of, on=id_col, how="left")
+
+
+def assign_centroids_vectorized(
+    df: DataFrame,
+    centroids: list[tuple[int, list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid assignment as ONE int64 numpy matmul per Arrow
+    batch — the scale path for large centroid counts, where the inlined-
+    literal expression (:func:`_centroid_sims`) pays k interpreted dot
+    products per row. Bit-identical to the expression path: exact int64
+    dots, then the same IEEE division order (row norm, then centroid
+    norm); ties resolve to the lowest cid because the centroid matrix is
+    cid-sorted and ``argmax`` returns the first maximum.
+
+    Returns (id, q array<bigint>, n double, cluster int) so downstream
+    stages reuse the quantized vectors without recomputing."""
+    import numpy as np
+    import pandas as pd
+
+    cents = sorted(centroids)
+    cids = np.array([c for c, _ in cents], dtype=np.int64)
+    M = np.array([v for _, v in cents], dtype=np.int64)  # (k, d)
+    mn = np.sqrt((M * M).sum(axis=1).astype(np.float64))
+    schema = f"{id_col} long, q array<bigint>, n double, cluster int"
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = np.array(
+                [
+                    np.floor(np.asarray(v, dtype=np.float64) * 1000).astype(np.int64)
+                    for v in pdf[vec_col]
+                ]
+            )
+            qn = np.sqrt((Q * Q).sum(axis=1).astype(np.float64))
+            sims = (Q @ M.T).astype(np.float64) / qn[:, None] / mn[None, :]
+            best = sims.argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(np.int64),
+                    "q": list(Q),
+                    "n": qn,
+                    "cluster": cids[best].astype(np.int32),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(fn, schema)

@@ -318,3 +318,23 @@ def test_dsir_logratio_ranks_target_like_docs_higher(spark):
     assert got[2] > got[3]
     # log-ratio of target members is positive, off-target junk negative
     assert got[0] > 0 and got[3] < 0
+
+
+def test_semantic_dedup_vectorized_matches_expression(spark):
+    import random
+
+    rnd = random.Random(3)
+    rows = [
+        (i, [rnd.uniform(-1, 1) for _ in range(16)]) for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = S.seed_centroids(df, k=6)
+    expr_out = {
+        (r.vec_id, r.cluster, r.dup_of)
+        for r in S.semantic_dedup(df, cents, threshold=0.3).collect()
+    }
+    vec_out = {
+        (r.vec_id, r.cluster, r.dup_of)
+        for r in S.semantic_dedup(df, cents, threshold=0.3, vectorized=True).collect()
+    }
+    assert expr_out == vec_out

@@ -259,3 +259,33 @@ def test_training_set_pipeline_no_allpairs(q):
     assert_not_in_plan(df, "CartesianProduct")
     # the only BNLJ allowed is a 1-row literal broadcast (none expected)
     assert count_op(df, "BroadcastNestedLoopJoin") == 0
+
+
+def test_markov_has_no_single_partition_exchange(q):
+    """Sequence lead() partitions on user_id, the normalizer window on
+    event_type — nothing funnels through one partition."""
+    df = q("events_markov_transitions")
+    assert count_op(df, "Exchange SinglePartition") == 0
+    assert count_op(df, "Exchange hashpartitioning") <= 3
+
+
+def test_abc_classification_avoids_global_window(q):
+    """The running revenue total is the two-phase prefix sum — a global
+    SinglePartition window in this plan would be the 100 TB trap."""
+    df = q("pos_abc_classification")
+    assert count_op(df, "Exchange SinglePartition") == 0
+
+
+def test_bpe_tokenize_encode_is_scan_only(q):
+    """Corpus encoding inlines the merges: one projection over the scan,
+    no shuffle, no join."""
+    df = q("corpus_bpe_tokenize")
+    assert count_op(df, "Exchange hashpartitioning") == 0
+    assert count_op(df, "SortMergeJoin") == 0
+
+
+def test_semantic_dedup_assignment_no_join_for_centroids(q):
+    """Centroids are inlined literals: the only joins are the
+    cluster-keyed pair join and the dup_of left join — no nested loop."""
+    df = q("dedup_semantic_clusters")
+    assert_not_in_plan(df, "CartesianProduct", "BroadcastNestedLoopJoin")

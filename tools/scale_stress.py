@@ -34,8 +34,10 @@ sys.path.insert(0, REPO)
 FLAGSHIPS = [
     "dedup_minhash_lsh_pairs",
     "dedup_duplicate_clusters",
+    "dedup_semantic_clusters",
     "corpus_vocab",
     "corpus_pack_sequences",
+    "corpus_bpe_learn_merges",
     "streaming_cdc_bucketed_state",
     "ann_ivfpq_topk",
 ]
