@@ -8,6 +8,7 @@ import pos_dlt_spark.queries as Q
 import pos_dlt_spark.queries_analytics  # noqa: F401
 import pos_dlt_spark.queries_corpus  # noqa: F401
 import pos_dlt_spark.queries_ml  # noqa: F401
+import pos_dlt_spark.queries_tpch  # noqa: F401
 from pos_dlt_spark.plans import (
     assert_in_plan,
     assert_not_in_plan,
@@ -270,10 +271,14 @@ def test_markov_has_no_single_partition_exchange(q):
 
 
 def test_abc_classification_avoids_global_window(q):
-    """The running revenue total is the two-phase prefix sum — a global
-    SinglePartition window in this plan would be the 100 TB trap."""
+    """The running revenue total is the two-phase prefix sum: the window
+    must partition on the range-partition id, never run globally. The one
+    SinglePartition exchange allowed is the scalar grand-total aggregate
+    (1 row per upstream partition)."""
     df = q("pos_abc_classification")
-    assert count_op(df, "Exchange SinglePartition") == 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(__pid" in plan
+    assert count_op(df, "Exchange SinglePartition") <= 1
 
 
 def test_bpe_tokenize_encode_is_scan_only(q):
