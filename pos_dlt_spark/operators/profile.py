@@ -1,0 +1,68 @@
+"""Single-scan data profiling: per-column row/null/distinct counts and
+min/max — the "what is in this table" primitive every ingestion pipeline
+runs before trusting a new source.
+
+Scale design: the naive profiler (one COUNT(DISTINCT c) per column in one
+agg) triggers Catalyst's Expand — each input row is replicated once per
+distinct-aggregate, an n_cols x data multiply. Instead the table is
+MELTED once (one array-of-struct projection, one scan) to
+(column, value) rows and the distinct count is a two-level hash
+aggregate on (column, value) — partial combine collapses repeats
+map-side, the shuffle carries only distinct pairs, and adding columns
+widens neither the scan nor the shuffle key. Null counts and min/max
+ride the same melted stream. ANSI-safe: value casts use try_cast (the
+profiler must not fail on a junk column — finding junk is its job).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_table(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """(column, n_rows, n_nulls, n_distinct, min_num, max_num, min_str,
+    max_str) for each named column. Numeric min/max via try_cast to
+    double (null for non-numeric columns); string min/max over the
+    rendered value (binary collation — engine-portable for ASCII)."""
+    melted = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(c).cast("string").alias("vs"),
+                        F.col(c).cast("string").try_cast("double").alias("vn"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("m")
+    ).select("m.column", "m.vs", "m.vn")
+    base = melted.groupBy("column").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("vs").isNull(), 1).otherwise(0)).alias("n_nulls"),
+        F.min("vn").alias("min_num"),
+        F.max("vn").alias("max_num"),
+        F.min("vs").alias("min_str"),
+        F.max("vs").alias("max_str"),
+    )
+    dist = (
+        melted.filter(F.col("vs").isNotNull())
+        .groupBy("column", "vs")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy("column")
+        .agg(F.count(F.lit(1)).alias("n_distinct"))
+    )
+    return base.join(dist, "column", "left").select(
+        "column",
+        "n_rows",
+        F.col("n_nulls").cast("bigint").alias("n_nulls"),
+        F.coalesce(F.col("n_distinct"), F.lit(0)).cast("bigint").alias("n_distinct"),
+        "min_num",
+        "max_num",
+        "min_str",
+        "max_str",
+    )

@@ -1029,3 +1029,42 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("n").cast("double") / F.sum("n").over(Window.partitionBy("event_type"))).alias("p"),
     )
+
+
+_PROFILE_COLS = [
+    "l_orderkey",
+    "l_partkey",
+    "l_suppkey",
+    "l_linenumber",
+    "l_returnflag",
+    "l_linestatus",
+]
+
+
+def _profile_oracle() -> str:
+    selects = []
+    for c in _PROFILE_COLS:
+        selects.append(
+            f"""SELECT '{c}' AS "column",
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               MIN(TRY_CAST(CAST({c} AS VARCHAR) AS DOUBLE)) AS min_num,
+               MAX(TRY_CAST(CAST({c} AS VARCHAR) AS DOUBLE)) AS max_num,
+               MIN(CAST({c} AS VARCHAR)) AS min_str,
+               MAX(CAST({c} AS VARCHAR)) AS max_str
+        FROM lineitem"""
+        )
+    return "\nUNION ALL ".join(selects)
+
+
+@query("lineitem_profile", oracle=_profile_oracle())
+def lineitem_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-scan table profiling (operators/profile.py): per-column
+    rows / nulls / exact distincts / min-max, melted to (column, value)
+    so distinct counting is a two-level hash aggregate — never
+    Catalyst's Expand (which replicates every row once per
+    COUNT(DISTINCT) in the naive one-agg formulation)."""
+    from pos_dlt_spark.operators.profile import profile_table
+
+    return profile_table(load_table(spark, sf_dir, "lineitem"), _PROFILE_COLS)

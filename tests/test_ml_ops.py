@@ -338,3 +338,16 @@ def test_semantic_dedup_vectorized_matches_expression(spark):
         for r in S.semantic_dedup(df, cents, threshold=0.3, vectorized=True).collect()
     }
     assert expr_out == vec_out
+
+
+def test_profile_table_counts_nulls_and_distincts(spark):
+    from pos_dlt_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None), (2, "y"), (None, "x")], "a long, b string"
+    )
+    got = {r.column: r for r in profile_table(df, ["a", "b"]).collect()}
+    assert got["a"].n_rows == 4 and got["a"].n_nulls == 1 and got["a"].n_distinct == 2
+    assert got["a"].min_num == 1.0 and got["a"].max_num == 2.0
+    assert got["b"].n_nulls == 1 and got["b"].n_distinct == 2
+    assert got["b"].min_num is None and got["b"].min_str == "x"

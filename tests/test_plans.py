@@ -294,3 +294,10 @@ def test_semantic_dedup_assignment_no_join_for_centroids(q):
     cluster-keyed pair join and the dup_of left join — no nested loop."""
     df = q("dedup_semantic_clusters")
     assert_not_in_plan(df, "CartesianProduct", "BroadcastNestedLoopJoin")
+
+
+def test_profile_never_uses_expand(q):
+    """The melt-based profiler must not trigger Catalyst's Expand (the
+    one-agg-many-distincts formulation replicates each row per column)."""
+    df = q("lineitem_profile")
+    assert_not_in_plan(df, "Expand")
