@@ -127,3 +127,56 @@ def test_duplicate_spans_equal_brute_force(spark, docs, n):
     # to [''] (split of ''), mirroring tokens()'s behavior on empty text
     toks = [t if t else [""] for t in docs]
     assert got == _brute_spans(toks, n)
+
+
+# -- BPE trainer vs pure-Python reference ------------------------------------
+
+WORD = st.text(alphabet="ab", min_size=1, max_size=4)
+DOC = st.lists(WORD, min_size=1, max_size=5).map(" ".join)
+CORPUS = st.lists(DOC, min_size=1, max_size=6)
+
+
+def _py_bpe(texts, n_merges):
+    wf = Counter()
+    for t in texts:
+        for w in t.strip().lower().split():
+            wf[w] += 1
+    seqs = {w: list(w) for w in wf}
+    merges = []
+    for _ in range(n_merges):
+        pc = Counter()
+        for w, f in wf.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += f
+        if not pc:
+            break
+        (l, r), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((l, r, c))
+        for w, s in seqs.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+    return merges, seqs
+
+
+@given(corpus=CORPUS)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bpe_trainer_equals_python_reference(spark, corpus):
+    from pos_dlt_spark.operators.corpus import bpe_apply_merges, bpe_learn_merges
+
+    df = spark.createDataFrame(list(enumerate(corpus)), "doc_id long, text string")
+    merges = bpe_learn_merges(df, n_merges=3)
+    want_merges, seqs = _py_bpe(corpus, 3)
+    assert merges == want_merges
+    got = {r.doc_id: (r.n_words, r.n_subwords) for r in bpe_apply_merges(df, merges).collect()}
+    for i, t in enumerate(corpus):
+        words = t.strip().lower().split()
+        assert got[i] == (len(words), sum(len(seqs[w]) for w in words))
