@@ -1449,3 +1449,15 @@ def corpus_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted_sample / mixture_interleave."""
     docs = load_table(spark, sf_dir, "documents", spread=True)
     return T.dsir_logratio(docs, target_filter=F.col("lang") == "en")
+
+
+@query("dedup_semantic_clusters_vectorized", oracle=_semdedup_oracle())
+def dedup_semantic_clusters_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The numpy-matmul assignment path of dedup_semantic_clusters (one
+    int64 matmul per Arrow batch instead of k interpreted dots per row —
+    the k ~ n/1000 scale configuration's bottleneck fix, see SCALE.md).
+    Shares the expression path's oracle: the two paths are bit-identical
+    by construction and by tests/test_ml_ops.py."""
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    cents = S.seed_centroids(emb, k=_SEMD_K)
+    return S.semantic_dedup(emb, cents, threshold=_SEMD_TAU, vectorized=True)
