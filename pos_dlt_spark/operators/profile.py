@@ -41,28 +41,19 @@ def profile_table(df: DataFrame, cols: Sequence[str]) -> DataFrame:
             )
         ).alias("m")
     ).select("m.column", "m.vs", "m.vn")
-    base = melted.groupBy("column").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.when(F.col("vs").isNull(), 1).otherwise(0)).alias("n_nulls"),
+    # every statistic folds out of the (column, value, count) table, so
+    # ONE scan and one two-level aggregate serve all of them — no second
+    # pass, no join of a base-stats branch against a distinct branch.
+    # (vn is functionally dependent on vs; grouping by both is free.)
+    counts = melted.groupBy("column", "vs", "vn").agg(F.count(F.lit(1)).alias("__c"))
+    return counts.groupBy("column").agg(
+        F.sum("__c").cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("vs").isNull(), F.col("__c")).otherwise(0))
+        .cast("bigint")
+        .alias("n_nulls"),
+        F.count(F.when(F.col("vs").isNotNull(), 1)).cast("bigint").alias("n_distinct"),
         F.min("vn").alias("min_num"),
         F.max("vn").alias("max_num"),
         F.min("vs").alias("min_str"),
         F.max("vs").alias("max_str"),
-    )
-    dist = (
-        melted.filter(F.col("vs").isNotNull())
-        .groupBy("column", "vs")
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .groupBy("column")
-        .agg(F.count(F.lit(1)).alias("n_distinct"))
-    )
-    return base.join(dist, "column", "left").select(
-        "column",
-        "n_rows",
-        F.col("n_nulls").cast("bigint").alias("n_nulls"),
-        F.coalesce(F.col("n_distinct"), F.lit(0)).cast("bigint").alias("n_distinct"),
-        "min_num",
-        "max_num",
-        "min_str",
-        "max_str",
     )

@@ -1067,4 +1067,6 @@ def lineitem_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     COUNT(DISTINCT) in the naive one-agg formulation)."""
     from pos_dlt_spark.operators.profile import profile_table
 
-    return profile_table(load_table(spark, sf_dir, "lineitem"), _PROFILE_COLS)
+    # spread=True: the local single-file scan yields ~3 input splits; the
+    # melt multiplies rows x n_cols, so parallelize BEFORE the explode
+    return profile_table(load_table(spark, sf_dir, "lineitem", spread=True), _PROFILE_COLS)
