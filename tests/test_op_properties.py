@@ -180,3 +180,77 @@ def test_bpe_trainer_equals_python_reference(spark, corpus):
     for i, t in enumerate(corpus):
         words = t.strip().lower().split()
         assert got[i] == (len(words), sum(len(seqs[w]) for w in words))
+
+
+# -- global_cumsum vs single global window ------------------------------------
+
+ROWS = st.lists(
+    st.tuples(st.integers(0, 10_000), st.integers(-1000, 1000)),
+    min_size=0, max_size=60, unique_by=lambda t: t[0],
+)
+
+
+@given(rows=ROWS, n_parts=st.sampled_from([1, 3, 8]))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_global_cumsum_equals_window_any_input(spark, rows, n_parts):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pos_dlt_spark.operators.corpus import global_cumsum
+
+    df = (
+        spark.createDataFrame(rows, "k long, v long")
+        if rows
+        else spark.createDataFrame([], "k long, v long")
+    )
+    got = {
+        (r.k, r.cum)
+        for r in global_cumsum(df, [F.col("v").desc(), F.col("k")], "v", n_parts=n_parts).collect()
+    }
+    w = Window.orderBy(F.col("v").desc(), F.col("k")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = {(r.k, r.cum) for r in df.withColumn("cum", F.sum("v").over(w)).collect()}
+    assert got == want
+
+
+# -- profile_table vs pandas reference ---------------------------------------
+
+PROF_ROWS = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(-5, 5)),
+        st.one_of(st.none(), st.sampled_from(["x", "y", "z"])),
+    ),
+    min_size=0, max_size=40,
+)
+
+
+@given(rows=PROF_ROWS)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_profile_table_matches_python(spark, rows):
+    from pos_dlt_spark.operators.profile import profile_table
+
+    df = (
+        spark.createDataFrame(rows, "a long, b string")
+        if rows
+        else spark.createDataFrame([], "a long, b string")
+    )
+    got = {r.column: r for r in profile_table(df, ["a", "b"]).collect()}
+    for col, idx in (("a", 0), ("b", 1)):
+        vals = [r[idx] for r in rows]
+        nn = [v for v in vals if v is not None]
+        if not rows:
+            assert col not in got  # empty input profiles to zero rows
+            continue
+        g = got[col]
+        assert g.n_rows == len(vals)
+        assert g.n_nulls == len(vals) - len(nn)
+        assert g.n_distinct == len(set(nn))
+        if col == "a":
+            assert g.min_num == (float(min(nn)) if nn else None)
+            assert g.max_num == (float(max(nn)) if nn else None)
+        else:
+            assert g.min_str == (min(nn) if nn else None)
+            assert g.max_str == (max(nn) if nn else None)
