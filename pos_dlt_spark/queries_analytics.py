@@ -119,15 +119,19 @@ def lineitem_quantity_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_user_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ cardinality sketch (approx_count_distinct) validated
     against the exact count: the query itself asserts the sketch lands
-    within 5% (rsd default 5%; HLL is deterministic for fixed input). At
-    100 TB the sketch replaces the exact distinct's full shuffle with a
-    fixed-size mergeable state — this query pins that it stays usable."""
+    within 5%. The sketch runs at rsd=0.01 so the 5% claim holds with
+    ~5-sigma margin at ANY scale — the round-3 sf0.1 gate caught the
+    default rsd=0.05 estimate drifting past its own 1-sigma bound for one
+    group (HLL is deterministic per input, so a bad cell layout is a
+    permanent failure for that dataset, not a flake). At 100 TB the
+    sketch replaces the exact distinct's full shuffle with a fixed-size
+    mergeable state — this query pins that it stays usable."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy("event_type")
         .agg(
             F.countDistinct("user_id").alias("n_users_exact"),
-            F.approx_count_distinct("user_id").alias("approx"),
+            F.approx_count_distinct("user_id", rsd=0.01).alias("approx"),
         )
         .select(
             "event_type",
