@@ -599,7 +599,7 @@ def events_hll_mergeable_sketches(spark: SparkSession, sf_dir: str) -> DataFrame
     the sketch bits."""
     ev = load_table(spark, sf_dir, "events")
     per_type = ev.groupBy("event_type").agg(
-        F.hll_sketch_agg("user_id").alias("sk"),
+        F.hll_sketch_agg("user_id", 14).alias("sk"),
         F.count_distinct("user_id").alias("n_exact"),
     )
     ok = (
@@ -921,7 +921,7 @@ def events_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
     from pyspark.sql import Window
 
     daily = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("d")).agg(
-        F.hll_sketch_agg("user_id").alias("sk")
+        F.hll_sketch_agg("user_id", 14).alias("sk")
     )
     w = (
         Window.orderBy(F.unix_micros(F.col("d")))
