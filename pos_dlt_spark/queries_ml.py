@@ -1461,3 +1461,100 @@ def dedup_semantic_clusters_vectorized(spark: SparkSession, sf_dir: str) -> Data
     emb = load_table(spark, sf_dir, "embeddings", spread=True)
     cents = S.seed_centroids(emb, k=_SEMD_K)
     return S.semantic_dedup(emb, cents, threshold=_SEMD_TAU, vectorized=True)
+
+
+def _curation_oracle() -> str:
+    cos_qc = _cos_sql("q.qv", "c.cv")
+    cos_ab = _cos_sql("a.qv", "b.qv")
+    parts = [
+        # DSIR signal (target = the English slice), n_tokens rides along
+        r"""cur_toks AS (SELECT doc_id, lang = 'en' AS t,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        FROM documents)""",
+        "cur_tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM cur_toks GROUP BY 1, 2)",
+        """cur_vocab AS (SELECT tok, COUNT(*) AS c_all,
+               CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS c_t
+        FROM cur_toks GROUP BY 1)""",
+        """cur_tot AS (SELECT CAST(SUM(c_all) AS BIGINT) AS N_all,
+               CAST(SUM(c_t) AS BIGINT) AS N_t,
+               CAST(COUNT(*) AS BIGINT) AS V FROM cur_vocab)""",
+        """cur_s AS (SELECT f.doc_id, f.tf,
+               CAST(floor(ln(CAST(v.c_t + 1 AS DOUBLE) / CAST(t.N_t + t.V AS DOUBLE))
+                          * 1000000) AS BIGINT)
+               - CAST(floor(ln(CAST(v.c_all + 1 AS DOUBLE) / CAST(t.N_all + t.V AS DOUBLE))
+                            * 1000000) AS BIGINT) AS d
+        FROM cur_tf f JOIN cur_vocab v USING (tok), cur_tot t)""",
+        """cur_d AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+               CAST(SUM(tf * d) AS BIGINT) AS log_ratio_micro
+        FROM cur_s GROUP BY doc_id)""",
+        # exact-dup canonical id per doc
+        r"""cur_ex AS (SELECT doc_id,
+               MIN(doc_id) OVER (
+                   PARTITION BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+               ) AS canonical_id
+        FROM documents)""",
+        # semantic duplicates over the embeddings table (SemDeDup gate config)
+        f"q AS (SELECT vec_id, {_QUANT} AS qv FROM embeddings)",
+        f"cents AS (SELECT vec_id AS cid, qv AS cv FROM q ORDER BY vec_id LIMIT {_SEMD_K})",
+        f"""asg AS (
+        SELECT vec_id, qv, cid AS cluster FROM (
+            SELECT q.vec_id, q.qv, c.cid,
+                   row_number() OVER (PARTITION BY q.vec_id ORDER BY {cos_qc} DESC, c.cid) AS rn
+            FROM q CROSS JOIN cents c) z
+        WHERE rn = 1)""",
+        f"""dup AS (
+        SELECT b.vec_id, MIN(a.vec_id) AS dup_of
+        FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        WHERE {cos_ab} >= {_SEMD_TAU}
+        GROUP BY b.vec_id)""",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(_materialize_ctes(parts))
+        + """
+    SELECT d.doc_id, d.n_tokens, d.log_ratio_micro
+    FROM cur_d d
+    JOIN cur_ex e ON d.doc_id = e.doc_id
+    LEFT JOIN dup ON dup.vec_id = d.doc_id
+    WHERE d.n_tokens >= 20
+      AND d.log_ratio_micro > 0
+      AND d.doc_id = e.canonical_id
+      AND dup.dup_of IS NULL
+    """
+    )
+
+
+@query("corpus_curation_pipeline", oracle=_curation_oracle())
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-3 curation recipe as ONE declarative plan: length floor
+    (n_tokens >= 20) -> exact dedup (keep the min-id canonical) -> DSIR
+    selection (log importance ratio vs the English target > 0) ->
+    SemDeDup drop (doc's embedding has an earlier same-cluster cosine
+    neighbor). Survivors with their DSIR stats. Every stage reuses its
+    standalone operator — quality/DSIR ride one token pass, the dedup
+    stages are the gate-verified operators — and Catalyst fuses the lot;
+    nothing materializes between stages."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    dsir = T.dsir_logratio(docs, target_filter=F.col("lang") == "en")
+    normalized = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    canon = docs.select(
+        "doc_id",
+        F.min("doc_id")
+        .over(Window.partitionBy(F.md5(normalized)))
+        .alias("canonical_id"),
+    )
+    sem = S.semantic_dedup(emb, S.seed_centroids(emb, k=_SEMD_K), threshold=_SEMD_TAU).select(
+        F.col("vec_id").alias("doc_id"), "dup_of"
+    )
+    return (
+        dsir.filter(F.col("n_tokens") >= 20)
+        .filter(F.col("log_ratio_micro") > 0)
+        .join(canon, "doc_id")
+        .filter(F.col("doc_id") == F.col("canonical_id"))
+        .join(sem, "doc_id", "left")
+        .filter(F.col("dup_of").isNull())
+        .select("doc_id", "n_tokens", "log_ratio_micro")
+    )
