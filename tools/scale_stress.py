@@ -38,6 +38,7 @@ FLAGSHIPS = [
     "corpus_vocab",
     "corpus_pack_sequences",
     "corpus_bpe_learn_merges",
+    "corpus_curation_pipeline",
     "streaming_cdc_bucketed_state",
     "ann_ivfpq_topk",
 ]
