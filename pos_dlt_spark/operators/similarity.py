@@ -819,6 +819,11 @@ def assign_centroids_vectorized(
     norm); ties resolve to the lowest cid because the centroid matrix is
     cid-sorted and ``argmax`` returns the first maximum.
 
+    Precondition (both assignment paths): vectors and centroids must have
+    nonzero quantized norm — a zero vector divides by zero, and the two
+    paths disagree on the garbage (numpy inf vs SQL null). Filter zero
+    vectors upstream; cosine is undefined for them anyway.
+
     Returns (id, q array<bigint>, n double, cluster int) so downstream
     stages reuse the quantized vectors without recomputing."""
     import numpy as np
