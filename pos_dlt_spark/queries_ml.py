@@ -1558,3 +1558,49 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dup_of").isNull())
         .select("doc_id", "n_tokens", "log_ratio_micro")
     )
+
+
+_DECON_TAU = 0.4
+
+
+@query(
+    "emb_semantic_decontamination",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, {_QUANT} AS qv FROM embeddings),
+    probes AS (SELECT vec_id AS probe_id, qv AS qp FROM q WHERE vec_id < 25),
+    hits AS (
+        SELECT c.vec_id, MIN(p.probe_id) AS contaminated_by
+        FROM q c JOIN probes p ON c.vec_id >= 25
+        WHERE {_cos_sql('p.qp', 'c.qv')} >= {_DECON_TAU}
+        GROUP BY c.vec_id)
+    SELECT c.vec_id, hits.contaminated_by
+    FROM q c LEFT JOIN hits ON c.vec_id = hits.vec_id
+    WHERE c.vec_id >= 25
+    """,
+)
+def emb_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination — the semantic
+    complement of corpus_decontamination's n-gram overlap: every corpus
+    vector cosine-close (>= 0.4) to any eval-set vector (vec_id < 25
+    stands in for the benchmark) is flagged with the lowest contaminating
+    probe id; ``contaminated_by IS NULL`` is the clean set. One corpus
+    scan against broadcast probes (the brute_force_topk shape — at 100 TB
+    the probe set is the benchmark suite: thousands of rows, trivially
+    broadcastable), quantized-exact cosine."""
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    q = emb.select("vec_id", S.quantized(F.col("embedding")).alias("qc"))
+    q = q.select("vec_id", "qc", S.norm(F.col("qc")).alias("nc"))
+    probes = q.filter(F.col("vec_id") < 25).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("qc").alias("qp"),
+        F.col("nc").alias("np_"),
+    )
+    corpus = q.filter(F.col("vec_id") >= 25)
+    sim = S.cosine_sim_prenormed(F.col("qp"), F.col("qc"), F.col("np_"), F.col("nc"))
+    hits = (
+        corpus.crossJoin(F.broadcast(probes))
+        .filter(sim >= _DECON_TAU)
+        .groupBy("vec_id")
+        .agg(F.min("probe_id").alias("contaminated_by"))
+    )
+    return corpus.select("vec_id").join(hits, "vec_id", "left")
