@@ -43,6 +43,12 @@ FLAGSHIPS = [
     "ann_ivfpq_topk",
 ]
 
+# Override for runs where a gate-pinned config is known to be the
+# documented quadratic (e.g. SemDeDup's fixed k=8 at 100x — its scaled
+# configuration is measured separately): comma-separated query names.
+if os.environ.get("SPARK_GRAFT_STRESS_QUERIES"):
+    FLAGSHIPS = os.environ["SPARK_GRAFT_STRESS_QUERIES"].split(",")
+
 SRC = "/root/testdata/sf0.1"
 
 
