@@ -301,3 +301,21 @@ def test_profile_never_uses_expand(q):
     one-agg-many-distincts formulation replicates each row per column)."""
     df = q("lineitem_profile")
     assert_not_in_plan(df, "Expand")
+
+
+def test_curation_pipeline_no_pair_blowup(q):
+    """The composed curation plan inherits every stage's join discipline:
+    no cartesian products; the only nested-loop join allowed is the
+    1-row DSIR totals broadcast (the repo-wide scalar cross-join
+    pattern) — the semantic stage joins on cluster, dedup on content
+    hash, DSIR on token."""
+    df = q("corpus_curation_pipeline")
+    assert_not_in_plan(df, "CartesianProduct")
+    assert count_op(df, "BroadcastNestedLoopJoin") <= 1
+
+
+def test_semantic_decontamination_broadcasts_probes(q):
+    """Eval-set probes must broadcast; the corpus side scans once with no
+    shuffle before the similarity filter."""
+    df = q("emb_semantic_decontamination")
+    assert count_op(df, "BroadcastExchange") >= 1
