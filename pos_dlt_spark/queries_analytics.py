@@ -1074,3 +1074,44 @@ def lineitem_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread=True: the local single-file scan yields ~3 input splits; the
     # melt multiplies rows x n_cols, so parallelize BEFORE the explode
     return profile_table(load_table(spark, sf_dir, "lineitem", spread=True), _PROFILE_COLS)
+
+
+@query(
+    "events_top_paths",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS s1,
+               lead(event_type, 1) OVER w AS s2,
+               lead(event_type, 2) OVER w AS s3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    paths AS (
+        SELECT s1, s2, s3, CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE s3 IS NOT NULL
+        GROUP BY s1, s2, s3)
+    SELECT s1, s2, s3, n FROM paths
+    ORDER BY n DESC, s1, s2, s3
+    LIMIT 25
+    """,
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 3-step user paths (sequence trigrams) — the path-mining
+    companion to events_markov_transitions: two lead() offsets over one
+    per-user window (one shuffle on user_id, both leads share the sort),
+    a map-side-combined trigram count, and a TakeOrderedAndProject
+    top-25 with a total tie-break order."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("s1"),
+        F.lead("event_type", 1).over(w).alias("s2"),
+        F.lead("event_type", 2).over(w).alias("s3"),
+    )
+    return (
+        seq.filter(F.col("s3").isNotNull())
+        .groupBy("s1", "s2", "s3")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "s1", "s2", "s3")
+        .limit(25)
+    )

@@ -319,3 +319,13 @@ def test_semantic_decontamination_broadcasts_probes(q):
     shuffle before the similarity filter."""
     df = q("emb_semantic_decontamination")
     assert count_op(df, "BroadcastExchange") >= 1
+
+
+def test_top_paths_single_window_shuffle_and_topk(q):
+    """Both lead() offsets must share one user-window sort (one hash
+    exchange for the window + one for the trigram aggregate) and the
+    top-25 must be a TakeOrderedAndProject, never a global sort."""
+    df = q("events_top_paths")
+    assert_in_plan(df, "TakeOrderedAndProject")
+    assert count_op(df, "Exchange hashpartitioning") == 2
+    assert count_op(df, "Exchange rangepartitioning") == 0
