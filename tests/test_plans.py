@@ -329,3 +329,34 @@ def test_top_paths_single_window_shuffle_and_topk(q):
     assert_in_plan(df, "TakeOrderedAndProject")
     assert count_op(df, "Exchange hashpartitioning") == 2
     assert count_op(df, "Exchange rangepartitioning") == 0
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "corpus_pipeline_audit",
+        "corpus_clean_pipeline",
+        "dedup_lsh_levenshtein_pairs",
+        "pos_cdc_latest_snapshot",
+        "text_bigram_logprob",
+        "corpus_mixture_interleave",
+        "ann_ivf_kmeans_recall",
+        "corpus_dsir_importance",
+    ],
+    ids=str,
+)
+def test_expensive_batch_queries_never_go_quadratic(q, name):
+    """Blanket regression pin for the most expensive non-streaming gate
+    queries: whatever Catalyst re-plans across Spark upgrades, none of
+    these may ever contain an unconditional cartesian product. (1-row
+    scalar totals ride BroadcastNestedLoopJoin by design and are allowed;
+    a CartesianProduct of data-sized relations is not.)"""
+    assert_not_in_plan(q(name), "CartesianProduct")
+
+
+def test_levenshtein_pairs_no_nested_loop_at_all(q):
+    """The fuzzy-dedup candidate join must stay an equi-join on LSH
+    buckets — not even a broadcast nested loop (it has no scalar-totals
+    stage to excuse one)."""
+    df = q("dedup_lsh_levenshtein_pairs")
+    assert_not_in_plan(df, "BroadcastNestedLoopJoin")
