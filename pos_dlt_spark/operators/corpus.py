@@ -864,6 +864,16 @@ def chunk_documents(
 _BPE_L, _BPE_R = "\x01", "\x02"
 
 
+def _strip_delims(w: Column) -> Column:
+    """Remove literal \\x01/\\x02 from a token before wrapping — a word
+    containing the delimiter characters would otherwise corrupt symbol
+    boundaries (merge patterns matching across symbols). Applied
+    identically in the DuckDB oracles (queries_corpus._WORD)."""
+    return F.replace(
+        F.replace(w, F.lit(_BPE_L), F.lit("")), F.lit(_BPE_R), F.lit("")
+    )
+
+
 def bpe_word_freqs(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, freq, s) — the word-frequency table BPE trains on, with
     ``s`` the delimiter-wrapped character sequence. THIS is the classic
@@ -874,7 +884,7 @@ def bpe_word_freqs(df: DataFrame, text_col: str = "text") -> DataFrame:
     return toks.groupBy("word").agg(F.count(F.lit(1)).alias("freq")).select(
         "word",
         "freq",
-        F.regexp_replace(F.col("word"), "(.)", _BPE_L + "$1" + _BPE_R).alias("s"),
+        F.regexp_replace(_strip_delims(F.col("word")), "(.)", _BPE_L + "$1" + _BPE_R).alias("s"),
     )
 
 
@@ -963,7 +973,7 @@ def bpe_apply_merges(
     chain of len(merges) string replaces inside one projection."""
 
     def encode_word(w: Column) -> Column:
-        s = F.regexp_replace(w, "(.)", _BPE_L + "$1" + _BPE_R)
+        s = F.regexp_replace(_strip_delims(w), "(.)", _BPE_L + "$1" + _BPE_R)
         for l, r, _c in merges:
             s = F.replace(
                 s,

@@ -22,12 +22,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def profile_table(df: DataFrame, cols: Sequence[str]) -> DataFrame:
-    """(column, n_rows, n_nulls, n_distinct, min_num, max_num, min_str,
-    max_str) for each named column. Numeric min/max via try_cast to
-    double (null for non-numeric columns); string min/max over the
-    rendered value (binary collation — engine-portable for ASCII)."""
-    melted = df.select(
+def _melt(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """One array-of-struct projection + explode: (column, vs, vn) rows —
+    the single scan both profiler variants fold their statistics from."""
+    return df.select(
         F.explode(
             F.array(
                 *[
@@ -41,6 +39,24 @@ def profile_table(df: DataFrame, cols: Sequence[str]) -> DataFrame:
             )
         ).alias("m")
     ).select("m.column", "m.vs", "m.vn")
+
+
+def profile_table(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """(column, n_rows, n_nulls, n_distinct, min_num, max_num, min_str,
+    max_str) for each named column. Numeric min/max via try_cast to
+    double (null for non-numeric columns); string min/max over the
+    rendered value (binary collation — engine-portable for ASCII).
+
+    Distinct semantics: ``n_distinct`` counts distinct over the STRING
+    RENDERING of values, not the native column — identical for integer
+    and char columns, but a double or timestamp column whose engine
+    rendering collapses or splits values (-0.0 vs 0.0, scientific
+    notation, timestamp formats) can diverge from ``COUNT(DISTINCT
+    native)``. The rendering is what makes a heterogeneous melt possible
+    in one scan; callers needing native distinct on such columns should
+    run a per-column ``approx_count_distinct`` (see the ``approx`` path)
+    or an exact count on the raw column."""
+    melted = _melt(df, cols)
     # every statistic folds out of the (column, value, count) table, so
     # ONE scan and one two-level aggregate serve all of them — no second
     # pass, no join of a base-stats branch against a distinct branch.
@@ -52,6 +68,37 @@ def profile_table(df: DataFrame, cols: Sequence[str]) -> DataFrame:
         .cast("bigint")
         .alias("n_nulls"),
         F.count(F.when(F.col("vs").isNotNull(), 1)).cast("bigint").alias("n_distinct"),
+        F.min("vn").alias("min_num"),
+        F.max("vn").alias("max_num"),
+        F.min("vs").alias("min_str"),
+        F.max("vs").alias("max_str"),
+    )
+
+
+def profile_table_approx(
+    df: DataFrame, cols: Sequence[str], rsd: float = 0.01
+) -> DataFrame:
+    """The 100 TB first-look profiler: same single-scan melt, but
+    ``n_distinct_approx`` is one HyperLogLog++ sketch per column
+    (``approx_count_distinct`` at ``rsd``) — the shuffle carries one
+    fixed-size sketch per (map partition, column) instead of EVERY
+    distinct (column, value) pair, which is what the exact profiler pays
+    on a high-cardinality column (an id column shuffles ~n rows). All
+    other statistics are still exact and ride the same aggregate.
+
+    Still Expand-free: a single hash aggregate with declarative sketch
+    aggs, no distinct-aggregate expansion. ``rsd`` defaults to 0.01, not
+    Spark's 0.05 — the measured lesson from events_user_approx_distinct:
+    default-rsd HLL drifted 6.7% on a 5%-claim query at 10x data, and
+    HLL error is deterministic per dataset (a permanent failure, not a
+    flake)."""
+    melted = _melt(df, cols)
+    return melted.groupBy("column").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("vs").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_nulls"),
+        F.approx_count_distinct("vs", rsd=rsd).cast("bigint").alias("n_distinct_approx"),
         F.min("vn").alias("min_num"),
         F.max("vn").alias("max_num"),
         F.min("vs").alias("min_str"),

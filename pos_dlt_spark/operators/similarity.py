@@ -765,7 +765,22 @@ def semantic_dedup(
     is sum of per-cluster squares, so ``k`` must grow with the corpus
     (SemDeDup's published config: k ~ n/1000, keeping clusters ~constant
     size; a hot cluster is the same failure mode as an LSH hot bucket and
-    is bounded the same way — pick k, or cap via sampling)."""
+    is bounded the same way — pick k, or cap via sampling).
+
+    Precondition (both assignment paths, same as
+    :func:`assign_centroids_vectorized`): vectors and centroids must have
+    nonzero quantized norm (some component with |x| >= 0.001). A zero
+    norm makes :func:`cosine_sim_prenormed` divide by zero — NaN on the
+    expression path, and NaN compares greater than any double in both
+    Spark and DuckDB, so ``sim >= threshold`` is TRUE and zero vectors
+    silently flag each other as semantic duplicates. Filter zero vectors
+    upstream; cosine is undefined for them anyway.
+
+    The assignment stage — a full corpus scan with k dot products per
+    row — feeds three plan branches (both pair-join sides and the final
+    select), so it is persisted here: one assignment pass per action
+    instead of three. Call ``.unpersist()`` on the returned frame's
+    assigned parent (or let the session reclaim it) when done."""
     if vectorized:
         # one numpy matmul per Arrow batch instead of k interpreted dots
         # per row — bit-identical assignment (see assign_centroids_
@@ -782,6 +797,7 @@ def semantic_dedup(
             "n",
             F.array_min(_centroid_sims("q", "n", centroids))["cid"].alias("cluster"),
         )
+    assigned = assigned.persist()
     a = assigned.select(
         F.col("cluster"),
         F.col(id_col).alias("id_a"),

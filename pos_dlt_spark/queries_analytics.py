@@ -1076,6 +1076,58 @@ def lineitem_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_table(load_table(spark, sf_dir, "lineitem", spread=True), _PROFILE_COLS)
 
 
+def _profile_approx_oracle() -> str:
+    selects = []
+    for c in _PROFILE_COLS:
+        selects.append(
+            f"""SELECT '{c}' AS "column",
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct_exact,
+               TRUE AS approx_within_5pct,
+               MIN(TRY_CAST(CAST({c} AS VARCHAR) AS DOUBLE)) AS min_num,
+               MAX(TRY_CAST(CAST({c} AS VARCHAR) AS DOUBLE)) AS max_num,
+               MIN(CAST({c} AS VARCHAR)) AS min_str,
+               MAX(CAST({c} AS VARCHAR)) AS max_str
+        FROM lineitem"""
+        )
+    return "\nUNION ALL ".join(selects)
+
+
+@query("lineitem_profile_approx", oracle=_profile_approx_oracle())
+def lineitem_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based profiler for wide/high-cardinality tables
+    (profile_table_approx): distinct counts via one HLL++ sketch per
+    column at rsd=0.01, so the shuffle carries fixed-size sketches
+    instead of every distinct (column, value) pair — the 100 TB
+    first-look path. Gate shape follows events_user_approx_distinct:
+    emit the EXACT distinct plus a 5%-tolerance flag on the sketch
+    estimate (HLL is engine-specific but deterministic per dataset), so
+    the hash compare stays exact while the approx machinery is
+    validated."""
+    from pos_dlt_spark.operators.profile import profile_table, profile_table_approx
+
+    df = load_table(spark, sf_dir, "lineitem", spread=True)
+    ap = profile_table_approx(df, _PROFILE_COLS)
+    ex = profile_table(df, _PROFILE_COLS).select(
+        "column", F.col("n_distinct").alias("n_distinct_exact")
+    )
+    return ap.join(ex, "column").select(
+        "column",
+        "n_rows",
+        "n_nulls",
+        "n_distinct_exact",
+        (
+            F.abs(F.col("n_distinct_approx") - F.col("n_distinct_exact"))
+            <= 0.05 * F.col("n_distinct_exact")
+        ).alias("approx_within_5pct"),
+        "min_num",
+        "max_num",
+        "min_str",
+        "max_str",
+    )
+
+
 @query(
     "events_top_paths",
     oracle="""

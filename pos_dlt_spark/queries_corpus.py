@@ -726,6 +726,9 @@ def corpus_quality_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BPE_MERGES = 4
 _BL, _BR = "chr(1)", "chr(2)"  # the \x01 / \x02 symbol delimiters, as SQL
+# A word containing literal \x01/\x02 would corrupt symbol boundaries, so
+# both the Spark trainer and this oracle strip them before wrapping:
+_WORD = f"replace(replace(word, {_BL}, ''), {_BR}, '')"
 
 
 def _bpe_oracle_parts(n: int) -> list[str]:
@@ -733,7 +736,14 @@ def _bpe_oracle_parts(n: int) -> list[str]:
     char sequences), then per round r: p{r} pair counts, t{r} argmax
     merge, wf{r} merged sequences. MATERIALIZED is load-bearing — each
     wf CTE is referenced twice per round and DuckDB would inline the
-    chain exponentially."""
+    chain exponentially.
+
+    Exhausted rounds are no-ops, not empty relations: t{r} UNION ALLs a
+    chr(3) sentinel at c=0 (a real pair always has c >= 1) whose replace
+    pattern can never match a wrapped symbol, so a corpus with fewer than
+    n learnable merges leaves the downstream CROSS JOIN chain intact
+    instead of emptying it (the Spark trainer breaks out early by
+    design; the learn oracle filters c >= 1 to mirror that)."""
     syms = (
         f"str_split(CASE WHEN length(s) >= 2 THEN substring(s, 2, length(s)-2) "
         f"ELSE '' END, {_BR} || {_BL})"
@@ -742,7 +752,7 @@ def _bpe_oracle_parts(n: int) -> list[str]:
         r"bpe_w AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word"
         r" FROM documents)",
         f"wf0 AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq, "
-        f"regexp_replace(word, '(.)', {_BL} || '\\1' || {_BR}, 'g') AS s "
+        f"regexp_replace({_WORD}, '(.)', {_BL} || '\\1' || {_BR}, 'g') AS s "
         f"FROM bpe_w GROUP BY word)",
     ]
     for r in range(1, n + 1):
@@ -754,7 +764,12 @@ def _bpe_oracle_parts(n: int) -> list[str]:
             FROM (SELECT freq, {syms} AS syms FROM wf{r - 1}) u) v
         GROUP BY l, r2)"""
         )
-        parts.append(f"t{r} AS (SELECT lhs, rhs, c FROM p{r} ORDER BY c DESC, lhs, rhs LIMIT 1)")
+        parts.append(
+            f"t{r} AS (SELECT lhs, rhs, c FROM ("
+            f"SELECT lhs, rhs, c FROM p{r} "
+            f"UNION ALL SELECT chr(3), chr(3), CAST(0 AS BIGINT)"
+            f") ORDER BY c DESC, lhs, rhs LIMIT 1)"
+        )
         parts.append(
             f"wf{r} AS (SELECT word, freq, "
             f"replace(s, {_BL} || t.lhs || {_BR} || {_BL} || t.rhs || {_BR}, "
@@ -768,7 +783,7 @@ def _bpe_learn_oracle() -> str:
     from pos_dlt_spark.queries_ml import _materialize_ctes
 
     sel = "\nUNION ALL ".join(
-        f"SELECT {r} AS merge_round, lhs, rhs, c AS n_pairs FROM t{r}"
+        f"SELECT {r} AS merge_round, lhs, rhs, c AS n_pairs FROM t{r} WHERE c >= 1"
         for r in range(1, BPE_MERGES + 1)
     )
     return "WITH " + ",\n".join(_materialize_ctes(_bpe_oracle_parts(BPE_MERGES))) + "\n" + sel
@@ -792,7 +807,7 @@ def corpus_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bpe_tokenize_oracle() -> str:
     from pos_dlt_spark.queries_ml import _materialize_ctes
 
-    s = f"regexp_replace(word, '(.)', {_BL} || '\\1' || {_BR}, 'g')"
+    s = f"regexp_replace({_WORD}, '(.)', {_BL} || '\\1' || {_BR}, 'g')"
     for r in range(1, BPE_MERGES + 1):
         s = (
             f"replace({s}, {_BL} || t{r}.lhs || {_BR} || {_BL} || t{r}.rhs || {_BR}, "

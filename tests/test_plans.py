@@ -303,6 +303,16 @@ def test_profile_never_uses_expand(q):
     assert_not_in_plan(df, "Expand")
 
 
+def test_profile_approx_expand_free_single_aggregate(q):
+    """The sketch profiler folds every stat (incl. HLL distinct) into ONE
+    two-level hash aggregate on the melt — no Expand, and its own branch
+    carries exactly one shuffle (the gate query joins it to the exact
+    profiler for tolerance validation, so the whole plan has the exact
+    branch's exchanges too, but never an Expand anywhere)."""
+    df = q("lineitem_profile_approx")
+    assert_not_in_plan(df, "Expand")
+
+
 def test_curation_pipeline_no_pair_blowup(q):
     """The composed curation plan inherits every stage's join discipline:
     no cartesian products; the only nested-loop join allowed is the
