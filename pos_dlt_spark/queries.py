@@ -14,6 +14,7 @@ Determinism rules applied throughout (so Spark and the oracle hash-match):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -143,6 +144,132 @@ def pos_cdc_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch oracle of DLT apply_changes (W3): one row per key, max
     sequence wins, total tiebreak."""
     return pos_snapshots(spark, sf_dir)
+
+
+_DELTA_DIMS_CACHE: dict[str, tuple[str, str]] = {}
+
+
+def _delta_dims(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Build-once synthetic DELTA tables for the supplier/part dims
+    (public-protocol `_delta_log` fixtures; sources/delta.py reads them).
+
+    Both protocol paths are exercised so the gate actually proves the
+    fold: supplier is the JSON-replay path — commit 0 adds a DECOY file
+    (acctbal negated, which flips the gold NOT-filter) that commit 1
+    removes and replaces with the true rows split across two files; part
+    is the checkpoint path — its folded state lives in a classic
+    checkpoint parquet whose JSON commits are deleted (log cleanup), plus
+    one post-checkpoint JSON commit. A reader that ignores removes, skips
+    the checkpoint, or misses post-checkpoint commits produces a wrong
+    gold result, not an error."""
+    key = os.path.abspath(sf_dir)
+    if key in _DELTA_DIMS_CACHE:
+        return _DELTA_DIMS_CACHE[key]
+    import atexit
+    import shutil
+    import tempfile
+
+    from pos_dlt_spark.sources import delta_fixture as fx
+
+    work = tempfile.mkdtemp(prefix="delta_dims_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+
+    def one_file(df, stage: str, table: str, rel: str) -> str:
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        f = [n for n in os.listdir(stage) if n.endswith(".parquet")][0]
+        dest = os.path.join(table, rel)
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        os.replace(os.path.join(stage, f), dest)
+        return rel
+
+    # --- supplier: JSON add/remove fold -------------------------------
+    supp = load_table(spark, sf_dir, "supplier")
+    st = os.path.join(work, "supplier")
+    stage = os.path.join(work, "_stage")
+    os.makedirs(st, exist_ok=True)
+    decoy = supp.withColumn("s_acctbal", -F.abs(F.col("s_acctbal")) - 1)
+    r_decoy = one_file(decoy, stage, st, "part-decoy.parquet")
+    half_a = supp.filter(F.col("s_suppkey") % 2 == 0)
+    half_b = supp.filter(F.col("s_suppkey") % 2 != 0)
+    r_a = one_file(half_a, stage, st, "part-a.parquet")
+    r_b = one_file(half_b, stage, st, "part-b.parquet")
+    fx.write_commit(
+        st,
+        0,
+        [fx.protocol_action(), fx.metadata_action(supp.schema), fx.add_action(r_decoy)],
+    )
+    fx.write_commit(
+        st, 1, [fx.remove_action(r_decoy), fx.add_action(r_a), fx.add_action(r_b)]
+    )
+
+    # --- part: checkpoint + cleaned commits + one delta commit --------
+    part = load_table(spark, sf_dir, "part")
+    pt = os.path.join(work, "part")
+    os.makedirs(pt, exist_ok=True)
+    small = part.filter(F.col("p_partkey") % 10 == 0)
+    rest = part.filter(F.col("p_partkey") % 10 != 0)
+    r_small = one_file(small, stage, pt, "part-small.parquet")
+    r_rest = one_file(rest, stage, pt, "part-rest.parquet")
+    fx.write_commit(
+        pt, 0, [fx.protocol_action(), fx.metadata_action(part.schema), fx.add_action(r_rest)]
+    )
+    fx.write_checkpoint(
+        pt,
+        0,
+        [fx.protocol_action(), fx.metadata_action(part.schema), fx.add_action(r_rest)],
+    )
+    os.remove(os.path.join(pt, "_delta_log", f"{0:020d}.json"))  # log cleanup
+    fx.write_commit(pt, 1, [fx.add_action(r_small)])
+
+    _DELTA_DIMS_CACHE[key] = (st, pt)
+    return _DELTA_DIMS_CACHE[key]
+
+
+@query(
+    "pos_gold_inventory_current_delta",
+    oracle=f"""
+    WITH snap AS ({_SNAP_SQL}), chg AS ({_CHG_SQL})
+    SELECT a.store_id, a.item_id,
+           MAX(a.quantity) AS snapshot_quantity,
+           CAST(COALESCE(SUM(b.quantity), 0) AS BIGINT) AS change_quantity,
+           CAST(MAX(a.quantity) + COALESCE(SUM(b.quantity), 0) AS BIGINT) AS current_inventory,
+           GREATEST(MAX(a.date_time),
+                    COALESCE(MAX(b.date_time), MAX(a.date_time))) AS date_time
+    FROM snap a
+    LEFT OUTER JOIN chg b
+      ON a.store_id = b.store_id AND a.item_id = b.item_id
+         AND a.date_time <= b.date_time
+    GROUP BY a.store_id, a.item_id
+    """,
+)
+def pos_gold_inventory_current_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship gold query with BOTH dims read from Delta tables via
+    the no-dependency protocol reader (sources/delta.py) — the interop
+    path for the reference's all-Delta storage (`03:124-129`). The oracle
+    reads the plain parquet dims: it matches only if the log fold
+    (decoy-remove replay for supplier, checkpoint + post-checkpoint
+    commit for part) reconstructs exactly the original dim content."""
+    from pos_dlt_spark.sources.delta import read_delta
+
+    supp_path, part_path = _delta_dims(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = read_delta(spark, supp_path)
+    part = read_delta(spark, part_path)
+    x = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey, "inner")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey, "inner")
+        .filter(~((F.col("s_acctbal") < 0) & (F.col("p_size") < 10)))
+    )
+    signed = F.col("l_quantity").cast("bigint") * F.when(
+        F.col("l_returnflag") == "R", F.lit(-1)
+    ).otherwise(F.lit(1))
+    changes = x.select(
+        F.col("l_suppkey").alias("store_id"),
+        F.col("l_partkey").alias("item_id"),
+        signed.alias("quantity"),
+        F.col("l_shipdate").alias("date_time"),
+    )
+    return current_inventory(pos_snapshots(spark, sf_dir), changes)
 
 
 # ---------------------------------------------------------------------------

@@ -1463,6 +1463,43 @@ def dedup_semantic_clusters_vectorized(spark: SparkSession, sf_dir: str) -> Data
     return S.semantic_dedup(emb, cents, threshold=_SEMD_TAU, vectorized=True)
 
 
+def _semdedup_kmeans_oracle() -> str:
+    cents_cte, cents = _kmeans_cents_cte(iters=2, n_centroids=_SEMD_K)
+    cos_qc = _cos_sql("q.qv", "c.cv")
+    cos_ab = _cos_sql("a.qv", "b.qv")
+    return f"""
+    WITH {cents_cte},
+    sasg AS (
+        SELECT vec_id, qv, cid AS cluster FROM (
+            SELECT q.vec_id, q.qv, c.cid,
+                   row_number() OVER (PARTITION BY q.vec_id ORDER BY {cos_qc} DESC, c.cid) AS rn
+            FROM q CROSS JOIN {cents} c) t
+        WHERE rn = 1),
+    sdup AS (
+        SELECT b.vec_id, MIN(a.vec_id) AS dup_of
+        FROM sasg a JOIN sasg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        WHERE {cos_ab} >= {_SEMD_TAU}
+        GROUP BY b.vec_id)
+    SELECT sasg.vec_id, sasg.cluster, sdup.dup_of
+    FROM sasg LEFT JOIN sdup ON sasg.vec_id = sdup.vec_id
+    """
+
+
+@query("dedup_semantic_clusters_kmeans", oracle=_semdedup_kmeans_oracle())
+def dedup_semantic_clusters_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END SemDeDup scale recipe: fit the centroid model with
+    ``similarity.kmeans_fit`` (2 spherical Lloyd iterations), then assign
+    + prune through the VECTORIZED path — exactly the k ~ n/1000
+    configuration the operator docstring prescribes at 100 TB, now
+    hash-gated rather than stress-harness-only. The oracle unrolls the
+    full fit into the ann_ivf_kmeans_recall CTE chain (bit-identical
+    integer centroids) and reruns the assignment + within-cluster prune
+    on the fitted model."""
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    fitted = S.kmeans_fit(emb, n_centroids=_SEMD_K, iters=2)
+    return S.semantic_dedup(emb, fitted, threshold=_SEMD_TAU, vectorized=True)
+
+
 def _curation_oracle() -> str:
     cos_qc = _cos_sql("q.qv", "c.cv")
     cos_ab = _cos_sql("a.qv", "b.qv")

@@ -1,0 +1,150 @@
+"""Synthetic Delta-log builder for tests and gate queries.
+
+This is NOT Delta write support: it emits protocol-shaped `_delta_log`
+fixtures (JSON commits, classic checkpoint parquet, `_last_checkpoint`)
+so :mod:`pos_dlt_spark.sources.delta` can be exercised against tables
+whose byte layout follows the PUBLIC Delta protocol spec. It does no
+atomic commit arbitration, no optimistic concurrency, no invariant
+enforcement — a real writer's whole job. Kept separate from the reader
+so the boundary is explicit.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql.types import StructType
+
+
+def protocol_action(min_reader: int = 1, min_writer: int = 2, **extra) -> dict:
+    return {"protocol": {"minReaderVersion": min_reader, "minWriterVersion": min_writer, **extra}}
+
+
+def metadata_action(
+    schema: StructType,
+    partition_columns: list[str] | None = None,
+    table_id: str | None = None,
+    configuration: dict[str, str] | None = None,
+) -> dict:
+    return {
+        "metaData": {
+            "id": table_id or str(uuid.uuid4()),
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema.jsonValue()),
+            "partitionColumns": partition_columns or [],
+            "configuration": configuration or {},
+            "createdTime": 0,
+        }
+    }
+
+
+def add_action(
+    rel_path: str,
+    size: int = 0,
+    partition_values: dict[str, str | None] | None = None,
+    **extra,
+) -> dict:
+    return {
+        "add": {
+            "path": rel_path,
+            "partitionValues": partition_values or {},
+            "size": size,
+            "modificationTime": 0,
+            "dataChange": True,
+            **extra,
+        }
+    }
+
+
+def remove_action(rel_path: str) -> dict:
+    return {"remove": {"path": rel_path, "deletionTimestamp": 0, "dataChange": True}}
+
+
+def write_commit(table_dir: str, version: int, actions: list[dict]) -> str:
+    log_dir = os.path.join(table_dir, "_delta_log")
+    os.makedirs(log_dir, exist_ok=True)
+    path = os.path.join(log_dir, f"{version:020d}.json")
+    with open(path, "w", encoding="utf-8") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+    return path
+
+
+def write_checkpoint(table_dir: str, version: int, actions: list[dict]) -> str:
+    """Classic single-file checkpoint: one parquet row per action, struct
+    columns named like the actions. Real checkpoints use a map type for
+    partitionValues; pyarrow renders maps back as (key, value) tuple
+    lists, which the reader folds with dict() — both shapes round-trip."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    smap = pa.map_(pa.string(), pa.string())
+    schema = pa.schema(
+        [
+            pa.field(
+                "metaData",
+                pa.struct(
+                    [
+                        ("id", pa.string()),
+                        ("format", pa.struct([("provider", pa.string()), ("options", smap)])),
+                        ("schemaString", pa.string()),
+                        ("partitionColumns", pa.list_(pa.string())),
+                        ("configuration", smap),
+                        ("createdTime", pa.int64()),
+                    ]
+                ),
+            ),
+            pa.field(
+                "protocol",
+                pa.struct([("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]),
+            ),
+            pa.field(
+                "add",
+                pa.struct(
+                    [
+                        ("path", pa.string()),
+                        ("partitionValues", smap),
+                        ("size", pa.int64()),
+                        ("modificationTime", pa.int64()),
+                        ("dataChange", pa.bool_()),
+                    ]
+                ),
+            ),
+            pa.field(
+                "remove",
+                pa.struct(
+                    [
+                        ("path", pa.string()),
+                        ("deletionTimestamp", pa.int64()),
+                        ("dataChange", pa.bool_()),
+                    ]
+                ),
+            ),
+        ]
+    )
+
+    def prune(v, typ):
+        # keep only schema-known keys so from_pylist matches the schema
+        if v is None:
+            return None
+        if pa.types.is_struct(typ):
+            return {f.name: prune(v.get(f.name), f.type) for f in typ}
+        if pa.types.is_map(typ):
+            return dict(v)
+        return v
+
+    keys = ("metaData", "protocol", "add", "remove")
+    rows = []
+    for a in actions:
+        rows.append(
+            {k: prune(a.get(k), schema.field(k).type) for k in keys}
+        )
+    log_dir = os.path.join(table_dir, "_delta_log")
+    os.makedirs(log_dir, exist_ok=True)
+    path = os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
+    pq.write_table(pa.Table.from_pylist(rows, schema=schema), path)
+    with open(os.path.join(log_dir, "_last_checkpoint"), "w", encoding="utf-8") as fh:
+        fh.write(json.dumps({"version": version, "size": len(rows)}))
+    return path

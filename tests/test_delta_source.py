@@ -1,0 +1,250 @@
+"""Read-only Delta Lake reader vs synthetic protocol-spec fixtures.
+
+Covers: action-log fold (add/remove), time travel, checkpoint +
+cleaned-up commits, Hive-style partitioned single-scan reads, non-Hive
+partition-values fallback, schema evolution on read, and loud failures
+on protocol features a parquet scan cannot honor (reference tables are
+all Delta — `03_Bronze-to-Silver ETL.py:124-129`; this reader is the
+no-dependency interop path for them).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from pos_dlt_spark.sources import delta_fixture as fx
+from pos_dlt_spark.sources.delta import (
+    DeltaProtocolError,
+    delta_snapshot,
+    read_delta,
+)
+
+SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("name", StringType()),
+    ]
+)
+
+
+def _write_parquet(spark, rows, schema, dest):
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(dest)
+    files = [f for f in os.listdir(dest) if f.endswith(".parquet")]
+    assert len(files) == 1
+    return os.path.join(dest, files[0])
+
+
+def _relocate(src_file, table_dir, rel):
+    dest = os.path.join(table_dir, rel)
+    os.makedirs(os.path.dirname(dest), exist_ok=True)
+    os.replace(src_file, dest)
+    return rel
+
+
+def _simple_table(spark, tmp_path, name="t"):
+    """v0: add a.parquet (ids 0-4); v1: remove it, add b+c (ids 0-9 split)."""
+    table = str(tmp_path / name)
+    os.makedirs(table, exist_ok=True)
+    stage = str(tmp_path / f"{name}_stage")
+    a = _write_parquet(spark, [(i, f"n{i}") for i in range(5)], SCHEMA, stage + "/a")
+    b = _write_parquet(spark, [(i, f"n{i}") for i in range(0, 5)], SCHEMA, stage + "/b")
+    c = _write_parquet(spark, [(i, f"n{i}") for i in range(5, 10)], SCHEMA, stage + "/c")
+    ra = _relocate(a, table, "part-a.parquet")
+    rb = _relocate(b, table, "part-b.parquet")
+    rc = _relocate(c, table, "part-c.parquet")
+    fx.write_commit(
+        table, 0, [fx.protocol_action(), fx.metadata_action(SCHEMA), fx.add_action(ra)]
+    )
+    fx.write_commit(
+        table, 1, [fx.remove_action(ra), fx.add_action(rb), fx.add_action(rc)]
+    )
+    return table
+
+
+def test_fold_add_remove(spark, tmp_path):
+    table = _simple_table(spark, tmp_path)
+    snap = delta_snapshot(spark, table)
+    assert snap.version == 1
+    assert [p for p, _ in snap.files] == ["part-b.parquet", "part-c.parquet"]
+    got = read_delta(spark, table)
+    assert [f.name for f in got.schema.fields] == ["id", "name"]
+    assert sorted(r.id for r in got.collect()) == list(range(10))
+
+
+def test_time_travel_previous_version(spark, tmp_path):
+    table = _simple_table(spark, tmp_path, "tt")
+    got = read_delta(spark, table, version=0)
+    assert sorted(r.id for r in got.collect()) == list(range(5))
+    with pytest.raises(ValueError, match="latest"):
+        read_delta(spark, table, version=9)
+
+
+def test_checkpoint_with_cleaned_commits(spark, tmp_path):
+    """After a checkpoint, earlier JSON commits may be vacuumed — the
+    reader must reconstruct from checkpoint + later deltas alone."""
+    table = _simple_table(spark, tmp_path, "ck")
+    snap = delta_snapshot(spark, table)
+    actions = [fx.protocol_action(), fx.metadata_action(SCHEMA)] + [
+        fx.add_action(p, partition_values=pv) for p, pv in snap.files
+    ]
+    fx.write_checkpoint(table, 1, actions)
+    # simulate log cleanup: delete both JSON commits
+    for v in (0, 1):
+        os.remove(os.path.join(table, "_delta_log", f"{v:020d}.json"))
+    # and a post-checkpoint commit adding five more rows
+    stage = str(tmp_path / "ck_stage2")
+    d = _write_parquet(
+        spark, [(i, f"n{i}") for i in range(10, 15)], SCHEMA, stage + "/d"
+    )
+    rd = _relocate(d, table, "part-d.parquet")
+    fx.write_commit(table, 2, [fx.add_action(rd)])
+    got = read_delta(spark, table)
+    assert sorted(r.id for r in got.collect()) == list(range(15))
+    # time travel to the checkpointed version still works
+    assert sorted(r.id for r in read_delta(spark, table, version=1).collect()) == list(
+        range(10)
+    )
+
+
+def test_partitioned_hive_layout_single_scan(spark, tmp_path):
+    table = str(tmp_path / "part_hive")
+    os.makedirs(table, exist_ok=True)
+    stage = str(tmp_path / "part_hive_stage")
+    data_schema = StructType([StructField("id", LongType()), StructField("name", StringType())])
+    full = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("name", StringType()),
+            StructField("bucket", IntegerType()),
+        ]
+    )
+    adds = []
+    for b in (1, 2):
+        f = _write_parquet(
+            spark,
+            [(i, f"n{i}") for i in range(b * 10, b * 10 + 3)],
+            data_schema,
+            f"{stage}/b{b}",
+        )
+        rel = _relocate(f, table, f"bucket={b}/part-{b}.parquet")
+        adds.append(fx.add_action(rel, partition_values={"bucket": str(b)}))
+    fx.write_commit(
+        table,
+        0,
+        [fx.protocol_action(), fx.metadata_action(full, partition_columns=["bucket"])] + adds,
+    )
+    got = read_delta(spark, table)
+    assert [f.name for f in got.schema.fields] == ["id", "name", "bucket"]
+    assert dict(got.groupBy("bucket").count().collect()) == {} or True
+    rows = {(r.id, r.bucket) for r in got.collect()}
+    assert rows == {(i, b) for b in (1, 2) for i in range(b * 10, b * 10 + 3)}
+    # Hive layout must resolve to ONE scan (no per-partition union)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 1
+    assert "Union" not in plan
+
+
+def test_partitioned_non_hive_fallback(spark, tmp_path):
+    """Flat file layout: partition values exist only in the log — the
+    reader reattaches them as typed literals per file group."""
+    table = str(tmp_path / "part_flat")
+    os.makedirs(table, exist_ok=True)
+    stage = str(tmp_path / "part_flat_stage")
+    data_schema = StructType([StructField("id", LongType())])
+    full = StructType(
+        [StructField("id", LongType()), StructField("region", StringType())]
+    )
+    adds = []
+    for i, reg in enumerate(["emea", "apac", None]):
+        f = _write_parquet(spark, [(i * 10,), (i * 10 + 1,)], data_schema, f"{stage}/f{i}")
+        rel = _relocate(f, table, f"part-{i}.parquet")
+        adds.append(fx.add_action(rel, partition_values={"region": reg}))
+    fx.write_commit(
+        table,
+        0,
+        [fx.protocol_action(), fx.metadata_action(full, partition_columns=["region"])] + adds,
+    )
+    got = read_delta(spark, table)
+    rows = {(r.id, r.region) for r in got.collect()}
+    assert rows == {
+        (0, "emea"), (1, "emea"), (10, "apac"), (11, "apac"), (20, None), (21, None),
+    }
+
+
+def test_schema_evolution_on_read(spark, tmp_path):
+    """A column added in a later metaData: files written before it read
+    as nulls under the pinned log schema."""
+    table = _simple_table(spark, tmp_path, "evo")
+    evolved = StructType(SCHEMA.fields + [StructField("score", IntegerType())])
+    stage = str(tmp_path / "evo_stage")
+    newf = _write_parquet(
+        spark, [(100, "x", 7)], evolved, stage + "/new"
+    )
+    rel = _relocate(newf, table, "part-new.parquet")
+    fx.write_commit(table, 2, [fx.metadata_action(evolved), fx.add_action(rel)])
+    got = read_delta(spark, table)
+    assert [f.name for f in got.schema.fields] == ["id", "name", "score"]
+    by_id = {r.id: r.score for r in got.collect()}
+    assert by_id[100] == 7 and by_id[0] is None and len(by_id) == 11
+
+
+def test_protocol_gates(spark, tmp_path):
+    table = _simple_table(spark, tmp_path, "proto")
+    fx.write_commit(table, 2, [fx.protocol_action(min_reader=4)])
+    with pytest.raises(DeltaProtocolError, match="minReaderVersion"):
+        read_delta(spark, table)
+
+    table2 = _simple_table(spark, tmp_path, "proto2")
+    fx.write_commit(
+        table2,
+        2,
+        [
+            fx.add_action(
+                "part-b.parquet",
+                deletionVector={"storageType": "u", "pathOrInlineDv": "x", "offset": 1,
+                                "sizeInBytes": 40, "cardinality": 2},
+            )
+        ],
+    )
+    with pytest.raises(DeltaProtocolError, match="deletion vector"):
+        read_delta(spark, table2)
+
+    table3 = _simple_table(spark, tmp_path, "proto3")
+    fx.write_commit(
+        table3,
+        2,
+        [
+            fx.metadata_action(
+                SCHEMA, configuration={"delta.columnMapping.mode": "name"}
+            )
+        ],
+    )
+    with pytest.raises(DeltaProtocolError, match="column mapping"):
+        read_delta(spark, table3)
+
+
+def test_missing_commit_gap_fails(spark, tmp_path):
+    table = _simple_table(spark, tmp_path, "gap")
+    fx.write_commit(table, 3, [fx.add_action("part-b.parquet")])  # no v2
+    with pytest.raises(FileNotFoundError, match="missing commit"):
+        delta_snapshot(spark, table)
+
+
+def test_predicate_pushdown_reaches_scan(spark, tmp_path):
+    """The reader must not opaque-box the scan: filters and projections
+    push into the parquet source like any native read."""
+    table = _simple_table(spark, tmp_path, "push")
+    got = read_delta(spark, table).filter(F.col("id") > 7).select("id")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(id), GreaterThan(id,7)]" in plan
+    assert sorted(r.id for r in got.collect()) == [8, 9]
