@@ -2,12 +2,16 @@
 payloads with typed metadata (MEDIA_SCHEMA), processed by Arrow-batched
 ``mapInPandas`` operators.
 
-The container has no image/audio codecs, so the actual decode step is
+The container has no codec LIBRARIES, so library-backed decodes are
 STUBBED: ``decode_media`` raises NotImplementedError unless
 ``fake=True``, in which case a deterministic fake decoder (byte-stats
 pseudo-features) exercises the full Spark-side path — schema handling,
 Arrow batch shapes, partition-parallel execution — which is the part that
-must be right at 100 TB.
+must be right at 100 TB. One REAL decoder needs no library at all:
+uncompressed 24-bit BMP (``decode_bmp24`` — header parse, row padding,
+bottom-up flip, all numpy) — it anchors the honest codec boundary with an
+actually-decoded format and is value-oracled end to end
+(``multimodal_bmp_decode`` gate query).
 
 Scale notes:
 - media rows are large (MBs); keep ``spark.sql.files.maxPartitionBytes``
@@ -31,6 +35,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     DoubleType,
     IntegerType,
     LongType,
@@ -99,6 +104,133 @@ def extract_media_features(df: DataFrame, fake: bool = True) -> DataFrame:
             )
 
     return df.select("media_id", "kind", "payload").mapInPandas(run, MEDIA_FEATURE_SCHEMA)
+
+
+# -- real decoder: uncompressed 24-bit BMP (no codec library needed) ---------
+
+BMP_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_px", LongType()),
+        StructField("sum_b", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_r", LongType()),
+        StructField("checksum_r", LongType()),
+    ]
+)
+
+
+def encode_bmp24(pixels) -> bytes:
+    """Minimal BI_RGB 24-bit BMP writer for an (h, w, 3) uint8 array in
+    TOP-DOWN row order and BGR channel order. Rows are written bottom-up
+    with 4-byte padding, per the format. Test/fixture support for the
+    decoder — not an image-processing API."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = arr.shape
+    stride = (3 * w + 3) // 4 * 4
+    rows = bytearray()
+    pad = b"\x00" * (stride - 3 * w)
+    for y in range(h - 1, -1, -1):  # bottom-up
+        rows += arr[y].tobytes() + pad
+    pixel_off = 14 + 40
+    size = pixel_off + len(rows)
+    header = struct.pack("<2sIHHI", b"BM", size, 0, 0, pixel_off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows), 2835, 2835, 0, 0)
+    return bytes(header + info + rows)
+
+
+def decode_bmp24(payload: bytes):
+    """REAL decode of an uncompressed 24-bit BMP: parse the file +
+    BITMAPINFOHEADER headers (little-endian), honor the pixel-data
+    offset, strip per-row 4-byte padding, and flip the bottom-up row
+    order (negative height = already top-down). Returns an (h, w, 3)
+    uint8 numpy array in BGR channel order. Pure numpy — this is the one
+    genuinely-decoded format in the container; PNG/JPEG stay behind the
+    codec-library boundary."""
+    import struct
+
+    import numpy as np
+
+    if payload is None or len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    pixel_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if hdr_size < 40 or bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP (hdr={hdr_size}, bpp={bpp}, comp={compression})")
+    top_down = h < 0
+    h = abs(h)
+    stride = (3 * w + 3) // 4 * 4
+    data = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=pixel_off)
+    rows = data.reshape(h, stride)[:, : 3 * w].reshape(h, w, 3)
+    return rows if top_down else rows[::-1]
+
+
+def bmp_features(df: DataFrame) -> DataFrame:
+    """mapInPandas: (media_id, payload) -> decoded BMP statistics with
+    EXACT integer aggregates (per-channel int64 pixel sums and a
+    position-weighted red checksum over top-down raster order — the
+    checksum catches a decoder that forgets the bottom-up flip or the
+    row padding, which channel means alone cannot). Division to means
+    happens in the calling query so both engines divide the same exact
+    integers. Embarrassingly parallel, no shuffle; payloads never leave
+    the executor."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "width", "height", "n_px",
+                                   "sum_b", "sum_g", "sum_r", "checksum_r")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                img = decode_bmp24(payload)
+                h, w, _ = img.shape
+                pos = np.arange(h * w, dtype=np.int64).reshape(h, w)
+                px = img.astype(np.int64)
+                out["media_id"].append(mid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_px"].append(h * w)
+                out["sum_b"].append(int(px[:, :, 0].sum()))
+                out["sum_g"].append(int(px[:, :, 1].sum()))
+                out["sum_r"].append(int(px[:, :, 2].sum()))
+                out["checksum_r"].append(int((px[:, :, 2] * pos).sum()))
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "payload").mapInPandas(run, BMP_FEATURE_SCHEMA)
+
+
+def synth_bmp_media(df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Deterministic BMP fixture generator AS A DISTRIBUTED OPERATOR:
+    for each id, an image of width 4+id%5, height 3+id%4 whose BGR pixel
+    at top-down (x, y), channel c is ``(id*31 + y*7 + x*3 + c) % 256`` —
+    a closed form a SQL oracle can re-derive. Payload bytes are built
+    executor-side per Arrow batch; nothing collects."""
+    import numpy as np
+
+    schema = StructType(
+        [StructField("media_id", LongType()), StructField("payload", BinaryType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                w, h = 4 + mid % 5, 3 + mid % 4
+                y, x, c = np.ogrid[0:h, 0:w, 0:3]
+                img = ((mid * 31 + y * 7 + x * 3 + c) % 256).astype(np.uint8)
+                ids.append(mid)
+                payloads.append(encode_bmp24(img))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return df.select(F.col(id_col)).mapInPandas(run, schema)
 
 
 def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:

@@ -1128,6 +1128,57 @@ def multimodal_media_features_checked(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
+@query(
+    "multimodal_bmp_decode",
+    oracle="""
+    WITH bmp_dims AS (
+        SELECT doc_id AS media_id,
+               4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+        FROM documents),
+    bmp_px AS (
+        SELECT media_id, w, h, x, y, c,
+               (media_id * 31 + y * 7 + x * 3 + c) % 256 AS v
+        FROM bmp_dims, range(0, 8) tx(x), range(0, 6) ty(y), range(0, 3) tc(c)
+        WHERE x < w AND y < h)
+    SELECT media_id,
+           CAST(MAX(w) AS INT) AS width,
+           CAST(MAX(h) AS INT) AS height,
+           CAST(MAX(w) * MAX(h) AS BIGINT) AS n_px,
+           CAST(SUM(CASE WHEN c = 0 THEN v END) AS DOUBLE) / (MAX(w) * MAX(h)) AS mean_b,
+           CAST(SUM(CASE WHEN c = 1 THEN v END) AS DOUBLE) / (MAX(w) * MAX(h)) AS mean_g,
+           CAST(SUM(CASE WHEN c = 2 THEN v END) AS DOUBLE) / (MAX(w) * MAX(h)) AS mean_r,
+           CAST(SUM(CASE WHEN c = 2 THEN v * (y * w + x) END) AS BIGINT) AS checksum_r
+    FROM bmp_px GROUP BY media_id
+    """,
+)
+def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, value-oracled end to end: deterministic 24-bit
+    BMPs are synthesized executor-side (closed-form pixels, width/height
+    varying so some rows need 4-byte padding), then decode_bmp24 parses
+    headers, strips padding, and flips the bottom-up row order inside an
+    Arrow mapInPandas. The oracle re-derives every pixel from the
+    generation formula — the position-weighted red checksum only matches
+    if the decode (offset, stride, flip) is byte-exact. This replaces
+    'stub everything' with a genuine no-library codec; PNG/JPEG remain
+    behind the documented codec boundary."""
+    from pos_dlt_spark.operators import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents", spread=True).select(
+        F.col("doc_id").alias("media_id")
+    )
+    feats = M.bmp_features(M.synth_bmp_media(docs))
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        "n_px",
+        (F.col("sum_b").cast("double") / F.col("n_px")).alias("mean_b"),
+        (F.col("sum_g").cast("double") / F.col("n_px")).alias("mean_g"),
+        (F.col("sum_r").cast("double") / F.col("n_px")).alias("mean_r"),
+        "checksum_r",
+    )
+
+
 @query("multimodal_media_features", oracle=None)  # rows-only: decode is a stub
 def multimodal_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Opaque-binary media pipeline over Arrow batches: documents stand in

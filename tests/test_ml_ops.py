@@ -257,6 +257,67 @@ def test_multimodal_real_decode_raises(spark):
         M.decode_media(b"abc", "image", fake=False)
 
 
+def test_bmp_roundtrip_with_padding():
+    """Widths whose 3w is not a multiple of 4 force row padding; the
+    decode must strip it and undo the bottom-up row order exactly."""
+    import numpy as np
+
+    for w, h in [(4, 3), (5, 2), (6, 4), (7, 1), (1, 1)]:
+        rng = np.random.default_rng(w * 10 + h)
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        payload = M.encode_bmp24(img)
+        got = M.decode_bmp24(payload)
+        assert got.shape == (h, w, 3)
+        assert (got == img).all(), (w, h)
+
+
+def test_bmp_top_down_negative_height():
+    """Negative biHeight means rows are already top-down — no flip."""
+    import struct
+
+    import numpy as np
+
+    img = np.arange(2 * 5 * 3, dtype=np.uint8).reshape(2, 5, 3)
+    payload = bytearray(M.encode_bmp24(img))
+    # rewrite height to -2 and re-order rows top-down in place
+    struct.pack_into("<i", payload, 22, -2)
+    stride = (3 * 5 + 3) // 4 * 4
+    off = struct.unpack_from("<I", payload, 10)[0]
+    rows = bytes(payload[off:])
+    payload[off:] = rows[stride:] + rows[:stride]  # swap the two rows
+    got = M.decode_bmp24(bytes(payload))
+    assert (got == img).all()
+
+
+def test_bmp_rejects_non_bmp_and_unsupported():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not a BMP"):
+        M.decode_bmp24(b"PNG....")
+    import numpy as np
+    import struct
+
+    payload = bytearray(M.encode_bmp24(np.zeros((1, 1, 3), dtype=np.uint8)))
+    struct.pack_into("<H", payload, 28, 8)  # bpp=8
+    with _pytest.raises(ValueError, match="unsupported"):
+        M.decode_bmp24(bytes(payload))
+
+
+def test_bmp_checksum_catches_missing_flip():
+    """The position-weighted checksum differs between correct decode and
+    a decoder that forgot the bottom-up flip (what the oracle pins)."""
+    import numpy as np
+
+    img = np.zeros((3, 4, 3), dtype=np.uint8)
+    img[0, :, 2] = 200  # red mass on the TOP row
+    payload = M.encode_bmp24(img)
+    good = M.decode_bmp24(payload)
+    pos = np.arange(12, dtype=np.int64).reshape(3, 4)
+    ck_good = int((good[:, :, 2].astype(np.int64) * pos).sum())
+    ck_flipped = int((good[::-1, :, 2].astype(np.int64) * pos).sum())
+    assert ck_good != ck_flipped
+
+
 def test_frame_sample_stub(spark):
     from pos_dlt_spark.schemas import MEDIA_SCHEMA
 
