@@ -132,7 +132,9 @@ def connected_components(
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
         out = [(x, find(x)) for x in parent]
-        return e.sparkSession.createDataFrame(out, "id long, component long")
+        from pos_dlt_spark.tables import local_df
+
+        return local_df(e.sparkSession, out, "id long, component long")
     for _ in range(max_iter):
         e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
         sig2 = _signature(e2)

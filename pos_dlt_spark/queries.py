@@ -167,11 +167,11 @@ def _delta_dims(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         return _DELTA_DIMS_CACHE[key]
     import atexit
     import shutil
-    import tempfile
 
     from pos_dlt_spark.sources import delta_fixture as fx
+    from pos_dlt_spark.tables import scratch_dir
 
-    work = tempfile.mkdtemp(prefix="delta_dims_")
+    work = scratch_dir("delta_dims_")
     atexit.register(shutil.rmtree, work, ignore_errors=True)
 
     def one_file(df, stage: str, table: str, rel: str) -> str:

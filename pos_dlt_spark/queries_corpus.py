@@ -798,7 +798,10 @@ def corpus_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids. The oracle unrolls the identical 4 rounds in SQL."""
     docs = load_table(spark, sf_dir, "documents", spread=True)
     merges = C.bpe_learn_merges(docs, n_merges=BPE_MERGES)
-    return spark.createDataFrame(
+    from pos_dlt_spark.tables import local_df
+
+    return local_df(
+        spark,
         [(i + 1, l, r, c) for i, (l, r, c) in enumerate(merges)],
         "merge_round int, lhs string, rhs string, n_pairs bigint",
     )

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
+from pos_dlt_spark.tables import scratch_dir
 from pos_dlt_spark.operators.cdc import ApplyChanges
 from pos_dlt_spark.queries import query
 
@@ -145,7 +146,7 @@ def streaming_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     # we can return a distributed parquet scan of the target instead of
     # collect()ing the whole CDC state through the driver (which is bounded
     # by key cardinality here but a driver OOM at 100x the keys).
-    work = tempfile.mkdtemp(prefix="cdc_stream_")
+    work = scratch_dir("cdc_stream_")
     atexit.register(shutil.rmtree, work, ignore_errors=True)
     land = os.path.join(work, "landing")
     events = load_table(spark, sf_dir, "events").select(
@@ -206,7 +207,7 @@ def streaming_cdc_bucketed_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     gates is the manifest merge's CORRECTNESS across micro-batches."""
     from pos_dlt_spark.tables import load_table
 
-    work = tempfile.mkdtemp(prefix="cdc_bucketed_")
+    work = scratch_dir("cdc_bucketed_")
     atexit.register(shutil.rmtree, work, ignore_errors=True)
     land = os.path.join(work, "landing")
     events = load_table(spark, sf_dir, "events").select(
@@ -391,7 +392,7 @@ def streaming_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pos_dlt_spark.operators.text import quality_score
     from pos_dlt_spark.tables import load_table
 
-    work = tempfile.mkdtemp(prefix="corpus_stream_")
+    work = scratch_dir("corpus_stream_")
     atexit.register(shutil.rmtree, work, ignore_errors=True)
     land = os.path.join(work, "landing")
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
@@ -481,7 +482,7 @@ def streaming_user_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pos_dlt_spark.tables import load_table
 
     name = f"tws_stats_{uuid.uuid4().hex[:8]}"
-    work = tempfile.mkdtemp(prefix="tws_stats_")
+    work = scratch_dir("tws_stats_")
     atexit.register(shutil.rmtree, work, ignore_errors=True)
     land = os.path.join(work, "landing")
     events = load_table(spark, sf_dir, "events").select(
@@ -550,7 +551,7 @@ def streaming_incremental_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pos_dlt_spark.operators.incremental import IncrementalKeyedView
     from pos_dlt_spark.tables import load_table
 
-    work = tempfile.mkdtemp(prefix="inc_gold_")
+    work = scratch_dir("inc_gold_")
     atexit.register(shutil.rmtree, work, ignore_errors=True)
     land = os.path.join(work, "landing")
     changes = load_table(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") < 20).select(
@@ -621,7 +622,7 @@ def streaming_update_mode_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pos_dlt_spark.tables import load_table
 
     name = f"upd_rollup_{uuid.uuid4().hex[:8]}"
-    work = tempfile.mkdtemp(prefix="upd_rollup_")
+    work = scratch_dir("upd_rollup_")
     atexit.register(shutil.rmtree, work, ignore_errors=True)
     land = os.path.join(work, "landing")
     events = load_table(spark, sf_dir, "events").select("user_id", "event_type")
@@ -695,7 +696,7 @@ def streaming_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataF
     from pos_dlt_spark.tables import load_table
 
     name = f"ss_left_{uuid.uuid4().hex[:8]}"
-    work = tempfile.mkdtemp(prefix="ss_left_")
+    work = scratch_dir("ss_left_")
     atexit.register(shutil.rmtree, work, ignore_errors=True)
     land = os.path.join(work, "landing")
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "ts")
@@ -714,10 +715,13 @@ def streaming_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataF
     import datetime as _dt
 
     flush_ts = max_ts + _dt.timedelta(hours=12)
-    sentinel = spark.createDataFrame(
+    from pos_dlt_spark.tables import local_df
+
+    sentinel = local_df(
+        spark,
         [
-            Row(event_id=-1, user_id=-1, event_type="purchase", ts=flush_ts),
-            Row(event_id=-2, user_id=-1, event_type="click", ts=flush_ts),
+            (-1, -1, "purchase", flush_ts),
+            (-2, -1, "click", flush_ts),
         ],
         ev.schema,
     )
@@ -817,7 +821,7 @@ def streaming_sessionized_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pos_dlt_spark.tables import load_table
 
     name = f"sess_native_{uuid.uuid4().hex[:8]}"
-    work = tempfile.mkdtemp(prefix="sess_native_")
+    work = scratch_dir("sess_native_")
     atexit.register(shutil.rmtree, work, ignore_errors=True)
     land = os.path.join(work, "landing")
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
@@ -834,8 +838,10 @@ def streaming_sessionized_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     import datetime as _dt
 
     max_ts = obs.get["max_ts"]
-    sentinel = spark.createDataFrame(
-        [Row(user_id=-1, ts=max_ts + _dt.timedelta(hours=12), value=0.0)], ev.schema
+    from pos_dlt_spark.tables import local_df
+
+    sentinel = local_df(
+        spark, [(-1, max_ts + _dt.timedelta(hours=12), 0.0)], ev.schema
     )
     sentinel.coalesce(1).write.mode("append").parquet(land)
 
@@ -915,7 +921,7 @@ def streaming_ann_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     order cannot matter because assignment is per-row pure."""
     from pos_dlt_spark.operators import similarity as S
 
-    work = tempfile.mkdtemp(prefix="ann_ingest_")
+    work = scratch_dir("ann_ingest_")
     atexit.register(shutil.rmtree, work, ignore_errors=True)
     land = os.path.join(work, "landing")
     index = os.path.join(work, "index")

@@ -111,3 +111,50 @@ def load_tables(spark: SparkSession, sf_dir: str, names=TESTDATA_TABLES) -> dict
 def register_views(spark: SparkSession, sf_dir: str, names=TESTDATA_TABLES) -> None:
     for name in names:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def scratch_dir(prefix: str) -> str:
+    """Session-lifetime scratch directory for stream landings, replay
+    files, and checkpoints: prefers tmpfs (``/dev/shm``) when present —
+    streaming micro-batches fsync a WAL (offset + commit log) per
+    trigger, and on a disk-backed /tmp that fixed latency is 15-30% of a
+    small-batch streaming query's wall time at sf0.1 (measured). Override
+    the location with ``SPARK_GRAFT_SCRATCH``.
+
+    Scratch only: on a real cluster, checkpoints that must survive a
+    driver loss go to reliable storage (S3/HDFS/ABFS) — this helper is
+    for the local replay/gate/bench path where the checkpoint dies with
+    the session anyway. Callers register their own atexit cleanup."""
+    import tempfile
+
+    base = os.environ.get("SPARK_GRAFT_SCRATCH")
+    if base is None and os.path.isdir("/dev/shm"):
+        base = "/dev/shm"
+    return tempfile.mkdtemp(prefix=prefix, dir=base)
+
+
+def local_df(spark: SparkSession, rows, schema) -> DataFrame:
+    """Small literal DataFrame (sentinels, model artifacts) through the
+    Arrow/pandas path — a pure-JVM LocalRelation.
+
+    NEVER build these via ``createDataFrame(list_of_rows)``: that parks
+    the data in a 32-slice pickled Python RDD, and every ACTION then
+    launches Python partition iterators — measured 6-9 s for a 2-row
+    ``coalesce(1).write`` (one task draining 32 Python partition streams,
+    each paying a worker round-trip) vs 0.15 s on this path. The pandas
+    conversion also keeps timestamp/typed columns exact because the
+    target ``schema`` is applied explicitly.
+
+    ``rows`` is a list of tuples/Rows matched positionally to ``schema``
+    (StructType or DDL string). Rows must be null-free in numeric
+    columns (pandas would coerce int+None to float); every engine call
+    site satisfies that by construction."""
+    import pandas as pd
+
+    if isinstance(schema, str):
+        from pyspark.sql.types import _parse_datatype_string
+
+        schema = _parse_datatype_string(schema)
+    names = [f.name for f in schema.fields]
+    pdf = pd.DataFrame([tuple(r) for r in rows], columns=names)
+    return spark.createDataFrame(pdf, schema=schema)

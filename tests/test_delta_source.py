@@ -240,6 +240,35 @@ def test_missing_commit_gap_fails(spark, tmp_path):
         delta_snapshot(spark, table)
 
 
+def test_partition_pruning_on_hive_layout(spark, tmp_path):
+    """A filter on the partition column of a Hive-layout Delta table must
+    prune at the scan (PartitionFilters), reading only that partition's
+    files — the property that makes the single-scan fast path worth
+    having at 100 TB."""
+    table = str(tmp_path / "prune")
+    os.makedirs(table, exist_ok=True)
+    stage = str(tmp_path / "prune_stage")
+    data_schema = StructType([StructField("id", LongType())])
+    full = StructType(
+        [StructField("id", LongType()), StructField("bucket", IntegerType())]
+    )
+    adds = []
+    for b in (1, 2, 3):
+        f = _write_parquet(spark, [(b * 10,), (b * 10 + 1,)], data_schema, f"{stage}/b{b}")
+        rel = _relocate(f, table, f"bucket={b}/part-{b}.parquet")
+        adds.append(fx.add_action(rel, partition_values={"bucket": str(b)}))
+    fx.write_commit(
+        table,
+        0,
+        [fx.protocol_action(), fx.metadata_action(full, partition_columns=["bucket"])] + adds,
+    )
+    got = read_delta(spark, table).filter(F.col("bucket") == 2)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert sorted(r.id for r in got.collect()) == [20, 21]
+    assert len(got.inputFiles()) == 1
+
+
 def test_predicate_pushdown_reaches_scan(spark, tmp_path):
     """The reader must not opaque-box the scan: filters and projections
     push into the parquet source like any native read."""
