@@ -121,10 +121,23 @@ def main() -> None:
     # is too big to broadcast — simulated here via a no-broadcast pin).
     dim = spark.read.parquet(dim_dir).hint("shuffle_merge")
 
-    def run(label: str, aqe: bool, salted: bool) -> dict:
+    def run(label: str, aqe: bool, salted: bool, skew_threshold: str | None = None) -> dict:
         spark.conf.set("spark.sql.adaptive.enabled", str(aqe).lower())
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", str(aqe).lower())
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # AQE's skew detection thresholds apply to COMPRESSED map-output
+        # sizes; snappy on regular long columns compresses far enough
+        # that a 25M-row melted partition can hide under the 256 MB
+        # default. The tuned config drops both thresholds to show the
+        # detection boundary, not a capability gap.
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            skew_threshold or "256MB",
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "8MB" if skew_threshold else "64MB",
+        )
         app = rest("applications")[0]["id"]
         before = completed_stages(app)
         t0 = time.perf_counter()
@@ -151,6 +164,7 @@ def main() -> None:
 
     results = [
         run("plain_aqe", aqe=True, salted=False),
+        run("plain_aqe_tuned", aqe=True, salted=False, skew_threshold="16MB"),
         run("plain_noaqe", aqe=False, salted=False),
         run("salted_noaqe", aqe=False, salted=True),
         run("salted_aqe", aqe=True, salted=True),

@@ -1,31 +1,34 @@
 """Stateful-streaming state-store stress (VERDICT r03 #5).
 
 SCALE.md's batch decades deliberately excluded stateful streaming; this
-harness answers the 100x-cluster question for it: does state grow
-linearly in keys and does PER-BATCH latency stay flat when the key
-cardinality grows 100x, with the RocksDB state-store provider (the
-spill-to-disk provider a real cluster runs, vs the default
-HDFS-backed in-JVM-heap maps that would OOM first)?
+harness answers the 100x-cluster question for it with the RocksDB
+state-store provider (the spill-capable provider a real cluster runs,
+vs the default in-heap HDFS-backed maps):
 
-Two operators, the same shapes as the registry queries:
+1. Does per-batch latency depend on RESIDENT state size? The honest
+   experiment holds TOUCHED groups per batch constant (a fixed key
+   window) while resident state scales a decade per case — seeded by
+   extra micro-batches that are excluded from the measured stats. If the
+   measured batches stay flat while resident state is 10x/100x bigger,
+   per-batch cost is O(touched), which is what survives a 1000-executor
+   scale-up (state shards further; touched-per-partition stays bounded).
+
+2. Does state grow linearly in keys, and (for sessionization) does the
+   watermark actually EVICT closed sessions so state tracks open
+   sessions, not stream length?
+
+Operators, same shapes as the registry queries:
   running_stats — applyInPandasWithState per-user aggregates
-                  (streaming_user_running_stats's operator);
+                  (streaming_user_running_stats). The Python stateful
+                  path pays ~per-touched-group overhead (measured
+                  separately: 10x touched groups => ~7x batch time at
+                  constant rows), so the resident-decade cases keep
+                  touched groups fixed.
   sessionized   — native session_window gap sessions
-                  (streaming_sessionized_native's operator).
+                  (streaming_sessionized_native), JVM-side.
 
-For each: replay a fixed number of micro-batches (maxFilesPerTrigger)
-over a corpus with K unique keys, K in {base, 10x, 100x}, holding ROWS
-PER BATCH constant — so a flat per-batch latency curve means the state
-store's cost is O(touched rows), not O(total state), which is the
-property that survives a 1000-executor scale-up (state partitions only
-shard further).
-
-Records per run: median/max addBatch ms across batches, final
-stateOperators numRowsTotal, stateMemory bytes (RocksDB's
-memoryUsedBytes + the provider's on-disk SST footprint via
-customMetrics).
-
-Usage: python tools/state_stress.py [rows_per_batch] [n_batches]
+Usage: python tools/state_stress.py
+Prints one JSON line; stderr carries per-case progress.
 """
 
 from __future__ import annotations
@@ -45,6 +48,9 @@ ROCKSDB = (
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 )
 
+TOUCHED = 20_000  # keys touched by every measured batch (and its row count)
+N_MEASURE = 5
+
 
 def build_session():
     os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
@@ -60,48 +66,54 @@ def build_session():
         .config("spark.driver.memory", "24g")
         .getOrCreate()
     )
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
     return spark
 
 
-def gen_batches(spark, root: str, n_keys: int, rows_per_batch: int, n_batches: int):
-    """One parquet file per micro-batch; keys round-robin over n_keys so
-    every batch touches ~rows_per_batch distinct-ish keys and total state
-    converges to n_keys rows. Timestamps advance batch over batch."""
+def _write_batch(spark, root: str, key_lo: int, key_hi: int, hour: int):
+    """One micro-batch file: keys [key_lo, key_hi), one row per key,
+    event time in hour `hour` (distinct mtime => ordered delivery)."""
     from pyspark.sql import functions as F
 
-    for b in range(n_batches):
-        (
-            spark.range(rows_per_batch)
-            .select(
-                F.pmod(F.col("id") * 2654435761 + b, F.lit(n_keys)).alias("user_id"),
-                F.timestamp_micros(
-                    (F.lit(b * 3600) + F.col("id") % 3000) * 1_000_000
-                ).alias("ts"),
-                (F.col("id") % 100).cast("double").alias("value"),
-            )
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(root)
+    (
+        spark.range(key_hi - key_lo)
+        .select(
+            (F.col("id") + key_lo).alias("user_id"),
+            F.timestamp_micros(
+                (F.lit(hour * 3600) + F.col("id") % 600) * 1_000_000
+            ).alias("ts"),
+            (F.col("id") % 100).cast("double").alias("value"),
         )
-        # distinct mtimes => file-stream delivers in batch order
-        time.sleep(0.05)
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(root)
+    )
+    time.sleep(0.05)
 
 
-def drain(q) -> list[dict]:
-    q.awaitTermination()
-    return [p.asDict(recursive=True) if hasattr(p, "asDict") else p for p in q.recentProgress]
-
-
-def run_case(spark, kind: str, n_keys: int, rows_per_batch: int, n_batches: int) -> dict:
+def run_case(spark, kind: str, resident_keys: int, seed_chunk: int) -> dict:
     import pandas as pd
 
     from pyspark.sql import functions as F
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    work = tempfile.mkdtemp(prefix=f"state_{kind}_{n_keys}_")
+    work = tempfile.mkdtemp(prefix=f"state_{kind}_{resident_keys}_", dir="/dev/shm")
     land = os.path.join(work, "landing")
-    gen_batches(spark, land, n_keys, rows_per_batch, n_batches)
+    os.makedirs(land, exist_ok=True)
+
+    # seed files: distinct key ranges up to resident_keys (hour 0)
+    n_seed = 0
+    lo = TOUCHED  # keys [0, TOUCHED) belong to the measured window
+    while lo < resident_keys:
+        hi = min(lo + seed_chunk, resident_keys)
+        _write_batch(spark, land, lo, hi, hour=0)
+        lo = hi
+        n_seed += 1
+    # measured files: always keys [0, TOUCHED), advancing event time so
+    # rows are new events on EXISTING keys
+    for b in range(N_MEASURE):
+        _write_batch(spark, land, 0, TOUCHED, hour=b)
+
     schema = spark.read.parquet(land).schema
     stream = (
         spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(land)
@@ -126,8 +138,11 @@ def run_case(spark, kind: str, n_keys: int, rows_per_batch: int, n_batches: int)
         )
         mode = "update"
     elif kind == "sessionized":
+        # 48 h watermark delay: nothing evicts during the run, so resident
+        # session state == seeded keys (the eviction property is measured
+        # by the separate 'eviction' case below)
         out = (
-            stream.withWatermark("ts", "30 minutes")
+            stream.withWatermark("ts", "48 hours")
             .groupBy(
                 F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
             )
@@ -144,40 +159,99 @@ def run_case(spark, kind: str, n_keys: int, rows_per_batch: int, n_batches: int)
         .trigger(availableNow=True)
         .start()
     )
-    prog = drain(q)
+    q.awaitTermination()
+    prog = [p for p in q.recentProgress if p.get("numInputRows", 0) > 0]
     shutil.rmtree(work, ignore_errors=True)
 
-    batches = [p for p in prog if p.get("numInputRows", 0) > 0]
-    add_ms = [p["durationMs"].get("addBatch", 0) for p in batches]
-    st = [p["stateOperators"][0] for p in batches if p.get("stateOperators")]
-    last = st[-1] if st else {}
-    mem = last.get("stateMemory") or last.get("memoryUsedBytes") or 0
-    custom = last.get("customMetrics") or {}
+    measured = prog[n_seed:]  # drop seeding batches from the stats
+    add_ms = [p["durationMs"].get("addBatch", 0) for p in measured]
+    st_last = (prog[-1].get("stateOperators") or [{}])[0]
+    mem = st_last.get("stateMemory") or st_last.get("memoryUsedBytes") or 0
+    custom = st_last.get("customMetrics") or {}
     sst = custom.get("rocksdbSstFileSize", custom.get("rocksdbTotalSSTFilesBytes", 0))
     return {
         "op": kind,
-        "n_keys": n_keys,
-        "n_batches": len(batches),
+        "resident_keys": resident_keys,
+        "touched_per_batch": TOUCHED,
+        "n_seed_batches": n_seed,
+        "n_measured_batches": len(measured),
         "median_addBatch_ms": int(statistics.median(add_ms)) if add_ms else -1,
         "max_addBatch_ms": max(add_ms) if add_ms else -1,
-        "state_rows": last.get("numRowsTotal", -1),
+        "state_rows": st_last.get("numRowsTotal", -1),
         "state_memory_mb": round(mem / 1e6, 1),
         "rocksdb_sst_mb": round((sst or 0) / 1e6, 1),
     }
 
 
+def run_eviction_case(spark) -> dict:
+    """Sessionization with a tight watermark: 12 batches, each touching
+    the SAME 20k users but 2 h apart (> the 30 min gap + 10 min delay),
+    so every batch closes the previous sessions. State must stay flat
+    (~open sessions) while cumulative input grows 12x — the eviction
+    property that bounds session state at 100 TB/day."""
+    from pyspark.sql import functions as F
+
+    work = tempfile.mkdtemp(prefix="state_evict_", dir="/dev/shm")
+    land = os.path.join(work, "landing")
+    os.makedirs(land, exist_ok=True)
+    for b in range(12):
+        _write_batch(spark, land, 0, TOUCHED, hour=2 * b)
+    schema = spark.read.parquet(land).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(land)
+    )
+    out = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    q = (
+        out.writeStream.format("noop")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    prog = [p for p in q.recentProgress if p.get("numInputRows", 0) > 0]
+    shutil.rmtree(work, ignore_errors=True)
+    rows = [
+        (p["stateOperators"][0].get("numRowsTotal", -1)) for p in prog if p.get("stateOperators")
+    ]
+    removed = sum(
+        p["stateOperators"][0].get("numRowsRemoved", 0)
+        for p in prog
+        if p.get("stateOperators")
+    )
+    return {
+        "op": "sessionized_eviction",
+        "touched_per_batch": TOUCHED,
+        "n_batches": len(prog),
+        "state_rows_per_batch": rows,
+        "total_rows_removed": removed,
+        "max_state_rows": max(rows) if rows else -1,
+    }
+
+
 def main() -> None:
-    rows_per_batch = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
-    n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     spark = build_session()
-    base = 10_000
     results = []
-    for kind in ("running_stats", "sessionized"):
-        for mult in (1, 10, 100):
-            r = run_case(spark, kind, base * mult, rows_per_batch, n_batches)
-            print(f"# {r}", file=sys.stderr, flush=True)
-            results.append(r)
-    print(json.dumps({"rows_per_batch": rows_per_batch, "results": results}))
+    # Python stateful path: two decades (seeding cost is per-touched-group
+    # on this path, so the 1M decade would spend minutes seeding; the JVM
+    # path below carries the 100x decade)
+    for resident in (20_000, 200_000):
+        r = run_case(spark, "running_stats", resident, seed_chunk=60_000)
+        print(f"# {r}", file=sys.stderr, flush=True)
+        results.append(r)
+    # JVM session_window path: three decades incl. 100x
+    for resident in (20_000, 200_000, 2_000_000):
+        r = run_case(spark, "sessionized", resident, seed_chunk=200_000)
+        print(f"# {r}", file=sys.stderr, flush=True)
+        results.append(r)
+    r = run_eviction_case(spark)
+    print(f"# {r}", file=sys.stderr, flush=True)
+    results.append(r)
+    print(json.dumps({"touched_per_batch": TOUCHED, "results": results}))
 
 
 if __name__ == "__main__":
