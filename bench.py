@@ -50,6 +50,20 @@ def main() -> None:
     from pos_dlt_spark.tables import load_table
 
     spark.range(1000).selectExpr("sum(id)").collect()
+
+    # Machine-speed canary: fixed reference work timed every run, so
+    # round-over-round comparisons can be normalized for host variance
+    # (this VM's common-query wall moved +-30% between identical-code
+    # runs in round 4 — without a canary that reads as a regression).
+    t0 = time.perf_counter()
+    spark.range(200_000_000).selectExpr("sum(id * 3 + 1)").collect()
+    canary_cpu = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).selectExpr(
+        "sum(l_extendedprice)", "count(distinct l_suppkey)"
+    ).collect()
+    canary_scan = round(time.perf_counter() - t0, 3)
+
     region = load_table(spark, sf_dir, "region")
     nation = load_table(spark, sf_dir, "nation")
     (
@@ -150,6 +164,7 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf,
                 "n_queries": len(times),
+                "canary": {"cpu_sec": canary_cpu, "scan_sec": canary_scan},
                 "queries": times,
             },
             f,
@@ -170,6 +185,7 @@ def main() -> None:
             "unit": "sec",
             "sf": sf,
             "n_queries": len(times),
+            "canary": {"cpu_sec": canary_cpu, "scan_sec": canary_scan},
             "families": families,
             "queries": slowest,
             "detail": "BENCH_DETAIL.json",

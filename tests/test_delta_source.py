@@ -266,7 +266,15 @@ def test_partition_pruning_on_hive_layout(spark, tmp_path):
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert sorted(r.id for r in got.collect()) == [20, 21]
-    assert len(got.inputFiles()) == 1
+    # the scan's numFiles METRIC is the post-pruning truth
+    # (df.inputFiles() reports the pre-pruning FileIndex listing)
+    leaves = got._jdf.queryExecution().executedPlan().collectLeaves()
+    n_files = sum(
+        leaves.apply(i).metrics().apply("numFiles").value()
+        for i in range(leaves.size())
+        if leaves.apply(i).metrics().contains("numFiles")
+    )
+    assert n_files == 1
 
 
 def test_predicate_pushdown_reaches_scan(spark, tmp_path):
