@@ -225,6 +225,95 @@ def _delta_dims(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     return _DELTA_DIMS_CACHE[key]
 
 
+_DELTA_ORDERS_CACHE: dict[str, str] = {}
+_DELTA_SKIP_CUTOFF = 1000  # static so the oracle can embed it
+
+
+def _delta_orders(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once Delta table of orders split into 8 o_orderkey bands,
+    each add action carrying valid min/max stats for its band (bounds,
+    like a Delta writer's per-file column stats). Feeds the data-skipping
+    gate query."""
+    key = os.path.abspath(sf_dir)
+    if key in _DELTA_ORDERS_CACHE:
+        return _DELTA_ORDERS_CACHE[key]
+    import atexit
+    import json as _json
+    import shutil
+
+    from pos_dlt_spark.sources import delta_fixture as fx
+    from pos_dlt_spark.tables import scratch_dir
+
+    work = scratch_dir("delta_orders_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    table = os.path.join(work, "orders")
+    os.makedirs(table, exist_ok=True)
+    stage = os.path.join(work, "_stage")
+    orders = load_table(spark, sf_dir, "orders")
+    mx = int(orders.agg(F.max("o_orderkey")).collect()[0][0])  # 1-row collect
+    step = mx // 8 + 1
+    adds = []
+    for i in range(8):
+        lo, hi = i * step, (i + 1) * step - 1
+        band = orders.filter(
+            (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") <= hi)
+        )
+        band.coalesce(1).write.mode("overwrite").parquet(stage)
+        files = [n for n in os.listdir(stage) if n.endswith(".parquet")]
+        rel = f"part-{i}.parquet"
+        os.replace(os.path.join(stage, files[0]), os.path.join(table, rel))
+        adds.append(
+            fx.add_action(
+                rel,
+                stats=_json.dumps(
+                    {
+                        "numRecords": None,
+                        "minValues": {"o_orderkey": lo},
+                        "maxValues": {"o_orderkey": hi},
+                    }
+                ),
+            )
+        )
+    fx.write_commit(
+        table, 0, [fx.protocol_action(), fx.metadata_action(orders.schema)] + adds
+    )
+    _DELTA_ORDERS_CACHE[key] = table
+    return table
+
+
+@query(
+    "orders_delta_stats_skipping",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    WHERE o_orderkey >= {_DELTA_SKIP_CUTOFF}
+    GROUP BY o_orderpriority
+    """,
+)
+def orders_delta_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-stats data skipping end to end: orders served from a Delta
+    table whose add actions carry per-file o_orderkey min/max; the read
+    prunes excluded files DRIVER-SIDE from the stats (skip_files) and
+    the real filter still applies row-level semantics — so the oracle
+    (plain SQL over the parquet orders) matches only if skipping is
+    strictly conservative. File-count effectiveness is pinned separately
+    in tests/test_delta_source.py via the scan's numFiles metric."""
+    from pos_dlt_spark.sources.delta import read_delta
+
+    table = _delta_orders(spark, sf_dir)
+    df = read_delta(
+        spark, table, prune=[("o_orderkey", ">=", _DELTA_SKIP_CUTOFF)]
+    ).filter(F.col("o_orderkey") >= _DELTA_SKIP_CUTOFF)
+    return df.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
 @query(
     "pos_gold_inventory_current_delta",
     oracle=f"""

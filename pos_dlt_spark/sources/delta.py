@@ -77,6 +77,8 @@ class DeltaSnapshot:
     configuration: dict[str, str]
     # (relative file path, partition_values dict) for every live file
     files: list[tuple[str, dict[str, str | None]]] = field(default_factory=list)
+    # full add actions keyed by relative path (per-file stats for skipping)
+    adds: dict[str, dict] = field(default_factory=dict)
 
     @property
     def data_schema(self) -> StructType:
@@ -236,6 +238,7 @@ def delta_snapshot(
         files=[
             (p, dict(a.get("partitionValues") or {})) for p, a in sorted(live.items())
         ],
+        adds=dict(sorted(live.items())),
     )
 
 
@@ -269,16 +272,95 @@ def _hive_style(files: list[tuple[str, dict[str, str | None]]], part_cols: list[
     return True
 
 
+def _stats_excludes(add: dict, col: str, op: str, value) -> bool:
+    """True if the add action's per-file statistics PROVE no row of the
+    file can satisfy ``col op value``. Conservative: missing/unparseable
+    stats, or a column absent from them, keep the file."""
+    raw = add.get("stats")
+    if not raw:
+        return False
+    try:
+        stats = json.loads(raw) if isinstance(raw, str) else raw
+    except (TypeError, ValueError):
+        return False
+    mins = (stats.get("minValues") or {})
+    maxs = (stats.get("maxValues") or {})
+    lo, hi = mins.get(col), maxs.get(col)
+    if lo is None or hi is None:
+        return False
+    try:
+        if op == "=":
+            return value < lo or value > hi
+        if op == "<":
+            return lo >= value
+        if op == "<=":
+            return lo > value
+        if op == ">":
+            return hi <= value
+        if op == ">=":
+            return hi < value
+        if op == "in":
+            return all(v < lo or v > hi for v in value)
+    except TypeError:  # cross-type compare — stats unusable for this predicate
+        return False
+    return False
+
+
+def skip_files(
+    snap: DeltaSnapshot, predicates: list[tuple[str, str, object]]
+) -> tuple[DeltaSnapshot, int]:
+    """DATA SKIPPING from the transaction log: drop every live file whose
+    ``add.stats`` (numRecords/minValues/maxValues, written by Delta
+    writers) prove it cannot contain a matching row. This is the log-side
+    half of Delta's scan pruning — at 100 TB it is the difference between
+    listing a million files and scanning the dozen whose min/max straddle
+    the predicate, BEFORE any task is scheduled. Purely driver-side
+    metadata, conjunctive semantics (a file is dropped if ANY predicate
+    excludes it), and strictly conservative: files without usable stats
+    are kept, so the subsequent scan (which still applies the real
+    filter) returns exactly the same rows with or without skipping.
+
+    Returns (pruned snapshot, n_files_skipped)."""
+    kept, skipped = [], 0
+    for rel, pvals in snap.files:
+        add = snap.adds.get(rel, {})
+        if any(_stats_excludes(add, c, op, v) for c, op, v in predicates):
+            skipped += 1
+        else:
+            kept.append((rel, pvals))
+    out = DeltaSnapshot(
+        path=snap.path,
+        version=snap.version,
+        schema=snap.schema,
+        partition_columns=snap.partition_columns,
+        configuration=snap.configuration,
+        files=kept,
+        adds={rel: snap.adds[rel] for rel, _ in kept if rel in snap.adds},
+    )
+    return out, skipped
+
+
 def read_delta(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    prune: list[tuple[str, str, object]] | None = None,
 ) -> DataFrame:
     """Read a Delta table as a DataFrame — the protocol fold picks the
     files; the scan is ordinary distributed parquet with the LOG's schema
     pinned (schema evolution on read: pre-evolution files yield nulls for
     added columns; dropped columns never appear even if old files carry
     them). ``version=`` time-travels to an earlier snapshot, served from
-    the same log at zero extra storage."""
+    the same log at zero extra storage.
+
+    ``prune`` enables log-stats DATA SKIPPING (see :func:`skip_files`):
+    ``[("col", op, value), ...]`` with op in ``= < <= > >= in``,
+    conjunctive. It only drops files whose stats PROVE exclusion — the
+    caller still applies the real ``.filter`` for row-level semantics;
+    with or without ``prune`` the filtered result is identical."""
     snap = delta_snapshot(spark, path, version)
+    if prune:
+        snap, _ = skip_files(snap, prune)
     if not snap.files:
         return spark.createDataFrame([], snap.schema)
     paths = [_abs_file(path, rel) for rel, _ in snap.files]

@@ -277,6 +277,72 @@ def test_partition_pruning_on_hive_layout(spark, tmp_path):
     assert n_files == 1
 
 
+def _stats(n, mins, maxs):
+    import json
+
+    return json.dumps({"numRecords": n, "minValues": mins, "maxValues": maxs,
+                       "nullCount": {k: 0 for k in mins}})
+
+
+def _ranged_table(spark, tmp_path, name="skip"):
+    """Three files with disjoint id ranges and log stats; one file
+    WITHOUT stats (must always be kept — conservative skipping)."""
+    table = str(tmp_path / name)
+    os.makedirs(table, exist_ok=True)
+    stage = str(tmp_path / f"{name}_stage")
+    ds = StructType([StructField("id", LongType())])
+    adds = []
+    for i, (lo, hi) in enumerate([(0, 9), (10, 19), (20, 29)]):
+        f = _write_parquet(spark, [(x,) for x in range(lo, hi + 1)], ds, f"{stage}/r{i}")
+        rel = _relocate(f, table, f"part-{i}.parquet")
+        adds.append(
+            fx.add_action(rel, stats=_stats(hi - lo + 1, {"id": lo}, {"id": hi}))
+        )
+    f = _write_parquet(spark, [(100,)], ds, f"{stage}/nostats")
+    adds.append(fx.add_action(_relocate(f, table, "part-nostats.parquet")))
+    fx.write_commit(
+        table, 0, [fx.protocol_action(), fx.metadata_action(ds)] + adds
+    )
+    return table
+
+
+def _n_files_scanned(df):
+    leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
+    return sum(
+        leaves.apply(i).metrics().apply("numFiles").value()
+        for i in range(leaves.size())
+        if leaves.apply(i).metrics().contains("numFiles")
+    )
+
+
+def test_stats_skipping_prunes_files_same_rows(spark, tmp_path):
+    table = _ranged_table(spark, tmp_path)
+    full = read_delta(spark, table).filter(F.col("id") >= 20)
+    pruned = read_delta(spark, table, prune=[("id", ">=", 20)]).filter(F.col("id") >= 20)
+    assert sorted(r.id for r in pruned.collect()) == sorted(r.id for r in full.collect())
+    # pruned scan reads the 20-29 file + the stats-less file only
+    assert _n_files_scanned(pruned) == 2
+    assert _n_files_scanned(full) == 4
+
+
+def test_stats_skipping_operators(spark, tmp_path):
+    from pos_dlt_spark.sources.delta import delta_snapshot, skip_files
+
+    table = _ranged_table(spark, tmp_path, "skip2")
+    snap = delta_snapshot(spark, table)
+    cases = [
+        ([("id", "=", 15)], 2),     # keeps 10-19 + nostats
+        ([("id", "<", 10)], 2),     # keeps 0-9 + nostats
+        ([("id", "<=", 9)], 2),
+        ([("id", ">", 29)], 3),     # all ranged files dropped, nostats kept
+        ([("id", "in", [5, 25])], 1),  # keeps 0-9, 20-29, nostats
+        ([("other_col", "=", 1)], 0),  # column absent from stats: keep all
+    ]
+    for preds, expect_skipped in cases:
+        _, skipped = skip_files(snap, preds)
+        assert skipped == expect_skipped, (preds, skipped)
+
+
 def test_predicate_pushdown_reaches_scan(spark, tmp_path):
     """The reader must not opaque-box the scan: filters and projections
     push into the parquet source like any native read."""
