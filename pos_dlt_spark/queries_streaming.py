@@ -973,3 +973,125 @@ def streaming_ann_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(index).select(
         "vec_id", F.col("cid").cast("bigint").alias("cid")
     )
+
+
+# -- Delta commit-ordered streaming replay -----------------------------------
+
+_DELTA_EVENTS_CACHE: dict[str, str] = {}
+
+
+def _delta_events_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once Delta table of events across THREE data commits (two
+    files each) plus a fourth COMPACTION commit that removes the first
+    two files and re-adds their merged content with ``dataChange:
+    false`` — the protocol's marker for 'rows already delivered'. A
+    replay that fails to skip it double-counts v0's rows."""
+    key = os.path.abspath(sf_dir)
+    if key in _DELTA_EVENTS_CACHE:
+        return _DELTA_EVENTS_CACHE[key]
+    from pos_dlt_spark.sources import delta_fixture as fx
+    from pos_dlt_spark.tables import load_table
+
+    work = scratch_dir("delta_events_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    table = os.path.join(work, "events_tbl")
+    os.makedirs(table, exist_ok=True)
+    stage = os.path.join(work, "stage")
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts", "value"
+    )
+    ev.repartition(6).write.parquet(stage)
+    parts = sorted(f for f in os.listdir(stage) if f.endswith(".parquet"))
+    assert len(parts) == 6
+    rels = []
+    for i, f in enumerate(parts):
+        rel = f"part-{i}.parquet"
+        os.replace(os.path.join(stage, f), os.path.join(table, rel))
+        rels.append(rel)
+    fx.write_commit(
+        table,
+        0,
+        [fx.protocol_action(), fx.metadata_action(ev.schema)]
+        + [fx.add_action(r) for r in rels[0:2]],
+    )
+    fx.write_commit(table, 1, [fx.add_action(r) for r in rels[2:4]])
+    fx.write_commit(table, 2, [fx.add_action(r) for r in rels[4:6]])
+    # compaction: merge the v0 files; dataChange=false => replay must skip
+    compact_stage = os.path.join(work, "compact")
+    spark.read.parquet(
+        os.path.join(table, rels[0]), os.path.join(table, rels[1])
+    ).coalesce(1).write.parquet(compact_stage)
+    cf = [f for f in os.listdir(compact_stage) if f.endswith(".parquet")][0]
+    os.replace(os.path.join(compact_stage, cf), os.path.join(table, "compact-01.parquet"))
+    fx.write_commit(
+        table,
+        3,
+        [
+            fx.remove_action(rels[0]),
+            fx.remove_action(rels[1]),
+            fx.add_action("compact-01.parquet", dataChange=False),
+        ],
+    )
+    _DELTA_EVENTS_CACHE[key] = table
+    return table
+
+
+@query(
+    "streaming_delta_replay_counts",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def streaming_delta_replay_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit-ordered Delta streaming replay (sources/delta.replay_adds):
+    the log's dataChange adds are delivered commit by commit into a file
+    stream (copies with per-commit mtimes so the source preserves commit
+    order), feeding a streaming per-user aggregate in complete mode. The
+    table carries a real COMPACTION commit (remove + dataChange:false
+    re-add of identical rows); because a streaming aggregate counts every
+    delivered row exactly once, the oracle (batch GROUP BY over events)
+    matches ONLY if the replay skips the compacted re-add — the rule
+    delta's own streaming source applies to OPTIMIZE rewrites."""
+    from pos_dlt_spark.sources.delta import replay_adds
+
+    table = _delta_events_table(spark, sf_dir)
+    plan = replay_adds(spark, table)
+    assert all(v != 3 for v, _ in plan), "compaction commit must carry no data adds"
+    land = scratch_dir("delta_replay_land_")
+    atexit.register(shutil.rmtree, land, ignore_errors=True)
+    t0 = 1_600_000_000
+    for v, files in plan:
+        for f in files:
+            dst = os.path.join(land, f"{v:04d}_{os.path.basename(f)}")
+            shutil.copy(f, dst)
+            os.utime(dst, (t0 + v * 60, t0 + v * 60))
+    schema = spark.read.parquet(land).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(land)
+    )
+    from pos_dlt_spark.tables import normalize_timestamps
+
+    stream = normalize_timestamps(stream, "events")
+    agg = stream.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_dec"),
+    )
+    name = f"delta_replay_{uuid.uuid4().hex[:8]}"
+    with _stream_state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name).select(
+        "user_id", "n_events", F.col("sum_dec").cast("double").alias("sum_value")
+    )

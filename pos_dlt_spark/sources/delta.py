@@ -242,6 +242,43 @@ def delta_snapshot(
     )
 
 
+def replay_adds(
+    spark: SparkSession,
+    path: str,
+    start_version: int = 0,
+    end_version: int | None = None,
+) -> list[tuple[int, list[str]]]:
+    """Commit-ordered streaming replay plan: ``[(version, [abs file
+    paths]), ...]`` of the DATA-CHANGE adds in each commit — the
+    protocol-faithful backfill half of a Delta streaming source. Adds
+    with ``dataChange: false`` are SKIPPED (they are compaction/OPTIMIZE
+    rewrites of rows already delivered by earlier commits; replaying
+    them would duplicate data — the same rule delta's own streaming
+    source applies). Removes are never retractions on this path; a
+    commit that removes-and-rewrites WITH dataChange true is an update
+    the consumer's CDC semantics must absorb (exactly what
+    ApplyChanges's latest-per-key merge does).
+
+    Requires the replayed files to still exist — a VACUUM that physically
+    deleted files removed before ``start_version``'s checkpoint horizon
+    makes those commits unreplayable (the same constraint real Delta
+    streaming reads have)."""
+    log_dir = os.path.join(path, "_delta_log")
+    commits, _ = _list_log(log_dir)
+    out: list[tuple[int, list[str]]] = []
+    for v, p in commits:
+        if v < start_version or (end_version is not None and v > end_version):
+            continue
+        files = [
+            _abs_file(path, a["add"]["path"])
+            for a in _commit_actions(p)
+            if "add" in a and a["add"].get("dataChange", True)
+        ]
+        if files:
+            out.append((v, files))
+    return out
+
+
 def _abs_file(table_path: str, rel: str) -> str:
     # protocol: add.path is RELATIVE to the table root and URL-encoded;
     # absolute paths (shallow clones) pass through untouched

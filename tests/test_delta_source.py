@@ -343,6 +343,23 @@ def test_stats_skipping_operators(spark, tmp_path):
         assert skipped == expect_skipped, (preds, skipped)
 
 
+def test_replay_adds_commit_order_and_compaction_skip(spark, tmp_path):
+    from pos_dlt_spark.sources.delta import replay_adds
+
+    table = _simple_table(spark, tmp_path, "replay")  # v0 add A; v1 remove A, add B,C
+    # v2: compaction re-add (dataChange false) must NOT appear in the plan
+    fx.write_commit(
+        table, 2, [fx.remove_action("part-b.parquet"),
+                   fx.add_action("compact.parquet", dataChange=False)]
+    )
+    plan = replay_adds(spark, table)
+    assert [v for v, _ in plan] == [0, 1]
+    assert [len(fs) for _, fs in plan] == [1, 2]
+    assert all("compact" not in f for _, fs in plan for f in fs)
+    # windowed replay
+    assert [v for v, _ in replay_adds(spark, table, start_version=1)] == [1]
+
+
 def test_predicate_pushdown_reaches_scan(spark, tmp_path):
     """The reader must not opaque-box the scan: filters and projections
     push into the parquet source like any native read."""
