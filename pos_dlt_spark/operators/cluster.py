@@ -172,3 +172,80 @@ def duplicate_clusters(
             (F.col("id") == F.col("component")).cast("int").alias("keep"),
         )
     )
+
+
+# -- PageRank (iterative link analysis, integer-exact) -----------------------
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    damping_num: int = 17,
+    damping_den: int = 20,
+) -> DataFrame:
+    """Simplified PageRank (Page et al. 1999) over a directed edge list,
+    in EXACT INTEGER micro-units so every engine computes bit-identical
+    ranks: rank_0 = 1e6 per node; per iteration each node sends
+    ``floor(rank / out_degree)`` along its out-edges and
+    ``rank' = floor(0.15 * 1e6) + floor(d_num * inbound_sum / d_den)``
+    (damping 17/20 = 0.85 as an integer ratio — no float accumulation
+    order anywhere, the kmeans/micro-nats discipline). Dangling-node mass
+    is dropped, not redistributed (the common simplified variant);
+    callers wanting the stochastic-complete version add a sink edge set.
+
+    Scale shape: per iteration ONE equi-join (ranks x edges on src — both
+    shuffle-partitioned on the same key) and ONE hash aggregate on dst
+    with map-side partial sums, so a hot page (in-degree skew) collapses
+    map-side exactly like any groupBy; rank state is localCheckpoint'ed
+    per iteration to truncate lineage (the connected-components lesson).
+    Iteration count is fixed and small — the 100 TB cost is
+    iters x (join + agg), embarrassingly rebalanceable.
+
+    Returns (node, rank_micro bigint, rank double)."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    # rename the degree key so the later re-join against e is unambiguous
+    # (out_deg shares e's lineage — Spark's self-join check rejects the
+    # raw column reference otherwise)
+    out_deg = (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .select(F.col("src").alias("od_src"), "deg")
+    )
+    base = 1_000_000
+    teleport = (base * (damping_den - damping_num)) // damping_den  # floor(0.15e6)
+    ranks = nodes.select("node", F.lit(base).cast("bigint").alias("rank"))
+    for _ in range(iters):
+        # integer DIV, not floor(a / b): Spark's `/` on bigints is DOUBLE
+        # division, which silently loses exactness past 2^53; DIV stays
+        # integral at any magnitude and truncation == floor for the
+        # nonnegative values here (DuckDB's // matches).
+        contrib = (
+            ranks.join(out_deg, ranks.node == F.col("od_src"), "inner")
+            .select(F.col("od_src").alias("s"), F.expr("CAST(rank DIV deg AS BIGINT)").alias("share"))
+            .join(e, F.col("s") == F.col("src"), "inner")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("share").alias("inbound"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                F.expr(
+                    f"CAST({teleport} + (COALESCE(inbound, 0) * {damping_num})"
+                    f" DIV {damping_den} AS BIGINT)"
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select(
+        "node",
+        F.col("rank").alias("rank_micro"),
+        (F.col("rank").cast("double") / base).alias("rank"),
+    )

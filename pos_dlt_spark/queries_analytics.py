@@ -1167,3 +1167,77 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "s1", "s2", "s3")
         .limit(25)
     )
+
+
+# -- PageRank over the customer-supplier interaction graph -------------------
+
+_PR_OFF = 10_000_000  # supplier ids offset into their own node-id space
+
+
+def _pagerank_oracle(iters: int = 3) -> str:
+    parts = [
+        """pr_eb AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey)""",
+        f"""pr_e AS (SELECT c AS src, s + {_PR_OFF} AS dst FROM pr_eb
+        UNION ALL SELECT s + {_PR_OFF} AS src, c AS dst FROM pr_eb)""",
+        "pr_nodes AS (SELECT src AS node FROM pr_e UNION SELECT dst FROM pr_e)",
+        "pr_deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM pr_e GROUP BY src)",
+        "pr_r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM pr_nodes)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""pr_c{i} AS (
+            SELECT pr_e.dst AS node, CAST(SUM(r.rank // d.deg) AS BIGINT) AS inbound
+            FROM pr_r{i - 1} r
+            JOIN pr_deg d ON r.node = d.src
+            JOIN pr_e ON pr_e.src = d.src
+            GROUP BY pr_e.dst)"""
+        )
+        parts.append(
+            f"""pr_r{i} AS (
+            SELECT n.node,
+                   CAST(150000 + (COALESCE(c.inbound, 0) * 17) // 20 AS BIGINT) AS rank
+            FROM pr_nodes n LEFT JOIN pr_c{i} c ON n.node = c.node)"""
+        )
+    from pos_dlt_spark.queries_ml import _materialize_ctes
+
+    return (
+        "WITH "
+        + ",\n".join(_materialize_ctes(parts))
+        + f"""
+    SELECT node, rank AS rank_micro,
+           CAST(rank AS DOUBLE) / 1000000 AS rank
+    FROM pr_r{iters}
+    """
+    )
+
+
+@query("graph_pagerank", oracle=_pagerank_oracle())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 iterations, integer micro-units — operators/cluster.py
+    :func:`pagerank`) over the bipartite customer<->supplier interaction
+    graph (edge when a customer's order shipped from a supplier, both
+    directions). The iterative-algorithm companion to connected
+    components: per iteration one equi-join + one map-side-combined
+    aggregate, lineage truncated per round. Exact integer damping
+    (17/20) + integer DIV make the ranks bit-identical across engines;
+    the oracle unrolls all three iterations in CTEs."""
+    from pos_dlt_spark.operators.cluster import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    eb = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    edges = eb.select(
+        F.col("c").cast("long").alias("src"),
+        (F.col("s") + _PR_OFF).cast("long").alias("dst"),
+    ).union(
+        eb.select(
+            (F.col("s") + _PR_OFF).cast("long").alias("src"),
+            F.col("c").cast("long").alias("dst"),
+        )
+    )
+    return pagerank(edges, iters=3)

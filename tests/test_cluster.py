@@ -86,3 +86,27 @@ def test_duplicate_clusters_canonical_and_sizes(spark):
     assert rows[23]["cluster_size"] == 4
     keeps = {d for d, r in rows.items() if r["keep"] == 1}
     assert keeps == {1, 10, 20}
+
+
+def test_pagerank_hand_computed_triangle(spark):
+    """A->B, A->C, B->C, C->A for two iterations, every value derived by
+    hand in integer micro-units (teleport 150000, damping 17/20, DIV)."""
+    from pos_dlt_spark.operators.cluster import pagerank
+    from pos_dlt_spark.tables import local_df
+
+    edges = local_df(
+        spark, [(1, 2), (1, 3), (2, 3), (3, 1)], "src long, dst long"
+    )
+    got = {r.node: r.rank_micro for r in pagerank(edges, iters=2).collect()}
+    assert got == {1: 1_361_250, 2: 575_000, 3: 1_063_750}
+
+
+def test_pagerank_dangling_mass_dropped(spark):
+    """Dangling nodes (no out-edges) receive rank but leak their own —
+    the documented simplified variant."""
+    from pos_dlt_spark.operators.cluster import pagerank
+    from pos_dlt_spark.tables import local_df
+
+    edges = local_df(spark, [(1, 2)], "src long, dst long")
+    got = {r.node: r.rank_micro for r in pagerank(edges, iters=1).collect()}
+    assert got == {1: 150_000, 2: 1_000_000}
