@@ -1,12 +1,12 @@
-"""Source/sink format breadth: the engine round-trips parquet, ORC, JSON
-and CSV with explicit schemas (Avro needs the external spark-avro package
-— not bundled, documented as out of scope)."""
+"""Source/sink format breadth: the engine round-trips parquet, ORC, JSON,
+CSV and XML (native in Spark 4) with explicit schemas (Avro needs the
+external spark-avro package — not bundled, documented as out of scope)."""
 
 import pytest
 from pyspark.sql import functions as F
 
 
-@pytest.mark.parametrize("fmt", ["parquet", "orc", "json", "csv"])
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "json", "csv", "xml"])
 def test_format_roundtrip(spark, tmp_path, fmt):
     df = spark.range(100).select(
         F.col("id").alias("k"),
@@ -18,12 +18,16 @@ def test_format_roundtrip(spark, tmp_path, fmt):
     w = df.write.format(fmt).mode("overwrite")
     if fmt == "csv":
         w = w.option("header", "true")
+    if fmt == "xml":
+        w = w.option("rowTag", "row")
     w.save(path)
     r = spark.read.format(fmt)
     if fmt == "csv":
         r = r.option("header", "true").schema(df.schema)
-    elif fmt == "json":
+    elif fmt in ("json", "xml"):
         r = r.schema(df.schema)
+    if fmt == "xml":
+        r = r.option("rowTag", "row")
     back = r.load(path)
     # file sources surface everything nullable; names + types must survive
     assert [(f.name, f.dataType) for f in back.schema.fields] == [
