@@ -225,6 +225,45 @@ def _delta_dims(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     return _DELTA_DIMS_CACHE[key]
 
 
+_DELTA_RT_CACHE: dict[str, str] = {}
+
+
+@query(
+    "supplier_delta_write_roundtrip",
+    oracle="SELECT * FROM supplier",
+)
+def supplier_delta_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE-path Delta interop (sources/delta_writer.py): supplier is
+    committed through the protocol writer — an overwrite of a decoy
+    commit, then a second APPEND completing the table, with footer-
+    derived per-file stats and an atomic put-if-absent commit per
+    version — and read back through the protocol reader. The oracle is
+    the raw supplier table: it matches only if overwrite removes the
+    decoy's files, the append accumulates, and the reader folds the
+    writer's log byte-compatibly."""
+    from pos_dlt_spark.sources.delta import read_delta
+    from pos_dlt_spark.sources.delta_writer import write_delta
+    from pos_dlt_spark.tables import scratch_dir
+
+    key = os.path.abspath(sf_dir)
+    if key not in _DELTA_RT_CACHE:
+        import atexit
+        import shutil
+
+        work = scratch_dir("delta_rt_")
+        atexit.register(shutil.rmtree, work, ignore_errors=True)
+        table = os.path.join(work, "supplier")
+        supp = load_table(spark, sf_dir, "supplier")
+        decoy = supp.limit(3).withColumn("s_acctbal", F.lit(-1.0))
+        write_delta(decoy, table)  # v0: wrong content
+        write_delta(
+            supp.filter(F.col("s_suppkey") % 2 == 0), table, mode="overwrite"
+        )  # v1: replaces the decoy entirely
+        write_delta(supp.filter(F.col("s_suppkey") % 2 != 0), table)  # v2: append
+        _DELTA_RT_CACHE[key] = table
+    return read_delta(spark, _DELTA_RT_CACHE[key])
+
+
 _DELTA_ORDERS_CACHE: dict[str, str] = {}
 _DELTA_SKIP_CUTOFF = 1000  # static so the oracle can embed it
 

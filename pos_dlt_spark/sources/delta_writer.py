@@ -1,0 +1,220 @@
+"""Basic Delta Lake WRITER from the public transaction protocol —
+append / overwrite commits with per-file column stats and optimistic
+concurrency on a local/POSIX filesystem.
+
+Scope and honesty boundary:
+
+- **Commit atomicity = atomic put-if-absent of the next
+  ``_delta_log/N.json``.** POSIX ``open(O_CREAT|O_EXCL)`` provides
+  exactly the "mutual exclusion on the version file" primitive the
+  protocol requires, so concurrent writers on one filesystem race
+  safely: the loser re-reads the log and retries at the next version.
+  Object stores WITHOUT put-if-absent (plain S3) need an external
+  LogStore coordination service — that layer is out of scope here and
+  loudly documented, exactly as delta-rs/delta-spark document theirs.
+- Conflict resolution is APPEND-level: a lost race re-commits blind
+  appends (always safe — no row can conflict); a lost OVERWRITE race
+  aborts with :class:`DeltaCommitConflict` rather than guessing
+  (serializable-overwrite reconciliation is a real writer's hardest
+  feature and pretending otherwise would corrupt tables).
+- Data files are written by an ordinary distributed
+  ``df.write.parquet`` into the table directory under unique names;
+  per-file stats (numRecords / minValues / maxValues / nullCount for
+  leaf columns the skipping reader understands) come from the parquet
+  FOOTERS via pyarrow on the driver — metadata-bounded, same cost class
+  as the log fold.
+- Checkpointing: every ``checkpoint_interval`` commits a classic
+  single-file checkpoint parquet + ``_last_checkpoint`` is written, so
+  long-lived tables fold from the checkpoint, not the full JSON chain.
+
+Together with :mod:`pos_dlt_spark.sources.delta` this gives round-trip
+Delta interop (write here, read there — or by any protocol-conformant
+reader) without the delta-spark dependency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame
+
+from pos_dlt_spark.sources import delta_fixture as fx
+from pos_dlt_spark.sources.delta import DeltaSnapshot, delta_snapshot
+
+
+class DeltaCommitConflict(Exception):
+    """A concurrent commit won the version race and the operation cannot
+    be safely replayed (overwrite); the caller decides what to do."""
+
+
+def _file_stats(path: str) -> str:
+    """Per-file column stats from the parquet footer (driver-side, one
+    footer read per file): numRecords + min/max/nullCount for leaf
+    columns with primitive types. Strings are truncated to 32 chars for
+    min (protocol writers bound stats size); truncated max values are
+    DROPPED rather than emitted wrong (a truncated max underestimates)."""
+    import pyarrow.parquet as pq
+
+    md = pq.read_metadata(path)
+    mins: dict = {}
+    maxs: dict = {}
+    nulls: dict = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if "." in name:  # nested leaves: skip (reader skips them too)
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes):
+                try:
+                    mn, mx = mn.decode("utf-8"), mx.decode("utf-8")
+                except UnicodeDecodeError:
+                    continue
+            if isinstance(mn, str) and len(mn) > 32:
+                mn = mn[:32]
+            if isinstance(mx, str) and len(mx) > 32:
+                mx = None  # cannot truncate a max safely
+            cur_mn = mins.get(name)
+            mins[name] = mn if cur_mn is None or (mn is not None and mn < cur_mn) else cur_mn
+            cur_mx = maxs.get(name)
+            if mx is not None:
+                maxs[name] = mx if cur_mx is None or mx > cur_mx else cur_mx
+            if st.null_count is not None:
+                nulls[name] = nulls.get(name, 0) + st.null_count
+
+    def _js(v):
+        import datetime
+
+        if isinstance(v, (datetime.datetime, datetime.date)):
+            return v.isoformat()
+        return v
+
+    return json.dumps(
+        {
+            "numRecords": md.num_rows,
+            "minValues": {k: _js(v) for k, v in mins.items() if v is not None},
+            "maxValues": {k: _js(v) for k, v in maxs.items() if v is not None},
+            "nullCount": nulls,
+        }
+    )
+
+
+def _try_commit(log_dir: str, version: int, actions: list[dict]) -> bool:
+    """Atomic put-if-absent of version.json (POSIX O_EXCL). False if a
+    concurrent writer owns this version."""
+    os.makedirs(log_dir, exist_ok=True)
+    path = os.path.join(log_dir, f"{version:020d}.json")
+    try:
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+    except FileExistsError:
+        return False
+    try:
+        with os.fdopen(fd, "w", encoding="utf-8") as fh:
+            for a in actions:
+                fh.write(json.dumps(a) + "\n")
+            fh.flush()
+            os.fsync(fh.fileno())
+        return True
+    except BaseException:
+        os.unlink(path)
+        raise
+
+
+def write_delta(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    checkpoint_interval: int = 10,
+    max_retries: int = 20,
+) -> int:
+    """Write ``df`` to the Delta table at ``path`` (created if absent).
+    Returns the committed version.
+
+    ``mode='append'`` adds files; on a lost commit race it retries at the
+    next version (blind appends never conflict). ``mode='overwrite'``
+    removes every live file and adds the new ones; a lost race raises
+    :class:`DeltaCommitConflict`. Schema: first commit pins the
+    DataFrame's schema in metaData; appends require an identical schema
+    (fail-fast — evolution is the reader's job on old files, the
+    writer's job is to not drift silently)."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    spark = df.sparkSession
+    log_dir = os.path.join(path, "_delta_log")
+    exists = os.path.isdir(log_dir) and any(
+        n.endswith(".json") or n.endswith(".parquet") for n in os.listdir(log_dir)
+    )
+
+    # 1. distributed data write into a staging dir, then move into the
+    # table root under fresh unique names (two renames, no data copy)
+    staging = os.path.join(path, f"_staging_{uuid.uuid4().hex[:12]}")
+    df.write.parquet(staging)
+    rels = []
+    for n in sorted(os.listdir(staging)):
+        if not n.endswith(".parquet"):
+            continue
+        rel = f"part-{uuid.uuid4().hex}.parquet"
+        os.replace(os.path.join(staging, n), os.path.join(path, rel))
+        rels.append(rel)
+    import shutil
+
+    shutil.rmtree(staging, ignore_errors=True)
+
+    adds = [
+        fx.add_action(
+            rel,
+            size=os.path.getsize(os.path.join(path, rel)),
+            stats=_file_stats(os.path.join(path, rel)),
+        )
+        for rel in rels
+    ]
+
+    # 2. commit loop (optimistic concurrency)
+    for _ in range(max_retries):
+        if exists:
+            snap: DeltaSnapshot | None = delta_snapshot(spark, path)
+            version = snap.version + 1
+            # names + types, nullability excluded: file sources surface
+            # everything nullable, so a strict equality would flag every
+            # append of a computed (non-null) column as drift
+            if [(f.name, f.dataType) for f in snap.schema.fields] != [
+                (f.name, f.dataType) for f in df.schema.fields
+            ]:
+                raise ValueError(
+                    "schema drift: table "
+                    f"{[f.name for f in snap.schema.fields]} vs dataframe "
+                    f"{[f.name for f in df.schema.fields]} — writer refuses "
+                    "silent evolution"
+                )
+            actions = list(adds)
+            if mode == "overwrite":
+                actions = [fx.remove_action(rel) for rel, _ in snap.files] + actions
+        else:
+            snap, version = None, 0
+            actions = [fx.protocol_action(), fx.metadata_action(df.schema)] + list(adds)
+
+        if _try_commit(log_dir, version, actions):
+            if checkpoint_interval and version > 0 and version % checkpoint_interval == 0:
+                final = delta_snapshot(spark, path, version)
+                fx.write_checkpoint(
+                    path,
+                    version,
+                    [fx.protocol_action(), fx.metadata_action(final.schema)]
+                    + [{"add": a} for a in final.adds.values()],
+                )
+            return version
+        # lost the race
+        if mode == "overwrite":
+            raise DeltaCommitConflict(
+                f"version {version} was committed concurrently; overwrite "
+                "cannot be replayed safely"
+            )
+        exists = True  # re-fold and retry the append at the next version
+    raise DeltaCommitConflict(f"gave up after {max_retries} commit races")

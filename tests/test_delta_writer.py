@@ -1,0 +1,121 @@
+"""Delta writer (sources/delta_writer.py) round-trips through the
+protocol reader: append/overwrite commits, footer-derived stats feeding
+the skipping reader, optimistic-concurrency races, schema-drift
+fail-fast, checkpoint cadence."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pos_dlt_spark.sources.delta import delta_snapshot, read_delta, skip_files
+from pos_dlt_spark.sources.delta_writer import (
+    DeltaCommitConflict,
+    write_delta,
+)
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id"), F.concat(F.lit("n"), F.col("id")).alias("name")
+    )
+
+
+def test_append_roundtrip(spark, tmp_path):
+    table = str(tmp_path / "t")
+    assert write_delta(_df(spark, 0, 50), table) == 0
+    assert write_delta(_df(spark, 50, 100), table) == 1
+    got = read_delta(spark, table)
+    assert sorted(r.id for r in got.collect()) == list(range(100))
+    assert [f.name for f in got.schema.fields] == ["id", "name"]
+
+
+def test_overwrite_replaces_live_set_and_time_travel(spark, tmp_path):
+    table = str(tmp_path / "ow")
+    write_delta(_df(spark, 0, 50), table)
+    write_delta(_df(spark, 1000, 1010), table, mode="overwrite")
+    assert sorted(r.id for r in read_delta(spark, table).collect()) == list(
+        range(1000, 1010)
+    )
+    # previous version still time-travels
+    assert sorted(r.id for r in read_delta(spark, table, version=0).collect()) == list(
+        range(50)
+    )
+
+
+def test_footer_stats_enable_skipping(spark, tmp_path):
+    table = str(tmp_path / "st")
+    write_delta(_df(spark, 0, 100).coalesce(1), table)
+    write_delta(_df(spark, 1000, 1100).coalesce(1), table)
+    snap = delta_snapshot(spark, table)
+    assert len(snap.files) == 2
+    pruned, skipped = skip_files(snap, [("id", ">=", 500)])
+    assert skipped == 1 and len(pruned.files) == 1
+    got = read_delta(spark, table, prune=[("id", ">=", 500)]).filter(
+        F.col("id") >= 500
+    )
+    assert sorted(r.id for r in got.collect()) == list(range(1000, 1100))
+
+
+def test_concurrent_version_already_taken_is_skipped_by_fold(spark, tmp_path):
+    """A commit that lands BEFORE the writer folds is simply the new
+    latest — the writer commits at the next free version."""
+    table = str(tmp_path / "race")
+    write_delta(_df(spark, 0, 10), table)
+    blocker = os.path.join(table, "_delta_log", f"{1:020d}.json")
+    with open(blocker, "w", encoding="utf-8") as fh:
+        fh.write("")  # concurrent empty commit
+    v = write_delta(_df(spark, 10, 20), table)
+    assert v == 2
+    assert sorted(r.id for r in read_delta(spark, table).collect()) == list(range(20))
+
+
+def test_append_race_retries_overwrite_race_aborts(spark, tmp_path, monkeypatch):
+    """A race lost AT COMMIT TIME (put-if-absent fails after the fold):
+    appends retry at the next version; overwrites abort."""
+    import pos_dlt_spark.sources.delta_writer as W
+
+    table = str(tmp_path / "race2")
+    write_delta(_df(spark, 0, 10), table)
+
+    real = W._try_commit
+    calls = {"n": 0}
+
+    def lose_once(log_dir, version, actions):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return False  # concurrent writer won this version
+        return real(log_dir, version, actions)
+
+    monkeypatch.setattr(W, "_try_commit", lose_once)
+    v = write_delta(_df(spark, 10, 20), table)
+    assert v == 1 and calls["n"] == 2  # re-folded, retried, succeeded
+    assert sorted(r.id for r in read_delta(spark, table).collect()) == list(range(20))
+
+    monkeypatch.setattr(W, "_try_commit", lambda *a: False)
+    with pytest.raises(DeltaCommitConflict, match="overwrite"):
+        write_delta(_df(spark, 0, 5), table, mode="overwrite")
+
+
+def test_schema_drift_fails_fast(spark, tmp_path):
+    table = str(tmp_path / "drift")
+    write_delta(_df(spark, 0, 10), table)
+    bad = spark.range(5).select(F.col("id"), F.col("id").alias("other"))
+    with pytest.raises(ValueError, match="schema drift"):
+        write_delta(bad, table)
+
+
+def test_checkpoint_cadence_and_fold_from_checkpoint(spark, tmp_path):
+    table = str(tmp_path / "ck")
+    for i in range(6):
+        write_delta(_df(spark, i * 10, i * 10 + 10), table, checkpoint_interval=5)
+    log = os.path.join(table, "_delta_log")
+    assert os.path.exists(os.path.join(log, f"{5:020d}.checkpoint.parquet"))
+    assert os.path.exists(os.path.join(log, "_last_checkpoint"))
+    # vacuum the pre-checkpoint JSON commits: fold must still succeed
+    for v in range(5):
+        os.remove(os.path.join(log, f"{v:020d}.json"))
+    got = read_delta(spark, table)
+    assert sorted(r.id for r in got.collect()) == list(range(60))
