@@ -225,6 +225,64 @@ def _delta_dims(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     return _DELTA_DIMS_CACHE[key]
 
 
+@query(
+    "pos_cdc_delta_merge",
+    oracle="""
+    SELECT user_id, event_type, event_id, ts, value FROM (
+        SELECT user_id, event_type, event_id, ts, value,
+               row_number() OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events) t
+    WHERE rn = 1
+    """,
+)
+def pos_cdc_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's CDC primitive rebuilt on protocol Delta MERGE
+    (`03_Bronze-to-Silver ETL.py:379-384`): the even-event half of the
+    stream seeds the table (latest per (user_id, event_type)); the odd
+    half then MERGEs in through delta_writer.delta_merge — stats-pruned
+    file rewrite, latest-sequence-wins with out-of-order rejection, one
+    atomic remove+add commit. The final table must equal the batch
+    row_number oracle over ALL events — updates, inserts, and
+    older-than-current rows losing, across the merge boundary."""
+    from pos_dlt_spark.sources.delta import read_delta
+    from pos_dlt_spark.sources.delta_writer import delta_merge, write_delta
+    from pos_dlt_spark.tables import scratch_dir
+
+    key = os.path.abspath(sf_dir) + "#cdcmerge"
+    if key not in _DELTA_RT_CACHE:
+        import atexit
+        import shutil
+
+        work = scratch_dir("delta_cdc_")
+        atexit.register(shutil.rmtree, work, ignore_errors=True)
+        table = os.path.join(work, "cdc_target")
+        ev = load_table(spark, sf_dir, "events").select(
+            "user_id", "event_type", "event_id", "ts", "value"
+        )
+        seed = latest_per_key(
+            ev.filter(F.col("event_id") % 2 == 0),
+            ["user_id", "event_type"],
+            "ts",
+            tiebreakers=["event_id"],
+        )
+        write_delta(seed.repartition(4), table)
+        delta_merge(
+            spark,
+            table,
+            ev.filter(F.col("event_id") % 2 != 0),
+            keys=["user_id", "event_type"],
+            sequence_by="ts",
+            tiebreakers=["event_id"],
+        )
+        _DELTA_RT_CACHE[key] = table
+    return read_delta(spark, _DELTA_RT_CACHE[key]).select(
+        "user_id", "event_type", "event_id", "ts", "value"
+    )
+
+
 _DELTA_RT_CACHE: dict[str, str] = {}
 
 

@@ -218,3 +218,104 @@ def write_delta(
             )
         exists = True  # re-fold and retry the append at the next version
     raise DeltaCommitConflict(f"gave up after {max_retries} commit races")
+
+
+def delta_merge(
+    spark,
+    path: str,
+    updates: DataFrame,
+    keys: list[str],
+    sequence_by: str,
+    tiebreakers: list[str] | None = None,
+) -> int:
+    """Latest-per-key MERGE (upsert) into a Delta table — the operation
+    the reference's CDC rides (`03_Bronze-to-Silver ETL.py:379-384`,
+    Delta MERGE), rebuilt on the protocol primitives:
+
+    1. **File pruning from log stats**: only files whose per-file
+       min/max on ``keys[0]`` can overlap the update batch's key range
+       are TOUCHED; provably-disjoint files are never read or rewritten
+       (the same skipping machinery reads use). Conservative: files
+       without stats are touched.
+    2. Touched rows ∪ updates go through one latest-per-key window
+       (``sequence_by`` DESC + tiebreakers — out-of-order updates LOSE
+       to newer rows already in the table, so replays are idempotent),
+       new files are written distributed, and the commit is one atomic
+       remove(touched)+add(new) JSON — readers see the old or the new
+       snapshot, never a mix.
+    3. A lost commit race aborts with :class:`DeltaCommitConflict`
+       (merge result depends on the base snapshot; blind replay could
+       resurrect overwritten rows — the caller re-runs against the new
+       snapshot).
+
+    Keys absent from the table INSERT; keys present UPDATE (newest
+    sequence wins). Precondition: the table's live rows are unique per
+    key (the invariant every merge commit preserves; the window dedups
+    a violated precondition too, keeping the newest row).
+
+    Returns the committed version."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pos_dlt_spark.sources.delta import _abs_file, skip_files
+
+    tiebreakers = list(tiebreakers or [])
+    snap = delta_snapshot(spark, path)
+    if not set(keys + [sequence_by] + tiebreakers) <= {f.name for f in snap.schema.fields}:
+        raise ValueError("merge keys/sequence columns missing from table schema")
+
+    bounds = updates.agg(
+        F.min(keys[0]).alias("lo"), F.max(keys[0]).alias("hi")
+    ).collect()[0]
+    if bounds["lo"] is None:
+        return snap.version  # empty update batch: nothing to commit
+    # skip_files KEEPS files that MAY contain a matching row; chaining
+    # both bounds keeps exactly the files whose stats range overlaps
+    # [lo, hi] — those are the TOUCHED set. Everything it dropped is
+    # PROVABLY disjoint from every update key and survives unrewritten.
+    may_lo, _ = skip_files(snap, [(keys[0], ">=", bounds["lo"])])
+    overlap, _ = skip_files(may_lo, [(keys[0], "<=", bounds["hi"])])
+    touched = [rel for rel, _ in overlap.files]
+
+    if touched:
+        old = spark.read.schema(snap.schema).parquet(
+            *[_abs_file(path, rel) for rel in touched]
+        )
+        merged_in = old.unionByName(updates.select(*[f.name for f in snap.schema.fields]))
+    else:
+        merged_in = updates.select(*[f.name for f in snap.schema.fields])
+    order = [F.col(sequence_by).desc()] + [F.col(t).desc() for t in tiebreakers]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    merged = (
+        merged_in.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+    staging = os.path.join(path, f"_staging_{uuid.uuid4().hex[:12]}")
+    merged.write.parquet(staging)
+    adds = []
+    for n in sorted(os.listdir(staging)):
+        if not n.endswith(".parquet"):
+            continue
+        rel = f"part-{uuid.uuid4().hex}.parquet"
+        os.replace(os.path.join(staging, n), os.path.join(path, rel))
+        adds.append(
+            fx.add_action(
+                rel,
+                size=os.path.getsize(os.path.join(path, rel)),
+                stats=_file_stats(os.path.join(path, rel)),
+            )
+        )
+    import shutil
+
+    shutil.rmtree(staging, ignore_errors=True)
+
+    actions = [fx.remove_action(rel) for rel in touched] + adds
+    version = snap.version + 1
+    if not _try_commit(os.path.join(path, "_delta_log"), version, actions):
+        raise DeltaCommitConflict(
+            f"version {version} was committed concurrently; merge must "
+            "re-run against the new snapshot"
+        )
+    return version

@@ -119,3 +119,78 @@ def test_checkpoint_cadence_and_fold_from_checkpoint(spark, tmp_path):
         os.remove(os.path.join(log, f"{v:020d}.json"))
     got = read_delta(spark, table)
     assert sorted(r.id for r in got.collect()) == list(range(60))
+
+
+def test_merge_upsert_insert_update_out_of_order(spark, tmp_path):
+    from pos_dlt_spark.sources.delta_writer import delta_merge
+
+    table = str(tmp_path / "mg")
+    base = spark.createDataFrame(
+        __import__("pandas").DataFrame(
+            {"k": [1, 2, 3], "seq": [10, 10, 10], "v": ["a", "b", "c"]}
+        )
+    )
+    write_delta(base, table)
+    upd = spark.createDataFrame(
+        __import__("pandas").DataFrame(
+            {
+                "k": [2, 3, 4],
+                "seq": [20, 5, 10],   # 2: newer -> update; 3: OLDER -> must lose; 4: insert
+                "v": ["b2", "c_stale", "d"],
+            }
+        )
+    )
+    v = delta_merge(spark, table, upd, keys=["k"], sequence_by="seq")
+    assert v == 1
+    got = {r.k: (r.seq, r.v) for r in read_delta(spark, table).collect()}
+    assert got == {1: (10, "a"), 2: (20, "b2"), 3: (10, "c"), 4: (10, "d")}
+
+
+def test_merge_prunes_disjoint_files(spark, tmp_path):
+    """Files provably outside the update key range are neither read nor
+    rewritten — byte-identical (mtime+size pinned), and the commit only
+    removes the touched files."""
+    import pandas as pd
+
+    from pos_dlt_spark.sources.delta_writer import delta_merge
+
+    table = str(tmp_path / "mgp")
+    lowf = spark.createDataFrame(pd.DataFrame({"k": range(0, 100), "seq": [1] * 100,
+                                               "v": ["x"] * 100})).coalesce(1)
+    highf = spark.createDataFrame(pd.DataFrame({"k": range(1000, 1100), "seq": [1] * 100,
+                                                "v": ["y"] * 100})).coalesce(1)
+    write_delta(lowf, table)
+    write_delta(highf, table)
+    snap0 = delta_snapshot(spark, table)
+    assert len(snap0.files) == 2
+    low_rel = next(
+        rel for rel, _ in snap0.files
+        if __import__("json").loads(snap0.adds[rel]["stats"])["maxValues"]["k"] < 500
+    )
+    low_path = os.path.join(table, low_rel)
+    before = (os.path.getmtime(low_path), os.path.getsize(low_path))
+
+    upd = spark.createDataFrame(pd.DataFrame({"k": [1005, 2000], "seq": [9, 9],
+                                              "v": ["y2", "z"]}))
+    delta_merge(spark, table, upd, keys=["k"], sequence_by="seq")
+
+    snap1 = delta_snapshot(spark, table)
+    live = {rel for rel, _ in snap1.files}
+    assert low_rel in live  # disjoint file survived in the live set
+    assert (os.path.getmtime(low_path), os.path.getsize(low_path)) == before
+    got = {r.k: r.v for r in read_delta(spark, table).collect()}
+    assert got[1005] == "y2" and got[2000] == "z" and got[50] == "x"
+    assert len(got) == 201
+
+
+def test_merge_empty_updates_noop(spark, tmp_path):
+    import pandas as pd
+
+    from pos_dlt_spark.sources.delta_writer import delta_merge
+
+    table = str(tmp_path / "mge")
+    write_delta(spark.createDataFrame(pd.DataFrame({"k": [1], "seq": [1], "v": ["a"]})), table)
+    upd = spark.createDataFrame(pd.DataFrame({"k": [], "seq": [], "v": []}),
+                                schema="k long, seq long, v string")
+    assert delta_merge(spark, table, upd, keys=["k"], sequence_by="seq") == 0
+    assert read_delta(spark, table).count() == 1
