@@ -319,3 +319,81 @@ def delta_merge(
             "re-run against the new snapshot"
         )
     return version
+
+
+def delta_optimize(spark, path: str, target_files: int = 1) -> int:
+    """OPTIMIZE (bin-pack compaction): rewrite the live file set into
+    ``target_files`` larger files and commit remove(old)+add(new) with
+    ``dataChange: false`` — the protocol's marker that no ROWS changed,
+    so streaming replays (:func:`pos_dlt_spark.sources.delta.replay_adds`)
+    skip the rewrite and batch readers see identical content in fewer,
+    bigger files (the small-files problem is the single most common
+    operational Delta chore). A lost commit race aborts — re-run against
+    the new snapshot; compaction is always safe to retry.
+
+    Returns the committed version."""
+    snap = delta_snapshot(spark, path)
+    if len(snap.files) <= target_files:
+        return snap.version
+    from pos_dlt_spark.sources.delta import _abs_file
+
+    data = spark.read.schema(snap.schema).parquet(
+        *[_abs_file(path, rel) for rel, _ in snap.files]
+    )
+    staging = os.path.join(path, f"_staging_{uuid.uuid4().hex[:12]}")
+    data.coalesce(target_files).write.parquet(staging)
+    adds = []
+    for n in sorted(os.listdir(staging)):
+        if not n.endswith(".parquet"):
+            continue
+        rel = f"part-{uuid.uuid4().hex}.parquet"
+        os.replace(os.path.join(staging, n), os.path.join(path, rel))
+        adds.append(
+            fx.add_action(
+                rel,
+                size=os.path.getsize(os.path.join(path, rel)),
+                stats=_file_stats(os.path.join(path, rel)),
+                dataChange=False,
+            )
+        )
+    import shutil
+
+    shutil.rmtree(staging, ignore_errors=True)
+    actions = [fx.remove_action(rel) for rel, _ in snap.files] + adds
+    version = snap.version + 1
+    if not _try_commit(os.path.join(path, "_delta_log"), version, actions):
+        raise DeltaCommitConflict(f"version {version} committed concurrently; re-run optimize")
+    return version
+
+
+def delta_vacuum(spark, path: str, retain_versions: int = 1) -> list[str]:
+    """VACUUM: physically delete data files referenced by NO retained
+    snapshot (the live sets of the last ``retain_versions + 1``
+    versions). Time travel to vacuumed versions then fails on read —
+    delta's own retention semantics, by version count here instead of
+    tombstone age (deterministic for tests; both are policies over the
+    same referenced-set computation). Never touches ``_delta_log``.
+
+    Returns the deleted relative paths."""
+    latest = delta_snapshot(spark, path)
+    keep_versions = range(max(0, latest.version - retain_versions), latest.version + 1)
+    referenced: set[str] = set()
+    for v in keep_versions:
+        try:
+            s = delta_snapshot(spark, path, v)
+        except FileNotFoundError:
+            continue  # pre-checkpoint version already unreconstructable
+        referenced.update(rel for rel, _ in s.files)
+    deleted = []
+    for root, dirs, files in os.walk(path):
+        if "_delta_log" in root or "_staging" in root:
+            continue
+        for n in files:
+            if not n.endswith(".parquet"):
+                continue
+            full = os.path.join(root, n)
+            rel = os.path.relpath(full, path)
+            if rel not in referenced:
+                os.remove(full)
+                deleted.append(rel)
+    return deleted

@@ -194,3 +194,32 @@ def test_merge_empty_updates_noop(spark, tmp_path):
                                 schema="k long, seq long, v string")
     assert delta_merge(spark, table, upd, keys=["k"], sequence_by="seq") == 0
     assert read_delta(spark, table).count() == 1
+
+
+def test_optimize_compacts_replay_skips_vacuum_gc(spark, tmp_path):
+    from pos_dlt_spark.sources.delta import replay_adds
+    from pos_dlt_spark.sources.delta_writer import delta_optimize, delta_vacuum
+
+    table = str(tmp_path / "opt")
+    for i in range(4):
+        write_delta(_df(spark, i * 10, i * 10 + 10).coalesce(1), table)
+    assert len(delta_snapshot(spark, table).files) == 4
+
+    v = delta_optimize(spark, table, target_files=1)
+    snap = delta_snapshot(spark, table)
+    assert v == 4 and len(snap.files) == 1
+    assert sorted(r.id for r in read_delta(spark, table).collect()) == list(range(40))
+    # replay skips the dataChange=false compaction rewrite
+    plan = replay_adds(spark, table)
+    assert [vv for vv, _ in plan] == [0, 1, 2, 3]
+    # pre-optimize version still time-travels (files not yet vacuumed)
+    assert read_delta(spark, table, version=3).count() == 40
+
+    deleted = delta_vacuum(spark, table, retain_versions=0)
+    assert len(deleted) == 4  # the four pre-compaction files
+    assert sorted(r.id for r in read_delta(spark, table).collect()) == list(range(40))
+    # vacuumed version now fails loudly on read (delta retention semantics)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        read_delta(spark, table, version=3).collect()
