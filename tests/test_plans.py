@@ -352,6 +352,11 @@ def test_top_paths_single_window_shuffle_and_topk(q):
         "corpus_mixture_interleave",
         "ann_ivf_kmeans_recall",
         "corpus_dsir_importance",
+        "graph_pagerank",
+        "pos_gold_inventory_current_delta",
+        "dedup_semantic_clusters_kmeans",
+        "orders_delta_stats_skipping",
+        "lineitem_profile_approx",
     ],
     ids=str,
 )
