@@ -127,10 +127,54 @@ def _try_commit(log_dir: str, version: int, actions: list[dict]) -> bool:
         raise
 
 
+def _stage_and_move(df: DataFrame, path: str, partition_by: list[str] | None):
+    """Distributed write into a staging dir, then rename into the table
+    root (Hive-style ``col=value/`` subdirs when partitioned — the layout
+    Delta writers produce and the reader's single-scan fast path expects)
+    under fresh unique names. Returns add actions with partitionValues
+    parsed back from the directory segments."""
+    from urllib.parse import unquote
+
+    staging = os.path.join(path, f"_staging_{uuid.uuid4().hex[:12]}")
+    w = df.write
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(staging)
+    adds = []
+    for root, _dirs, files in os.walk(staging):
+        for n in sorted(files):
+            if not n.endswith(".parquet"):
+                continue
+            sub = os.path.relpath(root, staging)
+            segs = [] if sub == "." else sub.split(os.sep)
+            pvals: dict[str, str | None] = {}
+            for seg in segs:
+                k, _, v = seg.partition("=")
+                pvals[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
+            rel_dir = "/".join(segs)
+            rel = (rel_dir + "/" if rel_dir else "") + f"part-{uuid.uuid4().hex}.parquet"
+            dest = os.path.join(path, rel)
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            os.replace(os.path.join(root, n), dest)
+            adds.append(
+                fx.add_action(
+                    rel,
+                    size=os.path.getsize(dest),
+                    partition_values=pvals or None,
+                    stats=_file_stats(dest),
+                )
+            )
+    import shutil
+
+    shutil.rmtree(staging, ignore_errors=True)
+    return adds
+
+
 def write_delta(
     df: DataFrame,
     path: str,
     mode: str = "append",
+    partition_by: list[str] | None = None,
     checkpoint_interval: int = 10,
     max_retries: int = 20,
 ) -> int:
@@ -141,9 +185,10 @@ def write_delta(
     next version (blind appends never conflict). ``mode='overwrite'``
     removes every live file and adds the new ones; a lost race raises
     :class:`DeltaCommitConflict`. Schema: first commit pins the
-    DataFrame's schema in metaData; appends require an identical schema
-    (fail-fast — evolution is the reader's job on old files, the
-    writer's job is to not drift silently)."""
+    DataFrame's schema in metaData (and ``partition_by`` as the table's
+    partitionColumns); appends require an identical schema and must not
+    change the partitioning (fail-fast — evolution is the reader's job
+    on old files, the writer's job is to not drift silently)."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     spark = df.sparkSession
@@ -151,30 +196,7 @@ def write_delta(
     exists = os.path.isdir(log_dir) and any(
         n.endswith(".json") or n.endswith(".parquet") for n in os.listdir(log_dir)
     )
-
-    # 1. distributed data write into a staging dir, then move into the
-    # table root under fresh unique names (two renames, no data copy)
-    staging = os.path.join(path, f"_staging_{uuid.uuid4().hex[:12]}")
-    df.write.parquet(staging)
-    rels = []
-    for n in sorted(os.listdir(staging)):
-        if not n.endswith(".parquet"):
-            continue
-        rel = f"part-{uuid.uuid4().hex}.parquet"
-        os.replace(os.path.join(staging, n), os.path.join(path, rel))
-        rels.append(rel)
-    import shutil
-
-    shutil.rmtree(staging, ignore_errors=True)
-
-    adds = [
-        fx.add_action(
-            rel,
-            size=os.path.getsize(os.path.join(path, rel)),
-            stats=_file_stats(os.path.join(path, rel)),
-        )
-        for rel in rels
-    ]
+    adds = _stage_and_move(df, path, partition_by)
 
     # 2. commit loop (optimistic concurrency)
     for _ in range(max_retries):
@@ -184,21 +206,29 @@ def write_delta(
             # names + types, nullability excluded: file sources surface
             # everything nullable, so a strict equality would flag every
             # append of a computed (non-null) column as drift
-            if [(f.name, f.dataType) for f in snap.schema.fields] != [
-                (f.name, f.dataType) for f in df.schema.fields
-            ]:
+            if sorted(
+                [(f.name, f.dataType) for f in snap.schema.fields]
+            ) != sorted([(f.name, f.dataType) for f in df.schema.fields]):
                 raise ValueError(
                     "schema drift: table "
                     f"{[f.name for f in snap.schema.fields]} vs dataframe "
                     f"{[f.name for f in df.schema.fields]} — writer refuses "
                     "silent evolution"
                 )
+            if list(partition_by or []) != list(snap.partition_columns):
+                raise ValueError(
+                    f"partitioning drift: table {snap.partition_columns} vs "
+                    f"write {partition_by or []}"
+                )
             actions = list(adds)
             if mode == "overwrite":
                 actions = [fx.remove_action(rel) for rel, _ in snap.files] + actions
         else:
             snap, version = None, 0
-            actions = [fx.protocol_action(), fx.metadata_action(df.schema)] + list(adds)
+            actions = [
+                fx.protocol_action(),
+                fx.metadata_action(df.schema, partition_columns=list(partition_by or [])),
+            ] + list(adds)
 
         if _try_commit(log_dir, version, actions):
             if checkpoint_interval and version > 0 and version % checkpoint_interval == 0:
@@ -257,25 +287,60 @@ def delta_merge(
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    from pos_dlt_spark.sources.delta import _abs_file, skip_files
+    from pos_dlt_spark.sources.delta import _abs_file
 
     tiebreakers = list(tiebreakers or [])
     snap = delta_snapshot(spark, path)
     if not set(keys + [sequence_by] + tiebreakers) <= {f.name for f in snap.schema.fields}:
         raise ValueError("merge keys/sequence columns missing from table schema")
 
-    bounds = updates.agg(
-        F.min(keys[0]).alias("lo"), F.max(keys[0]).alias("hi")
-    ).collect()[0]
-    if bounds["lo"] is None:
+    if updates.limit(1).count() == 0:
         return snap.version  # empty update batch: nothing to commit
-    # skip_files KEEPS files that MAY contain a matching row; chaining
-    # both bounds keeps exactly the files whose stats range overlaps
-    # [lo, hi] — those are the TOUCHED set. Everything it dropped is
-    # PROVABLY disjoint from every update key and survives unrewritten.
-    may_lo, _ = skip_files(snap, [(keys[0], ">=", bounds["lo"])])
-    overlap, _ = skip_files(may_lo, [(keys[0], "<=", bounds["hi"])])
-    touched = [rel for rel, _ in overlap.files]
+
+    # EXACT per-file pruning, not the update batch's min/max hull: a
+    # single insert at the top of the keyspace would widen the hull over
+    # every file (measured: 95/100 files touched where 3 suffice). Build
+    # the per-file [min, max] table from the log stats, broadcast it
+    # against the DISTINCT update keys with a BETWEEN join, and collect
+    # the touched file ids — driver cost bounded by FILE COUNT. Files
+    # without usable stats are always touched (conservative). At
+    # 1M-files x 1B-keys scale, swap the broadcast BETWEEN join for the
+    # bucketized interval join (operators/rangejoin.py) — same result.
+    ranges = []
+    touched_always = []
+    for rel, _pv in snap.files:
+        raw = snap.adds.get(rel, {}).get("stats")
+        try:
+            st = json.loads(raw) if isinstance(raw, str) else (raw or {})
+            lo = (st.get("minValues") or {}).get(keys[0])
+            hi = (st.get("maxValues") or {}).get(keys[0])
+        except (TypeError, ValueError):
+            lo = hi = None
+        if lo is None or hi is None:
+            touched_always.append(rel)
+        else:
+            ranges.append((rel, lo, hi))
+    touched = list(touched_always)
+    if ranges:
+        from pos_dlt_spark.tables import local_df
+
+        kt = updates.select(F.col(keys[0]).alias("__k")).distinct()
+        key_type = dict(
+            (f.name, f.dataType.simpleString()) for f in snap.schema.fields
+        )[keys[0]]
+        rng = local_df(
+            spark, ranges, f"__rel string, __lo {key_type}, __hi {key_type}"
+        )
+        hit = (
+            kt.join(
+                F.broadcast(rng),
+                (F.col("__k") >= F.col("__lo")) & (F.col("__k") <= F.col("__hi")),
+            )
+            .select("__rel")
+            .distinct()
+            .collect()
+        )
+        touched += [r["__rel"] for r in hit]
 
     if touched:
         old = spark.read.schema(snap.schema).parquet(

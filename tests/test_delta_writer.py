@@ -223,3 +223,38 @@ def test_optimize_compacts_replay_skips_vacuum_gc(spark, tmp_path):
 
     with _pytest.raises(Exception):
         read_delta(spark, table, version=3).collect()
+
+
+def test_partitioned_write_roundtrip_and_pruning(spark, tmp_path):
+    table = str(tmp_path / "pw")
+    df = spark.range(40).select(
+        F.col("id"), (F.col("id") % 4).cast("int").alias("bucket")
+    )
+    write_delta(df, table, partition_by=["bucket"])
+    snap = delta_snapshot(spark, table)
+    assert snap.partition_columns == ["bucket"]
+    assert all(pv.get("bucket") is not None for _, pv in snap.files)
+    got = read_delta(spark, table)
+    assert {(r.id, r.bucket) for r in got.collect()} == {
+        (i, i % 4) for i in range(40)
+    }
+    # Hive layout => partition pruning at the scan
+    pruned = read_delta(spark, table).filter(F.col("bucket") == 2)
+    assert sorted(r.id for r in pruned.collect()) == [i for i in range(40) if i % 4 == 2]
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+    # append keeps working; partitioning drift fails fast
+    write_delta(
+        spark.range(40, 50).select(
+            F.col("id"), (F.col("id") % 4).cast("int").alias("bucket")
+        ),
+        table,
+        partition_by=["bucket"],
+    )
+    assert read_delta(spark, table).count() == 50
+    with pytest.raises(ValueError, match="partitioning drift"):
+        write_delta(
+            spark.range(3).select(F.col("id"), F.lit(1).cast("int").alias("bucket")),
+            table,
+        )
