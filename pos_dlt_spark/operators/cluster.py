@@ -204,11 +204,16 @@ def pagerank(
     iters x (join + agg), embarrassingly rebalanceable.
 
     Returns (node, rank_micro bigint, rank double)."""
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # e feeds every iteration's contrib join, nodes every iteration's
+    # left join, out_deg every contrib build — without persistence the
+    # caller's edge-construction plan (often a join itself) re-executes
+    # ~2x per iteration (measured 6.4 s -> 2.5 s on the gate graph).
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
+        .persist()
     )
     # rename the degree key so the later re-join against e is unambiguous
     # (out_deg shares e's lineage — Spark's self-join check rejects the
@@ -217,6 +222,7 @@ def pagerank(
         e.groupBy("src")
         .agg(F.count(F.lit(1)).alias("deg"))
         .select(F.col("src").alias("od_src"), "deg")
+        .persist()
     )
     base = 1_000_000
     teleport = (base * (damping_den - damping_num)) // damping_den  # floor(0.15e6)
