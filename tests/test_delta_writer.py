@@ -258,3 +258,91 @@ def test_partitioned_write_roundtrip_and_pruning(spark, tmp_path):
             spark.range(3).select(F.col("id"), F.lit(1).cast("int").alias("bucket")),
             table,
         )
+
+
+# -- property test: random op sequences vs an in-memory model ----------------
+
+
+def test_delta_writer_random_op_sequences_match_model(spark, tmp_path):
+    """Hypothesis drives random append/overwrite/merge sequences; the
+    table must always equal a trivial in-memory model. Appends use fresh
+    disjoint key ranges (keeping the unique-keys-per-table invariant the
+    merge docstring states); merges mix updates of known keys, stale
+    out-of-order rows, and inserts."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    import pandas as pd
+
+    from pos_dlt_spark.sources.delta_writer import delta_merge
+
+    op = st.one_of(
+        st.tuples(st.just("append"), st.integers(1, 20)),
+        st.tuples(st.just("overwrite"), st.integers(1, 20)),
+        st.tuples(
+            st.just("merge"),
+            st.lists(
+                st.tuples(
+                    st.integers(0, 49),  # key (may or may not exist)
+                    st.integers(0, 100),  # sequence
+                ),
+                min_size=1,
+                max_size=10,
+                unique_by=lambda t: t[0],
+            ),
+        ),
+    )
+
+    counter = {"n": 0}
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(ops=st.lists(op, min_size=1, max_size=4))
+    def run(ops):
+        counter["n"] += 1
+        table = str(tmp_path / f"prop{counter['n']}")
+        model: dict[int, tuple[int, str]] = {}  # k -> (seq, v)
+        fresh = [1000]  # fresh-key cursor for appends
+
+        def mk(rows):
+            return spark.createDataFrame(
+                pd.DataFrame(
+                    {"k": [r[0] for r in rows], "seq": [r[1] for r in rows],
+                     "v": [r[2] for r in rows]}
+                ),
+                schema="k long, seq long, v string",
+            )
+
+        for kind, arg in ops:
+            if kind in ("append", "overwrite"):
+                lo = fresh[0]
+                rows = [(lo + i, 0, f"a{lo + i}") for i in range(arg)]
+                fresh[0] += arg
+                exists = os.path.isdir(os.path.join(table, "_delta_log"))
+                if kind == "overwrite" and exists:
+                    write_delta(mk(rows), table, mode="overwrite")
+                    model.clear()
+                else:
+                    write_delta(mk(rows), table)
+                model.update({k: (s, v) for k, s, v in rows})
+            else:  # merge
+                if not os.path.isdir(os.path.join(table, "_delta_log")):
+                    continue
+                rows = [(k, s, f"m{k}_{s}") for k, s in arg]
+                delta_merge(
+                    spark, table, mk(rows), keys=["k"], sequence_by="seq",
+                    tiebreakers=["v"],
+                )
+                for k, s, v in rows:
+                    cur = model.get(k)
+                    if cur is None or (s, v) > cur:
+                        model[k] = (s, v)
+        if not os.path.isdir(os.path.join(table, "_delta_log")):
+            return
+        got = {r.k: (r.seq, r.v) for r in read_delta(spark, table).collect()}
+        assert got == model
+
+    run()
