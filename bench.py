@@ -143,6 +143,43 @@ def main() -> None:
             .start()
         )
         q2.awaitTermination()
+
+        # third canary, AFTER the streaming warmups: fixed 3-micro-batch
+        # file stream through a windowed count — captures the
+        # fsync/scheduler latency dimension the cpu/scan canaries miss
+        # (observed: the streaming family swung 20% run-to-run with both
+        # flat). Uses the same scratch class the streaming queries use.
+        from pos_dlt_spark.tables import scratch_dir
+
+        cdir = scratch_dir("bench_canary_")
+        try:
+            for b in range(3):
+                (
+                    spark.range(2000)
+                    .select(
+                        F.col("id"),
+                        F.timestamp_micros((F.col("id") + b * 10000) * 1_000_000).alias("ts"),
+                    )
+                    .coalesce(1)
+                    .write.mode("append").parquet(cdir)
+                )
+            t0 = time.perf_counter()
+            qc = (
+                spark.readStream.schema(spark.read.parquet(cdir).schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(cdir)
+                .withWatermark("ts", "10 seconds")
+                .groupBy(F.window("ts", "60 seconds")).count()
+                .writeStream.format("noop")
+                .option("checkpointLocation", os.path.join(cdir, "_ckpt"))
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            qc.awaitTermination()
+            canary_stream = round(time.perf_counter() - t0, 3)
+        finally:
+            shutil.rmtree(cdir, ignore_errors=True)
     finally:
         shutil.rmtree(wdir, ignore_errors=True)
 
@@ -164,7 +201,7 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf,
                 "n_queries": len(times),
-                "canary": {"cpu_sec": canary_cpu, "scan_sec": canary_scan},
+                "canary": {"cpu_sec": canary_cpu, "scan_sec": canary_scan, "stream_sec": canary_stream},
                 "queries": times,
             },
             f,
@@ -185,7 +222,7 @@ def main() -> None:
             "unit": "sec",
             "sf": sf,
             "n_queries": len(times),
-            "canary": {"cpu_sec": canary_cpu, "scan_sec": canary_scan},
+            "canary": {"cpu_sec": canary_cpu, "scan_sec": canary_scan, "stream_sec": canary_stream},
             "families": families,
             "queries": slowest,
             "detail": "BENCH_DETAIL.json",
