@@ -291,6 +291,13 @@ def delta_merge(
 
     tiebreakers = list(tiebreakers or [])
     snap = delta_snapshot(spark, path)
+    if snap.partition_columns:
+        raise NotImplementedError(
+            "delta_merge on partitioned tables is not implemented: touched "
+            "files would need their partitionValues re-attached before the "
+            "merge window and the rewrite routed back per partition — "
+            "refusing loudly instead of silently nulling partition columns"
+        )
     if not set(keys + [sequence_by] + tiebreakers) <= {f.name for f in snap.schema.fields}:
         raise ValueError("merge keys/sequence columns missing from table schema")
 
@@ -322,25 +329,32 @@ def delta_merge(
             ranges.append((rel, lo, hi))
     touched = list(touched_always)
     if ranges:
-        from pos_dlt_spark.tables import local_df
+        try:
+            from pos_dlt_spark.tables import local_df
 
-        kt = updates.select(F.col(keys[0]).alias("__k")).distinct()
-        key_type = dict(
-            (f.name, f.dataType.simpleString()) for f in snap.schema.fields
-        )[keys[0]]
-        rng = local_df(
-            spark, ranges, f"__rel string, __lo {key_type}, __hi {key_type}"
-        )
-        hit = (
-            kt.join(
-                F.broadcast(rng),
-                (F.col("__k") >= F.col("__lo")) & (F.col("__k") <= F.col("__hi")),
+            kt = updates.select(F.col(keys[0]).alias("__k")).distinct()
+            key_type = dict(
+                (f.name, f.dataType.simpleString()) for f in snap.schema.fields
+            )[keys[0]]
+            rng = local_df(
+                spark, ranges, f"__rel string, __lo {key_type}, __hi {key_type}"
             )
-            .select("__rel")
-            .distinct()
-            .collect()
-        )
-        touched += [r["__rel"] for r in hit]
+            hit = (
+                kt.join(
+                    F.broadcast(rng),
+                    (F.col("__k") >= F.col("__lo")) & (F.col("__k") <= F.col("__hi")),
+                )
+                .select("__rel")
+                .distinct()
+                .collect()
+            )
+            touched += [r["__rel"] for r in hit]
+        except Exception:
+            # pruning is an optimization, never a correctness dependency:
+            # a key type whose JSON stats rendering does not round-trip
+            # into the column type (exotic timestamps, decimals beyond
+            # pandas) falls back to touching every stat-ful file
+            touched += [rel for rel, _lo, _hi in ranges]
 
     if touched:
         old = spark.read.schema(snap.schema).parquet(
@@ -398,6 +412,12 @@ def delta_optimize(spark, path: str, target_files: int = 1) -> int:
 
     Returns the committed version."""
     snap = delta_snapshot(spark, path)
+    if snap.partition_columns:
+        raise NotImplementedError(
+            "delta_optimize on partitioned tables is not implemented "
+            "(compaction must stay within partition boundaries) — refusing "
+            "loudly instead of merging across partitions"
+        )
     if len(snap.files) <= target_files:
         return snap.version
     from pos_dlt_spark.sources.delta import _abs_file
@@ -451,7 +471,9 @@ def delta_vacuum(spark, path: str, retain_versions: int = 1) -> list[str]:
         referenced.update(rel for rel, _ in s.files)
     deleted = []
     for root, dirs, files in os.walk(path):
-        if "_delta_log" in root or "_staging" in root:
+        rel_root = os.path.relpath(root, path)
+        parts = [] if rel_root == "." else rel_root.split(os.sep)
+        if any(p == "_delta_log" or p.startswith("_staging") for p in parts):
             continue
         for n in files:
             if not n.endswith(".parquet"):

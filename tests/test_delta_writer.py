@@ -346,3 +346,21 @@ def test_delta_writer_random_op_sequences_match_model(spark, tmp_path):
         assert got == model
 
     run()
+
+
+def test_merge_and_optimize_refuse_partitioned_tables(spark, tmp_path):
+    from pos_dlt_spark.sources.delta_writer import delta_merge, delta_optimize
+
+    table = str(tmp_path / "pref")
+    df = spark.range(10).select(
+        F.col("id").alias("k"), F.lit(1).alias("seq"),
+        (F.col("id") % 2).cast("int").alias("b"),
+    )
+    write_delta(df, table, partition_by=["b"])
+    import pandas as pd
+
+    upd = spark.createDataFrame(pd.DataFrame({"k": [1], "seq": [2], "b": [1]}))
+    with pytest.raises(NotImplementedError, match="partitioned"):
+        delta_merge(spark, table, upd, keys=["k"], sequence_by="seq")
+    with pytest.raises(NotImplementedError, match="partitioned"):
+        delta_optimize(spark, table)
