@@ -291,13 +291,6 @@ def delta_merge(
 
     tiebreakers = list(tiebreakers or [])
     snap = delta_snapshot(spark, path)
-    if snap.partition_columns:
-        raise NotImplementedError(
-            "delta_merge on partitioned tables is not implemented: touched "
-            "files would need their partitionValues re-attached before the "
-            "merge window and the rewrite routed back per partition — "
-            "refusing loudly instead of silently nulling partition columns"
-        )
     if not set(keys + [sequence_by] + tiebreakers) <= {f.name for f in snap.schema.fields}:
         raise ValueError("merge keys/sequence columns missing from table schema")
 
@@ -313,21 +306,35 @@ def delta_merge(
     # without usable stats are always touched (conservative). At
     # 1M-files x 1B-keys scale, swap the broadcast BETWEEN join for the
     # bucketized interval join (operators/rangejoin.py) — same result.
-    ranges = []
-    touched_always = []
-    for rel, _pv in snap.files:
-        raw = snap.adds.get(rel, {}).get("stats")
-        try:
-            st = json.loads(raw) if isinstance(raw, str) else (raw or {})
-            lo = (st.get("minValues") or {}).get(keys[0])
-            hi = (st.get("maxValues") or {}).get(keys[0])
-        except (TypeError, ValueError):
-            lo = hi = None
-        if lo is None or hi is None:
-            touched_always.append(rel)
-        else:
-            ranges.append((rel, lo, hi))
-    touched = list(touched_always)
+    if keys[0] in snap.partition_columns:
+        # partition-keyed merge: the EXACT touched set comes straight
+        # from the log's partitionValues (files never store the column,
+        # so footer stats cannot help here). Distinct update partition
+        # values collect bounded by the batch's partition spread.
+        vals = {
+            r["__p"]
+            for r in updates.select(
+                F.col(keys[0]).cast("string").alias("__p")
+            ).distinct().collect()
+        }
+        touched = [rel for rel, pv in snap.files if pv.get(keys[0]) in vals]
+        ranges = []
+    else:
+        ranges = []
+        touched_always = []
+        for rel, _pv in snap.files:
+            raw = snap.adds.get(rel, {}).get("stats")
+            try:
+                st = json.loads(raw) if isinstance(raw, str) else (raw or {})
+                lo = (st.get("minValues") or {}).get(keys[0])
+                hi = (st.get("maxValues") or {}).get(keys[0])
+            except (TypeError, ValueError):
+                lo = hi = None
+            if lo is None or hi is None:
+                touched_always.append(rel)
+            else:
+                ranges.append((rel, lo, hi))
+        touched = list(touched_always)
     if ranges:
         try:
             from pos_dlt_spark.tables import local_df
@@ -356,13 +363,43 @@ def delta_merge(
             # pandas) falls back to touching every stat-ful file
             touched += [rel for rel, _lo, _hi in ranges]
 
+    cols = [f.name for f in snap.schema.fields]
+    # cast the update batch to the TABLE's column types (update batches
+    # often arrive widened, e.g. int64 from pandas against an int
+    # column; writing them as-is would poison the files against the
+    # pinned log schema). ANSI mode errors on lossy casts.
+    tbl_types = {f.name: f.dataType for f in snap.schema.fields}
+    updates = updates.select(
+        *[F.col(n).cast(tbl_types[n]).alias(n) for n in cols]
+    )
     if touched:
-        old = spark.read.schema(snap.schema).parquet(
-            *[_abs_file(path, rel) for rel in touched]
-        )
-        merged_in = old.unionByName(updates.select(*[f.name for f in snap.schema.fields]))
+        if snap.partition_columns:
+            # partitioned tables: data files lack the partition columns —
+            # re-attach each touched file group's partitionValues as
+            # typed literals (the read_delta fallback shape)
+            types = {f.name: f.dataType for f in snap.schema.fields}
+            pv_by_rel = dict(snap.files)
+            groups: dict[tuple, list[str]] = {}
+            for rel in touched:
+                k = tuple(pv_by_rel[rel].get(c) for c in snap.partition_columns)
+                groups.setdefault(k, []).append(_abs_file(path, rel))
+            parts = []
+            for k, fpaths in sorted(groups.items(), key=lambda kv: tuple(map(str, kv[0]))):
+                d = spark.read.schema(snap.data_schema).parquet(*fpaths)
+                for c, v in zip(snap.partition_columns, k):
+                    lit = F.lit(None) if v is None else F.lit(v)
+                    d = d.withColumn(c, lit.cast(types[c]))
+                parts.append(d.select(*cols))
+            old = parts[0]
+            for d in parts[1:]:
+                old = old.unionByName(d)
+        else:
+            old = spark.read.schema(snap.schema).parquet(
+                *[_abs_file(path, rel) for rel in touched]
+            )
+        merged_in = old.unionByName(updates.select(*cols))
     else:
-        merged_in = updates.select(*[f.name for f in snap.schema.fields])
+        merged_in = updates.select(*cols)
     order = [F.col(sequence_by).desc()] + [F.col(t).desc() for t in tiebreakers]
     w = Window.partitionBy(*keys).orderBy(*order)
     merged = (
@@ -370,25 +407,7 @@ def delta_merge(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
-
-    staging = os.path.join(path, f"_staging_{uuid.uuid4().hex[:12]}")
-    merged.write.parquet(staging)
-    adds = []
-    for n in sorted(os.listdir(staging)):
-        if not n.endswith(".parquet"):
-            continue
-        rel = f"part-{uuid.uuid4().hex}.parquet"
-        os.replace(os.path.join(staging, n), os.path.join(path, rel))
-        adds.append(
-            fx.add_action(
-                rel,
-                size=os.path.getsize(os.path.join(path, rel)),
-                stats=_file_stats(os.path.join(path, rel)),
-            )
-        )
-    import shutil
-
-    shutil.rmtree(staging, ignore_errors=True)
+    adds = _stage_and_move(merged, path, snap.partition_columns or None)
 
     actions = [fx.remove_action(rel) for rel in touched] + adds
     version = snap.version + 1

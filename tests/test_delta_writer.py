@@ -348,19 +348,47 @@ def test_delta_writer_random_op_sequences_match_model(spark, tmp_path):
     run()
 
 
-def test_merge_and_optimize_refuse_partitioned_tables(spark, tmp_path):
+def test_merge_on_partitioned_table(spark, tmp_path):
+    """Partitioned merge: partition columns are re-attached from the log
+    before the merge window, the rewrite is routed back per partition,
+    and a partition-KEYED merge touches only that partition's files
+    (others byte-identical)."""
+    import pandas as pd
+
     from pos_dlt_spark.sources.delta_writer import delta_merge, delta_optimize
 
-    table = str(tmp_path / "pref")
+    table = str(tmp_path / "pmerge")
     df = spark.range(10).select(
         F.col("id").alias("k"), F.lit(1).alias("seq"),
         (F.col("id") % 2).cast("int").alias("b"),
     )
     write_delta(df, table, partition_by=["b"])
-    import pandas as pd
 
-    upd = spark.createDataFrame(pd.DataFrame({"k": [1], "seq": [2], "b": [1]}))
-    with pytest.raises(NotImplementedError, match="partitioned"):
-        delta_merge(spark, table, upd, keys=["k"], sequence_by="seq")
+    # non-partition-keyed merge: update k=3 (newer), k=4 (stale), insert k=100
+    upd = spark.createDataFrame(
+        pd.DataFrame({"k": [3, 4, 100], "seq": [5, 0, 5], "b": [1, 0, 0]})
+    )
+    delta_merge(spark, table, upd, keys=["k"], sequence_by="seq")
+    got = {r.k: (r.seq, r.b) for r in read_delta(spark, table).collect()}
+    assert got[3] == (5, 1) and got[4] == (1, 0) and got[100] == (5, 0)
+    assert len(got) == 11
+    # every row kept its (or got a typed) partition value
+    assert all(b in (0, 1) for _, b in got.values())
+
+    # partition-KEYED merge: only partition b=0's files are touched
+    snap0 = delta_snapshot(spark, table)
+    b1_files = [rel for rel, pv in snap0.files if pv.get("b") == "1"]
+    mtimes = {rel: os.path.getmtime(os.path.join(table, rel)) for rel in b1_files}
+    upd2 = spark.createDataFrame(pd.DataFrame({"k": [999], "seq": [99], "b": [0]}))
+    delta_merge(spark, table, upd2, keys=["b"], sequence_by="seq")
+    snap1 = delta_snapshot(spark, table)
+    live = {rel for rel, _ in snap1.files}
+    assert all(rel in live for rel in b1_files)
+    assert all(os.path.getmtime(os.path.join(table, rel)) == mtimes[rel] for rel in b1_files)
+    got2 = {r.b: (r.k, r.seq) for r in read_delta(spark, table).filter(F.col("b") == 0).collect()}
+    assert got2 == {0: (999, 99)}  # partition 0 collapsed to its latest row
+
+    # optimize still refuses partitioned tables (compaction must stay
+    # within partition boundaries — separate feature)
     with pytest.raises(NotImplementedError, match="partitioned"):
         delta_optimize(spark, table)
