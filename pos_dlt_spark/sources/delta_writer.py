@@ -420,8 +420,10 @@ def delta_merge(
 
 
 def delta_optimize(spark, path: str, target_files: int = 1) -> int:
-    """OPTIMIZE (bin-pack compaction): rewrite the live file set into
-    ``target_files`` larger files and commit remove(old)+add(new) with
+    """OPTIMIZE (bin-pack compaction): rewrite each PARTITION's live
+    files into at most ``target_files`` larger files (one group for an
+    unpartitioned table; compaction never crosses a partition boundary)
+    and commit remove(old)+add(new) with
     ``dataChange: false`` — the protocol's marker that no ROWS changed,
     so streaming replays (:func:`pos_dlt_spark.sources.delta.replay_adds`)
     skip the rewrite and batch readers see identical content in fewer,
@@ -431,39 +433,55 @@ def delta_optimize(spark, path: str, target_files: int = 1) -> int:
 
     Returns the committed version."""
     snap = delta_snapshot(spark, path)
-    if snap.partition_columns:
-        raise NotImplementedError(
-            "delta_optimize on partitioned tables is not implemented "
-            "(compaction must stay within partition boundaries) — refusing "
-            "loudly instead of merging across partitions"
-        )
-    if len(snap.files) <= target_files:
-        return snap.version
     from pos_dlt_spark.sources.delta import _abs_file
 
-    data = spark.read.schema(snap.schema).parquet(
-        *[_abs_file(path, rel) for rel, _ in snap.files]
-    )
-    staging = os.path.join(path, f"_staging_{uuid.uuid4().hex[:12]}")
-    data.coalesce(target_files).write.parquet(staging)
-    adds = []
-    for n in sorted(os.listdir(staging)):
-        if not n.endswith(".parquet"):
-            continue
-        rel = f"part-{uuid.uuid4().hex}.parquet"
-        os.replace(os.path.join(staging, n), os.path.join(path, rel))
-        adds.append(
-            fx.add_action(
-                rel,
-                size=os.path.getsize(os.path.join(path, rel)),
-                stats=_file_stats(os.path.join(path, rel)),
-                dataChange=False,
-            )
-        )
+    # group live files per partition tuple (one group, (), when the
+    # table is unpartitioned); compaction never crosses a partition
+    # boundary — each group with more files than the target is rewritten
+    # within its own directory, everything else is untouched.
+    groups: dict[tuple, list[str]] = {}
+    pv_by_group: dict[tuple, dict] = {}
+    for rel, pv in snap.files:
+        k = tuple(pv.get(c) for c in snap.partition_columns)
+        groups.setdefault(k, []).append(rel)
+        pv_by_group[k] = pv
+    removes: list[str] = []
+    adds: list[dict] = []
     import shutil
 
-    shutil.rmtree(staging, ignore_errors=True)
-    actions = [fx.remove_action(rel) for rel, _ in snap.files] + adds
+    for k, rels in sorted(groups.items(), key=lambda kv: tuple(map(str, kv[0]))):
+        if len(rels) <= target_files:
+            continue
+        data = spark.read.schema(snap.data_schema).parquet(
+            *[_abs_file(path, rel) for rel in rels]
+        )
+        staging = os.path.join(path, f"_staging_{uuid.uuid4().hex[:12]}")
+        data.coalesce(target_files).write.parquet(staging)
+        rel_dir = "/".join(
+            f"{c}={'__HIVE_DEFAULT_PARTITION__' if v is None else v}"
+            for c, v in zip(snap.partition_columns, k)
+        )
+        for n in sorted(os.listdir(staging)):
+            if not n.endswith(".parquet"):
+                continue
+            rel = (rel_dir + "/" if rel_dir else "") + f"part-{uuid.uuid4().hex}.parquet"
+            dest = os.path.join(path, rel)
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            os.replace(os.path.join(staging, n), dest)
+            adds.append(
+                fx.add_action(
+                    rel,
+                    size=os.path.getsize(dest),
+                    partition_values=pv_by_group[k] or None,
+                    stats=_file_stats(dest),
+                    dataChange=False,
+                )
+            )
+        shutil.rmtree(staging, ignore_errors=True)
+        removes += rels
+    if not removes:
+        return snap.version
+    actions = [fx.remove_action(rel) for rel in removes] + adds
     version = snap.version + 1
     if not _try_commit(os.path.join(path, "_delta_log"), version, actions):
         raise DeltaCommitConflict(f"version {version} committed concurrently; re-run optimize")

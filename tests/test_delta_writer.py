@@ -388,7 +388,14 @@ def test_merge_on_partitioned_table(spark, tmp_path):
     got2 = {r.b: (r.k, r.seq) for r in read_delta(spark, table).filter(F.col("b") == 0).collect()}
     assert got2 == {0: (999, 99)}  # partition 0 collapsed to its latest row
 
-    # optimize still refuses partitioned tables (compaction must stay
-    # within partition boundaries — separate feature)
-    with pytest.raises(NotImplementedError, match="partitioned"):
-        delta_optimize(spark, table)
+    # per-partition OPTIMIZE: partition 1 has multiple small files from
+    # the merges; compact to 1 file per partition. Content identical,
+    # replay still skips the dataChange=false rewrite.
+    before_rows = {(r.k, r.seq, r.b) for r in read_delta(spark, table).collect()}
+    delta_optimize(spark, table, target_files=1)
+    snapo = delta_snapshot(spark, table)
+    per_part = {}
+    for rel, pv in snapo.files:
+        per_part.setdefault(pv.get("b"), []).append(rel)
+    assert all(len(v) == 1 for v in per_part.values())
+    assert {(r.k, r.seq, r.b) for r in read_delta(spark, table).collect()} == before_rows
