@@ -64,6 +64,24 @@ def main() -> None:
     ).collect()
     canary_scan = round(time.perf_counter() - t0, 3)
 
+    # Build-once Delta/pipeline fixtures land OUTSIDE the timed region so
+    # the Delta gate queries measure the protocol read/merge path, not a
+    # one-off fixture write (r04: 4.6 s of orders_delta_stats_skipping's
+    # 6.96 s was the fixture build on first touch).
+    from pos_dlt_spark.queries import prepare_bench_fixtures
+
+    prepare_bench_fixtures(spark, sf_dir)
+
+    # Arrow/mapInPandas warmup: the FIRST batch-Python query of a JVM pays
+    # Python-worker spawn + Arrow channel init across all cores (~4.4 s
+    # measured at local[32] — this was the r04 "ann_cosine_topk_vectorized
+    # regression": registry-order drift moved it into first place on the
+    # cold channel; steady state is ~1.1 s). Warm it like the streaming
+    # paths so measured queries see per-query cost, not one-time init.
+    spark.range(10_000, numPartitions=32).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
+
     region = load_table(spark, sf_dir, "region")
     nation = load_table(spark, sf_dir, "nation")
     (

@@ -60,12 +60,20 @@ ORDER BY date_time DESC
 """
 
 
-def build_pos_pipeline(storage: str, input_root: str, dedup_watermark: str = "1 hour") -> Pipeline:
+def build_pos_pipeline(
+    storage: str,
+    input_root: str,
+    dedup_watermark: str = "1 hour",
+    storage_format: str = "parquet",
+) -> Pipeline:
     """input_root layout (produced by generator.PosFixtures):
     dims/{store,item,inventory_change_type}.csv, events/*.json,
     snapshots/*.csv
+
+    ``storage_format="delta"`` persists every pipeline table as a real
+    protocol Delta table (the reference's storage: `03:124-129`).
     """
-    pipe = Pipeline("pos", storage)
+    pipe = Pipeline("pos", storage, storage_format=storage_format)
 
     @pipe.table(kind="live", interval="24 hours", comment="store dimension",
                 table_properties={"quality": "silver"})

@@ -38,8 +38,12 @@ same cardinality any partition listing already pays).
 Supported: reader version 1 and 2 tables (column mapping 'none'), plus
 version-3 tables whose readerFeatures need nothing beyond type support
 (timestampNtz, v2Checkpoint json-compat not required — we read classic
-checkpoints). Unsupported features fail loudly: deletion vectors on any
-LIVE file, column mapping id/name (physical column renames).
+checkpoints), and DELETION VECTORS on live files (post-DELETE tables
+from modern writers): the descriptor's roaring bitmap is decoded
+driver-side (sources/dv.py) and applied as a distributed row-index
+anti-join against ``_metadata.row_index``. Unsupported features fail
+loudly: column mapping id/name (physical column renames), unknown DV
+storage types/encodings.
 """
 
 from __future__ import annotations
@@ -54,12 +58,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
-_CKPT_RE = re.compile(r"^(\d{20})\.checkpoint(\.\d+\.\d+)?\.parquet$")
+_CKPT_RE = re.compile(r"^(\d{20})\.checkpoint(?:\.(\d+)\.(\d+))?\.parquet$")
 
 _SUPPORTED_READER_FEATURES = {"timestampNtz", "columnMapping", "deletionVectors"}
-# columnMapping/deletionVectors are listed because a table may DECLARE the
-# feature while this snapshot doesn't exercise it (mode 'none', no DVs on
-# live files) — the snapshot fold checks actual use and raises there.
+# deletionVectors is genuinely supported (read + write paths).
+# columnMapping is listed because a table may DECLARE the feature while
+# this snapshot doesn't exercise it (mode 'none') — the snapshot fold
+# checks the actual mode and raises there.
 
 
 class DeltaProtocolError(Exception):
@@ -75,10 +80,22 @@ class DeltaSnapshot:
     schema: StructType
     partition_columns: list[str]
     configuration: dict[str, str]
+    table_id: str | None = None  # metaData.id — stable across the table's life
+    # column mapping (protocol "Column Mapping"): 'none' | 'name' | 'id'.
+    # physical_names maps LOGICAL -> PHYSICAL column name; field_ids maps
+    # LOGICAL name -> delta.columnMapping.id. files[...] partitionValues
+    # are normalized to LOGICAL keys at fold time; adds stay raw.
+    column_mapping: str = "none"
+    physical_names: dict[str, str] = field(default_factory=dict)
+    field_ids: dict[str, int] = field(default_factory=dict)
     # (relative file path, partition_values dict) for every live file
     files: list[tuple[str, dict[str, str | None]]] = field(default_factory=list)
     # full add actions keyed by relative path (per-file stats for skipping)
     adds: dict[str, dict] = field(default_factory=dict)
+    # SetTransaction watermarks: appId -> highest committed version — the
+    # protocol's idempotent-streaming-write primitive (a writer skips a
+    # batch whose (appId, version) it has already committed)
+    txns: dict[str, int] = field(default_factory=dict)
 
     @property
     def data_schema(self) -> StructType:
@@ -103,6 +120,23 @@ def _list_log(log_dir: str) -> tuple[list[tuple[int, str]], dict[int, list[str]]
     for parts in checkpoints.values():
         parts.sort()
     return commits, checkpoints
+
+
+def _checkpoint_complete(parts: list[str]) -> bool:
+    """A checkpoint is usable when a single-file part exists OR the
+    multi-part set is COMPLETE per the declared ``<part>.<total>`` suffix.
+    A partially-present multi-part checkpoint (interrupted copy/cleanup of
+    an external table) would otherwise fold silently incomplete state —
+    missing files, wrong schema — instead of failing or falling back."""
+    multi: dict[int, set[int]] = {}
+    for p in parts:
+        m = _CKPT_RE.match(os.path.basename(p))
+        if m is None:
+            continue
+        if m.group(2) is None:
+            return True  # classic single-file checkpoint
+        multi.setdefault(int(m.group(3)), set()).add(int(m.group(2)))
+    return any(present == set(range(1, total + 1)) for total, present in multi.items())
 
 
 def _check_protocol(proto: dict) -> None:
@@ -132,7 +166,7 @@ def _checkpoint_actions(spark: SparkSession, parts: list[str]):
     for part in parts:
         tbl = pq.read_table(part)
         for row in tbl.to_pylist():
-            for key in ("metaData", "protocol", "add", "remove"):
+            for key in ("metaData", "protocol", "add", "remove", "txn"):
                 v = row.get(key)
                 if v is None:
                     continue
@@ -175,11 +209,23 @@ def delta_snapshot(
     if version is not None and version > latest:
         raise ValueError(f"version {version} > latest {latest}")
 
-    ckpt_version = max((v for v in checkpoints if v <= target), default=None)
+    # newest COMPLETE checkpoint at or before the target; a partial
+    # multi-part set (interrupted copy) is skipped — the fold falls back to
+    # an older complete checkpoint or full JSON replay, and only fails if
+    # neither can reconstruct the version (the replay-gap check below).
+    ckpt_version = next(
+        (
+            v
+            for v in sorted((v for v in checkpoints if v <= target), reverse=True)
+            if _checkpoint_complete(checkpoints[v])
+        ),
+        None,
+    )
 
     live: dict[str, dict] = {}  # relative path -> add action
     meta: dict | None = None
     proto: dict | None = None
+    txns: dict[str, int] = {}
 
     def apply(action: dict) -> None:
         nonlocal meta, proto
@@ -193,6 +239,10 @@ def delta_snapshot(
             live[add["path"]] = add
         elif "remove" in action:
             live.pop(action["remove"]["path"], None)
+        elif "txn" in action:
+            t = action["txn"]
+            if t.get("appId") is not None and t.get("version") is not None:
+                txns[t["appId"]] = max(txns.get(t["appId"], -1), int(t["version"]))
 
     if ckpt_version is not None:
         for action in _checkpoint_actions(spark, checkpoints[ckpt_version]):
@@ -218,27 +268,58 @@ def delta_snapshot(
     if fmt != "parquet":
         raise DeltaProtocolError(f"unsupported format provider: {fmt}")
     conf = meta.get("configuration") or {}
-    cm = conf.get("delta.columnMapping.mode", "none")
-    if cm not in ("none", ""):
+    cm = conf.get("delta.columnMapping.mode", "none") or "none"
+    if cm not in ("none", "name", "id"):
         raise DeltaProtocolError(f"column mapping mode '{cm}' not supported")
-    for add in live.values():
-        dv = add.get("deletionVector")
-        if dv is not None:
-            raise DeltaProtocolError(
-                f"live file {add['path']} carries a deletion vector"
-            )
+    # deletion vectors on live files are SUPPORTED: the descriptor rides
+    # the add action into the snapshot and the read path applies it as a
+    # distributed row-index anti-join (see _apply_deletion_vectors);
+    # unsupported DV encodings fail loudly at read time in sources/dv.py.
 
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    physical_names: dict[str, str] = {}
+    field_ids: dict[str, int] = {}
+    if cm != "none":
+        # column-mapping metadata rides the schema fields: physicalName is
+        # the parquet column name ('name' mode resolves by it), id is the
+        # parquet field id ('id' mode resolves by it — rename-proof)
+        for f in schema.fields:
+            md = f.metadata or {}
+            pn = md.get("delta.columnMapping.physicalName")
+            if pn:
+                physical_names[f.name] = pn
+            fid = md.get("delta.columnMapping.id")
+            if fid is not None:
+                field_ids[f.name] = int(fid)
+        if cm == "name" and len(physical_names) < len(schema.fields):
+            raise DeltaProtocolError(
+                "column mapping 'name' but some fields lack "
+                "delta.columnMapping.physicalName"
+            )
+        if cm == "id" and len(field_ids) < len(schema.fields):
+            raise DeltaProtocolError(
+                "column mapping 'id' but some fields lack delta.columnMapping.id"
+            )
+    phys2logical = {p: l for l, p in physical_names.items()}
     return DeltaSnapshot(
         path=path,
         version=target,
         schema=schema,
         partition_columns=list(meta.get("partitionColumns") or []),
         configuration=conf,
+        table_id=meta.get("id"),
+        column_mapping=cm,
+        physical_names=physical_names,
+        field_ids=field_ids,
         files=[
-            (p, dict(a.get("partitionValues") or {})) for p, a in sorted(live.items())
+            # add.partitionValues are keyed by PHYSICAL name under column
+            # mapping; normalize to logical so every downstream consumer
+            # speaks one naming
+            (p, {phys2logical.get(k, k): v for k, v in (a.get("partitionValues") or {}).items()})
+            for p, a in sorted(live.items())
         ],
         adds=dict(sorted(live.items())),
+        txns=txns,
     )
 
 
@@ -269,11 +350,20 @@ def replay_adds(
     for v, p in commits:
         if v < start_version or (end_version is not None and v > end_version):
             continue
-        files = [
-            _abs_file(path, a["add"]["path"])
-            for a in _commit_actions(p)
-            if "add" in a and a["add"].get("dataChange", True)
-        ]
+        files = []
+        for a in _commit_actions(p):
+            if "add" not in a or not a["add"].get("dataChange", True):
+                continue
+            if a["add"].get("deletionVector"):
+                # a DV-carrying add is a row-level DELETE of already-
+                # delivered data; replaying the file would resurrect the
+                # deleted rows. Real Delta streaming throws on change
+                # commits by default (skipChangeCommits opts out) — same.
+                raise DeltaProtocolError(
+                    f"commit {v} deletes rows via a deletion vector; "
+                    "streaming replay cannot represent row-level deletes"
+                )
+            files.append(_abs_file(path, a["add"]["path"]))
         if files:
             out.append((v, files))
     return out
@@ -358,23 +448,157 @@ def skip_files(
     filter) returns exactly the same rows with or without skipping.
 
     Returns (pruned snapshot, n_files_skipped)."""
+    # predicates speak LOGICAL names; stats in column-mapping tables are
+    # keyed by the physical parquet names
+    preds = [
+        (snap.physical_names.get(c, c), op, v) for c, op, v in predicates
+    ]
     kept, skipped = [], 0
     for rel, pvals in snap.files:
         add = snap.adds.get(rel, {})
-        if any(_stats_excludes(add, c, op, v) for c, op, v in predicates):
+        if any(_stats_excludes(add, c, op, v) for c, op, v in preds):
             skipped += 1
         else:
             kept.append((rel, pvals))
-    out = DeltaSnapshot(
-        path=snap.path,
-        version=snap.version,
-        schema=snap.schema,
-        partition_columns=snap.partition_columns,
-        configuration=snap.configuration,
+    import dataclasses
+
+    out = dataclasses.replace(
+        snap,
         files=kept,
         adds={rel: snap.adds[rel] for rel, _ in kept if rel in snap.adds},
     )
     return out, skipped
+
+
+def scan_rels(
+    spark: SparkSession,
+    snap: DeltaSnapshot,
+    rels: list[str] | None = None,
+    with_meta: bool = False,
+) -> DataFrame | None:
+    """Distributed scan of (a subset of) a snapshot's live files with the
+    LOG's schema pinned and partition values recovered (Hive discovery in
+    one scan when the layout allows, per-partition-tuple literal unions
+    otherwise). With ``with_meta`` two helper columns ride along:
+    ``__fp`` (normalized absolute file path) and ``__ri`` (the row's
+    file-absolute index from ``_metadata.row_index`` — stable under
+    row-group skipping, which is exactly what deletion vectors address).
+    Returns None when the selection is empty."""
+    from pyspark.sql.types import StructField as _SF
+    from pyspark.sql.types import StructType as _ST
+
+    path = snap.path
+    wanted = [(rel, pv) for rel, pv in snap.files if rels is None or rel in set(rels)]
+    if not wanted:
+        return None
+    out_cols = [f.name for f in snap.schema.fields]
+    types = {f.name: f.dataType for f in snap.schema.fields}
+
+    def meta_cols():
+        # file_path arrives scheme-qualified (file:///…); normalize to a
+        # plain absolute path so the DV exclusion join has one rendering
+        return [
+            F.regexp_replace(
+                F.col("_metadata.file_path"), "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"
+            ).alias("__fp"),
+            F.col("_metadata.row_index").alias("__ri"),
+        ]
+
+    def read_files(fpaths: list[str], target, meta: bool) -> DataFrame:
+        """One pinned-schema scan of data files, resolving COLUMN MAPPING:
+        'name' reads under the physical parquet names and aliases back to
+        logical; 'id' pins parquet field ids on the requested schema and
+        lets Spark's native field-id resolution match columns regardless
+        of their physical names (rename-proof, the mode's whole point).
+        ``meta`` appends __fp/__ri BEFORE any projection — the _metadata
+        pseudo-column only resolves against the scan itself."""
+        extra = meta_cols() if meta else []
+        if snap.column_mapping == "none":
+            df = spark.read.schema(target).parquet(*fpaths)
+            return df.select("*", *extra) if meta else df
+        if snap.column_mapping == "name":
+            phys = _ST(
+                [_SF(snap.physical_names[f.name], f.dataType, True) for f in target.fields]
+            )
+            df = spark.read.schema(phys).parquet(*fpaths)
+            return df.select(
+                *[
+                    F.col(f"`{snap.physical_names[f.name]}`").alias(f.name)
+                    for f in target.fields
+                ],
+                *extra,
+            )
+        # id mode
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        fields = [
+            _SF(f.name, f.dataType, True, {"parquet.field.id": snap.field_ids[f.name]})
+            for f in target.fields
+        ]
+        df = spark.read.schema(_ST(fields)).parquet(*fpaths)
+        return df.select("*", *extra) if meta else df
+
+    if not snap.partition_columns:
+        return read_files(
+            [_abs_file(path, rel) for rel, _ in wanted], snap.schema, with_meta
+        )
+
+    if snap.column_mapping == "none" and _hive_style(wanted, snap.partition_columns):
+        df = spark.read.schema(snap.schema).option("basePath", path).parquet(
+            *[_abs_file(path, rel) for rel, _ in wanted]
+        )
+        sel = [F.col(c).cast(types[c]).alias(c) for c in out_cols]
+        return df.select(*sel, *meta_cols()) if with_meta else df.select(*sel)
+
+    # non-Hive layout (and every column-mapping table — their directories
+    # carry PHYSICAL names, so Hive discovery would resolve the wrong
+    # columns): group files by partition tuple, union one pinned-schema
+    # scan per tuple with the log's partition values as literals.
+    groups: dict[tuple, list[str]] = {}
+    for rel, pvals in wanted:
+        key = tuple(pvals.get(c) for c in snap.partition_columns)
+        groups.setdefault(key, []).append(_abs_file(path, rel))
+    parts: list[DataFrame] = []
+    for key, fpaths in sorted(groups.items(), key=lambda kv: tuple(map(str, kv[0]))):
+        d = read_files(fpaths, snap.data_schema, with_meta)
+        for c, v in zip(snap.partition_columns, key):
+            lit = F.lit(None) if v is None else F.lit(v)
+            d = d.withColumn(c, lit.cast(types[c]))
+        cols_sel = out_cols + (["__fp", "__ri"] if with_meta else [])
+        parts.append(d.select(*cols_sel))
+    out = parts[0]
+    for d in parts[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def _apply_deletion_vectors(
+    spark: SparkSession, snap: DeltaSnapshot, dv_rels: list[str]
+) -> DataFrame:
+    """Scan the DV-carrying files and drop their deleted rows via a
+    broadcast row-index ANTI-JOIN — the Spark-native rendering of what
+    delta's scan does with per-task bitmap filters. The bitmaps are
+    decoded DRIVER-SIDE (sources/dv.py — metadata work bounded by DV
+    size, like the log fold itself); the row filtering is one distributed
+    JVM join keyed on (file, _metadata.row_index), no Python in the data
+    path. Files without DVs never pay the join."""
+    from pos_dlt_spark.sources.dv import read_dv_descriptor
+    from pos_dlt_spark.tables import local_df
+
+    pairs: list[tuple[str, int]] = []
+    for rel in dv_rels:
+        dv = snap.adds[rel]["deletionVector"]
+        fp = os.path.abspath(_abs_file(snap.path, rel))
+        pairs.extend((fp, int(i)) for i in read_dv_descriptor(snap.path, dv))
+    scan = scan_rels(spark, snap, dv_rels, with_meta=True)
+    if not pairs:
+        return scan.drop("__fp", "__ri")
+    excl = local_df(spark, pairs, "__xfp string, __xri bigint")
+    out = scan.join(
+        F.broadcast(excl),
+        (F.col("__fp") == F.col("__xfp")) & (F.col("__ri") == F.col("__xri")),
+        "left_anti",
+    )
+    return out.drop("__fp", "__ri")
 
 
 def read_delta(
@@ -388,47 +612,30 @@ def read_delta(
     pinned (schema evolution on read: pre-evolution files yield nulls for
     added columns; dropped columns never appear even if old files carry
     them). ``version=`` time-travels to an earlier snapshot, served from
-    the same log at zero extra storage.
+    the same log at zero extra storage. Live files carrying DELETION
+    VECTORS (post-DELETE tables from modern writers) are read minus their
+    deleted rows (see :func:`_apply_deletion_vectors`); files without DVs
+    take the plain scan, untaxed.
 
     ``prune`` enables log-stats DATA SKIPPING (see :func:`skip_files`):
     ``[("col", op, value), ...]`` with op in ``= < <= > >= in``,
     conjunctive. It only drops files whose stats PROVE exclusion — the
     caller still applies the real ``.filter`` for row-level semantics;
-    with or without ``prune`` the filtered result is identical."""
+    with or without ``prune`` the filtered result is identical (DV'd
+    file stats describe the physical file, a superset of live rows, so
+    skipping stays conservative)."""
     snap = delta_snapshot(spark, path, version)
     if prune:
         snap, _ = skip_files(snap, prune)
     if not snap.files:
         return spark.createDataFrame([], snap.schema)
-    paths = [_abs_file(path, rel) for rel, _ in snap.files]
-
-    if not snap.partition_columns:
-        return spark.read.schema(snap.schema).parquet(*paths)
-
-    out_cols = [f.name for f in snap.schema.fields]
-    types = {f.name: f.dataType for f in snap.schema.fields}
-    if _hive_style(snap.files, snap.partition_columns):
-        # one scan; directory names carry the partition values, exactly as
-        # Delta writers lay files out. The full log schema is pinned —
-        # partition discovery matches the named columns and casts the
-        # directory values to the declared types.
-        df = spark.read.schema(snap.schema).option("basePath", path).parquet(*paths)
-        return df.select(*[F.col(c).cast(types[c]).alias(c) for c in out_cols])
-
-    # non-Hive layout: group files by partition tuple, union one pinned-
-    # schema scan per tuple with the log's partition values as literals.
-    groups: dict[tuple, list[str]] = {}
-    for rel, pvals in snap.files:
-        key = tuple(pvals.get(c) for c in snap.partition_columns)
-        groups.setdefault(key, []).append(_abs_file(path, rel))
-    parts: list[DataFrame] = []
-    for key, fpaths in sorted(groups.items(), key=lambda kv: tuple(map(str, kv[0]))):
-        d = spark.read.schema(snap.data_schema).parquet(*fpaths)
-        for c, v in zip(snap.partition_columns, key):
-            lit = F.lit(None) if v is None else F.lit(v)
-            d = d.withColumn(c, lit.cast(types[c]))
-        parts.append(d.select(*out_cols))
-    out = parts[0]
-    for d in parts[1:]:
-        out = out.unionByName(d)
-    return out
+    dv_rels = [
+        rel for rel, _ in snap.files if snap.adds.get(rel, {}).get("deletionVector")
+    ]
+    plain = scan_rels(
+        spark, snap, [rel for rel, _ in snap.files if rel not in set(dv_rels)]
+    )
+    if not dv_rels:
+        return plain
+    dvpart = _apply_deletion_vectors(spark, snap, dv_rels)
+    return plain.unionByName(dvpart) if plain is not None else dvpart

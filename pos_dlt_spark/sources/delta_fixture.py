@@ -62,6 +62,14 @@ def remove_action(rel_path: str) -> dict:
     return {"remove": {"path": rel_path, "deletionTimestamp": 0, "dataChange": True}}
 
 
+def txn_action(app_id: str, version: int) -> dict:
+    """SetTransaction: the protocol's idempotent-streaming-write marker —
+    readers fold the highest version per appId; a writer skips re-committing
+    a (appId, version) it has already recorded (exactly-once under
+    micro-batch replay)."""
+    return {"txn": {"appId": app_id, "version": version, "lastUpdated": 0}}
+
+
 def write_commit(table_dir: str, version: int, actions: list[dict]) -> str:
     log_dir = os.path.join(table_dir, "_delta_log")
     os.makedirs(log_dir, exist_ok=True)
@@ -109,6 +117,12 @@ def write_checkpoint(table_dir: str, version: int, actions: list[dict]) -> str:
                         ("size", pa.int64()),
                         ("modificationTime", pa.int64()),
                         ("dataChange", pa.bool_()),
+                        # per-file stats JSON must survive the checkpoint:
+                        # real classic checkpoints carry it, and dropping it
+                        # here would silently disable skip_files pruning (and
+                        # delta_merge's file pruning) for every pre-checkpoint
+                        # file after the first checkpoint crossing.
+                        ("stats", pa.string()),
                     ]
                 ),
             ),
@@ -119,6 +133,16 @@ def write_checkpoint(table_dir: str, version: int, actions: list[dict]) -> str:
                         ("path", pa.string()),
                         ("deletionTimestamp", pa.int64()),
                         ("dataChange", pa.bool_()),
+                    ]
+                ),
+            ),
+            pa.field(
+                "txn",
+                pa.struct(
+                    [
+                        ("appId", pa.string()),
+                        ("version", pa.int64()),
+                        ("lastUpdated", pa.int64()),
                     ]
                 ),
             ),
@@ -135,7 +159,7 @@ def write_checkpoint(table_dir: str, version: int, actions: list[dict]) -> str:
             return dict(v)
         return v
 
-    keys = ("metaData", "protocol", "add", "remove")
+    keys = ("metaData", "protocol", "add", "remove", "txn")
     rows = []
     for a in actions:
         rows.append(

@@ -49,6 +49,21 @@ class DeltaCommitConflict(Exception):
     be safely replayed (overwrite); the caller decides what to do."""
 
 
+def _writer_supports(snap: DeltaSnapshot) -> None:
+    """Column-mapping tables are READ-ONLY interop here: this writer
+    emits files under logical names, which would corrupt a table whose
+    scans resolve by physical name / field id. Loud refusal beats silent
+    nulls."""
+    if snap.column_mapping != "none":
+        from pos_dlt_spark.sources.delta import DeltaProtocolError
+
+        raise DeltaProtocolError(
+            f"table uses column mapping '{snap.column_mapping}': this "
+            "writer supports mode 'none' only (reads work; writes would "
+            "mix logical and physical column names)"
+        )
+
+
 def _file_stats(path: str) -> str:
     """Per-file column stats from the parquet footer (driver-side, one
     footer read per file): numRecords + min/max/nullCount for leaf
@@ -177,6 +192,8 @@ def write_delta(
     partition_by: list[str] | None = None,
     checkpoint_interval: int = 10,
     max_retries: int = 20,
+    precommit=None,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Write ``df`` to the Delta table at ``path`` (created if absent).
     Returns the committed version.
@@ -188,7 +205,20 @@ def write_delta(
     DataFrame's schema in metaData (and ``partition_by`` as the table's
     partitionColumns); appends require an identical schema and must not
     change the partitioning (fail-fast — evolution is the reader's job
-    on old files, the writer's job is to not drift silently)."""
+    on old files, the writer's job is to not drift silently).
+
+    ``precommit`` (optional callable) runs AFTER the distributed write job
+    (so ``DataFrame.observe`` metrics are populated) but BEFORE the commit:
+    if it raises, the staged files are removed and no version is committed,
+    leaving the previous snapshot untouched — Delta-native atomic abort
+    (the pipeline's ``expect_or_fail`` rides this).
+
+    ``txn=(app_id, version)`` makes the write IDEMPOTENT via the protocol's
+    SetTransaction action: if the table has already committed this appId at
+    or beyond this version, the call is a no-op (returns the current table
+    version, writes nothing) — exactly-once micro-batch appends under
+    foreachBatch replay, the same mechanism delta's own streaming sink
+    uses. The watermark survives checkpoints."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     spark = df.sparkSession
@@ -196,12 +226,39 @@ def write_delta(
     exists = os.path.isdir(log_dir) and any(
         n.endswith(".json") or n.endswith(".parquet") for n in os.listdir(log_dir)
     )
+    if txn is not None and exists:
+        prior = delta_snapshot(spark, path)
+        if prior.txns.get(txn[0], -1) >= txn[1]:
+            return prior.version  # already committed: replay skipped
     adds = _stage_and_move(df, path, partition_by)
+    if precommit is not None:
+        try:
+            precommit()
+        except BaseException:
+            # abort before any commit: the staged files were already moved
+            # into the table root but NO commit references them — remove
+            # them so the table is byte-identical to before
+            for a in adds:
+                try:
+                    os.remove(os.path.join(path, a["add"]["path"]))
+                except OSError:
+                    pass
+            raise
 
     # 2. commit loop (optimistic concurrency)
     for _ in range(max_retries):
         if exists:
             snap: DeltaSnapshot | None = delta_snapshot(spark, path)
+            _writer_supports(snap)
+            if txn is not None and snap.txns.get(txn[0], -1) >= txn[1]:
+                # a concurrent writer sharing our appId landed this batch
+                # while we were staging — drop our staged twin and yield
+                for a in adds:
+                    try:
+                        os.remove(os.path.join(path, a["add"]["path"]))
+                    except OSError:
+                        pass
+                return snap.version
             version = snap.version + 1
             # names + types, nullability excluded: file sources surface
             # everything nullable, so a strict equality would flag every
@@ -229,14 +286,31 @@ def write_delta(
                 fx.protocol_action(),
                 fx.metadata_action(df.schema, partition_columns=list(partition_by or [])),
             ] + list(adds)
+        if txn is not None:
+            actions = [fx.txn_action(txn[0], txn[1])] + actions
 
         if _try_commit(log_dir, version, actions):
             if checkpoint_interval and version > 0 and version % checkpoint_interval == 0:
                 final = delta_snapshot(spark, path, version)
+                # the checkpoint REPLACES the JSON chain for later readers:
+                # its metaData must carry the full table identity
+                # (partitionColumns above all — folding [] here would make
+                # any post-checkpoint snapshot of a partitioned table read
+                # its partition column as all-null and flag every
+                # subsequent append as partitioning drift)
                 fx.write_checkpoint(
                     path,
                     version,
-                    [fx.protocol_action(), fx.metadata_action(final.schema)]
+                    [
+                        fx.protocol_action(),
+                        fx.metadata_action(
+                            final.schema,
+                            partition_columns=final.partition_columns,
+                            table_id=final.table_id,
+                            configuration=final.configuration,
+                        ),
+                    ]
+                    + [fx.txn_action(a, v) for a, v in sorted(final.txns.items())]
                     + [{"add": a} for a in final.adds.values()],
                 )
             return version
@@ -257,6 +331,7 @@ def delta_merge(
     keys: list[str],
     sequence_by: str,
     tiebreakers: list[str] | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Latest-per-key MERGE (upsert) into a Delta table — the operation
     the reference's CDC rides (`03_Bronze-to-Silver ETL.py:379-384`,
@@ -279,7 +354,10 @@ def delta_merge(
        snapshot).
 
     Keys absent from the table INSERT; keys present UPDATE (newest
-    sequence wins). Precondition: the table's live rows are unique per
+    sequence wins; an EQUAL sequence — after any explicit tiebreakers —
+    resolves update-wins, matching DLT apply_changes' sequencing, so the
+    outcome is deterministic without caller-supplied tiebreakers).
+    Precondition: the table's live rows are unique per
     key (the invariant every merge commit preserves; the window dedups
     a violated precondition too, keeping the newest row).
 
@@ -287,10 +365,11 @@ def delta_merge(
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    from pos_dlt_spark.sources.delta import _abs_file
-
     tiebreakers = list(tiebreakers or [])
     snap = delta_snapshot(spark, path)
+    _writer_supports(snap)
+    if txn is not None and snap.txns.get(txn[0], -1) >= txn[1]:
+        return snap.version  # batch already merged: replay skipped
     if not set(keys + [sequence_by] + tiebreakers) <= {f.name for f in snap.schema.fields}:
         raise ValueError("merge keys/sequence columns missing from table schema")
 
@@ -306,18 +385,27 @@ def delta_merge(
     # without usable stats are always touched (conservative). At
     # 1M-files x 1B-keys scale, swap the broadcast BETWEEN join for the
     # bucketized interval join (operators/rangejoin.py) — same result.
+    _PARTITION_RENDER_SAFE = {"string", "tinyint", "smallint", "int", "bigint", "boolean", "date"}
     if keys[0] in snap.partition_columns:
-        # partition-keyed merge: the EXACT touched set comes straight
-        # from the log's partitionValues (files never store the column,
-        # so footer stats cannot help here). Distinct update partition
-        # values collect bounded by the batch's partition spread.
-        vals = {
-            r["__p"]
-            for r in updates.select(
-                F.col(keys[0]).cast("string").alias("__p")
-            ).distinct().collect()
-        }
-        touched = [rel for rel, pv in snap.files if pv.get(keys[0]) in vals]
+        key_type = {f.name: f.dataType.simpleString() for f in snap.schema.fields}[keys[0]]
+        if key_type in _PARTITION_RENDER_SAFE:
+            # partition-keyed merge: the EXACT touched set comes straight
+            # from the log's partitionValues (files never store the column,
+            # so footer stats cannot help here). Distinct update partition
+            # values collect bounded by the batch's partition spread.
+            # Restricted to types whose Spark string cast provably matches
+            # the partition-directory rendering — a timestamp's fractional
+            # seconds or a double's scientific notation can differ, which
+            # would SKIP files that hold the key and leave duplicates.
+            vals = {
+                r["__p"]
+                for r in updates.select(
+                    F.col(keys[0]).cast("string").alias("__p")
+                ).distinct().collect()
+            }
+            touched = [rel for rel, pv in snap.files if pv.get(keys[0]) in vals]
+        else:
+            touched = [rel for rel, _pv in snap.files]  # conservative: all
         ranges = []
     else:
         ranges = []
@@ -373,43 +461,44 @@ def delta_merge(
         *[F.col(n).cast(tbl_types[n]).alias(n) for n in cols]
     )
     if touched:
-        if snap.partition_columns:
-            # partitioned tables: data files lack the partition columns —
-            # re-attach each touched file group's partitionValues as
-            # typed literals (the read_delta fallback shape)
-            types = {f.name: f.dataType for f in snap.schema.fields}
-            pv_by_rel = dict(snap.files)
-            groups: dict[tuple, list[str]] = {}
-            for rel in touched:
-                k = tuple(pv_by_rel[rel].get(c) for c in snap.partition_columns)
-                groups.setdefault(k, []).append(_abs_file(path, rel))
-            parts = []
-            for k, fpaths in sorted(groups.items(), key=lambda kv: tuple(map(str, kv[0]))):
-                d = spark.read.schema(snap.data_schema).parquet(*fpaths)
-                for c, v in zip(snap.partition_columns, k):
-                    lit = F.lit(None) if v is None else F.lit(v)
-                    d = d.withColumn(c, lit.cast(types[c]))
-                parts.append(d.select(*cols))
-            old = parts[0]
-            for d in parts[1:]:
-                old = old.unionByName(d)
-        else:
-            old = spark.read.schema(snap.schema).parquet(
-                *[_abs_file(path, rel) for rel in touched]
-            )
-        merged_in = old.unionByName(updates.select(*cols))
+        # the shared snapshot scanner recovers partition values (Hive
+        # discovery or per-tuple literals) AND applies any deletion
+        # vectors on touched files — a merge that read a DV'd file raw
+        # would resurrect its deleted rows into the rewrite
+        from pos_dlt_spark.sources.delta import _apply_deletion_vectors, scan_rels
+
+        dv_touch = [
+            rel for rel in touched if snap.adds.get(rel, {}).get("deletionVector")
+        ]
+        old = scan_rels(spark, snap, [r for r in touched if r not in set(dv_touch)])
+        if dv_touch:
+            dvpart = _apply_deletion_vectors(spark, snap, dv_touch)
+            old = old.unionByName(dvpart) if old is not None else dvpart
+        merged_in = old.withColumn("__upd", F.lit(0)).unionByName(
+            updates.select(*cols).withColumn("__upd", F.lit(1))
+        )
     else:
-        merged_in = updates.select(*cols)
-    order = [F.col(sequence_by).desc()] + [F.col(t).desc() for t in tiebreakers]
+        merged_in = updates.select(*cols).withColumn("__upd", F.lit(1))
+    # equal-sequence (and equal-tiebreaker) ties resolve UPDATE-WINS —
+    # DLT apply_changes' documented sequencing — via an implicit
+    # is-update tiebreaker, so replays and ties are deterministic without
+    # requiring the caller to supply explicit tiebreakers.
+    order = (
+        [F.col(sequence_by).desc()]
+        + [F.col(t).desc() for t in tiebreakers]
+        + [F.col("__upd").desc()]
+    )
     w = Window.partitionBy(*keys).orderBy(*order)
     merged = (
         merged_in.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        .drop("__rn", "__upd")
     )
     adds = _stage_and_move(merged, path, snap.partition_columns or None)
 
     actions = [fx.remove_action(rel) for rel in touched] + adds
+    if txn is not None:
+        actions = [fx.txn_action(txn[0], txn[1])] + actions
     version = snap.version + 1
     if not _try_commit(os.path.join(path, "_delta_log"), version, actions):
         raise DeltaCommitConflict(
@@ -428,11 +517,16 @@ def delta_optimize(spark, path: str, target_files: int = 1) -> int:
     so streaming replays (:func:`pos_dlt_spark.sources.delta.replay_adds`)
     skip the rewrite and batch readers see identical content in fewer,
     bigger files (the small-files problem is the single most common
-    operational Delta chore). A lost commit race aborts — re-run against
-    the new snapshot; compaction is always safe to retry.
+    operational Delta chore). Files carrying DELETION VECTORS are always
+    rewritten minus their deleted rows (this is also delta's REORG/PURGE:
+    compaction materializes the deletes and drops the DV), still under
+    ``dataChange: false`` — the logical rows are unchanged. A lost commit
+    race aborts — re-run against the new snapshot; compaction is always
+    safe to retry.
 
     Returns the committed version."""
     snap = delta_snapshot(spark, path)
+    _writer_supports(snap)
     from pos_dlt_spark.sources.delta import _abs_file
 
     # group live files per partition tuple (one group, (), when the
@@ -450,11 +544,21 @@ def delta_optimize(spark, path: str, target_files: int = 1) -> int:
     import shutil
 
     for k, rels in sorted(groups.items(), key=lambda kv: tuple(map(str, kv[0]))):
-        if len(rels) <= target_files:
-            continue
-        data = spark.read.schema(snap.data_schema).parquet(
-            *[_abs_file(path, rel) for rel in rels]
-        )
+        dv_rels = [r for r in rels if snap.adds.get(r, {}).get("deletionVector")]
+        if len(rels) <= target_files and not dv_rels:
+            continue  # DV'd files always compact: OPTIMIZE is also PURGE
+        data_cols = [f.name for f in snap.data_schema.fields]
+        plain = [r for r in rels if r not in set(dv_rels)]
+        data = None
+        if plain:
+            data = spark.read.schema(snap.data_schema).parquet(
+                *[_abs_file(path, rel) for rel in plain]
+            )
+        if dv_rels:
+            from pos_dlt_spark.sources.delta import _apply_deletion_vectors
+
+            dvpart = _apply_deletion_vectors(spark, snap, dv_rels).select(*data_cols)
+            data = data.unionByName(dvpart) if data is not None else dvpart
         staging = os.path.join(path, f"_staging_{uuid.uuid4().hex[:12]}")
         data.coalesce(target_files).write.parquet(staging)
         rel_dir = "/".join(
@@ -488,7 +592,9 @@ def delta_optimize(spark, path: str, target_files: int = 1) -> int:
     return version
 
 
-def delta_vacuum(spark, path: str, retain_versions: int = 1) -> list[str]:
+def delta_vacuum(
+    spark, path: str, retain_versions: int = 1, grace_seconds: float = 0.0
+) -> list[str]:
     """VACUUM: physically delete data files referenced by NO retained
     snapshot (the live sets of the last ``retain_versions + 1``
     versions). Time travel to vacuumed versions then fails on read —
@@ -496,9 +602,31 @@ def delta_vacuum(spark, path: str, retain_versions: int = 1) -> list[str]:
     tombstone age (deterministic for tests; both are policies over the
     same referenced-set computation). Never touches ``_delta_log``.
 
+    In-flight-writer protection: ``_stage_and_move`` renames data files
+    into the table root BEFORE the commit is attempted, so an
+    unreferenced-but-new file may belong to a writer about to commit.
+    Files whose mtime is not strictly older than the newest log entry
+    (minus ``grace_seconds``) are SKIPPED — real Delta's retention window
+    serves the same purpose. This protects the common staged-then-commit
+    sequence; a writer that staged before a competing commit landed and
+    is still retrying is only safe under ``grace_seconds`` sized above
+    the longest plausible stage-to-commit latency (set it on shared
+    tables; single-writer pipelines can keep 0).
+
     Returns the deleted relative paths."""
     latest = delta_snapshot(spark, path)
+    log_dir = os.path.join(path, "_delta_log")
+    cutoff = max(
+        (
+            os.path.getmtime(os.path.join(log_dir, n))
+            for n in os.listdir(log_dir)
+            if n.endswith(".json") or n.endswith(".parquet")
+        ),
+        default=float("-inf"),
+    ) - grace_seconds
     keep_versions = range(max(0, latest.version - retain_versions), latest.version + 1)
+    from pos_dlt_spark.sources.dv import dv_relative_path
+
     referenced: set[str] = set()
     for v in keep_versions:
         try:
@@ -506,6 +634,12 @@ def delta_vacuum(spark, path: str, retain_versions: int = 1) -> list[str]:
         except FileNotFoundError:
             continue  # pre-checkpoint version already unreconstructable
         referenced.update(rel for rel, _ in s.files)
+        for a in s.adds.values():
+            dv = a.get("deletionVector")
+            if dv:
+                rel = dv_relative_path(dv)
+                if rel:
+                    referenced.add(rel.replace("/", os.sep))
     deleted = []
     for root, dirs, files in os.walk(path):
         rel_root = os.path.relpath(root, path)
@@ -513,11 +647,133 @@ def delta_vacuum(spark, path: str, retain_versions: int = 1) -> list[str]:
         if any(p == "_delta_log" or p.startswith("_staging") for p in parts):
             continue
         for n in files:
-            if not n.endswith(".parquet"):
+            if not (n.endswith(".parquet") or (n.startswith("deletion_vector_") and n.endswith(".bin"))):
                 continue
             full = os.path.join(root, n)
             rel = os.path.relpath(full, path)
-            if rel not in referenced:
+            if rel not in referenced and os.path.getmtime(full) < cutoff:
                 os.remove(full)
                 deleted.append(rel)
     return deleted
+
+
+def delta_delete(
+    spark,
+    path: str,
+    predicate: str,
+    mode: str = "dv",
+    inline_threshold: int = 512,
+) -> tuple[int, int]:
+    """DELETE rows matching the SQL ``predicate`` — the operation that
+    makes real-world tables carry deletion vectors.
+
+    ``mode='dv'`` (default, delta's modern path): NO data file is
+    rewritten. Matching rows' file-absolute indices are computed in one
+    distributed scan (``_metadata.row_index``), encoded as roaring-bitmap
+    deletion vectors (sources/dv.py — inline below ``inline_threshold``
+    serialized bytes, a ``deletion_vector_<uuid>.bin`` sidecar above),
+    and the commit re-adds each affected file with its descriptor
+    (remove + add of the same path, protocol upgraded to
+    readerFeatures=[deletionVectors]). A file already carrying a DV gets
+    the UNION of old and new indices. At 100 TB this is the difference
+    between rewriting terabytes and writing kilobytes of bitmap.
+
+    ``mode='rewrite'`` (classic copy-on-write): affected files are
+    rewritten without the matching rows; no DV machinery involved.
+
+    The driver materializes only the DELETED row indices (bounded by the
+    delete's selectivity — the same bound real writers accept when they
+    choose the DV path; a delete wide enough to blow that bound belongs
+    in ``mode='rewrite'``, which stays fully distributed).
+
+    Returns ``(committed version, rows deleted)``. A lost commit race
+    aborts with :class:`DeltaCommitConflict` — re-run on the new
+    snapshot."""
+    from pyspark.sql import functions as F
+
+    from pos_dlt_spark.sources.delta import (
+        _abs_file,
+        _apply_deletion_vectors,
+        scan_rels,
+    )
+    from pos_dlt_spark.sources.dv import make_dv_descriptor, read_dv_descriptor
+
+    if mode not in ("dv", "rewrite"):
+        raise ValueError(f"mode must be dv|rewrite, got {mode!r}")
+    snap = delta_snapshot(spark, path)
+    _writer_supports(snap)
+    if not snap.files:
+        return snap.version, 0
+
+    scan = scan_rels(spark, snap, None, with_meta=True)
+    matches = scan.filter(F.expr(predicate)).select("__fp", "__ri")
+
+    abs_to_rel = {
+        os.path.abspath(_abs_file(path, rel)): rel for rel, _ in snap.files
+    }
+    if mode == "dv":
+        # driver-bounded collect of (file, row_index) for DELETED rows only
+        hit: dict[str, list[int]] = {}
+        n_deleted = 0
+        for r in matches.collect():
+            rel = abs_to_rel.get(r["__fp"])
+            if rel is None:
+                raise ValueError(f"scan yielded unknown file {r['__fp']}")
+            hit.setdefault(rel, []).append(int(r["__ri"]))
+            n_deleted += 1
+        if not hit:
+            return snap.version, 0
+        actions: list[dict] = [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["deletionVectors"],
+                    "writerFeatures": ["deletionVectors"],
+                }
+            }
+        ]
+        already_live = 0
+        for rel, idx in sorted(hit.items()):
+            add = dict(snap.adds[rel])
+            prior = add.get("deletionVector")
+            if prior:
+                prior_idx = set(read_dv_descriptor(path, prior))
+                already_live += len(prior_idx & set(idx))
+                idx = sorted(prior_idx | set(idx))
+            desc = make_dv_descriptor(path, idx, inline_threshold=inline_threshold)
+            add["deletionVector"] = desc
+            actions.append(fx.remove_action(rel))
+            actions.append({"add": add})
+        n_deleted -= already_live  # rows the scan reported but were dead already
+    else:
+        # classic copy-on-write: rewrite each file that has >=1 match,
+        # keeping only non-matching rows; deletes of whole files become
+        # plain removes (no replacement add)
+        hit_rels = sorted(
+            {
+                abs_to_rel[r["__fp"]]
+                for r in matches.select("__fp").distinct().collect()
+            }
+        )
+        if not hit_rels:
+            return snap.version, 0
+        dv_touch = [
+            rel for rel in hit_rels if snap.adds.get(rel, {}).get("deletionVector")
+        ]
+        old = scan_rels(spark, snap, [r for r in hit_rels if r not in set(dv_touch)])
+        if dv_touch:
+            dvpart = _apply_deletion_vectors(spark, snap, dv_touch)
+            old = old.unionByName(dvpart) if old is not None else dvpart
+        keep = old.filter(~F.coalesce(F.expr(predicate), F.lit(False)))
+        n_deleted = old.count() - keep.count()
+        adds = _stage_and_move(keep, path, snap.partition_columns or None)
+        actions = [fx.remove_action(rel) for rel in hit_rels] + adds
+
+    version = snap.version + 1
+    if not _try_commit(os.path.join(path, "_delta_log"), version, actions):
+        raise DeltaCommitConflict(
+            f"version {version} was committed concurrently; delete must "
+            "re-run against the new snapshot"
+        )
+    return version, n_deleted

@@ -1,0 +1,209 @@
+"""Column-mapping (name / id mode) READ support — protocol tables whose
+parquet files carry physical column names (or field ids) decoupled from
+the logical schema. Fixtures are built straight from the public protocol
+shape: schema-field metadata ``delta.columnMapping.physicalName`` /
+``delta.columnMapping.id``, configuration ``delta.columnMapping.mode``."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, LongType, StringType, StructField, StructType
+
+from pos_dlt_spark.sources import delta_fixture as fx
+from pos_dlt_spark.sources.delta import (
+    DeltaProtocolError,
+    delta_snapshot,
+    read_delta,
+    skip_files,
+)
+
+
+def _logical_schema(mode: str) -> StructType:
+    def md(i, phys):
+        m = {"delta.columnMapping.id": i}
+        if mode in ("name", "id"):
+            m["delta.columnMapping.physicalName"] = phys
+        return m
+
+    return StructType(
+        [
+            StructField("id", LongType(), True, md(1, "col-aaaa")),
+            StructField("name", StringType(), True, md(2, "col-bbbb")),
+        ]
+    )
+
+
+def _write_physical(spark, df, dest: str, with_field_ids: bool) -> str:
+    """Write one parquet file whose columns carry PHYSICAL names (and
+    optionally parquet field ids)."""
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    cols = [
+        F.col("id").alias("col-aaaa", metadata={"parquet.field.id": 1} if with_field_ids else {}),
+        F.col("name").alias("col-bbbb", metadata={"parquet.field.id": 2} if with_field_ids else {}),
+    ]
+    stage = dest + "_stage"
+    df.select(*cols).coalesce(1).write.mode("overwrite").parquet(stage)
+    f = [n for n in os.listdir(stage) if n.endswith(".parquet")][0]
+    os.makedirs(os.path.dirname(dest), exist_ok=True)
+    os.replace(os.path.join(stage, f), dest)
+    return dest
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id"), F.concat(F.lit("n"), F.col("id")).alias("name")
+    )
+
+
+def _build_cm_table(spark, tmp_path, mode: str, with_field_ids: bool) -> str:
+    table = str(tmp_path / f"cm_{mode}")
+    os.makedirs(table, exist_ok=True)
+    _write_physical(spark, _df(spark, 0, 10), os.path.join(table, "part-a.parquet"), with_field_ids)
+    _write_physical(spark, _df(spark, 10, 20), os.path.join(table, "part-b.parquet"), with_field_ids)
+    fx.write_commit(
+        table,
+        0,
+        [
+            fx.protocol_action(min_reader=2, min_writer=5),
+            fx.metadata_action(
+                _logical_schema(mode),
+                configuration={"delta.columnMapping.mode": mode,
+                               "delta.columnMapping.maxColumnId": "2"},
+            ),
+            fx.add_action("part-a.parquet"),
+            fx.add_action("part-b.parquet"),
+        ],
+    )
+    return table
+
+
+def test_name_mode_reads_logical_columns(spark, tmp_path):
+    table = _build_cm_table(spark, tmp_path, "name", with_field_ids=False)
+    snap = delta_snapshot(spark, table)
+    assert snap.column_mapping == "name"
+    assert snap.physical_names == {"id": "col-aaaa", "name": "col-bbbb"}
+    got = read_delta(spark, table)
+    assert [f.name for f in got.schema.fields] == ["id", "name"]
+    rows = {(r.id, r.name) for r in got.collect()}
+    assert rows == {(i, f"n{i}") for i in range(20)}
+
+
+def test_id_mode_resolves_by_field_id_despite_renames(spark, tmp_path):
+    """id mode's whole point: physical names are irrelevant — resolution
+    rides parquet field ids, surviving arbitrary renames."""
+    table = _build_cm_table(spark, tmp_path, "id", with_field_ids=True)
+    got = read_delta(spark, table)
+    assert [f.name for f in got.schema.fields] == ["id", "name"]
+    rows = {(r.id, r.name) for r in got.collect()}
+    assert rows == {(i, f"n{i}") for i in range(20)}
+
+
+def test_name_mode_partitioned_with_physical_dir_names(spark, tmp_path):
+    """Partition dirs and partitionValues keys use PHYSICAL names; the
+    fold normalizes to logical and the scan re-attaches values as typed
+    literals (Hive discovery is bypassed — it would resolve the wrong
+    name)."""
+    table = str(tmp_path / "cmp")
+    os.makedirs(table, exist_ok=True)
+    schema = StructType(
+        [
+            StructField("id", LongType(), True,
+                        {"delta.columnMapping.id": 1,
+                         "delta.columnMapping.physicalName": "col-aaaa"}),
+            StructField("b", IntegerType(), True,
+                        {"delta.columnMapping.id": 2,
+                         "delta.columnMapping.physicalName": "col-part"}),
+        ]
+    )
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    for b in (0, 1):
+        df = spark.range(b * 10, b * 10 + 10).select(
+            F.col("id").alias("col-aaaa")
+        )
+        stage = os.path.join(table, "_stage")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        f = [n for n in os.listdir(stage) if n.endswith(".parquet")][0]
+        rel = f"col-part={b}/part-{b}.parquet"
+        os.makedirs(os.path.join(table, f"col-part={b}"), exist_ok=True)
+        os.replace(os.path.join(stage, f), os.path.join(table, rel))
+    fx.write_commit(
+        table,
+        0,
+        [
+            fx.protocol_action(min_reader=2, min_writer=5),
+            fx.metadata_action(
+                schema,
+                partition_columns=["b"],
+                configuration={"delta.columnMapping.mode": "name"},
+            ),
+            fx.add_action("col-part=0/part-0.parquet", partition_values={"col-part": "0"}),
+            fx.add_action("col-part=1/part-1.parquet", partition_values={"col-part": "1"}),
+        ],
+    )
+    snap = delta_snapshot(spark, table)
+    assert snap.partition_columns == ["b"]
+    # partitionValues keys normalized physical -> logical at fold time
+    assert all(set(pv) == {"b"} for _, pv in snap.files)
+    got = read_delta(spark, table)
+    rows = {(r.id, r.b) for r in got.collect()}
+    assert rows == {(i, 0) for i in range(10)} | {(i, 1) for i in range(10, 20)}
+    # partition pruning semantics still correct (filter post-attach)
+    assert sorted(r.id for r in got.filter(F.col("b") == 1).collect()) == list(range(10, 20))
+
+
+def test_cm_stats_skipping_translates_names(spark, tmp_path):
+    table = _build_cm_table(spark, tmp_path, "name", with_field_ids=False)
+    # stats keyed by PHYSICAL column name, as real writers emit
+    import json
+
+    log = os.path.join(table, "_delta_log", f"{0:020d}.json")
+    lines = [json.loads(line) for line in open(log)]
+    for a in lines:
+        if "add" in a:
+            lo = 0 if a["add"]["path"] == "part-a.parquet" else 10
+            a["add"]["stats"] = json.dumps(
+                {"numRecords": 10,
+                 "minValues": {"col-aaaa": lo},
+                 "maxValues": {"col-aaaa": lo + 9}}
+            )
+    with open(log, "w") as fh:
+        for a in lines:
+            fh.write(json.dumps(a) + "\n")
+    snap = delta_snapshot(spark, table)
+    pruned, skipped = skip_files(snap, [("id", ">=", 10)])  # LOGICAL name
+    assert skipped == 1 and len(pruned.files) == 1
+    got = read_delta(spark, table, prune=[("id", ">=", 10)]).filter(F.col("id") >= 10)
+    assert sorted(r.id for r in got.collect()) == list(range(10, 20))
+
+
+def test_writer_refuses_cm_tables(spark, tmp_path):
+    from pos_dlt_spark.sources.delta_writer import delta_delete, delta_merge, write_delta
+
+    table = _build_cm_table(spark, tmp_path, "name", with_field_ids=False)
+    with pytest.raises(DeltaProtocolError, match="column mapping"):
+        write_delta(_df(spark, 0, 5), table)
+    with pytest.raises(DeltaProtocolError, match="column mapping"):
+        delta_merge(spark, table, _df(spark, 0, 5), keys=["id"], sequence_by="id")
+    with pytest.raises(DeltaProtocolError, match="column mapping"):
+        delta_delete(spark, table, "id = 1")
+
+
+def test_unknown_cm_mode_fails(spark, tmp_path):
+    table = str(tmp_path / "cmbad")
+    os.makedirs(table, exist_ok=True)
+    fx.write_commit(
+        table,
+        0,
+        [
+            fx.protocol_action(),
+            fx.metadata_action(
+                _logical_schema("name"),
+                configuration={"delta.columnMapping.mode": "weird"},
+            ),
+        ],
+    )
+    with pytest.raises(DeltaProtocolError, match="column mapping"):
+        delta_snapshot(spark, table)

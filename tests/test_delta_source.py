@@ -204,6 +204,10 @@ def test_protocol_gates(spark, tmp_path):
     with pytest.raises(DeltaProtocolError, match="minReaderVersion"):
         read_delta(spark, table)
 
+    # deletion vectors are SUPPORTED now — but a malformed descriptor
+    # still fails loudly at read time, never a silent wrong result
+    from pos_dlt_spark.sources.dv import DeletionVectorError
+
     table2 = _simple_table(spark, tmp_path, "proto2")
     fx.write_commit(
         table2,
@@ -216,9 +220,11 @@ def test_protocol_gates(spark, tmp_path):
             )
         ],
     )
-    with pytest.raises(DeltaProtocolError, match="deletion vector"):
-        read_delta(spark, table2)
+    with pytest.raises(DeletionVectorError):
+        read_delta(spark, table2).collect()
 
+    # column mapping declared but fields missing the mapping metadata ->
+    # loud protocol error (a well-formed mapping reads fine: test_delta_cm)
     table3 = _simple_table(spark, tmp_path, "proto3")
     fx.write_commit(
         table3,
@@ -368,3 +374,41 @@ def test_predicate_pushdown_reaches_scan(spark, tmp_path):
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(id), GreaterThan(id,7)]" in plan
     assert sorted(r.id for r in got.collect()) == [8, 9]
+
+
+def test_incomplete_multipart_checkpoint_falls_back(spark, tmp_path):
+    """ADVICE r04 (low): a partially-present multi-part checkpoint
+    (interrupted copy/cleanup) must NOT fold silently incomplete state —
+    the reader falls back to full JSON replay (commits intact) and, with
+    the chain also cleaned, fails loudly instead of returning wrong rows."""
+    import shutil
+
+    table = _simple_table(spark, tmp_path, "mpck")
+    snap = delta_snapshot(spark, table)
+    actions = [fx.protocol_action(), fx.metadata_action(SCHEMA)] + [
+        fx.add_action(p, partition_values=pv) for p, pv in snap.files
+    ]
+    # write a complete classic checkpoint, then rename it to look like
+    # part 1 of a DECLARED 2-part set whose part 2 is missing
+    fx.write_checkpoint(table, 1, actions)
+    log = os.path.join(table, "_delta_log")
+    single = os.path.join(log, f"{1:020d}.checkpoint.parquet")
+    part1 = os.path.join(log, f"{1:020d}.checkpoint.{1:010d}.{2:010d}.parquet")
+    os.replace(single, part1)
+
+    # commits intact -> fold falls back to full JSON replay, result correct
+    got = read_delta(spark, table)
+    assert sorted(r.id for r in got.collect()) == list(range(10))
+
+    # chain cleaned (the incomplete checkpoint is all that's left below
+    # version 1) -> loud failure, never a silent partial fold
+    os.remove(os.path.join(log, f"{0:020d}.json"))
+    with pytest.raises(FileNotFoundError):
+        delta_snapshot(spark, table)
+
+    # restoring part 2 completes the set -> fold rides the checkpoint again
+    shutil.copy(part1, os.path.join(log, f"{1:020d}.checkpoint.{2:010d}.{2:010d}.parquet"))
+    # (duplicate actions in both parts are idempotent under the fold:
+    # add of the same path overwrites itself)
+    got = read_delta(spark, table)
+    assert sorted(r.id for r in got.collect()) == list(range(10))

@@ -316,7 +316,7 @@ def test_delta_writer_random_op_sequences_match_model(spark, tmp_path):
                 schema="k long, seq long, v string",
             )
 
-        for kind, arg in ops:
+        for op_i, (kind, arg) in enumerate(ops):
             if kind in ("append", "overwrite"):
                 lo = fresh[0]
                 rows = [(lo + i, 0, f"a{lo + i}") for i in range(arg)]
@@ -328,17 +328,19 @@ def test_delta_writer_random_op_sequences_match_model(spark, tmp_path):
                 else:
                     write_delta(mk(rows), table)
                 model.update({k: (s, v) for k, s, v in rows})
-            else:  # merge
+            else:  # merge — NO explicit tiebreakers: equal-sequence ties
+                # must resolve update-wins deterministically. The payload
+                # carries the op index so a tie that resolves the wrong
+                # way is visible in v, not hashed away.
                 if not os.path.isdir(os.path.join(table, "_delta_log")):
                     continue
-                rows = [(k, s, f"m{k}_{s}") for k, s in arg]
+                rows = [(k, s, f"m{k}_{s}_{op_i}") for k, s in arg]
                 delta_merge(
                     spark, table, mk(rows), keys=["k"], sequence_by="seq",
-                    tiebreakers=["v"],
                 )
                 for k, s, v in rows:
                     cur = model.get(k)
-                    if cur is None or (s, v) > cur:
+                    if cur is None or s >= cur[0]:
                         model[k] = (s, v)
         if not os.path.isdir(os.path.join(table, "_delta_log")):
             return
@@ -399,3 +401,213 @@ def test_merge_on_partitioned_table(spark, tmp_path):
         per_part.setdefault(pv.get("b"), []).append(rel)
     assert all(len(v) == 1 for v in per_part.values())
     assert {(r.k, r.seq, r.b) for r in read_delta(spark, table).collect()} == before_rows
+
+
+def test_merge_equal_sequence_update_wins_without_tiebreakers(spark, tmp_path):
+    """DLT apply_changes sequencing: on an equal sequence_by (and no
+    explicit tiebreakers) the UPDATE must win deterministically."""
+    import pandas as pd
+
+    from pos_dlt_spark.sources.delta_writer import delta_merge
+
+    table = str(tmp_path / "tie")
+    write_delta(
+        spark.createDataFrame(pd.DataFrame({"k": [1, 2], "seq": [5, 5], "v": ["old1", "old2"]})),
+        table,
+    )
+    delta_merge(
+        spark,
+        table,
+        spark.createDataFrame(pd.DataFrame({"k": [1], "seq": [5], "v": ["new1"]})),
+        keys=["k"],
+        sequence_by="seq",
+    )
+    got = {r.k: r.v for r in read_delta(spark, table).collect()}
+    assert got == {1: "new1", 2: "old2"}
+    # ...and a STALE (strictly older) update still loses
+    delta_merge(
+        spark,
+        table,
+        spark.createDataFrame(pd.DataFrame({"k": [1], "seq": [4], "v": ["stale"]})),
+        keys=["k"],
+        sequence_by="seq",
+    )
+    assert {r.k: r.v for r in read_delta(spark, table).collect()} == {1: "new1", 2: "old2"}
+
+
+def test_checkpoint_preserves_partition_metadata_and_stats(spark, tmp_path):
+    """ADVICE r04 (high): a partitioned table crossing checkpoint_interval
+    must keep partitionColumns/table id/configuration in the checkpoint's
+    metaData — and per-file stats must survive the checkpoint — or every
+    post-checkpoint snapshot reads the partition column as null, appends
+    die with spurious drift, and skipping silently degrades to full scans."""
+    table = str(tmp_path / "ckpart")
+    snap_ids = set()
+    for i in range(3):
+        df = spark.range(i * 10, i * 10 + 10).select(
+            F.col("id"), (F.col("id") % 2).cast("int").alias("b")
+        )
+        write_delta(df, table, partition_by=["b"], checkpoint_interval=2)
+        snap_ids.add(delta_snapshot(spark, table).table_id)
+    log = os.path.join(table, "_delta_log")
+    assert os.path.exists(os.path.join(log, f"{2:020d}.checkpoint.parquet"))
+    # drop the pre-checkpoint JSON chain: the fold now rides the checkpoint
+    for v in range(2):
+        os.remove(os.path.join(log, f"{v:020d}.json"))
+    snap = delta_snapshot(spark, table)
+    assert snap.partition_columns == ["b"]
+    assert len(snap_ids) == 1 and snap.table_id == next(iter(snap_ids))
+    got = read_delta(spark, table)
+    assert {(r.id, r.b) for r in got.collect()} == {(i, i % 2) for i in range(30)}
+    # appends keep working after the checkpoint crossing
+    write_delta(
+        spark.range(30, 35).select(F.col("id"), (F.col("id") % 2).cast("int").alias("b")),
+        table,
+        partition_by=["b"],
+        checkpoint_interval=2,
+    )
+    assert read_delta(spark, table).count() == 35
+    # per-file stats survived the checkpoint -> skipping still prunes
+    snap2 = delta_snapshot(spark, table)
+    assert any(a.get("stats") for a in snap2.adds.values())
+    _, skipped = skip_files(snap2, [("id", ">=", 30)])
+    assert skipped > 0
+
+
+def test_merge_partition_key_unsafe_type_touches_all_correctly(spark, tmp_path):
+    """ADVICE r04 (low): a partition KEY whose string cast may not match
+    the directory rendering (double) must fall back to touching all files —
+    merge result stays duplicate-free and correct."""
+    import pandas as pd
+
+    from pos_dlt_spark.sources.delta_writer import delta_merge
+
+    table = str(tmp_path / "pdouble")
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": [0.5, 1.5, 0.5, 1.5], "seq": [1, 1, 1, 1], "v": ["a", "b", "c", "d"]})
+    ).withColumn("k", F.col("k").cast("double"))
+    write_delta(df, table, partition_by=["k"])
+    delta_merge(
+        spark,
+        table,
+        spark.createDataFrame(pd.DataFrame({"k": [0.5], "seq": [9], "v": ["new"]})).withColumn(
+            "k", F.col("k").cast("double")
+        ),
+        keys=["k"],
+        sequence_by="seq",
+    )
+    rows = read_delta(spark, table).collect()
+    ks = [r.k for r in rows]
+    assert sorted(ks) == [0.5, 1.5], f"duplicate/missing keys after merge: {ks}"
+    assert {r.k: r.v for r in rows}[0.5] == "new"
+
+
+def test_vacuum_spares_files_newer_than_last_commit(spark, tmp_path):
+    """ADVICE r04 (medium): files staged into the table root by an
+    in-flight writer (mtime after the newest log entry) must survive
+    vacuum; genuinely unreferenced old files are still deleted."""
+    table = str(tmp_path / "vacrace")
+    write_delta(_df(spark, 0, 10).coalesce(1), table)
+    write_delta(_df(spark, 10, 20).coalesce(1), table, mode="overwrite")
+
+    from pos_dlt_spark.sources.delta_writer import delta_vacuum
+
+    # simulate an in-flight writer: a staged data file moved into the
+    # table root AFTER the last commit, not yet referenced by any version
+    inflight = os.path.join(table, "part-inflight.parquet")
+    import shutil as _sh
+
+    src = [
+        os.path.join(table, n) for n in os.listdir(table) if n.endswith(".parquet")
+    ][0]
+    _sh.copy(src, inflight)
+    os.utime(inflight)  # now > last commit mtime
+
+    deleted = delta_vacuum(spark, table, retain_versions=0)
+    assert "part-inflight.parquet" not in deleted
+    assert os.path.exists(inflight)
+    assert len(deleted) >= 1  # v0's replaced file IS collected
+    # ...and with a grace window nothing at all is deleted
+    write_delta(_df(spark, 20, 30).coalesce(1), table, mode="overwrite")
+    assert delta_vacuum(spark, table, retain_versions=0, grace_seconds=3600.0) == []
+
+
+def test_write_delta_precommit_abort_leaves_table_untouched(spark, tmp_path):
+    table = str(tmp_path / "pre")
+    write_delta(_df(spark, 0, 10), table)
+    before_files = sorted(
+        os.path.join(r, n)
+        for r, _, fs in os.walk(table)
+        for n in fs
+        if n.endswith(".parquet") and "_delta_log" not in r
+    )
+    with pytest.raises(RuntimeError, match="expectations"):
+        write_delta(
+            _df(spark, 10, 20),
+            table,
+            mode="overwrite",
+            precommit=lambda: (_ for _ in ()).throw(RuntimeError("expectations failed")),
+        )
+    after_files = sorted(
+        os.path.join(r, n)
+        for r, _, fs in os.walk(table)
+        for n in fs
+        if n.endswith(".parquet") and "_delta_log" not in r
+    )
+    assert after_files == before_files
+    assert delta_snapshot(spark, table).version == 0
+    assert sorted(r.id for r in read_delta(spark, table).collect()) == list(range(10))
+
+
+def test_txn_idempotent_append_and_merge(spark, tmp_path):
+    """SetTransaction (protocol txn action): re-committing the same
+    (appId, version) is a no-op — the foreachBatch-replay exactly-once
+    contract — and the watermark survives checkpoints."""
+    import pandas as pd
+
+    from pos_dlt_spark.sources.delta_writer import delta_merge
+
+    table = str(tmp_path / "txn")
+    write_delta(_df(spark, 0, 10), table, txn=("app", 0))
+    assert read_delta(spark, table).count() == 10
+    # replay of batch 0: skipped, no new version, no duplicate rows
+    v = write_delta(_df(spark, 0, 10), table, txn=("app", 0))
+    assert v == 0 and read_delta(spark, table).count() == 10
+    # next batch commits; an OLDER batch id is also skipped
+    write_delta(_df(spark, 10, 20), table, txn=("app", 3))
+    assert write_delta(_df(spark, 90, 95), table, txn=("app", 1)) == 1
+    assert read_delta(spark, table).count() == 20
+    # a DIFFERENT appId is independent
+    write_delta(_df(spark, 20, 25), table, txn=("other", 0))
+    assert read_delta(spark, table).count() == 25
+    assert delta_snapshot(spark, table).txns == {"app": 3, "other": 0}
+
+    # merge: replayed batch is skipped too
+    mt = str(tmp_path / "txnm")
+    write_delta(
+        spark.createDataFrame(pd.DataFrame({"k": [1], "seq": [1], "v": ["a"]})), mt
+    )
+    upd = spark.createDataFrame(pd.DataFrame({"k": [1], "seq": [2], "v": ["b"]}))
+    delta_merge(spark, mt, upd, keys=["k"], sequence_by="seq", txn=("cdc", 7))
+    v1 = delta_snapshot(spark, mt).version
+    assert (
+        delta_merge(spark, mt, upd, keys=["k"], sequence_by="seq", txn=("cdc", 7))
+        == v1
+    )
+    assert delta_snapshot(spark, mt).version == v1
+    assert {r.v for r in read_delta(spark, mt).collect()} == {"b"}
+
+
+def test_txn_watermark_survives_checkpoint(spark, tmp_path):
+    table = str(tmp_path / "txnck")
+    for i in range(3):
+        write_delta(_df(spark, i * 10, i * 10 + 10), table,
+                    checkpoint_interval=2, txn=("app", i))
+    log = os.path.join(table, "_delta_log")
+    assert os.path.exists(os.path.join(log, f"{2:020d}.checkpoint.parquet"))
+    for v in range(2):
+        os.remove(os.path.join(log, f"{v:020d}.json"))
+    assert delta_snapshot(spark, table).txns == {"app": 2}
+    # replay of an already-checkpointed batch is still skipped
+    assert write_delta(_df(spark, 0, 10), table, txn=("app", 1)) == 2
+    assert read_delta(spark, table).count() == 30

@@ -36,13 +36,22 @@ GROUP BY a.store_id, a.item_id
 """
 
 
-@pytest.fixture(scope="module")
-def pipeline_result(spark, pos_fixtures, tmp_path_factory):
-    storage = tmp_path_factory.mktemp("pos_storage")
-    pipe = build_pos_pipeline(str(storage), pos_fixtures.root)
+@pytest.fixture(scope="module", params=["parquet", "delta"])
+def pipeline_result(request, spark, pos_fixtures, tmp_path_factory):
+    """The full e2e pipeline in BOTH storage modes: plain parquet dirs and
+    real protocol Delta tables (atomic overwrite commits, SetTransaction
+    exactly-once streams, MERGE-maintained CDC target)."""
+    storage = tmp_path_factory.mktemp(f"pos_storage_{request.param}")
+    pipe = build_pos_pipeline(
+        str(storage), pos_fixtures.root, storage_format=request.param
+    )
     runner = PipelineRunner(pipe)
     order = runner.run_once(spark)
     return pipe, order
+
+
+def _read(spark, pipe, name):
+    return pipe.read(spark, name)
 
 
 def oracle_gold(pos_fixtures) -> pd.DataFrame:
@@ -77,7 +86,7 @@ def test_run_order_is_topological(pipeline_result):
 
 def test_latest_snapshot_one_row_per_key_out_of_order_ignored(spark, pipeline_result, pos_fixtures):
     pipe, _ = pipeline_result
-    df = spark.read.parquet(pipe.table_path("latest_inventory_snapshot"))
+    df = _read(spark, pipe, "latest_inventory_snapshot")
     rows = df.collect()
     keys = [(r.store_id, r.item_id) for r in rows]
     assert len(keys) == len(set(keys)), "CDC target must hold one row per key"
@@ -87,21 +96,21 @@ def test_latest_snapshot_one_row_per_key_out_of_order_ignored(spark, pipeline_re
 
 def test_silver_dedup_collapsed_resends(spark, pipeline_result, pos_fixtures):
     pipe, _ = pipeline_result
-    df = spark.read.parquet(pipe.table_path("inventory_change"))
+    df = _read(spark, pipe, "inventory_change")
     pairs = [(r.trans_id, r.item_id) for r in df.collect() if r.item_id is not None]
     assert len(pairs) == len(set(pairs)), "duplicate (trans_id, item_id) survived dedup"
 
 
 def test_header_only_events_retained(spark, pipeline_result):
     pipe, _ = pipeline_result
-    df = spark.read.parquet(pipe.table_path("inventory_change"))
+    df = _read(spark, pipe, "inventory_change")
     hdr = df.filter("item_id IS NULL").collect()
     assert len(hdr) > 0, "explode_outer must keep events with null items"
 
 
 def test_gold_matches_duckdb_oracle(spark, pipeline_result, pos_fixtures):
     pipe, _ = pipeline_result
-    gold = spark.read.parquet(pipe.table_path("inventory_current")).toPandas()
+    gold = _read(spark, pipe, "inventory_current").toPandas()
     expected = oracle_gold(pos_fixtures)
     g = gold.sort_values(["store_id", "item_id"], ignore_index=True)
     e = expected.sort_values(["store_id", "item_id"], ignore_index=True)
@@ -114,7 +123,7 @@ def test_gold_outer_join_retention(spark, pipeline_result):
     """Snapshot keys with zero post-snapshot changes keep change_quantity=0
     (reference 04:59,80)."""
     pipe, _ = pipeline_result
-    gold = spark.read.parquet(pipe.table_path("inventory_current"))
+    gold = _read(spark, pipe, "inventory_current")
     zero = gold.filter("change_quantity = 0").count()
     assert gold.count() > 0
     # current_inventory equals snapshot for untouched keys
@@ -127,9 +136,9 @@ def test_second_run_is_stable(spark, pipeline_result, pos_fixtures):
     (streams have checkpoints; CDC re-merge is idempotent; live tables
     recompute to the same result)."""
     pipe, _ = pipeline_result
-    before = spark.read.parquet(pipe.table_path("inventory_current")).toPandas()
+    before = _read(spark, pipe, "inventory_current").toPandas()
     PipelineRunner(pipe).run_once(spark)
-    after = spark.read.parquet(pipe.table_path("inventory_current")).toPandas()
+    after = _read(spark, pipe, "inventory_current").toPandas()
     key = ["store_id", "item_id"]
     pd.testing.assert_frame_equal(
         before.sort_values(key, ignore_index=True)[sorted(before.columns)],
