@@ -332,6 +332,7 @@ def delta_merge(
     sequence_by: str,
     tiebreakers: list[str] | None = None,
     txn: tuple[str, int] | None = None,
+    range_join_threshold: int = 100_000,
 ) -> int:
     """Latest-per-key MERGE (upsert) into a Delta table — the operation
     the reference's CDC rides (`03_Bronze-to-Silver ETL.py:379-384`,
@@ -382,9 +383,14 @@ def delta_merge(
     # the per-file [min, max] table from the log stats, broadcast it
     # against the DISTINCT update keys with a BETWEEN join, and collect
     # the touched file ids — driver cost bounded by FILE COUNT. Files
-    # without usable stats are always touched (conservative). At
-    # 1M-files x 1B-keys scale, swap the broadcast BETWEEN join for the
-    # bucketized interval join (operators/rangejoin.py) — same result.
+    # without usable stats are always touched (conservative). Past
+    # ``range_join_threshold`` stat-ful files (integral keys), the
+    # broadcast BETWEEN join — O(files x distinct keys) comparisons —
+    # switches to a BUCKETIZED interval equi-join (the rangejoin.py
+    # pattern on the numeric domain): bucket width = widest file
+    # interval, each file lands in <= 2 buckets, keys hash to their
+    # bucket, and the residual BETWEEN applies after the equi-join —
+    # same exact touched set, shuffle-partitioned instead of all-pairs.
     _PARTITION_RENDER_SAFE = {"string", "tinyint", "smallint", "int", "bigint", "boolean", "date"}
     if keys[0] in snap.partition_columns:
         key_type = {f.name: f.dataType.simpleString() for f in snap.schema.fields}[keys[0]]
@@ -431,18 +437,53 @@ def delta_merge(
             key_type = dict(
                 (f.name, f.dataType.simpleString()) for f in snap.schema.fields
             )[keys[0]]
-            rng = local_df(
-                spark, ranges, f"__rel string, __lo {key_type}, __hi {key_type}"
-            )
-            hit = (
-                kt.join(
-                    F.broadcast(rng),
-                    (F.col("__k") >= F.col("__lo")) & (F.col("__k") <= F.col("__hi")),
+            integral = key_type in ("tinyint", "smallint", "int", "bigint")
+            if integral and len(ranges) > range_join_threshold:
+                # bucketized interval equi-join (the scale path). Shift by
+                # the global min so both sides' bucket arithmetic stays
+                # non-negative (Spark's DIV truncates toward zero,
+                # Python's // floors — they agree only on non-negatives;
+                # keys below the shift sit outside every file interval,
+                # so their bucket is moot). Bucket width = the widest
+                # file interval, so each file expands to <= 2 bucket rows.
+                base = min(int(lo) for _, lo, _ in ranges)
+                width = max(int(hi) - int(lo) for _, lo, hi in ranges) + 1
+                rows = []
+                for rel, lo, hi in ranges:
+                    for b in {(int(lo) - base) // width, (int(hi) - base) // width}:
+                        rows.append((rel, lo, hi, b))
+                rng = local_df(
+                    spark, rows,
+                    f"__rel string, __lo {key_type}, __hi {key_type}, __b bigint",
                 )
-                .select("__rel")
-                .distinct()
-                .collect()
-            )
+                hit = (
+                    kt.withColumn(
+                        "__b",
+                        F.expr(
+                            f"CAST((CAST(__k AS BIGINT) - {base}) DIV {width} AS BIGINT)"
+                        ),
+                    )
+                    .join(rng, "__b")
+                    .filter(
+                        (F.col("__k") >= F.col("__lo")) & (F.col("__k") <= F.col("__hi"))
+                    )
+                    .select("__rel")
+                    .distinct()
+                    .collect()
+                )
+            else:
+                rng = local_df(
+                    spark, ranges, f"__rel string, __lo {key_type}, __hi {key_type}"
+                )
+                hit = (
+                    kt.join(
+                        F.broadcast(rng),
+                        (F.col("__k") >= F.col("__lo")) & (F.col("__k") <= F.col("__hi")),
+                    )
+                    .select("__rel")
+                    .distinct()
+                    .collect()
+                )
             touched += [r["__rel"] for r in hit]
         except Exception:
             # pruning is an optimization, never a correctness dependency:

@@ -611,3 +611,52 @@ def test_txn_watermark_survives_checkpoint(spark, tmp_path):
     # replay of an already-checkpointed batch is still skipped
     assert write_delta(_df(spark, 0, 10), table, txn=("app", 1)) == 2
     assert read_delta(spark, table).count() == 30
+
+
+def test_merge_bucketized_range_join_pruning_same_touched_set(spark, tmp_path):
+    """The 1M-file scale path: past range_join_threshold stat-ful files,
+    exact pruning rides a bucketized interval EQUI-join instead of the
+    broadcast BETWEEN join. Forced here with threshold=1: same touched
+    set (disjoint file untouched byte-for-byte), same merge result."""
+    import pandas as pd
+
+    from pos_dlt_spark.sources.delta_writer import delta_merge
+
+    table = str(tmp_path / "mgbucket")
+    for lo in (0, 1000, 2000, 3000):
+        write_delta(
+            spark.createDataFrame(
+                pd.DataFrame(
+                    {"k": range(lo, lo + 100), "seq": [1] * 100, "v": ["x"] * 100}
+                )
+            ).coalesce(1),
+            table,
+        )
+    snap0 = delta_snapshot(spark, table)
+    assert len(snap0.files) == 4
+    # negative-capable shift path is exercised too: keys start at 0
+    untouched = [
+        rel
+        for rel in snap0.adds
+        if __import__("json").loads(snap0.adds[rel]["stats"])["minValues"]["k"] >= 1000
+    ]
+    before = {
+        rel: os.path.getmtime(os.path.join(table, rel)) for rel in untouched
+    }
+
+    upd = spark.createDataFrame(
+        pd.DataFrame({"k": [5, 42, 9999], "seq": [9, 9, 9], "v": ["a", "b", "ins"]})
+    )
+    delta_merge(
+        spark, table, upd, keys=["k"], sequence_by="seq", range_join_threshold=1
+    )
+    snap1 = delta_snapshot(spark, table)
+    live = {rel for rel, _ in snap1.files}
+    # the three files outside [0,100) survived untouched
+    assert all(rel in live for rel in untouched)
+    assert all(
+        os.path.getmtime(os.path.join(table, rel)) == before[rel] for rel in untouched
+    )
+    got = {r.k: r.v for r in read_delta(spark, table).collect()}
+    assert got[5] == "a" and got[42] == "b" and got[9999] == "ins" and got[7] == "x"
+    assert len(got) == 401

@@ -1,0 +1,183 @@
+"""Delta-suite scale decades (VERDICT r04 #8).
+
+Measures, on synthetic-but-protocol-shaped inputs:
+
+1. **Log fold at 1M files** — one decade past SCALE.md's 100k row: build
+   a `_delta_log` with N live add actions (JSON chain and classic
+   checkpoint variants) and time `delta_snapshot`. The fold is
+   driver-side metadata; the question is whether it stays linear with
+   sane constants at the documented boundary.
+
+2. **MERGE against 1000 banded files (10M rows)** — one decade past the
+   r04 100-file measurement, with the hull-defeating batch shape (50k
+   clustered updates + 10k top-of-keyspace inserts), comparing the
+   broadcast BETWEEN pruning against the bucketized interval-join scale
+   path (forced via range_join_threshold=1): touched set and results
+   must match, wall clocks recorded.
+
+Usage: python tools/delta_stress.py [fold|merge|all] [--files N]
+Writes human-readable results to stdout; transfer the numbers to
+SCALE.md by hand (they are host-dependent).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def build_session():
+    from pos_dlt_spark.session import get_spark
+
+    return get_spark("delta_stress")
+
+
+def stress_fold(spark, n_files: int) -> None:
+    from pos_dlt_spark.sources import delta_fixture as fx
+    from pos_dlt_spark.sources.delta import delta_snapshot
+    from pos_dlt_spark.tables import scratch_dir
+
+    work = scratch_dir("delta_fold_")
+    try:
+        per_commit = 1000
+        n_commits = n_files // per_commit
+        stats = json.dumps(
+            {"numRecords": 1000, "minValues": {"k": 0}, "maxValues": {"k": 999}}
+        )
+
+        # -- JSON chain variant --------------------------------------
+        tj = os.path.join(work, "json_chain")
+        os.makedirs(tj, exist_ok=True)
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        schema = StructType([StructField("k", LongType())])
+        t0 = time.perf_counter()
+        for c in range(n_commits):
+            actions = []
+            if c == 0:
+                actions += [fx.protocol_action(), fx.metadata_action(schema)]
+            actions += [
+                fx.add_action(f"part-{c}-{i}.parquet", size=1 << 20, stats=stats)
+                for i in range(per_commit)
+            ]
+            fx.write_commit(tj, c, actions)
+        build_json = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        snap = delta_snapshot(spark, tj)
+        fold_json = time.perf_counter() - t0
+        assert len(snap.files) == n_files, len(snap.files)
+
+        # -- checkpoint variant --------------------------------------
+        t0 = time.perf_counter()
+        fx.write_checkpoint(
+            tj,
+            n_commits - 1,
+            [fx.protocol_action(), fx.metadata_action(schema)]
+            + [{"add": a} for a in snap.adds.values()],
+        )
+        build_ckpt = time.perf_counter() - t0
+        # drop the JSON chain so the fold MUST ride the checkpoint
+        for c in range(n_commits):
+            os.remove(os.path.join(tj, "_delta_log", f"{c:020d}.json"))
+        t0 = time.perf_counter()
+        snap2 = delta_snapshot(spark, tj)
+        fold_ckpt = time.perf_counter() - t0
+        assert len(snap2.files) == n_files
+
+        log_mb = sum(
+            os.path.getsize(os.path.join(tj, "_delta_log", n))
+            for n in os.listdir(os.path.join(tj, "_delta_log"))
+        ) / 2**20
+        print(
+            f"fold n_files={n_files}: json_replay={fold_json:.2f}s "
+            f"checkpoint={fold_ckpt:.2f}s (log {log_mb:.0f} MB on disk; "
+            f"build: json {build_json:.1f}s, ckpt {build_ckpt:.1f}s)"
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def stress_merge(spark, n_files: int = 1000, rows: int = 10_000_000) -> None:
+    from pyspark.sql import functions as F
+
+    from pos_dlt_spark.sources.delta import delta_snapshot, read_delta
+    from pos_dlt_spark.sources.delta_writer import delta_merge, write_delta
+    from pos_dlt_spark.tables import scratch_dir
+
+    work = scratch_dir("delta_merge_")
+    try:
+        per_file = rows // n_files
+
+        def build(table: str) -> None:
+            df = (
+                spark.range(rows)
+                .select(
+                    F.col("id").alias("k"),
+                    F.lit(1).alias("seq"),
+                    (F.col("id") % 97).cast("long").alias("v"),
+                )
+                .repartitionByRange(n_files, "k")
+            )
+            write_delta(df, table)
+
+        def batch():
+            # 50k updates clustered in one band + 10k inserts past the top
+            upd = spark.range(3 * per_file, 3 * per_file + 50_000).select(
+                F.col("id").alias("k"), F.lit(9).alias("seq"), F.lit(-1).cast("long").alias("v")
+            )
+            ins = spark.range(rows * 2, rows * 2 + 10_000).select(
+                F.col("id").alias("k"), F.lit(9).alias("seq"), F.lit(-2).cast("long").alias("v")
+            )
+            return upd.unionByName(ins)
+
+        results = {}
+        for label, thresh in (("broadcast_between", 10**9), ("bucketized_interval", 1)):
+            table = os.path.join(work, label)
+            t0 = time.perf_counter()
+            build(table)
+            t_build = time.perf_counter() - t0
+            files_before = {rel for rel, _ in delta_snapshot(spark, table).files}
+            t0 = time.perf_counter()
+            delta_merge(
+                spark, table, batch(), keys=["k"], sequence_by="seq",
+                range_join_threshold=thresh,
+            )
+            t_merge = time.perf_counter() - t0
+            snap = delta_snapshot(spark, table)
+            survived = sum(1 for rel, _ in snap.files if rel in files_before)
+            touched = len(files_before) - survived
+            total = read_delta(spark, table).count()
+            upd_applied = read_delta(spark, table).filter(F.col("v") == -1).count()
+            results[label] = (t_merge, touched, total, upd_applied, t_build)
+            print(
+                f"merge[{label}]: wall={t_merge:.2f}s touched={touched}/{n_files} "
+                f"rows={total} updates_applied={upd_applied} (build {t_build:.1f}s)"
+            )
+        a, b = results["broadcast_between"], results["bucketized_interval"]
+        assert a[1:4] == b[1:4], f"pruning paths disagree: {a} vs {b}"
+        print("touched set + results identical across pruning paths")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def main() -> None:
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    n_files = 1_000_000
+    if "--files" in sys.argv:
+        n_files = int(sys.argv[sys.argv.index("--files") + 1])
+    spark = build_session()
+    if which in ("fold", "all"):
+        stress_fold(spark, n_files)
+    if which in ("merge", "all"):
+        stress_merge(spark)
+
+
+if __name__ == "__main__":
+    main()
