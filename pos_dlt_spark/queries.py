@@ -692,6 +692,94 @@ def supplier_delta_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame
     return read_delta(spark, _DELTA_RT_CACHE[key])
 
 
+_CDF_KEYS = "a.user_id = s.user_id AND a.event_type = s.event_type"
+
+
+@query(
+    "events_delta_change_feed",
+    oracle=f"""
+    WITH seedw AS (
+        SELECT user_id, event_type, event_id, ts, value FROM (
+            SELECT user_id, event_type, event_id, ts, value,
+                   row_number() OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events WHERE event_id % 2 = 0) t WHERE rn = 1
+    ),
+    allw AS (
+        SELECT user_id, event_type, event_id, ts, value FROM (
+            SELECT user_id, event_type, event_id, ts, value,
+                   row_number() OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events) t WHERE rn = 1
+    )
+    SELECT a.user_id, a.event_type, a.event_id, a.ts, a.value,
+           'insert' AS _change_type
+    FROM allw a LEFT JOIN seedw s ON {_CDF_KEYS}
+    WHERE s.user_id IS NULL
+    UNION ALL
+    SELECT a.user_id, a.event_type, a.event_id, a.ts, a.value,
+           'update_postimage' AS _change_type
+    FROM allw a JOIN seedw s ON {_CDF_KEYS}
+    WHERE a.event_id % 2 = 1
+    UNION ALL
+    SELECT s.user_id, s.event_type, s.event_id, s.ts, s.value,
+           'update_preimage' AS _change_type
+    FROM allw a JOIN seedw s ON {_CDF_KEYS}
+    WHERE a.event_id % 2 = 1
+    """,
+)
+def events_delta_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change Data Feed end to end: the CDC-merge scenario
+    (even-event seed, odd-event MERGE) on a table with
+    ``delta.enableChangeDataFeed=true`` — the merge commit writes change
+    files under ``_change_data/`` (cdc actions, dataChange=false), and
+    ``read_change_feed`` returns exactly the merge's row-level deltas:
+    inserts (keys with no even row), update pre/postimages (keys where an
+    odd row beat the even winner); keys whose odd rows all LOST produce
+    no change. The oracle derives the same change set relationally from
+    the raw events — it matches only if the merge's change computation,
+    the change-file round-trip, and the pre/postimage pairing are all
+    exact."""
+    from pos_dlt_spark.sources.delta_cdf import read_change_feed
+    from pos_dlt_spark.sources.delta_writer import delta_merge, write_delta
+    from pos_dlt_spark.tables import scratch_dir
+
+    key = os.path.abspath(sf_dir) + "#cdf"
+    if key not in _DELTA_RT_CACHE:
+        import atexit
+        import shutil
+
+        work = scratch_dir("delta_cdf_")
+        atexit.register(shutil.rmtree, work, ignore_errors=True)
+        table = os.path.join(work, "cdf_target")
+        ev = load_table(spark, sf_dir, "events").select(
+            "user_id", "event_type", "event_id", "ts", "value"
+        )
+        seed = latest_per_key(
+            ev.filter(F.col("event_id") % 2 == 0),
+            ["user_id", "event_type"],
+            "ts",
+            tiebreakers=["event_id"],
+        )
+        write_delta(
+            seed.repartition(4), table,
+            configuration={"delta.enableChangeDataFeed": "true"},
+        )
+        delta_merge(
+            spark, table,
+            ev.filter(F.col("event_id") % 2 != 0),
+            keys=["user_id", "event_type"],
+            sequence_by="ts",
+            tiebreakers=["event_id"],
+        )
+        _DELTA_RT_CACHE[key] = table
+    return read_change_feed(
+        spark, _DELTA_RT_CACHE[key], start_version=1, end_version=1
+    ).select("user_id", "event_type", "event_id", "ts", "value", "_change_type")
+
+
 # ---------------------------------------------------------------------------
 # TPC-H-style operator coverage
 # ---------------------------------------------------------------------------

@@ -215,15 +215,47 @@ def _commit_actions(path: str):
                 yield json.loads(line)
 
 
+def version_at_timestamp(path: str, ts) -> int:
+    """TIMESTAMP AS OF resolution: the newest version whose commit landed
+    at or before ``ts`` (epoch seconds, datetime, or ISO string) — commit
+    time is the log file's mtime, the same source real Delta uses when no
+    in-commit timestamps are present. Versions whose JSON was cleaned up
+    after a checkpoint cannot be timestamp-resolved (their commit time is
+    gone with the file) — same limitation as the protocol's own history
+    retention."""
+    import datetime
+
+    if isinstance(ts, str):
+        ts = datetime.datetime.fromisoformat(ts)
+    if isinstance(ts, datetime.datetime):
+        ts = ts.timestamp()
+    log_dir = os.path.join(path, "_delta_log")
+    commits, _ = _list_log(log_dir)
+    eligible = [v for v, p in commits if os.path.getmtime(p) <= float(ts)]
+    if not eligible:
+        raise ValueError(
+            f"no commit at or before timestamp {ts} in {path} "
+            f"(earliest surviving commit: "
+            f"{min((v for v, _ in commits), default=None)})"
+        )
+    return max(eligible)
+
+
 def delta_snapshot(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession, path: str, version: int | None = None, timestamp=None
 ) -> DeltaSnapshot:
     """Fold the action log into the live-file snapshot at ``version``
-    (default: latest). Raises :class:`DeltaProtocolError` on features a
-    plain parquet scan cannot honor."""
+    (default: latest). ``timestamp=`` resolves TIMESTAMP AS OF instead
+    (mutually exclusive with ``version``). Raises
+    :class:`DeltaProtocolError` on features a plain parquet scan cannot
+    honor."""
     log_dir = os.path.join(path, "_delta_log")
     if not os.path.isdir(log_dir):
         raise FileNotFoundError(f"not a Delta table (no _delta_log): {path}")
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError("pass version OR timestamp, not both")
+        version = version_at_timestamp(path, timestamp)
     commits, checkpoints = _list_log(log_dir)
     if not commits and not checkpoints:
         raise FileNotFoundError(f"empty _delta_log in {path}")
@@ -631,6 +663,7 @@ def read_delta(
     path: str,
     version: int | None = None,
     prune: list[tuple[str, str, object]] | None = None,
+    timestamp=None,
 ) -> DataFrame:
     """Read a Delta table as a DataFrame — the protocol fold picks the
     files; the scan is ordinary distributed parquet with the LOG's schema
@@ -648,8 +681,9 @@ def read_delta(
     caller still applies the real ``.filter`` for row-level semantics;
     with or without ``prune`` the filtered result is identical (DV'd
     file stats describe the physical file, a superset of live rows, so
-    skipping stays conservative)."""
-    snap = delta_snapshot(spark, path, version)
+    skipping stays conservative). ``timestamp=`` is TIMESTAMP AS OF
+    (see :func:`version_at_timestamp`)."""
+    snap = delta_snapshot(spark, path, version, timestamp=timestamp)
     if prune:
         snap, _ = skip_files(snap, prune)
     if not snap.files:

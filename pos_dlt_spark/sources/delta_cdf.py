@@ -1,0 +1,248 @@
+"""Change Data Feed (CDF) for the protocol Delta suite — built from the
+public PROTOCOL.md "Add CDC File" / "Change Data Files" section and the
+delta-io CDF docs (`table_changes` semantics):
+
+- When ``delta.enableChangeDataFeed=true``, DML commits (MERGE/DELETE
+  here) also write CHANGE files under ``_change_data/`` holding the
+  changed rows plus a ``_change_type`` column
+  (``insert`` / ``update_preimage`` / ``update_postimage`` /
+  ``delete``), referenced by ``cdc`` actions in the commit
+  (``dataChange: false`` — they are derived data, invisible to normal
+  reads and streaming replay).
+- Reading changes for a commit: if the commit carries cdc actions, its
+  change files ARE the change set; otherwise changes derive from the
+  data actions — ``add`` (dataChange=true) files are inserts, ``remove``
+  (dataChange=true) files are deletes of their full content (readable
+  until VACUUM collects them), exactly the protocol's derivation rule.
+  A DV-carrying add in a commit WITHOUT cdc files is a row-level delete
+  that adds alone cannot represent — loud error, mirroring the
+  streaming-replay refusal.
+
+Everything stays in the existing cost classes: change files are written
+by distributed jobs, the per-commit action walk is driver metadata, and
+reads are pinned-schema parquet scans.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pos_dlt_spark.sources.delta import (
+    DeltaProtocolError,
+    DeltaSnapshot,
+    _abs_file,
+    _commit_actions,
+    _list_log,
+    delta_snapshot,
+)
+
+CHANGE_TYPE = "_change_type"
+COMMIT_VERSION = "_commit_version"
+
+
+def cdf_enabled(snap: DeltaSnapshot) -> bool:
+    return (snap.configuration.get("delta.enableChangeDataFeed") or "").lower() == "true"
+
+
+def stage_change_files(
+    changes: DataFrame, table_path: str, partition_by: list[str] | None
+) -> list[dict]:
+    """Write the change rows (data columns + ``_change_type``) under
+    ``_change_data/`` (Hive-partitioned like the data files when the
+    table is partitioned) and return the ``cdc`` actions for the commit."""
+    from urllib.parse import unquote
+
+    cd = os.path.join(table_path, "_change_data")
+    staging = os.path.join(table_path, f"_staging_{uuid.uuid4().hex[:12]}")
+    w = changes.write
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(staging)
+    actions = []
+    for root, _dirs, files in os.walk(staging):
+        for n in sorted(files):
+            if not n.endswith(".parquet"):
+                continue
+            sub = os.path.relpath(root, staging)
+            segs = [] if sub == "." else sub.split(os.sep)
+            pvals: dict[str, str | None] = {}
+            for seg in segs:
+                k, _, v = seg.partition("=")
+                pvals[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
+            rel_dir = "/".join(segs)
+            rel = (
+                "_change_data/"
+                + (rel_dir + "/" if rel_dir else "")
+                + f"cdc-{uuid.uuid4().hex}.parquet"
+            )
+            dest = os.path.join(table_path, rel)
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            os.replace(os.path.join(root, n), dest)
+            actions.append(
+                {
+                    "cdc": {
+                        "path": rel,
+                        "partitionValues": pvals,
+                        "size": os.path.getsize(dest),
+                        "dataChange": False,
+                    }
+                }
+            )
+    import shutil
+
+    shutil.rmtree(staging, ignore_errors=True)
+    return actions
+
+
+def merge_change_rows(old: DataFrame, merged_tagged: DataFrame, keys: list[str]) -> DataFrame:
+    """Change set of a latest-per-key MERGE, from the two frames the merge
+    already has in hand: ``old`` (the touched files' live rows) and
+    ``merged_tagged`` (the winners, still carrying ``__upd`` = 1 when the
+    winner came from the update batch). Winners with ``__upd`` = 0 are
+    rewritten-but-unchanged rows — not changes. Update-batch winners
+    whose key exists in ``old`` are updates (postimage = winner,
+    preimage = the old row); the rest are inserts. One shuffle on the
+    merge keys, the same key partitioning the merge window just used."""
+    data_cols = [c for c in old.columns]
+    winners = merged_tagged.filter(F.col("__upd") == 1).drop("__upd")
+    old_keys = old.select(*keys).distinct()
+    post = (
+        winners.join(old_keys, on=keys, how="left_semi")
+        .select(*data_cols)
+        .withColumn(CHANGE_TYPE, F.lit("update_postimage"))
+    )
+    ins = (
+        winners.join(old_keys, on=keys, how="left_anti")
+        .select(*data_cols)
+        .withColumn(CHANGE_TYPE, F.lit("insert"))
+    )
+    # preimage: the old row of every key an update-batch winner displaced
+    pre = (
+        old.join(winners.select(*keys).distinct(), on=keys, how="left_semi")
+        .select(*data_cols)
+        .withColumn(CHANGE_TYPE, F.lit("update_preimage"))
+    )
+    return pre.unionByName(post).unionByName(ins)
+
+
+def read_change_feed(
+    spark: SparkSession,
+    path: str,
+    start_version: int = 0,
+    end_version: int | None = None,
+) -> DataFrame:
+    """``table_changes(start, end)``: one DataFrame of the table schema
+    plus ``_change_type`` and ``_commit_version``, covering every commit
+    in the (inclusive) version range. Commits with cdc actions contribute
+    their change files verbatim; commits without derive inserts from
+    dataChange adds and deletes from dataChange removes (the removed
+    file's content — VACUUMed history raises FileNotFoundError, the same
+    retention bound real CDF reads have)."""
+    snap = delta_snapshot(spark, path)
+    if snap.column_mapping != "none":
+        raise DeltaProtocolError("CDF read not supported on column-mapping tables")
+    out_cols = [f.name for f in snap.schema.fields]
+    types = {f.name: f.dataType for f in snap.schema.fields}
+    commits, _ = _list_log(os.path.join(path, "_delta_log"))
+
+    def attach_partitions(df: DataFrame, pvals: dict) -> DataFrame:
+        for c in snap.partition_columns:
+            v = pvals.get(c)
+            lit = F.lit(None) if v is None else F.lit(v)
+            df = df.withColumn(c, lit.cast(types[c]))
+        return df
+
+    def scan_groups(
+        entries: list[tuple[str, dict]], extra_schema: str | None
+    ) -> list[DataFrame]:
+        """One pinned-schema scan per partition tuple over (rel, pvals)
+        entries; change files carry _change_type as a real column."""
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        base = StructType(
+            [f for f in snap.schema.fields if f.name not in snap.partition_columns]
+        )
+        if extra_schema:
+            base = StructType(base.fields + [StructField(CHANGE_TYPE, StringType())])
+        groups: dict[tuple, tuple[dict, list[str]]] = {}
+        for rel, pvals in entries:
+            k = tuple(pvals.get(c) for c in snap.partition_columns)
+            groups.setdefault(k, (pvals, []))[1].append(_abs_file(path, rel))
+        frames = []
+        for k in sorted(groups, key=lambda t: tuple(map(str, t))):
+            pvals, fpaths = groups[k]
+            d = spark.read.schema(base).parquet(*fpaths)
+            frames.append(attach_partitions(d, pvals))
+        return frames
+
+    parts: list[DataFrame] = []
+    for v, p in commits:
+        if v < start_version or (end_version is not None and v > end_version):
+            continue
+        actions = list(_commit_actions(p))
+        cdc_entries: list[tuple[str, dict]] = []
+        add_entries: list[tuple[str, dict]] = []
+        remove_entries: list[tuple[str, dict]] = []
+        dv_adds = False
+        for a in actions:
+            if "cdc" in a:
+                cdc_entries.append(
+                    (a["cdc"]["path"], dict(a["cdc"].get("partitionValues") or {}))
+                )
+            elif "add" in a and a["add"].get("dataChange", True):
+                add_entries.append(
+                    (a["add"]["path"], dict(a["add"].get("partitionValues") or {}))
+                )
+                dv_adds = dv_adds or bool(a["add"].get("deletionVector"))
+            elif "remove" in a and a["remove"].get("dataChange", True):
+                remove_entries.append(
+                    (a["remove"]["path"], dict(a["remove"].get("partitionValues") or {}))
+                )
+        if dv_adds and not cdc_entries:
+            raise DeltaProtocolError(
+                f"commit {v}: deletion-vector delete without change files — "
+                "row-level changes are underivable (table written without "
+                "delta.enableChangeDataFeed)"
+            )
+        if cdc_entries:
+            frames = scan_groups(cdc_entries, extra_schema=CHANGE_TYPE)
+        else:
+            frames = [
+                d.withColumn(CHANGE_TYPE, F.lit("insert"))
+                for d in scan_groups(add_entries, extra_schema=None)
+            ] + [
+                d.withColumn(CHANGE_TYPE, F.lit("delete"))
+                for d in scan_groups(remove_entries, extra_schema=None)
+            ]
+        for d in frames:
+            parts.append(
+                d.select(*out_cols, CHANGE_TYPE).withColumn(
+                    COMMIT_VERSION, F.lit(v).cast("bigint")
+                )
+            )
+    if not parts:
+        from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+        empty = StructType(
+            snap.schema.fields
+            + [StructField(CHANGE_TYPE, StringType()), StructField(COMMIT_VERSION, LongType())]
+        )
+        return spark.createDataFrame([], empty)
+    out = parts[0]
+    for d in parts[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+__all__ = [
+    "CHANGE_TYPE",
+    "COMMIT_VERSION",
+    "cdf_enabled",
+    "merge_change_rows",
+    "read_change_feed",
+    "stage_change_files",
+]

@@ -49,6 +49,55 @@ class DeltaCommitConflict(Exception):
     be safely replayed (overwrite); the caller decides what to do."""
 
 
+class DeltaConstraintViolation(Exception):
+    """>= 1 written row violates a ``delta.constraints.*`` CHECK
+    constraint; nothing was committed."""
+
+
+def _append_only(conf: dict[str, str]) -> bool:
+    return (conf.get("delta.appendOnly") or "").lower() == "true"
+
+
+def _table_constraints(conf: dict[str, str]) -> dict[str, str]:
+    pre = "delta.constraints."
+    return {k[len(pre):]: v for k, v in conf.items() if k.startswith(pre)}
+
+
+def _constrained(df: DataFrame, conf: dict[str, str]):
+    """Attach per-constraint violation counters to the write job
+    (``DataFrame.observe`` — an AggregatingAccumulator on the already-
+    running plan, zero extra scans) and return (df, check). ``check()``
+    raises :class:`DeltaConstraintViolation` after the job when any
+    written row violated a CHECK constraint — a row violates when the
+    expression is false OR null, the protocol's CHECK semantics."""
+    cons = _table_constraints(conf)
+    if not cons:
+        return df, None
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation()
+    aggs = [
+        F.sum(F.when(F.expr(expr), 0).otherwise(1)).cast("bigint").alias(name)
+        for name, expr in cons.items()
+    ]
+    df = df.observe(obs, *aggs)
+
+    def check() -> None:
+        bad = {
+            name: int(obs.get[name] or 0)
+            for name in cons
+            if int(obs.get[name] or 0) > 0
+        }
+        if bad:
+            raise DeltaConstraintViolation(
+                f"CHECK constraint(s) violated (rows): {bad}; "
+                f"definitions: { {n: cons[n] for n in bad} }"
+            )
+
+    return df, check
+
+
 def _writer_supports(snap: DeltaSnapshot) -> None:
     """Column-mapping tables are READ-ONLY interop here: this writer
     emits files under logical names, which would corrupt a table whose
@@ -194,6 +243,7 @@ def write_delta(
     max_retries: int = 20,
     precommit=None,
     txn: tuple[str, int] | None = None,
+    configuration: dict[str, str] | None = None,
 ) -> int:
     """Write ``df`` to the Delta table at ``path`` (created if absent).
     Returns the committed version.
@@ -218,7 +268,15 @@ def write_delta(
     or beyond this version, the call is a no-op (returns the current table
     version, writes nothing) — exactly-once micro-batch appends under
     foreachBatch replay, the same mechanism delta's own streaming sink
-    uses. The watermark survives checkpoints."""
+    uses. The watermark survives checkpoints.
+
+    ``configuration`` (creation only) sets the table properties in
+    metaData. Two are ENFORCED as the protocol obliges writers to:
+    ``delta.appendOnly='true'`` refuses any data-changing remove
+    (overwrite/merge/delete); ``delta.constraints.<name>='<sql expr>'``
+    CHECK constraints are validated on every written row (violation
+    counts ride the staging write job via observe — zero extra scans)
+    and a violation aborts before any commit."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     spark = df.sparkSession
@@ -226,14 +284,28 @@ def write_delta(
     exists = os.path.isdir(log_dir) and any(
         n.endswith(".json") or n.endswith(".parquet") for n in os.listdir(log_dir)
     )
-    if txn is not None and exists:
+    if exists and configuration is not None:
+        raise ValueError("configuration is set at table creation only")
+    conf = configuration or {}
+    if exists:
         prior = delta_snapshot(spark, path)
-        if prior.txns.get(txn[0], -1) >= txn[1]:
+        _writer_supports(prior)
+        conf = prior.configuration
+        if txn is not None and prior.txns.get(txn[0], -1) >= txn[1]:
             return prior.version  # already committed: replay skipped
+        if mode == "overwrite" and _append_only(conf):
+            from pos_dlt_spark.sources.delta import DeltaProtocolError
+
+            raise DeltaProtocolError(
+                "table is delta.appendOnly: overwrite would remove data"
+            )
+    df, check_constraints = _constrained(df, conf)
     adds = _stage_and_move(df, path, partition_by)
-    if precommit is not None:
+    for pre in (check_constraints, precommit):
+        if pre is None:
+            continue
         try:
-            precommit()
+            pre()
         except BaseException:
             # abort before any commit: the staged files were already moved
             # into the table root but NO commit references them — remove
@@ -284,7 +356,11 @@ def write_delta(
             snap, version = None, 0
             actions = [
                 fx.protocol_action(),
-                fx.metadata_action(df.schema, partition_columns=list(partition_by or [])),
+                fx.metadata_action(
+                    df.schema,
+                    partition_columns=list(partition_by or []),
+                    configuration=conf or None,
+                ),
             ] + list(adds)
         if txn is not None:
             actions = [fx.txn_action(txn[0], txn[1])] + actions
@@ -501,6 +577,7 @@ def delta_merge(
     updates = updates.select(
         *[F.col(n).cast(tbl_types[n]).alias(n) for n in cols]
     )
+    old = None
     if touched:
         # the shared snapshot scanner recovers partition values (Hive
         # discovery or per-tuple literals) AND applies any deletion
@@ -530,14 +607,47 @@ def delta_merge(
         + [F.col("__upd").desc()]
     )
     w = Window.partitionBy(*keys).orderBy(*order)
-    merged = (
+    merged_tagged = (
         merged_in.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .drop("__rn", "__upd")
+        .drop("__rn")
     )
-    adds = _stage_and_move(merged, path, snap.partition_columns or None)
+    merged = merged_tagged.drop("__upd")
+    if touched and _append_only(snap.configuration):
+        from pos_dlt_spark.sources.delta import DeltaProtocolError
 
-    actions = [fx.remove_action(rel) for rel in touched] + adds
+        raise DeltaProtocolError(
+            "table is delta.appendOnly: merge would rewrite existing rows "
+            "(a pure-insert batch on disjoint keys is allowed)"
+        )
+    merged, check_constraints = _constrained(merged, snap.configuration)
+    adds = _stage_and_move(merged, path, snap.partition_columns or None)
+    if check_constraints is not None:
+        try:
+            check_constraints()
+        except BaseException:
+            for a in adds:
+                try:
+                    os.remove(os.path.join(path, a["add"]["path"]))
+                except OSError:
+                    pass
+            raise
+
+    cdc_actions: list[dict] = []
+    from pos_dlt_spark.sources.delta_cdf import (
+        cdf_enabled,
+        merge_change_rows,
+        stage_change_files,
+    )
+
+    if cdf_enabled(snap):
+        old_df = old if old is not None else spark.createDataFrame([], snap.schema)
+        changes = merge_change_rows(old_df, merged_tagged, keys)
+        cdc_actions = stage_change_files(
+            changes, path, snap.partition_columns or None
+        )
+
+    actions = cdc_actions + [fx.remove_action(rel) for rel in touched] + adds
     if txn is not None:
         actions = [fx.txn_action(txn[0], txn[1])] + actions
     version = snap.version + 1
@@ -681,6 +791,15 @@ def delta_vacuum(
                 rel = dv_relative_path(dv)
                 if rel:
                     referenced.add(rel.replace("/", os.sep))
+    # change-data (CDF) files of RETAINED commits stay readable; those of
+    # vacuumed-out history are collected with their data files
+    from pos_dlt_spark.sources.delta import _commit_actions, _list_log
+
+    for v, p in _list_log(log_dir)[0]:
+        if v in keep_versions:
+            for a in _commit_actions(p):
+                if "cdc" in a:
+                    referenced.add(a["cdc"]["path"].replace("/", os.sep))
     deleted = []
     for root, dirs, files in os.walk(path):
         rel_root = os.path.relpath(root, path)
@@ -743,6 +862,10 @@ def delta_delete(
         raise ValueError(f"mode must be dv|rewrite, got {mode!r}")
     snap = delta_snapshot(spark, path)
     _writer_supports(snap)
+    if _append_only(snap.configuration):
+        from pos_dlt_spark.sources.delta import DeltaProtocolError
+
+        raise DeltaProtocolError("table is delta.appendOnly: DELETE refused")
     if not snap.files:
         return snap.version, 0
 
@@ -811,6 +934,30 @@ def delta_delete(
         adds = _stage_and_move(keep, path, snap.partition_columns or None)
         actions = [fx.remove_action(rel) for rel in hit_rels] + adds
 
+    from pos_dlt_spark.sources.delta_cdf import (
+        CHANGE_TYPE,
+        cdf_enabled,
+        stage_change_files,
+    )
+
+    if cdf_enabled(snap):
+        # change files hold the NEWLY deleted rows: live rows (prior DVs
+        # applied — already-dead rows are not deleted again) matching the
+        # predicate, tagged 'delete'
+        dv_all = [
+            rel for rel, _ in snap.files if snap.adds.get(rel, {}).get("deletionVector")
+        ]
+        live = scan_rels(spark, snap, [r for r, _ in snap.files if r not in set(dv_all)])
+        if dv_all:
+            dvpart = _apply_deletion_vectors(spark, snap, dv_all)
+            live = live.unionByName(dvpart) if live is not None else dvpart
+        changes = live.filter(F.expr(predicate)).withColumn(
+            CHANGE_TYPE, F.lit("delete")
+        )
+        actions = stage_change_files(
+            changes, path, snap.partition_columns or None
+        ) + actions
+
     version = snap.version + 1
     if not _try_commit(os.path.join(path, "_delta_log"), version, actions):
         raise DeltaCommitConflict(
@@ -818,3 +965,29 @@ def delta_delete(
             "re-run against the new snapshot"
         )
     return version, n_deleted
+
+
+def delta_log_cleanup(spark, path: str) -> list[str]:
+    """Metadata retention (the log half of VACUUM): delete JSON commits at
+    or before the newest COMPLETE checkpoint — they are redundant for
+    state reconstruction (the checkpoint IS the folded state) and real
+    tables clean them on the same rule. Commits after the checkpoint are
+    never touched; with no checkpoint this is a no-op. Time travel to
+    cleaned versions and timestamp-based resolution over them stop
+    working — the protocol's own history-retention trade.
+
+    Returns the deleted log file names."""
+    from pos_dlt_spark.sources.delta import _checkpoint_complete, _list_log
+
+    log_dir = os.path.join(path, "_delta_log")
+    commits, checkpoints = _list_log(log_dir)
+    usable = [v for v in checkpoints if _checkpoint_complete(checkpoints[v])]
+    if not usable:
+        return []
+    horizon = max(usable)
+    deleted = []
+    for v, p in commits:
+        if v <= horizon:
+            os.remove(p)
+            deleted.append(os.path.basename(p))
+    return deleted

@@ -660,3 +660,138 @@ def test_merge_bucketized_range_join_pruning_same_touched_set(spark, tmp_path):
     got = {r.k: r.v for r in read_delta(spark, table).collect()}
     assert got[5] == "a" and got[42] == "b" and got[9999] == "ins" and got[7] == "x"
     assert len(got) == 401
+
+
+def test_append_only_table_refuses_data_changing_ops(spark, tmp_path):
+    """Protocol writer obligation: delta.appendOnly tables accept appends
+    (and pure-insert merges) but refuse overwrite / rewriting merge /
+    delete."""
+    import pandas as pd
+
+    from pos_dlt_spark.sources.delta import DeltaProtocolError
+    from pos_dlt_spark.sources.delta_writer import delta_delete, delta_merge
+
+    table = str(tmp_path / "ao")
+    write_delta(
+        spark.createDataFrame(pd.DataFrame({"k": [1, 2], "seq": [1, 1], "v": ["a", "b"]})),
+        table,
+        configuration={"delta.appendOnly": "true"},
+    )
+    write_delta(
+        spark.createDataFrame(pd.DataFrame({"k": [3], "seq": [1], "v": ["c"]})), table
+    )  # plain append: fine
+    # pure-insert merge on disjoint keys: no file touched -> allowed
+    delta_merge(
+        spark,
+        table,
+        spark.createDataFrame(pd.DataFrame({"k": [100], "seq": [1], "v": ["z"]})),
+        keys=["k"],
+        sequence_by="seq",
+    )
+    assert read_delta(spark, table).count() == 4
+    with pytest.raises(DeltaProtocolError, match="appendOnly"):
+        write_delta(
+            spark.createDataFrame(pd.DataFrame({"k": [9], "seq": [1], "v": ["x"]})),
+            table,
+            mode="overwrite",
+        )
+    with pytest.raises(DeltaProtocolError, match="appendOnly"):
+        delta_merge(
+            spark,
+            table,
+            spark.createDataFrame(pd.DataFrame({"k": [1], "seq": [9], "v": ["upd"]})),
+            keys=["k"],
+            sequence_by="seq",
+        )
+    with pytest.raises(DeltaProtocolError, match="appendOnly"):
+        delta_delete(spark, table, "k = 1")
+    assert read_delta(spark, table).count() == 4  # nothing changed
+
+
+def test_check_constraints_enforced_on_write_and_merge(spark, tmp_path):
+    """delta.constraints.* CHECK constraints: violating writes abort
+    BEFORE any commit (staged files removed), valid writes pass; the
+    counters ride the write job itself (observe), no extra scan."""
+    import pandas as pd
+
+    from pos_dlt_spark.sources.delta_writer import (
+        DeltaConstraintViolation,
+        delta_merge,
+    )
+
+    table = str(tmp_path / "chk")
+    write_delta(
+        spark.createDataFrame(pd.DataFrame({"k": [1], "seq": [1], "qty": [5]})),
+        table,
+        configuration={"delta.constraints.positive_qty": "qty >= 0"},
+    )
+    v0_files = sorted(
+        n for n in os.listdir(table) if n.endswith(".parquet")
+    )
+    with pytest.raises(DeltaConstraintViolation, match="positive_qty"):
+        write_delta(
+            spark.createDataFrame(pd.DataFrame({"k": [2], "seq": [1], "qty": [-3]})),
+            table,
+        )
+    # a NULL also violates (CHECK semantics: false OR null)
+    with pytest.raises(DeltaConstraintViolation, match="positive_qty"):
+        write_delta(
+            spark.createDataFrame(
+                pd.DataFrame({"k": [2], "seq": [1], "qty": [pd.NA]})
+            ).withColumn("qty", F.col("qty").cast("long")),
+            table,
+        )
+    assert delta_snapshot(spark, table).version == 0
+    assert sorted(n for n in os.listdir(table) if n.endswith(".parquet")) == v0_files
+    write_delta(
+        spark.createDataFrame(pd.DataFrame({"k": [2], "seq": [1], "qty": [7]})), table
+    )
+    with pytest.raises(DeltaConstraintViolation, match="positive_qty"):
+        delta_merge(
+            spark,
+            table,
+            spark.createDataFrame(pd.DataFrame({"k": [1], "seq": [9], "qty": [-1]})),
+            keys=["k"],
+            sequence_by="seq",
+        )
+    got = {r.k: r.qty for r in read_delta(spark, table).collect()}
+    assert got == {1: 5, 2: 7}
+    # configuration survives checkpoints (metaData carries it)
+    assert delta_snapshot(spark, table).configuration[
+        "delta.constraints.positive_qty"
+    ] == "qty >= 0"
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    import time as _time
+
+    from pos_dlt_spark.sources.delta import version_at_timestamp
+
+    table = str(tmp_path / "ts")
+    write_delta(_df(spark, 0, 10), table)
+    t_after_v0 = _time.time()
+    _time.sleep(0.05)
+    write_delta(_df(spark, 10, 20), table)
+    assert version_at_timestamp(table, t_after_v0) == 0
+    assert read_delta(spark, table, timestamp=t_after_v0).count() == 10
+    assert read_delta(spark, table, timestamp=_time.time()).count() == 20
+    with pytest.raises(ValueError, match="no commit"):
+        version_at_timestamp(table, 1.0)  # 1970: before every commit
+    with pytest.raises(ValueError, match="not both"):
+        read_delta(spark, table, version=0, timestamp=t_after_v0).count()
+
+
+def test_log_cleanup_deletes_only_checkpointed_commits(spark, tmp_path):
+    from pos_dlt_spark.sources.delta_writer import delta_log_cleanup
+
+    table = str(tmp_path / "logclean")
+    for i in range(7):
+        write_delta(_df(spark, i * 10, i * 10 + 10), table, checkpoint_interval=5)
+    deleted = delta_log_cleanup(spark, table)
+    assert deleted == [f"{v:020d}.json" for v in range(6)]  # v0..v5 <= ckpt@5
+    # post-checkpoint commit v6 survives; table still reads completely
+    assert sorted(r.id for r in read_delta(spark, table).collect()) == list(range(70))
+    # no checkpoint -> no-op
+    t2 = str(tmp_path / "logclean2")
+    write_delta(_df(spark, 0, 5), t2)
+    assert delta_log_cleanup(spark, t2) == []
