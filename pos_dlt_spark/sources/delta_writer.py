@@ -659,7 +659,13 @@ def delta_merge(
     return version
 
 
-def delta_optimize(spark, path: str, target_files: int = 1) -> int:
+def delta_optimize(
+    spark,
+    path: str,
+    target_files: int = 1,
+    zorder_by: list[str] | None = None,
+    zorder_bits: int = 12,
+) -> int:
     """OPTIMIZE (bin-pack compaction): rewrite each PARTITION's live
     files into at most ``target_files`` larger files (one group for an
     unpartitioned table; compaction never crosses a partition boundary)
@@ -674,6 +680,17 @@ def delta_optimize(spark, path: str, target_files: int = 1) -> int:
     ``dataChange: false`` — the logical rows are unchanged. A lost commit
     race aborts — re-run against the new snapshot; compaction is always
     safe to retry.
+
+    ``zorder_by`` is OPTIMIZE ZORDER BY: within each partition the
+    rewrite range-partitions AND sorts on the Morton interleave of the
+    given (numeric) columns (``storage.zorder_key``, each column
+    bucketized to ``zorder_bits`` bits over its observed span — one tiny
+    stats pass per group), so the rewritten files' footer min/max stats
+    are tight on EVERY z-column and ``skip_files``/``delta_merge``
+    pruning works for predicates on any of them — multi-dimensional
+    clustering, the one thing bin-packing alone cannot give. With
+    ``zorder_by`` every multi-file group is rewritten even at or below
+    ``target_files`` (re-clustering is the point).
 
     Returns the committed version."""
     snap = delta_snapshot(spark, path)
@@ -696,7 +713,8 @@ def delta_optimize(spark, path: str, target_files: int = 1) -> int:
 
     for k, rels in sorted(groups.items(), key=lambda kv: tuple(map(str, kv[0]))):
         dv_rels = [r for r in rels if snap.adds.get(r, {}).get("deletionVector")]
-        if len(rels) <= target_files and not dv_rels:
+        reorder = bool(zorder_by) and len(rels) > 1
+        if len(rels) <= target_files and not dv_rels and not reorder:
             continue  # DV'd files always compact: OPTIMIZE is also PURGE
         data_cols = [f.name for f in snap.data_schema.fields]
         plain = [r for r in rels if r not in set(dv_rels)]
@@ -711,7 +729,36 @@ def delta_optimize(spark, path: str, target_files: int = 1) -> int:
             dvpart = _apply_deletion_vectors(spark, snap, dv_rels).select(*data_cols)
             data = data.unionByName(dvpart) if data is not None else dvpart
         staging = os.path.join(path, f"_staging_{uuid.uuid4().hex[:12]}")
-        data.coalesce(target_files).write.parquet(staging)
+        if zorder_by:
+            from pyspark.sql import functions as F
+
+            from pos_dlt_spark.storage import zorder_key
+
+            missing = [c for c in zorder_by if c not in data_cols]
+            if missing:
+                raise ValueError(
+                    f"zorder_by columns {missing} not data columns "
+                    "(partition columns are already directory-clustered)"
+                )
+            stats_row = data.agg(
+                *[F.min(c).alias(f"mn_{c}") for c in zorder_by],
+                *[F.max(c).alias(f"mx_{c}") for c in zorder_by],
+            ).collect()[0]
+            bucketized = []
+            for c in zorder_by:
+                lo, hi = stats_row[f"mn_{c}"], stats_row[f"mx_{c}"]
+                span = max(int(hi) - int(lo), 0) + 1
+                width = max(-(-span // (1 << zorder_bits)), 1)
+                bucketized.append(f"((CAST({c} AS BIGINT) - {int(lo)}) div {width})")
+            out = (
+                data.withColumn("__z", zorder_key(bucketized, bits=zorder_bits))
+                .repartitionByRange(max(target_files, 1), "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+            out.write.parquet(staging)
+        else:
+            data.coalesce(target_files).write.parquet(staging)
         rel_dir = "/".join(
             f"{c}={'__HIVE_DEFAULT_PARTITION__' if v is None else v}"
             for c, v in zip(snap.partition_columns, k)

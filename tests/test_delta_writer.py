@@ -795,3 +795,35 @@ def test_log_cleanup_deletes_only_checkpointed_commits(spark, tmp_path):
     t2 = str(tmp_path / "logclean2")
     write_delta(_df(spark, 0, 5), t2)
     assert delta_log_cleanup(spark, t2) == []
+
+
+def test_optimize_zorder_clusters_for_multi_column_skipping(spark, tmp_path):
+    """OPTIMIZE ZORDER BY (a, b): after the rewrite, log-stats skipping
+    prunes files for predicates on EITHER column; a plain bin-pack of the
+    same data cannot (each file spans the full range of both)."""
+    from pos_dlt_spark.sources.delta_writer import delta_optimize
+
+    table = str(tmp_path / "zopt")
+    # 100x100 grid scattered across 8 files in insertion order: every
+    # file spans the full a- and b-range
+    grid = spark.range(100 * 100).select(
+        (F.col("id") % 100).alias("a"),
+        (F.col("id") / 100).cast("long").alias("b"),
+        F.col("id").alias("payload"),
+    )
+    write_delta(grid.repartition(8), table)
+    snap0 = delta_snapshot(spark, table)
+    _, skipped_before = skip_files(snap0, [("a", "<", 10)])
+    assert skipped_before == 0  # scattered: nothing provably excludable
+
+    delta_optimize(spark, table, target_files=16, zorder_by=["a", "b"])
+    snap1 = delta_snapshot(spark, table)
+    assert len(snap1.files) == 16
+    _, skip_a = skip_files(snap1, [("a", "<", 10)])
+    _, skip_b = skip_files(snap1, [("b", "<", 10)])
+    # z-clustering bounds both columns per file: most files prune on either
+    assert skip_a >= 8 and skip_b >= 8, (skip_a, skip_b)
+    # content identical
+    assert read_delta(spark, table).count() == 10_000
+    got = read_delta(spark, table, prune=[("a", "<", 10)]).filter(F.col("a") < 10)
+    assert got.count() == 1000
