@@ -692,6 +692,58 @@ def supplier_delta_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame
     return read_delta(spark, _DELTA_RT_CACHE[key])
 
 
+@query(
+    "orders_delta_zorder_skipping",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    WHERE o_custkey < 20
+    GROUP BY o_orderstatus
+    """,
+)
+def orders_delta_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER BY end to end: orders lands scattered across 8
+    Delta files (every file spans the full custkey/orderkey range — zero
+    skippable), is re-clustered by ``delta_optimize(zorder_by=
+    ['o_custkey', 'o_orderkey'])``, and a selective o_custkey predicate
+    is then served with log-stats pruning (the build asserts >=1/3 of the
+    files are provably excludable post-zorder — multi-dimensional
+    clustering the oracle can't see but the pruned result must still
+    match exactly)."""
+    from pos_dlt_spark.sources.delta import delta_snapshot, read_delta, skip_files
+    from pos_dlt_spark.sources.delta_writer import delta_optimize, write_delta
+    from pos_dlt_spark.tables import scratch_dir
+
+    key = os.path.abspath(sf_dir) + "#zorder"
+    if key not in _DELTA_RT_CACHE:
+        import atexit
+        import shutil
+
+        work = scratch_dir("delta_z_")
+        atexit.register(shutil.rmtree, work, ignore_errors=True)
+        table = os.path.join(work, "orders")
+        orders = load_table(spark, sf_dir, "orders")
+        write_delta(orders.repartition(8), table)
+        delta_optimize(spark, table, target_files=12, zorder_by=["o_custkey", "o_orderkey"])
+        snap = delta_snapshot(spark, table)
+        _, skipped = skip_files(snap, [("o_custkey", "<", 20)])
+        assert skipped * 3 >= len(snap.files), (
+            f"zorder clustering ineffective: {skipped}/{len(snap.files)} skipped"
+        )
+        _DELTA_RT_CACHE[key] = table
+    df = read_delta(
+        spark, _DELTA_RT_CACHE[key], prune=[("o_custkey", "<", 20)]
+    ).filter(F.col("o_custkey") < 20)
+    return df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
 _CDF_KEYS = "a.user_id = s.user_id AND a.event_type = s.event_type"
 
 
@@ -1301,5 +1353,8 @@ def prepare_bench_fixtures(spark: SparkSession, sf_dir: str) -> None:
     _delta_dims(spark, sf_dir)
     _delta_orders(spark, sf_dir)
     _pipeline_delta(spark, sf_dir)
+    # zorder gate: the optimize rewrite is the fixture; the gate times the
+    # pruned read (run the query body once to populate its cache)
+    REGISTRY["orders_delta_zorder_skipping"].fn(spark, sf_dir)
     # the write-roundtrip and cdc-merge tables ARE their own fixture (the
     # query measures the write+merge). Leave them in the timed region.

@@ -748,8 +748,19 @@ def delta_optimize(
             for c in zorder_by:
                 lo, hi = stats_row[f"mn_{c}"], stats_row[f"mx_{c}"]
                 span = max(int(hi) - int(lo), 0) + 1
-                width = max(-(-span // (1 << zorder_bits)), 1)
-                bucketized.append(f"((CAST({c} AS BIGINT) - {int(lo)}) div {width})")
+                # scale each column to the FULL 2^bits range (not floor-
+                # divide by a width): a narrow column (say 8 bits of span)
+                # next to a wide one would otherwise leave its high morton
+                # bits always zero and the z-curve degenerates into a sort
+                # on the wide column alone — no skipping on the narrow one
+                if span * (1 << zorder_bits) < (1 << 62):
+                    bucketized.append(
+                        f"LEAST(((CAST({c} AS BIGINT) - {int(lo)}) * "
+                        f"{1 << zorder_bits}) DIV {span}, {(1 << zorder_bits) - 1})"
+                    )
+                else:  # overflow-safe fallback for astronomically wide spans
+                    width = max(-(-span // (1 << zorder_bits)), 1)
+                    bucketized.append(f"((CAST({c} AS BIGINT) - {int(lo)}) div {width})")
             out = (
                 data.withColumn("__z", zorder_key(bucketized, bits=zorder_bits))
                 .repartitionByRange(max(target_files, 1), "__z")
