@@ -35,10 +35,10 @@ discovery inside the same single scan, and non-Hive layouts fall back to
 one scan per distinct partition tuple (bounded by partition count — the
 same cardinality any partition listing already pays).
 
-Supported: reader version 1 and 2 tables (column mapping 'none'), plus
-version-3 tables whose readerFeatures need nothing beyond type support
-(timestampNtz, v2Checkpoint json-compat not required — we read classic
-checkpoints), and DELETION VECTORS on live files (post-DELETE tables
+Supported: reader version 1 and 2 tables, version-3 readerFeatures
+timestampNtz / columnMapping (name + id read) / v2Checkpoint (manifest +
+sidecar fold, parquet or json manifests), classic single- and multi-part
+checkpoints, and DELETION VECTORS on live files (post-DELETE tables
 from modern writers): the descriptor's roaring bitmap is decoded
 driver-side (sources/dv.py) and applied as a distributed row-index
 anti-join against ``_metadata.row_index``. Unsupported features fail
@@ -59,12 +59,23 @@ from pyspark.sql.types import StructType
 
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
 _CKPT_RE = re.compile(r"^(\d{20})\.checkpoint(?:\.(\d+)\.(\d+))?\.parquet$")
+# V2 checkpoints: a single MANIFEST file named with a writer-chosen uuid
+# (json or parquet) whose actions include `sidecar` references to
+# add/remove files under _delta_log/_sidecars/ — what modern delta-spark
+# writes under the v2Checkpoint table feature. The uuid segment contains
+# letters/dashes, so it can never collide with the classic multi-part
+# `.NNNNNNNNNN.NNNNNNNNNN.` numeric pattern above.
+_CKPT_V2_RE = re.compile(r"^(\d{20})\.checkpoint\.([0-9a-fA-F-]{8,})\.(parquet|json)$")
 
-_SUPPORTED_READER_FEATURES = {"timestampNtz", "columnMapping", "deletionVectors"}
-# deletionVectors is genuinely supported (read + write paths).
-# columnMapping is listed because a table may DECLARE the feature while
-# this snapshot doesn't exercise it (mode 'none') — the snapshot fold
-# checks the actual mode and raises there.
+_SUPPORTED_READER_FEATURES = {
+    "timestampNtz",
+    "columnMapping",
+    "deletionVectors",
+    "v2Checkpoint",
+}
+# deletionVectors and v2Checkpoint are genuinely supported (read + write /
+# read paths). columnMapping name/id modes are read-supported; the
+# snapshot fold validates the mapping metadata and raises on gaps.
 
 
 class DeltaProtocolError(Exception):
@@ -113,7 +124,7 @@ def _list_log(log_dir: str) -> tuple[list[tuple[int, str]], dict[int, list[str]]
         if m:
             commits.append((int(m.group(1)), os.path.join(log_dir, name)))
             continue
-        m = _CKPT_RE.match(name)
+        m = _CKPT_RE.match(name) or _CKPT_V2_RE.match(name)
         if m:
             checkpoints.setdefault(int(m.group(1)), []).append(os.path.join(log_dir, name))
     commits.sort()
@@ -130,7 +141,10 @@ def _checkpoint_complete(parts: list[str]) -> bool:
     missing files, wrong schema — instead of failing or falling back."""
     multi: dict[int, set[int]] = {}
     for p in parts:
-        m = _CKPT_RE.match(os.path.basename(p))
+        name = os.path.basename(p)
+        if _CKPT_V2_RE.match(name):
+            return True  # v2 manifest: one file (sidecars checked at read)
+        m = _CKPT_RE.match(name)
         if m is None:
             continue
         if m.group(2) is None:
@@ -149,12 +163,11 @@ def _check_protocol(proto: dict) -> None:
         raise DeltaProtocolError(f"unsupported readerFeatures: {sorted(unsupported)}")
 
 
-def _checkpoint_actions(spark: SparkSession, parts: list[str]):
-    """Yield action dicts from a classic (possibly multi-part) checkpoint.
-
-    The checkpoint is parquet with one action per row (struct columns
-    txn/add/remove/metaData/protocol). Read via pyarrow on the driver:
-    the checkpoint is METADATA (its size rides file count); a
+def _parquet_checkpoint_actions(path: str):
+    """Yield action dicts from one checkpoint/sidecar parquet file
+    (struct columns txn/add/remove/metaData/protocol, plus
+    sidecar/checkpointMetadata in v2 manifests). Read via pyarrow on the
+    driver: the checkpoint is METADATA (its size rides file count); a
     billion-file table would read it with a distributed scan instead,
     but then the whole driver-side fold strategy changes with it.
 
@@ -173,38 +186,67 @@ def _checkpoint_actions(spark: SparkSession, parts: list[str]):
         # parquet map type reads back as a list of (key, value) tuples
         return dict(v) if isinstance(v, list) else (v or {})
 
-    for part in parts:
-        tbl = pq.read_table(part)
-        names = set(tbl.column_names)
-        for key in ("metaData", "protocol", "txn", "remove"):
-            if key not in names:
-                continue
-            for v in tbl.column(key).to_pylist():
-                if v is None:
-                    continue
-                if key == "metaData":
-                    v = {**v, "configuration": as_dict(v.get("configuration"))}
-                    if v.get("format") is not None:
-                        v["format"] = {
-                            **v["format"],
-                            "options": as_dict(v["format"].get("options")),
-                        }
-                yield {key: v}
-        if "add" not in names:
+    tbl = pq.read_table(path)
+    names = set(tbl.column_names)
+    for key in ("metaData", "protocol", "txn", "remove", "sidecar", "checkpointMetadata"):
+        if key not in names:
             continue
-        add_col = tbl.column("add")
-        add_type = add_col.type
-        field_names = [add_type.field(i).name for i in range(add_type.num_fields)]
-        columns = {
-            fn: pc.struct_field(add_col, fn).to_pylist() for fn in field_names
-        }
-        valid = pc.is_valid(add_col).to_pylist()
-        for i, ok in enumerate(valid):
-            if not ok:
+        for v in tbl.column(key).to_pylist():
+            if v is None:
                 continue
-            v = {fn: columns[fn][i] for fn in field_names}
-            v["partitionValues"] = as_dict(v.get("partitionValues"))
-            yield {"add": v}
+            if key == "metaData":
+                v = {**v, "configuration": as_dict(v.get("configuration"))}
+                if v.get("format") is not None:
+                    v["format"] = {
+                        **v["format"],
+                        "options": as_dict(v["format"].get("options")),
+                    }
+            yield {key: v}
+    if "add" not in names:
+        return
+    add_col = tbl.column("add")
+    add_type = add_col.type
+    field_names = [add_type.field(i).name for i in range(add_type.num_fields)]
+    columns = {
+        fn: pc.struct_field(add_col, fn).to_pylist() for fn in field_names
+    }
+    valid = pc.is_valid(add_col).to_pylist()
+    for i, ok in enumerate(valid):
+        if not ok:
+            continue
+        v = {fn: columns[fn][i] for fn in field_names}
+        v["partitionValues"] = as_dict(v.get("partitionValues"))
+        yield {"add": v}
+
+
+def _checkpoint_actions(spark: SparkSession, parts: list[str]):
+    """Yield fold-ready action dicts from a checkpoint: classic single /
+    multi-part parquet, or a V2 MANIFEST (parquet or json) whose
+    ``sidecar`` actions reference add/remove parquet files under
+    ``_delta_log/_sidecars/`` — resolved and folded here; a missing
+    sidecar fails loudly (a silent partial fold would drop files).
+    ``checkpointMetadata`` rows are v2 markers with no fold effect."""
+
+    def resolve(src: str, actions):
+        log_dir = os.path.dirname(src)
+        for a in actions:
+            if "sidecar" in a:
+                sc = os.path.join(log_dir, "_sidecars", a["sidecar"]["path"])
+                if not os.path.exists(sc):
+                    raise FileNotFoundError(
+                        f"v2 checkpoint sidecar missing: {sc} (referenced by {src})"
+                    )
+                yield from _parquet_checkpoint_actions(sc)
+            elif "checkpointMetadata" in a:
+                continue
+            else:
+                yield a
+
+    for part in parts:
+        if part.endswith(".json"):
+            yield from resolve(part, _commit_actions(part))
+        else:
+            yield from resolve(part, _parquet_checkpoint_actions(part))
 
 
 def _commit_actions(path: str):

@@ -238,11 +238,36 @@ def read_change_feed(
     return out
 
 
+def replay_changes(
+    spark: SparkSession,
+    path: str,
+    start_version: int = 0,
+    end_version: int | None = None,
+) -> list[tuple[int, DataFrame]]:
+    """Commit-ordered CDF replay plan: ``[(version, changes_df), ...]`` —
+    the change-feed analogue of :func:`pos_dlt_spark.sources.delta.
+    replay_adds` and the source shape DLT's ``apply_changes`` consumes
+    when fed from a Delta table's change feed (each commit's changes are
+    one micro-batch; a CDC target folds inserts/postimages via
+    latest-per-key, deletes via its delete path). Versions contributing
+    no changes are omitted."""
+    commits, _ = _list_log(os.path.join(path, "_delta_log"))
+    out: list[tuple[int, DataFrame]] = []
+    for v, _p in commits:
+        if v < start_version or (end_version is not None and v > end_version):
+            continue
+        df = read_change_feed(spark, path, start_version=v, end_version=v)
+        if df.take(1):
+            out.append((v, df))
+    return out
+
+
 __all__ = [
     "CHANGE_TYPE",
     "COMMIT_VERSION",
     "cdf_enabled",
     "merge_change_rows",
     "read_change_feed",
+    "replay_changes",
     "stage_change_files",
 ]

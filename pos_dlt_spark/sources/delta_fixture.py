@@ -88,8 +88,22 @@ def write_checkpoint(table_dir: str, version: int, actions: list[dict]) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    schema = _action_arrow_schema()
+    rows = _action_rows(actions, schema)
+    log_dir = os.path.join(table_dir, "_delta_log")
+    os.makedirs(log_dir, exist_ok=True)
+    path = os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
+    pq.write_table(pa.Table.from_pylist(rows, schema=schema), path)
+    with open(os.path.join(log_dir, "_last_checkpoint"), "w", encoding="utf-8") as fh:
+        fh.write(json.dumps({"version": version, "size": len(rows)}))
+    return path
+
+
+def _action_arrow_schema():
+    import pyarrow as pa
+
     smap = pa.map_(pa.string(), pa.string())
-    schema = pa.schema(
+    return pa.schema(
         [
             pa.field(
                 "metaData",
@@ -149,6 +163,9 @@ def write_checkpoint(table_dir: str, version: int, actions: list[dict]) -> str:
         ]
     )
 
+def _action_rows(actions, schema):
+    import pyarrow as pa
+
     def prune(v, typ):
         # keep only schema-known keys so from_pylist matches the schema
         if v is None:
@@ -159,16 +176,80 @@ def write_checkpoint(table_dir: str, version: int, actions: list[dict]) -> str:
             return dict(v)
         return v
 
-    keys = ("metaData", "protocol", "add", "remove", "txn")
-    rows = []
-    for a in actions:
-        rows.append(
-            {k: prune(a.get(k), schema.field(k).type) for k in keys}
-        )
+    keys = tuple(schema.names)
+    return [
+        {k: prune(a.get(k), schema.field(k).type) for k in keys} for a in actions
+    ]
+
+
+def write_checkpoint_v2(
+    table_dir: str, version: int, actions: list[dict], sidecar_parts: int = 2
+) -> str:
+    """V2 checkpoint: add/remove actions split across SIDECAR parquet
+    files under ``_delta_log/_sidecars/``; a single uuid-named MANIFEST
+    carries metaData/protocol/txn plus ``sidecar`` references and a
+    ``checkpointMetadata`` marker — the layout delta-spark writes under
+    the v2Checkpoint table feature. Returns the manifest path."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     log_dir = os.path.join(table_dir, "_delta_log")
-    os.makedirs(log_dir, exist_ok=True)
-    path = os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
-    pq.write_table(pa.Table.from_pylist(rows, schema=schema), path)
+    sc_dir = os.path.join(log_dir, "_sidecars")
+    os.makedirs(sc_dir, exist_ok=True)
+
+    file_actions = [a for a in actions if "add" in a or "remove" in a]
+    top_actions = [a for a in actions if "add" not in a and "remove" not in a]
+
+    action_schema = _action_arrow_schema()
+    sidecar_refs = []
+    n = max(1, sidecar_parts)
+    per = -(-len(file_actions) // n) if file_actions else 0
+    for i in range(n):
+        chunk = file_actions[i * per : (i + 1) * per] if per else []
+        if not chunk and i > 0:
+            break
+        name = f"{uuid.uuid4()}.parquet"
+        p = os.path.join(sc_dir, name)
+        pq.write_table(
+            pa.Table.from_pylist(_action_rows(chunk, action_schema), schema=action_schema),
+            p,
+        )
+        sidecar_refs.append(
+            {"sidecar": {"path": name, "sizeInBytes": os.path.getsize(p),
+                         "modificationTime": 0}}
+        )
+
+    smap = pa.map_(pa.string(), pa.string())
+    manifest_schema = pa.schema(
+        list(_action_arrow_schema())
+        + [
+            pa.field(
+                "sidecar",
+                pa.struct(
+                    [
+                        ("path", pa.string()),
+                        ("sizeInBytes", pa.int64()),
+                        ("modificationTime", pa.int64()),
+                    ]
+                ),
+            ),
+            pa.field(
+                "checkpointMetadata",
+                pa.struct([("version", pa.int64()), ("tags", smap)]),
+            ),
+        ]
+    )
+    manifest_actions = (
+        [{"checkpointMetadata": {"version": version, "tags": {}}}]
+        + top_actions
+        + sidecar_refs
+    )
+    path = os.path.join(log_dir, f"{version:020d}.checkpoint.{uuid.uuid4()}.parquet")
+    pq.write_table(
+        pa.Table.from_pylist(_action_rows(manifest_actions, manifest_schema),
+                             schema=manifest_schema),
+        path,
+    )
     with open(os.path.join(log_dir, "_last_checkpoint"), "w", encoding="utf-8") as fh:
-        fh.write(json.dumps({"version": version, "size": len(rows)}))
+        fh.write(json.dumps({"version": version, "size": len(manifest_actions)}))
     return path

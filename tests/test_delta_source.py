@@ -412,3 +412,39 @@ def test_incomplete_multipart_checkpoint_falls_back(spark, tmp_path):
     # add of the same path overwrites itself)
     got = read_delta(spark, table)
     assert sorted(r.id for r in got.collect()) == list(range(10))
+
+
+def test_v2_checkpoint_manifest_and_sidecars(spark, tmp_path):
+    """V2 checkpoints (the v2Checkpoint table feature): a uuid-named
+    manifest with sidecar references folds to the same state as the JSON
+    chain; a missing sidecar fails loudly; the multi-part-completeness
+    check treats the manifest as complete."""
+    table = _simple_table(spark, tmp_path, "v2ck")
+    snap = delta_snapshot(spark, table)
+    actions = (
+        [fx.protocol_action(min_reader=3, min_writer=7,
+                            readerFeatures=["v2Checkpoint"],
+                            writerFeatures=["v2Checkpoint"]),
+         fx.metadata_action(SCHEMA)]
+        + [fx.add_action(p, partition_values=pv) for p, pv in snap.files]
+    )
+    fx.write_checkpoint_v2(table, 1, actions, sidecar_parts=2)
+    log = os.path.join(table, "_delta_log")
+    # remove the JSON chain: the fold must ride the v2 manifest + sidecars
+    for v in (0, 1):
+        os.remove(os.path.join(log, f"{v:020d}.json"))
+    got = read_delta(spark, table)
+    assert sorted(r.id for r in got.collect()) == list(range(10))
+    # a post-checkpoint JSON commit still applies on top
+    stage = str(tmp_path / "v2ck_stage2")
+    d = _write_parquet(spark, [(i, f"n{i}") for i in range(10, 13)], SCHEMA, stage + "/d")
+    rd = _relocate(d, table, "part-d.parquet")
+    fx.write_commit(table, 2, [fx.add_action(rd)])
+    assert sorted(r.id for r in read_delta(spark, table).collect()) == list(range(13))
+
+    # missing sidecar -> loud failure, never a silent partial fold
+    sc_dir = os.path.join(log, "_sidecars")
+    victim = sorted(os.listdir(sc_dir))[0]
+    os.rename(os.path.join(sc_dir, victim), os.path.join(sc_dir, victim + ".gone"))
+    with pytest.raises(FileNotFoundError, match="sidecar"):
+        delta_snapshot(spark, table)
