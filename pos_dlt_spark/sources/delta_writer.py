@@ -1049,3 +1049,127 @@ def delta_log_cleanup(spark, path: str) -> list[str]:
             os.remove(p)
             deleted.append(os.path.basename(p))
     return deleted
+
+
+def delta_restore(spark, path: str, version: int | None = None, timestamp=None) -> int:
+    """RESTORE TABLE ... TO VERSION/TIMESTAMP AS OF: commit a new version
+    whose live set equals the target snapshot's — remove every currently
+    live file not in it, re-add every file it had (possible while the
+    files survive vacuum; a vacuumed restore target fails on the snapshot
+    fold or at read, never silently). History is preserved: restore adds
+    a commit, it never rewrites the log — delta's own semantics.
+
+    Returns the committed version."""
+    target = delta_snapshot(spark, path, version, timestamp=timestamp)
+    current = delta_snapshot(spark, path)
+    _writer_supports(current)
+    cur_live = {rel for rel, _ in current.files}
+    tgt_live = {rel for rel, _ in target.files}
+    # live identity includes the deletion vector: a DV delete changes the
+    # table's rows without changing any file PATH
+    def identity(s: DeltaSnapshot):
+        return {
+            (rel, json.dumps(s.adds[rel].get("deletionVector"), sort_keys=True))
+            for rel, _ in s.files
+        }
+
+    if identity(current) == identity(target) and current.schema == target.schema:
+        return current.version
+    from pos_dlt_spark.sources.dv import dv_relative_path
+
+    missing = [
+        rel for rel in tgt_live if not os.path.exists(os.path.join(path, rel))
+    ]
+    for rel in sorted(tgt_live):
+        dv = target.adds[rel].get("deletionVector")
+        if dv:
+            dvrel = dv_relative_path(dv)
+            if dvrel and not os.path.exists(os.path.join(path, dvrel)):
+                missing.append(dvrel)
+    if missing:
+        raise FileNotFoundError(
+            f"restore target version {target.version} references vacuumed "
+            f"files: {missing[:3]}{'...' if len(missing) > 3 else ''}"
+        )
+    actions = [
+        fx.metadata_action(
+            target.schema,
+            partition_columns=target.partition_columns,
+            table_id=target.table_id,
+            configuration=target.configuration,
+        )
+    ]
+    # remove the whole current live set then re-add the target's: paths
+    # shared by both (possibly with different DVs) fold to the target's
+    # add under path-keyed reconciliation and stay unambiguous for
+    # (path, dvId)-keyed readers
+    actions += [fx.remove_action(rel) for rel in sorted(cur_live)]
+    actions += [{"add": target.adds[rel]} for rel in sorted(tgt_live)]
+    new_version = current.version + 1
+    if not _try_commit(os.path.join(path, "_delta_log"), new_version, actions):
+        raise DeltaCommitConflict(
+            f"version {new_version} was committed concurrently; re-run restore"
+        )
+    return new_version
+
+
+def convert_to_delta(spark, parquet_dir: str) -> int:
+    """CONVERT TO DELTA: impose a Delta log on an EXISTING parquet
+    directory in place — commit 0 adds every data file with
+    footer-derived stats; Hive-style ``col=value/`` subdirectories become
+    the table's partition columns (types inferred by Spark's partition
+    discovery on one schema-only read). No data file is rewritten or
+    moved — the conversion is one metadata commit, exactly delta's own
+    ``CONVERT TO DELTA`` contract. Fails if a log already exists.
+
+    Returns the committed version (0)."""
+    from urllib.parse import unquote
+
+    log_dir = os.path.join(parquet_dir, "_delta_log")
+    if os.path.isdir(log_dir) and os.listdir(log_dir):
+        raise ValueError(f"{parquet_dir} is already a Delta table")
+    full = spark.read.parquet(parquet_dir)
+    schema = full.schema
+    # partition columns = those Spark's discovery added beyond the files'
+    # physical columns (sample one file's footer for the physical set)
+    rels = []
+    for root, _dirs, files in os.walk(parquet_dir):
+        for n in sorted(files):
+            if n.endswith(".parquet") and not n.startswith("_"):
+                rels.append(os.path.relpath(os.path.join(root, n), parquet_dir))
+    if not rels:
+        raise ValueError(f"no parquet files under {parquet_dir}")
+    import pyarrow.parquet as pq
+
+    physical = set(pq.read_schema(os.path.join(parquet_dir, rels[0])).names)
+    partition_columns = [f.name for f in schema.fields if f.name not in physical]
+
+    adds = []
+    for rel in rels:
+        pvals: dict[str, str | None] = {}
+        for seg in rel.split(os.sep)[:-1]:
+            k, eq, v = seg.partition("=")
+            if eq:
+                pvals[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
+        missing = [c for c in partition_columns if c not in pvals]
+        if missing:
+            raise ValueError(
+                f"file {rel} lacks partition segments for {missing}; "
+                "convert requires a consistent Hive layout"
+            )
+        fpath = os.path.join(parquet_dir, rel)
+        adds.append(
+            fx.add_action(
+                rel.replace(os.sep, "/"),
+                size=os.path.getsize(fpath),
+                partition_values={c: pvals[c] for c in partition_columns} or None,
+                stats=_file_stats(fpath),
+            )
+        )
+    actions = [
+        fx.protocol_action(),
+        fx.metadata_action(schema, partition_columns=partition_columns),
+    ] + adds
+    if not _try_commit(log_dir, 0, actions):
+        raise DeltaCommitConflict("commit 0 appeared concurrently during convert")
+    return 0

@@ -827,3 +827,70 @@ def test_optimize_zorder_clusters_for_multi_column_skipping(spark, tmp_path):
     assert read_delta(spark, table).count() == 10_000
     got = read_delta(spark, table, prune=[("a", "<", 10)]).filter(F.col("a") < 10)
     assert got.count() == 1000
+
+
+def test_restore_to_version_and_timestamp(spark, tmp_path):
+    import time as _time
+
+    from pos_dlt_spark.sources.delta_writer import delta_delete, delta_restore
+
+    table = str(tmp_path / "restore")
+    write_delta(_df(spark, 0, 10), table)            # v0
+    t_after_v0 = _time.time()
+    _time.sleep(0.05)
+    write_delta(_df(spark, 10, 20), table)           # v1
+    delta_delete(spark, table, "id < 5")             # v2 (DV)
+    assert read_delta(spark, table).count() == 15
+
+    v = delta_restore(spark, table, version=1)       # undo the delete
+    assert v == 3
+    assert sorted(r.id for r in read_delta(spark, table).collect()) == list(range(20))
+    # history preserved: the deleted state still time-travels
+    assert read_delta(spark, table, version=2).count() == 15
+
+    v2 = delta_restore(spark, table, timestamp=t_after_v0)  # back to v0
+    assert sorted(r.id for r in read_delta(spark, table).collect()) == list(range(10))
+    # restoring to the current state is a no-op (no new version)
+    assert delta_restore(spark, table, version=v2) == v2
+    # restore TO the DV'd version re-applies its deletion vector
+    delta_restore(spark, table, version=2)
+    assert sorted(r.id for r in read_delta(spark, table).collect()) == list(range(5, 20))
+
+
+def test_convert_to_delta_flat_and_partitioned(spark, tmp_path):
+    from pos_dlt_spark.sources.delta_writer import convert_to_delta
+
+    # flat parquet dir
+    flat = str(tmp_path / "flat")
+    spark.range(100).select(
+        F.col("id"), F.concat(F.lit("n"), F.col("id")).alias("name")
+    ).repartition(3).write.parquet(flat)
+    assert convert_to_delta(spark, flat) == 0
+    snap = delta_snapshot(spark, flat)
+    assert snap.partition_columns == [] and len(snap.files) == 3
+    assert all(a.get("stats") for a in snap.adds.values())
+    assert sorted(r.id for r in read_delta(spark, flat).collect()) == list(range(100))
+    # the converted table is writable: append + merge work on it
+    write_delta(
+        spark.range(100, 110).select(
+            F.col("id"), F.concat(F.lit("n"), F.col("id")).alias("name")
+        ),
+        flat,
+    )
+    assert read_delta(spark, flat).count() == 110
+    with pytest.raises(ValueError, match="already a Delta table"):
+        convert_to_delta(spark, flat)
+
+    # Hive-partitioned dir: partition columns inferred + typed
+    part = str(tmp_path / "parted")
+    spark.range(40).select(
+        F.col("id"), (F.col("id") % 4).cast("int").alias("b")
+    ).write.partitionBy("b").parquet(part)
+    convert_to_delta(spark, part)
+    snapp = delta_snapshot(spark, part)
+    assert snapp.partition_columns == ["b"]
+    got = {(r.id, r.b) for r in read_delta(spark, part).collect()}
+    assert got == {(i, i % 4) for i in range(40)}
+    # log-recovered partition values enable stats/partition pruning
+    pruned = read_delta(spark, part).filter(F.col("b") == 2)
+    assert sorted(r.id for r in pruned.collect()) == [i for i in range(40) if i % 4 == 2]

@@ -167,6 +167,80 @@ def stress_merge(spark, n_files: int = 1000, rows: int = 10_000_000) -> None:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def stress_delete(spark, rows: int = 10_000_000, n_files: int = 100) -> None:
+    """DV delete vs copy-on-write rewrite at 10M rows / 100 files, plus
+    CDF-enabled merge overhead — the operational claims measured."""
+    from pyspark.sql import functions as F
+
+    from pos_dlt_spark.sources.delta import delta_snapshot, read_delta
+    from pos_dlt_spark.sources.delta_writer import (
+        delta_delete,
+        delta_merge,
+        write_delta,
+    )
+    from pos_dlt_spark.tables import scratch_dir
+
+    work = scratch_dir("delta_del_")
+    try:
+        def build(table, conf=None):
+            df = (
+                spark.range(rows)
+                .select(
+                    F.col("id").alias("k"), F.lit(1).alias("seq"),
+                    (F.col("id") % 97).cast("long").alias("v"),
+                )
+                .repartitionByRange(n_files, "k")
+            )
+            write_delta(df, table, configuration=conf)
+
+        def dir_mb(p):
+            return sum(
+                os.path.getsize(os.path.join(r, n))
+                for r, _, fs in os.walk(p)
+                for n in fs
+            ) / 2**20
+
+        # scattered selective delete: 0.1% of rows spread over every file
+        pred = "k % 1000 = 0"
+        for mode in ("dv", "rewrite"):
+            table = os.path.join(work, f"del_{mode}")
+            build(table)
+            before_mb = dir_mb(table)
+            t0 = time.perf_counter()
+            v, n = delta_delete(spark, table, pred, mode=mode)
+            wall = time.perf_counter() - t0
+            written_mb = dir_mb(table) - before_mb
+            cnt = read_delta(spark, table).count()
+            print(
+                f"delete[{mode}]: wall={wall:.2f}s rows_deleted={n} "
+                f"bytes_written={written_mb:.2f} MB survivors={cnt}"
+            )
+
+        # CDF overhead on the 50k-update merge
+        for label, conf in (("merge_plain", None),
+                            ("merge_cdf", {"delta.enableChangeDataFeed": "true"})):
+            table = os.path.join(work, label)
+            build(table, conf)
+            upd = spark.range(100_000, 150_000).select(
+                F.col("id").alias("k"), F.lit(9).alias("seq"),
+                F.lit(-1).cast("long").alias("v"),
+            )
+            t0 = time.perf_counter()
+            delta_merge(spark, table, upd, keys=["k"], sequence_by="seq")
+            wall = time.perf_counter() - t0
+            snap = delta_snapshot(spark, table)
+            cd = os.path.join(table, "_change_data")
+            cdf_mb = dir_mb(cd) if os.path.isdir(cd) else 0.0
+            print(
+                f"{label}: wall={wall:.2f}s live_files={len(snap.files)} "
+                f"change_data={cdf_mb:.2f} MB"
+            )
+    finally:
+        import shutil
+
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     n_files = 1_000_000
@@ -177,6 +251,8 @@ def main() -> None:
         stress_fold(spark, n_files)
     if which in ("merge", "all"):
         stress_merge(spark)
+    if which in ("delete", "all"):
+        stress_delete(spark)
 
 
 if __name__ == "__main__":
