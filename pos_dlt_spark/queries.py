@@ -693,6 +693,50 @@ def supplier_delta_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "nation_convert_to_delta_roundtrip",
+    oracle="SELECT * FROM nation",
+)
+def nation_convert_to_delta_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONVERT TO DELTA in place: the nation parquet is copied to scratch,
+    a Delta log is imposed on it WITHOUT rewriting or moving any data
+    file (one metadata commit with footer-derived stats), an append then
+    proves the converted table is writable, and a RESTORE returns it to
+    the as-converted state. The oracle is the raw table — it matches only
+    if conversion, the append, and the restore are all exact."""
+    from pos_dlt_spark.sources.delta import read_delta
+    from pos_dlt_spark.sources.delta_writer import (
+        convert_to_delta,
+        delta_restore,
+        write_delta,
+    )
+    from pos_dlt_spark.tables import scratch_dir
+
+    key = os.path.abspath(sf_dir) + "#convert"
+    if key not in _DELTA_RT_CACHE:
+        import atexit
+        import shutil
+
+        work = scratch_dir("delta_conv_")
+        atexit.register(shutil.rmtree, work, ignore_errors=True)
+        table = os.path.join(work, "nation")
+        os.makedirs(table, exist_ok=True)
+        src = os.path.join(sf_dir, "nation.parquet")
+        if os.path.isdir(src):
+            for n in os.listdir(src):
+                if n.endswith(".parquet"):
+                    shutil.copy(os.path.join(src, n), os.path.join(table, n))
+        else:
+            shutil.copy(src, os.path.join(table, "part-0.parquet"))
+        convert_to_delta(spark, table)
+        v0_rows = read_delta(spark, table)
+        decoy = v0_rows.limit(3).withColumn("n_name", F.lit("DECOY"))
+        write_delta(decoy.select(*[f.name for f in v0_rows.schema.fields]), table)
+        delta_restore(spark, table, version=0)  # drop the decoy append
+        _DELTA_RT_CACHE[key] = table
+    return read_delta(spark, _DELTA_RT_CACHE[key])
+
+
+@query(
     "orders_delta_zorder_skipping",
     oracle="""
     SELECT o_orderstatus,

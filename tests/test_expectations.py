@@ -128,3 +128,43 @@ def test_event_log_written(spark, tmp_path):
     assert events[-1]["table"] == "tbl"
     assert events[-1]["expectations"]["b_pos"]["failed"] == 1
     assert events[-1]["expectations"]["a_pos"]["failed"] == 0
+
+
+def test_expect_or_fail_aborts_atomically_delta_mode(spark, tmp_path):
+    """Delta storage mode: fail-mode aborts BEFORE the overwrite commit
+    (writer precommit hook) — the previous Delta version stays live, no
+    new version appears, and the staged files are gone."""
+    import os as _os
+
+    from pos_dlt_spark.sources.delta import delta_snapshot, read_delta
+
+    pipe = Pipeline("td", str(tmp_path), storage_format="delta")
+    state = {"bad": False}
+
+    @pipe.table()
+    @pipe.expect_or_fail("positive_qty", "qty > 0")
+    def items(s):
+        rows = [(1, 5), (2, -1)] if state["bad"] else [(1, 5), (2, 7)]
+        return s.createDataFrame(rows, "id int, qty int")
+
+    runner = PipelineRunner(pipe)
+    runner.run_once(spark)
+    path = pipe.table_path("items")
+    assert {tuple(r) for r in read_delta(spark, path).collect()} == {(1, 5), (2, 7)}
+    v0 = delta_snapshot(spark, path).version
+
+    state["bad"] = True
+    with pytest.raises(ExpectationFailed):
+        PipelineRunner(pipe).run_once(spark)
+    # no new version, previous contents intact, no orphaned staged files
+    snap = delta_snapshot(spark, path)
+    assert snap.version == v0
+    assert {tuple(r) for r in read_delta(spark, path).collect()} == {(1, 5), (2, 7)}
+    live = {rel for rel, _ in snap.files}
+    on_disk = {
+        _os.path.relpath(_os.path.join(r, n), path)
+        for r, _, fs in _os.walk(path)
+        for n in fs
+        if n.endswith(".parquet") and "_delta_log" not in r
+    }
+    assert on_disk == live
