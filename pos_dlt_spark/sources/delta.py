@@ -257,14 +257,33 @@ def _commit_actions(path: str):
                 yield json.loads(line)
 
 
+def _commit_info(commit_path: str) -> dict | None:
+    """The commit's commitInfo action, if recorded (writers emit it first;
+    scan the whole file to be safe — it is driver metadata either way)."""
+    for a in _commit_actions(commit_path):
+        if "commitInfo" in a:
+            return a["commitInfo"]
+    return None
+
+
+def _commit_time(commit_path: str) -> float:
+    """Commit wall-clock in epoch seconds: the commitInfo timestamp when
+    present (survives file copies; what real Delta prefers), else the log
+    file's mtime."""
+    ci = _commit_info(commit_path)
+    if ci and ci.get("timestamp") is not None:
+        return int(ci["timestamp"]) / 1000.0
+    return os.path.getmtime(commit_path)
+
+
 def version_at_timestamp(path: str, ts) -> int:
     """TIMESTAMP AS OF resolution: the newest version whose commit landed
     at or before ``ts`` (epoch seconds, datetime, or ISO string) — commit
-    time is the log file's mtime, the same source real Delta uses when no
-    in-commit timestamps are present. Versions whose JSON was cleaned up
-    after a checkpoint cannot be timestamp-resolved (their commit time is
-    gone with the file) — same limitation as the protocol's own history
-    retention."""
+    time comes from the commitInfo action when present, else the log
+    file's mtime (the same preference order real Delta applies). Versions
+    whose JSON was cleaned up after a checkpoint cannot be
+    timestamp-resolved (their commit time is gone with the file) — same
+    limitation as the protocol's own history retention."""
     import datetime
 
     if isinstance(ts, str):
@@ -273,7 +292,7 @@ def version_at_timestamp(path: str, ts) -> int:
         ts = ts.timestamp()
     log_dir = os.path.join(path, "_delta_log")
     commits, _ = _list_log(log_dir)
-    eligible = [v for v, p in commits if os.path.getmtime(p) <= float(ts)]
+    eligible = [v for v, p in commits if _commit_time(p) <= float(ts)]
     if not eligible:
         raise ValueError(
             f"no commit at or before timestamp {ts} in {path} "
@@ -281,6 +300,50 @@ def version_at_timestamp(path: str, ts) -> int:
             f"{min((v for v, _ in commits), default=None)})"
         )
     return max(eligible)
+
+
+def delta_history(spark: SparkSession, path: str) -> DataFrame:
+    """DESCRIBE HISTORY: one row per surviving commit — version,
+    timestamp, operation, operationParameters JSON, counts of
+    add/remove/cdc actions. Driver metadata (the same walk the fold
+    does); commits without a commitInfo (foreign minimal writers) show a
+    null operation but still count their actions."""
+    from pos_dlt_spark.tables import local_df
+
+    log_dir = os.path.join(path, "_delta_log")
+    if not os.path.isdir(log_dir):
+        raise FileNotFoundError(f"not a Delta table (no _delta_log): {path}")
+    commits, _ = _list_log(log_dir)
+    rows = []
+    for v, p in sorted(commits, reverse=True):
+        ci = _commit_info(p) or {}
+        n_add = n_remove = n_cdc = 0
+        for a in _commit_actions(p):
+            if "add" in a:
+                n_add += 1
+            elif "remove" in a:
+                n_remove += 1
+            elif "cdc" in a:
+                n_cdc += 1
+        rows.append(
+            (
+                v,
+                float(_commit_time(p)),
+                ci.get("operation") or "",
+                json.dumps(ci.get("operationParameters") or {}, sort_keys=True),
+                ci.get("engineInfo") or "",
+                n_add,
+                n_remove,
+                n_cdc,
+            )
+        )
+    return local_df(
+        spark,
+        rows,
+        "version bigint, timestamp double, operation string, "
+        "operationParameters string, engineInfo string, "
+        "num_added_files int, num_removed_files int, num_change_files int",
+    )
 
 
 def delta_snapshot(

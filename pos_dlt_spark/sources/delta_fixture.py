@@ -62,6 +62,24 @@ def remove_action(rel_path: str) -> dict:
     return {"remove": {"path": rel_path, "deletionTimestamp": 0, "dataChange": True}}
 
 
+def commit_info_action(operation: str, parameters: dict | None = None) -> dict:
+    """commitInfo: the protocol's per-commit provenance record (operation
+    name + parameters + wall-clock timestamp) — what DESCRIBE HISTORY
+    reads and what in-commit-timestamp time travel prefers over file
+    mtimes. Purely informational for state reconstruction (the fold
+    ignores it)."""
+    import time
+
+    return {
+        "commitInfo": {
+            "timestamp": int(time.time() * 1000),
+            "operation": operation,
+            "operationParameters": {k: str(v) for k, v in (parameters or {}).items()},
+            "engineInfo": "pos_dlt_spark delta_writer",
+        }
+    }
+
+
 def txn_action(app_id: str, version: int) -> dict:
     """SetTransaction: the protocol's idempotent-streaming-write marker —
     readers fold the highest version per appId; a writer skips re-committing

@@ -364,6 +364,11 @@ def write_delta(
             ] + list(adds)
         if txn is not None:
             actions = [fx.txn_action(txn[0], txn[1])] + actions
+        actions = [
+            fx.commit_info_action(
+                "WRITE", {"mode": mode, "partitionBy": list(partition_by or [])}
+            )
+        ] + actions
 
         if _try_commit(log_dir, version, actions):
             if checkpoint_interval and version > 0 and version % checkpoint_interval == 0:
@@ -650,6 +655,7 @@ def delta_merge(
     actions = cdc_actions + [fx.remove_action(rel) for rel in touched] + adds
     if txn is not None:
         actions = [fx.txn_action(txn[0], txn[1])] + actions
+    actions = [fx.commit_info_action("MERGE", {"keys": keys, "sequenceBy": sequence_by})] + actions
     version = snap.version + 1
     if not _try_commit(os.path.join(path, "_delta_log"), version, actions):
         raise DeltaCommitConflict(
@@ -794,7 +800,9 @@ def delta_optimize(
         removes += rels
     if not removes:
         return snap.version
-    actions = [fx.remove_action(rel) for rel in removes] + adds
+    actions = [
+        fx.commit_info_action("OPTIMIZE", {"zOrderBy": list(zorder_by or [])})
+    ] + [fx.remove_action(rel) for rel in removes] + adds
     version = snap.version + 1
     if not _try_commit(os.path.join(path, "_delta_log"), version, actions):
         raise DeltaCommitConflict(f"version {version} committed concurrently; re-run optimize")
@@ -1016,6 +1024,9 @@ def delta_delete(
             changes, path, snap.partition_columns or None
         ) + actions
 
+    actions = [
+        fx.commit_info_action("DELETE", {"predicate": predicate, "mode": mode})
+    ] + actions
     version = snap.version + 1
     if not _try_commit(os.path.join(path, "_delta_log"), version, actions):
         raise DeltaCommitConflict(
@@ -1092,12 +1103,13 @@ def delta_restore(spark, path: str, version: int | None = None, timestamp=None) 
             f"files: {missing[:3]}{'...' if len(missing) > 3 else ''}"
         )
     actions = [
+        fx.commit_info_action("RESTORE", {"version": target.version}),
         fx.metadata_action(
             target.schema,
             partition_columns=target.partition_columns,
             table_id=target.table_id,
             configuration=target.configuration,
-        )
+        ),
     ]
     # remove the whole current live set then re-add the target's: paths
     # shared by both (possibly with different DVs) fold to the target's
@@ -1167,6 +1179,7 @@ def convert_to_delta(spark, parquet_dir: str) -> int:
             )
         )
     actions = [
+        fx.commit_info_action("CONVERT", {"numFiles": len(adds)}),
         fx.protocol_action(),
         fx.metadata_action(schema, partition_columns=partition_columns),
     ] + adds

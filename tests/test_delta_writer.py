@@ -894,3 +894,46 @@ def test_convert_to_delta_flat_and_partitioned(spark, tmp_path):
     # log-recovered partition values enable stats/partition pruning
     pruned = read_delta(spark, part).filter(F.col("b") == 2)
     assert sorted(r.id for r in pruned.collect()) == [i for i in range(40) if i % 4 == 2]
+
+
+def test_commit_info_and_describe_history(spark, tmp_path):
+    """Every writer commit records a commitInfo action; delta_history
+    (DESCRIBE HISTORY) surfaces version/operation/action counts, and
+    timestamp travel prefers the in-commit timestamp over file mtime."""
+    import json as _json
+    import time as _time
+
+    from pos_dlt_spark.sources.delta import delta_history, version_at_timestamp
+    from pos_dlt_spark.sources.delta_writer import (
+        delta_delete,
+        delta_merge,
+        delta_optimize,
+    )
+
+    table = str(tmp_path / "hist")
+    write_delta(_df(spark, 0, 10).coalesce(2), table)
+    write_delta(_df(spark, 10, 20).coalesce(1), table)
+    delta_merge(
+        spark, table,
+        spark.createDataFrame([(5, "nn")], "id long, name string"),
+        keys=["id"], sequence_by="id",
+    )
+    delta_delete(spark, table, "id = 7")
+    delta_optimize(spark, table, target_files=1)
+
+    h = {r.version: r for r in delta_history(spark, table).collect()}
+    assert [h[v].operation for v in sorted(h)] == [
+        "WRITE", "WRITE", "MERGE", "DELETE", "OPTIMIZE"
+    ]
+    assert h[0].num_added_files == 2 and h[1].num_added_files == 1
+    assert h[2].num_removed_files >= 1  # merge rewrote the touched file
+    assert _json.loads(h[3].operationParameters)["predicate"] == "id = 7"
+    assert h[4].num_change_files == 0
+    # timestamps are the in-commit ones: monotone across versions
+    ts = [h[v].timestamp for v in sorted(h)]
+    assert ts == sorted(ts)
+    # timestamp travel resolves against the in-commit timestamp even if
+    # the FILE mtime lies (e.g. a copied table): backdate v4's mtime
+    log4 = os.path.join(table, "_delta_log", f"{4:020d}.json")
+    os.utime(log4, (0, 0))  # 1970 mtime; commitInfo still carries real time
+    assert version_at_timestamp(table, _time.time()) == 4
