@@ -244,6 +244,7 @@ def write_delta(
     precommit=None,
     txn: tuple[str, int] | None = None,
     configuration: dict[str, str] | None = None,
+    checkpoint_format: str = "classic",
 ) -> int:
     """Write ``df`` to the Delta table at ``path`` (created if absent).
     Returns the committed version.
@@ -276,9 +277,16 @@ def write_delta(
     (overwrite/merge/delete); ``delta.constraints.<name>='<sql expr>'``
     CHECK constraints are validated on every written row (violation
     counts ride the staging write job via observe — zero extra scans)
-    and a violation aborts before any commit."""
+    and a violation aborts before any commit.
+
+    ``checkpoint_format='v2'`` writes V2 checkpoints (uuid manifest +
+    sidecars, with the v2Checkpoint feature declared) instead of classic
+    single-file ones — the layout modern delta-spark produces; both fold
+    identically through this reader."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    if checkpoint_format not in ("classic", "v2"):
+        raise ValueError(f"checkpoint_format must be classic|v2, got {checkpoint_format!r}")
     spark = df.sparkSession
     log_dir = os.path.join(path, "_delta_log")
     exists = os.path.isdir(log_dir) and any(
@@ -379,11 +387,16 @@ def write_delta(
                 # any post-checkpoint snapshot of a partitioned table read
                 # its partition column as all-null and flag every
                 # subsequent append as partitioning drift)
-                fx.write_checkpoint(
-                    path,
-                    version,
+                ckpt_actions = (
                     [
-                        fx.protocol_action(),
+                        fx.protocol_action()
+                        if checkpoint_format != "v2"
+                        else fx.protocol_action(
+                            min_reader=3,
+                            min_writer=7,
+                            readerFeatures=["v2Checkpoint"],
+                            writerFeatures=["v2Checkpoint"],
+                        ),
                         fx.metadata_action(
                             final.schema,
                             partition_columns=final.partition_columns,
@@ -392,8 +405,12 @@ def write_delta(
                         ),
                     ]
                     + [fx.txn_action(a, v) for a, v in sorted(final.txns.items())]
-                    + [{"add": a} for a in final.adds.values()],
+                    + [{"add": a} for a in final.adds.values()]
                 )
+                if checkpoint_format == "v2":
+                    fx.write_checkpoint_v2(path, version, ckpt_actions)
+                else:
+                    fx.write_checkpoint(path, version, ckpt_actions)
             return version
         # lost the race
         if mode == "overwrite":

@@ -937,3 +937,24 @@ def test_commit_info_and_describe_history(spark, tmp_path):
     log4 = os.path.join(table, "_delta_log", f"{4:020d}.json")
     os.utime(log4, (0, 0))  # 1970 mtime; commitInfo still carries real time
     assert version_at_timestamp(table, _time.time()) == 4
+
+
+def test_writer_v2_checkpoints_roundtrip(spark, tmp_path):
+    """checkpoint_format='v2': the writer's own checkpoints are v2
+    manifests + sidecars, folded by the same reader after log cleanup."""
+    from pos_dlt_spark.sources.delta_writer import delta_log_cleanup
+
+    table = str(tmp_path / "wv2")
+    for i in range(6):
+        write_delta(_df(spark, i * 10, i * 10 + 10), table,
+                    checkpoint_interval=5, checkpoint_format="v2")
+    log = os.path.join(table, "_delta_log")
+    manifests = [n for n in os.listdir(log) if ".checkpoint." in n and n.endswith(".parquet")]
+    assert len(manifests) == 1 and len(manifests[0].split(".")) == 4  # uuid name
+    assert os.path.isdir(os.path.join(log, "_sidecars"))
+    deleted = delta_log_cleanup(spark, table)
+    assert len(deleted) == 6  # v0..v5 <= the v2 checkpoint at 5
+    got = read_delta(spark, table)
+    assert sorted(r.id for r in got.collect()) == list(range(60))
+    snap = delta_snapshot(spark, table)
+    assert any(a.get("stats") for a in snap.adds.values())  # stats survive
