@@ -264,17 +264,19 @@ def test_partitioned_write_roundtrip_and_pruning(spark, tmp_path):
 
 
 def test_delta_writer_random_op_sequences_match_model(spark, tmp_path):
-    """Hypothesis drives random append/overwrite/merge sequences; the
-    table must always equal a trivial in-memory model. Appends use fresh
-    disjoint key ranges (keeping the unique-keys-per-table invariant the
-    merge docstring states); merges mix updates of known keys, stale
-    out-of-order rows, and inserts."""
+    """Hypothesis drives random append/overwrite/merge/DV-delete
+    sequences; the table must always equal a trivial in-memory model.
+    Appends use fresh disjoint key ranges (keeping the
+    unique-keys-per-table invariant the merge docstring states); merges
+    mix updates of known keys, stale out-of-order rows, and inserts;
+    deletes run in deletion-vector mode (no file rewritten) against a
+    modulus predicate, composing DVs with later merges/overwrites."""
     from hypothesis import HealthCheck, given, settings
     from hypothesis import strategies as st
 
     import pandas as pd
 
-    from pos_dlt_spark.sources.delta_writer import delta_merge
+    from pos_dlt_spark.sources.delta_writer import delta_delete, delta_merge
 
     op = st.one_of(
         st.tuples(st.just("append"), st.integers(1, 20)),
@@ -291,6 +293,7 @@ def test_delta_writer_random_op_sequences_match_model(spark, tmp_path):
                 unique_by=lambda t: t[0],
             ),
         ),
+        st.tuples(st.just("delete"), st.tuples(st.integers(2, 7), st.integers(0, 6))),
     )
 
     counter = {"n": 0}
@@ -328,7 +331,8 @@ def test_delta_writer_random_op_sequences_match_model(spark, tmp_path):
                 else:
                     write_delta(mk(rows), table)
                 model.update({k: (s, v) for k, s, v in rows})
-            else:  # merge — NO explicit tiebreakers: equal-sequence ties
+            elif kind == "merge":
+                # NO explicit tiebreakers: equal-sequence ties
                 # must resolve update-wins deterministically. The payload
                 # carries the op index so a tie that resolves the wrong
                 # way is visible in v, not hashed away.
@@ -342,6 +346,13 @@ def test_delta_writer_random_op_sequences_match_model(spark, tmp_path):
                     cur = model.get(k)
                     if cur is None or s >= cur[0]:
                         model[k] = (s, v)
+            else:  # DV-mode delete on a modulus predicate
+                if not os.path.isdir(os.path.join(table, "_delta_log")):
+                    continue
+                mod, rem = arg
+                delta_delete(spark, table, f"k % {mod} = {rem}", mode="dv")
+                for k in [k for k in model if k % mod == rem]:
+                    del model[k]
         if not os.path.isdir(os.path.join(table, "_delta_log")):
             return
         got = {r.k: (r.seq, r.v) for r in read_delta(spark, table).collect()}
