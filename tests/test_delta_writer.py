@@ -969,3 +969,44 @@ def test_writer_v2_checkpoints_roundtrip(spark, tmp_path):
     assert sorted(r.id for r in got.collect()) == list(range(60))
     snap = delta_snapshot(spark, table)
     assert any(a.get("stats") for a in snap.adds.values())  # stats survive
+
+
+def test_two_real_writers_racing_appends(spark, tmp_path):
+    """Two REAL threads each append 6 batches concurrently (no
+    monkeypatching): the O_EXCL commit race must serialize them — every
+    batch lands exactly once, versions are a gap-free chain, and both
+    writers' SetTransaction watermarks are correct."""
+    import threading
+
+    table = str(tmp_path / "race_real")
+    write_delta(_df(spark, 0, 10), table)  # v0 seeds schema
+
+    errors = []
+
+    def writer(wid: int):
+        try:
+            for b in range(6):
+                lo = 1000 * (wid + 1) + b * 10
+                write_delta(
+                    _df(spark, lo, lo + 10), table, txn=(f"w{wid}", b)
+                )
+        except Exception as e:  # pragma: no cover - surfaced via assert
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in (0, 1)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+
+    snap = delta_snapshot(spark, table)
+    assert snap.version == 12  # 1 seed + 12 racing appends, gap-free
+    assert snap.txns == {"w0": 5, "w1": 5}
+    got = sorted(r.id for r in read_delta(spark, table).collect())
+    expected = list(range(10))
+    for wid in (0, 1):
+        for b in range(6):
+            lo = 1000 * (wid + 1) + b * 10
+            expected += list(range(lo, lo + 10))
+    assert got == sorted(expected)
