@@ -13,6 +13,14 @@ to ``BENCH_DETAIL.json`` beside this file for round-over-round diffing.
 Each query is fully materialized through the ``noop`` sink so the entire
 physical plan executes (a bare ``count()`` would let Catalyst prune
 aggregate expressions).
+
+``value`` is the STEADY-STATE total: each query runs twice and the
+second run is the measured one (the first pays per-plan-shape
+whole-stage-codegen JIT that registry order hands to an arbitrary
+query — it poisoned r04/r05 cross-round comparison). The first-pass
+times are retained as ``queries_first`` / ``first_pass_total`` in the
+detail file. Set ``SPARK_GRAFT_BENCH_PASSES=1`` for the old single-pass
+behavior.
 """
 
 from __future__ import annotations
@@ -201,15 +209,34 @@ def main() -> None:
     finally:
         shutil.rmtree(wdir, ignore_errors=True)
 
+    # Two passes per query (VERDICT r05 #2): the FIRST execution of a
+    # plan shape pays whole-stage-codegen JIT that no warmup can reach
+    # (r05 attributed ~17 s of first-compile to two untouched queries);
+    # the measured number is the SECOND (steady-state) run, with the
+    # first retained in BENCH_DETAIL for compile-cost visibility. Every
+    # registry query is rerun-idempotent (scratch dirs are per-call).
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
     times: dict[str, float] = {}
+    times_first: dict[str, float] = {}
     for name, q in REGISTRY.items():
         t0 = time.perf_counter()
         df = q.fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {times[name]:.3f}s", file=sys.stderr)
+        times_first[name] = round(time.perf_counter() - t0, 3)
+        if passes > 1:
+            t0 = time.perf_counter()
+            df = q.fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            times[name] = round(time.perf_counter() - t0, 3)
+        else:
+            times[name] = times_first[name]
+        print(
+            f"# {name}: {times[name]:.3f}s (first {times_first[name]:.3f}s)",
+            file=sys.stderr,
+        )
 
     total = round(sum(times.values()), 3)
+    total_first = round(sum(times_first.values()), 3)
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     with open(detail_path, "w") as f:
         json.dump(
@@ -220,7 +247,9 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": len(times),
                 "canary": {"cpu_sec": canary_cpu, "scan_sec": canary_scan, "stream_sec": canary_stream},
+                "first_pass_total": total_first,
                 "queries": times,
+                "queries_first": times_first,
             },
             f,
             indent=1,
@@ -241,6 +270,7 @@ def main() -> None:
             "sf": sf,
             "n_queries": len(times),
             "canary": {"cpu_sec": canary_cpu, "scan_sec": canary_scan, "stream_sec": canary_stream},
+            "first_pass_total": total_first,
             "families": families,
             "queries": slowest,
             "detail": "BENCH_DETAIL.json",

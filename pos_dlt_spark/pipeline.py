@@ -330,6 +330,19 @@ class Pipeline:
                     "recomputed Delta tables; stream reads require an "
                     "append-only upstream (use read() in a live consumer)"
                 )
+            flow = self.cdc_flows.get(name)
+            if flow is not None and flow.n_buckets is None:
+                # plain CDC targets are maintained by delta_merge, which
+                # REMOVES and rewrites files; a raw file stream would
+                # re-deliver every rewritten row as a duplicate — the same
+                # not-append-only hazard as live tables, so the same loud
+                # refusal (delta's own source throws without
+                # skipChangeCommits here too)
+                raise ValueError(
+                    f"read_stream({name!r}): CDC targets are merge-"
+                    "rewritten Delta tables, not append-only; use read() "
+                    "or consume the flow's change feed"
+                )
             from pos_dlt_spark.sources.delta import delta_snapshot
 
             schema = delta_snapshot(spark, self.table_path(name)).schema

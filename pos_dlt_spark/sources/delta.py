@@ -39,11 +39,21 @@ Supported: reader version 1 and 2 tables, version-3 readerFeatures
 timestampNtz / columnMapping (name + id read) / v2Checkpoint (manifest +
 sidecar fold, parquet or json manifests), classic single- and multi-part
 checkpoints, and DELETION VECTORS on live files (post-DELETE tables
-from modern writers): the descriptor's roaring bitmap is decoded
-driver-side (sources/dv.py) and applied as a distributed row-index
-anti-join against ``_metadata.row_index``. Unsupported features fail
-loudly: column mapping id/name (physical column renames), unknown DV
-storage types/encodings.
+from modern writers): the driver touches only the descriptor's
+COMPRESSED bitmap bytes (sources/dv.py); small/clustered DVs apply as a
+broadcast run-range anti-join on ``_metadata.row_index`` (pure JVM),
+huge scattered ones broadcast the compressed bitmaps and filter
+executor-side via vectorized membership — either way driver and
+broadcast cost ride bitmap bytes, never deleted-row count (see
+``_apply_deletion_vectors``). Checkpoint folds keep the per-file add
+rows COLUMNAR and materialize them lazily on access (``_AddBlock`` /
+``_LazyAdds``): the 1M-file fold measured 26.5 s fully materialized vs
+~5 s lazy, and the cost that remains is the paths/partitionValues every
+scan needs anyway — a distributed checkpoint scan would still pay the
+same Python-object materialization at collect time, so driver-columnar-
+lazy IS the floor for a driver-side fold (SCALE.md r6). Unsupported
+features fail loudly: unknown DV storage types/encodings, unknown
+reader features.
 """
 
 from __future__ import annotations
@@ -51,6 +61,7 @@ from __future__ import annotations
 import json
 import os
 import re
+from collections.abc import Mapping as _Mapping
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -99,6 +110,12 @@ class DeltaSnapshot:
     column_mapping: str = "none"
     physical_names: dict[str, str] = field(default_factory=dict)
     field_ids: dict[str, int] = field(default_factory=dict)
+    # the FOLDED protocol action (newest wins) — writers must carry these
+    # declared features forward: a checkpoint or feature-adding commit
+    # that re-emits a narrower protocol leaves features in use (DVs,
+    # v2 checkpoints) undeclared, which spec-compliant readers may honor
+    # by ignoring them (e.g. resurrecting DV-deleted rows).
+    protocol: dict = field(default_factory=dict)
     # (relative file path, partition_values dict) for every live file
     files: list[tuple[str, dict[str, str | None]]] = field(default_factory=list)
     # full add actions keyed by relative path (per-file stats for skipping)
@@ -163,69 +180,173 @@ def _check_protocol(proto: dict) -> None:
         raise DeltaProtocolError(f"unsupported readerFeatures: {sorted(unsupported)}")
 
 
-def _parquet_checkpoint_actions(path: str):
+def _as_dict(v):
+    # parquet map type reads back as a list of (key, value) tuples
+    return dict(v) if isinstance(v, list) else (v or {})
+
+
+class _AddBlock:
+    """One checkpoint part's ``add`` rows kept COLUMNAR (pyarrow arrays):
+    paths and partitionValues are materialized eagerly (every scan needs
+    them), the remaining fields (stats JSON, DV descriptors, sizes) only
+    on per-path access. This is what keeps the 1M-file fold in seconds —
+    the full per-row dict walk measured 26.5 s at 1M files, ~24 s of it
+    pure python-object materialization of fields most reads never touch
+    (SCALE.md r5/r6)."""
+
+    __slots__ = ("paths", "pvals", "_fields", "_index")
+
+    _EMPTY: dict = {}  # shared read-only empty partitionValues
+
+    def __init__(self, add_col):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        add_type = add_col.type
+        names = [add_type.field(i).name for i in range(add_type.num_fields)]
+        flat = add_col.combine_chunks() if isinstance(add_col, pa.ChunkedArray) else add_col
+        if flat.null_count:
+            keep = pc.is_valid(flat)
+            flat = flat.filter(keep) if hasattr(flat, "filter") else pc.filter(flat, keep)
+        self.paths: list[str] = pc.struct_field(flat, "path").to_pylist()
+        if "partitionValues" in names:
+            pv_col = pc.struct_field(flat, "partitionValues")
+            # all-empty maps (unpartitioned tables) short-circuit to one
+            # shared {} — 1M per-row dict builds measured whole seconds
+            flat_len = len(pv_col.values) if hasattr(pv_col, "values") else 1
+            if pv_col.null_count == len(pv_col) or flat_len == 0:
+                self.pvals = [self._EMPTY] * len(self.paths)
+            else:
+                self.pvals = [_as_dict(v) for v in pv_col.to_pylist()]
+        else:
+            self.pvals = [self._EMPTY] * len(self.paths)
+        self._index: dict[str, int] = {
+            p: i for i, p in enumerate(self.paths)
+        }
+        self._fields = {
+            fn: pc.struct_field(flat, fn) for fn in names if fn != "path"
+        }
+
+    def __contains__(self, path: str) -> bool:
+        return path in self._index
+
+    def row(self, path: str) -> dict:
+        i = self._index[path]
+        out = {"path": path}
+        for fn, col in self._fields.items():
+            v = col[i].as_py()
+            out[fn] = _as_dict(v) if fn == "partitionValues" else v
+        return out
+
+
+class _LazyAdds(_Mapping):
+    """Mapping[path -> add action] over checkpoint columnar blocks plus
+    the JSON-replay override layer — the same contract as the plain dict
+    it replaces (get/[]/values/items/iteration in sorted-path order) but
+    checkpoint rows materialize only on access."""
+
+    __slots__ = ("_blocks", "_over", "_keys", "_keyset", "_cache")
+
+    def __init__(self, blocks: list[_AddBlock], overrides: dict[str, dict], removed: set[str]):
+        self._blocks = blocks
+        self._over = overrides
+        keys: dict[str, None] = {}
+        for b in blocks:
+            for p in b.paths:
+                keys[p] = None
+        for p in removed:
+            keys.pop(p, None)
+        for p in overrides:
+            keys[p] = None
+        self._keys = sorted(keys)
+        self._keyset = set(self._keys)
+        self._cache: dict[str, dict] = {}
+
+    def __len__(self) -> int:
+        return len(self._keys)
+
+    def __iter__(self):
+        return iter(self._keys)
+
+    def __contains__(self, path) -> bool:
+        return path in self._keyset
+
+    def __getitem__(self, path: str) -> dict:
+        v = self._cache.get(path)
+        if v is not None:
+            return v
+        if path not in self._keyset:
+            raise KeyError(path)
+        if path in self._over:
+            v = self._over[path]
+        else:
+            for b in reversed(self._blocks):
+                if path in b:
+                    v = b.row(path)
+                    break
+            else:  # pragma: no cover — keys always come from a block
+                raise KeyError(path)
+        self._cache[path] = v
+        return v
+
+
+def _parquet_checkpoint_actions(path: str, columnar_adds: bool = False):
     """Yield action dicts from one checkpoint/sidecar parquet file
     (struct columns txn/add/remove/metaData/protocol, plus
     sidecar/checkpointMetadata in v2 manifests). Read via pyarrow on the
-    driver: the checkpoint is METADATA (its size rides file count); a
-    billion-file table would read it with a distributed scan instead,
-    but then the whole driver-side fold strategy changes with it.
+    driver: the checkpoint is METADATA (its size rides file count).
 
-    The dominant column (``add`` — every live file) is decoded
-    COLUMNARLY: one C-loop ``to_pylist`` per flat field + a zip into
-    dicts, instead of pyarrow's generic per-row nested-struct walk
-    (measured at 1M files: 46.7 s -> see SCALE.md — the walk was ~4x the
-    whole JSON-replay fold). Emission order groups by action type, which
-    is fold-equivalent: a checkpoint holds folded state (one add per
-    live path, tombstones disjoint from adds), so reconciliation is
-    order-insensitive within it."""
-    import pyarrow.compute as pc
+    With ``columnar_adds`` the dominant ``add`` column is NOT decoded
+    per row; a single ``{"__adds_block__": _AddBlock}`` action carries
+    the columnar block and the fold keeps it lazy (path/partitionValues
+    eager, everything else on access) — the 1M-file fold drops from
+    26.5 s to the parquet read + two column decodes (SCALE.md). Without
+    it (foreign callers), rows materialize as before via the blocks'
+    row() accessor."""
     import pyarrow.parquet as pq
-
-    def as_dict(v):
-        # parquet map type reads back as a list of (key, value) tuples
-        return dict(v) if isinstance(v, list) else (v or {})
 
     tbl = pq.read_table(path)
     names = set(tbl.column_names)
     for key in ("metaData", "protocol", "txn", "remove", "sidecar", "checkpointMetadata"):
         if key not in names:
             continue
-        for v in tbl.column(key).to_pylist():
-            if v is None:
+        col = tbl.column(key)
+        if col.null_count == len(col):
+            continue  # entirely-null action column: nothing to yield
+        import pyarrow.compute as pc
+
+        # drop nulls C-side: a 1M-file checkpoint's metaData column is one
+        # value and 999999 nulls — iterating them measured whole seconds
+        for v in pc.drop_null(col).to_pylist():
+            if v is None:  # pragma: no cover — drop_null removed them
                 continue
             if key == "metaData":
-                v = {**v, "configuration": as_dict(v.get("configuration"))}
+                v = {**v, "configuration": _as_dict(v.get("configuration"))}
                 if v.get("format") is not None:
                     v["format"] = {
                         **v["format"],
-                        "options": as_dict(v["format"].get("options")),
+                        "options": _as_dict(v["format"].get("options")),
                     }
             yield {key: v}
     if "add" not in names:
         return
-    add_col = tbl.column("add")
-    add_type = add_col.type
-    field_names = [add_type.field(i).name for i in range(add_type.num_fields)]
-    columns = {
-        fn: pc.struct_field(add_col, fn).to_pylist() for fn in field_names
-    }
-    valid = pc.is_valid(add_col).to_pylist()
-    for i, ok in enumerate(valid):
-        if not ok:
-            continue
-        v = {fn: columns[fn][i] for fn in field_names}
-        v["partitionValues"] = as_dict(v.get("partitionValues"))
-        yield {"add": v}
+    block = _AddBlock(tbl.column("add"))
+    if columnar_adds:
+        yield {"__adds_block__": block}
+    else:
+        for p in block.paths:
+            yield {"add": block.row(p)}
 
 
-def _checkpoint_actions(spark: SparkSession, parts: list[str]):
+def _checkpoint_actions(spark: SparkSession, parts: list[str], columnar_adds: bool = False):
     """Yield fold-ready action dicts from a checkpoint: classic single /
     multi-part parquet, or a V2 MANIFEST (parquet or json) whose
     ``sidecar`` actions reference add/remove parquet files under
     ``_delta_log/_sidecars/`` — resolved and folded here; a missing
     sidecar fails loudly (a silent partial fold would drop files).
-    ``checkpointMetadata`` rows are v2 markers with no fold effect."""
+    ``checkpointMetadata`` rows are v2 markers with no fold effect.
+    ``columnar_adds`` passes the lazy-add rendering through (see
+    :func:`_parquet_checkpoint_actions`)."""
 
     def resolve(src: str, actions):
         log_dir = os.path.dirname(src)
@@ -236,7 +357,7 @@ def _checkpoint_actions(spark: SparkSession, parts: list[str]):
                     raise FileNotFoundError(
                         f"v2 checkpoint sidecar missing: {sc} (referenced by {src})"
                     )
-                yield from _parquet_checkpoint_actions(sc)
+                yield from _parquet_checkpoint_actions(sc, columnar_adds)
             elif "checkpointMetadata" in a:
                 continue
             else:
@@ -246,7 +367,7 @@ def _checkpoint_actions(spark: SparkSession, parts: list[str]):
         if part.endswith(".json"):
             yield from resolve(part, _commit_actions(part))
         else:
-            yield from resolve(part, _parquet_checkpoint_actions(part))
+            yield from resolve(part, _parquet_checkpoint_actions(part, columnar_adds))
 
 
 def _commit_actions(path: str):
@@ -384,7 +505,9 @@ def delta_snapshot(
         None,
     )
 
-    live: dict[str, dict] = {}  # relative path -> add action
+    live: dict[str, dict] = {}  # relative path -> add action (JSON layer)
+    blocks: list[_AddBlock] = []  # checkpoint adds, kept columnar/lazy
+    removed: set[str] = set()  # post-checkpoint removes of checkpoint paths
     meta: dict | None = None
     proto: dict | None = None
     txns: dict[str, int] = {}
@@ -399,15 +522,22 @@ def delta_snapshot(
         elif "add" in action:
             add = action["add"]
             live[add["path"]] = add
+            removed.discard(add["path"])
         elif "remove" in action:
-            live.pop(action["remove"]["path"], None)
+            p = action["remove"]["path"]
+            live.pop(p, None)
+            removed.add(p)
         elif "txn" in action:
             t = action["txn"]
             if t.get("appId") is not None and t.get("version") is not None:
                 txns[t["appId"]] = max(txns.get(t["appId"], -1), int(t["version"]))
+        elif "__adds_block__" in action:
+            blocks.append(action["__adds_block__"])
 
     if ckpt_version is not None:
-        for action in _checkpoint_actions(spark, checkpoints[ckpt_version]):
+        for action in _checkpoint_actions(
+            spark, checkpoints[ckpt_version], columnar_adds=True
+        ):
             apply(action)
         replay = [(v, p) for v, p in commits if ckpt_version < v <= target]
     else:
@@ -463,6 +593,20 @@ def delta_snapshot(
                 "column mapping 'id' but some fields lack delta.columnMapping.id"
             )
     phys2logical = {p: l for l, p in physical_names.items()}
+    # file list: path + partitionValues are the only PER-FILE fields every
+    # scan needs — eager. Everything else (stats JSON, DV descriptors,
+    # sizes) stays columnar in the checkpoint blocks until accessed.
+    pvals_by_path: dict[str, dict] = {}
+    for b in blocks:
+        pvals_by_path.update(zip(b.paths, b.pvals))
+    for p in removed:
+        pvals_by_path.pop(p, None)
+    for p, a in live.items():
+        pvals_by_path[p] = a.get("partitionValues") or {}
+    if blocks:
+        adds_map: dict = _LazyAdds(blocks, live, removed)
+    else:
+        adds_map = dict(sorted(live.items()))
     return DeltaSnapshot(
         path=path,
         version=target,
@@ -473,14 +617,21 @@ def delta_snapshot(
         column_mapping=cm,
         physical_names=physical_names,
         field_ids=field_ids,
+        protocol=dict(proto or {}),
         files=[
             # add.partitionValues are keyed by PHYSICAL name under column
             # mapping; normalize to logical so every downstream consumer
-            # speaks one naming
-            (p, {phys2logical.get(k, k): v for k, v in (a.get("partitionValues") or {}).items()})
-            for p, a in sorted(live.items())
+            # speaks one naming. Empty pvals share one read-only dict —
+            # 1M fresh empties measured ~1 s at the 1M-file decade.
+            (
+                p,
+                {phys2logical.get(k, k): v for k, v in pv.items()}
+                if pv
+                else _AddBlock._EMPTY,
+            )
+            for p, pv in sorted(pvals_by_path.items())
         ],
-        adds=dict(sorted(live.items())),
+        adds=adds_map,
         txns=txns,
     )
 
@@ -657,12 +808,22 @@ def scan_rels(
     types = {f.name: f.dataType for f in snap.schema.fields}
 
     def meta_cols():
-        # file_path arrives scheme-qualified (file:///…); normalize to a
-        # plain absolute path so the DV exclusion join has one rendering
+        # __fpr: the scan's RAW file path (scheme-qualified, percent-
+        # encoded) — a zero-cost column the DV path prefers for its
+        # file-id lookup (the decoded twin below costs two regexes + a
+        # url_decode PER ROW, ~36 s over a 24M-row scan, so it must stay
+        # out of the hot path). __fp: the DECODED plain absolute path —
+        # matches the os.path rendering even for partition directories
+        # with spaces/colons (url_decode alone would also map literal
+        # '+' to a space, so '+' is pre-escaped to %2B; the composition
+        # is an exact pure-JVM percent-decoder). Consumers reference one
+        # or the other; Catalyst prunes whichever goes unused.
+        stripped = F.regexp_replace(
+            F.col("_metadata.file_path"), "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"
+        )
         return [
-            F.regexp_replace(
-                F.col("_metadata.file_path"), "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"
-            ).alias("__fp"),
+            F.col("_metadata.file_path").alias("__fpr"),
+            F.url_decode(F.regexp_replace(stripped, r"\+", "%2B")).alias("__fp"),
             F.col("_metadata.row_index").alias("__ri"),
         ]
 
@@ -725,7 +886,7 @@ def scan_rels(
         for c, v in zip(snap.partition_columns, key):
             lit = F.lit(None) if v is None else F.lit(v)
             d = d.withColumn(c, lit.cast(types[c]))
-        cols_sel = out_cols + (["__fp", "__ri"] if with_meta else [])
+        cols_sel = out_cols + (["__fpr", "__fp", "__ri"] if with_meta else [])
         parts.append(d.select(*cols_sel))
     out = parts[0]
     for d in parts[1:]:
@@ -733,34 +894,135 @@ def scan_rels(
     return out
 
 
+# DV application strategy thresholds (module-level so tests/operators can
+# force a path). The driver NEVER materializes per-deleted-row objects:
+# every driver cost below is bounded by the compressed bitmap bytes.
+DV_RUN_JOIN_MAX = 65_536  # total [lo,hi] runs the JVM range anti-join accepts
+
+
 def _apply_deletion_vectors(
     spark: SparkSession, snap: DeltaSnapshot, dv_rels: list[str]
 ) -> DataFrame:
-    """Scan the DV-carrying files and drop their deleted rows via a
-    broadcast row-index ANTI-JOIN — the Spark-native rendering of what
-    delta's scan does with per-task bitmap filters. The bitmaps are
-    decoded DRIVER-SIDE (sources/dv.py — metadata work bounded by DV
-    size, like the log fold itself); the row filtering is one distributed
-    JVM join keyed on (file, _metadata.row_index), no Python in the data
-    path. Files without DVs never pay the join."""
-    from pos_dlt_spark.sources.dv import read_dv_descriptor
+    """Scan the DV-carrying files and drop their deleted rows — the
+    Spark rendering of what delta's scan does with per-task bitmap
+    filters, sized for 100 TB DV cardinalities:
+
+    - The driver reads only the SERIALIZED bitmap bytes per file
+      (CRC-validated, ``sources/dv.py``) — cost and memory ride the
+      compressed bitmap size, never the deleted-row count.
+    - Bitmaps whose total run count fits ``DV_RUN_JOIN_MAX`` render as
+      [lo, hi] runs and apply as one broadcast hash ANTI-JOIN keyed on
+      the file path with a BETWEEN residual on ``_metadata.row_index``
+      — pure JVM, no Python in the data path, broadcast sized by run
+      count (clustered deletes compress massively).
+    - Past that (scattered huge DVs — e.g. 0.1% of 1e12 rows), the
+      compressed bitmap bytes themselves are broadcast and each
+      executor answers membership VECTORIZED per Arrow batch
+      (``DvMembership``: searchsorted / bit probes over the container
+      structures) via a pandas UDF filter — executor memory again rides
+      bitmap bytes. This is the only Python in any DV path and it
+      transfers exactly two columns (file path, row index) per batch.
+
+    Files without DVs never pay either path.
+
+    Both paths key on ``__fid`` — a small per-file integer resolved by
+    ONE literal-map lookup on the scan's RAW ``_metadata.file_path``
+    (every plausible URI rendering of each file is a map key), falling
+    back to the decoded ``__fp`` only on a miss. Keying on the decoded
+    path directly would put two regexes + a url_decode in the per-row
+    hot path (measured: ~36 s of a 24M-row scan's 62 s)."""
+    from urllib.parse import quote
+
+    from pos_dlt_spark.sources.dv import decode_dv_runs, read_dv_bytes
     from pos_dlt_spark.tables import local_df
 
-    pairs: list[tuple[str, int]] = []
+    blobs: dict[str, bytes] = {}
     for rel in dv_rels:
         dv = snap.adds[rel]["deletionVector"]
         fp = os.path.abspath(_abs_file(snap.path, rel))
-        pairs.extend((fp, int(i)) for i in read_dv_descriptor(snap.path, dv))
-    scan = scan_rels(spark, snap, dv_rels, with_meta=True)
-    if not pairs:
-        return scan.drop("__fp", "__ri")
-    excl = local_df(spark, pairs, "__xfp string, __xri bigint")
-    out = scan.join(
-        F.broadcast(excl),
-        (F.col("__fp") == F.col("__xfp")) & (F.col("__ri") == F.col("__xri")),
-        "left_anti",
+        blobs[fp] = read_dv_bytes(snap.path, dv)
+
+    def renderings(fp: str) -> set[str]:
+        outs = {fp, "file:" + fp, "file://" + fp}
+        for safe in ("/", "/:", "/:+=~"):
+            q = quote(fp, safe=safe)
+            outs.update({q, "file:" + q, "file://" + q})
+        return outs
+
+    raw_pairs = [
+        x
+        for i, fp in enumerate(blobs)
+        for r in sorted(renderings(fp))
+        for x in (F.lit(r), F.lit(i))
+    ]
+    dec_pairs = [x for i, fp in enumerate(blobs) for x in (F.lit(fp), F.lit(i))]
+    # try_element_at: NULL on miss (element_at THROWS under ANSI). The
+    # final raise_error arm makes a total miss LOUD — a silent null would
+    # drop out of the anti-join and resurrect deleted rows.
+    fid = F.coalesce(
+        F.try_element_at(F.create_map(*raw_pairs), F.col("__fpr")),
+        F.try_element_at(F.create_map(*dec_pairs), F.col("__fp")),
+        F.raise_error(
+            F.concat(F.lit("DV file-id lookup failed for "), F.col("__fpr"))
+        ).cast("int"),
     )
-    return out.drop("__fp", "__ri")
+    scan = scan_rels(spark, snap, dv_rels, with_meta=True).withColumn("__fid", fid)
+    meta = ["__fpr", "__fp", "__ri", "__fid"]
+
+    # runs rendering, abandoned as soon as it provably exceeds the budget
+    run_rows: list[tuple[int, int, int]] | None = []
+    for i, (fp, data) in enumerate(blobs.items()):
+        runs = decode_dv_runs(data)
+        if len(run_rows) + len(runs) > DV_RUN_JOIN_MAX:
+            run_rows = None
+            break
+        run_rows.extend((i, lo, hi) for lo, hi in runs)
+
+    if run_rows is not None:
+        if not run_rows:
+            return scan.drop(*meta)
+        excl = local_df(spark, run_rows, "__xfid int, __xlo bigint, __xhi bigint")
+        out = scan.join(
+            F.broadcast(excl),
+            (F.col("__fid") == F.col("__xfid"))
+            & (F.col("__ri") >= F.col("__xlo"))
+            & (F.col("__ri") <= F.col("__xhi")),
+            "left_anti",
+        )
+        return out.drop(*meta)
+
+    # membership path: broadcast the compressed bitmaps, filter
+    # executor-side on (int, bigint) Arrow batches.
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    blob_list = list(blobs.values())
+    bc = spark.sparkContext.broadcast(blob_list)
+    cache: dict = {}  # per-worker parsed-bitmap cache (rides the closure)
+
+    def _dv_deleted_fn(fid, ri):
+        import numpy as np
+
+        from pos_dlt_spark.sources.dv import DvMembership
+        out = np.zeros(len(fid), dtype=bool)
+        vals = ri.to_numpy(dtype="int64")
+        ids = fid.to_numpy(dtype="int64")
+        for f in np.unique(ids):
+            m = cache.get(f)
+            if m is None:
+                m = cache[f] = DvMembership(bc.value[int(f)])
+            sel = ids == f
+            out[sel] = m.contains(vals[sel])
+        return pd.Series(out)
+
+    # real type objects: this module's PEP-563 stringified hints would
+    # break pandas_udf eval-type inference
+    _dv_deleted_fn.__annotations__ = {
+        "fid": pd.Series, "ri": pd.Series, "return": pd.Series,
+    }
+    _dv_deleted = pandas_udf(_dv_deleted_fn, "boolean")
+
+    return scan.filter(~_dv_deleted(F.col("__fid"), F.col("__ri"))).drop(*meta)
 
 
 def read_delta(

@@ -14,9 +14,13 @@ delta-io CDF docs (`table_changes` semantics):
   data actions — ``add`` (dataChange=true) files are inserts, ``remove``
   (dataChange=true) files are deletes of their full content (readable
   until VACUUM collects them), exactly the protocol's derivation rule.
-  A DV-carrying add in a commit WITHOUT cdc files is a row-level delete
-  that adds alone cannot represent — loud error, mirroring the
-  streaming-replay refusal.
+  A DV-carrying add (a row-level delete committed WITHOUT change files)
+  is DERIVED too: the deleted rows are exactly the file's rows at (new
+  DV minus the prior snapshot's DV for the same file) — one pinned-schema
+  scan of the immutable file filtered by ``_metadata.row_index``; its
+  paired same-path remove is DV bookkeeping, not a full-file delete.
+  The row-index sets involved are bounded by the COMMIT's delete
+  cardinality (the same bound ``delta_delete`` itself accepts).
 
 Everything stays in the existing cost classes: change files are written
 by distributed jobs, the per-commit action walk is driver metadata, and
@@ -179,6 +183,51 @@ def read_change_feed(
             frames.append(attach_partitions(d, pvals))
         return frames
 
+    def file_rows_by_index(
+        rel: str, pvals: dict, idx: list[int], keep_matching: bool, tag: str
+    ) -> DataFrame:
+        """Rows of one immutable data file selected (or excluded) by their
+        file-absolute row index, tagged with a change type. The index set
+        is a commit's DV delta — bounded by that commit's delete
+        cardinality; small sets render as a BETWEEN-runs predicate (pure
+        scan filter), larger ones as a broadcast (semi/anti) join."""
+        from pyspark.sql.types import StructType
+
+        base = StructType(
+            [f for f in snap.schema.fields if f.name not in snap.partition_columns]
+        )
+        d = (
+            spark.read.schema(base)
+            .parquet(_abs_file(path, rel))
+            .select("*", F.col("_metadata.row_index").alias("__ri"))
+        )
+        runs: list[tuple[int, int]] = []
+        for i in sorted(idx):
+            if runs and i == runs[-1][1] + 1:
+                runs[-1] = (runs[-1][0], i)
+            else:
+                runs.append((i, i))
+        if len(runs) <= 256:
+            cond = None
+            for lo, hi in runs:
+                c = (F.col("__ri") >= lo) & (F.col("__ri") <= hi)
+                cond = c if cond is None else (cond | c)
+            if cond is None:
+                cond = F.lit(False)
+            d = d.filter(cond if keep_matching else ~cond)
+        else:
+            from pos_dlt_spark.tables import local_df
+
+            excl = local_df(spark, [(int(i),) for i in idx], "__xri bigint")
+            d = d.join(
+                F.broadcast(excl),
+                F.col("__ri") == F.col("__xri"),
+                "left_semi" if keep_matching else "left_anti",
+            )
+        return attach_partitions(d.drop("__ri"), pvals).withColumn(
+            CHANGE_TYPE, F.lit(tag)
+        )
+
     parts: list[DataFrame] = []
     for v, p in commits:
         if v < start_version or (end_version is not None and v > end_version):
@@ -186,31 +235,35 @@ def read_change_feed(
         actions = list(_commit_actions(p))
         cdc_entries: list[tuple[str, dict]] = []
         add_entries: list[tuple[str, dict]] = []
+        dv_add_actions: list[dict] = []
         remove_entries: list[tuple[str, dict]] = []
-        dv_adds = False
+        re_added: set[str] = set()
         for a in actions:
             if "cdc" in a:
                 cdc_entries.append(
                     (a["cdc"]["path"], dict(a["cdc"].get("partitionValues") or {}))
                 )
             elif "add" in a and a["add"].get("dataChange", True):
-                add_entries.append(
-                    (a["add"]["path"], dict(a["add"].get("partitionValues") or {}))
-                )
-                dv_adds = dv_adds or bool(a["add"].get("deletionVector"))
+                re_added.add(a["add"]["path"])
+                if a["add"].get("deletionVector"):
+                    dv_add_actions.append(a["add"])
+                else:
+                    add_entries.append(
+                        (a["add"]["path"], dict(a["add"].get("partitionValues") or {}))
+                    )
             elif "remove" in a and a["remove"].get("dataChange", True):
                 remove_entries.append(
                     (a["remove"]["path"], dict(a["remove"].get("partitionValues") or {}))
                 )
-        if dv_adds and not cdc_entries:
-            raise DeltaProtocolError(
-                f"commit {v}: deletion-vector delete without change files — "
-                "row-level changes are underivable (table written without "
-                "delta.enableChangeDataFeed)"
-            )
         if cdc_entries:
             frames = scan_groups(cdc_entries, extra_schema=CHANGE_TYPE)
         else:
+            # a remove whose path is re-added in the SAME commit is the
+            # bookkeeping half of a DV update (remove + add of one file),
+            # not a full-file delete
+            remove_entries = [
+                (rel, pv) for rel, pv in remove_entries if rel not in re_added
+            ]
             frames = [
                 d.withColumn(CHANGE_TYPE, F.lit("insert"))
                 for d in scan_groups(add_entries, extra_schema=None)
@@ -218,6 +271,33 @@ def read_change_feed(
                 d.withColumn(CHANGE_TYPE, F.lit("delete"))
                 for d in scan_groups(remove_entries, extra_schema=None)
             ]
+            if dv_add_actions:
+                from pos_dlt_spark.sources.dv import read_dv_descriptor
+
+                prior = delta_snapshot(spark, path, v - 1) if v > 0 else None
+                for add in dv_add_actions:
+                    rel = add["path"]
+                    pvals = dict(add.get("partitionValues") or {})
+                    new_idx = set(read_dv_descriptor(path, add["deletionVector"]))
+                    old = prior.adds.get(rel) if prior is not None else None
+                    if old is None:
+                        # file is NEW in this commit and arrives with a DV:
+                        # its change set is the inserts of its LIVE rows
+                        frames.append(
+                            file_rows_by_index(
+                                rel, pvals, sorted(new_idx), False, "insert"
+                            )
+                        )
+                        continue
+                    old_dv = old.get("deletionVector")
+                    old_idx = (
+                        set(read_dv_descriptor(path, old_dv)) if old_dv else set()
+                    )
+                    newly = sorted(new_idx - old_idx)
+                    if newly:
+                        frames.append(
+                            file_rows_by_index(rel, pvals, newly, True, "delete")
+                        )
         for d in frames:
             parts.append(
                 d.select(*out_cols, CHANGE_TYPE).withColumn(

@@ -58,8 +58,12 @@ def add_action(
     }
 
 
-def remove_action(rel_path: str) -> dict:
-    return {"remove": {"path": rel_path, "deletionTimestamp": 0, "dataChange": True}}
+def remove_action(rel_path: str, data_change: bool = True) -> dict:
+    """``data_change=False`` marks a remove that reorganizes bytes without
+    changing rows (OPTIMIZE/compaction) — the flag streaming replay and
+    CDF derivation key on; emitting True for a compaction would make CDF
+    report the whole rewritten file as deleted."""
+    return {"remove": {"path": rel_path, "deletionTimestamp": 0, "dataChange": data_change}}
 
 
 def commit_info_action(operation: str, parameters: dict | None = None) -> dict:
@@ -138,7 +142,19 @@ def _action_arrow_schema():
             ),
             pa.field(
                 "protocol",
-                pa.struct([("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]),
+                pa.struct(
+                    [
+                        ("minReaderVersion", pa.int32()),
+                        ("minWriterVersion", pa.int32()),
+                        # version-3/7 table-feature lists must survive the
+                        # checkpoint: a checkpoint that folds a DV table but
+                        # re-emits a bare (1,2) protocol leaves spec-compliant
+                        # readers free to ignore the DV descriptors and
+                        # resurrect deleted rows.
+                        ("readerFeatures", pa.list_(pa.string())),
+                        ("writerFeatures", pa.list_(pa.string())),
+                    ]
+                ),
             ),
             pa.field(
                 "add",
@@ -155,6 +171,22 @@ def _action_arrow_schema():
                         # delta_merge's file pruning) for every pre-checkpoint
                         # file after the first checkpoint crossing.
                         ("stats", pa.string()),
+                        # deletion-vector descriptors must survive too: a
+                        # checkpoint written after delta_delete(mode='dv')
+                        # that dropped this struct would resurrect every
+                        # DV-deleted row for all post-checkpoint snapshots.
+                        (
+                            "deletionVector",
+                            pa.struct(
+                                [
+                                    ("storageType", pa.string()),
+                                    ("pathOrInlineDv", pa.string()),
+                                    ("offset", pa.int32()),
+                                    ("sizeInBytes", pa.int32()),
+                                    ("cardinality", pa.int64()),
+                                ]
+                            ),
+                        ),
                     ]
                 ),
             ),

@@ -98,19 +98,72 @@ def _constrained(df: DataFrame, conf: dict[str, str]):
     return df, check
 
 
+def _merged_protocol(
+    prior: dict | None,
+    reader_features: tuple[str, ...] = (),
+    writer_features: tuple[str, ...] = (),
+) -> dict:
+    """Protocol action carrying the UNION of the table's already-declared
+    features and any newly required ones. Emitting only the new feature
+    (or the bare default) would CLOBBER prior declarations — e.g. a
+    checkpoint after a DV delete that re-declares (1,2) leaves DV files
+    in use under a protocol that never mentions them, and spec-compliant
+    readers may honor that by resurrecting the deleted rows."""
+    p = dict(prior or {})
+    rf = set(p.get("readerFeatures") or ()) | set(reader_features)
+    wf = set(p.get("writerFeatures") or ()) | set(writer_features)
+    out: dict = {
+        "minReaderVersion": max(int(p.get("minReaderVersion") or 1), 3 if rf else 1),
+        "minWriterVersion": max(int(p.get("minWriterVersion") or 2), 7 if (rf or wf) else 2),
+    }
+    if rf or wf:
+        # version-3/7 tables must list EVERY feature in use; reader
+        # features are writer features too per the table-features spec
+        out["readerFeatures"] = sorted(rf)
+        out["writerFeatures"] = sorted(wf | rf)
+    return {"protocol": out}
+
+
 def _writer_supports(snap: DeltaSnapshot) -> None:
-    """Column-mapping tables are READ-ONLY interop here: this writer
-    emits files under logical names, which would corrupt a table whose
-    scans resolve by physical name / field id. Loud refusal beats silent
-    nulls."""
-    if snap.column_mapping != "none":
+    """Column-mapping writes: 'name' mode is SUPPORTED — it only needs
+    logical->physical renames on the way out (files and partitionValues
+    carry physical names; the logical schema lives in metaData) — see
+    :func:`_to_physical`. 'id' mode stays read-only: a conformant write
+    must stamp parquet field ids matching the mapping on every file, and
+    a file written without them silently resolves to all-null under
+    id-mode reads elsewhere — loud refusal beats that."""
+    if snap.column_mapping == "id":
         from pos_dlt_spark.sources.delta import DeltaProtocolError
 
         raise DeltaProtocolError(
-            f"table uses column mapping '{snap.column_mapping}': this "
-            "writer supports mode 'none' only (reads work; writes would "
-            "mix logical and physical column names)"
+            "table uses column mapping 'id': this writer supports modes "
+            "'none' and 'name' only (id-mode files must carry parquet "
+            "field ids; reads work)"
         )
+
+
+def _to_physical(df: DataFrame, snap: DeltaSnapshot) -> DataFrame:
+    """Rename a LOGICAL-named frame to the table's PHYSICAL column names
+    for staging (no-op for mode 'none'). Data files of a column-mapping
+    table must carry physical names — that is the mode's contract."""
+    if snap.column_mapping == "none":
+        return df
+    from pyspark.sql import functions as F
+
+    return df.select(
+        *[
+            F.col(f"`{c}`").alias(snap.physical_names.get(c, c))
+            for c in df.columns
+        ]
+    )
+
+
+def _physical_partition_by(snap: DeltaSnapshot) -> list[str] | None:
+    """The table's partition columns under their PHYSICAL names — what
+    partition directories and add.partitionValues keys must use."""
+    if not snap.partition_columns:
+        return None
+    return [snap.physical_names.get(c, c) for c in snap.partition_columns]
 
 
 def _file_stats(path: str) -> str:
@@ -295,6 +348,15 @@ def write_delta(
     if exists and configuration is not None:
         raise ValueError("configuration is set at table creation only")
     conf = configuration or {}
+    prior: DeltaSnapshot | None = None
+    if not exists and (conf.get("delta.columnMapping.mode") or "none") != "none":
+        from pos_dlt_spark.sources.delta import DeltaProtocolError
+
+        raise DeltaProtocolError(
+            "creating a column-mapping table is not supported (this writer "
+            "does not mint physicalName/field-id metadata); appends and "
+            "merges into existing name-mode tables work"
+        )
     if exists:
         prior = delta_snapshot(spark, path)
         _writer_supports(prior)
@@ -308,7 +370,13 @@ def write_delta(
                 "table is delta.appendOnly: overwrite would remove data"
             )
     df, check_constraints = _constrained(df, conf)
-    adds = _stage_and_move(df, path, partition_by)
+    if prior is not None and prior.column_mapping != "none":
+        # name-mode table: files + partition dirs carry PHYSICAL names
+        adds = _stage_and_move(
+            _to_physical(df, prior), path, _physical_partition_by(prior)
+        )
+    else:
+        adds = _stage_and_move(df, path, partition_by)
     for pre in (check_constraints, precommit):
         if pre is None:
             continue
@@ -389,13 +457,15 @@ def write_delta(
                 # subsequent append as partitioning drift)
                 ckpt_actions = (
                     [
-                        fx.protocol_action()
-                        if checkpoint_format != "v2"
-                        else fx.protocol_action(
-                            min_reader=3,
-                            min_writer=7,
-                            readerFeatures=["v2Checkpoint"],
-                            writerFeatures=["v2Checkpoint"],
+                        # carry the FOLDED protocol (plus v2Checkpoint when
+                        # writing that format) — the checkpoint replaces the
+                        # JSON chain, so dropping declared features here
+                        # (deletionVectors above all) would undeclare
+                        # features still in use
+                        _merged_protocol(
+                            final.protocol,
+                            *((("v2Checkpoint",), ("v2Checkpoint",))
+                              if checkpoint_format == "v2" else ((), ())),
                         ),
                         fx.metadata_action(
                             final.schema,
@@ -514,12 +584,14 @@ def delta_merge(
     else:
         ranges = []
         touched_always = []
+        # stats in column-mapping tables are keyed by PHYSICAL names
+        skey = snap.physical_names.get(keys[0], keys[0])
         for rel, _pv in snap.files:
             raw = snap.adds.get(rel, {}).get("stats")
             try:
                 st = json.loads(raw) if isinstance(raw, str) else (raw or {})
-                lo = (st.get("minValues") or {}).get(keys[0])
-                hi = (st.get("maxValues") or {}).get(keys[0])
+                lo = (st.get("minValues") or {}).get(skey)
+                hi = (st.get("maxValues") or {}).get(skey)
             except (TypeError, ValueError):
                 lo = hi = None
             if lo is None or hi is None:
@@ -643,7 +715,9 @@ def delta_merge(
             "(a pure-insert batch on disjoint keys is allowed)"
         )
     merged, check_constraints = _constrained(merged, snap.configuration)
-    adds = _stage_and_move(merged, path, snap.partition_columns or None)
+    adds = _stage_and_move(
+        _to_physical(merged, snap), path, _physical_partition_by(snap)
+    )
     if check_constraints is not None:
         try:
             check_constraints()
@@ -663,6 +737,13 @@ def delta_merge(
     )
 
     if cdf_enabled(snap):
+        if snap.column_mapping != "none":
+            from pos_dlt_spark.sources.delta import DeltaProtocolError
+
+            raise DeltaProtocolError(
+                "CDF not supported on column-mapping tables (mirrors the "
+                "CDF read refusal)"
+            )
         old_df = old if old is not None else spark.createDataFrame([], snap.schema)
         changes = merge_change_rows(old_df, merged_tagged, keys)
         cdc_actions = stage_change_files(
@@ -743,9 +824,16 @@ def delta_optimize(
         plain = [r for r in rels if r not in set(dv_rels)]
         data = None
         if plain:
-            data = spark.read.schema(snap.data_schema).parquet(
-                *[_abs_file(path, rel) for rel in plain]
-            )
+            if snap.column_mapping == "none":
+                data = spark.read.schema(snap.data_schema).parquet(
+                    *[_abs_file(path, rel) for rel in plain]
+                )
+            else:
+                # cm files carry physical names; the shared scanner
+                # resolves them back to logical
+                from pos_dlt_spark.sources.delta import scan_rels
+
+                data = scan_rels(spark, snap, plain).select(*data_cols)
         if dv_rels:
             from pos_dlt_spark.sources.delta import _apply_deletion_vectors
 
@@ -790,13 +878,18 @@ def delta_optimize(
                 .sortWithinPartitions("__z")
                 .drop("__z")
             )
-            out.write.parquet(staging)
+            _to_physical(out, snap).write.parquet(staging)
         else:
-            data.coalesce(target_files).write.parquet(staging)
+            _to_physical(data.coalesce(target_files), snap).write.parquet(staging)
+        # partition directories and partitionValues keys use PHYSICAL names
         rel_dir = "/".join(
-            f"{c}={'__HIVE_DEFAULT_PARTITION__' if v is None else v}"
+            f"{snap.physical_names.get(c, c)}="
+            f"{'__HIVE_DEFAULT_PARTITION__' if v is None else v}"
             for c, v in zip(snap.partition_columns, k)
         )
+        pvals_out = {
+            snap.physical_names.get(c, c): v for c, v in pv_by_group[k].items()
+        }
         for n in sorted(os.listdir(staging)):
             if not n.endswith(".parquet"):
                 continue
@@ -808,7 +901,7 @@ def delta_optimize(
                 fx.add_action(
                     rel,
                     size=os.path.getsize(dest),
-                    partition_values=pv_by_group[k] or None,
+                    partition_values=pvals_out or None,
                     stats=_file_stats(dest),
                     dataChange=False,
                 )
@@ -819,7 +912,7 @@ def delta_optimize(
         return snap.version
     actions = [
         fx.commit_info_action("OPTIMIZE", {"zOrderBy": list(zorder_by or [])})
-    ] + [fx.remove_action(rel) for rel in removes] + adds
+    ] + [fx.remove_action(rel, data_change=False) for rel in removes] + adds
     version = snap.version + 1
     if not _try_commit(os.path.join(path, "_delta_log"), version, actions):
         raise DeltaCommitConflict(f"version {version} committed concurrently; re-run optimize")
@@ -971,14 +1064,9 @@ def delta_delete(
         if not hit:
             return snap.version, 0
         actions: list[dict] = [
-            {
-                "protocol": {
-                    "minReaderVersion": 3,
-                    "minWriterVersion": 7,
-                    "readerFeatures": ["deletionVectors"],
-                    "writerFeatures": ["deletionVectors"],
-                }
-            }
+            _merged_protocol(
+                snap.protocol, ("deletionVectors",), ("deletionVectors",)
+            )
         ]
         already_live = 0
         for rel, idx in sorted(hit.items()):
@@ -1014,7 +1102,9 @@ def delta_delete(
             old = old.unionByName(dvpart) if old is not None else dvpart
         keep = old.filter(~F.coalesce(F.expr(predicate), F.lit(False)))
         n_deleted = old.count() - keep.count()
-        adds = _stage_and_move(keep, path, snap.partition_columns or None)
+        adds = _stage_and_move(
+            _to_physical(keep, snap), path, _physical_partition_by(snap)
+        )
         actions = [fx.remove_action(rel) for rel in hit_rels] + adds
 
     from pos_dlt_spark.sources.delta_cdf import (
@@ -1024,6 +1114,13 @@ def delta_delete(
     )
 
     if cdf_enabled(snap):
+        if snap.column_mapping != "none":
+            from pos_dlt_spark.sources.delta import DeltaProtocolError
+
+            raise DeltaProtocolError(
+                "CDF not supported on column-mapping tables (mirrors the "
+                "CDF read refusal)"
+            )
         # change files hold the NEWLY deleted rows: live rows (prior DVs
         # applied — already-dead rows are not deleted again) matching the
         # predicate, tagged 'delete'

@@ -156,6 +156,186 @@ def _encode_roaring32(values: list[int]) -> bytes:
     return bytes(out)
 
 
+# -- header-only / run-level / vectorized views of a bitmap -----------------
+#
+# The read path must NEVER materialize one Python object per deleted row
+# for large DVs (a 100 TB table with 0.1% deleted is ~1e9 rows — ~100 GB
+# of driver tuples where the compressed bitmaps are megabytes). These
+# three views keep every cost bounded by the BITMAP's size, not the
+# deleted-row count: cardinality from container headers alone, runs for
+# small/clustered DVs (JVM range anti-join), and a numpy-backed
+# membership structure for the executor-side vectorized filter.
+
+
+def _walk_containers(data: bytes):
+    """Yield (high32, key16, kind, payload_view) per container without
+    materializing values. kind is 'array' | 'bitmap' | 'run'."""
+    if len(data) < 12:
+        raise DeletionVectorError(f"DV bitmap too short ({len(data)} bytes)")
+    magic, n_bitmaps = struct.unpack_from("<iq", data, 0)
+    if magic != _MAGIC:
+        raise DeletionVectorError(f"bad DV magic {magic} (expected {_MAGIC})")
+    buf = memoryview(data)
+    pos = 12
+    for high in range(n_bitmaps):
+        (cookie,) = struct.unpack_from("<I", buf, pos)
+        pos += 4
+        if (cookie & 0xFFFF) == _SERIAL_COOKIE:
+            n = (cookie >> 16) + 1
+            run_flags = bytes(buf[pos : pos + (n + 7) // 8])
+            pos += (n + 7) // 8
+        elif cookie == _SERIAL_COOKIE_NO_RUN:
+            (n,) = struct.unpack_from("<I", buf, pos)
+            pos += 4
+            run_flags = b"\x00" * ((n + 7) // 8)
+        else:
+            raise DeletionVectorError(f"bad roaring cookie {cookie}")
+        keys, cards = [], []
+        for i in range(n):
+            k, c = struct.unpack_from("<HH", buf, pos)
+            pos += 4
+            keys.append(k)
+            cards.append(c + 1)
+        has_run = (cookie & 0xFFFF) == _SERIAL_COOKIE
+        if (not has_run) or n >= _NO_OFFSET_THRESHOLD:
+            pos += 4 * n
+        for i in range(n):
+            if run_flags[i // 8] & (1 << (i % 8)):
+                (n_runs,) = struct.unpack_from("<H", buf, pos)
+                size = 2 + 4 * n_runs
+                yield high, keys[i], "run", buf[pos + 2 : pos + size]
+            elif cards[i] > 4096:
+                size = 8192
+                yield high, keys[i], "bitmap", buf[pos : pos + size]
+            else:
+                size = 2 * cards[i]
+                yield high, keys[i], "array", buf[pos : pos + size]
+            pos += size
+
+
+def bitmap_cardinality(data: bytes) -> int:
+    """Deleted-row count from container HEADERS only (no value decode;
+    run containers sum their lengths)."""
+    total = 0
+    for _h, _k, kind, payload in _walk_containers(data):
+        if kind == "run":
+            n_runs = len(payload) // 4
+            total += sum(
+                struct.unpack_from("<HH", payload, 4 * r)[1] + 1
+                for r in range(n_runs)
+            )
+        elif kind == "bitmap":
+            total += sum(bin(w).count("1") for w in struct.unpack(f"<{len(payload)//8}Q", payload))
+        else:
+            total += len(payload) // 2
+    return total
+
+
+def decode_dv_runs(data: bytes) -> list[tuple[int, int]]:
+    """Bitmap -> maximal sorted [start, end] runs of deleted row indices.
+    Memory is O(runs) (clustered deletes compress massively; a fully
+    scattered DV degenerates to one run per row — callers bound on
+    len(runs) before choosing this rendering)."""
+    import numpy as np
+
+    runs: list[tuple[int, int]] = []
+
+    def push(start: int, end: int) -> None:
+        if runs and start == runs[-1][1] + 1:
+            runs[-1] = (runs[-1][0], end)
+        else:
+            runs.append((start, end))
+
+    for high, key, kind, payload in _walk_containers(data):
+        base = (high << 32) | (key << 16)
+        if kind == "run":
+            for r in range(len(payload) // 4):
+                s, ln = struct.unpack_from("<HH", payload, 4 * r)
+                push(base + s, base + s + ln)
+        else:
+            if kind == "bitmap":
+                words = np.frombuffer(payload, dtype=np.uint64)
+                bits = np.unpackbits(words.view(np.uint8), bitorder="little")
+                vals = np.nonzero(bits)[0]
+            else:
+                vals = np.sort(np.frombuffer(payload, dtype=np.uint16).astype(np.int64))
+            if len(vals) == 0:
+                continue
+            # split sorted values into consecutive runs, vectorized
+            breaks = np.nonzero(np.diff(vals) != 1)[0]
+            starts = np.concatenate(([0], breaks + 1))
+            ends = np.concatenate((breaks, [len(vals) - 1]))
+            for s, e in zip(starts, ends):
+                push(base + int(vals[s]), base + int(vals[e]))
+    return runs
+
+
+class DvMembership:
+    """Vectorized deleted-row membership over the SERIALIZED bitmap —
+    executor-side memory rides the compressed container sizes, never the
+    deleted-row count. ``contains`` answers a whole Arrow batch of row
+    indices with numpy ops (searchsorted / bit probes), the shape the
+    pandas-UDF DV filter needs."""
+
+    def __init__(self, data: bytes):
+        import numpy as np
+
+        self._containers: dict[int, tuple] = {}
+        for high, key, kind, payload in _walk_containers(data):
+            ckey = (high << 16) | key
+            if kind == "array":
+                arr = np.sort(np.frombuffer(payload, dtype=np.uint16).astype(np.int32))
+                self._containers[ckey] = ("a", arr)
+            elif kind == "bitmap":
+                self._containers[ckey] = ("b", np.frombuffer(payload, dtype=np.uint64))
+            else:
+                pairs = np.frombuffer(payload, dtype=np.uint16).astype(np.int32)
+                starts = pairs[0::2]
+                ends = starts + pairs[1::2]
+                order = np.argsort(starts, kind="stable")
+                self._containers[ckey] = ("r", starts[order], ends[order])
+
+    def contains(self, values) -> "object":
+        """values: int64 array of row indices -> bool array. One stable
+        sort groups the batch by container (contiguous slices), so total
+        cost is O(n log n) + vectorized probes — NOT O(n x containers)
+        (the naive per-container full-array mask measured 19 s for a
+        24M-row batch over 367 containers; this shape runs it in ~1 s)."""
+        import numpy as np
+
+        v = np.asarray(values, dtype=np.int64)
+        out = np.zeros(len(v), dtype=bool)
+        if not len(v):
+            return out
+        hi = v >> 16
+        order = np.argsort(hi, kind="stable")
+        sh = hi[order]
+        uniq, starts = np.unique(sh, return_index=True)
+        bounds = np.append(starts, len(sh))
+        for j, ckey in enumerate(uniq):
+            c = self._containers.get(int(ckey))
+            if c is None:
+                continue
+            sel = order[starts[j] : bounds[j + 1]]
+            lows = (v[sel] & 0xFFFF).astype(np.int32)
+            if c[0] == "a":
+                arr = c[1]
+                idx = np.searchsorted(arr, lows)
+                ok = (idx < len(arr)) & (arr[np.minimum(idx, len(arr) - 1)] == lows)
+            elif c[0] == "b":
+                words = c[1]
+                ok = (
+                    (words[lows >> 6] >> (lows & 63).astype(np.uint64))
+                    & np.uint64(1)
+                ).astype(bool)
+            else:
+                starts_r, ends_r = c[1], c[2]
+                idx = np.searchsorted(starts_r, lows, side="right") - 1
+                ok = (idx >= 0) & (lows <= ends_r[np.maximum(idx, 0)])
+            out[sel] = ok
+        return out
+
+
 # -- 64-bit RoaringBitmapArray (Delta's DV payload) -------------------------
 
 
@@ -213,11 +393,12 @@ def write_dv_file(path: str, bitmaps: list[bytes]) -> list[tuple[int, int]]:
     return entries
 
 
-def read_dv_descriptor(table_path: str, dv: dict) -> list[int]:
-    """Resolve an add action's deletionVector descriptor to the sorted
-    deleted row indices. Supports storageType 'i' (inline z85), 'u'
-    (relative UUID file) and 'p' (absolute path); anything else fails
-    loudly."""
+def read_dv_bytes(table_path: str, dv: dict) -> bytes:
+    """Resolve an add action's deletionVector descriptor to the
+    SERIALIZED bitmap bytes (CRC/size/cardinality validated) without
+    decoding any row index — what the scale read path broadcasts.
+    Supports storageType 'i' (inline z85), 'u' (relative UUID file) and
+    'p' (absolute path); anything else fails loudly."""
     import os
     import uuid as _uuid
 
@@ -253,13 +434,20 @@ def read_dv_descriptor(table_path: str, dv: dict) -> list[int]:
                 raise DeletionVectorError(f"DV checksum mismatch at {fpath}:{offset}")
     else:
         raise DeletionVectorError(f"unsupported DV storageType {st!r}")
-    indices = decode_dv_bitmap(data)
     card = dv.get("cardinality")
-    if card is not None and int(card) != len(indices):
+    if card is not None and int(card) != bitmap_cardinality(data):
         raise DeletionVectorError(
-            f"DV cardinality mismatch: descriptor {card}, bitmap {len(indices)}"
+            f"DV cardinality mismatch: descriptor {card}, "
+            f"bitmap {bitmap_cardinality(data)}"
         )
-    return indices
+    return data
+
+
+def read_dv_descriptor(table_path: str, dv: dict) -> list[int]:
+    """Descriptor -> sorted deleted row indices (one Python int per row —
+    fine for commit-scale deltas; the SNAPSHOT read path uses
+    :func:`read_dv_bytes` + runs/membership views instead)."""
+    return decode_dv_bitmap(read_dv_bytes(table_path, dv))
 
 
 def dv_relative_path(dv: dict) -> str | None:

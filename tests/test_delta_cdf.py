@@ -8,11 +8,9 @@ from __future__ import annotations
 import os
 
 import pandas as pd
-import pytest
 from pyspark.sql import functions as F
 
 from pos_dlt_spark.sources.delta import (
-    DeltaProtocolError,
     delta_snapshot,
     read_delta,
     replay_adds,
@@ -118,12 +116,54 @@ def test_partitioned_cdf_roundtrip(spark, tmp_path):
     }
 
 
-def test_dv_delete_without_cdf_is_underivable(spark, tmp_path):
+def test_dv_delete_without_cdf_derives_changes(spark, tmp_path):
+    """A DV-mode delete committed WITHOUT change files (table written
+    without enableChangeDataFeed) must yield the SAME change rows the
+    rewrite path / the change-file path would — derived from the DV
+    delta against the prior snapshot."""
     table = str(tmp_path / "cdfx")
-    write_delta(_kv(spark, [(1, 1, "a"), (2, 1, "b")]), table)  # CDF off
-    v, _ = delta_delete(spark, table, "k = 1")  # DV delete, no change files
-    with pytest.raises(DeltaProtocolError, match="underivable"):
-        read_change_feed(spark, table, start_version=v, end_version=v).collect()
+    write_delta(
+        _kv(spark, [(i, 1, f"x{i}") for i in range(10)]).coalesce(1), table
+    )  # CDF off
+    v, n = delta_delete(spark, table, "k % 3 = 0")  # DV delete, no change files
+    assert n == 4
+    ch = read_change_feed(spark, table, start_version=v, end_version=v)
+    got = {(r.k, r._change_type) for r in ch.collect()}
+    assert got == {(0, "delete"), (3, "delete"), (6, "delete"), (9, "delete")}
+    # a second DV delete derives only the NEWLY deleted rows (DV union
+    # minus the prior DV), and its paired same-path remove+add is NOT a
+    # full-file delete+insert
+    v2, n2 = delta_delete(spark, table, "k <= 3")
+    assert n2 == 2
+    ch2 = read_change_feed(spark, table, start_version=v2, end_version=v2)
+    got2 = {(r.k, r._change_type) for r in ch2.collect()}
+    assert got2 == {(1, "delete"), (2, "delete")}
+    # CDF-based replay (the apply_changes feed) serves these commits too
+    from pos_dlt_spark.sources.delta_cdf import replay_changes
+
+    plan = replay_changes(spark, table, start_version=v)
+    assert [vv for vv, _ in plan] == [v, v2]
+
+
+def test_cdf_after_optimize_is_empty(spark, tmp_path):
+    """OPTIMIZE reorganizes bytes, not rows: its commit must contribute
+    ZERO changes (removes carry dataChange=false). A dataChange=true
+    remove there would surface every compacted file as deleted with no
+    matching inserts — corrupted CDF."""
+    from pos_dlt_spark.sources.delta_writer import delta_optimize
+
+    table = str(tmp_path / "cdfo")
+    write_delta(_kv(spark, [(1, 1, "a"), (2, 1, "b")]).coalesce(1), table,
+                configuration=CDF)
+    write_delta(_kv(spark, [(3, 1, "c")]).coalesce(1), table)
+    v = delta_optimize(spark, table, target_files=1)
+    assert v == 2
+    ch = read_change_feed(spark, table, start_version=v, end_version=v)
+    assert ch.count() == 0
+    # the full feed still shows the original inserts exactly once
+    full = read_change_feed(spark, table)
+    got = {(r.k, r._change_type, r._commit_version) for r in full.collect()}
+    assert got == {(1, "insert", 0), (2, "insert", 0), (3, "insert", 1)}
 
 
 def test_vacuum_keeps_retained_change_files(spark, tmp_path):

@@ -179,16 +179,100 @@ def test_cm_stats_skipping_translates_names(spark, tmp_path):
     assert sorted(r.id for r in got.collect()) == list(range(10, 20))
 
 
-def test_writer_refuses_cm_tables(spark, tmp_path):
-    from pos_dlt_spark.sources.delta_writer import delta_delete, delta_merge, write_delta
+def test_name_mode_write_roundtrip(spark, tmp_path):
+    """Name-mode tables are WRITABLE: appends/merges/deletes rename
+    logical->physical on the way out, so the files a foreign name-mode
+    reader resolves by physicalName stay correct."""
+    import pyarrow.parquet as pq
+
+    from pos_dlt_spark.sources.delta_writer import (
+        delta_delete,
+        delta_merge,
+        delta_optimize,
+        write_delta,
+    )
 
     table = _build_cm_table(spark, tmp_path, "name", with_field_ids=False)
-    with pytest.raises(DeltaProtocolError, match="column mapping"):
+    # append
+    write_delta(_df(spark, 20, 25), table)
+    got = {(r.id, r.name) for r in read_delta(spark, table).collect()}
+    assert got == {(i, f"n{i}") for i in range(25)}
+    # the appended file physically carries the PHYSICAL column names
+    snap = delta_snapshot(spark, table)
+    new_rel = [rel for rel, _ in snap.files if rel.startswith("part-") and rel not in
+               ("part-a.parquet", "part-b.parquet")]
+    assert new_rel
+    phys_cols = set(pq.read_schema(os.path.join(table, new_rel[0])).names)
+    assert phys_cols == {"col-aaaa", "col-bbbb"}
+    # ...and its stats are keyed by physical names (skipping still works)
+    import json as _json
+
+    stats = _json.loads(snap.adds[new_rel[0]]["stats"])
+    assert set(stats["minValues"]) <= {"col-aaaa", "col-bbbb"}
+    # read-modify-MERGE round-trip (update + insert through the window)
+    upd = spark.createDataFrame([(3, "n3-upd"), (100, "n100")], "id long, name string")
+    delta_merge(spark, table, upd, keys=["id"], sequence_by="id")
+    got = {r.id: r.name for r in read_delta(spark, table).collect()}
+    assert got[3] == "n3-upd" and got[100] == "n100" and len(got) == 26
+    # DELETE (both modes) and OPTIMIZE keep resolving correctly
+    delta_delete(spark, table, "id >= 24 AND id < 100", mode="rewrite")
+    delta_delete(spark, table, "id < 2")  # dv mode
+    delta_optimize(spark, table, target_files=1)
+    got = sorted(r.id for r in read_delta(spark, table).collect())
+    assert got == list(range(2, 24)) + [100]
+
+
+def test_name_mode_partitioned_write(spark, tmp_path):
+    """Appends into a PARTITIONED name-mode table must render partition
+    directories and partitionValues keys under physical names."""
+    from pos_dlt_spark.sources.delta_writer import write_delta
+
+    table = str(tmp_path / "cmpw")
+    os.makedirs(table, exist_ok=True)
+    schema = StructType(
+        [
+            StructField("id", LongType(), True,
+                        {"delta.columnMapping.id": 1,
+                         "delta.columnMapping.physicalName": "col-aaaa"}),
+            StructField("b", IntegerType(), True,
+                        {"delta.columnMapping.id": 2,
+                         "delta.columnMapping.physicalName": "col-part"}),
+        ]
+    )
+    fx.write_commit(
+        table, 0,
+        [
+            fx.protocol_action(min_reader=2, min_writer=5),
+            fx.metadata_action(
+                schema, partition_columns=["b"],
+                configuration={"delta.columnMapping.mode": "name"},
+            ),
+        ],
+    )
+    df = spark.range(10).select(
+        F.col("id"), (F.col("id") % 2).cast("int").alias("b")
+    )
+    write_delta(df, table, partition_by=["b"])
+    snap = delta_snapshot(spark, table)
+    assert all(rel.startswith("col-part=") for rel, _ in snap.files)
+    assert all(set(a["partitionValues"]) == {"col-part"} for a in snap.adds.values())
+    got = {(r.id, r.b) for r in read_delta(spark, table).collect()}
+    assert got == {(i, i % 2) for i in range(10)}
+
+
+def test_writer_still_refuses_id_mode_and_cm_creation(spark, tmp_path):
+    from pos_dlt_spark.sources.delta_writer import delta_merge, write_delta
+
+    table = _build_cm_table(spark, tmp_path, "id", with_field_ids=True)
+    with pytest.raises(DeltaProtocolError, match="column mapping 'id'"):
         write_delta(_df(spark, 0, 5), table)
-    with pytest.raises(DeltaProtocolError, match="column mapping"):
+    with pytest.raises(DeltaProtocolError, match="column mapping 'id'"):
         delta_merge(spark, table, _df(spark, 0, 5), keys=["id"], sequence_by="id")
-    with pytest.raises(DeltaProtocolError, match="column mapping"):
-        delta_delete(spark, table, "id = 1")
+    with pytest.raises(DeltaProtocolError, match="creating a column-mapping"):
+        write_delta(
+            _df(spark, 0, 5), str(tmp_path / "cmnew"),
+            configuration={"delta.columnMapping.mode": "name"},
+        )
 
 
 def test_unknown_cm_mode_fails(spark, tmp_path):

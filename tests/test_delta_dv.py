@@ -62,6 +62,74 @@ def test_roaring_run_container_decodes():
     assert DV.decode_dv_bitmap(data) == list(range(5, 16))
 
 
+def test_cardinality_runs_membership_views_agree():
+    """The three non-materializing views (header cardinality, run
+    rendering, vectorized membership) must agree with the full decode on
+    every container kind."""
+    import numpy as np
+
+    cases = [
+        [],
+        [0],
+        [5, 6, 7, 100, 65535, 65536, 65537],
+        list(range(5000)),                      # bitmap container
+        list(range(0, 200000, 3)),              # scattered across containers
+        [3, (1 << 32) + 4, (1 << 33) + 10],     # multiple high keys
+        list(range(1000, 1500)) + list(range(70000, 70010)),
+    ]
+    for idx in cases:
+        data = DV.encode_dv_bitmap(idx)
+        want = sorted(set(idx))
+        assert DV.bitmap_cardinality(data) == len(want)
+        runs = DV.decode_dv_runs(data)
+        flat = [i for lo, hi in runs for i in range(lo, hi + 1)]
+        assert flat == want
+        # runs are maximal: no two adjacent runs touch
+        assert all(runs[i + 1][0] > runs[i][1] + 1 for i in range(len(runs) - 1))
+        m = DV.DvMembership(data)
+        probe = np.array(
+            sorted(set(want) | {0, 1, 2, 65535, 65536, (1 << 32) + 4, 10**9}),
+            dtype=np.int64,
+        )
+        got = m.contains(probe)
+        assert [int(p) for p, g in zip(probe, got) if g] == [
+            p for p in probe if int(p) in set(want)
+        ]
+
+
+def test_run_container_views():
+    """Run containers (real writers emit them; our encoder doesn't) must
+    flow through cardinality/runs/membership too."""
+    import numpy as np
+
+    buf = struct.pack("<I", (0 << 16) | 12347)
+    buf += b"\x01"
+    buf += struct.pack("<HH", 0, 10)
+    buf += struct.pack("<H", 1)
+    buf += struct.pack("<HH", 5, 10)  # rows 5..15
+    data = struct.pack("<iq", 1681511377, 1) + buf
+    assert DV.bitmap_cardinality(data) == 11
+    assert DV.decode_dv_runs(data) == [(5, 15)]
+    m = DV.DvMembership(data)
+    assert list(m.contains(np.array([4, 5, 15, 16], dtype=np.int64))) == [
+        False, True, True, False,
+    ]
+
+
+def test_membership_path_matches_run_join_path(spark, tmp_path, monkeypatch):
+    """Forcing the executor-side membership path (as a huge scattered DV
+    would) must produce exactly the rows the JVM run-join path does."""
+    from pos_dlt_spark.sources import delta as D
+
+    table = str(tmp_path / "dvmem")
+    write_delta(_df(spark, 0, 2000).coalesce(2), table)
+    delta_delete(spark, table, "id % 7 = 0")
+    want = sorted(r.id for r in read_delta(spark, table).collect())
+    monkeypatch.setattr(D, "DV_RUN_JOIN_MAX", 0)
+    got = sorted(r.id for r in read_delta(spark, table).collect())
+    assert got == want == [i for i in range(2000) if i % 7 != 0]
+
+
 def test_dv_file_layout_and_checksum(tmp_path):
     data = DV.encode_dv_bitmap([1, 2, 3])
     p = str(tmp_path / "dv.bin")
@@ -207,6 +275,53 @@ def test_optimize_purges_dvs_and_vacuum_collects_sidecars(spark, tmp_path):
     deleted = delta_vacuum(spark, table, retain_versions=0)
     assert sidecar in deleted  # the orphaned DV sidecar is collected
     assert read_delta(spark, table).count() == 4000
+
+
+def test_checkpoint_preserves_dvs_and_protocol(spark, tmp_path):
+    """A checkpoint written AFTER a DV-mode delete must carry the DV
+    descriptors (and the declared deletionVectors feature) — dropping
+    either resurrects the deleted rows for every post-checkpoint
+    snapshot, and after log cleanup, for ALL snapshots."""
+    from pos_dlt_spark.sources.delta_writer import delta_log_cleanup
+
+    for fmt in ("classic", "v2"):
+        table = str(tmp_path / f"dvc_{fmt}")
+        write_delta(_df(spark, 0, 100).coalesce(1), table)
+        delta_delete(spark, table, "id % 10 = 0")  # v1: DV delete
+        # v2: append that crosses the checkpoint interval
+        write_delta(
+            _df(spark, 100, 110).coalesce(1),
+            table,
+            checkpoint_interval=2,
+            checkpoint_format=fmt,
+        )
+        snap = delta_snapshot(spark, table)
+        assert "deletionVectors" in (snap.protocol.get("readerFeatures") or [])
+        if fmt == "v2":
+            assert "v2Checkpoint" in (snap.protocol.get("readerFeatures") or [])
+        # drop the JSON chain: the checkpoint alone must reproduce state
+        assert delta_log_cleanup(spark, table)
+        got = sorted(r.id for r in read_delta(spark, table).collect())
+        assert got == [i for i in range(110) if not (i < 100 and i % 10 == 0)]
+        snap2 = delta_snapshot(spark, table)
+        assert any(a.get("deletionVector") for a in snap2.adds.values())
+        assert "deletionVectors" in (snap2.protocol.get("readerFeatures") or [])
+
+
+def test_dv_survives_encoded_partition_directories(spark, tmp_path):
+    """Partition values with spaces/colons percent-encode in Spark's
+    _metadata.file_path; the DV exclusion join must still match (a miss
+    would silently resurrect deleted rows)."""
+    table = str(tmp_path / "dv enc")
+    df = spark.range(40).select(
+        F.col("id"),
+        F.concat(F.lit("g "), (F.col("id") % 2).cast("string")).alias("b"),
+    )
+    write_delta(df, table, partition_by=["b"])
+    v, n = delta_delete(spark, table, "id < 10")
+    assert n == 10
+    got = sorted(r.id for r in read_delta(spark, table).collect())
+    assert got == list(range(10, 40))
 
 
 def test_dv_with_stats_skipping_stays_conservative(spark, tmp_path):

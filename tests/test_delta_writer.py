@@ -971,6 +971,78 @@ def test_writer_v2_checkpoints_roundtrip(spark, tmp_path):
     assert any(a.get("stats") for a in snap.adds.values())  # stats survive
 
 
+def _process_committer(args):
+    """Run in a CHILD OS PROCESS: append n_commits via the O_EXCL
+    commit primitive with the writer's own retry discipline. Pure
+    metadata — no SparkSession needed to exercise the race."""
+    log_dir, wid, n_commits = args
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from pos_dlt_spark.sources import delta_fixture as fx
+    from pos_dlt_spark.sources.delta import _list_log
+    from pos_dlt_spark.sources.delta_writer import _try_commit
+
+    landed = []
+    for b in range(n_commits):
+        actions = [
+            fx.commit_info_action("WRITE", {"writer": wid, "batch": b}),
+            fx.txn_action(f"p{wid}", b),
+            fx.add_action(f"w{wid}-b{b}.parquet", size=1),
+        ]
+        for _ in range(500):
+            commits, _cp = _list_log(log_dir)
+            version = (commits[-1][0] + 1) if commits else 0
+            if _try_commit(log_dir, version, actions):
+                landed.append(version)
+                break
+        else:
+            return (wid, landed, "gave up")
+    return (wid, landed, None)
+
+
+def test_multi_process_writers_racing_appends(tmp_path):
+    """FOUR OS PROCESSES race appends into one table: covers the
+    CPython-level file-creation race the in-JVM thread test cannot (each
+    process has its own interpreter and file-descriptor table; O_EXCL
+    arbitration happens purely in the kernel). Every batch must land
+    exactly once and the version chain must be gap-free."""
+    import multiprocessing as mp
+
+    table = str(tmp_path / "race_procs")
+    log_dir = os.path.join(table, "_delta_log")
+    os.makedirs(log_dir, exist_ok=True)
+    n_writers, n_commits = 4, 8
+
+    ctx = mp.get_context("fork")
+    with ctx.Pool(n_writers) as pool:
+        results = pool.map(
+            _process_committer,
+            [(log_dir, w, n_commits) for w in range(n_writers)],
+        )
+    for wid, landed, err in results:
+        assert err is None, f"writer {wid}: {err}"
+        assert len(landed) == n_commits
+
+    from pos_dlt_spark.sources.delta import _commit_actions, _list_log
+
+    commits, _ = _list_log(log_dir)
+    versions = [v for v, _ in commits]
+    assert versions == list(range(n_writers * n_commits))  # gap-free chain
+    # every (writer, batch) payload appears exactly once across the log
+    seen = []
+    for _v, p in commits:
+        for a in _commit_actions(p):
+            if "add" in a:
+                seen.append(a["add"]["path"])
+    assert sorted(seen) == sorted(
+        f"w{w}-b{b}.parquet" for w in range(n_writers) for b in range(n_commits)
+    )
+    # each version file was written by exactly one claimed slot
+    claimed = sorted(v for _w, landed, _e in results for v in landed)
+    assert claimed == versions
+
+
 def test_two_real_writers_racing_appends(spark, tmp_path):
     """Two REAL threads each append 6 batches concurrently (no
     monkeypatching): the O_EXCL commit race must serialize them — every

@@ -167,3 +167,14 @@ def test_incremental_view_requires_bucketed_source(tmp_path):
 
     with _pytest.raises(ValueError, match="n_buckets"):
         p.incremental_view(target="v", source="flat", transform=lambda d: d)
+
+
+def test_delta_mode_read_stream_rejects_cdc_targets(spark, tmp_path):
+    """Delta-mode CDC targets are maintained by delta_merge, which
+    removes+rewrites files: a raw file stream over the table dir would
+    re-deliver every rewritten row. read_stream must fail fast (same
+    rule as live tables), not silently duplicate."""
+    pipe = Pipeline("t", str(tmp_path), storage_format="delta")
+    pipe.apply_changes(target="latest", source="src", keys=["k"], sequence_by="ts")
+    with pytest.raises(ValueError, match="not append-only"):
+        pipe.read_stream(spark, "latest")

@@ -241,6 +241,91 @@ def stress_delete(spark, rows: int = 10_000_000, n_files: int = 100) -> None:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _vm_rss_mb() -> float:
+    with open("/proc/self/status") as fh:
+        for line in fh:
+            if line.startswith("VmRSS:"):
+                return int(line.split()[1]) / 1024.0
+    return -1.0
+
+
+def stress_dv_read(spark, rows: int = 24_000_000) -> None:
+    """READ path with a >=10M-row deletion vector (VERDICT r05 #1): the
+    driver must stay flat — its cost rides the compressed bitmap bytes
+    (broadcast of the serialized roaring containers + executor-side
+    vectorized membership), never the deleted-row count. 12M deleted:
+    10M scattered (every other row of [0, 20M) — bitmap containers, run
+    rendering impossible) + 2M clustered ([20M, 22M))."""
+    from pyspark.sql import functions as F
+
+    from pos_dlt_spark.sources import delta_fixture as fx
+    from pos_dlt_spark.sources import dv as DV
+    from pos_dlt_spark.sources.delta import delta_snapshot, read_delta
+    from pos_dlt_spark.sources.delta_writer import write_delta
+    from pos_dlt_spark.tables import scratch_dir
+
+    work = scratch_dir("delta_dvread_")
+    try:
+        table = os.path.join(work, "dvbig")
+        df = spark.range(rows).select(F.col("id"))
+        write_delta(df.coalesce(1), table)
+        snap = delta_snapshot(spark, table)
+        (rel,) = [r for r, _ in snap.files]
+
+        t0 = time.perf_counter()
+        deleted = list(range(0, 20_000_000, 2)) + list(range(20_000_000, 22_000_000))
+        data = DV.encode_dv_bitmap(deleted)
+        desc_build = time.perf_counter() - t0
+        print(
+            f"dv_read: encode {len(deleted)} indices -> {len(data)/2**20:.2f} MB "
+            f"bitmap in {desc_build:.1f}s (builder-side, not the read path)"
+        )
+        entries = DV.write_dv_file(os.path.join(table, "dv_big.bin"), [data])
+        desc = {
+            "storageType": "p",
+            "pathOrInlineDv": os.path.join(table, "dv_big.bin"),
+            "offset": entries[0][0],
+            "sizeInBytes": entries[0][1],
+            "cardinality": len(deleted),
+        }
+        add = dict(snap.adds[rel])
+        add["deletionVector"] = desc
+        fx.write_commit(
+            table,
+            snap.version + 1,
+            [
+                fx.commit_info_action("DELETE", {"mode": "dv-stress"}),
+                {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                              "readerFeatures": ["deletionVectors"],
+                              "writerFeatures": ["deletionVectors"]}},
+                fx.remove_action(rel),
+                {"add": add},
+            ],
+        )
+
+        rss0 = _vm_rss_mb()
+        t0 = time.perf_counter()
+        got = read_delta(spark, table)
+        cnt = got.count()
+        wall = time.perf_counter() - t0
+        rss1 = _vm_rss_mb()
+        t0 = time.perf_counter()
+        s = got.agg(F.sum("id")).collect()[0][0]
+        wall2 = time.perf_counter() - t0
+        live_scatter = sum(range(1, 20_000_000, 2))
+        live_tail = sum(range(22_000_000, rows))
+        ok = cnt == rows - len(deleted) and s == live_scatter + live_tail
+        print(
+            f"dv_read: count={cnt} (expect {rows - len(deleted)}) "
+            f"sum_ok={s == live_scatter + live_tail} wall={wall:.2f}s "
+            f"sum_wall={wall2:.2f}s broadcast={len(data)/2**20:.2f} MB "
+            f"driver_rss {rss0:.0f} -> {rss1:.0f} MB (delta "
+            f"{rss1 - rss0:+.0f} MB) correct={ok}"
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     n_files = 1_000_000
@@ -253,6 +338,8 @@ def main() -> None:
         stress_merge(spark)
     if which in ("delete", "all"):
         stress_delete(spark)
+    if which in ("dvread", "all"):
+        stress_dv_read(spark)
 
 
 if __name__ == "__main__":
