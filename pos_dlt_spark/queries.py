@@ -795,6 +795,37 @@ def _build_cm_supplier(spark: SparkSession, sf_dir: str, suffix: str) -> str:
 
 
 @query(
+    "supplier_delta_shallow_clone",
+    oracle="SELECT * FROM supplier WHERE s_acctbal >= 0 AND s_suppkey % 50 != 0",
+)
+def supplier_delta_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE read path: the DV-carrying supplier table is cloned
+    zero-copy (commit 0 references the source's files ABSOLUTELY; its
+    sidecar deletion vectors convert to absolute storage) and the clone
+    is read back. The oracle is the same surviving-rows SQL as the DV
+    gate: it matches only if absolute-path resolution, the non-Hive
+    literal-partition scan, and the converted DV descriptors all hold."""
+    from pos_dlt_spark.sources.delta import read_delta
+    from pos_dlt_spark.sources.delta_writer import delta_clone
+    from pos_dlt_spark.tables import scratch_dir
+
+    key = os.path.abspath(sf_dir) + "#clone"
+    if key not in _DELTA_RT_CACHE:
+        import atexit
+        import shutil
+
+        # source = the DV gate's fixture (built on first touch)
+        REGISTRY["supplier_delta_deletion_vectors"].fn(spark, sf_dir)
+        src = _DELTA_RT_CACHE[os.path.abspath(sf_dir) + "#dv"]
+        work = scratch_dir("delta_clone_")
+        atexit.register(shutil.rmtree, work, ignore_errors=True)
+        dst = os.path.join(work, "supplier_clone")
+        delta_clone(spark, src, dst)
+        _DELTA_RT_CACHE[key] = dst
+    return read_delta(spark, _DELTA_RT_CACHE[key])
+
+
+@query(
     "supplier_cdf_dv_derived_deletes",
     oracle="""
     SELECT *, 'delete' AS _change_type, CAST(1 AS BIGINT) AS _commit_version

@@ -641,6 +641,7 @@ def replay_adds(
     path: str,
     start_version: int = 0,
     end_version: int | None = None,
+    skip_change_commits: bool = False,
 ) -> list[tuple[int, list[str]]]:
     """Commit-ordered streaming replay plan: ``[(version, [abs file
     paths]), ...]`` of the DATA-CHANGE adds in each commit — the
@@ -653,6 +654,14 @@ def replay_adds(
     the consumer's CDC semantics must absorb (exactly what
     ApplyChanges's latest-per-key merge does).
 
+    ``skip_change_commits`` mirrors delta's own streaming-source option:
+    a commit that DELETES rows via deletion vectors (a change commit an
+    append-only replay cannot represent) is silently SKIPPED instead of
+    raising — the consumer opts into missing row-level deletes, exactly
+    the semantics of ``skipChangeCommits=true``. A consumer that needs
+    the deletes reads :func:`pos_dlt_spark.sources.delta_cdf.
+    replay_changes` instead (which derives them).
+
     Requires the replayed files to still exist — a VACUUM that physically
     deleted files removed before ``start_version``'s checkpoint horizon
     makes those commits unreplayable (the same constraint real Delta
@@ -664,20 +673,26 @@ def replay_adds(
         if v < start_version or (end_version is not None and v > end_version):
             continue
         files = []
+        skip_commit = False
         for a in _commit_actions(p):
             if "add" not in a or not a["add"].get("dataChange", True):
                 continue
             if a["add"].get("deletionVector"):
+                if skip_change_commits:
+                    skip_commit = True
+                    break
                 # a DV-carrying add is a row-level DELETE of already-
                 # delivered data; replaying the file would resurrect the
                 # deleted rows. Real Delta streaming throws on change
                 # commits by default (skipChangeCommits opts out) — same.
                 raise DeltaProtocolError(
                     f"commit {v} deletes rows via a deletion vector; "
-                    "streaming replay cannot represent row-level deletes"
+                    "streaming replay cannot represent row-level deletes "
+                    "(skip_change_commits=True opts into skipping them; "
+                    "delta_cdf.replay_changes derives them)"
                 )
             files.append(_abs_file(path, a["add"]["path"]))
-        if files:
+        if files and not skip_commit:
             out.append((v, files))
     return out
 
@@ -697,10 +712,15 @@ def _hive_style(files: list[tuple[str, dict[str, str | None]]], part_cols: list[
     """True when every live file embeds every partition column Hive-style
     (``col=value/`` directory segments whose values agree with the log) —
     then ONE scan with basePath partition discovery reproduces the log's
-    partition values."""
-    from urllib.parse import unquote
+    partition values. Absolute-path files (shallow clones) disqualify:
+    they live outside the table root, so basePath discovery cannot apply
+    — the per-tuple literal scan handles them."""
+    from urllib.parse import unquote, urlparse
 
     for rel, pvals in files:
+        dec = unquote(rel)
+        if urlparse(dec).scheme or os.path.isabs(dec):
+            return False
         kv: dict[str, str | None] = {}
         for seg in rel.split("/")[:-1]:
             k, eq, v = seg.partition("=")

@@ -1017,10 +1017,13 @@ def delta_delete(
     ``mode='rewrite'`` (classic copy-on-write): affected files are
     rewritten without the matching rows; no DV machinery involved.
 
-    The driver materializes only the DELETED row indices (bounded by the
-    delete's selectivity — the same bound real writers accept when they
-    choose the DV path; a delete wide enough to blow that bound belongs
-    in ``mode='rewrite'``, which stays fully distributed).
+    The bitmaps are built EXECUTOR-SIDE (matched indices shuffle to one
+    group per file, union with the prior DV, encode there); the driver
+    collects only the COMPRESSED bitmap bytes per touched file — driver
+    memory rides bitmap size, never deleted-row count, symmetric with
+    the read path. A delete concentrating hundreds of millions of rows
+    in ONE file strains that file's single executor group and belongs
+    in ``mode='rewrite'``, which stays fully distributed.
 
     Returns ``(committed version, rows deleted)``. A lost commit race
     aborts with :class:`DeltaCommitConflict` — re-run on the new
@@ -1032,7 +1035,6 @@ def delta_delete(
         _apply_deletion_vectors,
         scan_rels,
     )
-    from pos_dlt_spark.sources.dv import make_dv_descriptor, read_dv_descriptor
 
     if mode not in ("dv", "rewrite"):
         raise ValueError(f"mode must be dv|rewrite, got {mode!r}")
@@ -1052,35 +1054,75 @@ def delta_delete(
         os.path.abspath(_abs_file(path, rel)): rel for rel, _ in snap.files
     }
     if mode == "dv":
-        # driver-bounded collect of (file, row_index) for DELETED rows only
-        hit: dict[str, list[int]] = {}
-        n_deleted = 0
-        for r in matches.collect():
-            rel = abs_to_rel.get(r["__fp"])
-            if rel is None:
-                raise ValueError(f"scan yielded unknown file {r['__fp']}")
-            hit.setdefault(rel, []).append(int(r["__ri"]))
-            n_deleted += 1
-        if not hit:
-            return snap.version, 0
+        # the bitmaps are built EXECUTOR-SIDE: matched row indices group
+        # per file (one shuffle on the file id), each group unions with
+        # the file's prior DV and encodes the roaring bitmap there; the
+        # driver collects only (file, compressed bytes, newly-deleted
+        # count) — driver memory rides bitmap bytes, never row count
+        # (the read path's bound, now symmetric on the write path). A
+        # delete wide enough to strain one executor's group (hundreds of
+        # millions of rows in ONE file) belongs in mode='rewrite'.
+        import numpy as np
+
+        from pos_dlt_spark.sources.dv import (
+            bitmap_cardinality,
+            decode_dv_numpy,
+            encode_dv_bitmap_np,
+            make_dv_descriptor_bytes,
+            read_dv_bytes,
+        )
+
+        prior_blobs: dict[str, bytes] = {}
+        for rel, _pv in snap.files:
+            dvd = snap.adds[rel].get("deletionVector")
+            if dvd:
+                prior_blobs[os.path.abspath(_abs_file(path, rel))] = read_dv_bytes(
+                    path, dvd
+                )
+        bc_prior = spark.sparkContext.broadcast(prior_blobs)
+
+        def _encode_group(pdf):
+            import pandas as pd
+
+            fp = pdf["__fp"].iloc[0]
+            new_idx = np.unique(pdf["__ri"].to_numpy(dtype="int64"))
+            prior_bytes = bc_prior.value.get(fp)
+            if prior_bytes is not None:
+                prior_arr = decode_dv_numpy(prior_bytes)
+                n_new = int(
+                    len(new_idx) - np.isin(new_idx, prior_arr, assume_unique=True).sum()
+                )
+                union = np.union1d(new_idx, prior_arr)
+            else:
+                n_new, union = len(new_idx), new_idx
+            return pd.DataFrame(
+                {"__fp": [fp], "dv": [encode_dv_bitmap_np(union)], "n_new": [n_new]}
+            )
+
+        rows = (
+            matches.groupBy("__fp")
+            .applyInPandas(_encode_group, schema="__fp string, dv binary, n_new long")
+            .collect()
+        )
+        n_deleted = sum(int(r["n_new"]) for r in rows)
+        if not rows or n_deleted == 0:
+            return snap.version, 0  # nothing matched, or all dead already
         actions: list[dict] = [
             _merged_protocol(
                 snap.protocol, ("deletionVectors",), ("deletionVectors",)
             )
         ]
-        already_live = 0
-        for rel, idx in sorted(hit.items()):
+        for r in sorted(rows, key=lambda r: r["__fp"]):
+            rel = abs_to_rel.get(r["__fp"])
+            if rel is None:
+                raise ValueError(f"scan yielded unknown file {r['__fp']}")
+            data = bytes(r["dv"])
             add = dict(snap.adds[rel])
-            prior = add.get("deletionVector")
-            if prior:
-                prior_idx = set(read_dv_descriptor(path, prior))
-                already_live += len(prior_idx & set(idx))
-                idx = sorted(prior_idx | set(idx))
-            desc = make_dv_descriptor(path, idx, inline_threshold=inline_threshold)
-            add["deletionVector"] = desc
+            add["deletionVector"] = make_dv_descriptor_bytes(
+                path, data, bitmap_cardinality(data), inline_threshold=inline_threshold
+            )
             actions.append(fx.remove_action(rel))
             actions.append({"add": add})
-        n_deleted -= already_live  # rows the scan reported but were dead already
     else:
         # classic copy-on-write: rewrite each file that has >=1 match,
         # keeping only non-matching rows; deletes of whole files become
@@ -1237,6 +1279,60 @@ def delta_restore(spark, path: str, version: int | None = None, timestamp=None) 
             f"version {new_version} was committed concurrently; re-run restore"
         )
     return new_version
+
+
+def delta_clone(
+    spark, src: str, dst: str, version: int | None = None, timestamp=None
+) -> int:
+    """SHALLOW CLONE: create a new Delta table at ``dst`` whose commit 0
+    REFERENCES the source snapshot's data files by absolute path — zero
+    data copied, delta's own zero-copy dev/test-table primitive. The
+    clone then evolves independently: appends/merges/deletes write new
+    files under ``dst`` and only drop REFERENCES to source files (vacuum
+    on the clone never deletes outside its own root — the referenced-set
+    walk is rooted at ``dst``). DV sidecars resolve against the SOURCE
+    root, so their descriptors convert to absolute ('p') storage.
+    ``version=``/``timestamp=`` clone a time-travel snapshot.
+
+    Returns the committed version (0)."""
+    from urllib.parse import quote
+
+    from pos_dlt_spark.sources.delta import _abs_file
+    from pos_dlt_spark.sources.dv import dv_relative_path
+
+    snap = delta_snapshot(spark, src, version, timestamp=timestamp)
+    log_dir = os.path.join(dst, "_delta_log")
+    if os.path.isdir(log_dir) and os.listdir(log_dir):
+        raise ValueError(f"{dst} is already a Delta table")
+    adds = []
+    for rel, _pv in snap.files:
+        add = dict(snap.adds[rel])
+        # absolute, percent-encoded (the protocol's path encoding — the
+        # reader unquotes before resolving)
+        add["path"] = quote(os.path.abspath(_abs_file(src, rel)), safe="/")
+        dv = add.get("deletionVector")
+        if dv and dv.get("storageType") == "u":
+            dvrel = dv_relative_path(dv)
+            add["deletionVector"] = {
+                **dv,
+                "storageType": "p",
+                "pathOrInlineDv": os.path.abspath(os.path.join(src, dvrel)),
+            }
+        adds.append({"add": add})
+    actions = [
+        fx.commit_info_action(
+            "CLONE", {"source": src, "sourceVersion": snap.version}
+        ),
+        _merged_protocol(snap.protocol),
+        fx.metadata_action(
+            snap.schema,
+            partition_columns=snap.partition_columns,
+            configuration=snap.configuration or None,
+        ),
+    ] + adds
+    if not _try_commit(log_dir, 0, actions):
+        raise DeltaCommitConflict("commit 0 appeared concurrently during clone")
+    return 0
 
 
 def convert_to_delta(spark, parquet_dir: str) -> int:

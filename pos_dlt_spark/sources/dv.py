@@ -339,6 +339,80 @@ class DvMembership:
 # -- 64-bit RoaringBitmapArray (Delta's DV payload) -------------------------
 
 
+def decode_dv_numpy(data: bytes):
+    """Serialized RoaringBitmapArray -> sorted int64 numpy array of
+    deleted row indices — the executor-side bulk decode (no per-row
+    Python objects; a 10M-row DV is one 80 MB array)."""
+    import numpy as np
+
+    parts = []
+    for high, key, kind, payload in _walk_containers(data):
+        base = (high << 32) | (key << 16)
+        if kind == "run":
+            pairs = np.frombuffer(payload, dtype=np.uint16).astype(np.int64)
+            starts, lens = pairs[0::2], pairs[1::2]
+            for s, ln in zip(starts, lens):
+                parts.append(base + np.arange(s, s + ln + 1, dtype=np.int64))
+        elif kind == "bitmap":
+            words = np.frombuffer(payload, dtype=np.uint64)
+            bits = np.unpackbits(words.view(np.uint8), bitorder="little")
+            parts.append(base + np.nonzero(bits)[0].astype(np.int64))
+        else:
+            vals = np.sort(np.frombuffer(payload, dtype=np.uint16).astype(np.int64))
+            parts.append(base + vals)
+    if not parts:
+        return np.empty(0, dtype=np.int64)
+    return np.concatenate(parts)
+
+
+def encode_dv_bitmap_np(indices) -> bytes:
+    """Vectorized encoder: int64 numpy array (any order, dups ok) ->
+    serialized RoaringBitmapArray. Container building is numpy-side
+    (packbits / tobytes), so a 10M-row DV encodes in well under a
+    second where the per-value Python encoder takes ~10 s."""
+    import numpy as np
+
+    idx = np.unique(np.asarray(indices, dtype=np.int64))
+    if len(idx) and idx[0] < 0:
+        raise DeletionVectorError("negative row index")
+    n_bitmaps = int(idx[-1] >> 32) + 1 if len(idx) else 0
+    out = bytearray(struct.pack("<iq", _MAGIC, n_bitmaps))
+    highs = idx >> 32
+    for h in range(n_bitmaps):
+        lo32 = (idx[highs == h] & 0xFFFFFFFF).astype(np.int64)
+        out += _encode_roaring32_np(lo32)
+    return bytes(out)
+
+
+def _encode_roaring32_np(vals) -> bytes:
+    """Sorted unique low-32 values (int64 numpy) -> one portable 32-bit
+    roaring bitmap (array/bitmap containers)."""
+    import numpy as np
+
+    keys16 = (vals >> 16).astype(np.int64)
+    uniq, starts = np.unique(keys16, return_index=True)
+    bounds = np.append(starts, len(vals))
+    n = len(uniq)
+    out = bytearray()
+    out += struct.pack("<II", _SERIAL_COOKIE_NO_RUN, n)
+    cards = [int(bounds[j + 1] - starts[j]) for j in range(n)]
+    for j in range(n):
+        out += struct.pack("<HH", int(uniq[j]), cards[j] - 1)
+    offset = len(out) + 4 * n
+    for j in range(n):
+        out += struct.pack("<I", offset)
+        offset += 8192 if cards[j] > 4096 else 2 * cards[j]
+    for j in range(n):
+        lows = (vals[starts[j] : bounds[j + 1]] & 0xFFFF).astype(np.uint16)
+        if cards[j] > 4096:
+            bits = np.zeros(65536, dtype=np.uint8)
+            bits[lows.astype(np.int64)] = 1
+            out += np.packbits(bits, bitorder="little").tobytes()
+        else:
+            out += lows.astype("<u2").tobytes()
+    return bytes(out)
+
+
 def decode_dv_bitmap(data: bytes) -> list[int]:
     """Serialized RoaringBitmapArray -> sorted list of deleted row
     indices."""
@@ -463,6 +537,36 @@ def dv_relative_path(dv: dict) -> str | None:
     u = _uuid.UUID(bytes=z85_decode(enc))
     fname = f"deletion_vector_{u}.bin"
     return f"{prefix}/{fname}" if prefix else fname
+
+
+def make_dv_descriptor_bytes(
+    table_path: str, data: bytes, cardinality: int, inline_threshold: int = 512
+) -> dict:
+    """Descriptor (and sidecar file when above the inline threshold)
+    from ALREADY-ENCODED bitmap bytes — the writer half when the bitmap
+    was built executor-side and the driver never saw row indices."""
+    import os
+    import uuid as _uuid
+
+    if len(data) <= inline_threshold:
+        pad = (-len(data)) % 4
+        return {
+            "storageType": "i",
+            "pathOrInlineDv": z85_encode(data + b"\x00" * pad),
+            "offset": None,
+            "sizeInBytes": len(data),
+            "cardinality": cardinality,
+        }
+    u = _uuid.uuid4()
+    fname = f"deletion_vector_{u}.bin"
+    entries = write_dv_file(os.path.join(table_path, fname), [data])
+    return {
+        "storageType": "u",
+        "pathOrInlineDv": z85_encode(u.bytes),
+        "offset": entries[0][0],
+        "sizeInBytes": entries[0][1],
+        "cardinality": cardinality,
+    }
 
 
 def make_dv_descriptor(

@@ -97,6 +97,33 @@ def test_cardinality_runs_membership_views_agree():
         ]
 
 
+def test_numpy_codec_matches_python_codec():
+    """The vectorized encoder/decoder (executor-side DELETE path) must
+    agree bit-for-bit / value-for-value with the per-value codec."""
+    import numpy as np
+
+    cases = [
+        [],
+        [0, 1, 2],
+        list(range(5000)),
+        list(range(0, 200000, 3)),
+        [3, (1 << 32) + 4, (1 << 33) + 10],
+    ]
+    for idx in cases:
+        py_bytes = DV.encode_dv_bitmap(idx)
+        np_bytes = DV.encode_dv_bitmap_np(np.array(idx, dtype=np.int64))
+        assert np_bytes == py_bytes  # identical serialization
+        arr = DV.decode_dv_numpy(py_bytes)
+        assert list(arr) == sorted(set(idx))
+    # run containers decode through the numpy path too
+    import struct as _s
+
+    buf = _s.pack("<I", (0 << 16) | 12347)
+    buf += b"\x01" + _s.pack("<HH", 0, 10) + _s.pack("<H", 1) + _s.pack("<HH", 5, 10)
+    data = _s.pack("<iq", 1681511377, 1) + buf
+    assert list(DV.decode_dv_numpy(data)) == list(range(5, 16))
+
+
 def test_run_container_views():
     """Run containers (real writers emit them; our encoder doesn't) must
     flow through cardinality/runs/membership too."""

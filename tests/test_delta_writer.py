@@ -1082,3 +1082,77 @@ def test_two_real_writers_racing_appends(spark, tmp_path):
             lo = 1000 * (wid + 1) + b * 10
             expected += list(range(lo, lo + 10))
     assert got == sorted(expected)
+
+
+def test_shallow_clone_zero_copy(spark, tmp_path):
+    """CLONE references the source's files absolutely (no data copied),
+    evolves independently, and its vacuum never reaches outside its own
+    root. DV sidecars convert to absolute storage so they resolve from
+    the clone."""
+    from pos_dlt_spark.sources.delta import read_delta
+    from pos_dlt_spark.sources.delta_writer import (
+        delta_clone,
+        delta_delete,
+        delta_vacuum,
+    )
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    df = spark.range(40).select(F.col("id"), (F.col("id") % 2).cast("int").alias("b"))
+    write_delta(df, src, partition_by=["b"])
+    delta_delete(spark, src, "id < 4", inline_threshold=8)  # sidecar DV
+
+    dst = str(tmp_path / "dst")
+    assert delta_clone(spark, src, dst) == 0
+    got = {(r.id, r.b) for r in read_delta(spark, dst).collect()}
+    want = {(i, i % 2) for i in range(4, 40)}
+    assert got == want
+    # no data file was copied into the clone
+    local = [
+        n for root, _d, fs in os.walk(dst) for n in fs
+        if n.endswith(".parquet") and "_delta_log" not in root
+    ]
+    assert local == []
+
+    # the clone evolves independently of the source...
+    write_delta(
+        spark.range(100, 105).select(
+            F.col("id"), (F.col("id") % 2).cast("int").alias("b")
+        ),
+        dst,
+        partition_by=["b"],
+    )
+    delta_delete(spark, dst, "id >= 30 AND id < 40", mode="rewrite")
+    got = sorted(r.id for r in read_delta(spark, dst).collect())
+    assert got == list(range(4, 30)) + list(range(100, 105))
+    assert sorted(r.id for r in read_delta(spark, src).collect()) == list(range(4, 40))
+
+    # ...and vacuuming the clone deletes nothing under the source root
+    before = {
+        os.path.join(r, n) for r, _d, fs in os.walk(src) for n in fs
+    }
+    delta_vacuum(spark, dst, retain_versions=0, grace_seconds=0.0)
+    after = {os.path.join(r, n) for r, _d, fs in os.walk(src) for n in fs}
+    assert before == after
+    assert sorted(r.id for r in read_delta(spark, src).collect()) == list(range(4, 40))
+
+    # time-travel clone: snapshot BEFORE the source's delete
+    dst0 = str(tmp_path / "dst0")
+    delta_clone(spark, src, dst0, version=0)
+    assert read_delta(spark, dst0).count() == 40
+
+
+def test_replay_adds_skip_change_commits(spark, tmp_path):
+    from pos_dlt_spark.sources.delta import DeltaProtocolError, replay_adds
+    from pos_dlt_spark.sources.delta_writer import delta_delete
+
+    import pytest as _pytest
+
+    table = str(tmp_path / "rasc")
+    write_delta(_df(spark, 0, 10).coalesce(1), table)      # v0
+    delta_delete(spark, table, "id = 3")                    # v1: DV commit
+    write_delta(_df(spark, 10, 20).coalesce(1), table)      # v2
+    with _pytest.raises(DeltaProtocolError, match="deletion vector"):
+        replay_adds(spark, table)
+    plan = replay_adds(spark, table, skip_change_commits=True)
+    assert [v for v, _ in plan] == [0, 2]  # the DV commit is skipped

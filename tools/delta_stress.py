@@ -322,6 +322,30 @@ def stress_dv_read(spark, rows: int = 24_000_000) -> None:
             f"driver_rss {rss0:.0f} -> {rss1:.0f} MB (delta "
             f"{rss1 - rss0:+.0f} MB) correct={ok}"
         )
+
+        # -- the WRITE side at the same scale: delta_delete(mode='dv')
+        # matching ~4M additional live rows (id % 3 == 0 among the 12M
+        # live), unioned with the existing 12M-row DV executor-side; the
+        # driver sees only compressed bitmap bytes.
+        from pos_dlt_spark.sources.delta_writer import delta_delete
+
+        rss2 = _vm_rss_mb()
+        t0 = time.perf_counter()
+        v, n = delta_delete(spark, table, "id % 3 = 0")
+        wall3 = time.perf_counter() - t0
+        rss3 = _vm_rss_mb()
+        cnt2 = read_delta(spark, table).count()
+        import numpy as np
+
+        live = np.ones(rows, dtype=bool)
+        live[0:20_000_000:2] = False
+        live[20_000_000:22_000_000] = False
+        live_after = int((live & (np.arange(rows) % 3 != 0)).sum())
+        print(
+            f"dv_delete: rows_deleted={n} wall={wall3:.2f}s survivors={cnt2} "
+            f"(expect {live_after}) driver_rss {rss2:.0f} -> {rss3:.0f} MB "
+            f"(delta {rss3 - rss2:+.0f} MB) correct={cnt2 == live_after}"
+        )
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
