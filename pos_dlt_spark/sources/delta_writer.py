@@ -287,6 +287,47 @@ def _stage_and_move(df: DataFrame, path: str, partition_by: list[str] | None):
     return adds
 
 
+def _maybe_checkpoint(
+    spark, path: str, version: int, interval: int, fmt: str = "classic"
+) -> None:
+    """Write a checkpoint when ``version`` crosses the cadence — shared
+    by EVERY committing operation (write/merge/delete/optimize/restore),
+    so CDC-heavy tables whose commits are all merges still fold from a
+    checkpoint instead of replaying an ever-growing JSON chain. The
+    checkpoint REPLACES the JSON chain for later readers: its metaData
+    must carry the full table identity (partitionColumns above all —
+    folding [] here would make any post-checkpoint snapshot of a
+    partitioned table read its partition column as all-null and flag
+    every subsequent append as partitioning drift), and it carries the
+    FOLDED protocol (plus v2Checkpoint when writing that format) — a
+    narrower protocol here would undeclare features still in use
+    (deletionVectors above all)."""
+    if not interval or version <= 0 or version % interval != 0:
+        return
+    final = delta_snapshot(spark, path, version)
+    ckpt_actions = (
+        [
+            _merged_protocol(
+                final.protocol,
+                *((("v2Checkpoint",), ("v2Checkpoint",))
+                  if fmt == "v2" else ((), ())),
+            ),
+            fx.metadata_action(
+                final.schema,
+                partition_columns=final.partition_columns,
+                table_id=final.table_id,
+                configuration=final.configuration,
+            ),
+        ]
+        + [fx.txn_action(a, v) for a, v in sorted(final.txns.items())]
+        + [{"add": dict(a)} for a in final.adds.values()]
+    )
+    if fmt == "v2":
+        fx.write_checkpoint_v2(path, version, ckpt_actions)
+    else:
+        fx.write_checkpoint(path, version, ckpt_actions)
+
+
 def write_delta(
     df: DataFrame,
     path: str,
@@ -447,40 +488,7 @@ def write_delta(
         ] + actions
 
         if _try_commit(log_dir, version, actions):
-            if checkpoint_interval and version > 0 and version % checkpoint_interval == 0:
-                final = delta_snapshot(spark, path, version)
-                # the checkpoint REPLACES the JSON chain for later readers:
-                # its metaData must carry the full table identity
-                # (partitionColumns above all — folding [] here would make
-                # any post-checkpoint snapshot of a partitioned table read
-                # its partition column as all-null and flag every
-                # subsequent append as partitioning drift)
-                ckpt_actions = (
-                    [
-                        # carry the FOLDED protocol (plus v2Checkpoint when
-                        # writing that format) — the checkpoint replaces the
-                        # JSON chain, so dropping declared features here
-                        # (deletionVectors above all) would undeclare
-                        # features still in use
-                        _merged_protocol(
-                            final.protocol,
-                            *((("v2Checkpoint",), ("v2Checkpoint",))
-                              if checkpoint_format == "v2" else ((), ())),
-                        ),
-                        fx.metadata_action(
-                            final.schema,
-                            partition_columns=final.partition_columns,
-                            table_id=final.table_id,
-                            configuration=final.configuration,
-                        ),
-                    ]
-                    + [fx.txn_action(a, v) for a, v in sorted(final.txns.items())]
-                    + [{"add": a} for a in final.adds.values()]
-                )
-                if checkpoint_format == "v2":
-                    fx.write_checkpoint_v2(path, version, ckpt_actions)
-                else:
-                    fx.write_checkpoint(path, version, ckpt_actions)
+            _maybe_checkpoint(spark, path, version, checkpoint_interval, checkpoint_format)
             return version
         # lost the race
         if mode == "overwrite":
@@ -501,6 +509,7 @@ def delta_merge(
     tiebreakers: list[str] | None = None,
     txn: tuple[str, int] | None = None,
     range_join_threshold: int = 100_000,
+    checkpoint_interval: int = 10,
 ) -> int:
     """Latest-per-key MERGE (upsert) into a Delta table — the operation
     the reference's CDC rides (`03_Bronze-to-Silver ETL.py:379-384`,
@@ -760,6 +769,7 @@ def delta_merge(
             f"version {version} was committed concurrently; merge must "
             "re-run against the new snapshot"
         )
+    _maybe_checkpoint(spark, path, version, checkpoint_interval)
     return version
 
 
@@ -769,6 +779,7 @@ def delta_optimize(
     target_files: int = 1,
     zorder_by: list[str] | None = None,
     zorder_bits: int = 12,
+    checkpoint_interval: int = 10,
 ) -> int:
     """OPTIMIZE (bin-pack compaction): rewrite each PARTITION's live
     files into at most ``target_files`` larger files (one group for an
@@ -916,6 +927,7 @@ def delta_optimize(
     version = snap.version + 1
     if not _try_commit(os.path.join(path, "_delta_log"), version, actions):
         raise DeltaCommitConflict(f"version {version} committed concurrently; re-run optimize")
+    _maybe_checkpoint(spark, path, version, checkpoint_interval)
     return version
 
 
@@ -999,6 +1011,7 @@ def delta_delete(
     predicate: str,
     mode: str = "dv",
     inline_threshold: int = 512,
+    checkpoint_interval: int = 10,
 ) -> tuple[int, int]:
     """DELETE rows matching the SQL ``predicate`` — the operation that
     makes real-world tables carry deletion vectors.
@@ -1189,6 +1202,7 @@ def delta_delete(
             f"version {version} was committed concurrently; delete must "
             "re-run against the new snapshot"
         )
+    _maybe_checkpoint(spark, path, version, checkpoint_interval)
     return version, n_deleted
 
 

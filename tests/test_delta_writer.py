@@ -1156,3 +1156,31 @@ def test_replay_adds_skip_change_commits(spark, tmp_path):
         replay_adds(spark, table)
     plan = replay_adds(spark, table, skip_change_commits=True)
     assert [v for v, _ in plan] == [0, 2]  # the DV commit is skipped
+
+
+def test_merge_only_table_checkpoints_on_cadence(spark, tmp_path):
+    """A CDC-style table maintained ONLY by merges must still cross the
+    checkpoint cadence (previously only write_delta checkpointed, so a
+    merge-per-batch table replayed an ever-growing JSON chain)."""
+    import pandas as pd
+
+    from pos_dlt_spark.sources.delta_writer import delta_log_cleanup, delta_merge
+
+    table = str(tmp_path / "mgc")
+    write_delta(
+        spark.createDataFrame(pd.DataFrame({"k": [0], "seq": [0], "v": ["0"]})),
+        table,
+    )
+    for b in range(1, 5):
+        delta_merge(
+            spark, table,
+            spark.createDataFrame(
+                pd.DataFrame({"k": [b % 3], "seq": [b], "v": [f"v{b}"]})
+            ),
+            keys=["k"], sequence_by="seq", checkpoint_interval=4,
+        )
+    log = os.path.join(table, "_delta_log")
+    assert os.path.exists(os.path.join(log, f"{4:020d}.checkpoint.parquet"))
+    assert delta_log_cleanup(spark, table)  # JSON chain now redundant
+    got = {r.k: (r.seq, r.v) for r in read_delta(spark, table).collect()}
+    assert got == {0: (3, "v3"), 1: (4, "v4"), 2: (2, "v2")}
