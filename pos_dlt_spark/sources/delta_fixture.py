@@ -102,11 +102,20 @@ def write_commit(table_dir: str, version: int, actions: list[dict]) -> str:
     return path
 
 
-def write_checkpoint(table_dir: str, version: int, actions: list[dict]) -> str:
-    """Classic single-file checkpoint: one parquet row per action, struct
-    columns named like the actions. Real checkpoints use a map type for
+def write_checkpoint(
+    table_dir: str, version: int, actions: list[dict], parts: int = 1
+) -> str:
+    """Classic checkpoint: one parquet row per action, struct columns
+    named like the actions. Real checkpoints use a map type for
     partitionValues; pyarrow renders maps back as (key, value) tuple
-    lists, which the reader folds with dict() — both shapes round-trip."""
+    lists, which the reader folds with dict() — both shapes round-trip.
+
+    ``parts > 1`` writes the MULTI-PART layout real writers use past
+    ~hundreds of thousands of files (``<v>.checkpoint.<i>.<n>.parquet``,
+    1-based part numbers; actions split round-robin-by-slice — the
+    protocol allows any distribution; the reader requires the COMPLETE
+    set). ``_last_checkpoint`` records ``parts`` so readers can
+    fast-path discovery. Returns the (first) part path."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -114,10 +123,25 @@ def write_checkpoint(table_dir: str, version: int, actions: list[dict]) -> str:
     rows = _action_rows(actions, schema)
     log_dir = os.path.join(table_dir, "_delta_log")
     os.makedirs(log_dir, exist_ok=True)
-    path = os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
-    pq.write_table(pa.Table.from_pylist(rows, schema=schema), path)
+    parts = max(1, int(parts))
+    if parts == 1:
+        path = os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
+        pq.write_table(pa.Table.from_pylist(rows, schema=schema), path)
+    else:
+        per = -(-len(rows) // parts) if rows else 0
+        path = ""
+        for i in range(1, parts + 1):
+            chunk = rows[(i - 1) * per : i * per] if per else []
+            p = os.path.join(
+                log_dir, f"{version:020d}.checkpoint.{i:010d}.{parts:010d}.parquet"
+            )
+            pq.write_table(pa.Table.from_pylist(chunk, schema=schema), p)
+            path = path or p
+    meta = {"version": version, "size": len(rows)}
+    if parts > 1:
+        meta["parts"] = parts
     with open(os.path.join(log_dir, "_last_checkpoint"), "w", encoding="utf-8") as fh:
-        fh.write(json.dumps({"version": version, "size": len(rows)}))
+        fh.write(json.dumps(meta))
     return path
 
 

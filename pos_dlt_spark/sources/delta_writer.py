@@ -325,7 +325,12 @@ def _maybe_checkpoint(
     if fmt == "v2":
         fx.write_checkpoint_v2(path, version, ckpt_actions)
     else:
-        fx.write_checkpoint(path, version, ckpt_actions)
+        # multi-part past 500k files — the layout real writers use so no
+        # single checkpoint file balloons (the reader folds complete
+        # part sets; an interrupted write leaves an incomplete set that
+        # readers skip in favor of the previous checkpoint/JSON chain)
+        parts = -(-len(final.files) // 500_000)
+        fx.write_checkpoint(path, version, ckpt_actions, parts=max(1, parts))
 
 
 def write_delta(
@@ -510,6 +515,7 @@ def delta_merge(
     txn: tuple[str, int] | None = None,
     range_join_threshold: int = 100_000,
     checkpoint_interval: int = 10,
+    max_retries: int = 3,
 ) -> int:
     """Latest-per-key MERGE (upsert) into a Delta table — the operation
     the reference's CDC rides (`03_Bronze-to-Silver ETL.py:379-384`,
@@ -526,10 +532,14 @@ def delta_merge(
        new files are written distributed, and the commit is one atomic
        remove(touched)+add(new) JSON — readers see the old or the new
        snapshot, never a mix.
-    3. A lost commit race aborts with :class:`DeltaCommitConflict`
-       (merge result depends on the base snapshot; blind replay could
-       resurrect overwritten rows — the caller re-runs against the new
-       snapshot).
+    3. A lost commit race RE-RUNS the whole merge against the fresh
+       snapshot (staged files cleaned up first) — never a blind replay
+       of the stale result, which could resurrect overwritten rows. The
+       re-run is always safe: the merge is deterministic in (snapshot,
+       updates) and commits atomically or not at all; SetTransaction
+       idempotence is re-checked on entry, so a concurrent writer
+       sharing the appId short-circuits. After ``max_retries`` lost
+       races :class:`DeltaCommitConflict` raises.
 
     Keys absent from the table INSERT; keys present UPDATE (newest
     sequence wins; an EQUAL sequence — after any explicit tiebreakers —
@@ -765,9 +775,29 @@ def delta_merge(
     actions = [fx.commit_info_action("MERGE", {"keys": keys, "sequenceBy": sequence_by})] + actions
     version = snap.version + 1
     if not _try_commit(os.path.join(path, "_delta_log"), version, actions):
+        # lost the race: the staged files are unreferenced — remove them
+        # and re-run the WHOLE merge on the fresh snapshot (bounded)
+        for a in adds:
+            try:
+                os.remove(os.path.join(path, a["add"]["path"]))
+            except OSError:
+                pass
+        for c in cdc_actions:
+            try:
+                os.remove(os.path.join(path, c["cdc"]["path"]))
+            except OSError:
+                pass
+        if max_retries > 1:
+            return delta_merge(
+                spark, path, updates, keys, sequence_by,
+                tiebreakers=tiebreakers, txn=txn,
+                range_join_threshold=range_join_threshold,
+                checkpoint_interval=checkpoint_interval,
+                max_retries=max_retries - 1,
+            )
         raise DeltaCommitConflict(
-            f"version {version} was committed concurrently; merge must "
-            "re-run against the new snapshot"
+            f"version {version} was committed concurrently and retries "
+            "are exhausted; merge must re-run against the new snapshot"
         )
     _maybe_checkpoint(spark, path, version, checkpoint_interval)
     return version

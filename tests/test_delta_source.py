@@ -448,3 +448,43 @@ def test_v2_checkpoint_manifest_and_sidecars(spark, tmp_path):
     os.rename(os.path.join(sc_dir, victim), os.path.join(sc_dir, victim + ".gone"))
     with pytest.raises(FileNotFoundError, match="sidecar"):
         delta_snapshot(spark, table)
+
+
+def test_lazy_checkpoint_adds_feed_skipping_and_merge_pruning(spark, tmp_path):
+    """After a checkpoint-only fold (lazy columnar adds), every consumer
+    of snap.adds must behave exactly as with plain dicts: stats
+    skipping, merge file pruning, DV lookups, and checkpoint rewrite."""
+    import pandas as pd
+
+    from pos_dlt_spark.sources.delta import delta_snapshot, read_delta, skip_files
+    from pos_dlt_spark.sources.delta_writer import (
+        delta_log_cleanup,
+        delta_merge,
+        write_delta,
+    )
+
+    table = str(tmp_path / "lzck")
+    lo = spark.createDataFrame(
+        pd.DataFrame({"k": range(0, 100), "seq": [1] * 100, "v": ["x"] * 100})
+    ).coalesce(1)
+    hi = spark.createDataFrame(
+        pd.DataFrame({"k": range(1000, 1100), "seq": [1] * 100, "v": ["y"] * 100})
+    ).coalesce(1)
+    write_delta(lo, table)
+    write_delta(hi, table, checkpoint_interval=1)  # checkpoint at v1
+    assert delta_log_cleanup(spark, table)  # force the checkpoint fold
+    snap = delta_snapshot(spark, table)
+    # adds view is the lazy mapping; stats skipping works through it
+    pruned, skipped = skip_files(snap, [("k", ">=", 500)])
+    assert skipped == 1 and len(pruned.files) == 1
+    got = read_delta(spark, table, prune=[("k", ">=", 500)]).filter("k >= 500")
+    assert sorted(r.k for r in got.collect()) == list(range(1000, 1100))
+    # merge pruning reads per-file stats through the lazy view too
+    upd = spark.createDataFrame(pd.DataFrame({"k": [1005], "seq": [9], "v": ["y2"]}))
+    delta_merge(spark, table, upd, keys=["k"], sequence_by="seq")
+    snap2 = delta_snapshot(spark, table)
+    live = {rel for rel, _ in snap2.files}
+    # the low file was never touched (still live under its original name)
+    assert any(rel in live for rel, _ in snap.files)
+    got = {r.k: r.v for r in read_delta(spark, table).collect()}
+    assert got[1005] == "y2" and got[50] == "x" and len(got) == 200
