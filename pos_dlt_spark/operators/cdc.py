@@ -83,6 +83,17 @@ class ApplyChanges:
              .start())
 
     The target directory always holds the current one-row-per-key state.
+
+    ``apply_as_deletes`` (DLT's parameter of the same name) treats
+    matching source rows as DELETE tombstones: the newest-by-sequence
+    row for a key being a delete removes the key. Within a batch,
+    out-of-order deletes/updates resolve by the sequence ordering; ACROSS
+    batches the tombstone is not retained, so a later batch carrying an
+    OLDER update for a deleted key re-inserts it — deletes therefore
+    require per-key monotone sequences across batches (the same
+    operational contract DLT's bounded tombstone retention enforces with
+    a window). ``except_column_list`` drops source-only columns (the op
+    marker) from the stored state after the predicate is evaluated.
     """
 
     def __init__(
@@ -95,12 +106,27 @@ class ApplyChanges:
         merge_schema: bool = False,
         bucket_keys: Sequence[str] | None = None,
         retention: int = 1,
+        apply_as_deletes: str | None = None,
+        except_column_list: Sequence[str] = (),
     ) -> None:
         self.target_path = target_path
         self.keys = list(keys)
         self.sequence_by = sequence_by
         self.tiebreakers = list(tiebreakers)
         self.n_buckets = n_buckets
+        # DLT's apply_as_deletes: a SQL predicate over the SOURCE columns;
+        # an incoming row matching it is a DELETE tombstone — when it wins
+        # the per-key sequence ordering the key is REMOVED from the target
+        # (an out-of-order older delete loses and is ignored, same as any
+        # stale update). except_column_list: source-only columns (the op
+        # marker, typically) dropped from the target state AFTER the
+        # predicate is evaluated — DLT's except_column_list.
+        self.apply_as_deletes = apply_as_deletes
+        self.except_column_list = list(except_column_list)
+        if set(self.except_column_list) & set(self.keys):
+            raise ValueError("except_column_list cannot contain merge keys")
+        if sequence_by in self.except_column_list:
+            raise ValueError("except_column_list cannot contain sequence_by")
         # How many PRIOR commit generations stay readable (time travel) and
         # how long superseded bucket dirs survive before GC — Delta VACUUM
         # retention, counted in commits. 1 = the original behavior.
@@ -134,27 +160,47 @@ class ApplyChanges:
     def merge(self, target: DataFrame | None, batch: DataFrame) -> DataFrame:
         """Merge a micro-batch into the current target state."""
         incoming = latest_per_key(batch, self.keys, self.sequence_by, self.tiebreakers)
+        # delete tombstones are tagged from the RAW source columns (the
+        # predicate may reference except-listed ones), then the
+        # except-listed columns drop so the union schema matches the
+        # target state
+        if self.apply_as_deletes:
+            incoming = incoming.withColumn(
+                "__del",
+                F.coalesce(F.expr(self.apply_as_deletes), F.lit(False)),
+            )
+        if self.except_column_list:
+            incoming = incoming.drop(*self.except_column_list)
         if target is None:
+            if self.apply_as_deletes:
+                incoming = incoming.filter(~F.col("__del")).drop("__del")
             return incoming
+        expected = set(incoming.columns) - {"__del"}
+        if set(target.columns) != expected and not self.merge_schema:
+            raise ValueError(
+                "batch schema drifted from target "
+                f"(target={sorted(target.columns)} batch={sorted(expected)}); "
+                "pass merge_schema=True to evolve"
+            )
         # union + latest-per-key == MERGE whenMatched-and-newer update,
         # whenNotMatched insert.  A target row only loses to an incoming row
         # with a strictly greater (sequence, tiebreakers...) ordering because
         # the window tiebreak below prefers the existing row on exact ties.
-        if set(target.columns) != set(batch.columns) and not self.merge_schema:
-            raise ValueError(
-                "batch schema drifted from target "
-                f"(target={sorted(target.columns)} batch={sorted(batch.columns)}); "
-                "pass merge_schema=True to evolve"
-            )
         tagged_target = target.withColumn("__is_target", F.lit(1))
         tagged_in = incoming.withColumn("__is_target", F.lit(0))
+        if self.apply_as_deletes:
+            tagged_target = tagged_target.withColumn("__del", F.lit(False))
         merged = latest_per_key(
             tagged_target.unionByName(tagged_in, allowMissingColumns=self.merge_schema),
             self.keys,
             self.sequence_by,
             tiebreakers=[*self.tiebreakers, "__is_target"],
         )
-        return merged.drop("__is_target")
+        merged = merged.drop("__is_target")
+        if self.apply_as_deletes:
+            # a delete that WON the ordering removes its key entirely
+            merged = merged.filter(~F.col("__del")).drop("__del")
+        return merged
 
     # -- manifest (bucketed mode's commit log) ------------------------------
 

@@ -115,6 +115,8 @@ class CdcFlowDef:
     tiebreakers: list[str] = field(default_factory=list)
     n_buckets: int | None = None  # partial-rewrite merge (see operators/cdc.py)
     bucket_keys: list[str] | None = None  # route by a key subset (rollup locality)
+    apply_as_deletes: str | None = None  # DLT: source rows matching = tombstones
+    except_column_list: list[str] | None = None  # DLT: source-only cols dropped
 
 
 @dataclass
@@ -237,16 +239,23 @@ class Pipeline:
         tiebreakers: list[str] | None = None,
         n_buckets: int | None = None,
         bucket_keys: list[str] | None = None,
+        apply_as_deletes: str | None = None,
+        except_column_list: list[str] | None = None,
     ) -> None:
         """Declare a CDC-maintained keyed table (reference W3). With
         ``n_buckets`` the target is key-hash-bucketed and each micro-batch
         rewrites only touched buckets — set it for large targets.
         ``bucket_keys`` routes buckets by a key subset so downstream
-        incremental views grouped on that subset stay bucket-local."""
+        incremental views grouped on that subset stay bucket-local.
+        ``apply_as_deletes`` / ``except_column_list`` mirror DLT's
+        parameters (delete tombstones; source-only columns dropped from
+        the stored state)."""
         self.cdc_flows[target] = CdcFlowDef(
             target=target, source=source, keys=keys, sequence_by=sequence_by,
             tiebreakers=list(tiebreakers or []), n_buckets=n_buckets,
             bucket_keys=list(bucket_keys) if bucket_keys else None,
+            apply_as_deletes=apply_as_deletes,
+            except_column_list=list(except_column_list) if except_column_list else None,
         )
 
     def incremental_view(
@@ -593,6 +602,8 @@ class PipelineRunner:
             tiebreakers=flow.tiebreakers,
             n_buckets=flow.n_buckets,
             bucket_keys=flow.bucket_keys,
+            apply_as_deletes=flow.apply_as_deletes,
+            except_column_list=flow.except_column_list or (),
         )
 
     def _run_inc_view(self, spark: SparkSession, view) -> None:
@@ -608,6 +619,18 @@ class PipelineRunner:
         ikv.refresh(spark)
 
     def _run_cdc(self, spark: SparkSession, flow: CdcFlowDef) -> None:
+        if (
+            self.p.storage_format == "delta"
+            and flow.n_buckets is None
+            and flow.apply_as_deletes is not None
+        ):
+            # the protocol-MERGE backend has no tombstone path yet; a
+            # silent upsert of delete rows would resurrect them
+            raise NotImplementedError(
+                f"apply_changes({flow.target!r}): apply_as_deletes on a "
+                "delta-mode plain CDC flow is not supported (use the "
+                "bucketed manifest layout, or parquet storage mode)"
+            )
         if self.p.storage_format == "delta" and flow.n_buckets is None:
             # plain CDC target = a real Delta table maintained by protocol
             # MERGE commits (the reference's `03:379-384`): first batch

@@ -139,6 +139,55 @@ def pos_gold_inventory_current(spark: SparkSession, sf_dir: str) -> DataFrame:
     return current_inventory(pos_snapshots(spark, sf_dir), pos_changes(spark, sf_dir))
 
 
+@query(
+    "orders_cdc_apply_as_deletes",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1
+                ELSE o_totalprice END AS o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderkey % 20 != 0
+    """,
+)
+def orders_cdc_apply_as_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DLT ``apply_as_deletes`` + ``except_column_list`` through the CDC
+    merge operator: batch 1 upserts every order; batch 2 carries DELETE
+    tombstones for keys % 20 == 0 and price updates for keys % 7 == 0
+    (both at a newer sequence). A tombstone that wins the ordering
+    REMOVES its key; the op marker never reaches the stored state. The
+    oracle recomputes the surviving state in SQL."""
+    from pos_dlt_spark.operators.cdc import ApplyChanges
+    from pos_dlt_spark.tables import scratch_dir
+
+    orders = load_table(spark, sf_dir, "orders")
+    cols = orders.columns
+    ac = ApplyChanges(
+        os.path.join(scratch_dir("cdc_del_"), "t"),
+        keys=["o_orderkey"],
+        sequence_by="__seq",
+        apply_as_deletes="op = 'DELETE'",
+        except_column_list=["op"],
+    )
+    b1 = orders.withColumn("__seq", F.lit(1)).withColumn("op", F.lit("UPSERT"))
+    dels = (
+        orders.filter(F.col("o_orderkey") % 20 == 0)
+        .withColumn("__seq", F.lit(2))
+        .withColumn("op", F.lit("DELETE"))
+    )
+    upds = (
+        # %140 keys get BOTH a delete and an update at seq 2: keep the
+        # pair disjoint (delete wins in the oracle) rather than relying
+        # on an arbitrary equal-sequence tiebreak between the two
+        orders.filter((F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") % 20 != 0))
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1.0))
+        .withColumn("__seq", F.lit(2))
+        .withColumn("op", F.lit("UPSERT"))
+    )
+    state = ac.merge(None, b1)
+    state = ac.merge(state, dels.unionByName(upds))
+    return state.select(*cols)
+
+
 @query("pos_cdc_latest_snapshot", oracle=_SNAP_SQL)
 def pos_cdc_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch oracle of DLT apply_changes (W3): one row per key, max
@@ -792,6 +841,60 @@ def _build_cm_supplier(spark: SparkSession, sf_dir: str, suffix: str) -> str:
         ],
     )
     return table
+
+
+@query(
+    "orders_delta_generated_column",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+           o_orderpriority, CAST(year(o_orderdate) AS INT) AS o_year
+    FROM orders
+    """,
+)
+def orders_delta_generated_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATED COLUMNS (protocol writer obligation): the table schema
+    declares ``o_year`` with ``delta.generationExpression =
+    year(o_orderdate)``; orders append WITHOUT supplying the column and
+    the writer computes it (a provided-but-divergent value would abort
+    — the invariant readers lean on for partition pruning). The oracle
+    recomputes the column in SQL over the raw orders."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    from pos_dlt_spark.sources.delta import read_delta
+    from pos_dlt_spark.sources.delta_writer import write_delta
+    from pos_dlt_spark.tables import scratch_dir
+
+    key = os.path.abspath(sf_dir) + "#gen"
+    if key not in _DELTA_RT_CACHE:
+        import atexit
+        import shutil
+
+        work = scratch_dir("delta_gen_")
+        atexit.register(shutil.rmtree, work, ignore_errors=True)
+        table = os.path.join(work, "orders")
+        orders = load_table(spark, sf_dir, "orders")
+        schema = StructType(
+            list(orders.schema.fields)
+            + [
+                StructField(
+                    "o_year", IntegerType(), True,
+                    {"delta.generationExpression": "CAST(year(o_orderdate) AS INT)"},
+                )
+            ]
+        )
+        # creation pins the generated-column schema with one seed row...
+        seed = orders.limit(1).withColumn(
+            "o_year", F.year("o_orderdate").cast("int")
+        )
+        write_delta(spark.createDataFrame(seed.collect(), schema), table)
+        # ...then the full append omits o_year and the WRITER computes it
+        from pos_dlt_spark.sources.delta_writer import delta_merge
+
+        delta_merge(
+            spark, table, orders, keys=["o_orderkey"], sequence_by="o_orderkey"
+        )
+        _DELTA_RT_CACHE[key] = table
+    return read_delta(spark, _DELTA_RT_CACHE[key])
 
 
 @query(

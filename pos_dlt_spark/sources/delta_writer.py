@@ -98,6 +98,69 @@ def _constrained(df: DataFrame, conf: dict[str, str]):
     return df, check
 
 
+def _generation_exprs(schema) -> dict[str, str]:
+    """GENERATED COLUMNS (protocol "Generated Columns"): schema-field
+    metadata key ``delta.generationExpression`` holds a SQL expression;
+    writers must ensure the column's values equal it."""
+    out: dict[str, str] = {}
+    for f in schema.fields:
+        md = f.metadata or {}
+        if "delta.generationExpression" in md:
+            out[f.name] = md["delta.generationExpression"]
+    return out
+
+
+def _generated(df: DataFrame, schema):
+    """Enforce the table's generated columns on a frame about to stage:
+    a MISSING generated column is COMPUTED from its expression (the
+    common writer convenience — callers supply only the base columns);
+    a PROVIDED one is VALIDATED row-by-row via ``DataFrame.observe`` on
+    the already-running write job (null-safe equality, zero extra
+    scans). Returns (df, check) — ``check()`` raises
+    :class:`DeltaConstraintViolation` after the job when any row's
+    provided value diverges from its expression (silently accepting it
+    would break every reader that relies on the generation invariant
+    for partition pruning)."""
+    gens = _generation_exprs(schema)
+    if not gens:
+        return df, None
+    from pyspark.sql import functions as F
+
+    present = set(df.columns)
+    to_check: dict[str, str] = {}
+    for name, expr in gens.items():
+        if name not in present:
+            df = df.withColumn(name, F.expr(expr))
+        else:
+            to_check[name] = expr
+    if not to_check:
+        return df, None
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    aggs = [
+        F.sum(
+            F.when(F.col(f"`{name}`").eqNullSafe(F.expr(expr)), 0).otherwise(1)
+        ).cast("bigint").alias(name)
+        for name, expr in to_check.items()
+    ]
+    df = df.observe(obs, *aggs)
+
+    def check() -> None:
+        bad = {
+            name: int(obs.get[name] or 0)
+            for name in to_check
+            if int(obs.get[name] or 0) > 0
+        }
+        if bad:
+            raise DeltaConstraintViolation(
+                f"generated column(s) violated (rows): {bad}; "
+                f"expressions: { {n: to_check[n] for n in bad} }"
+            )
+
+    return df, check
+
+
 def _merged_protocol(
     prior: dict | None,
     reader_features: tuple[str, ...] = (),
@@ -415,6 +478,9 @@ def write_delta(
             raise DeltaProtocolError(
                 "table is delta.appendOnly: overwrite would remove data"
             )
+    df, check_generated = _generated(
+        df, prior.schema if prior is not None else df.schema
+    )
     df, check_constraints = _constrained(df, conf)
     if prior is not None and prior.column_mapping != "none":
         # name-mode table: files + partition dirs carry PHYSICAL names
@@ -423,7 +489,7 @@ def write_delta(
         )
     else:
         adds = _stage_and_move(df, path, partition_by)
-    for pre in (check_constraints, precommit):
+    for pre in (check_generated, check_constraints, precommit):
         if pre is None:
             continue
         try:
@@ -477,7 +543,10 @@ def write_delta(
         else:
             snap, version = None, 0
             actions = [
-                fx.protocol_action(),
+                # generated columns oblige writers at minWriterVersion 4
+                fx.protocol_action(min_writer=4)
+                if _generation_exprs(df.schema)
+                else fx.protocol_action(),
                 fx.metadata_action(
                     df.schema,
                     partition_columns=list(partition_by or []),
@@ -682,6 +751,9 @@ def delta_merge(
             touched += [rel for rel, _lo, _hi in ranges]
 
     cols = [f.name for f in snap.schema.fields]
+    # generated columns: compute any the update batch omitted, validate
+    # any it provided (check runs after the staging job below)
+    updates, check_generated = _generated(updates, snap.schema)
     # cast the update batch to the TABLE's column types (update batches
     # often arrive widened, e.g. int64 from pandas against an int
     # column; writing them as-is would poison the files against the
@@ -737,9 +809,11 @@ def delta_merge(
     adds = _stage_and_move(
         _to_physical(merged, snap), path, _physical_partition_by(snap)
     )
-    if check_constraints is not None:
+    for chk in (check_generated, check_constraints):
+        if chk is None:
+            continue
         try:
-            check_constraints()
+            chk()
         except BaseException:
             for a in adds:
                 try:

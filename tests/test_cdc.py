@@ -393,3 +393,77 @@ def test_unbucketed_crash_between_renames_recovers(spark, tmp_path):
         (1, 1): (datetime(2021, 1, 1), 10),
         (2, 2): (datetime(2021, 1, 2), 5),
     }
+
+
+def test_apply_as_deletes_and_except_columns(spark, tmp_path):
+    """DLT's apply_as_deletes + except_column_list: a delete tombstone
+    that wins the sequence ordering removes the key; an out-of-order
+    older delete loses to the newer target row; the op marker never
+    reaches the stored state."""
+    ac = ApplyChanges(
+        str(tmp_path / "t"),
+        keys=KEYS,
+        sequence_by="date_time",
+        apply_as_deletes="op = 'DELETE'",
+        except_column_list=["op"],
+    )
+    opcols = COLS + ["op"]
+
+    def dfo(rows):
+        return spark.createDataFrame(rows, opcols)
+
+    t1 = datetime(2021, 1, 1)
+    t2 = datetime(2021, 1, 2)
+    t3 = datetime(2021, 1, 3)
+    state = ac.merge(None, dfo([
+        (1, "a", t1, 10, "UPSERT"),
+        (1, "b", t1, 20, "UPSERT"),
+        (2, "a", t1, 30, "UPSERT"),
+    ]))
+    assert "op" not in state.columns
+    # newer delete for (1,a); STALE delete for (2,a) must lose
+    state = ac.merge(state, dfo([
+        (1, "a", t2, 0, "DELETE"),
+        (2, "a", datetime(2020, 1, 1), 0, "DELETE"),
+        (1, "b", t2, 25, "UPSERT"),
+    ]))
+    got = as_dict(state)
+    assert got == {(1, "b"): (t2, 25), (2, "a"): (t1, 30)}
+    # the deleted key re-inserts on a genuinely NEWER update
+    state = ac.merge(state, dfo([(1, "a", t3, 99, "UPSERT")]))
+    assert as_dict(state)[(1, "a")] == (t3, 99)
+    # intra-batch: delete then newer upsert in ONE batch -> upsert wins
+    state = ac.merge(state, dfo([
+        (2, "a", t2, 0, "DELETE"),
+        (2, "a", t3, 55, "UPSERT"),
+    ]))
+    assert as_dict(state)[(2, "a")] == (t3, 55)
+    # ...and delete newest in-batch -> key gone
+    state = ac.merge(state, dfo([
+        (1, "b", t3, 77, "UPSERT"),
+        (1, "b", datetime(2021, 1, 4), 0, "DELETE"),
+    ]))
+    assert (1, "b") not in as_dict(state)
+
+
+def test_apply_as_deletes_streaming_end_to_end(spark, tmp_path):
+    """foreachBatch path with tombstones: the stored parquet state holds
+    only surviving keys and no op column."""
+    import os
+
+    target = str(tmp_path / "t2")
+    ac = ApplyChanges(
+        target, keys=KEYS, sequence_by="date_time",
+        apply_as_deletes="op = 'DELETE'", except_column_list=["op"],
+    )
+    t1, t2 = datetime(2021, 1, 1), datetime(2021, 1, 2)
+    b0 = spark.createDataFrame(
+        [(1, "a", t1, 10, "UPSERT"), (1, "b", t1, 20, "UPSERT")], COLS + ["op"]
+    )
+    ac.process_batch(b0, 0)
+    b1 = spark.createDataFrame([(1, "a", t2, 0, "DELETE")], COLS + ["op"])
+    ac.process_batch(b1, 1)
+    got = spark.read.parquet(target)
+    assert "op" not in got.columns
+    rows = {(r.store_id, r.item_id) for r in got.collect()}
+    assert rows == {(1, "b")}

@@ -1294,3 +1294,57 @@ def test_multipart_classic_checkpoint_write_roundtrip(spark, tmp_path):
     os.remove(os.path.join(log, names[1]))
     with pytest.raises(FileNotFoundError):
         delta_snapshot(spark, table)
+
+
+def test_generated_columns_computed_validated_and_enforced(spark, tmp_path):
+    """delta.generationExpression: appends missing the column get it
+    COMPUTED; provided-but-wrong values ABORT before any commit; merge
+    updates without the column are computed too — the generation
+    invariant readers rely on for pruning never breaks."""
+    from pyspark.sql.types import (
+        DateType, LongType, IntegerType, StructField, StructType,
+    )
+
+    from pos_dlt_spark.sources.delta_writer import (
+        DeltaConstraintViolation,
+        delta_merge,
+    )
+
+    table = str(tmp_path / "gen")
+    schema = StructType(
+        [
+            StructField("k", LongType(), True),
+            StructField("d", DateType(), True),
+            StructField("yr", IntegerType(), True,
+                        {"delta.generationExpression": "CAST(year(d) AS INT)"}),
+        ]
+    )
+    base = spark.createDataFrame(
+        [(1, __import__("datetime").date(2024, 3, 1), 2024)], schema
+    )
+    write_delta(base, table)
+    snap = delta_snapshot(spark, table)
+    assert snap.protocol.get("minWriterVersion") == 4
+    # append WITHOUT the generated column: computed
+    app = spark.createDataFrame(
+        [(2, __import__("datetime").date(2025, 7, 9))], "k long, d date"
+    )
+    write_delta(app, table)
+    got = {r.k: r.yr for r in read_delta(spark, table).collect()}
+    assert got == {1: 2024, 2: 2025}
+    # append with a WRONG provided value: aborts, nothing committed
+    bad = spark.createDataFrame(
+        [(3, __import__("datetime").date(2026, 1, 1), 1999)], schema
+    )
+    v_before = delta_snapshot(spark, table).version
+    with pytest.raises(DeltaConstraintViolation, match="generated"):
+        write_delta(bad, table)
+    assert delta_snapshot(spark, table).version == v_before
+    assert read_delta(spark, table).count() == 2
+    # merge updates omitting the column: computed through the merge
+    upd = spark.createDataFrame(
+        [(1, __import__("datetime").date(2030, 5, 5))], "k long, d date"
+    )
+    delta_merge(spark, table, upd, keys=["k"], sequence_by="d")
+    got = {r.k: r.yr for r in read_delta(spark, table).collect()}
+    assert got == {1: 2030, 2: 2025}
