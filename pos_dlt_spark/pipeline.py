@@ -619,18 +619,6 @@ class PipelineRunner:
         ikv.refresh(spark)
 
     def _run_cdc(self, spark: SparkSession, flow: CdcFlowDef) -> None:
-        if (
-            self.p.storage_format == "delta"
-            and flow.n_buckets is None
-            and flow.apply_as_deletes is not None
-        ):
-            # the protocol-MERGE backend has no tombstone path yet; a
-            # silent upsert of delete rows would resurrect them
-            raise NotImplementedError(
-                f"apply_changes({flow.target!r}): apply_as_deletes on a "
-                "delta-mode plain CDC flow is not supported (use the "
-                "bucketed manifest layout, or parquet storage mode)"
-            )
         if self.p.storage_format == "delta" and flow.n_buckets is None:
             # plain CDC target = a real Delta table maintained by protocol
             # MERGE commits (the reference's `03:379-384`): first batch
@@ -645,6 +633,8 @@ class PipelineRunner:
             app_id = f"pos_dlt:{self.p.name}:{flow.target}"
 
             def sink(batch_df: DataFrame, batch_id: int) -> None:
+                from pyspark.sql import functions as F
+
                 if not batch_df.take(1):
                     return
                 if not os.path.isdir(os.path.join(path, "_delta_log")):
@@ -652,13 +642,24 @@ class PipelineRunner:
                         batch_df, flow.keys, flow.sequence_by,
                         tiebreakers=flow.tiebreakers,
                     )
+                    if flow.apply_as_deletes:
+                        seed = seed.filter(
+                            ~F.coalesce(
+                                F.expr(flow.apply_as_deletes), F.lit(False)
+                            )
+                        )
+                    if flow.except_column_list:
+                        seed = seed.drop(*flow.except_column_list)
                     write_delta(seed, path, txn=(app_id, int(batch_id)))
                 else:
+                    # whenMatchedDelete rides the protocol MERGE itself;
+                    # except-listed op columns drop in the merge's cast
                     delta_merge(
                         spark, path, batch_df, keys=flow.keys,
                         sequence_by=flow.sequence_by,
                         tiebreakers=flow.tiebreakers,
                         txn=(app_id, int(batch_id)),
+                        delete_predicate=flow.apply_as_deletes,
                     )
 
             batch_fn = sink

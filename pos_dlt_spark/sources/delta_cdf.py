@@ -109,10 +109,19 @@ def merge_change_rows(old: DataFrame, merged_tagged: DataFrame, keys: list[str])
     winner came from the update batch). Winners with ``__upd`` = 0 are
     rewritten-but-unchanged rows — not changes. Update-batch winners
     whose key exists in ``old`` are updates (postimage = winner,
-    preimage = the old row); the rest are inserts. One shuffle on the
-    merge keys, the same key partitioning the merge window just used."""
+    preimage = the old row); the rest are inserts. When the merge ran
+    with a ``delete_predicate`` the winners carry ``__del``: a tombstone
+    winner whose key exists emits a ``delete`` change (the OLD row — the
+    content being removed); a tombstone for an absent key is a no-op.
+    One shuffle on the merge keys, the same key partitioning the merge
+    window just used."""
     data_cols = [c for c in old.columns]
+    has_del = "__del" in merged_tagged.columns
     winners = merged_tagged.filter(F.col("__upd") == 1).drop("__upd")
+    del_keys = None
+    if has_del:
+        del_keys = winners.filter(F.col("__del")).select(*keys).distinct()
+        winners = winners.filter(~F.col("__del")).drop("__del")
     old_keys = old.select(*keys).distinct()
     post = (
         winners.join(old_keys, on=keys, how="left_semi")
@@ -130,7 +139,15 @@ def merge_change_rows(old: DataFrame, merged_tagged: DataFrame, keys: list[str])
         .select(*data_cols)
         .withColumn(CHANGE_TYPE, F.lit("update_preimage"))
     )
-    return pre.unionByName(post).unionByName(ins)
+    out = pre.unionByName(post).unionByName(ins)
+    if del_keys is not None:
+        deleted = (
+            old.join(del_keys, on=keys, how="left_semi")
+            .select(*data_cols)
+            .withColumn(CHANGE_TYPE, F.lit("delete"))
+        )
+        out = out.unionByName(deleted)
+    return out
 
 
 def read_change_feed(

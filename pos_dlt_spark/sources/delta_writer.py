@@ -110,7 +110,7 @@ def _generation_exprs(schema) -> dict[str, str]:
     return out
 
 
-def _generated(df: DataFrame, schema):
+def _generated(df: DataFrame, schema, exempt_col: str | None = None):
     """Enforce the table's generated columns on a frame about to stage:
     a MISSING generated column is COMPUTED from its expression (the
     common writer convenience — callers supply only the base columns);
@@ -138,10 +138,19 @@ def _generated(df: DataFrame, schema):
     from pyspark.sql import Observation
 
     obs = Observation()
+    # exempt_col (e.g. a merge's tombstone flag): rows it marks skip
+    # validation — a DELETE event's payload columns are often null and
+    # never reach the table anyway
+    ok = (
+        (lambda name, expr: F.col(f"`{name}`").eqNullSafe(F.expr(expr)))
+        if exempt_col is None
+        else (
+            lambda name, expr: F.col(f"`{exempt_col}`")
+            | F.col(f"`{name}`").eqNullSafe(F.expr(expr))
+        )
+    )
     aggs = [
-        F.sum(
-            F.when(F.col(f"`{name}`").eqNullSafe(F.expr(expr)), 0).otherwise(1)
-        ).cast("bigint").alias(name)
+        F.sum(F.when(ok(name, expr), 0).otherwise(1)).cast("bigint").alias(name)
         for name, expr in to_check.items()
     ]
     df = df.observe(obs, *aggs)
@@ -585,6 +594,7 @@ def delta_merge(
     range_join_threshold: int = 100_000,
     checkpoint_interval: int = 10,
     max_retries: int = 3,
+    delete_predicate: str | None = None,
 ) -> int:
     """Latest-per-key MERGE (upsert) into a Delta table — the operation
     the reference's CDC rides (`03_Bronze-to-Silver ETL.py:379-384`,
@@ -617,6 +627,17 @@ def delta_merge(
     Precondition: the table's live rows are unique per
     key (the invariant every merge commit preserves; the window dedups
     a violated precondition too, keeping the newest row).
+
+    ``delete_predicate`` is MERGE's whenMatchedDelete / DLT's
+    apply_as_deletes: an update row matching the SQL predicate is a
+    DELETE tombstone — when it wins the per-key sequence ordering the
+    key is REMOVED from the table (a stale tombstone loses like any
+    stale update). The predicate is evaluated on the RAW update batch
+    (it may reference columns outside the table schema, e.g. an op
+    marker — extra columns never reach the files); tombstones are not
+    retained across calls, so deletes assume per-key monotone
+    sequences. With CDF enabled, removed keys emit ``delete`` change
+    rows (their preimage) alongside the usual update/insert changes.
 
     Returns the committed version."""
     from pyspark.sql import Window
@@ -751,16 +772,28 @@ def delta_merge(
             touched += [rel for rel, _lo, _hi in ranges]
 
     cols = [f.name for f in snap.schema.fields]
+    # tombstone flag FIRST, on the RAW batch (the predicate may reference
+    # op-marker columns outside the table schema)
+    if delete_predicate is not None:
+        updates = updates.withColumn(
+            "__del", F.coalesce(F.expr(delete_predicate), F.lit(False))
+        )
     # generated columns: compute any the update batch omitted, validate
-    # any it provided (check runs after the staging job below)
-    updates, check_generated = _generated(updates, snap.schema)
+    # any it provided (check runs after the staging job below; tombstone
+    # rows are exempt — their payloads never reach the table)
+    updates, check_generated = _generated(
+        updates, snap.schema,
+        exempt_col="__del" if delete_predicate is not None else None,
+    )
     # cast the update batch to the TABLE's column types (update batches
     # often arrive widened, e.g. int64 from pandas against an int
     # column; writing them as-is would poison the files against the
-    # pinned log schema). ANSI mode errors on lossy casts.
+    # pinned log schema). ANSI mode errors on lossy casts. Extra source
+    # columns (op markers) are dropped here.
     tbl_types = {f.name: f.dataType for f in snap.schema.fields}
+    flag = ["__del"] if delete_predicate is not None else []
     updates = updates.select(
-        *[F.col(n).cast(tbl_types[n]).alias(n) for n in cols]
+        *[F.col(n).cast(tbl_types[n]).alias(n) for n in cols], *flag
     )
     old = None
     if touched:
@@ -777,11 +810,14 @@ def delta_merge(
         if dv_touch:
             dvpart = _apply_deletion_vectors(spark, snap, dv_touch)
             old = old.unionByName(dvpart) if old is not None else dvpart
-        merged_in = old.withColumn("__upd", F.lit(0)).unionByName(
-            updates.select(*cols).withColumn("__upd", F.lit(1))
+        old_in = old.withColumn("__upd", F.lit(0))
+        if delete_predicate is not None:
+            old_in = old_in.withColumn("__del", F.lit(False))
+        merged_in = old_in.unionByName(
+            updates.select(*cols, *flag).withColumn("__upd", F.lit(1))
         )
     else:
-        merged_in = updates.select(*cols).withColumn("__upd", F.lit(1))
+        merged_in = updates.select(*cols, *flag).withColumn("__upd", F.lit(1))
     # equal-sequence (and equal-tiebreaker) ties resolve UPDATE-WINS —
     # DLT apply_changes' documented sequencing — via an implicit
     # is-update tiebreaker, so replays and ties are deterministic without
@@ -798,6 +834,9 @@ def delta_merge(
         .drop("__rn")
     )
     merged = merged_tagged.drop("__upd")
+    if delete_predicate is not None:
+        # a tombstone that won the ordering removes its key from the table
+        merged = merged.filter(~F.col("__del")).drop("__del")
     if touched and _append_only(snap.configuration):
         from pos_dlt_spark.sources.delta import DeltaProtocolError
 

@@ -1348,3 +1348,57 @@ def test_generated_columns_computed_validated_and_enforced(spark, tmp_path):
     delta_merge(spark, table, upd, keys=["k"], sequence_by="d")
     got = {r.k: r.yr for r in read_delta(spark, table).collect()}
     assert got == {1: 2030, 2: 2025}
+
+
+def test_merge_delete_predicate_tombstones(spark, tmp_path):
+    """whenMatchedDelete / apply_as_deletes through the protocol MERGE:
+    a tombstone that wins the ordering removes its key; a stale one
+    loses; op-marker columns never reach the files; CDF emits delete
+    changes for the removed keys."""
+    import pandas as pd
+
+    from pos_dlt_spark.sources.delta_cdf import read_change_feed
+    from pos_dlt_spark.sources.delta_writer import delta_merge
+
+    table = str(tmp_path / "mgdel")
+    write_delta(
+        spark.createDataFrame(
+            pd.DataFrame({"k": [1, 2, 3], "seq": [5, 5, 5],
+                          "v": ["a", "b", "c"]})
+        ),
+        table,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    batch = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": [2, 3, 4],
+                "seq": [9, 1, 9],       # delete k=2 (newer), delete k=3 (STALE), insert k=4
+                "v": [None, None, "d"],
+                "op": ["DELETE", "DELETE", "UPSERT"],
+            }
+        )
+    )
+    v = delta_merge(
+        spark, table, batch, keys=["k"], sequence_by="seq",
+        delete_predicate="op = 'DELETE'",
+    )
+    got = {r.k: r.v for r in read_delta(spark, table).collect()}
+    assert got == {1: "a", 3: "c", 4: "d"}  # k=2 gone, stale delete ignored
+    assert "op" not in read_delta(spark, table).columns
+    ch = read_change_feed(spark, table, start_version=v, end_version=v)
+    types = {(r.k, r._change_type) for r in ch.collect()}
+    assert types == {(2, "delete"), (4, "insert")}
+    # the delete change carries the REMOVED content (preimage)
+    assert [r.v for r in ch.collect() if r.k == 2] == ["b"]
+    # a tombstone for an absent key is a no-op (no change, no row)
+    v2 = delta_merge(
+        spark, table,
+        spark.createDataFrame(
+            pd.DataFrame({"k": [99], "seq": [9], "v": [None], "op": ["DELETE"]})
+        ),
+        keys=["k"], sequence_by="seq", delete_predicate="op = 'DELETE'",
+    )
+    assert read_delta(spark, table).count() == 3
+    ch2 = read_change_feed(spark, table, start_version=v2, end_version=v2)
+    assert ch2.count() == 0
