@@ -375,3 +375,12 @@ def test_levenshtein_pairs_no_nested_loop_at_all(q):
     stage to excuse one)."""
     df = q("dedup_lsh_levenshtein_pairs")
     assert_not_in_plan(df, "BroadcastNestedLoopJoin")
+
+
+def test_dv_exclusion_is_hash_anti_join_not_nested_loop(q):
+    """The DV run-range exclusion must plan as a broadcast HASH anti-join
+    (equi on the file id, BETWEEN as residual) — a BroadcastNestedLoop
+    here would test every row against every run."""
+    df = q("supplier_delta_deletion_vectors")
+    assert_in_plan(df, "BroadcastHashJoin", "LeftAnti")
+    assert_not_in_plan(df, "BroadcastNestedLoopJoin")
