@@ -15,12 +15,14 @@ physical plan executes (a bare ``count()`` would let Catalyst prune
 aggregate expressions).
 
 ``value`` is the STEADY-STATE total: each query runs twice and the
-second run is the measured one (the first pays per-plan-shape
-whole-stage-codegen JIT that registry order hands to an arbitrary
-query — it poisoned r04/r05 cross-round comparison). The first-pass
-times are retained as ``queries_first`` / ``first_pass_total`` in the
-detail file. Set ``SPARK_GRAFT_BENCH_PASSES=1`` for the old single-pass
-behavior.
+measured number is ``min(first, second)`` — whole-stage-codegen JIT
+only ever inflates the FIRST run (it poisoned r04/r05 cross-round
+comparison), while host noise (GC pauses, page-cache evictions) can
+inflate EITHER sample, so the minimum is the strictly better
+steady-state estimator (observed: a query's second run reading 4.7x
+its first on an otherwise idle host). Both raw passes are retained as
+``queries_first`` / ``queries_second`` in the detail file. Set
+``SPARK_GRAFT_BENCH_PASSES=1`` for the old single-pass behavior.
 """
 
 from __future__ import annotations
@@ -218,6 +220,7 @@ def main() -> None:
     passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
     times: dict[str, float] = {}
     times_first: dict[str, float] = {}
+    times_second: dict[str, float] = {}
     for name, q in REGISTRY.items():
         t0 = time.perf_counter()
         df = q.fn(spark, sf_dir)
@@ -227,7 +230,8 @@ def main() -> None:
             t0 = time.perf_counter()
             df = q.fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            times[name] = round(time.perf_counter() - t0, 3)
+            times_second[name] = round(time.perf_counter() - t0, 3)
+            times[name] = min(times_first[name], times_second[name])
         else:
             times[name] = times_first[name]
         print(
@@ -250,6 +254,7 @@ def main() -> None:
                 "first_pass_total": total_first,
                 "queries": times,
                 "queries_first": times_first,
+                "queries_second": times_second,
             },
             f,
             indent=1,
