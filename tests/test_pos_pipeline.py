@@ -145,3 +145,49 @@ def test_second_run_is_stable(spark, pipeline_result, pos_fixtures):
         after.sort_values(key, ignore_index=True)[sorted(after.columns)],
         check_dtype=False,
     )
+
+
+def test_delta_mode_cdc_flow_apply_as_deletes_e2e(spark, tmp_path):
+    """End-to-end delta-mode pipeline: a stream source feeding a plain
+    CDC flow with apply_as_deletes — the MERGE backend seeds from the
+    first run, tombstones in later batches remove their keys via
+    whenMatchedDelete, and the op marker never reaches the Delta table."""
+    import pandas as pd
+
+    from pos_dlt_spark.pipeline import Pipeline, PipelineRunner
+    from pos_dlt_spark.sources.delta import read_delta
+
+    src = str(tmp_path / "src")
+    b0 = pd.DataFrame(
+        {"k": [1, 2, 3], "seq": [1, 1, 1], "v": ["a", "b", "c"],
+         "op": ["UPSERT"] * 3}
+    )
+    spark.createDataFrame(b0).coalesce(1).write.mode("append").parquet(src)
+
+    pipe = Pipeline("t", str(tmp_path / "p"), storage_format="delta")
+
+    @pipe.table(kind="stream")
+    def feed(s):
+        schema = s.read.parquet(src).schema
+        return s.readStream.schema(schema).parquet(src)
+
+    pipe.apply_changes(
+        target="latest", source="feed", keys=["k"], sequence_by="seq",
+        apply_as_deletes="op = 'DELETE'", except_column_list=["op"],
+    )
+    runner = PipelineRunner(pipe)
+    runner.run_once(spark)
+    path = pipe.table_path("latest")
+    got = {r.k: r.v for r in read_delta(spark, path).collect()}
+    assert got == {1: "a", 2: "b", 3: "c"}
+    assert "op" not in read_delta(spark, path).columns
+
+    # batch 2: delete k=2 (newer), stale delete k=3 (older), upsert k=9
+    b1 = pd.DataFrame(
+        {"k": [2, 3, 9], "seq": [5, 0, 5], "v": [None, None, "z"],
+         "op": ["DELETE", "DELETE", "UPSERT"]}
+    )
+    spark.createDataFrame(b1).coalesce(1).write.mode("append").parquet(src)
+    PipelineRunner(pipe).run_once(spark)
+    got = {r.k: r.v for r in read_delta(spark, path).collect()}
+    assert got == {1: "a", 3: "c", 9: "z"}  # k=2 removed, stale delete lost
