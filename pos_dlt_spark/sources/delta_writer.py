@@ -1386,7 +1386,10 @@ def delta_restore(spark, path: str, version: int | None = None, timestamp=None) 
     Returns the committed version."""
     target = delta_snapshot(spark, path, version, timestamp=timestamp)
     current = delta_snapshot(spark, path)
-    _writer_supports(current)
+    # no _writer_supports gate: restore is METADATA-ONLY (it re-points
+    # the live set at existing files, writing no data), so even id-mode
+    # column-mapping tables — whose data files this writer refuses to
+    # produce — restore safely
     cur_live = {rel for rel, _ in current.files}
     tgt_live = {rel for rel, _ in target.files}
     # live identity includes the deletion vector: a DV delete changes the

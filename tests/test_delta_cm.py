@@ -291,3 +291,18 @@ def test_unknown_cm_mode_fails(spark, tmp_path):
     )
     with pytest.raises(DeltaProtocolError, match="column mapping"):
         delta_snapshot(spark, table)
+
+
+def test_id_mode_restore_is_allowed_metadata_only(spark, tmp_path):
+    """RESTORE writes no data files, so it works even on id-mode tables
+    the writer otherwise refuses."""
+    from pos_dlt_spark.sources import delta_fixture as fx
+    from pos_dlt_spark.sources.delta_writer import delta_restore
+
+    table = _build_cm_table(spark, tmp_path, "id", with_field_ids=True)
+    # v1: drop one file (a foreign writer's delete)
+    fx.write_commit(table, 1, [fx.remove_action("part-b.parquet")])
+    assert read_delta(spark, table).count() == 10
+    v = delta_restore(spark, table, version=0)
+    assert v == 2
+    assert read_delta(spark, table).count() == 20
