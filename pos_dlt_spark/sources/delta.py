@@ -918,6 +918,9 @@ def scan_rels(
 # force a path). The driver NEVER materializes per-deleted-row objects:
 # every driver cost below is bounded by the compressed bitmap bytes.
 DV_RUN_JOIN_MAX = 65_536  # total [lo,hi] runs the JVM range anti-join accepts
+DV_FID_MAP_MAX = 1_024  # max literal-map entries for file-id resolution —
+# past this (many DV files x ~8 URI renderings each) the literals would
+# bloat the plan, so resolution switches to a broadcast hash join
 
 
 def _apply_deletion_vectors(
@@ -969,24 +972,41 @@ def _apply_deletion_vectors(
             outs.update({q, "file:" + q, "file://" + q})
         return outs
 
-    raw_pairs = [
-        x
-        for i, fp in enumerate(blobs)
-        for r in sorted(renderings(fp))
-        for x in (F.lit(r), F.lit(i))
+    entries = [
+        (r, i) for i, fp in enumerate(blobs) for r in sorted(renderings(fp))
     ]
-    dec_pairs = [x for i, fp in enumerate(blobs) for x in (F.lit(fp), F.lit(i))]
-    # try_element_at: NULL on miss (element_at THROWS under ANSI). The
-    # final raise_error arm makes a total miss LOUD — a silent null would
-    # drop out of the anti-join and resurrect deleted rows.
-    fid = F.coalesce(
-        F.try_element_at(F.create_map(*raw_pairs), F.col("__fpr")),
-        F.try_element_at(F.create_map(*dec_pairs), F.col("__fp")),
-        F.raise_error(
-            F.concat(F.lit("DV file-id lookup failed for "), F.col("__fpr"))
-        ).cast("int"),
-    )
-    scan = scan_rels(spark, snap, dv_rels, with_meta=True).withColumn("__fid", fid)
+    scan = scan_rels(spark, snap, dv_rels, with_meta=True)
+    miss = F.raise_error(
+        F.concat(F.lit("DV file-id lookup failed for "), F.col("__fpr"))
+    ).cast("int")
+    if len(entries) <= DV_FID_MAP_MAX:
+        # literal-map resolution (few DV files). try_element_at: NULL on
+        # miss (element_at THROWS under ANSI); the decoded-path fallback
+        # covers exotic renderings; the raise_error arm makes a TOTAL
+        # miss LOUD — a silent null would drop out of the anti-join and
+        # resurrect deleted rows.
+        raw_pairs = [x for r, i in entries for x in (F.lit(r), F.lit(i))]
+        dec_pairs = [
+            x for i, fp in enumerate(blobs) for x in (F.lit(fp), F.lit(i))
+        ]
+        fid = F.coalesce(
+            F.try_element_at(F.create_map(*raw_pairs), F.col("__fpr")),
+            F.try_element_at(F.create_map(*dec_pairs), F.col("__fp")),
+            miss,
+        )
+        scan = scan.withColumn("__fid", fid)
+    else:
+        # many DV files: a literal map would bloat the plan (100k files x
+        # ~8 renderings = 800k literals), so resolve by broadcast hash
+        # join on the raw path instead; a miss is still loud.
+        from pos_dlt_spark.tables import local_df
+
+        rdf = local_df(spark, entries, "__rk string, __rfid int")
+        scan = (
+            scan.join(F.broadcast(rdf), F.col("__fpr") == F.col("__rk"), "left")
+            .withColumn("__fid", F.coalesce(F.col("__rfid"), miss))
+            .drop("__rk", "__rfid")
+        )
     meta = ["__fpr", "__fp", "__ri", "__fid"]
 
     # runs rendering, abandoned as soon as it provably exceeds the budget

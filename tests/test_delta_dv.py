@@ -360,3 +360,21 @@ def test_dv_with_stats_skipping_stays_conservative(spark, tmp_path):
         F.col("id") >= 500
     )
     assert sorted(r.id for r in got.collect()) == list(range(1002, 1100))
+
+
+def test_fid_join_resolution_matches_literal_map(spark, tmp_path, monkeypatch):
+    """Forcing the broadcast-join file-id path (as a many-DV-file table
+    would) must produce the same rows as the literal-map path."""
+    from pos_dlt_spark.sources import delta as D
+
+    table = str(tmp_path / "dvfid")
+    write_delta(_df(spark, 0, 300).repartition(3), table)
+    delta_delete(spark, table, "id % 5 = 0")
+    want = sorted(r.id for r in read_delta(spark, table).collect())
+    monkeypatch.setattr(D, "DV_FID_MAP_MAX", 0)
+    got = sorted(r.id for r in read_delta(spark, table).collect())
+    assert got == want == [i for i in range(300) if i % 5 != 0]
+    # and through the membership (pandas-UDF) path too
+    monkeypatch.setattr(D, "DV_RUN_JOIN_MAX", 0)
+    got2 = sorted(r.id for r in read_delta(spark, table).collect())
+    assert got2 == want
