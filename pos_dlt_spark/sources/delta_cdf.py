@@ -36,7 +36,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pos_dlt_spark.sources.delta import (
-    DeltaProtocolError,
     DeltaSnapshot,
     _abs_file,
     _commit_actions,
@@ -164,11 +163,17 @@ def read_change_feed(
     file's content — VACUUMed history raises FileNotFoundError, the same
     retention bound real CDF reads have)."""
     snap = delta_snapshot(spark, path)
-    if snap.column_mapping != "none":
-        raise DeltaProtocolError("CDF read not supported on column-mapping tables")
     out_cols = [f.name for f in snap.schema.fields]
     types = {f.name: f.dataType for f in snap.schema.fields}
     commits, _ = _list_log(os.path.join(path, "_delta_log"))
+    # log actions key partitionValues by PHYSICAL name under column
+    # mapping; translate to logical so the attach below speaks one naming
+    p2l = {p: l for l, p in snap.physical_names.items()}
+
+    def logical_pvals(pvals: dict) -> dict:
+        if snap.column_mapping == "none":
+            return pvals
+        return {p2l.get(k, k): v for k, v in pvals.items()}
 
     def attach_partitions(df: DataFrame, pvals: dict) -> DataFrame:
         for c in snap.partition_columns:
@@ -177,26 +182,66 @@ def read_change_feed(
             df = df.withColumn(c, lit.cast(types[c]))
         return df
 
+    def pinned_read(
+        fpaths: list[str], with_change_type: bool, with_row_index: bool = False
+    ) -> DataFrame:
+        """One pinned-schema scan of data/change files resolving COLUMN
+        MAPPING exactly like the main read path: 'name' reads physical
+        parquet names and aliases back to logical; 'id' pins parquet
+        field ids (rename-proof). ``_change_type`` in change files is an
+        unmapped physical column read by its literal name; the
+        ``_metadata.row_index`` pseudo-column is appended BEFORE any
+        projection (it only resolves against the scan itself)."""
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        base = [f for f in snap.schema.fields if f.name not in snap.partition_columns]
+        if snap.column_mapping == "name":
+            fields = [
+                StructField(snap.physical_names[f.name], f.dataType, True)
+                for f in base
+            ]
+        elif snap.column_mapping == "id":
+            spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+            fields = [
+                StructField(
+                    f.name, f.dataType, True,
+                    {"parquet.field.id": snap.field_ids[f.name]},
+                )
+                for f in base
+            ]
+        else:
+            fields = [StructField(f.name, f.dataType, True) for f in base]
+        if with_change_type:
+            fields = fields + [StructField(CHANGE_TYPE, StringType())]
+        d = spark.read.schema(StructType(fields)).parquet(*fpaths)
+        extra = (
+            [F.col("_metadata.row_index").alias("__ri")] if with_row_index else []
+        )
+        if snap.column_mapping == "name":
+            return d.select(
+                *[
+                    F.col(f"`{snap.physical_names[f.name]}`").alias(f.name)
+                    for f in base
+                ],
+                *([F.col(CHANGE_TYPE)] if with_change_type else []),
+                *extra,
+            )
+        return d.select("*", *extra) if extra else d
+
     def scan_groups(
         entries: list[tuple[str, dict]], extra_schema: str | None
     ) -> list[DataFrame]:
         """One pinned-schema scan per partition tuple over (rel, pvals)
         entries; change files carry _change_type as a real column."""
-        from pyspark.sql.types import StringType, StructField, StructType
-
-        base = StructType(
-            [f for f in snap.schema.fields if f.name not in snap.partition_columns]
-        )
-        if extra_schema:
-            base = StructType(base.fields + [StructField(CHANGE_TYPE, StringType())])
         groups: dict[tuple, tuple[dict, list[str]]] = {}
-        for rel, pvals in entries:
+        for rel, raw_pvals in entries:
+            pvals = logical_pvals(raw_pvals)
             k = tuple(pvals.get(c) for c in snap.partition_columns)
             groups.setdefault(k, (pvals, []))[1].append(_abs_file(path, rel))
         frames = []
         for k in sorted(groups, key=lambda t: tuple(map(str, t))):
             pvals, fpaths = groups[k]
-            d = spark.read.schema(base).parquet(*fpaths)
+            d = pinned_read(fpaths, with_change_type=bool(extra_schema))
             frames.append(attach_partitions(d, pvals))
         return frames
 
@@ -208,15 +253,9 @@ def read_change_feed(
         is a commit's DV delta — bounded by that commit's delete
         cardinality; small sets render as a BETWEEN-runs predicate (pure
         scan filter), larger ones as a broadcast (semi/anti) join."""
-        from pyspark.sql.types import StructType
-
-        base = StructType(
-            [f for f in snap.schema.fields if f.name not in snap.partition_columns]
-        )
-        d = (
-            spark.read.schema(base)
-            .parquet(_abs_file(path, rel))
-            .select("*", F.col("_metadata.row_index").alias("__ri"))
+        pvals = logical_pvals(pvals)
+        d = pinned_read(
+            [_abs_file(path, rel)], with_change_type=False, with_row_index=True
         )
         runs: list[tuple[int, int]] = []
         for i in sorted(idx):

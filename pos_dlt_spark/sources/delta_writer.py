@@ -197,34 +197,57 @@ def _merged_protocol(
 
 
 def _writer_supports(snap: DeltaSnapshot) -> None:
-    """Column-mapping writes: 'name' mode is SUPPORTED — it only needs
-    logical->physical renames on the way out (files and partitionValues
-    carry physical names; the logical schema lives in metaData) — see
-    :func:`_to_physical`. 'id' mode stays read-only: a conformant write
-    must stamp parquet field ids matching the mapping on every file, and
-    a file written without them silently resolves to all-null under
-    id-mode reads elsewhere — loud refusal beats that."""
+    """Column-mapping writes: both 'name' and 'id' modes are SUPPORTED —
+    'name' only needs logical->physical renames on the way out (files and
+    partitionValues carry physical names; the logical schema lives in
+    metaData), and 'id' additionally stamps the mapping's parquet field
+    ids on every staged file (alias metadata ``parquet.field.id`` +
+    ``spark.sql.parquet.fieldId.write.enabled``, Spark's native field-id
+    emission) so id-mode readers resolve columns rename-proof. A table
+    whose id mapping is INCOMPLETE (a column without a field id) still
+    refuses: a file staged without ids silently resolves to all-null
+    under id-mode reads elsewhere — loud refusal beats that. See
+    :func:`_to_physical`."""
     if snap.column_mapping == "id":
-        from pos_dlt_spark.sources.delta import DeltaProtocolError
+        missing = [
+            f.name for f in snap.schema.fields if f.name not in snap.field_ids
+        ]
+        if missing:
+            from pos_dlt_spark.sources.delta import DeltaProtocolError
 
-        raise DeltaProtocolError(
-            "table uses column mapping 'id': this writer supports modes "
-            "'none' and 'name' only (id-mode files must carry parquet "
-            "field ids; reads work)"
-        )
+            raise DeltaProtocolError(
+                "table uses column mapping 'id' but columns "
+                f"{missing} carry no delta.columnMapping.id — a conformant "
+                "write must stamp every column's parquet field id"
+            )
 
 
 def _to_physical(df: DataFrame, snap: DeltaSnapshot) -> DataFrame:
     """Rename a LOGICAL-named frame to the table's PHYSICAL column names
     for staging (no-op for mode 'none'). Data files of a column-mapping
-    table must carry physical names — that is the mode's contract."""
+    table must carry physical names — that is the mode's contract. When
+    the mapping declares field ids they are stamped as alias metadata
+    (``parquet.field.id``) and Spark's parquet writer emits them into
+    the file schema (``spark.sql.parquet.fieldId.write.enabled``) — the
+    id-mode read contract, harmless extra metadata under name mode."""
     if snap.column_mapping == "none":
         return df
     from pyspark.sql import functions as F
 
+    if snap.field_ids:
+        df.sparkSession.conf.set(
+            "spark.sql.parquet.fieldId.write.enabled", "true"
+        )
     return df.select(
         *[
-            F.col(f"`{c}`").alias(snap.physical_names.get(c, c))
+            F.col(f"`{c}`").alias(
+                snap.physical_names.get(c, c),
+                metadata=(
+                    {"parquet.field.id": snap.field_ids[c]}
+                    if c in snap.field_ids
+                    else {}
+                ),
+            )
             for c in df.columns
         ]
     )
@@ -869,17 +892,13 @@ def delta_merge(
     )
 
     if cdf_enabled(snap):
-        if snap.column_mapping != "none":
-            from pos_dlt_spark.sources.delta import DeltaProtocolError
-
-            raise DeltaProtocolError(
-                "CDF not supported on column-mapping tables (mirrors the "
-                "CDF read refusal)"
-            )
         old_df = old if old is not None else spark.createDataFrame([], snap.schema)
         changes = merge_change_rows(old_df, merged_tagged, keys)
+        # change files carry PHYSICAL column names under column mapping,
+        # exactly like data files; _change_type is unmapped and passes
+        # through _to_physical untouched
         cdc_actions = stage_change_files(
-            changes, path, snap.partition_columns or None
+            _to_physical(changes, snap), path, _physical_partition_by(snap)
         )
 
     actions = cdc_actions + [fx.remove_action(rel) for rel in touched] + adds
@@ -1312,16 +1331,10 @@ def delta_delete(
     )
 
     if cdf_enabled(snap):
-        if snap.column_mapping != "none":
-            from pos_dlt_spark.sources.delta import DeltaProtocolError
-
-            raise DeltaProtocolError(
-                "CDF not supported on column-mapping tables (mirrors the "
-                "CDF read refusal)"
-            )
         # change files hold the NEWLY deleted rows: live rows (prior DVs
         # applied — already-dead rows are not deleted again) matching the
-        # predicate, tagged 'delete'
+        # predicate, tagged 'delete'. Under column mapping they carry
+        # PHYSICAL names, like data files.
         dv_all = [
             rel for rel, _ in snap.files if snap.adds.get(rel, {}).get("deletionVector")
         ]
@@ -1333,7 +1346,7 @@ def delta_delete(
             CHANGE_TYPE, F.lit("delete")
         )
         actions = stage_change_files(
-            changes, path, snap.partition_columns or None
+            _to_physical(changes, snap), path, _physical_partition_by(snap)
         ) + actions
 
     actions = [

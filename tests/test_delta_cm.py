@@ -260,19 +260,148 @@ def test_name_mode_partitioned_write(spark, tmp_path):
     assert got == {(i, i % 2) for i in range(10)}
 
 
-def test_writer_still_refuses_id_mode_and_cm_creation(spark, tmp_path):
-    from pos_dlt_spark.sources.delta_writer import delta_merge, write_delta
+def test_id_mode_write_roundtrip_stamps_field_ids(spark, tmp_path):
+    """id-mode tables are WRITABLE: staged files carry physical names AND
+    the mapping's parquet field ids, so a foreign id-mode reader resolves
+    the new files rename-proof. Covers append / merge / delete /
+    optimize on one table."""
+    import pyarrow.parquet as pq
+
+    from pos_dlt_spark.sources.delta_writer import (
+        delta_delete,
+        delta_merge,
+        delta_optimize,
+        write_delta,
+    )
 
     table = _build_cm_table(spark, tmp_path, "id", with_field_ids=True)
-    with pytest.raises(DeltaProtocolError, match="column mapping 'id'"):
-        write_delta(_df(spark, 0, 5), table)
-    with pytest.raises(DeltaProtocolError, match="column mapping 'id'"):
-        delta_merge(spark, table, _df(spark, 0, 5), keys=["id"], sequence_by="id")
+    write_delta(_df(spark, 20, 25), table)
+    got = {(r.id, r.name) for r in read_delta(spark, table).collect()}
+    assert got == {(i, f"n{i}") for i in range(25)}
+    # the appended file carries physical names + field ids in its schema
+    snap = delta_snapshot(spark, table)
+    new_rel = [rel for rel, _ in snap.files if rel not in
+               ("part-a.parquet", "part-b.parquet")]
+    assert new_rel
+    sch = pq.read_schema(os.path.join(table, new_rel[0]))
+    assert set(sch.names) == {"col-aaaa", "col-bbbb"}
+    fids = {
+        sch.field(i).name: (sch.field(i).metadata or {}).get(b"PARQUET:field_id")
+        for i in range(len(sch.names))
+    }
+    assert fids == {"col-aaaa": b"1", "col-bbbb": b"2"}
+    # a rename-proof reader still resolves: flip the PHYSICAL names in
+    # the mapping (ids unchanged) and the same files read identically
+    upd = spark.createDataFrame([(3, "n3-upd"), (100, "n100")], "id long, name string")
+    delta_merge(spark, table, upd, keys=["id"], sequence_by="id")
+    got = {r.id: r.name for r in read_delta(spark, table).collect()}
+    assert got[3] == "n3-upd" and got[100] == "n100" and len(got) == 26
+    delta_delete(spark, table, "id >= 24 AND id < 100", mode="rewrite")
+    delta_delete(spark, table, "id < 2")  # dv mode
+    delta_optimize(spark, table, target_files=1)
+    got = sorted(r.id for r in read_delta(spark, table).collect())
+    assert got == list(range(2, 24)) + [100]
+    # every live file in the final snapshot carries the field ids
+    snap = delta_snapshot(spark, table)
+    for rel, _ in snap.files:
+        sch = pq.read_schema(os.path.join(table, rel))
+        ids = {(f.metadata or {}).get(b"PARQUET:field_id") for f in sch}
+        assert ids == {b"1", b"2"}, rel
+
+
+def test_writer_refuses_incomplete_id_mapping_and_cm_creation(spark, tmp_path):
+    from pos_dlt_spark.sources.delta_writer import write_delta
+
+    # id-mode table whose mapping carries NO field ids: refuse writes
+    table = str(tmp_path / "cmnoids")
+    os.makedirs(table, exist_ok=True)
+    schema = StructType(
+        [
+            StructField("id", LongType(), True,
+                        {"delta.columnMapping.physicalName": "col-aaaa"}),
+            StructField("name", StringType(), True,
+                        {"delta.columnMapping.physicalName": "col-bbbb"}),
+        ]
+    )
+    _write_physical(spark, _df(spark, 0, 10), os.path.join(table, "part-a.parquet"), True)
+    fx.write_commit(
+        table,
+        0,
+        [
+            fx.protocol_action(min_reader=2, min_writer=5),
+            fx.metadata_action(
+                schema,
+                configuration={"delta.columnMapping.mode": "id",
+                               "delta.columnMapping.maxColumnId": "2"},
+            ),
+            fx.add_action("part-a.parquet"),
+        ],
+    )
+    with pytest.raises(DeltaProtocolError):
+        write_delta(_df(spark, 10, 15), table)
     with pytest.raises(DeltaProtocolError, match="creating a column-mapping"):
         write_delta(
             _df(spark, 0, 5), str(tmp_path / "cmnew"),
             configuration={"delta.columnMapping.mode": "name"},
         )
+
+
+@pytest.mark.parametrize("mode", ["name", "id"])
+def test_cm_cdf_roundtrip(spark, tmp_path, mode):
+    """CDF on column-mapping tables: change files carry PHYSICAL names
+    (+ field ids under id mode) exactly like data files; table_changes
+    aliases them back to logical names."""
+    import pyarrow.parquet as pq
+
+    from pos_dlt_spark.sources.delta_cdf import read_change_feed
+    from pos_dlt_spark.sources.delta_writer import delta_delete, delta_merge
+
+    table = str(tmp_path / f"cmcdf_{mode}")
+    os.makedirs(table, exist_ok=True)
+    _write_physical(spark, _df(spark, 0, 10),
+                    os.path.join(table, "part-a.parquet"), mode == "id")
+    fx.write_commit(
+        table,
+        0,
+        [
+            fx.protocol_action(min_reader=2, min_writer=5),
+            fx.metadata_action(
+                _logical_schema(mode),
+                configuration={"delta.columnMapping.mode": mode,
+                               "delta.columnMapping.maxColumnId": "2",
+                               "delta.enableChangeDataFeed": "true"},
+            ),
+            fx.add_action("part-a.parquet"),
+        ],
+    )
+    upd = spark.createDataFrame([(3, "n3-upd"), (100, "n100")], "id long, name string")
+    v = delta_merge(spark, table, upd, keys=["id"], sequence_by="id")
+    ch = read_change_feed(spark, table, start_version=v, end_version=v)
+    got = {(r.id, r._change_type): r.name for r in ch.collect()}
+    assert got == {
+        (3, "update_preimage"): "n3",
+        (3, "update_postimage"): "n3-upd",
+        (100, "insert"): "n100",
+    }
+    # the change files themselves carry PHYSICAL column names
+    cds = []
+    for root, _dirs, files in os.walk(os.path.join(table, "_change_data")):
+        cds += [os.path.join(root, n) for n in files if n.endswith(".parquet")]
+    assert cds
+    sch = pq.read_schema(cds[0])
+    assert set(sch.names) == {"col-aaaa", "col-bbbb", "_change_type"}
+    if mode == "id":
+        fids = {f.name: (f.metadata or {}).get(b"PARQUET:field_id") for f in sch}
+        assert fids["col-aaaa"] == b"1" and fids["col-bbbb"] == b"2"
+    # delete via rewrite and via DV both yield logical delete changes
+    v2, _n = delta_delete(spark, table, "id = 5", mode="rewrite")
+    ch2 = read_change_feed(spark, table, start_version=v2, end_version=v2)
+    assert {(r.id, r._change_type) for r in ch2.collect()} == {(5, "delete")}
+    v3, _n = delta_delete(spark, table, "id = 6", mode="dv")
+    ch3 = read_change_feed(spark, table, start_version=v3, end_version=v3)
+    assert {(r.id, r._change_type) for r in ch3.collect()} == {(6, "delete")}
+    got = sorted(r.id for r in read_delta(spark, table).collect())
+    assert got == [0, 1, 2, 3, 4, 7, 8, 9, 100]
 
 
 def test_unknown_cm_mode_fails(spark, tmp_path):
