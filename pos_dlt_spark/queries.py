@@ -965,6 +965,54 @@ def supplier_cdf_dv_derived_deletes(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
+    "supplier_delta_update_purge",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey,
+           CASE WHEN s_nationkey < 5 THEN s_acctbal + 1000.0
+                ELSE s_acctbal END AS s_acctbal
+    FROM supplier WHERE s_suppkey % 10 != 3
+    """,
+)
+def supplier_delta_update_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE + REORG PURGE round-trip: supplier is committed through the
+    protocol writer, an UPDATE rewrites only the files holding
+    s_nationkey < 5 matches (copy-on-write, simultaneous SET semantics),
+    a DV-mode DELETE tombstones s_suppkey % 10 = 3, and REORG PURGE
+    rewrites the DV-carrying files with the dead rows physically dropped
+    (dataChange=false both sides). The oracle recomputes the surviving
+    rows with the CASE'd update in plain SQL — it matches only if the
+    update touched exactly the matched rows, the DV delete and the purge
+    preserved every survivor, and the final snapshot carries no DVs."""
+    from pos_dlt_spark.sources.delta import read_delta
+    from pos_dlt_spark.sources.delta_writer import (
+        delta_delete,
+        delta_reorg_purge,
+        delta_update,
+        write_delta,
+    )
+    from pos_dlt_spark.tables import scratch_dir
+
+    key = os.path.abspath(sf_dir) + "#updpurge"
+    if key not in _DELTA_RT_CACHE:
+        import atexit
+        import shutil
+
+        work = scratch_dir("delta_updpurge_")
+        atexit.register(shutil.rmtree, work, ignore_errors=True)
+        table = os.path.join(work, "supplier")
+        supp = load_table(spark, sf_dir, "supplier")
+        write_delta(supp.repartition(4), table)
+        delta_update(
+            spark, table, "s_nationkey < 5", {"s_acctbal": "s_acctbal + 1000.0"}
+        )
+        delta_delete(spark, table, "s_suppkey % 10 = 3", mode="dv")
+        _v, purged = delta_reorg_purge(spark, table)
+        assert purged >= 1  # the fixture must exercise the purge path
+        _DELTA_RT_CACHE[key] = table
+    return read_delta(spark, _DELTA_RT_CACHE[key])
+
+
+@query(
     "nation_convert_to_delta_roundtrip",
     oracle="SELECT * FROM nation",
 )

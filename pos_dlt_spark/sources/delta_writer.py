@@ -1362,6 +1362,189 @@ def delta_delete(
     return version, n_deleted
 
 
+def delta_update(
+    spark,
+    path: str,
+    predicate: str,
+    set_exprs: dict[str, str],
+    checkpoint_interval: int = 10,
+) -> tuple[int, int]:
+    """UPDATE rows matching the SQL ``predicate``, assigning each column
+    in ``set_exprs`` its SQL expression — classic copy-on-write: only
+    files holding >=1 match are rewritten (stats-equivalent pruning via
+    the same matched-file scan DELETE uses), untouched files stay. SET
+    expressions see the OLD row (standard UPDATE semantics — all
+    assignments evaluate simultaneously against the pre-update values).
+    Updating a partition column moves rows across partition directories
+    naturally (the rewrite re-partitions by the table's layout).
+
+    Generated columns not explicitly assigned are RECOMPUTED on the
+    updated rows (their bases may have changed); explicitly assigned
+    ones are validated row-by-row like every write. CHECK constraints
+    apply to the updated rows. With CDF enabled the commit carries
+    ``update_preimage``/``update_postimage`` change files.
+
+    Returns ``(committed version, rows updated)``. A lost commit race
+    aborts with :class:`DeltaCommitConflict` — re-run on the new
+    snapshot."""
+    from pyspark.sql import functions as F
+
+    from pos_dlt_spark.sources.delta import (
+        _abs_file,
+        _apply_deletion_vectors,
+        scan_rels,
+    )
+
+    snap = delta_snapshot(spark, path)
+    _writer_supports(snap)
+    if _append_only(snap.configuration):
+        from pos_dlt_spark.sources.delta import DeltaProtocolError
+
+        raise DeltaProtocolError("table is delta.appendOnly: UPDATE refused")
+    field_names = [f.name for f in snap.schema.fields]
+    unknown = sorted(set(set_exprs) - set(field_names))
+    if unknown:
+        raise ValueError(f"SET assigns columns not in the table schema: {unknown}")
+    if not set_exprs:
+        raise ValueError("SET is empty: nothing to update")
+    if not snap.files:
+        return snap.version, 0
+
+    scan = scan_rels(spark, snap, None, with_meta=True)
+    matches = scan.filter(F.expr(predicate)).select("__fp")
+    abs_to_rel = {
+        os.path.abspath(_abs_file(path, rel)): rel for rel, _ in snap.files
+    }
+    hit_rels = sorted(
+        {abs_to_rel[r["__fp"]] for r in matches.distinct().collect()}
+    )
+    if not hit_rels:
+        return snap.version, 0
+
+    # live rows of the touched files (prior DVs applied — dead rows are
+    # neither updated nor carried into the rewrite)
+    dv_touch = [
+        rel for rel in hit_rels if snap.adds.get(rel, {}).get("deletionVector")
+    ]
+    old = scan_rels(spark, snap, [r for r in hit_rels if r not in set(dv_touch)])
+    if dv_touch:
+        dvpart = _apply_deletion_vectors(spark, snap, dv_touch)
+        old = old.unionByName(dvpart) if old is not None else dvpart
+    hit = F.coalesce(F.expr(predicate), F.lit(False))
+    keep = old.filter(~hit).select(*field_names)
+    upd_old = old.filter(hit).select(*field_names)
+    n_updated = upd_old.count()
+    if n_updated == 0:
+        # files matched on the raw scan but every match was DV-dead
+        return snap.version, 0
+    # one simultaneous projection: every RHS sees the OLD row
+    upd_new = upd_old.select(
+        *[
+            F.expr(set_exprs[c]).alias(c) if c in set_exprs else F.col(f"`{c}`")
+            for c in field_names
+        ]
+    )
+    # generated columns whose bases may have moved: recompute unless the
+    # caller assigned them explicitly (then validate, like any write)
+    gens = _generation_exprs(snap.schema)
+    recompute = [g for g in gens if g not in set_exprs]
+    if recompute:
+        upd_new = upd_new.drop(*recompute)
+    upd_new, check_generated = _generated(upd_new, snap.schema)
+    upd_new, check_constraints = _constrained(upd_new, snap.configuration)
+    upd_new = upd_new.select(*field_names)
+
+    new_data = keep.unionByName(upd_new)
+    adds = _stage_and_move(
+        _to_physical(new_data, snap), path, _physical_partition_by(snap)
+    )
+    for check in (check_generated, check_constraints):
+        if check is None:
+            continue
+        try:
+            check()
+        except BaseException:
+            for a in adds:
+                try:
+                    os.remove(os.path.join(path, a["add"]["path"]))
+                except OSError:
+                    pass
+            raise
+
+    actions = [fx.remove_action(rel) for rel in hit_rels] + adds
+
+    from pos_dlt_spark.sources.delta_cdf import (
+        CHANGE_TYPE,
+        cdf_enabled,
+        stage_change_files,
+    )
+
+    if cdf_enabled(snap):
+        changes = upd_old.withColumn(
+            CHANGE_TYPE, F.lit("update_preimage")
+        ).unionByName(upd_new.withColumn(CHANGE_TYPE, F.lit("update_postimage")))
+        actions = stage_change_files(
+            _to_physical(changes, snap), path, _physical_partition_by(snap)
+        ) + actions
+
+    actions = [
+        fx.commit_info_action(
+            "UPDATE", {"predicate": predicate, "set": dict(sorted(set_exprs.items()))}
+        )
+    ] + actions
+    version = snap.version + 1
+    if not _try_commit(os.path.join(path, "_delta_log"), version, actions):
+        raise DeltaCommitConflict(
+            f"version {version} was committed concurrently; update must "
+            "re-run against the new snapshot"
+        )
+    _maybe_checkpoint(spark, path, version, checkpoint_interval)
+    return version, n_updated
+
+
+def delta_reorg_purge(
+    spark, path: str, checkpoint_interval: int = 10
+) -> tuple[int, int]:
+    """REORG TABLE ... APPLY (PURGE): rewrite every file carrying a
+    deletion vector into clean files with the dead rows physically
+    dropped — the maintenance companion to ``delta_delete(mode='dv')``.
+    Both the removes and the replacement adds commit with
+    ``dataChange=false`` (the logical rows are unchanged — streaming
+    replay and CDF ignore the commit, exactly like OPTIMIZE); a later
+    VACUUM collects the purged files and their DV sidecars. Files whose
+    DV kills every row are removed without a replacement.
+
+    Returns ``(committed version, files purged)`` — ``(version, 0)``
+    without a commit when no live file carries a DV."""
+    from pos_dlt_spark.sources.delta import _apply_deletion_vectors
+
+    snap = delta_snapshot(spark, path)
+    _writer_supports(snap)
+    dv_rels = sorted(
+        rel for rel, _ in snap.files if snap.adds.get(rel, {}).get("deletionVector")
+    )
+    if not dv_rels:
+        return snap.version, 0
+    live = _apply_deletion_vectors(spark, snap, dv_rels)
+    adds = _stage_and_move(
+        _to_physical(live, snap), path, _physical_partition_by(snap)
+    )
+    for a in adds:
+        a["add"]["dataChange"] = False
+    actions = (
+        [fx.commit_info_action("REORG", {"applyPurge": True, "files": len(dv_rels)})]
+        + [fx.remove_action(rel, data_change=False) for rel in dv_rels]
+        + adds
+    )
+    version = snap.version + 1
+    if not _try_commit(os.path.join(path, "_delta_log"), version, actions):
+        raise DeltaCommitConflict(
+            f"version {version} committed concurrently; re-run reorg"
+        )
+    _maybe_checkpoint(spark, path, version, checkpoint_interval)
+    return version, len(dv_rels)
+
+
 def delta_log_cleanup(spark, path: str) -> list[str]:
     """Metadata retention (the log half of VACUUM): delete JSON commits at
     or before the newest COMPLETE checkpoint — they are redundant for

@@ -1,0 +1,149 @@
+"""UPDATE (copy-on-write) and REORG PURGE on protocol Delta tables:
+file-pruned rewrites with simultaneous SET semantics, generated-column
+recompute, CHECK constraints, CDF update pre/postimages; purge rewrites
+DV-carrying files with dataChange=false on both sides."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pos_dlt_spark.sources.delta import (
+    DeltaProtocolError,
+    delta_snapshot,
+    read_delta,
+    replay_adds,
+)
+from pos_dlt_spark.sources.delta_cdf import read_change_feed
+from pos_dlt_spark.sources.delta_writer import (
+    delta_delete,
+    delta_reorg_purge,
+    delta_update,
+    write_delta,
+)
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id"),
+        (F.col("id") % 10).alias("bucket"),
+        F.concat(F.lit("n"), F.col("id")).alias("name"),
+    )
+
+
+def test_update_rewrites_only_touched_files(spark, tmp_path):
+    table = str(tmp_path / "u1")
+    write_delta(_df(spark, 0, 100).repartition(1), table)
+    write_delta(_df(spark, 100, 200).repartition(1), table)
+    before = {rel for rel, _ in delta_snapshot(spark, table).files}
+    v, n = delta_update(
+        spark, table, "id BETWEEN 10 AND 12", {"name": "concat(name, '-u')"}
+    )
+    assert (v, n) == (2, 3)
+    snap = delta_snapshot(spark, table)
+    after = {rel for rel, _ in snap.files}
+    # the file holding ids 100-199 is untouched (stats-pruned scan)
+    assert len(before & after) == 1
+    got = {r.id: r.name for r in read_delta(spark, table).collect()}
+    assert got[10] == "n10-u" and got[11] == "n11-u" and got[12] == "n12-u"
+    assert got[9] == "n9" and got[13] == "n13" and len(got) == 200
+
+
+def test_update_set_sees_old_row_simultaneously(spark, tmp_path):
+    """Swap two columns in one UPDATE: both RHS read pre-update values."""
+    table = str(tmp_path / "u2")
+    spark.createDataFrame([(1, 10, 20)], "id long, a long, b long").write.format(
+        "noop"
+    ).mode("overwrite").save()  # warm nothing; just build the table below
+    write_delta(
+        spark.createDataFrame([(1, 10, 20), (2, 30, 40)], "id long, a long, b long"),
+        table,
+    )
+    v, n = delta_update(spark, table, "id = 1", {"a": "b", "b": "a"})
+    assert n == 1
+    got = {r.id: (r.a, r.b) for r in read_delta(spark, table).collect()}
+    assert got[1] == (20, 10) and got[2] == (30, 40)
+
+
+def test_update_no_match_no_commit(spark, tmp_path):
+    table = str(tmp_path / "u3")
+    write_delta(_df(spark, 0, 10), table)
+    v, n = delta_update(spark, table, "id > 999", {"name": "'x'"})
+    assert (v, n) == (0, 0)
+    with pytest.raises(ValueError, match="not in the table schema"):
+        delta_update(spark, table, "id = 1", {"nope": "'x'"})
+
+
+def test_update_skips_dv_dead_rows_and_emits_cdf(spark, tmp_path):
+    table = str(tmp_path / "u4")
+    write_delta(
+        _df(spark, 0, 50), table, configuration={"delta.enableChangeDataFeed": "true"}
+    )
+    delta_delete(spark, table, "id = 7", mode="dv")
+    v, n = delta_update(spark, table, "id IN (7, 8)", {"name": "'upd'"})
+    assert n == 1  # id=7 is DV-dead: not updated
+    got = {r.id: r.name for r in read_delta(spark, table).collect()}
+    assert got[8] == "upd" and 7 not in got
+    ch = read_change_feed(spark, table, start_version=v, end_version=v)
+    rows = {(r.id, r._change_type, r.name) for r in ch.collect()}
+    assert rows == {
+        (8, "update_preimage", "n8"),
+        (8, "update_postimage", "upd"),
+    }
+
+
+def test_update_partition_column_moves_rows(spark, tmp_path):
+    table = str(tmp_path / "u5")
+    write_delta(_df(spark, 0, 20), table, partition_by=["bucket"])
+    v, n = delta_update(spark, table, "id = 5", {"bucket": "99"})
+    assert n == 1
+    snap = delta_snapshot(spark, table)
+    moved = [pv for rel, pv in snap.files if pv.get("bucket") == "99"]
+    assert moved
+    got = {r.id: r.bucket for r in read_delta(spark, table).collect()}
+    assert got[5] == 99 and len(got) == 20
+
+
+def test_update_append_only_refused(spark, tmp_path):
+    table = str(tmp_path / "u6")
+    write_delta(_df(spark, 0, 5), table, configuration={"delta.appendOnly": "true"})
+    with pytest.raises(DeltaProtocolError, match="appendOnly"):
+        delta_update(spark, table, "id = 1", {"name": "'x'"})
+
+
+def test_reorg_purge_drops_dvs_without_changing_rows(spark, tmp_path):
+    table = str(tmp_path / "rp")
+    write_delta(
+        _df(spark, 0, 100), table, configuration={"delta.enableChangeDataFeed": "true"}
+    )
+    delta_delete(spark, table, "id % 7 = 0", mode="dv")
+    live_before = sorted(r.id for r in read_delta(spark, table).collect())
+    v, purged = delta_reorg_purge(spark, table)
+    assert purged >= 1
+    snap = delta_snapshot(spark, table)
+    assert not any(snap.adds[rel].get("deletionVector") for rel, _ in snap.files)
+    assert sorted(r.id for r in read_delta(spark, table).collect()) == live_before
+    # invisible to CDF and to streaming replay (dataChange=false)
+    ch = read_change_feed(spark, table, start_version=v, end_version=v)
+    assert ch.count() == 0
+    assert v not in [
+        vv for vv, _ in replay_adds(spark, table, skip_change_commits=True)
+    ]
+    # idempotent: nothing left to purge
+    assert delta_reorg_purge(spark, table) == (v, 0)
+
+
+def test_reorg_purge_removes_fully_dead_files(spark, tmp_path):
+    table = str(tmp_path / "rp2")
+    write_delta(_df(spark, 0, 10).repartition(1), table)
+    write_delta(_df(spark, 10, 20).repartition(1), table)
+    delta_delete(spark, table, "id < 10", mode="dv")  # kills file 1 entirely
+    v, purged = delta_reorg_purge(spark, table)
+    assert purged == 1
+    snap = delta_snapshot(spark, table)
+    assert sorted(r.id for r in read_delta(spark, table).collect()) == list(
+        range(10, 20)
+    )
+    assert not any(snap.adds[rel].get("deletionVector") for rel, _ in snap.files)
