@@ -1013,6 +1013,51 @@ def supplier_delta_update_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "supplier_delta_schema_evolution",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey, s_acctbal AS balance,
+           CASE WHEN s_acctbal >= 5000 THEN 'gold' END AS tier
+    FROM supplier
+    """,
+)
+def supplier_delta_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE end-to-end: supplier is committed plain, upgraded to
+    column mapping (physical names pinned to current names — old files
+    keep resolving), s_acctbal is RENAMED to balance (metadata-only; the
+    pinned physical name keeps every existing file correct), a tier
+    column is ADDED (old files surface NULL), and an UPDATE fills tier
+    for high-balance suppliers (only those files rewritten — the rest
+    still read NULL through schema evolution). The oracle recomputes the
+    whole surface in plain SQL over the raw table."""
+    from pos_dlt_spark.sources.delta import read_delta
+    from pos_dlt_spark.sources.delta_writer import (
+        delta_alter_add_column,
+        delta_alter_rename_column,
+        delta_enable_column_mapping,
+        delta_update,
+        write_delta,
+    )
+    from pos_dlt_spark.tables import scratch_dir
+
+    key = os.path.abspath(sf_dir) + "#evolve"
+    if key not in _DELTA_RT_CACHE:
+        import atexit
+        import shutil
+
+        work = scratch_dir("delta_evolve_")
+        atexit.register(shutil.rmtree, work, ignore_errors=True)
+        table = os.path.join(work, "supplier")
+        supp = load_table(spark, sf_dir, "supplier")
+        write_delta(supp.repartition(4), table)
+        delta_enable_column_mapping(spark, table)
+        delta_alter_rename_column(spark, table, "s_acctbal", "balance")
+        delta_alter_add_column(spark, table, "tier", "string")
+        delta_update(spark, table, "balance >= 5000", {"tier": "'gold'"})
+        _DELTA_RT_CACHE[key] = table
+    return read_delta(spark, _DELTA_RT_CACHE[key])
+
+
+@query(
     "nation_convert_to_delta_roundtrip",
     oracle="SELECT * FROM nation",
 )

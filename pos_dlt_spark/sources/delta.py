@@ -873,6 +873,9 @@ def scan_rels(
             )
         # id mode
         spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        # files predating an ADD COLUMN lack the new field id: read NULL
+        # (the protocol's schema-evolution contract), don't error
+        spark.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
         fields = [
             _SF(f.name, f.dataType, True, {"parquet.field.id": snap.field_ids[f.name]})
             for f in target.fields

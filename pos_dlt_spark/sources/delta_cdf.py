@@ -202,6 +202,9 @@ def read_change_feed(
             ]
         elif snap.column_mapping == "id":
             spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+            spark.conf.set(
+                "spark.sql.parquet.fieldId.read.ignoreMissing", "true"
+            )
             fields = [
                 StructField(
                     f.name, f.dataType, True,

@@ -1545,6 +1545,225 @@ def delta_reorg_purge(
     return version, len(dv_rels)
 
 
+def _column_referenced(name: str, snap: DeltaSnapshot) -> list[str]:
+    """CHECK constraints / generation expressions that mention ``name``
+    as a standalone identifier — conservative word-boundary scan; a hit
+    refuses the ALTER (renaming or dropping a referenced column would
+    silently break the invariant for every later writer)."""
+    import re
+
+    pat = re.compile(
+        rf"(?<![A-Za-z0-9_]){re.escape(name)}(?![A-Za-z0-9_])", re.IGNORECASE
+    )
+    hits = []
+    for cname, expr in _table_constraints(snap.configuration).items():
+        if pat.search(expr):
+            hits.append(f"CHECK constraint '{cname}': {expr}")
+    for gname, expr in _generation_exprs(snap.schema).items():
+        if pat.search(expr):
+            hits.append(f"generated column '{gname}': {expr}")
+    return hits
+
+
+def _commit_metadata_change(
+    spark,
+    path: str,
+    snap: DeltaSnapshot,
+    schema,
+    configuration: dict[str, str],
+    partition_columns: list[str],
+    operation: str,
+    params: dict,
+    extra_actions: list[dict] | None = None,
+    checkpoint_interval: int = 10,
+) -> int:
+    """One metadata-only commit (no data files touched): the new
+    metaData action — same table id, evolved schema/configuration — plus
+    optional protocol actions. Shared by the ALTER TABLE family."""
+    actions = (
+        [fx.commit_info_action(operation, params)]
+        + list(extra_actions or [])
+        + [
+            fx.metadata_action(
+                schema,
+                partition_columns=partition_columns,
+                table_id=snap.table_id,
+                configuration=configuration,
+            )
+        ]
+    )
+    version = snap.version + 1
+    if not _try_commit(os.path.join(path, "_delta_log"), version, actions):
+        raise DeltaCommitConflict(
+            f"version {version} committed concurrently; re-run the ALTER"
+        )
+    _maybe_checkpoint(spark, path, version, checkpoint_interval)
+    return version
+
+
+def delta_alter_add_column(
+    spark,
+    path: str,
+    name: str,
+    data_type,
+    comment: str | None = None,
+    checkpoint_interval: int = 10,
+) -> int:
+    """ALTER TABLE ... ADD COLUMN — metadata-only: existing files simply
+    lack the column and every pinned-schema scan surfaces it as NULL
+    (the protocol's schema-evolution contract; no file is rewritten).
+    Under column mapping the new column mints a fresh physical name and
+    field id (``delta.columnMapping.maxColumnId`` + 1), so it can never
+    collide with a column that ever existed before. ``data_type`` is a
+    Spark DataType or a DDL string (``'string'``, ``'decimal(10,2)'``).
+    Returns the committed version."""
+    from pyspark.sql.types import DataType, StructField, StructType
+
+    snap = delta_snapshot(spark, path)
+    _writer_supports(snap)
+    if name in {f.name for f in snap.schema.fields}:
+        raise ValueError(f"column {name!r} already exists")
+    if isinstance(data_type, DataType):
+        dt = data_type
+    else:
+        dt = StructType.fromDDL(f"`{name}` {data_type}").fields[0].dataType
+    md: dict = {}
+    if comment is not None:
+        md["comment"] = comment
+    conf = dict(snap.configuration)
+    if snap.column_mapping != "none":
+        known = list(snap.field_ids.values()) or [0]
+        next_id = max(
+            int(conf.get("delta.columnMapping.maxColumnId") or 0), max(known)
+        ) + 1
+        md["delta.columnMapping.id"] = next_id
+        md["delta.columnMapping.physicalName"] = f"col-{uuid.uuid4()}"
+        conf["delta.columnMapping.maxColumnId"] = str(next_id)
+    schema = StructType(
+        list(snap.schema.fields) + [StructField(name, dt, True, md)]
+    )
+    return _commit_metadata_change(
+        spark, path, snap, schema, conf, snap.partition_columns,
+        "ADD COLUMNS", {"column": name, "type": dt.simpleString()},
+        checkpoint_interval=checkpoint_interval,
+    )
+
+
+def delta_alter_rename_column(
+    spark, path: str, old: str, new: str, checkpoint_interval: int = 10
+) -> int:
+    """ALTER TABLE ... RENAME COLUMN — metadata-only, REQUIRES column
+    mapping (the logical name changes while the physical name / field id
+    stays, so every existing file keeps resolving; without a mapping the
+    rename would orphan the data). Plain tables: run
+    :func:`delta_enable_column_mapping` first. Refuses when a CHECK
+    constraint or generation expression references the old name."""
+    from pyspark.sql.types import StructField, StructType
+
+    snap = delta_snapshot(spark, path)
+    if snap.column_mapping == "none":
+        from pos_dlt_spark.sources.delta import DeltaProtocolError
+
+        raise DeltaProtocolError(
+            "RENAME COLUMN requires column mapping (physical names decouple "
+            "from logical) — run delta_enable_column_mapping(path) first"
+        )
+    names = {f.name for f in snap.schema.fields}
+    if old not in names:
+        raise ValueError(f"column {old!r} does not exist")
+    if new in names:
+        raise ValueError(f"column {new!r} already exists")
+    refs = _column_referenced(old, snap)
+    if refs:
+        raise ValueError(
+            f"column {old!r} is referenced; drop/redefine these first: {refs}"
+        )
+    schema = StructType(
+        [
+            StructField(new if f.name == old else f.name, f.dataType,
+                        f.nullable, dict(f.metadata or {}))
+            for f in snap.schema.fields
+        ]
+    )
+    parts = [new if c == old else c for c in snap.partition_columns]
+    return _commit_metadata_change(
+        spark, path, snap, schema, dict(snap.configuration), parts,
+        "RENAME COLUMN", {"from": old, "to": new},
+        checkpoint_interval=checkpoint_interval,
+    )
+
+
+def delta_alter_drop_column(
+    spark, path: str, name: str, checkpoint_interval: int = 10
+) -> int:
+    """ALTER TABLE ... DROP COLUMN — metadata-only, REQUIRES column
+    mapping (the data stays in the files; the mapping simply stops
+    exposing it, and a later re-add mints a FRESH physical name so the
+    old bytes can never resurface). Refuses partition columns, the last
+    remaining column, and columns referenced by constraints or
+    generation expressions."""
+    from pyspark.sql.types import StructType
+
+    snap = delta_snapshot(spark, path)
+    if snap.column_mapping == "none":
+        from pos_dlt_spark.sources.delta import DeltaProtocolError
+
+        raise DeltaProtocolError(
+            "DROP COLUMN requires column mapping — run "
+            "delta_enable_column_mapping(path) first"
+        )
+    if name not in {f.name for f in snap.schema.fields}:
+        raise ValueError(f"column {name!r} does not exist")
+    if name in snap.partition_columns:
+        raise ValueError(f"column {name!r} is a partition column")
+    if len(snap.schema.fields) == 1:
+        raise ValueError("cannot drop the table's last column")
+    refs = _column_referenced(name, snap)
+    if refs:
+        raise ValueError(
+            f"column {name!r} is referenced; drop/redefine these first: {refs}"
+        )
+    schema = StructType([f for f in snap.schema.fields if f.name != name])
+    return _commit_metadata_change(
+        spark, path, snap, schema, dict(snap.configuration),
+        snap.partition_columns, "DROP COLUMNS", {"column": name},
+        checkpoint_interval=checkpoint_interval,
+    )
+
+
+def delta_enable_column_mapping(
+    spark, path: str, checkpoint_interval: int = 10
+) -> int:
+    """Upgrade a plain table to column mapping mode 'name' (the
+    protocol's upgrade path): every existing column's physical name is
+    set to its CURRENT name — existing files keep resolving untouched —
+    and field ids are minted 1..n. Unlocks RENAME / DROP COLUMN. No-op
+    (returns the current version) when the table already maps names;
+    id-mode tables are left as-is."""
+    from pyspark.sql.types import StructField, StructType
+
+    snap = delta_snapshot(spark, path)
+    if snap.column_mapping != "none":
+        return snap.version
+    fields = []
+    for i, f in enumerate(snap.schema.fields):
+        md = dict(f.metadata or {})
+        md["delta.columnMapping.id"] = i + 1
+        md["delta.columnMapping.physicalName"] = f.name
+        fields.append(StructField(f.name, f.dataType, f.nullable, md))
+    conf = dict(snap.configuration)
+    conf["delta.columnMapping.mode"] = "name"
+    conf["delta.columnMapping.maxColumnId"] = str(len(fields))
+    return _commit_metadata_change(
+        spark, path, snap, StructType(fields), conf, snap.partition_columns,
+        "UPGRADE COLUMN MAPPING", {"mode": "name"},
+        extra_actions=[
+            _merged_protocol(snap.protocol, ("columnMapping",), ("columnMapping",))
+        ],
+        checkpoint_interval=checkpoint_interval,
+    )
+
+
 def delta_log_cleanup(spark, path: str) -> list[str]:
     """Metadata retention (the log half of VACUUM): delete JSON commits at
     or before the newest COMPLETE checkpoint — they are redundant for

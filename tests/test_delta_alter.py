@@ -1,0 +1,156 @@
+"""ALTER TABLE surface: ADD COLUMN (metadata-only schema evolution,
+old files read NULL), ENABLE COLUMN MAPPING (upgrade path: physical
+names pinned to current names), RENAME COLUMN / DROP COLUMN (require
+the mapping; data files untouched), and the refusal matrix
+(referenced / partition / last columns)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pos_dlt_spark.sources.delta import (
+    DeltaProtocolError,
+    delta_snapshot,
+    read_delta,
+)
+from pos_dlt_spark.sources.delta_writer import (
+    delta_alter_add_column,
+    delta_alter_drop_column,
+    delta_alter_rename_column,
+    delta_enable_column_mapping,
+    delta_merge,
+    delta_update,
+    write_delta,
+)
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id"),
+        (F.col("id") % 10).alias("bucket"),
+        F.concat(F.lit("n"), F.col("id")).alias("name"),
+    )
+
+
+def test_add_column_reads_null_from_old_files(spark, tmp_path):
+    table = str(tmp_path / "a1")
+    write_delta(_df(spark, 0, 10), table)
+    v = delta_alter_add_column(spark, table, "score", "double")
+    assert v == 1
+    got = read_delta(spark, table)
+    assert [f.name for f in got.schema.fields] == ["id", "bucket", "name", "score"]
+    assert all(r.score is None for r in got.collect())
+    # appends now carry the column; old files still read NULL
+    write_delta(
+        _df(spark, 10, 12).withColumn("score", F.lit(1.5)), table
+    )
+    by_id = {r.id: r.score for r in read_delta(spark, table).collect()}
+    assert by_id[3] is None and by_id[10] == 1.5
+
+
+def test_add_column_under_column_mapping_mints_fresh_identity(spark, tmp_path):
+    table = str(tmp_path / "a2")
+    write_delta(_df(spark, 0, 5), table)
+    delta_enable_column_mapping(spark, table)
+    delta_alter_add_column(spark, table, "score", "double", comment="why not")
+    snap = delta_snapshot(spark, table)
+    assert snap.column_mapping == "name"
+    assert snap.field_ids["score"] == 4
+    assert snap.physical_names["score"].startswith("col-")
+    assert snap.configuration["delta.columnMapping.maxColumnId"] == "4"
+    # a write lands the column under its physical name
+    write_delta(
+        _df(spark, 5, 6).withColumn("score", F.lit(2.0)), table
+    )
+    got = {r.id: r.score for r in read_delta(spark, table).collect()}
+    assert got[5] == 2.0 and got[0] is None
+
+
+def test_rename_requires_mapping_then_roundtrips(spark, tmp_path):
+    table = str(tmp_path / "a3")
+    write_delta(_df(spark, 0, 10), table)
+    with pytest.raises(DeltaProtocolError, match="column mapping"):
+        delta_alter_rename_column(spark, table, "name", "label")
+    delta_enable_column_mapping(spark, table)
+    delta_alter_rename_column(spark, table, "name", "label")
+    got = read_delta(spark, table)
+    assert [f.name for f in got.schema.fields] == ["id", "bucket", "label"]
+    # old files resolve through the pinned physical name
+    assert {r.label for r in got.collect()} == {f"n{i}" for i in range(10)}
+    # the rename survives DML: update through the NEW logical name
+    delta_update(spark, table, "id = 3", {"label": "'renamed'"})
+    got = {r.id: r.label for r in read_delta(spark, table).collect()}
+    assert got[3] == "renamed" and got[4] == "n4"
+    # merges speak the new name too
+    upd = spark.createDataFrame(
+        [(4, 4, "merged")], "id long, bucket long, label string"
+    )
+    delta_merge(spark, table, upd, keys=["id"], sequence_by="id")
+    got = {r.id: r.label for r in read_delta(spark, table).collect()}
+    assert got[4] == "merged"
+
+
+def test_rename_partition_column_updates_partition_list(spark, tmp_path):
+    table = str(tmp_path / "a4")
+    write_delta(_df(spark, 0, 20), table, partition_by=["bucket"])
+    delta_enable_column_mapping(spark, table)
+    delta_alter_rename_column(spark, table, "bucket", "band")
+    snap = delta_snapshot(spark, table)
+    assert snap.partition_columns == ["band"]
+    got = read_delta(spark, table).filter(F.col("band") == 3)
+    assert sorted(r.id for r in got.collect()) == [3, 13]
+
+
+def test_drop_column_hides_data_and_readd_mints_fresh(spark, tmp_path):
+    table = str(tmp_path / "a5")
+    write_delta(_df(spark, 0, 10), table)
+    with pytest.raises(DeltaProtocolError, match="column mapping"):
+        delta_alter_drop_column(spark, table, "name")
+    delta_enable_column_mapping(spark, table)
+    delta_alter_drop_column(spark, table, "name")
+    got = read_delta(spark, table)
+    assert [f.name for f in got.schema.fields] == ["id", "bucket"]
+    # re-adding the same logical name must NOT resurrect the old bytes
+    delta_alter_add_column(spark, table, "name", "string")
+    got = read_delta(spark, table)
+    assert all(r.name is None for r in got.collect())
+    snap = delta_snapshot(spark, table)
+    assert snap.physical_names["name"] != "name"  # fresh physical identity
+
+
+def test_alter_refusal_matrix(spark, tmp_path):
+    table = str(tmp_path / "a6")
+    write_delta(
+        _df(spark, 0, 10), table, partition_by=["bucket"],
+        configuration={"delta.constraints.namelen": "length(name) > 0"},
+    )
+    delta_enable_column_mapping(spark, table)
+    with pytest.raises(ValueError, match="already exists"):
+        delta_alter_add_column(spark, table, "name", "string")
+    with pytest.raises(ValueError, match="referenced"):
+        delta_alter_rename_column(spark, table, "name", "label")
+    with pytest.raises(ValueError, match="referenced"):
+        delta_alter_drop_column(spark, table, "name")
+    with pytest.raises(ValueError, match="partition column"):
+        delta_alter_drop_column(spark, table, "bucket")
+    with pytest.raises(ValueError, match="does not exist"):
+        delta_alter_rename_column(spark, table, "ghost", "x")
+    # enable is idempotent
+    v = delta_snapshot(spark, table).version
+    assert delta_enable_column_mapping(spark, table) == v
+
+
+def test_add_column_on_id_mode_reads_null_not_error(spark, tmp_path):
+    """id-mode resolution of a field id absent from old files must
+    surface NULL (ignoreMissing), not fail the scan."""
+    from tests.test_delta_cm import _build_cm_table
+
+    table = _build_cm_table(spark, tmp_path, "id", with_field_ids=True)
+    delta_alter_add_column(spark, table, "extra", "bigint")
+    snap = delta_snapshot(spark, table)
+    assert snap.field_ids["extra"] == 3
+    got = read_delta(spark, table)
+    assert got.count() == 20 and all(r.extra is None for r in got.collect())
