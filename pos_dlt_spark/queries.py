@@ -1820,5 +1820,9 @@ def prepare_bench_fixtures(spark: SparkSession, sf_dir: str) -> None:
     # steady-state read path
     REGISTRY["orders_delta_zorder_skipping"].fn(spark, sf_dir)
     REGISTRY["events_cdf_cdc_replay"].fn(spark, sf_dir)
+    # update->DV-delete->purge and the ALTER chain: the fixture IS the
+    # interesting op; the timed region should measure the read path
+    REGISTRY["supplier_delta_update_purge"].fn(spark, sf_dir)
+    REGISTRY["supplier_delta_schema_evolution"].fn(spark, sf_dir)
     # the write-roundtrip and cdc-merge tables ARE their own fixture (the
     # query measures the write+merge). Leave them in the timed region.

@@ -490,13 +490,38 @@ def write_delta(
         raise ValueError("configuration is set at table creation only")
     conf = configuration or {}
     prior: DeltaSnapshot | None = None
+    created_schema = df.schema
+    cm_new = None  # minted mapping for a CREATE with column mapping on
     if not exists and (conf.get("delta.columnMapping.mode") or "none") != "none":
-        from pos_dlt_spark.sources.delta import DeltaProtocolError
+        from types import SimpleNamespace
 
-        raise DeltaProtocolError(
-            "creating a column-mapping table is not supported (this writer "
-            "does not mint physicalName/field-id metadata); appends and "
-            "merges into existing name-mode tables work"
+        from pyspark.sql.types import StructField, StructType
+
+        cm_mode = conf["delta.columnMapping.mode"]
+        if cm_mode not in ("name", "id"):
+            from pos_dlt_spark.sources.delta import DeltaProtocolError
+
+            raise DeltaProtocolError(
+                f"column mapping mode {cm_mode!r} not supported"
+            )
+        # mint the mapping like delta's CREATE does: a fresh physical
+        # name (col-<uuid>) and field id per column; data files carry
+        # the physical names (+ parquet field ids) from the first write
+        fields, pns, fids = [], {}, {}
+        for i, f in enumerate(df.schema.fields):
+            md = dict(f.metadata or {})
+            md["delta.columnMapping.id"] = i + 1
+            md["delta.columnMapping.physicalName"] = f"col-{uuid.uuid4()}"
+            pns[f.name], fids[f.name] = md["delta.columnMapping.physicalName"], i + 1
+            fields.append(StructField(f.name, f.dataType, f.nullable, md))
+        created_schema = StructType(fields)
+        conf = dict(conf)
+        conf["delta.columnMapping.maxColumnId"] = str(len(fields))
+        cm_new = SimpleNamespace(
+            column_mapping=cm_mode,
+            physical_names=pns,
+            field_ids=fids,
+            partition_columns=list(partition_by or []),
         )
     if exists:
         prior = delta_snapshot(spark, path)
@@ -515,9 +540,13 @@ def write_delta(
     )
     df, check_constraints = _constrained(df, conf)
     if prior is not None and prior.column_mapping != "none":
-        # name-mode table: files + partition dirs carry PHYSICAL names
+        # cm table: files + partition dirs carry PHYSICAL names
         adds = _stage_and_move(
             _to_physical(df, prior), path, _physical_partition_by(prior)
+        )
+    elif cm_new is not None:
+        adds = _stage_and_move(
+            _to_physical(df, cm_new), path, _physical_partition_by(cm_new)
         )
     else:
         adds = _stage_and_move(df, path, partition_by)
@@ -574,13 +603,19 @@ def write_delta(
                 actions = [fx.remove_action(rel) for rel, _ in snap.files] + actions
         else:
             snap, version = None, 0
-            actions = [
+            if cm_new is not None:
+                # legacy columnMapping protocol floor (reader 2 / writer
+                # 5 also covers generated columns' writer-4 obligation)
+                proto = fx.protocol_action(min_reader=2, min_writer=5)
+            elif _generation_exprs(df.schema):
                 # generated columns oblige writers at minWriterVersion 4
-                fx.protocol_action(min_writer=4)
-                if _generation_exprs(df.schema)
-                else fx.protocol_action(),
+                proto = fx.protocol_action(min_writer=4)
+            else:
+                proto = fx.protocol_action()
+            actions = [
+                proto,
                 fx.metadata_action(
-                    df.schema,
+                    created_schema,
                     partition_columns=list(partition_by or []),
                     configuration=conf or None,
                 ),

@@ -339,11 +339,55 @@ def test_writer_refuses_incomplete_id_mapping_and_cm_creation(spark, tmp_path):
     )
     with pytest.raises(DeltaProtocolError):
         write_delta(_df(spark, 10, 15), table)
-    with pytest.raises(DeltaProtocolError, match="creating a column-mapping"):
-        write_delta(
-            _df(spark, 0, 5), str(tmp_path / "cmnew"),
-            configuration={"delta.columnMapping.mode": "name"},
-        )
+
+
+@pytest.mark.parametrize("mode", ["name", "id"])
+def test_create_cm_table_mints_mapping(spark, tmp_path, mode):
+    """CREATE with delta.columnMapping.mode mints a fresh physical name
+    (col-<uuid>) and field id per column; the first write's files carry
+    them, and the whole DML surface works on the new table."""
+    import pyarrow.parquet as pq
+
+    from pos_dlt_spark.sources.delta_writer import delta_merge, write_delta
+
+    table = str(tmp_path / f"cmnew_{mode}")
+    write_delta(
+        _df(spark, 0, 10), table,
+        configuration={"delta.columnMapping.mode": mode},
+    )
+    snap = delta_snapshot(spark, table)
+    assert snap.column_mapping == mode
+    assert all(p.startswith("col-") for p in snap.physical_names.values())
+    assert sorted(snap.field_ids.values()) == [1, 2]
+    assert snap.configuration["delta.columnMapping.maxColumnId"] == "2"
+    rel = snap.files[0][0]
+    sch = pq.read_schema(os.path.join(table, rel))
+    assert set(sch.names) == set(snap.physical_names.values())
+    fids = {(f.metadata or {}).get(b"PARQUET:field_id") for f in sch}
+    assert fids == {b"1", b"2"}
+    # append + merge keep working through logical names
+    write_delta(_df(spark, 10, 15), table)
+    upd = spark.createDataFrame([(3, "upd")], "id long, name string")
+    delta_merge(spark, table, upd, keys=["id"], sequence_by="id")
+    got = {r.id: r.name for r in read_delta(spark, table).collect()}
+    assert got[3] == "upd" and len(got) == 15
+
+
+def test_create_cm_partitioned_physical_dirs(spark, tmp_path):
+    from pos_dlt_spark.sources.delta_writer import write_delta
+
+    table = str(tmp_path / "cmnewp")
+    df = _df(spark, 0, 20).withColumn("part", (F.col("id") % 2).cast("long"))
+    write_delta(
+        df, table, partition_by=["part"],
+        configuration={"delta.columnMapping.mode": "name"},
+    )
+    snap = delta_snapshot(spark, table)
+    phys_part = snap.physical_names["part"]
+    assert any(n.startswith(f"{phys_part}=") for n in os.listdir(table)
+               if not n.startswith("_"))
+    got = read_delta(spark, table).filter(F.col("part") == 1)
+    assert sorted(r.id for r in got.collect()) == list(range(1, 20, 2))
 
 
 @pytest.mark.parametrize("mode", ["name", "id"])
