@@ -1257,7 +1257,15 @@ def delta_delete(
     if not snap.files:
         return snap.version, 0
 
-    scan = scan_rels(spark, snap, None, with_meta=True)
+    # stats skipping on the MATCH scan (same conservative conjunct
+    # extraction UPDATE uses): provably-disjoint files never scanned
+    from pos_dlt_spark.sources.delta import skip_files
+
+    preds = _skipping_predicates(predicate)
+    scan_snap = skip_files(snap, preds)[0] if preds else snap
+    if not scan_snap.files:
+        return snap.version, 0
+    scan = scan_rels(spark, scan_snap, None, with_meta=True)
     matches = scan.filter(F.expr(predicate)).select("__fp", "__ri")
 
     abs_to_rel = {
@@ -1397,6 +1405,67 @@ def delta_delete(
     return version, n_deleted
 
 
+def _skipping_predicates(predicate: str) -> list[tuple[str, str, object]]:
+    """Extract stats-skippable conjuncts from a SQL predicate string —
+    the DML-side half of data skipping (delta's DataSkippingReader does
+    the same conversion): DELETE/UPDATE prune provably-disjoint files
+    from the log's per-file min/max BEFORE scheduling any scan task,
+    which at 100 TB is the difference between a full-table match scan
+    and touching the dozen files that can match. STRICTLY conservative:
+    only top-AND-level conjuncts of the shapes ``col <cmp> literal``,
+    ``col BETWEEN lit AND lit`` and ``col IN (lit, ...)`` contribute;
+    any OR / NOT / function / non-literal makes that conjunct (or the
+    whole predicate) contribute nothing, so pruning can only drop files
+    the real filter — which still runs — could never match."""
+    import re
+
+    s = predicate.strip()
+    if re.search(r"(?i)(?<![a-z0-9_])(or|not)(?![a-z0-9_])", s):
+        return []
+
+    def lit(tok: str):
+        tok = tok.strip()
+        m = re.fullmatch(r"'((?:[^']|'')*)'", tok)
+        if m:
+            return m.group(1).replace("''", "'")
+        try:
+            return int(tok)
+        except ValueError:
+            try:
+                return float(tok)
+            except ValueError:
+                return None
+
+    out: list[tuple[str, str, object]] = []
+
+    def between_repl(m: "re.Match") -> str:
+        a, b = lit(m.group(2)), lit(m.group(3))
+        if a is not None and b is not None:
+            out.append((m.group(1), ">=", a))
+            out.append((m.group(1), "<=", b))
+        return " 1 "  # neutral placeholder; parses to nothing below
+
+    s = re.sub(
+        r"(?i)([A-Za-z_]\w*)\s+between\s+(\S+)\s+and\s+(\S+)", between_repl, s
+    )
+    for conj in re.split(r"(?i)\s+and\s+", s):
+        conj = conj.strip()
+        while conj.startswith("(") and conj.endswith(")"):
+            conj = conj[1:-1].strip()
+        m = re.fullmatch(r"([A-Za-z_]\w*)\s*(==|=|<=|>=|<|>)\s*(.+)", conj)
+        if m:
+            v = lit(m.group(3))
+            if v is not None:
+                out.append((m.group(1), "=" if m.group(2) == "==" else m.group(2), v))
+            continue
+        m = re.fullmatch(r"(?i)([A-Za-z_]\w*)\s+in\s*\(([^()]*)\)", conj)
+        if m:
+            vals = [lit(t) for t in m.group(2).split(",")]
+            if vals and all(v is not None for v in vals):
+                out.append((m.group(1), "in", vals))
+    return out
+
+
 def delta_update(
     spark,
     path: str,
@@ -1445,7 +1514,15 @@ def delta_update(
     if not snap.files:
         return snap.version, 0
 
-    scan = scan_rels(spark, snap, None, with_meta=True)
+    # stats skipping on the MATCH scan: provably-disjoint files are never
+    # read (the real filter still runs on whatever survives)
+    from pos_dlt_spark.sources.delta import skip_files
+
+    preds = _skipping_predicates(predicate)
+    scan_snap = skip_files(snap, preds)[0] if preds else snap
+    if not scan_snap.files:
+        return snap.version, 0
+    scan = scan_rels(spark, scan_snap, None, with_meta=True)
     matches = scan.filter(F.expr(predicate)).select("__fp")
     abs_to_rel = {
         os.path.abspath(_abs_file(path, rel)): rel for rel, _ in snap.files

@@ -147,3 +147,46 @@ def test_reorg_purge_removes_fully_dead_files(spark, tmp_path):
         range(10, 20)
     )
     assert not any(snap.adds[rel].get("deletionVector") for rel, _ in snap.files)
+
+
+def test_skipping_predicate_extraction():
+    from pos_dlt_spark.sources.delta_writer import _skipping_predicates as sp
+
+    assert sp("id = 5") == [("id", "=", 5)]
+    assert sp("id == 5") == [("id", "=", 5)]
+    assert sp("id BETWEEN 3 AND 7") == [("id", ">=", 3), ("id", "<=", 7)]
+    assert sp("a >= 1 AND b < 'x'") == [("a", ">=", 1), ("b", "<", "x")]
+    assert sp("id IN (1, 2, 3)") == [("id", "in", [1, 2, 3])]
+    assert sp("(a = 1) AND (b = 2.5)") == [("a", "=", 1), ("b", "=", 2.5)]
+    # conservative refusals: anything not provably col-op-literal
+    assert sp("id = 5 OR name = 'x'") == []
+    assert sp("NOT (id = 5)") == []
+    assert sp("id % 10 = 3") == []
+    assert sp("name = 'rock and roll'") == []  # quoted AND splits: no-op
+    assert sp("lower(name) = 'x'") == []
+    assert sp("5 < id") == []
+    assert sp("a = b") == []
+
+
+def test_dml_match_scan_is_stats_pruned(spark, tmp_path, monkeypatch):
+    """A DELETE/UPDATE whose predicate provably excludes every file (log
+    min/max stats) returns without scheduling ANY scan task."""
+    import pos_dlt_spark.sources.delta as d
+
+    table = str(tmp_path / "prune")
+    write_delta(_df(spark, 0, 100), table)
+
+    def boom(*a, **k):
+        raise AssertionError("match scan should have been stats-pruned")
+
+    monkeypatch.setattr(d, "scan_rels", boom)
+    assert delta_delete(spark, table, "id > 1000") == (0, 0)
+    assert delta_update(
+        spark, table, "id BETWEEN 5000 AND 6000", {"name": "'x'"}
+    ) == (0, 0)
+    monkeypatch.undo()
+    # and a predicate the stats cannot exclude still works end-to-end
+    v, n = delta_update(spark, table, "id IN (3, 4)", {"name": "'y'"})
+    assert n == 2
+    got = {r.id: r.name for r in read_delta(spark, table).collect()}
+    assert got[3] == "y" and got[5] == "n5"
