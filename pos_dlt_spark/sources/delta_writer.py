@@ -1969,19 +1969,28 @@ def delta_restore(spark, path: str, version: int | None = None, timestamp=None) 
 
 
 def delta_clone(
-    spark, src: str, dst: str, version: int | None = None, timestamp=None
+    spark, src: str, dst: str, version: int | None = None, timestamp=None,
+    deep: bool = False,
 ) -> int:
-    """SHALLOW CLONE: create a new Delta table at ``dst`` whose commit 0
-    REFERENCES the source snapshot's data files by absolute path — zero
-    data copied, delta's own zero-copy dev/test-table primitive. The
-    clone then evolves independently: appends/merges/deletes write new
-    files under ``dst`` and only drop REFERENCES to source files (vacuum
-    on the clone never deletes outside its own root — the referenced-set
-    walk is rooted at ``dst``). DV sidecars resolve against the SOURCE
-    root, so their descriptors convert to absolute ('p') storage.
-    ``version=``/``timestamp=`` clone a time-travel snapshot.
+    """CLONE: create a new Delta table at ``dst`` from a source snapshot.
 
-    Returns the committed version (0)."""
+    SHALLOW (default): commit 0 REFERENCES the source snapshot's data
+    files by absolute path — zero data copied, delta's own zero-copy
+    dev/test-table primitive. The clone then evolves independently:
+    appends/merges/deletes write new files under ``dst`` and only drop
+    REFERENCES to source files (vacuum on the clone never deletes
+    outside its own root — the referenced-set walk is rooted at
+    ``dst``). DV sidecars resolve against the SOURCE root, so their
+    descriptors convert to absolute ('p') storage.
+
+    DEEP (``deep=True``): data files AND DV sidecars are COPIED under
+    ``dst`` (relative references, fully self-contained — survives the
+    source being vacuumed or dropped). The copy fans out across
+    executors (one task per file batch); stats/partitionValues carry
+    over from the source log unchanged since the bytes are identical.
+
+    ``version=``/``timestamp=`` clone a time-travel snapshot. Returns
+    the committed version (0)."""
     from urllib.parse import quote
 
     from pos_dlt_spark.sources.delta import _abs_file
@@ -1992,20 +2001,63 @@ def delta_clone(
     if os.path.isdir(log_dir) and os.listdir(log_dir):
         raise ValueError(f"{dst} is already a Delta table")
     adds = []
+    copies: list[tuple[str, str]] = []  # (absolute source, relative dest)
     for rel, _pv in snap.files:
         add = dict(snap.adds[rel])
-        # absolute, percent-encoded (the protocol's path encoding — the
-        # reader unquotes before resolving)
-        add["path"] = quote(os.path.abspath(_abs_file(src, rel)), safe="/")
         dv = add.get("deletionVector")
-        if dv and dv.get("storageType") == "u":
-            dvrel = dv_relative_path(dv)
-            add["deletionVector"] = {
-                **dv,
-                "storageType": "p",
-                "pathOrInlineDv": os.path.abspath(os.path.join(src, dvrel)),
-            }
+        if deep:
+            # keep the source's relative layout (partition dirs intact)
+            add["path"] = rel
+            copies.append((os.path.abspath(_abs_file(src, rel)), rel))
+            if dv and dv.get("storageType") in ("u", "p"):
+                dvsrc = (
+                    dv["pathOrInlineDv"]
+                    if dv.get("storageType") == "p"
+                    else os.path.abspath(os.path.join(src, dv_relative_path(dv)))
+                )
+                dvrel = f"deletion_vector_{uuid.uuid4().hex}.bin"
+                copies.append((dvsrc, dvrel))
+                add["deletionVector"] = {
+                    **dv,
+                    "storageType": "p",
+                    # absolute under DST: self-contained, and the reader's
+                    # 'p' resolution needs no table-root join
+                    "pathOrInlineDv": os.path.abspath(os.path.join(dst, dvrel)),
+                }
+        else:
+            # absolute, percent-encoded (the protocol's path encoding —
+            # the reader unquotes before resolving)
+            add["path"] = quote(os.path.abspath(_abs_file(src, rel)), safe="/")
+            if dv and dv.get("storageType") == "u":
+                dvrel = dv_relative_path(dv)
+                add["deletionVector"] = {
+                    **dv,
+                    "storageType": "p",
+                    "pathOrInlineDv": os.path.abspath(os.path.join(src, dvrel)),
+                }
         adds.append({"add": add})
+    if deep and copies:
+        dst_abs = os.path.abspath(dst)
+        for _s, r in copies:
+            os.makedirs(
+                os.path.dirname(os.path.join(dst_abs, r)) or dst_abs, exist_ok=True
+            )
+
+        def _copy_batch(it):
+            import shutil as _sh
+
+            n = 0
+            for s, r in it:
+                _sh.copyfile(s, os.path.join(dst_abs, r))
+                n += 1
+            yield n
+
+        par = max(1, min(len(copies), spark.sparkContext.defaultParallelism))
+        copied = sum(
+            spark.sparkContext.parallelize(copies, par).mapPartitions(_copy_batch).collect()
+        )
+        if copied != len(copies):
+            raise RuntimeError(f"deep clone copied {copied}/{len(copies)} files")
     actions = [
         fx.commit_info_action(
             "CLONE", {"source": src, "sourceVersion": snap.version}

@@ -1402,3 +1402,38 @@ def test_merge_delete_predicate_tombstones(spark, tmp_path):
     assert read_delta(spark, table).count() == 3
     ch2 = read_change_feed(spark, table, start_version=v2, end_version=v2)
     assert ch2.count() == 0
+
+
+def test_deep_clone_self_contained(spark, tmp_path):
+    """DEEP CLONE copies data files and DV sidecars under the clone root
+    (relative refs): deleting the ENTIRE source afterwards leaves the
+    clone fully readable, DVs included."""
+    import shutil
+
+    from pos_dlt_spark.sources.delta import read_delta
+    from pos_dlt_spark.sources.delta_writer import delta_clone, delta_delete
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "dsrc")
+    df = spark.range(40).select(F.col("id"), (F.col("id") % 2).cast("int").alias("b"))
+    write_delta(df, src, partition_by=["b"])
+    delta_delete(spark, src, "id < 4", inline_threshold=8)  # sidecar DV
+    delta_delete(spark, src, "id = 10", inline_threshold=10**9)  # inline DV
+
+    dst = str(tmp_path / "ddst")
+    assert delta_clone(spark, src, dst, deep=True) == 0
+    # every data file exists under the clone root
+    local = [
+        n for root, _d, fs in os.walk(dst) for n in fs
+        if n.endswith(".parquet") and "_delta_log" not in root
+    ]
+    assert len(local) >= 2
+    want = {(i, i % 2) for i in range(4, 40) if i != 10}
+    shutil.rmtree(src)  # the source vanishes entirely
+    got = {(r.id, r.b) for r in read_delta(spark, dst).collect()}
+    assert got == want
+    # and the clone keeps evolving on its own
+    delta_delete(spark, dst, "id >= 30", mode="rewrite")
+    assert sorted(r.id for r in read_delta(spark, dst).collect()) == [
+        i for i in range(4, 30) if i != 10
+    ]
