@@ -1176,6 +1176,15 @@ def delta_vacuum(
                 rel = dv_relative_path(dv)
                 if rel:
                     referenced.add(rel.replace("/", os.sep))
+                elif dv.get("storageType") == "p":
+                    # absolute-path DVs normally live OUTSIDE the table
+                    # root (shallow clones pointing at the source), but a
+                    # DEEP clone copies sidecars INSIDE its own root with
+                    # 'p' storage — protect those from the walk below
+                    ap = os.path.abspath(dv.get("pathOrInlineDv", ""))
+                    rootp = os.path.abspath(path)
+                    if ap.startswith(rootp + os.sep):
+                        referenced.add(os.path.relpath(ap, rootp))
     # change-data (CDF) files of RETAINED commits stay readable; those of
     # vacuumed-out history are collected with their data files
     from pos_dlt_spark.sources.delta import _commit_actions, _list_log

@@ -1437,3 +1437,42 @@ def test_deep_clone_self_contained(spark, tmp_path):
     assert sorted(r.id for r in read_delta(spark, dst).collect()) == [
         i for i in range(4, 30) if i != 10
     ]
+
+
+def test_vacuum_protects_deep_clone_dv_sidecars(spark, tmp_path):
+    """A deep clone's DV sidecars are 'p'-storage INSIDE the clone root;
+    vacuum must treat them as referenced (deleting one would resurrect
+    the deleted rows) while still collecting truly orphaned bins."""
+    from pos_dlt_spark.sources.delta import read_delta
+    from pos_dlt_spark.sources.delta_writer import (
+        delta_clone,
+        delta_delete,
+        delta_vacuum,
+    )
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "vsrc")
+    write_delta(spark.range(30).select(F.col("id")), src)
+    delta_delete(spark, src, "id < 5", inline_threshold=8)  # sidecar DV
+    dst = str(tmp_path / "vdst")
+    delta_clone(spark, src, dst, deep=True)
+    # age data files (NOT the log — it sets the cutoff) so mtime-based
+    # in-flight protection doesn't mask the walk
+    for root, _d, fs in os.walk(dst):
+        if "_delta_log" in root:
+            continue
+        for n in fs:
+            p = os.path.join(root, n)
+            os.utime(p, (os.path.getmtime(p) - 3600, os.path.getmtime(p) - 3600))
+    orphan = os.path.join(dst, "deletion_vector_orphan.bin")
+    with open(orphan, "wb") as f:
+        f.write(b"junk")
+    os.utime(orphan, (os.path.getmtime(orphan) - 3600,) * 2)
+    deleted = delta_vacuum(spark, dst, retain_versions=0)
+    assert "deletion_vector_orphan.bin" in deleted
+    live_bins = [
+        n for n in os.listdir(dst)
+        if n.startswith("deletion_vector_") and n.endswith(".bin")
+    ]
+    assert live_bins  # the clone's real sidecar survived
+    assert sorted(r.id for r in read_delta(spark, dst).collect()) == list(range(5, 30))
