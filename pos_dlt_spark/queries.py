@@ -1058,6 +1058,66 @@ def supplier_delta_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
+    "supplier_delta_identity",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_distinct_ids,
+           CAST(1 AS BIGINT) AS min_id,
+           CAST(count(*) AS BIGINT) AS max_id
+    FROM supplier
+    """,
+)
+def supplier_delta_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDENTITY columns end-to-end: a data-less CREATE TABLE declares a
+    GENERATED ALWAYS identity key, two appends (the supplier names split
+    in half) let the writer assign values with the high watermark
+    advancing in the same commits. The oracle pins the semantics the
+    protocol promises: every row got a value, all values distinct, and
+    this engine's per-commit-contiguous allocation makes min=1 and
+    max=row-count exact."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from pos_dlt_spark.sources.delta import read_delta
+    from pos_dlt_spark.sources.delta_writer import (
+        delta_create_table,
+        identity_column_metadata,
+        write_delta,
+    )
+    from pos_dlt_spark.tables import scratch_dir
+
+    key = os.path.abspath(sf_dir) + "#identity"
+    if key not in _DELTA_RT_CACHE:
+        import atexit
+        import shutil
+
+        work = scratch_dir("delta_ident_")
+        atexit.register(shutil.rmtree, work, ignore_errors=True)
+        table = os.path.join(work, "supplier_ids")
+        schema = StructType(
+            [
+                StructField("sk", LongType(), True, identity_column_metadata()),
+                StructField("s_name", StringType(), True),
+            ]
+        )
+        delta_create_table(spark, table, schema)
+        supp = load_table(spark, sf_dir, "supplier")
+        write_delta(
+            supp.filter(F.col("s_suppkey") % 2 == 0).select("s_name"), table
+        )
+        write_delta(
+            supp.filter(F.col("s_suppkey") % 2 != 0).select("s_name"), table
+        )
+        _DELTA_RT_CACHE[key] = table
+    t = read_delta(spark, _DELTA_RT_CACHE[key])
+    return t.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("sk").alias("n_distinct_ids"),
+        F.min("sk").alias("min_id"),
+        F.max("sk").alias("max_id"),
+    )
+
+
+@query(
     "nation_convert_to_delta_roundtrip",
     oracle="SELECT * FROM nation",
 )

@@ -467,6 +467,44 @@ def delta_history(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def describe_detail(spark: SparkSession, path: str) -> DataFrame:
+    """DESCRIBE DETAIL: one row of table-level metadata — format, table
+    id, partition columns, live file count and total bytes, properties
+    JSON, column-mapping mode, and feature lists from the protocol.
+    Driver metadata only (one snapshot fold; sizes come from the add
+    actions, no filesystem stat)."""
+    from pos_dlt_spark.tables import local_df
+
+    snap = delta_snapshot(spark, path)
+    total = 0
+    for rel, _pv in snap.files:
+        total += int(snap.adds.get(rel, {}).get("size") or 0)
+    proto = snap.protocol or {}
+    row = (
+        "delta",
+        snap.table_id or "",
+        os.path.abspath(path),
+        json.dumps(list(snap.partition_columns)),
+        len(snap.files),
+        total,
+        json.dumps(dict(sorted(snap.configuration.items())), sort_keys=True),
+        snap.column_mapping,
+        int(proto.get("minReaderVersion") or 1),
+        int(proto.get("minWriterVersion") or 2),
+        json.dumps(sorted(proto.get("readerFeatures") or [])),
+        json.dumps(sorted(proto.get("writerFeatures") or [])),
+        snap.version,
+    )
+    return local_df(
+        spark,
+        [row],
+        "format string, id string, location string, partitionColumns string, "
+        "numFiles bigint, sizeInBytes bigint, properties string, "
+        "columnMapping string, minReaderVersion int, minWriterVersion int, "
+        "readerFeatures string, writerFeatures string, version bigint",
+    )
+
+
 def delta_snapshot(
     spark: SparkSession, path: str, version: int | None = None, timestamp=None
 ) -> DeltaSnapshot:

@@ -1476,3 +1476,25 @@ def test_vacuum_protects_deep_clone_dv_sidecars(spark, tmp_path):
     ]
     assert live_bins  # the clone's real sidecar survived
     assert sorted(r.id for r in read_delta(spark, dst).collect()) == list(range(5, 30))
+
+
+def test_describe_detail(spark, tmp_path):
+    from pos_dlt_spark.sources.delta import describe_detail
+    from pos_dlt_spark.sources.delta_writer import delta_delete
+    from pyspark.sql import functions as F
+
+    table = str(tmp_path / "dd")
+    write_delta(
+        spark.range(20).select(F.col("id"), (F.col("id") % 2).alias("b"))
+        .repartition(1),
+        table, partition_by=["b"],
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    delta_delete(spark, table, "id = 3", mode="dv")
+    r = describe_detail(spark, table).collect()[0]
+    assert r.format == "delta" and r.version == 1
+    assert r.numFiles == 2 and r.sizeInBytes > 0
+    assert '"b"' in r.partitionColumns
+    assert '"delta.enableChangeDataFeed": "true"' in r.properties
+    assert "deletionVectors" in r.readerFeatures
+    assert r.columnMapping == "none" and r.id
