@@ -359,6 +359,44 @@ class Pipeline:
         schema = spark.read.parquet(self.table_path(name)).schema
         return spark.readStream.schema(schema).parquet(self.table_path(name))
 
+    def table_changes(
+        self,
+        spark: SparkSession,
+        name: str,
+        start_version: int = 0,
+        end_version: int | None = None,
+    ) -> DataFrame:
+        """Change feed of a delta-mode pipeline table (the supported way
+        to consume a merge-rewritten CDC target downstream — the thing
+        ``read_stream`` refuses): one DataFrame of the table schema plus
+        ``_change_type`` / ``_commit_version``. Plain CDC targets are
+        created with ``delta.enableChangeDataFeed`` on, so their merges
+        carry precise change files; append-only tables derive inserts
+        from their adds."""
+        if self.storage_format != "delta":
+            raise ValueError("table_changes requires storage_format='delta'")
+        from pos_dlt_spark.sources.delta_cdf import read_change_feed
+
+        self._record_dep(name)
+        return read_change_feed(
+            spark, self.table_path(name),
+            start_version=start_version, end_version=end_version,
+        )
+
+    def replay_changes(
+        self, spark: SparkSession, name: str, start_version: int = 0
+    ) -> list:
+        """Commit-ordered CDF replay plan ``[(version, changes_df), ...]``
+        for a delta-mode pipeline table — the micro-batch shape a
+        downstream ``apply_changes`` consumes (each commit's changes are
+        one batch)."""
+        if self.storage_format != "delta":
+            raise ValueError("replay_changes requires storage_format='delta'")
+        from pos_dlt_spark.sources.delta_cdf import replay_changes
+
+        self._record_dep(name)
+        return replay_changes(spark, self.table_path(name), start_version=start_version)
+
     # -- dependency tracking ----------------------------------------------
 
     _current: str | None = None
@@ -650,7 +688,13 @@ class PipelineRunner:
                         )
                     if flow.except_column_list:
                         seed = seed.drop(*flow.except_column_list)
-                    write_delta(seed, path, txn=(app_id, int(batch_id)))
+                    # CDF on from birth: downstream flows consume the
+                    # target's precise change feed (table_changes /
+                    # replay_changes) instead of a forbidden file stream
+                    write_delta(
+                        seed, path, txn=(app_id, int(batch_id)),
+                        configuration={"delta.enableChangeDataFeed": "true"},
+                    )
                 else:
                     # whenMatchedDelete rides the protocol MERGE itself;
                     # except-listed op columns drop in the merge's cast

@@ -191,3 +191,55 @@ def test_delta_mode_cdc_flow_apply_as_deletes_e2e(spark, tmp_path):
     PipelineRunner(pipe).run_once(spark)
     got = {r.k: r.v for r in read_delta(spark, path).collect()}
     assert got == {1: "a", 3: "c", 9: "z"}  # k=2 removed, stale delete lost
+
+
+def test_delta_mode_cdc_target_change_feed_consumption(spark, tmp_path):
+    """The supported downstream path for merge-rewritten CDC targets:
+    the target is born with CDF on, table_changes serves precise change
+    rows per commit, and replay_changes yields the micro-batch plan a
+    downstream apply_changes would fold — exactly what read_stream's
+    refusal points at."""
+    import pandas as pd
+
+    from pos_dlt_spark.pipeline import Pipeline, PipelineRunner
+    from pos_dlt_spark.sources.delta import delta_snapshot
+
+    src = str(tmp_path / "src")
+    b0 = pd.DataFrame({"k": [1, 2], "seq": [1, 1], "v": ["a", "b"]})
+    spark.createDataFrame(b0).coalesce(1).write.mode("append").parquet(src)
+
+    pipe = Pipeline("t", str(tmp_path / "p"), storage_format="delta")
+
+    @pipe.table(kind="stream")
+    def feed(s):
+        schema = s.read.parquet(src).schema
+        return s.readStream.schema(schema).parquet(src)
+
+    pipe.apply_changes(target="latest", source="feed", keys=["k"],
+                       sequence_by="seq")
+    PipelineRunner(pipe).run_once(spark)
+    path = pipe.table_path("latest")
+    conf = delta_snapshot(spark, path).configuration
+    assert conf.get("delta.enableChangeDataFeed") == "true"
+
+    b1 = pd.DataFrame({"k": [2, 9], "seq": [5, 5], "v": ["b2", "z"]})
+    spark.createDataFrame(b1).coalesce(1).write.mode("append").parquet(src)
+    PipelineRunner(pipe).run_once(spark)
+
+    ch = pipe.table_changes(spark, "latest", start_version=1)
+    rows = {(r.k, r._change_type): r.v for r in ch.collect()}
+    assert rows == {
+        (2, "update_preimage"): "b",
+        (2, "update_postimage"): "b2",
+        (9, "insert"): "z",
+    }
+    plan = pipe.replay_changes(spark, "latest")
+    assert [v for v, _ in plan] == [0, 1]
+    first = {(r.k, r._change_type) for r in plan[0][1].collect()}
+    assert first == {(1, "insert"), (2, "insert")}
+    # parquet mode refuses loudly
+    import pytest as _pytest
+
+    plain = Pipeline("t2", str(tmp_path / "p2"))
+    with _pytest.raises(ValueError, match="delta"):
+        plain.table_changes(spark, "x")
