@@ -154,3 +154,47 @@ def test_add_column_on_id_mode_reads_null_not_error(spark, tmp_path):
     assert snap.field_ids["extra"] == 3
     got = read_delta(spark, table)
     assert got.count() == 20 and all(r.extra is None for r in got.collect())
+
+
+def test_add_drop_constraint_and_properties(spark, tmp_path):
+    from pos_dlt_spark.sources.delta_writer import (
+        DeltaConstraintViolation,
+        delta_add_constraint,
+        delta_drop_constraint,
+        delta_set_properties,
+        delta_unset_properties,
+    )
+
+    table = str(tmp_path / "c1")
+    write_delta(_df(spark, 0, 10), table)
+    # a constraint existing rows violate must not land
+    with pytest.raises(DeltaConstraintViolation):
+        delta_add_constraint(spark, table, "pos", "id >= 5")
+    assert "delta.constraints.pos" not in delta_snapshot(spark, table).configuration
+    # a satisfiable one lands and is ENFORCED on the next write
+    delta_add_constraint(spark, table, "pos", "id >= 0")
+    with pytest.raises(DeltaConstraintViolation):
+        write_delta(
+            spark.createDataFrame([(-1, 0, "x")], "id long, bucket long, name string"),
+            table,
+        )
+    with pytest.raises(ValueError, match="already exists"):
+        delta_add_constraint(spark, table, "pos", "id >= 0")
+    delta_drop_constraint(spark, table, "pos")
+    write_delta(
+        spark.createDataFrame([(-1, 0, "x")], "id long, bucket long, name string"),
+        table,
+    )  # now legal
+    with pytest.raises(ValueError, match="does not exist"):
+        delta_drop_constraint(spark, table, "pos")
+
+    # properties: merge / remove, structural keys refused
+    delta_set_properties(spark, table, {"delta.appendOnly": "false", "team": "x"})
+    conf = delta_snapshot(spark, table).configuration
+    assert conf["team"] == "x"
+    with pytest.raises(ValueError, match="structural"):
+        delta_set_properties(spark, table, {"delta.columnMapping.mode": "name"})
+    with pytest.raises(ValueError, match="delta_add_constraint"):
+        delta_set_properties(spark, table, {"delta.constraints.c": "id > 0"})
+    delta_unset_properties(spark, table, ["team", "ghost"])
+    assert "team" not in delta_snapshot(spark, table).configuration
