@@ -198,3 +198,23 @@ def test_add_drop_constraint_and_properties(spark, tmp_path):
         delta_set_properties(spark, table, {"delta.constraints.c": "id > 0"})
     delta_unset_properties(spark, table, ["team", "ghost"])
     assert "team" not in delta_snapshot(spark, table).configuration
+
+
+def test_restore_undoes_alters(spark, tmp_path):
+    """RESTORE re-commits the target snapshot's metadata, so the ALTER
+    family (upgrade/rename/add) rolls back cleanly."""
+    from pos_dlt_spark.sources.delta_writer import delta_restore
+
+    table = str(tmp_path / "ra")
+    write_delta(_df(spark, 0, 10), table)  # v0
+    delta_enable_column_mapping(spark, table)  # v1
+    delta_alter_rename_column(spark, table, "name", "label")  # v2
+    delta_alter_add_column(spark, table, "extra", "bigint")  # v3
+    got = read_delta(spark, table)
+    assert [f.name for f in got.schema.fields] == ["id", "bucket", "label", "extra"]
+    delta_restore(spark, table, version=0)
+    got = read_delta(spark, table)
+    assert [f.name for f in got.schema.fields] == ["id", "bucket", "name"]
+    snap = delta_snapshot(spark, table)
+    assert snap.column_mapping == "none"
+    assert {r.name for r in got.collect()} == {f"n{i}" for i in range(10)}
