@@ -156,3 +156,17 @@ def test_identity_with_partitioning_and_empty_batch(spark, tmp_path):
     write_delta(df, table, partition_by=["b"])
     ids = sorted(r.id for r in read_delta(spark, table).collect())
     assert ids == list(range(1, 31))
+
+
+def test_creation_with_data_by_default_identity(spark, tmp_path):
+    """Creating the table WITH data and a BY DEFAULT identity column:
+    provided values are accepted and the creation commit already carries
+    the advanced watermark."""
+    table = str(tmp_path / "id6")
+    df = spark.createDataFrame([(5, "x"), (2, "y")], _schema(allow_explicit=True))
+    write_delta(df, table)
+    write_delta(_names(spark, ["z"]), table)  # assigns past the watermark
+    ids = sorted(r.id for r in read_delta(spark, table).collect())
+    assert ids == [2, 5, 6]
+    snap = delta_snapshot(spark, table)
+    assert int(snap.protocol.get("minWriterVersion")) >= 6
