@@ -384,3 +384,29 @@ def test_dv_exclusion_is_hash_anti_join_not_nested_loop(q):
     df = q("supplier_delta_deletion_vectors")
     assert_in_plan(df, "BroadcastHashJoin", "LeftAnti")
     assert_not_in_plan(df, "BroadcastNestedLoopJoin")
+
+
+def test_dml_match_scan_pushes_predicate_to_parquet(spark):
+    """The DELETE/UPDATE match scan must push its data predicate into the
+    parquet scan (PushedFilters), on top of the log-stats file pruning —
+    the _metadata pseudo-columns (__fp/__ri) must not block pushdown."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pos_dlt_spark.plans import pushed_filters
+    from pos_dlt_spark.sources.delta import delta_snapshot, scan_rels
+    from pos_dlt_spark.sources.delta_writer import write_delta
+
+    t = tempfile.mkdtemp() + "/t"
+    write_delta(
+        spark.range(100).select(
+            F.col("id"), F.concat(F.lit("n"), F.col("id")).alias("name")
+        ),
+        t,
+    )
+    snap = delta_snapshot(spark, t)
+    scan = scan_rels(spark, snap, None, with_meta=True)
+    df = scan.filter(F.expr("id BETWEEN 5 AND 7")).select("__fp", "__ri")
+    pf = " ".join(pushed_filters(df))
+    assert "GreaterThanOrEqual(id,5)" in pf and "LessThanOrEqual(id,7)" in pf
