@@ -190,3 +190,71 @@ def test_dml_match_scan_is_stats_pruned(spark, tmp_path, monkeypatch):
     assert n == 2
     got = {r.id: r.name for r in read_delta(spark, table).collect()}
     assert got[3] == "y" and got[5] == "n5"
+
+
+def test_update_delete_race_serializes_or_aborts_cleanly(spark, tmp_path):
+    """UPDATE and DELETE racing on one table: O_EXCL serializes the
+    commits — the loser aborts with DeltaCommitConflict (never a silent
+    wrong commit), a re-run lands it, and the final state equals the
+    sequential application. No orphaned staged files survive."""
+    import threading
+
+    from pos_dlt_spark.sources.delta_writer import DeltaCommitConflict
+
+    table = str(tmp_path / "dmlrace")
+    write_delta(_df(spark, 0, 30).repartition(2), table)
+
+    outcomes = {}
+
+    def run(name, fn):
+        try:
+            outcomes[name] = ("ok", fn())
+        except DeltaCommitConflict as e:
+            outcomes[name] = ("conflict", e)
+
+    do_update = lambda: delta_update(
+        spark, table, "id < 10", {"name": "concat(name, '-u')"}
+    )
+    do_delete = lambda: delta_delete(
+        spark, table, "id >= 5 AND id < 15", mode="rewrite"
+    )
+    t1 = threading.Thread(target=run, args=("u", do_update))
+    t2 = threading.Thread(target=run, args=("d", do_delete))
+    t1.start(); t2.start(); t1.join(); t2.join()
+
+    assert any(kind == "ok" for kind, _ in outcomes.values())
+    # re-run any loser: the conflict is an explicit retry contract
+    if outcomes["u"][0] == "conflict":
+        do_update()
+    if outcomes["d"][0] == "conflict":
+        do_delete()
+
+    got = {r.id: r.name for r in read_delta(spark, table).collect()}
+    # both orders converge: 0-4 updated, 5-14 deleted, 15-29 untouched
+    assert sorted(got) == list(range(0, 5)) + list(range(15, 30))
+    assert all(got[i] == f"n{i}-u" for i in range(0, 5))
+    assert all(got[i] == f"n{i}" for i in range(15, 30))
+    # no orphaned staged data: every on-disk parquet is in the live set
+    # of SOME retained version (both pre-race files and rewrites remain
+    # on disk until vacuum — check the LIVE set is a subset, and vacuum
+    # collects the rest without touching live files)
+    from pos_dlt_spark.sources.delta_writer import delta_vacuum
+
+    live = {rel for rel, _ in delta_snapshot(spark, table).files}
+    on_disk = {
+        os.path.relpath(os.path.join(root, n), table)
+        for root, _d, fs in os.walk(table)
+        for n in fs
+        if n.endswith(".parquet") and "_delta_log" not in root
+    }
+    assert live <= on_disk
+    delta_vacuum(spark, table, retain_versions=0, grace_seconds=-3600)
+    still = {
+        os.path.relpath(os.path.join(root, n), table)
+        for root, _d, fs in os.walk(table)
+        for n in fs
+        if n.endswith(".parquet") and "_delta_log" not in root
+    }
+    assert still == live
+    got2 = {r.id: r.name for r in read_delta(spark, table).collect()}
+    assert got2 == got
