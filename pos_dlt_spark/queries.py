@@ -1884,5 +1884,6 @@ def prepare_bench_fixtures(spark: SparkSession, sf_dir: str) -> None:
     # interesting op; the timed region should measure the read path
     REGISTRY["supplier_delta_update_purge"].fn(spark, sf_dir)
     REGISTRY["supplier_delta_schema_evolution"].fn(spark, sf_dir)
+    REGISTRY["supplier_delta_identity"].fn(spark, sf_dir)
     # the write-roundtrip and cdc-merge tables ARE their own fixture (the
     # query measures the write+merge). Leave them in the timed region.
