@@ -571,19 +571,11 @@ class PipelineRunner:
         after a crash between sink-write and checkpoint-advance is skipped
         by the writer instead of duplicating rows — the same idempotence
         contract delta's own streaming sink implements."""
-        from pos_dlt_spark.sources.delta_writer import write_delta
+        from pos_dlt_spark.sources.delta_writer import delta_stream_sink
 
         path = self.p.table_path(t.name)
         app_id = f"pos_dlt:{self.p.name}:{t.name}"
-        partition_by = t.partition_by or None
-
-        def sink(batch_df: DataFrame, batch_id: int) -> None:
-            if not batch_df.take(1):
-                return
-            write_delta(
-                batch_df, path, mode="append", partition_by=partition_by,
-                txn=(app_id, int(batch_id)),
-            )
+        sink = delta_stream_sink(path, app_id, partition_by=t.partition_by or None)
 
         return (
             df.writeStream.foreachBatch(sink)

@@ -1498,3 +1498,33 @@ def test_describe_detail(spark, tmp_path):
     assert '"delta.enableChangeDataFeed": "true"' in r.properties
     assert "deletionVectors" in r.readerFeatures
     assert r.columnMapping == "none" and r.id
+
+
+def test_delta_stream_sink_exactly_once(spark, tmp_path):
+    """The public foreachBatch sink: batches land as SetTransaction
+    appends; replaying a batch id is a no-op (exactly-once under
+    foreachBatch replay)."""
+    from pos_dlt_spark.sources.delta import read_delta
+    from pos_dlt_spark.sources.delta_writer import delta_stream_sink
+    from pyspark.sql import functions as F
+
+    land = str(tmp_path / "land")
+    spark.range(20).select(F.col("id")).repartition(2).write.parquet(land)
+    table = str(tmp_path / "sink")
+    sink = delta_stream_sink(table, "app1")
+    q = (
+        spark.readStream.schema("id bigint").option("maxFilesPerTrigger", "1")
+        .parquet(land)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert sorted(r.id for r in read_delta(spark, table).collect()) == list(range(20))
+    # manual replay of batch 0: skipped by the SetTransaction watermark
+    batch0 = spark.read.parquet(land).limit(5)
+    v_before = delta_snapshot(spark, table).version
+    sink(batch0, 0)
+    assert delta_snapshot(spark, table).version == v_before
+    assert read_delta(spark, table).count() == 20
