@@ -236,6 +236,39 @@ def global_cumsum(
     )
 
 
+def budget_select(
+    df: DataFrame,
+    value_col: str,
+    tokens_col: str,
+    budget: int,
+    id_col: str = "doc_id",
+    n_parts: int = 64,
+) -> DataFrame:
+    """Token-budgeted corpus selection — the greedy knapsack relaxation
+    behind "best N tokens" training-set curation: rank documents by value
+    DENSITY (``value_col / tokens_col``, higher first; ties break on
+    ``id_col``) and keep the maximal prefix whose running token total
+    stays within ``budget``. Both the density ordering and the running
+    total ride :func:`global_cumsum`'s two-phase distributed prefix-sum —
+    a range repartition on the order key plus per-partition windows, no
+    single-partition global window at any corpus size. Rows with
+    non-positive token counts are excluded (density undefined).
+
+    Returns the input columns plus ``cum_tokens`` (running total
+    INCLUDING the row), filtered to ``cum_tokens <= budget``."""
+    d = df.filter(F.col(tokens_col) > 0).withColumn(
+        "__negdens",
+        -(F.col(value_col).cast("double") / F.col(tokens_col).cast("double")),
+    )
+    # ascending (-density, id) == density DESC, id ASC: one ascending
+    # order shared by the range partitioner and the per-part window
+    out = global_cumsum(
+        d, ["__negdens", id_col], tokens_col, cum_col="cum_tokens",
+        n_parts=n_parts,
+    )
+    return out.filter(F.col("cum_tokens") <= budget).drop("__negdens")
+
+
 def build_vocab(
     df: DataFrame,
     text_col: str = "text",

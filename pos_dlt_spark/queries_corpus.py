@@ -25,6 +25,7 @@ from pos_dlt_spark.tables import load_table
 _BUCKET_SQL = phash_sql("CAST(doc_id AS VARCHAR)", C.SPLIT_SALT) + " % 100"
 _NTOK_SQL = r"CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT)"
 PACK_BUDGET = 512
+SELECT_BUDGET = 20_000  # token budget for the greedy selection gate
 BENCH_MAX_ID = 25  # docs 0..24 stand in for the benchmark/eval set
 MIN_SHARED = 5
 
@@ -69,6 +70,42 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumsum — their equality is exactly the operator's correctness claim."""
     docs = load_table(spark, sf_dir, "documents", spread=True)
     return C.pack_sequences(docs, budget=PACK_BUDGET, n_parts=16)
+
+
+@query(
+    "corpus_token_budget_select",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, n_chars, {_NTOK_SQL} AS n_tokens FROM documents),
+    d AS (SELECT doc_id, n_tokens,
+                 CAST(n_chars AS DOUBLE) / n_tokens AS dens
+          FROM toks WHERE n_tokens > 0),
+    c AS (SELECT doc_id, n_tokens,
+                 SUM(n_tokens) OVER (ORDER BY dens DESC, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+          FROM d)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM c WHERE cum_tokens <= {SELECT_BUDGET}
+    """,
+)
+def corpus_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted greedy selection ("best N tokens"): keep the
+    highest-density documents (value per token — n_chars stands in as
+    the value score) whose running token total fits the budget. The
+    Spark side computes density order + running sum with the DISTRIBUTED
+    two-phase prefix sum (no single-partition window — the same shape as
+    pack_sequences); the oracle is the naive global window. Equality of
+    the two IS the operator's correctness claim."""
+    from pos_dlt_spark.operators.text import n_tokens as ntok
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    d = docs.select(
+        "doc_id", "n_chars", ntok(F.col("text")).cast("bigint").alias("n_tokens")
+    )
+    out = C.budget_select(
+        d, "n_chars", "n_tokens", budget=SELECT_BUDGET, n_parts=16
+    )
+    return out.select("doc_id", "n_tokens", "cum_tokens")
 
 
 @query(

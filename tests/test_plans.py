@@ -410,3 +410,13 @@ def test_dml_match_scan_pushes_predicate_to_parquet(spark):
     df = scan.filter(F.expr("id BETWEEN 5 AND 7")).select("__fp", "__ri")
     pf = " ".join(pushed_filters(df))
     assert "GreaterThanOrEqual(id,5)" in pf and "LessThanOrEqual(id,7)" in pf
+
+
+def test_budget_select_no_single_partition_window(q):
+    """Token-budgeted selection's density order + running sum ride the
+    two-phase distributed prefix sum — never an Exchange SinglePartition
+    global window."""
+    from pos_dlt_spark.plans import count_op
+
+    df = q("corpus_token_budget_select")
+    assert count_op(df, "Exchange SinglePartition") == 0
