@@ -1528,3 +1528,57 @@ def test_delta_stream_sink_exactly_once(spark, tmp_path):
     sink(batch0, 0)
     assert delta_snapshot(spark, table).version == v_before
     assert read_delta(spark, table).count() == 20
+
+
+def test_optimize_where_compacts_only_matching_partitions(spark, tmp_path):
+    from pos_dlt_spark.sources.delta_writer import delta_optimize
+    from pyspark.sql import functions as F
+
+    table = str(tmp_path / "optw")
+    df = spark.range(40).select(
+        F.col("id"), (F.col("id") % 4).cast("int").alias("b")
+    ).repartition(4)
+    write_delta(df, table, partition_by=["b"])
+    write_delta(df, table, partition_by=["b"])  # second files per partition
+    before = {rel for rel, _ in delta_snapshot(spark, table).files}
+    v = delta_optimize(spark, table, target_files=1, where="b >= 2")
+    snap = delta_snapshot(spark, table)
+    after = {rel for rel, _ in snap.files}
+    # partitions b=0,1 untouched; b=2,3 compacted to one file each
+    untouched = {r for r in before if r.startswith(("b=0/", "b=1/"))}
+    assert untouched <= after
+    for b in (2, 3):
+        assert len([r for r in after if r.startswith(f"b={b}/")]) == 1
+    got = sorted((r.id, r.b) for r in read_delta(spark, table).collect())
+    assert len(got) == 80  # two appends, rows unchanged
+    # refusal matrix
+    with pytest.raises(ValueError, match="partition columns"):
+        delta_optimize(spark, table, where="id > 3")
+    t2 = str(tmp_path / "optw2")
+    write_delta(spark.range(5).select("id"), t2)
+    with pytest.raises(ValueError, match="partitioned"):
+        delta_optimize(spark, t2, where="b = 1")
+
+
+def test_vacuum_dry_run_deletes_nothing(spark, tmp_path):
+    from pos_dlt_spark.sources.delta_writer import delta_vacuum
+    from pyspark.sql import functions as F
+
+    table = str(tmp_path / "vdr")
+    write_delta(spark.range(10).select("id"), table)
+    write_delta(spark.range(10, 20).select("id"), table, mode="overwrite")
+    # age the overwritten files past the cutoff
+    for root, _d, fs in os.walk(table):
+        if "_delta_log" in root:
+            continue
+        for n in fs:
+            p = os.path.join(root, n)
+            os.utime(p, (os.path.getmtime(p) - 3600,) * 2)
+    would = delta_vacuum(spark, table, retain_versions=0, dry_run=True)
+    assert would  # the v0 files are deletable
+    # nothing actually deleted: time travel to v0 still reads
+    from pos_dlt_spark.sources.delta import read_delta as rd
+
+    assert sorted(r.id for r in rd(spark, table, version=0).collect()) == list(range(10))
+    done = delta_vacuum(spark, table, retain_versions=0)
+    assert sorted(done) == sorted(would)
