@@ -1,0 +1,175 @@
+"""Table invariant checker (an ``fsck`` for the protocol Delta suite) —
+the diagnostic a data platform runs before trusting a table it did not
+write. Pure driver-side metadata plus per-file existence/footer probes:
+no data scan, cost rides FILE COUNT, not row count.
+
+Checks (each finding is (severity, code, message)):
+
+- ``log``: version chain is gap-free from the fold's base.
+- ``files``: every live file exists with the add action's exact size.
+- ``dv``: every deletion vector resolves, decodes, and its decoded
+  cardinality equals the descriptor's declared cardinality.
+- ``protocol``: features actually IN USE (deletion vectors, column
+  mapping, generated columns, identity columns, v2 checkpoints) are
+  covered by the declared protocol — a table whose files carry DVs
+  under minReaderVersion 1 will silently resurrect deleted rows in
+  spec-compliant readers that honor the declaration.
+- ``mapping``: column-mapping metadata is complete (physical names;
+  field ids in id mode) and physical names are unique.
+- ``stats``: per-file stats JSON parses (unparseable stats silently
+  disable skipping — worth surfacing, not an error).
+- ``partition``: add.partitionValues keys match the table's partition
+  columns under their PHYSICAL names.
+
+Severities: ``error`` = readers may return wrong data; ``warn`` =
+degraded (skipping disabled, metadata oddity) but reads stay correct.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pos_dlt_spark.sources.delta import _abs_file, _list_log, delta_snapshot
+
+
+def delta_fsck(spark, path: str) -> list[tuple[str, str, str]]:
+    """Run every invariant check against the CURRENT snapshot; returns
+    the findings list — empty means healthy. Never raises on a finding
+    (the point is the report); raises only if the table cannot fold at
+    all."""
+    from pos_dlt_spark.sources.dv import bitmap_cardinality, read_dv_bytes
+
+    snap = delta_snapshot(spark, path)
+    findings: list[tuple[str, str, str]] = []
+
+    def add(sev: str, code: str, msg: str) -> None:
+        findings.append((sev, code, msg))
+
+    # -- log chain ---------------------------------------------------------
+    commits, _ = _list_log(os.path.join(path, "_delta_log"))
+    versions = sorted(v for v, _ in commits)
+    if versions:
+        base = versions[0]
+        want = list(range(base, base + len(versions)))
+        if versions != want:
+            missing = sorted(set(want) - set(versions))
+            add("error", "log", f"version chain has gaps: missing {missing[:5]}")
+
+    # -- live files + stats + partition keys ------------------------------
+    phys_parts = [
+        snap.physical_names.get(c, c) for c in snap.partition_columns
+    ]
+    uses_dv = False
+    for rel, _pv in snap.files:
+        a = snap.adds.get(rel, {})
+        full = _abs_file(path, rel)
+        if not os.path.exists(full):
+            add("error", "files", f"live file missing on disk: {rel}")
+        else:
+            declared = int(a.get("size") or 0)
+            actual = os.path.getsize(full)
+            if declared and declared != actual:
+                add(
+                    "error", "files",
+                    f"size mismatch for {rel}: add says {declared}, disk {actual}",
+                )
+        raw = a.get("stats")
+        if raw:
+            try:
+                json.loads(raw) if isinstance(raw, str) else dict(raw)
+            except (TypeError, ValueError):
+                add("warn", "stats", f"unparseable stats on {rel} (skipping disabled)")
+        pv = a.get("partitionValues") or {}
+        if sorted(pv.keys()) != sorted(phys_parts):
+            add(
+                "error", "partition",
+                f"partitionValues keys {sorted(pv)} != physical partition "
+                f"columns {sorted(phys_parts)} on {rel}",
+            )
+        dv = a.get("deletionVector")
+        if dv:
+            uses_dv = True
+            try:
+                blob = read_dv_bytes(path, dv)
+                card = bitmap_cardinality(blob)
+                declared_card = int(dv.get("cardinality") or 0)
+                if card != declared_card:
+                    add(
+                        "error", "dv",
+                        f"DV cardinality mismatch on {rel}: descriptor says "
+                        f"{declared_card}, bitmap decodes {card}",
+                    )
+            except Exception as e:
+                add("error", "dv", f"DV on {rel} does not resolve/decode: {e}")
+
+    # -- protocol coverage -------------------------------------------------
+    proto = snap.protocol or {}
+    min_r = int(proto.get("minReaderVersion") or 1)
+    min_w = int(proto.get("minWriterVersion") or 2)
+    rf = set(proto.get("readerFeatures") or ())
+    wf = set(proto.get("writerFeatures") or ())
+
+    def reader_covers(feature: str, legacy_reader: int) -> bool:
+        return feature in rf or (not rf and min_r >= legacy_reader)
+
+    def writer_covers(feature: str, legacy_writer: int) -> bool:
+        return feature in wf or (not wf and min_w >= legacy_writer)
+
+    if uses_dv and not reader_covers("deletionVectors", 3):
+        add(
+            "error", "protocol",
+            "table has live deletion vectors but the protocol declares "
+            f"neither the deletionVectors reader feature nor reader>=3 "
+            f"(minReaderVersion={min_r}, readerFeatures={sorted(rf)})",
+        )
+    if snap.column_mapping != "none" and not reader_covers("columnMapping", 2):
+        add(
+            "error", "protocol",
+            f"column mapping '{snap.column_mapping}' in use but protocol "
+            f"declares neither the columnMapping feature nor reader>=2",
+        )
+    gens = any(
+        "delta.generationExpression" in (f.metadata or {}) for f in snap.schema.fields
+    )
+    if gens and not writer_covers("generatedColumns", 4):
+        add(
+            "warn", "protocol",
+            "generated columns declared but protocol does not oblige "
+            "writers (writer<4, no generatedColumns feature) — foreign "
+            "writers may break the generation invariant",
+        )
+    idents = any(
+        "delta.identity.start" in (f.metadata or {})
+        or "delta.identity.step" in (f.metadata or {})
+        for f in snap.schema.fields
+    )
+    if idents and not writer_covers("identityColumns", 6):
+        add(
+            "warn", "protocol",
+            "identity columns declared but protocol does not oblige "
+            "writers (writer<6, no identityColumns feature)",
+        )
+
+    # -- column-mapping completeness --------------------------------------
+    if snap.column_mapping != "none":
+        missing_pn = [
+            f.name for f in snap.schema.fields
+            if f.name not in snap.physical_names
+        ]
+        if missing_pn:
+            add("error", "mapping", f"columns without physicalName: {missing_pn}")
+        if snap.column_mapping == "id":
+            missing_id = [
+                f.name for f in snap.schema.fields if f.name not in snap.field_ids
+            ]
+            if missing_id:
+                add("error", "mapping", f"columns without field id: {missing_id}")
+        pns = list(snap.physical_names.values())
+        if len(set(pns)) != len(pns):
+            add("error", "mapping", "duplicate physical names in the mapping")
+
+    return findings
+
+
+__all__ = ["delta_fsck"]
