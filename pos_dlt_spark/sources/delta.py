@@ -124,6 +124,10 @@ class DeltaSnapshot:
     # protocol's idempotent-streaming-write primitive (a writer skips a
     # batch whose (appId, version) it has already committed)
     txns: dict[str, int] = field(default_factory=dict)
+    # domainMetadata (protocol "Domain Metadata"): domain -> configuration
+    # string, folded newest-wins (removed=True drops the domain). Row
+    # tracking's rowIdHighWaterMark lives in domain 'delta.rowTracking'.
+    domain_metadata: dict[str, str] = field(default_factory=dict)
 
     @property
     def data_schema(self) -> StructType:
@@ -307,7 +311,10 @@ def _parquet_checkpoint_actions(path: str, columnar_adds: bool = False):
 
     tbl = pq.read_table(path)
     names = set(tbl.column_names)
-    for key in ("metaData", "protocol", "txn", "remove", "sidecar", "checkpointMetadata"):
+    for key in (
+        "metaData", "protocol", "txn", "remove", "sidecar",
+        "checkpointMetadata", "domainMetadata",
+    ):
         if key not in names:
             continue
         col = tbl.column(key)
@@ -549,6 +556,7 @@ def delta_snapshot(
     meta: dict | None = None
     proto: dict | None = None
     txns: dict[str, int] = {}
+    domains: dict[str, str] = {}
 
     def apply(action: dict) -> None:
         nonlocal meta, proto
@@ -569,6 +577,13 @@ def delta_snapshot(
             t = action["txn"]
             if t.get("appId") is not None and t.get("version") is not None:
                 txns[t["appId"]] = max(txns.get(t["appId"], -1), int(t["version"]))
+        elif "domainMetadata" in action:
+            dm = action["domainMetadata"]
+            if dm.get("domain") is not None:
+                if dm.get("removed"):
+                    domains.pop(dm["domain"], None)
+                else:
+                    domains[dm["domain"]] = dm.get("configuration") or ""
         elif "__adds_block__" in action:
             blocks.append(action["__adds_block__"])
 
@@ -671,6 +686,7 @@ def delta_snapshot(
         ],
         adds=adds_map,
         txns=txns,
+        domain_metadata=domains,
     )
 
 

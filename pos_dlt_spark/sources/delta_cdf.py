@@ -149,19 +149,20 @@ def merge_change_rows(old: DataFrame, merged_tagged: DataFrame, keys: list[str])
     return out
 
 
-def read_change_feed(
+def _changes_by_commit(
     spark: SparkSession,
     path: str,
     start_version: int = 0,
     end_version: int | None = None,
-) -> DataFrame:
-    """``table_changes(start, end)``: one DataFrame of the table schema
-    plus ``_change_type`` and ``_commit_version``, covering every commit
-    in the (inclusive) version range. Commits with cdc actions contribute
-    their change files verbatim; commits without derive inserts from
-    dataChange adds and deletes from dataChange removes (the removed
-    file's content — VACUUMed history raises FileNotFoundError, the same
-    retention bound real CDF reads have)."""
+):
+    """Yield ``(version, changes_df)`` per in-range commit — the shared
+    engine behind :func:`read_change_feed` (which unions the frames) and
+    :func:`replay_changes` (which keeps them per-commit). DV-delta
+    derivation needs each DV commit's PRIOR live file set; rather than
+    re-folding the whole log per DV commit (quadratic over DV-heavy
+    histories), the live ``{rel: add}`` map is seeded ONCE — at the
+    first DV commit, from one snapshot fold — then maintained
+    incrementally while iterating commits (driver dict ops, O(actions))."""
     snap = delta_snapshot(spark, path)
     out_cols = [f.name for f in snap.schema.fields]
     types = {f.name: f.dataType for f in snap.schema.fields}
@@ -287,7 +288,11 @@ def read_change_feed(
             CHANGE_TYPE, F.lit(tag)
         )
 
-    parts: list[DataFrame] = []
+    # incremental prior-live-set state for DV-delta derivation: None
+    # until the first DV commit needs it (seeded from ONE snapshot fold
+    # of everything before that commit — checkpoints included), then
+    # folded forward per commit
+    dv_state: dict[str, dict] | None = None
     for v, p in commits:
         if v < start_version or (end_version is not None and v > end_version):
             continue
@@ -333,12 +338,17 @@ def read_change_feed(
             if dv_add_actions:
                 from pos_dlt_spark.sources.dv import read_dv_descriptor
 
-                prior = delta_snapshot(spark, path, v - 1) if v > 0 else None
+                if dv_state is None:
+                    dv_state = (
+                        dict(delta_snapshot(spark, path, v - 1).adds)
+                        if v > 0
+                        else {}
+                    )
                 for add in dv_add_actions:
                     rel = add["path"]
                     pvals = dict(add.get("partitionValues") or {})
                     new_idx = set(read_dv_descriptor(path, add["deletionVector"]))
-                    old = prior.adds.get(rel) if prior is not None else None
+                    old = dv_state.get(rel)
                     if old is None:
                         # file is NEW in this commit and arrives with a DV:
                         # its change set is the inserts of its LIVE rows
@@ -357,20 +367,58 @@ def read_change_feed(
                         frames.append(
                             file_rows_by_index(rel, pvals, newly, True, "delete")
                         )
-        for d in frames:
-            parts.append(
+        if dv_state is not None:
+            # fold THIS commit into the live set (removes first: a DV
+            # update is remove+re-add of one path in one commit). All
+            # adds/removes fold regardless of dataChange — OPTIMIZE's
+            # dataChange=false actions still move files between commits.
+            for a in actions:
+                if "remove" in a:
+                    dv_state.pop(a["remove"]["path"], None)
+            for a in actions:
+                if "add" in a:
+                    dv_state[a["add"]["path"]] = a["add"]
+        if frames:
+            sel = [
                 d.select(*out_cols, CHANGE_TYPE).withColumn(
                     COMMIT_VERSION, F.lit(v).cast("bigint")
                 )
-            )
-    if not parts:
-        from pyspark.sql.types import LongType, StringType, StructField, StructType
+                for d in frames
+            ]
+            commit_df = sel[0]
+            for d in sel[1:]:
+                commit_df = commit_df.unionByName(d)
+            yield v, commit_df
 
-        empty = StructType(
-            snap.schema.fields
-            + [StructField(CHANGE_TYPE, StringType()), StructField(COMMIT_VERSION, LongType())]
-        )
-        return spark.createDataFrame([], empty)
+
+def _empty_changes(spark: SparkSession, snap: DeltaSnapshot) -> DataFrame:
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    empty = StructType(
+        snap.schema.fields
+        + [StructField(CHANGE_TYPE, StringType()), StructField(COMMIT_VERSION, LongType())]
+    )
+    return spark.createDataFrame([], empty)
+
+
+def read_change_feed(
+    spark: SparkSession,
+    path: str,
+    start_version: int = 0,
+    end_version: int | None = None,
+) -> DataFrame:
+    """``table_changes(start, end)``: one DataFrame of the table schema
+    plus ``_change_type`` and ``_commit_version``, covering every commit
+    in the (inclusive) version range. Commits with cdc actions contribute
+    their change files verbatim; commits without derive inserts from
+    dataChange adds and deletes from dataChange removes (the removed
+    file's content — VACUUMed history raises FileNotFoundError, the same
+    retention bound real CDF reads have)."""
+    parts = [
+        df for _v, df in _changes_by_commit(spark, path, start_version, end_version)
+    ]
+    if not parts:
+        return _empty_changes(spark, delta_snapshot(spark, path))
     out = parts[0]
     for d in parts[1:]:
         out = out.unionByName(d)
@@ -389,16 +437,14 @@ def replay_changes(
     when fed from a Delta table's change feed (each commit's changes are
     one micro-batch; a CDC target folds inserts/postimages via
     latest-per-key, deletes via its delete path). Versions contributing
-    no changes are omitted."""
-    commits, _ = _list_log(os.path.join(path, "_delta_log"))
-    out: list[tuple[int, DataFrame]] = []
-    for v, _p in commits:
-        if v < start_version or (end_version is not None and v > end_version):
-            continue
-        df = read_change_feed(spark, path, start_version=v, end_version=v)
-        if df.take(1):
-            out.append((v, df))
-    return out
+    no changes are omitted. One pass over the log — prior-snapshot state
+    for DV-delta commits is maintained incrementally, not re-folded per
+    version."""
+    return [
+        (v, df)
+        for v, df in _changes_by_commit(spark, path, start_version, end_version)
+        if df.take(1)
+    ]
 
 
 __all__ = [

@@ -84,6 +84,22 @@ def commit_info_action(operation: str, parameters: dict | None = None) -> dict:
     }
 
 
+def domain_metadata_action(
+    domain: str, configuration: str, removed: bool = False
+) -> dict:
+    """domainMetadata (protocol "Domain Metadata", writer feature):
+    per-domain configuration string folded newest-wins; ``removed=True``
+    tombstones the domain. Row tracking keeps its
+    ``rowIdHighWaterMark`` in domain ``delta.rowTracking``."""
+    return {
+        "domainMetadata": {
+            "domain": domain,
+            "configuration": configuration,
+            "removed": bool(removed),
+        }
+    }
+
+
 def txn_action(app_id: str, version: int) -> dict:
     """SetTransaction: the protocol's idempotent-streaming-write marker —
     readers fold the highest version per appId; a writer skips re-committing
@@ -211,6 +227,12 @@ def _action_arrow_schema():
                                 ]
                             ),
                         ),
+                        # row tracking: each file's fresh-row-id base and
+                        # default commit version must survive the
+                        # checkpoint or every post-checkpoint read would
+                        # re-derive DIFFERENT row ids
+                        ("baseRowId", pa.int64()),
+                        ("defaultRowCommitVersion", pa.int64()),
                     ]
                 ),
             ),
@@ -231,6 +253,16 @@ def _action_arrow_schema():
                         ("appId", pa.string()),
                         ("version", pa.int64()),
                         ("lastUpdated", pa.int64()),
+                    ]
+                ),
+            ),
+            pa.field(
+                "domainMetadata",
+                pa.struct(
+                    [
+                        ("domain", pa.string()),
+                        ("configuration", pa.string()),
+                        ("removed", pa.bool_()),
                     ]
                 ),
             ),

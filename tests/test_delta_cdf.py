@@ -195,3 +195,37 @@ def test_vacuum_keeps_retained_change_files(spark, tmp_path):
         assert {(r.k, r._change_type) for r in ch1.collect()} == {
             (1, "update_preimage"), (1, "update_postimage")
         }
+
+
+def test_dv_replay_folds_prior_snapshot_once(spark, tmp_path, monkeypatch):
+    """Regression: DV-delta CDF derivation over many DV commits must
+    maintain the prior live-set incrementally — ONE historical snapshot
+    fold total, not one per DV commit (quadratic over the log)."""
+    import pos_dlt_spark.sources.delta_cdf as cdfmod
+    from pos_dlt_spark.sources.delta_cdf import replay_changes
+
+    table = str(tmp_path / "dvreplay")
+    write_delta(_kv(spark, [(k, 1, f"v{k}") for k in range(12)]).repartition(1), table)
+    expected = []
+    for mod, tag in ((5, "m5"), (3, "m3"), (2, "m2")):
+        v, _ = delta_delete(spark, table, f"k % {mod} = 0", mode="dv")
+        expected.append(v)
+    real = cdfmod.delta_snapshot
+    versioned_calls: list[int] = []
+
+    def counting(spark_, path_, version=None, *a, **k):
+        if version is not None:
+            versioned_calls.append(version)
+        return real(spark_, path_, version, *a, **k)
+
+    monkeypatch.setattr(cdfmod, "delta_snapshot", counting)
+    plan = replay_changes(spark, table, start_version=expected[0])
+    assert len(versioned_calls) <= 1  # seeded once, folded forward
+    got = {}
+    for v, df in plan:
+        got[v] = sorted(
+            r.k for r in df.collect() if r._change_type == "delete"
+        )
+    assert got[expected[0]] == [0, 5, 10]
+    assert got[expected[1]] == [3, 6, 9]        # 0 already deleted
+    assert got[expected[2]] == [2, 4, 8]        # 0,6,10 already deleted

@@ -170,3 +170,60 @@ def test_creation_with_data_by_default_identity(spark, tmp_path):
     assert ids == [2, 5, 6]
     snap = delta_snapshot(spark, table)
     assert int(snap.protocol.get("minWriterVersion")) >= 6
+
+
+def test_descending_identity_assignment_and_watermark(spark, tmp_path):
+    """Negative-step identity: assignment descends; a merge rewriting
+    the HIGHEST existing id must not drag the watermark back up (it
+    advances on staged MIN moving downward), so later appends never
+    collide with live ids."""
+    table = str(tmp_path / "idneg")
+    schema = StructType(
+        [
+            StructField(
+                "id", LongType(), True, identity_column_metadata(0, -1, True)
+            ),
+            StructField("name", StringType(), True),
+            StructField("seq", LongType(), True),
+        ]
+    )
+    delta_create_table(spark, table, schema)
+    write_delta(
+        spark.createDataFrame(
+            [("a", 1), ("b", 1), ("c", 1)], "name string, seq long"
+        ),
+        table,
+    )
+    assert sorted(r.id for r in read_delta(spark, table).collect()) == [-2, -1, 0]
+    # merge rewrites the id=0 row with an explicit id — watermark stays -2
+    delta_merge(
+        spark, table,
+        spark.createDataFrame([(0, "a2", 2)], "id long, name string, seq long"),
+        keys=["id"], sequence_by="seq",
+    )
+    from pos_dlt_spark.sources.delta_writer import _identity_spec
+
+    assert _identity_spec(delta_snapshot(spark, table).schema)["id"][
+        "highWaterMark"
+    ] == -2
+    write_delta(
+        spark.createDataFrame([("d", 1)], "name string, seq long"), table
+    )
+    ids = sorted(r.id for r in read_delta(spark, table).collect())
+    assert ids == [-3, -2, -1, 0]  # fresh id is -3: no collision
+    got = {r.id: r.name for r in read_delta(spark, table).collect()}
+    assert got[0] == "a2"
+
+
+def test_hwm_merge_zero_and_direction():
+    """Watermark merge with a concurrent writer: 0 is a PRESENT
+    watermark (not falsy-absent), and descending columns merge toward
+    the MINIMUM."""
+    from pos_dlt_spark.sources.delta_writer import _merge_hwms
+
+    assert _merge_hwms({"id": -1}, {"id": {"highWaterMark": 0, "step": -1}}) == {"id": -1}
+    assert _merge_hwms({"id": -1}, {"id": {"highWaterMark": -4, "step": -1}}) == {"id": -4}
+    assert _merge_hwms({"id": 5}, {"id": {"highWaterMark": 0, "step": 1}}) == {"id": 5}
+    assert _merge_hwms({"id": 2}, {"id": {"highWaterMark": 7, "step": 1}}) == {"id": 7}
+    assert _merge_hwms({"id": 3}, {"id": {"highWaterMark": None, "step": 1}}) == {"id": 3}
+    assert _merge_hwms({"id": 3}, {}) == {"id": 3}

@@ -258,3 +258,186 @@ def test_update_delete_race_serializes_or_aborts_cleanly(spark, tmp_path):
     assert still == live
     got2 = {r.id: r.name for r in read_delta(spark, table).collect()}
     assert got2 == got
+
+
+def test_skipping_predicate_between_is_anchored():
+    """Regression: BETWEEN bounds must only be extracted when the WHOLE
+    conjunct is `col BETWEEN lit AND lit` — an unanchored rewrite
+    attributed `a + b BETWEEN 1 AND 2`'s bounds to the trailing bare
+    identifier and pruned files holding real matches."""
+    from pos_dlt_spark.sources.delta_writer import _skipping_predicates as sp
+
+    assert sp("a + b BETWEEN 1 AND 2") == []
+    assert sp("-x BETWEEN 1 AND 2") == []
+    assert sp("f(x) BETWEEN 1 AND 2") == []
+    assert sp("a BETWEEN 1 AND b") == []        # non-literal bound
+    assert sp("id BETWEEN 3 AND 7 AND x = 1") == [
+        ("id", ">=", 3), ("id", "<=", 7), ("x", "=", 1),
+    ]
+    assert sp("x = 1 AND id BETWEEN 3 AND 7") == [
+        ("x", "=", 1), ("id", ">=", 3), ("id", "<=", 7),
+    ]
+    assert sp("a BETWEEN 1 AND 2 AND b BETWEEN 3 AND 4") == [
+        ("a", ">=", 1), ("a", "<=", 2), ("b", ">=", 3), ("b", "<=", 4),
+    ]
+    assert sp("s BETWEEN 'aa' AND 'b c'") == [("s", ">=", "aa"), ("s", "<=", "b c")]
+    assert sp("(id BETWEEN 3 AND 7)") == [("id", ">=", 3), ("id", "<=", 7)]
+
+
+def test_delete_compound_between_not_wrongly_pruned(spark, tmp_path):
+    """End-to-end regression for the unanchored BETWEEN: a DELETE whose
+    predicate is `k + id BETWEEN lo AND hi` must scan (no provable
+    skipping) and actually delete the matching rows — the old rewrite
+    pruned every file via bounds on `id` alone and deleted nothing."""
+    table = str(tmp_path / "btw")
+    # two files: ids 0-9 and 10-19; k is a constant 100
+    base = _df(spark, 0, 10).withColumn("k", F.lit(100))
+    write_delta(base.repartition(1), table)
+    write_delta(
+        _df(spark, 10, 20).withColumn("k", F.lit(100)).repartition(1), table
+    )
+    v, n = delta_delete(spark, table, "k + id BETWEEN 110 AND 112")
+    assert n == 3  # ids 10, 11, 12
+    ids = sorted(r.id for r in read_delta(spark, table).collect())
+    assert ids == list(range(0, 10)) + list(range(13, 20))
+
+
+def test_update_retry_absorbs_lost_race(spark, tmp_path, monkeypatch):
+    """A lost commit race must be ABSORBED by UPDATE (same discipline as
+    MERGE): staged rewrite + cdc files from the aborted attempt are
+    removed and the re-run lands on the fresh snapshot."""
+    import pos_dlt_spark.sources.delta_writer as dw
+
+    table = str(tmp_path / "uretry")
+    write_delta(
+        _df(spark, 0, 20).repartition(1), table,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    real = dw._try_commit
+    fails = {"n": 1}
+
+    def flaky(log_dir, version, actions):
+        if fails["n"]:
+            fails["n"] -= 1
+            return False
+        return real(log_dir, version, actions)
+
+    monkeypatch.setattr(dw, "_try_commit", flaky)
+    v, n = delta_update(spark, table, "id < 5", {"name": "concat(name, '-u')"})
+    assert (v, n) == (1, 5)
+    got = {r.id: r.name for r in read_delta(spark, table).collect()}
+    assert all(got[i] == f"n{i}-u" for i in range(5))
+    assert all(got[i] == f"n{i}" for i in range(5, 20))
+    ch = read_change_feed(spark, table, start_version=v, end_version=v)
+    assert sum(r._change_type == "update_postimage" for r in ch.collect()) == 5
+    # nothing the aborted attempt staged survives: every on-disk file is
+    # referenced by the log
+    import json as _json
+
+    refs: set[str] = set()
+    log_dir = os.path.join(table, "_delta_log")
+    for f in os.listdir(log_dir):
+        if f.endswith(".json"):
+            for line in open(os.path.join(log_dir, f)):
+                a = _json.loads(line)
+                for k in ("add", "remove", "cdc"):
+                    if k in a:
+                        refs.add(a[k]["path"])
+    on_disk = {
+        os.path.relpath(os.path.join(r, f), table).replace(os.sep, "/")
+        for r, _d, fs in os.walk(table)
+        for f in fs
+        if f.endswith(".parquet") and "_delta_log" not in r
+    }
+    assert on_disk <= refs
+
+
+def test_delete_dv_retry_absorbs_lost_race_and_cleans_sidecars(
+    spark, tmp_path, monkeypatch
+):
+    """dv-mode DELETE losing the race must remove the DV sidecars the
+    aborted attempt wrote (NOT the pre-existing data files it re-adds)
+    and land on retry."""
+    import pos_dlt_spark.sources.delta_writer as dw
+
+    table = str(tmp_path / "dretry")
+    write_delta(_df(spark, 0, 200).repartition(1), table)
+    data_files = {rel for rel, _ in delta_snapshot(spark, table).files}
+    real = dw._try_commit
+    fails = {"n": 1}
+
+    def flaky(log_dir, version, actions):
+        if fails["n"]:
+            fails["n"] -= 1
+            return False
+        return real(log_dir, version, actions)
+
+    monkeypatch.setattr(dw, "_try_commit", flaky)
+    # inline_threshold=0 forces a sidecar file per attempt
+    v, n = delta_delete(spark, table, "id % 2 = 0", mode="dv", inline_threshold=0)
+    assert n == 100
+    assert sorted(r.id for r in read_delta(spark, table).collect()) == list(
+        range(1, 200, 2)
+    )
+    # pre-existing data files untouched by the cleanup
+    for rel in data_files:
+        assert os.path.exists(os.path.join(table, rel))
+    # exactly the sidecars the COMMITTED version references remain
+    from pos_dlt_spark.sources.dv import dv_relative_path
+
+    snap = delta_snapshot(spark, table)
+    live_sidecars = {
+        dv_relative_path(a["deletionVector"])
+        for a in snap.adds.values()
+        if a.get("deletionVector")
+    } - {None}
+    on_disk = {
+        os.path.relpath(os.path.join(r, f), table).replace(os.sep, "/")
+        for r, _d, fs in os.walk(table)
+        for f in fs
+        if f.startswith("deletion_vector_") and f.endswith(".bin")
+    }
+    assert on_disk == live_sidecars
+
+
+def test_concurrent_update_delete_append_all_absorbed(spark, tmp_path):
+    """THREE real threads race UPDATE + DELETE + append into one table
+    with no monkeypatching: the O_EXCL arbitration plus each writer's
+    retry loop must absorb every lost race — zero exceptions, a gap-free
+    version chain, and all three effects present in the final state."""
+    import threading
+
+    from pos_dlt_spark.sources.delta import _list_log
+
+    table = str(tmp_path / "race3")
+    write_delta(_df(spark, 0, 30).repartition(2), table)
+
+    errors: list[Exception] = []
+
+    def run(fn):
+        try:
+            fn()
+        except Exception as e:  # pragma: no cover - surfaced via assert
+            errors.append(e)
+
+    ops = [
+        lambda: delta_update(spark, table, "id < 10", {"name": "concat(name, '-u')"}),
+        lambda: delta_delete(spark, table, "id >= 20 AND id < 25", mode="dv"),
+        lambda: write_delta(_df(spark, 100, 110), table),
+    ]
+    threads = [threading.Thread(target=run, args=(f,)) for f in ops]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+
+    commits, _ = _list_log(os.path.join(table, "_delta_log"))
+    assert [v for v, _ in commits] == [0, 1, 2, 3]  # gap-free
+    got = {r.id: r.name for r in read_delta(spark, table).collect()}
+    assert sorted(got) == (
+        list(range(0, 20)) + list(range(25, 30)) + list(range(100, 110))
+    )
+    assert all(got[i] == f"n{i}-u" for i in range(10))       # update landed
+    assert all(got[i] == f"n{i}" for i in range(10, 20))
+    assert all(got[i] == f"n{i}" for i in range(100, 110))   # append landed

@@ -1582,3 +1582,108 @@ def test_vacuum_dry_run_deletes_nothing(spark, tmp_path):
     assert sorted(r.id for r in rd(spark, table, version=0).collect()) == list(range(10))
     done = delta_vacuum(spark, table, retain_versions=0)
     assert sorted(done) == sorted(would)
+
+
+def test_merge_retry_preserves_tombstones_and_raw_batch(spark, tmp_path, monkeypatch):
+    """Regression: a lost commit race must re-run the merge with the
+    ORIGINAL update batch and delete_predicate — recursing with the
+    transformed frame (op columns dropped, __del demoted) upserted
+    tombstone rows as regular rows and lost their CDF delete changes."""
+    import pandas as pd
+
+    import pos_dlt_spark.sources.delta_writer as dw
+    from pos_dlt_spark.sources.delta_cdf import read_change_feed
+    from pos_dlt_spark.sources.delta_writer import delta_merge
+
+    table = str(tmp_path / "mgrace")
+    write_delta(
+        spark.createDataFrame(
+            pd.DataFrame({"k": [1, 2, 3], "seq": [5, 5, 5], "v": ["a", "b", "c"]})
+        ),
+        table,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    batch = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": [2, 4],
+                "seq": [9, 9],
+                "v": [None, "d"],
+                "op": ["DELETE", "UPSERT"],
+            }
+        )
+    )
+    real = dw._try_commit
+    fails = {"n": 1}
+
+    def flaky(log_dir, version, actions):
+        if fails["n"]:
+            fails["n"] -= 1
+            return False  # simulate losing the O_EXCL race once
+        return real(log_dir, version, actions)
+
+    monkeypatch.setattr(dw, "_try_commit", flaky)
+    v = delta_merge(
+        spark, table, batch, keys=["k"], sequence_by="seq",
+        delete_predicate="op = 'DELETE'",
+    )
+    got = {r.k: r.v for r in read_delta(spark, table).collect()}
+    assert got == {1: "a", 3: "c", 4: "d"}  # k=2 DELETED, not resurrected
+    assert "op" not in read_delta(spark, table).columns
+    ch = read_change_feed(spark, table, start_version=v, end_version=v)
+    assert {(r.k, r._change_type) for r in ch.collect()} == {
+        (2, "delete"), (4, "insert"),
+    }
+    # no orphaned staged files from the aborted attempt
+    snap = delta_snapshot(spark, table)
+    live = {rel for rel, _ in snap.files}
+    on_disk = {
+        os.path.relpath(os.path.join(r, f), table).replace(os.sep, "/")
+        for r, _d, fs in os.walk(table)
+        for f in fs
+        if f.endswith(".parquet") and "_delta_log" not in r and "_change_data" not in r
+    }
+    # every parquet on disk is either live or a tombstoned (removed)
+    # pre-merge file awaiting VACUUM — never an unreferenced staged file
+    import json as _json
+
+    log_refs: set[str] = set()
+    log_dir = os.path.join(table, "_delta_log")
+    for f in os.listdir(log_dir):
+        if not f.endswith(".json"):
+            continue
+        for line in open(os.path.join(log_dir, f)):
+            a = _json.loads(line)
+            for k in ("add", "remove"):
+                if k in a:
+                    log_refs.add(a[k]["path"])
+    assert on_disk <= log_refs
+
+
+def test_merge_partition_prune_bails_on_high_cardinality(spark, tmp_path, monkeypatch):
+    """VERDICT r06 #3: partition-keyed merge's distinct-value collect is
+    an optimization bounded by PRUNE_MAX_DISTINCT_KEYS — past it the
+    merge touches all files (no driver value collection) and still
+    commits correctly."""
+    import pandas as pd
+
+    import pos_dlt_spark.sources.delta_writer as dw
+    from pos_dlt_spark.sources.delta_writer import delta_merge
+
+    table = str(tmp_path / "phc")
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"k": [0, 1, 2, 3], "seq": [1] * 4, "v": ["a", "b", "c", "d"]}
+        )
+    )
+    write_delta(df, table, partition_by=["k"])
+    monkeypatch.setattr(dw, "PRUNE_MAX_DISTINCT_KEYS", 1)  # force bail-out
+    delta_merge(
+        spark, table,
+        spark.createDataFrame(
+            pd.DataFrame({"k": [1, 2, 5], "seq": [9] * 3, "v": ["B", "C", "E"]})
+        ),
+        keys=["k"], sequence_by="seq",
+    )
+    got = {r.k: r.v for r in read_delta(spark, table).collect()}
+    assert got == {0: "a", 1: "B", 2: "C", 3: "d", 5: "E"}
