@@ -862,6 +862,7 @@ def scan_rels(
     snap: DeltaSnapshot,
     rels: list[str] | None = None,
     with_meta: bool = False,
+    extra_fields: list[str] | None = None,
 ) -> DataFrame | None:
     """Distributed scan of (a subset of) a snapshot's live files with the
     LOG's schema pinned and partition values recovered (Hive discovery in
@@ -870,16 +871,32 @@ def scan_rels(
     ``__fp`` (normalized absolute file path) and ``__ri`` (the row's
     file-absolute index from ``_metadata.row_index`` — stable under
     row-group skipping, which is exactly what deletion vectors address).
-    Returns None when the selection is empty."""
+    ``extra_fields`` names extra PHYSICAL int64 columns appended to the
+    read schema (files lacking them read null — the row-tracking
+    materialized-column contract); only supported without column
+    mapping. Returns None when the selection is empty."""
+    from pyspark.sql.types import LongType as _LT
     from pyspark.sql.types import StructField as _SF
     from pyspark.sql.types import StructType as _ST
 
+    if extra_fields and snap.column_mapping != "none":
+        raise DeltaProtocolError(
+            "extra_fields scan is only supported without column mapping"
+        )
     path = snap.path
     wanted = [(rel, pv) for rel, pv in snap.files if rels is None or rel in set(rels)]
     if not wanted:
         return None
     out_cols = [f.name for f in snap.schema.fields]
     types = {f.name: f.dataType for f in snap.schema.fields}
+
+    def widen(target: "_ST") -> "_ST":
+        if not extra_fields:
+            return target
+        return _ST(
+            list(target.fields)
+            + [_SF(n, _LT(), True) for n in extra_fields]
+        )
 
     def meta_cols():
         # __fpr: the scan's RAW file path (scheme-qualified, percent-
@@ -911,7 +928,7 @@ def scan_rels(
         pseudo-column only resolves against the scan itself."""
         extra = meta_cols() if meta else []
         if snap.column_mapping == "none":
-            df = spark.read.schema(target).parquet(*fpaths)
+            df = spark.read.schema(widen(target)).parquet(*fpaths)
             return df.select("*", *extra) if meta else df
         if snap.column_mapping == "name":
             phys = _ST(
@@ -943,10 +960,12 @@ def scan_rels(
         )
 
     if snap.column_mapping == "none" and _hive_style(wanted, snap.partition_columns):
-        df = spark.read.schema(snap.schema).option("basePath", path).parquet(
+        df = spark.read.schema(widen(snap.schema)).option("basePath", path).parquet(
             *[_abs_file(path, rel) for rel, _ in wanted]
         )
-        sel = [F.col(c).cast(types[c]).alias(c) for c in out_cols]
+        sel = [F.col(c).cast(types[c]).alias(c) for c in out_cols] + [
+            F.col(f"`{n}`") for n in (extra_fields or [])
+        ]
         return df.select(*sel, *meta_cols()) if with_meta else df.select(*sel)
 
     # non-Hive layout (and every column-mapping table — their directories
@@ -963,8 +982,12 @@ def scan_rels(
         for c, v in zip(snap.partition_columns, key):
             lit = F.lit(None) if v is None else F.lit(v)
             d = d.withColumn(c, lit.cast(types[c]))
-        cols_sel = out_cols + (["__fpr", "__fp", "__ri"] if with_meta else [])
-        parts.append(d.select(*cols_sel))
+        cols_sel = (
+            out_cols
+            + list(extra_fields or [])
+            + (["__fpr", "__fp", "__ri"] if with_meta else [])
+        )
+        parts.append(d.select(*[F.col(f"`{c}`") for c in cols_sel]))
     out = parts[0]
     for d in parts[1:]:
         out = out.unionByName(d)
@@ -981,7 +1004,11 @@ DV_FID_MAP_MAX = 1_024  # max literal-map entries for file-id resolution —
 
 
 def _apply_deletion_vectors(
-    spark: SparkSession, snap: DeltaSnapshot, dv_rels: list[str]
+    spark: SparkSession,
+    snap: DeltaSnapshot,
+    dv_rels: list[str],
+    keep_meta: bool = False,
+    extra_fields: list[str] | None = None,
 ) -> DataFrame:
     """Scan the DV-carrying files and drop their deleted rows — the
     Spark rendering of what delta's scan does with per-task bitmap
@@ -1032,7 +1059,9 @@ def _apply_deletion_vectors(
     entries = [
         (r, i) for i, fp in enumerate(blobs) for r in sorted(renderings(fp))
     ]
-    scan = scan_rels(spark, snap, dv_rels, with_meta=True)
+    scan = scan_rels(
+        spark, snap, dv_rels, with_meta=True, extra_fields=extra_fields
+    )
     miss = F.raise_error(
         F.concat(F.lit("DV file-id lookup failed for "), F.col("__fpr"))
     ).cast("int")
@@ -1064,7 +1093,7 @@ def _apply_deletion_vectors(
             .withColumn("__fid", F.coalesce(F.col("__rfid"), miss))
             .drop("__rk", "__rfid")
         )
-    meta = ["__fpr", "__fp", "__ri", "__fid"]
+    meta = (["__fid"] if keep_meta else ["__fpr", "__fp", "__ri", "__fid"])
 
     # runs rendering, abandoned as soon as it provably exceeds the budget
     run_rows: list[tuple[int, int, int]] | None = []

@@ -151,6 +151,52 @@ def delta_fsck(spark, path: str) -> list[tuple[str, str, str]]:
             "writers (writer<6, no identityColumns feature)",
         )
 
+    # -- row tracking ------------------------------------------------------
+    from pos_dlt_spark.sources import delta_rowtracking as _rt
+
+    if _rt.row_tracking_enabled(snap.configuration):
+        import json as _json
+
+        if not writer_covers("rowTracking", 7):
+            add(
+                "error", "rowtracking",
+                "delta.enableRowTracking set but the protocol does not "
+                "declare the rowTracking writer feature",
+            )
+        hwm = _rt.row_id_high_water_mark(snap)
+        spans: list[tuple[int, int, str]] = []
+        for rel, _pv in snap.files:
+            a = snap.adds.get(rel, {})
+            base = a.get("baseRowId")
+            if base is None:
+                add("error", "rowtracking", f"live file without baseRowId: {rel}")
+                continue
+            st = a.get("stats")
+            vals = (_json.loads(st) if isinstance(st, str) else (st or {})) or {}
+            n = vals.get("numRecords")
+            if n is None:
+                add(
+                    "warn", "rowtracking",
+                    f"file {rel} has baseRowId but no numRecords stats — "
+                    "its id span cannot be validated",
+                )
+                continue
+            spans.append((int(base), int(base) + int(n) - 1, rel))
+        spans.sort()
+        for (lo1, hi1, r1), (lo2, _hi2, r2) in zip(spans, spans[1:]):
+            if lo2 <= hi1:
+                add(
+                    "error", "rowtracking",
+                    f"overlapping fresh-row-id spans: {r1} [{lo1},{hi1}] "
+                    f"vs {r2} starting {lo2} — duplicate row ids",
+                )
+        if spans and spans[-1][1] > hwm:
+            add(
+                "error", "rowtracking",
+                f"rowIdHighWaterMark {hwm} below the highest assigned id "
+                f"{spans[-1][1]} — future appends would reuse live ids",
+            )
+
     # -- column-mapping completeness --------------------------------------
     if snap.column_mapping != "none":
         missing_pn = [

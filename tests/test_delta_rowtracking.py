@@ -1,0 +1,255 @@
+"""ROW TRACKING (protocol writer feature, VERDICT r06 #2): fresh row-id
+assignment via add.baseRowId + the domainMetadata high watermark, reads
+resolving ``coalesce(materialized, baseRowId + row_index)``, and id
+PRESERVATION across every rewriting DML — OPTIMIZE, UPDATE, DELETE
+(rewrite), REORG PURGE, MERGE — plus checkpoint survival of the
+watermark and per-file bases."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pos_dlt_spark.sources.delta import delta_snapshot, read_delta
+from pos_dlt_spark.sources.delta_rowtracking import (
+    MAT_ROW_ID_PROP,
+    MAT_ROW_VER_PROP,
+    ROW_TRACKING_DOMAIN,
+    read_delta_with_row_ids,
+    row_id_high_water_mark,
+)
+from pos_dlt_spark.sources.delta_writer import (
+    delta_delete,
+    delta_merge,
+    delta_optimize,
+    delta_reorg_purge,
+    delta_update,
+    write_delta,
+)
+
+RT_CONF = {"delta.enableRowTracking": "true"}
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id"), F.concat(F.lit("n"), F.col("id")).alias("name")
+    )
+
+
+def _ids(spark, table):
+    return {
+        r.id: (r._row_id, r._row_commit_version)
+        for r in read_delta_with_row_ids(spark, table).collect()
+    }
+
+
+def test_fresh_ids_and_watermark(spark, tmp_path):
+    table = str(tmp_path / "rt")
+    write_delta(_df(spark, 0, 10).repartition(2), table, configuration=RT_CONF)
+    write_delta(_df(spark, 10, 15).repartition(1), table)
+    snap = delta_snapshot(spark, table)
+    wf = set(snap.protocol.get("writerFeatures") or ())
+    assert {"rowTracking", "domainMetadata"} <= wf
+    assert "readerFeatures" not in snap.protocol  # writer-only features
+    assert row_id_high_water_mark(snap) == 14
+    # per-file bases are disjoint, cover [0, hwm], versions stamped
+    spans = []
+    for rel, _ in snap.files:
+        a = snap.adds[rel]
+        n = json.loads(a["stats"])["numRecords"]
+        spans.append((a["baseRowId"], a["baseRowId"] + n - 1))
+        assert a["defaultRowCommitVersion"] in (0, 1)
+    spans.sort()
+    assert spans[0][0] == 0 and spans[-1][1] == 14
+    assert all(spans[i][1] < spans[i + 1][0] + 1 for i in range(len(spans) - 1))
+    got = _ids(spark, table)
+    assert sorted(rid for rid, _ in got.values()) == list(range(15))
+    # materialized column names minted at creation
+    assert snap.configuration.get(MAT_ROW_ID_PROP)
+    assert snap.configuration.get(MAT_ROW_VER_PROP)
+    # plain reads see the table schema only
+    assert set(read_delta(spark, table).columns) == {"id", "name"}
+
+
+def test_dv_delete_keeps_ids_stable(spark, tmp_path):
+    table = str(tmp_path / "rtdv")
+    write_delta(_df(spark, 0, 12).repartition(2), table, configuration=RT_CONF)
+    before = _ids(spark, table)
+    delta_delete(spark, table, "id % 3 = 0", mode="dv")
+    after = _ids(spark, table)
+    assert set(after) == {i for i in range(12) if i % 3}
+    assert all(after[k] == before[k] for k in after)
+
+
+def test_optimize_preserves_ids_via_materialized_columns(spark, tmp_path):
+    table = str(tmp_path / "rtopt")
+    write_delta(_df(spark, 0, 10).repartition(3), table, configuration=RT_CONF)
+    delta_delete(spark, table, "id = 4", mode="dv")
+    before = _ids(spark, table)
+    hwm0 = row_id_high_water_mark(delta_snapshot(spark, table))
+    delta_optimize(spark, table, target_files=1)
+    snap = delta_snapshot(spark, table)
+    assert len(snap.files) == 1
+    after = _ids(spark, table)
+    assert after == before  # ids AND commit versions survive the rewrite
+    # the compacted file still got a fresh base (materialized wins on read)
+    assert row_id_high_water_mark(snap) > hwm0
+    # the materialized column physically exists in the rewritten file
+    rel = snap.files[0][0]
+    import pyarrow.parquet as pq
+
+    names = set(pq.read_schema(os.path.join(table, rel)).names)
+    assert snap.configuration[MAT_ROW_ID_PROP] in names
+    assert snap.configuration[MAT_ROW_VER_PROP] in names
+
+
+def test_update_preserves_ids_bumps_version(spark, tmp_path):
+    table = str(tmp_path / "rtupd")
+    write_delta(_df(spark, 0, 10).repartition(2), table, configuration=RT_CONF)
+    before = _ids(spark, table)
+    v, n = delta_update(spark, table, "id < 3", {"name": "concat(name, '-u')"})
+    assert n == 3
+    after = _ids(spark, table)
+    for k, (rid, rvr) in after.items():
+        assert rid == before[k][0]
+        assert rvr == (v if k < 3 else before[k][1])
+
+
+def test_delete_rewrite_and_purge_preserve_ids(spark, tmp_path):
+    table = str(tmp_path / "rtdel")
+    write_delta(_df(spark, 0, 12).repartition(2), table, configuration=RT_CONF)
+    before = _ids(spark, table)
+    delta_delete(spark, table, "id >= 10", mode="rewrite")
+    mid = _ids(spark, table)
+    assert mid == {k: v for k, v in before.items() if k < 10}
+    delta_delete(spark, table, "id = 1", mode="dv")
+    delta_reorg_purge(spark, table)
+    snap = delta_snapshot(spark, table)
+    assert not any(a.get("deletionVector") for a in snap.adds.values())
+    after = _ids(spark, table)
+    assert after == {k: v for k, v in mid.items() if k != 1}
+
+
+def test_merge_id_semantics(spark, tmp_path):
+    """Carried rows keep id+version; an UPDATE winning an existing key
+    keeps the OLD id with the merge's commit version; inserts take fresh
+    ids above the prior watermark; tombstoned keys retire."""
+    import pandas as pd
+
+    table = str(tmp_path / "rtmerge")
+    write_delta(
+        spark.createDataFrame(
+            pd.DataFrame({"k": [1, 2, 3], "seq": [1, 1, 1], "v": ["a", "b", "c"]})
+        ).repartition(1),
+        table,
+        configuration=RT_CONF,
+    )
+    before = {
+        r.k: (r._row_id, r._row_commit_version)
+        for r in read_delta_with_row_ids(spark, table).collect()
+    }
+    hwm0 = row_id_high_water_mark(delta_snapshot(spark, table))
+    batch = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": [2, 3, 9],
+                "seq": [9, 9, 9],
+                "v": [None, "C", "i"],
+                "op": ["DELETE", "UPSERT", "UPSERT"],
+            }
+        )
+    )
+    v = delta_merge(
+        spark, table, batch, keys=["k"], sequence_by="seq",
+        delete_predicate="op = 'DELETE'",
+    )
+    after = {
+        r.k: (r._row_id, r._row_commit_version, r.v)
+        for r in read_delta_with_row_ids(spark, table).collect()
+    }
+    assert set(after) == {1, 3, 9}
+    assert after[1][:2] == before[1]                      # carried
+    assert after[3][0] == before[3][0] and after[3][1] == v  # updated: old id, new ver
+    assert after[9][0] > hwm0 and after[9][1] == v        # insert: fresh id
+    assert after[3][2] == "C" and after[9][2] == "i"
+
+
+def test_checkpoint_survives_watermark_and_bases(spark, tmp_path):
+    table = str(tmp_path / "rtckpt")
+    write_delta(_df(spark, 0, 6).repartition(1), table, configuration=RT_CONF)
+    before = _ids(spark, table)
+    for i in range(2):
+        write_delta(
+            _df(spark, 6 + 3 * i, 9 + 3 * i).repartition(1),
+            table,
+            checkpoint_interval=2,
+        )
+    log = os.path.join(table, "_delta_log")
+    assert os.path.exists(os.path.join(log, f"{2:020d}.checkpoint.parquet"))
+    for v in range(2):  # force the fold onto the checkpoint
+        os.remove(os.path.join(log, f"{v:020d}.json"))
+    snap = delta_snapshot(spark, table)
+    assert snap.domain_metadata.get(ROW_TRACKING_DOMAIN)
+    assert row_id_high_water_mark(snap) == 11
+    after = _ids(spark, table)
+    assert all(after[k] == before[k] for k in before)
+    assert sorted(rid for rid, _ in after.values()) == list(range(12))
+
+
+def test_retry_restamps_base_ids(spark, tmp_path, monkeypatch):
+    """A lost commit race must re-stamp baseRowId against the FRESH
+    watermark — ids are pure metadata, so no restaging is needed, but a
+    stale base would collide with the concurrent writer's range."""
+    import pos_dlt_spark.sources.delta_writer as dw
+
+    table = str(tmp_path / "rtrace")
+    write_delta(_df(spark, 0, 4).repartition(1), table, configuration=RT_CONF)
+    real = dw._try_commit
+    state = {"raced": False}
+
+    def flaky(log_dir, version, actions):
+        if not state["raced"]:
+            state["raced"] = True
+            # a concurrent writer lands 6 rows at this version first
+            write_delta(_df(spark, 100, 106).repartition(1), table)
+            return False
+        return real(log_dir, version, actions)
+
+    monkeypatch.setattr(dw, "_try_commit", flaky)
+    write_delta(_df(spark, 10, 13).repartition(1), table)
+    monkeypatch.setattr(dw, "_try_commit", real)
+    got = _ids(spark, table)
+    ids = sorted(rid for rid, _ in got.values())
+    assert ids == list(range(13))  # 4 + 6 + 3, no collision, no gap
+    assert row_id_high_water_mark(delta_snapshot(spark, table)) == 12
+
+
+def test_row_tracking_refused_without_feature(spark, tmp_path):
+    from pos_dlt_spark.sources.delta import DeltaProtocolError
+
+    table = str(tmp_path / "plain")
+    write_delta(_df(spark, 0, 3), table)
+    with pytest.raises(DeltaProtocolError, match="rowTracking"):
+        read_delta_with_row_ids(spark, table)
+
+
+def test_fsck_row_tracking_invariants(spark, tmp_path):
+    from pos_dlt_spark.sources.delta_check import delta_fsck
+    from pos_dlt_spark.sources import delta_fixture as fx
+
+    table = str(tmp_path / "rtfsck")
+    write_delta(_df(spark, 0, 10).repartition(2), table, configuration=RT_CONF)
+    delta_optimize(spark, table, target_files=1)
+    assert delta_fsck(spark, table) == []
+    # corrupt: drop the watermark below the live max
+    fx.write_commit(
+        table, delta_snapshot(spark, table).version + 1,
+        [fx.domain_metadata_action(
+            ROW_TRACKING_DOMAIN, '{"rowIdHighWaterMark": 3}'
+        )],
+    )
+    codes = {c for _s, c, _m in delta_fsck(spark, table)}
+    assert "rowtracking" in codes
