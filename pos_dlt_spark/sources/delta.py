@@ -997,7 +997,11 @@ def scan_rels(
 # DV application strategy thresholds (module-level so tests/operators can
 # force a path). The driver NEVER materializes per-deleted-row objects:
 # every driver cost below is bounded by the compressed bitmap bytes.
-DV_RUN_JOIN_MAX = 65_536  # total [lo,hi] runs the JVM range anti-join accepts
+DV_RUN_JOIN_MAX = 262_144  # total exploded [fid, bucket, lo, hi] entries the
+# JVM anti-join accepts across all files of one read (~12 MB broadcast).
+# Selection is PER FILE (smallest bitmaps claim the budget first), so one
+# scattered monster DV no longer drags its clustered neighbours off the
+# JVM path.
 DV_FID_MAP_MAX = 1_024  # max literal-map entries for file-id resolution —
 # past this (many DV files x ~8 URI renderings each) the literals would
 # bloat the plan, so resolution switches to a broadcast hash join
@@ -1017,20 +1021,28 @@ def _apply_deletion_vectors(
     - The driver reads only the SERIALIZED bitmap bytes per file
       (CRC-validated, ``sources/dv.py``) — cost and memory ride the
       compressed bitmap size, never the deleted-row count.
-    - Bitmaps whose total run count fits ``DV_RUN_JOIN_MAX`` render as
-      [lo, hi] runs and apply as one broadcast hash ANTI-JOIN keyed on
-      the file path with a BETWEEN residual on ``_metadata.row_index``
-      — pure JVM, no Python in the data path, broadcast sized by run
-      count (clustered deletes compress massively).
-    - Past that (scattered huge DVs — e.g. 0.1% of 1e12 rows), the
-      compressed bitmap bytes themselves are broadcast and each
-      executor answers membership VECTORIZED per Arrow batch
+    - Bitmaps whose BUCKETED run rendering fits ``DV_RUN_JOIN_MAX``
+      exploded entries apply as one broadcast hash ANTI-JOIN keyed on
+      (file id, ``row_index div width``) with a BETWEEN residual — pure
+      JVM, no Python in the data path, broadcast sized by run count
+      (clustered deletes compress massively). The bucket key makes the
+      per-row probe O(runs per bucket) ~ O(1) — width is each file's
+      span/runs, so expected entries per bucket is < 2 — where a bare
+      fid-keyed join would scan every run of the file per row.
+    - Files past the budget (scattered huge DVs — e.g. 0.1% of 1e12
+      rows, whose run rendering costs ~32 B/run against the bitmap's
+      ~2 bits/row) broadcast the compressed bitmap bytes themselves and
+      each executor answers membership VECTORIZED per Arrow batch
       (``DvMembership``: searchsorted / bit probes over the container
       structures) via a pandas UDF filter — executor memory again rides
       bitmap bytes. This is the only Python in any DV path and it
-      transfers exactly two columns (file path, row index) per batch.
+      transfers exactly two columns (file id, row index) per batch.
 
-    Files without DVs never pay either path.
+    Selection is PER FILE (smallest bitmaps claim the run budget
+    first), so a mixed table keeps every modest DV pure-JVM and pays
+    the probe only on the files that genuinely need it; each file is
+    scanned exactly once by whichever path owns it. Files without DVs
+    never pay either path.
 
     Both paths key on ``__fid`` — a small per-file integer resolved by
     ONE literal-map lookup on the scan's RAW ``_metadata.file_path``
@@ -1038,16 +1050,132 @@ def _apply_deletion_vectors(
     back to the decoded ``__fp`` only on a miss. Keying on the decoded
     path directly would put two regexes + a url_decode in the per-row
     hot path (measured: ~36 s of a 24M-row scan's 62 s)."""
-    from urllib.parse import quote
-
     from pos_dlt_spark.sources.dv import decode_dv_runs, read_dv_bytes
     from pos_dlt_spark.tables import local_df
 
-    blobs: dict[str, bytes] = {}
+    recs: list[tuple[str, str, bytes]] = []
     for rel in dv_rels:
         dv = snap.adds[rel]["deletionVector"]
         fp = os.path.abspath(_abs_file(snap.path, rel))
-        blobs[fp] = read_dv_bytes(snap.path, dv)
+        recs.append((rel, fp, read_dv_bytes(snap.path, dv)))
+
+    # per-file path selection, smallest serialized bitmaps first (size
+    # correlates with run count, so clustered files claim the budget)
+    budget = DV_RUN_JOIN_MAX
+    join_recs: list[tuple[str, str, list, int]] = []  # rel, fp, runs, width
+    probe_recs: list[tuple[str, str, bytes]] = []
+    for rel, fp, data in sorted(recs, key=lambda r: len(r[2])):
+        runs = decode_dv_runs(data, max_runs=budget) if budget > 0 else None
+        if runs is None:
+            probe_recs.append((rel, fp, data))
+            continue
+        width = max(1, (runs[-1][1] + 1) // len(runs)) if runs else 1
+        entries = sum(hi // width - lo // width + 1 for lo, hi in runs)
+        if entries > budget:
+            probe_recs.append((rel, fp, data))
+            continue
+        budget -= entries
+        join_recs.append((rel, fp, runs, width))
+
+    meta = ["__fid"] if keep_meta else ["__fpr", "__fp", "__ri", "__fid"]
+    parts: list[DataFrame] = []
+
+    if join_recs:
+        scan = scan_rels(
+            spark, snap, [rel for rel, *_ in join_recs],
+            with_meta=True, extra_fields=extra_fields,
+        )
+        run_rows = [
+            (i, b, lo, hi)
+            for i, (_rel, _fp, runs, width) in enumerate(join_recs)
+            for lo, hi in runs
+            for b in range(lo // width, hi // width + 1)
+        ]
+        if not run_rows:
+            parts.append(scan.drop("__fpr", "__fp", "__ri") if not keep_meta else scan)
+        else:
+            scan = _resolve_dv_fid(
+                spark, scan,
+                [fp for _, fp, *_ in join_recs],
+                widths=[w for *_, w in join_recs],
+            ).withColumn("__bk", F.expr("__ri div __w"))
+            excl = local_df(
+                spark, run_rows,
+                "__xfid int, __xbk bigint, __xlo bigint, __xhi bigint",
+            )
+            out = scan.join(
+                F.broadcast(excl),
+                (F.col("__fid") == F.col("__xfid"))
+                & (F.col("__bk") == F.col("__xbk"))
+                & (F.col("__ri") >= F.col("__xlo"))
+                & (F.col("__ri") <= F.col("__xhi")),
+                "left_anti",
+            )
+            parts.append(out.drop("__w", "__bk", *meta))
+
+    if probe_recs:
+        # membership path: broadcast the compressed bitmaps, filter
+        # executor-side on (int, bigint) Arrow batches.
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        scan = scan_rels(
+            spark, snap, [rel for rel, *_ in probe_recs],
+            with_meta=True, extra_fields=extra_fields,
+        )
+        scan = _resolve_dv_fid(spark, scan, [fp for _, fp, _ in probe_recs])
+        blob_list = [data for *_, data in probe_recs]
+        bc = spark.sparkContext.broadcast(blob_list)
+        cache: dict = {}  # per-worker parsed-bitmap cache (rides the closure)
+
+        def _dv_deleted_fn(fid, ri):
+            import numpy as np
+
+            from pos_dlt_spark.sources.dv import DvMembership
+            out = np.zeros(len(fid), dtype=bool)
+            vals = ri.to_numpy(dtype="int64")
+            ids = fid.to_numpy(dtype="int64")
+            for f in np.unique(ids):
+                m = cache.get(f)
+                if m is None:
+                    m = cache[f] = DvMembership(bc.value[int(f)])
+                sel = ids == f
+                out[sel] = m.contains(vals[sel])
+            return pd.Series(out)
+
+        # real type objects: this module's PEP-563 stringified hints would
+        # break pandas_udf eval-type inference
+        _dv_deleted_fn.__annotations__ = {
+            "fid": pd.Series, "ri": pd.Series, "return": pd.Series,
+        }
+        _dv_deleted = pandas_udf(_dv_deleted_fn, "boolean")
+        parts.append(
+            scan.filter(~_dv_deleted(F.col("__fid"), F.col("__ri"))).drop(*meta)
+        )
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _resolve_dv_fid(
+    spark: SparkSession,
+    scan: DataFrame,
+    fps: list[str],
+    widths: list[int] | None = None,
+) -> DataFrame:
+    """Attach ``__fid`` (small per-file int; position in ``fps``) — and
+    ``__w`` (per-file bucket width) when ``widths`` is given — to a DV
+    scan, keyed by the RAW ``_metadata.file_path`` so no per-row string
+    work runs. Resolution is a literal map for few files, a broadcast
+    hash join past ``DV_FID_MAP_MAX`` entries (100k files x ~8 URI
+    renderings would otherwise bloat the plan); a TOTAL miss is LOUD —
+    a silent null would drop out of the anti-join and resurrect deleted
+    rows."""
+    from urllib.parse import quote
+
+    from pos_dlt_spark.tables import local_df
 
     def renderings(fp: str) -> set[str]:
         outs = {fp, "file:" + fp, "file://" + fp}
@@ -1056,99 +1184,41 @@ def _apply_deletion_vectors(
             outs.update({q, "file:" + q, "file://" + q})
         return outs
 
-    entries = [
-        (r, i) for i, fp in enumerate(blobs) for r in sorted(renderings(fp))
-    ]
-    scan = scan_rels(
-        spark, snap, dv_rels, with_meta=True, extra_fields=extra_fields
-    )
+    entries = [(r, i) for i, fp in enumerate(fps) for r in sorted(renderings(fp))]
     miss = F.raise_error(
         F.concat(F.lit("DV file-id lookup failed for "), F.col("__fpr"))
     ).cast("int")
     if len(entries) <= DV_FID_MAP_MAX:
-        # literal-map resolution (few DV files). try_element_at: NULL on
-        # miss (element_at THROWS under ANSI); the decoded-path fallback
-        # covers exotic renderings; the raise_error arm makes a TOTAL
-        # miss LOUD — a silent null would drop out of the anti-join and
-        # resurrect deleted rows.
+        # try_element_at: NULL on miss (element_at THROWS under ANSI);
+        # the decoded-path fallback covers exotic renderings
         raw_pairs = [x for r, i in entries for x in (F.lit(r), F.lit(i))]
-        dec_pairs = [
-            x for i, fp in enumerate(blobs) for x in (F.lit(fp), F.lit(i))
-        ]
+        dec_pairs = [x for i, fp in enumerate(fps) for x in (F.lit(fp), F.lit(i))]
         fid = F.coalesce(
             F.try_element_at(F.create_map(*raw_pairs), F.col("__fpr")),
             F.try_element_at(F.create_map(*dec_pairs), F.col("__fp")),
             miss,
         )
         scan = scan.withColumn("__fid", fid)
-    else:
-        # many DV files: a literal map would bloat the plan (100k files x
-        # ~8 renderings = 800k literals), so resolve by broadcast hash
-        # join on the raw path instead; a miss is still loud.
-        from pos_dlt_spark.tables import local_df
-
-        rdf = local_df(spark, entries, "__rk string, __rfid int")
-        scan = (
-            scan.join(F.broadcast(rdf), F.col("__fpr") == F.col("__rk"), "left")
-            .withColumn("__fid", F.coalesce(F.col("__rfid"), miss))
-            .drop("__rk", "__rfid")
-        )
-    meta = (["__fid"] if keep_meta else ["__fpr", "__fp", "__ri", "__fid"])
-
-    # runs rendering, abandoned as soon as it provably exceeds the budget
-    run_rows: list[tuple[int, int, int]] | None = []
-    for i, (fp, data) in enumerate(blobs.items()):
-        runs = decode_dv_runs(data)
-        if len(run_rows) + len(runs) > DV_RUN_JOIN_MAX:
-            run_rows = None
-            break
-        run_rows.extend((i, lo, hi) for lo, hi in runs)
-
-    if run_rows is not None:
-        if not run_rows:
-            return scan.drop(*meta)
-        excl = local_df(spark, run_rows, "__xfid int, __xlo bigint, __xhi bigint")
-        out = scan.join(
-            F.broadcast(excl),
-            (F.col("__fid") == F.col("__xfid"))
-            & (F.col("__ri") >= F.col("__xlo"))
-            & (F.col("__ri") <= F.col("__xhi")),
-            "left_anti",
-        )
-        return out.drop(*meta)
-
-    # membership path: broadcast the compressed bitmaps, filter
-    # executor-side on (int, bigint) Arrow batches.
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-
-    blob_list = list(blobs.values())
-    bc = spark.sparkContext.broadcast(blob_list)
-    cache: dict = {}  # per-worker parsed-bitmap cache (rides the closure)
-
-    def _dv_deleted_fn(fid, ri):
-        import numpy as np
-
-        from pos_dlt_spark.sources.dv import DvMembership
-        out = np.zeros(len(fid), dtype=bool)
-        vals = ri.to_numpy(dtype="int64")
-        ids = fid.to_numpy(dtype="int64")
-        for f in np.unique(ids):
-            m = cache.get(f)
-            if m is None:
-                m = cache[f] = DvMembership(bc.value[int(f)])
-            sel = ids == f
-            out[sel] = m.contains(vals[sel])
-        return pd.Series(out)
-
-    # real type objects: this module's PEP-563 stringified hints would
-    # break pandas_udf eval-type inference
-    _dv_deleted_fn.__annotations__ = {
-        "fid": pd.Series, "ri": pd.Series, "return": pd.Series,
-    }
-    _dv_deleted = pandas_udf(_dv_deleted_fn, "boolean")
-
-    return scan.filter(~_dv_deleted(F.col("__fid"), F.col("__ri"))).drop(*meta)
+        if widths is not None:
+            wmap = F.create_map(
+                *[x for i, w in enumerate(widths) for x in (F.lit(i), F.lit(w))]
+            )
+            scan = scan.withColumn(
+                "__w", F.try_element_at(wmap, F.col("__fid")).cast("bigint")
+            )
+        return scan
+    rows = [
+        (r, i, int(widths[i]) if widths is not None else 1)
+        for i, fp in enumerate(fps)
+        for r in sorted(renderings(fp))
+    ]
+    rdf = local_df(spark, rows, "__rk string, __rfid int, __rw bigint")
+    scan = scan.join(
+        F.broadcast(rdf), F.col("__fpr") == F.col("__rk"), "left"
+    ).withColumn("__fid", F.coalesce(F.col("__rfid"), miss))
+    if widths is not None:
+        scan = scan.withColumn("__w", F.col("__rw"))
+    return scan.drop("__rk", "__rfid", "__rw")
 
 
 def read_delta(

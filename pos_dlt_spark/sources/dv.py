@@ -231,11 +231,16 @@ def bitmap_cardinality(data: bytes) -> int:
     return total
 
 
-def decode_dv_runs(data: bytes) -> list[tuple[int, int]]:
+def decode_dv_runs(
+    data: bytes, max_runs: int | None = None
+) -> list[tuple[int, int]] | None:
     """Bitmap -> maximal sorted [start, end] runs of deleted row indices.
     Memory is O(runs) (clustered deletes compress massively; a fully
-    scattered DV degenerates to one run per row — callers bound on
-    len(runs) before choosing this rendering)."""
+    scattered DV degenerates to one run per row). ``max_runs`` aborts the
+    decode and returns None as soon as the run count provably exceeds it
+    (checked per container, so the overshoot is bounded by one
+    container's 65,536 values) — the caller's signal to answer this
+    bitmap by membership probe instead of run rendering."""
     import numpy as np
 
     runs: list[tuple[int, int]] = []
@@ -267,6 +272,8 @@ def decode_dv_runs(data: bytes) -> list[tuple[int, int]]:
             ends = np.concatenate((breaks, [len(vals) - 1]))
             for s, e in zip(starts, ends):
                 push(base + int(vals[s]), base + int(vals[e]))
+        if max_runs is not None and len(runs) > max_runs:
+            return None
     return runs
 
 

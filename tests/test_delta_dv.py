@@ -157,6 +157,57 @@ def test_membership_path_matches_run_join_path(spark, tmp_path, monkeypatch):
     assert got == want == [i for i in range(2000) if i % 7 != 0]
 
 
+def test_mixed_per_file_path_selection(spark, tmp_path, monkeypatch):
+    """A budget that fits one file's clustered DV but not its scattered
+    neighbour must keep the first on the JVM anti-join and probe ONLY
+    the second — per-file selection, not all-or-nothing — with results
+    identical to the unconstrained read."""
+    from pos_dlt_spark.sources import delta as D
+
+    table = str(tmp_path / "dvmix")
+    # file A: ids 0..1999 (partition col splits files deterministically)
+    df = _df(spark, 0, 4000).withColumn("pk", (F.col("id") / 2000).cast("int"))
+    write_delta(df.repartition("pk"), table, partition_by=["pk"])
+    # clustered deletes on A (one run), scattered on B (every 2nd row)
+    delta_delete(spark, table, "pk = 0 AND id < 100")
+    delta_delete(spark, table, "pk = 1 AND id % 2 = 0")
+    want = sorted(r.id for r in read_delta(spark, table).collect())
+    assert want == [i for i in range(100, 2000)] + [
+        i for i in range(2000, 4000) if i % 2 == 1
+    ]
+    calls = []
+    orig = DV.decode_dv_runs
+
+    def spy(data, max_runs=None):
+        out = orig(data, max_runs=max_runs)
+        calls.append(out is None)
+        return out
+
+    monkeypatch.setattr(DV, "decode_dv_runs", spy)
+    monkeypatch.setattr(D, "DV_RUN_JOIN_MAX", 16)  # fits 1 run, not 1000
+    out = read_delta(spark, table)
+    got = sorted(r.id for r in out.collect())
+    assert got == want
+    # the clustered file decoded within budget; the scattered aborted
+    assert sorted(calls) == [False, True]
+    # and the plan carries BOTH legs: a probe udf and a JVM anti-join
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan and "LeftAnti" in plan
+
+
+def test_bucketed_run_join_many_runs_stays_jvm(spark, tmp_path):
+    """A many-run DV inside the budget applies as the bucketed JVM
+    anti-join — the executed plan carries no Python node at all."""
+    table = str(tmp_path / "dvruns")
+    write_delta(_df(spark, 0, 3000).coalesce(1), table)
+    delta_delete(spark, table, "id % 3 = 0")  # 1000 single-row runs
+    out = read_delta(spark, table)
+    got = sorted(r.id for r in out.collect())
+    assert got == [i for i in range(3000) if i % 3 != 0]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BroadcastHashJoin" in plan
+
+
 def test_dv_file_layout_and_checksum(tmp_path):
     data = DV.encode_dv_bitmap([1, 2, 3])
     p = str(tmp_path / "dv.bin")

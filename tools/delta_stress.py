@@ -350,6 +350,192 @@ def stress_dv_read(spark, rows: int = 24_000_000) -> None:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def stress_dv_paths(spark, rows: int = 24_000_000) -> None:
+    """VERDICT r06 #4: the bucketed JVM anti-join vs the executor-side
+    membership probe, BOTH measured on the same 24M-row table across
+    three 12M-scale DV regimes (clustered / 120k-run midscatter /
+    fully-scattered 12M-run). Forces each path via DV_RUN_JOIN_MAX so
+    the decade compares algorithms, not thresholds; reads run twice and
+    report (first, second) so JIT noise is visible."""
+    import numpy as np
+
+    import pos_dlt_spark.sources.delta as DM
+    from pos_dlt_spark.sources import delta_fixture as fx
+    from pos_dlt_spark.sources import dv as DV
+    from pos_dlt_spark.sources.delta import delta_snapshot, read_delta
+    from pos_dlt_spark.sources.delta_writer import write_delta
+    from pos_dlt_spark.tables import scratch_dir
+
+    work = scratch_dir("delta_dvpaths_")
+    default_budget = DM.DV_RUN_JOIN_MAX
+    try:
+        table = os.path.join(work, "dvpaths")
+        write_delta(spark.range(rows).selectExpr("id").coalesce(1), table)
+        ids = np.arange(rows, dtype=np.int64)
+        regimes = [
+            ("clustered_12runs", np.concatenate(
+                [np.arange(k * 2_000_000, k * 2_000_000 + 1_000_000)
+                 for k in range(12)]).astype(np.int64)),
+            ("midscatter_120k_runs", ids[(ids % 200) < 50]),
+            ("heavyscatter_1M_runs", ids[(ids % 24) == 0]),
+            ("scattered_12M_runs", np.arange(0, rows, 2, dtype=np.int64)),
+        ]
+        only = None
+        if "--regime" in sys.argv:
+            only = sys.argv[sys.argv.index("--regime") + 1]
+        for name, deleted in regimes:
+            if only is not None and name != only:
+                continue
+            snap = delta_snapshot(spark, table)
+            rel = sorted(r for r, _ in snap.files)[0]
+            t0 = time.perf_counter()
+            data = DV.encode_dv_bitmap_np(deleted)
+            enc = time.perf_counter() - t0
+            entries = DV.write_dv_file(
+                os.path.join(table, f"dv_{name}.bin"), [data]
+            )
+            desc = {
+                "storageType": "p",
+                "pathOrInlineDv": os.path.join(table, f"dv_{name}.bin"),
+                "offset": entries[0][0],
+                "sizeInBytes": entries[0][1],
+                "cardinality": int(len(deleted)),
+            }
+            add = dict(snap.adds[rel])
+            add.pop("deletionVector", None)
+            add["deletionVector"] = desc
+            fx.write_commit(
+                table, snap.version + 1,
+                [
+                    fx.commit_info_action("DELETE", {"mode": f"dv-{name}"}),
+                    {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                                  "readerFeatures": ["deletionVectors"],
+                                  "writerFeatures": ["deletionVectors"]}},
+                    fx.remove_action(rel),
+                    {"add": add},
+                ],
+            )
+            expect = rows - len(deleted)
+            runs = DV.decode_dv_runs(data)
+            width = max(1, (runs[-1][1] + 1) // len(runs))
+            n_entries = sum(hi // width - lo // width + 1 for lo, hi in runs)
+            print(
+                f"[{name}] deleted={len(deleted)} runs={len(runs)} "
+                f"bitmap={len(data)/2**20:.2f} MB exploded_entries={n_entries} "
+                f"(~{n_entries*28/2**20:.1f} MB broadcast) encode={enc:.1f}s",
+                flush=True,
+            )
+            paths = [
+                ("jvm_bucketed_join", max(n_entries + 1, default_budget)),
+                ("membership_probe", 0),
+            ]
+            if len(runs) >= 4_000_000:
+                # forcing the join here would materialize a >100 MB
+                # broadcast from millions of driver tuples — the byte
+                # math above IS the floor evidence; measure probe only
+                paths = paths[1:]
+            for label, budget in paths:
+                DM.DV_RUN_JOIN_MAX = budget
+                walls = []
+                rss0 = _vm_rss_mb()
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    cnt = read_delta(spark, table).count()
+                    walls.append(time.perf_counter() - t0)
+                rss1 = _vm_rss_mb()
+                print(
+                    f"[{name}] {label}: wall={walls[0]:.2f}s/{walls[1]:.2f}s "
+                    f"count={cnt} correct={cnt == expect} "
+                    f"driver_rss {rss0:.0f} -> {rss1:.0f} MB "
+                    f"(delta {rss1 - rss0:+.0f} MB)"
+                )
+            DM.DV_RUN_JOIN_MAX = default_budget
+    finally:
+        DM.DV_RUN_JOIN_MAX = default_budget
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def stress_fsck_vacuum(spark, n_files: int = 1_000_000) -> None:
+    """VERDICT r06 #5: delta_fsck and delta_vacuum at the 1M-file decade.
+    Real (tiny) files on disk so the existence/size probes and the
+    directory walk pay their true cost; 10k orphan files created BEFORE
+    the last commit so vacuum has genuine work to find. Reports wall +
+    driver RSS for fsck, vacuum dry-run, and the real vacuum."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from pos_dlt_spark.sources import delta_fixture as fx
+    from pos_dlt_spark.sources.delta import delta_snapshot
+    from pos_dlt_spark.sources.delta_check import delta_fsck
+    from pos_dlt_spark.sources.delta_writer import delta_vacuum
+    from pos_dlt_spark.tables import scratch_dir
+
+    work = scratch_dir("delta_fsckvac_")
+    try:
+        t = os.path.join(work, "big")
+        os.makedirs(t, exist_ok=True)
+        per_commit = 1000
+        n_commits = n_files // per_commit
+        payload = b"01234567"
+        stats = json.dumps(
+            {"numRecords": 1000, "minValues": {"k": 0}, "maxValues": {"k": 999}}
+        )
+        schema = StructType([StructField("k", LongType())])
+        t0 = time.perf_counter()
+        for i in range(10_000):
+            with open(os.path.join(t, f"orphan-{i}.parquet"), "wb") as fh:
+                fh.write(payload)
+        for c in range(n_commits):
+            names = [f"part-{c:05d}-{i:04d}.parquet" for i in range(per_commit)]
+            for n in names:
+                with open(os.path.join(t, n), "wb") as fh:
+                    fh.write(payload)
+            actions = []
+            if c == 0:
+                actions += [fx.protocol_action(), fx.metadata_action(schema)]
+            actions += [
+                fx.add_action(n, size=len(payload), stats=stats) for n in names
+            ]
+            fx.write_commit(t, c, actions)
+        build = time.perf_counter() - t0
+        # checkpoint so the LATEST fold rides the columnar path; the JSON
+        # chain stays so older-version folds (vacuum's referenced set)
+        # remain reconstructable — exactly a long-lived table's shape
+        snap = delta_snapshot(spark, t)
+        fx.write_checkpoint(
+            t, n_commits - 1,
+            [fx.protocol_action(), fx.metadata_action(schema)]
+            + [{"add": dict(a)} for a in snap.adds.values()],
+        )
+        print(f"fsckvac: built {n_files} live + 10k orphan files in {build:.0f}s")
+
+        rss0 = _vm_rss_mb()
+        t0 = time.perf_counter()
+        findings = delta_fsck(spark, t)
+        fsck_wall = time.perf_counter() - t0
+        rss1 = _vm_rss_mb()
+        print(
+            f"fsck n_files={n_files}: wall={fsck_wall:.1f}s findings={len(findings)} "
+            f"driver_rss {rss0:.0f} -> {rss1:.0f} MB (delta {rss1 - rss0:+.0f} MB)"
+        )
+
+        rss0 = _vm_rss_mb()
+        t0 = time.perf_counter()
+        would = delta_vacuum(spark, t, retain_versions=1, dry_run=True)
+        dry_wall = time.perf_counter() - t0
+        rss1 = _vm_rss_mb()
+        t0 = time.perf_counter()
+        gone = delta_vacuum(spark, t, retain_versions=1)
+        real_wall = time.perf_counter() - t0
+        ok = len(would) == 10_000 and sorted(would) == sorted(gone)
+        print(
+            f"vacuum n_files={n_files}: dry_run={dry_wall:.1f}s real={real_wall:.1f}s "
+            f"deletable={len(would)} (expect 10000) match={ok} "
+            f"driver_rss {rss0:.0f} -> {rss1:.0f} MB (delta {rss1 - rss0:+.0f} MB)"
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     n_files = 1_000_000
@@ -364,6 +550,10 @@ def main() -> None:
         stress_delete(spark)
     if which in ("dvread", "all"):
         stress_dv_read(spark)
+    if which in ("dvpaths", "all"):
+        stress_dv_paths(spark)
+    if which in ("fsckvac", "all"):
+        stress_fsck_vacuum(spark, n_files)
 
 
 if __name__ == "__main__":
