@@ -57,7 +57,7 @@ def _cached_landing(sf_dir: str, key: str, build) -> str:
 
 
 @contextmanager
-def _stream_state_partitions(spark: SparkSession):
+def _stream_state_partitions(spark: SparkSession, n: int | None = None):
     """Pin ``spark.sql.shuffle.partitions`` for the duration of a stateful
     streaming query start, then restore it.
 
@@ -69,9 +69,17 @@ def _stream_state_partitions(spark: SparkSession):
     stores cost fixed startup+snapshot overhead per micro-batch, so
     oversizing (e.g. a batch-oriented 32 for a few hundred join-state rows)
     multiplies latency ~5x on this workload. Tune with
-    ``$SPARK_GRAFT_STREAM_PARTITIONS`` (default 8 locally; on a real
-    cluster set ~2-4x executor cores, or re-checkpoint to rescale)."""
-    n = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8")
+    ``$SPARK_GRAFT_STREAM_PARTITIONS`` (overrides everything; on a real
+    cluster set ~2-4x executor cores, or re-checkpoint to rescale).
+
+    ``n`` is the per-query default, sized by the query's STATE SHAPE
+    (measured A/B at sf0.1, VERDICT r06 #6): stream-stream joins keep 4
+    state stores per partition, so their per-batch fixed cost dominates
+    for small join states — 4 partitions beat 8 by ~35%; pandas
+    stateful processing (applyInPandasWithState) is Python-throughput
+    bound and prefers MORE partitions (16 beat 8 by ~17%). Unset falls
+    back to 8."""
+    n = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS") or str(n or 8)
     before = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", n)
     try:
@@ -364,7 +372,7 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_ts",
         "click_ts",
     )
-    with _stream_state_partitions(spark):
+    with _stream_state_partitions(spark, n=4):
         q = (
             joined.writeStream.format("memory")
             .queryName(name)
@@ -525,7 +533,7 @@ def streaming_user_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(land)
     )
     updates = running_user_stats(stream)
-    with _stream_state_partitions(spark):
+    with _stream_state_partitions(spark, n=16):
         q = (
             updates.writeStream.format("memory")
             .queryName(name)
@@ -669,7 +677,7 @@ def streaming_update_mode_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
     counts = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
-    with _stream_state_partitions(spark):
+    with _stream_state_partitions(spark, n=4):
         q1 = (
             counts.writeStream.format("memory").queryName(name + "_n")
             .outputMode("update")
@@ -792,7 +800,7 @@ def streaming_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataF
     # parquet sink + distributed re-scan: the joined rows never pass
     # through a driver-held memory-sink relation
     out_dir = os.path.join(work, "joined")
-    with _stream_state_partitions(spark):
+    with _stream_state_partitions(spark, n=4):
         q = (
             joined.writeStream.format("parquet")
             .option("path", out_dir)
@@ -893,7 +901,7 @@ def streaming_sessionized_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows never funnel through a driver-held memory-sink relation (the
     # same no-driver-materialization rule as the CDC target)
     out_dir = os.path.join(work, "sessions")
-    with _stream_state_partitions(spark):
+    with _stream_state_partitions(spark, n=4):
         q = (
             agg.writeStream.format("parquet")
             .option("path", out_dir)
