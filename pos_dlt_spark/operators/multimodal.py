@@ -233,6 +233,157 @@ def synth_bmp_media(df: DataFrame, id_col: str = "media_id") -> DataFrame:
     return df.select(F.col(id_col)).mapInPandas(run, schema)
 
 
+# -- real decoder #2: RIFF/WAVE PCM16 audio (no codec library needed) --------
+
+WAV_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("sum_abs", LongType()),
+        StructField("sum_sq", LongType()),
+        StructField("zero_cross", LongType()),
+        StructField("checksum", LongType()),
+    ]
+)
+
+
+def encode_wav_pcm16(samples, sample_rate: int = 8000) -> bytes:
+    """Minimal RIFF/WAVE writer: PCM (audio format 1), 16-bit
+    little-endian, from an (n,) or (n, channels) int16 array. Emits a
+    JUNK chunk before ``fmt`` so decoders must genuinely walk the chunk
+    list (real-world WAVs carry LIST/INFO chunks there). Test/fixture
+    support for the decoder — not an audio-processing API."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(samples, dtype="<i2")
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    _n, ch = arr.shape
+    data = arr.tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, ch, sample_rate, sample_rate * 2 * ch, 2 * ch, 16
+    )
+    chunks = b"JUNK" + struct.pack("<I", 4) + b"\x00" * 4
+    chunks += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) & 1:
+        chunks += b"\x00"  # RIFF chunks are word-aligned
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def decode_wav_pcm16(payload: bytes):
+    """REAL decode of a RIFF/WAVE PCM16 file: verify the RIFF/WAVE
+    magic, WALK the chunk list (word-aligned sizes, unknown chunks like
+    JUNK/LIST skipped), parse the ``fmt `` chunk, and view the ``data``
+    chunk as little-endian int16 frames. Returns
+    ``((n_frames, n_channels) int16 array, sample_rate)``. Pure numpy —
+    the second genuinely-decoded format in the container (with BMP);
+    compressed codecs (MP3/AAC/FLAC) stay behind the codec-library
+    boundary."""
+    import struct
+
+    import numpy as np
+
+    if (
+        payload is None
+        or len(payload) < 12
+        or payload[:4] != b"RIFF"
+        or payload[8:12] != b"WAVE"
+    ):
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = bytes(payload[pos : pos + 4])
+        sz = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, ch, rate, _brate, _balign, bits = struct.unpack_from(
+        "<HHIIHH", fmt, 0
+    )
+    if audio_format != 1 or bits != 16:
+        raise ValueError(
+            f"unsupported WAV (format={audio_format}, bits={bits}); "
+            "compressed audio stays behind the codec-library boundary"
+        )
+    arr = np.frombuffer(data, dtype="<i2")
+    return arr.reshape(-1, ch), int(rate)
+
+
+def wav_features(df: DataFrame) -> DataFrame:
+    """mapInPandas: (media_id, payload) -> decoded WAV statistics with
+    EXACT integer aggregates over channel 0 (|sample| sum, energy as
+    sum of squares, zero crossings on the >=0 sign, and a
+    position-weighted checksum ``sum(s_i * (i % 97 + 1))`` that catches
+    a decoder with wrong sample order, byte order, or chunk offsets —
+    means alone cannot). Embarrassingly parallel, no shuffle; payloads
+    never leave the executor."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_id", "sample_rate", "n_channels", "n_samples",
+                "sum_abs", "sum_sq", "zero_cross", "checksum",
+            )}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                frames, rate = decode_wav_pcm16(payload)
+                s = frames[:, 0].astype(np.int64)
+                nonneg = s >= 0
+                out["media_id"].append(mid)
+                out["sample_rate"].append(rate)
+                out["n_channels"].append(frames.shape[1])
+                out["n_samples"].append(frames.shape[0])
+                out["sum_abs"].append(int(np.abs(s).sum()))
+                out["sum_sq"].append(int((s * s).sum()))
+                out["zero_cross"].append(int((nonneg[1:] != nonneg[:-1]).sum()))
+                out["checksum"].append(
+                    int((s * (np.arange(len(s), dtype=np.int64) % 97 + 1)).sum())
+                )
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "payload").mapInPandas(run, WAV_FEATURE_SCHEMA)
+
+
+def synth_wav_media(df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Deterministic WAV fixture generator AS A DISTRIBUTED OPERATOR:
+    for each id, a mono PCM16 clip of ``50 + id % 64`` samples at
+    ``8000 + (id % 3) * 4000`` Hz whose sample ``i`` is
+    ``(id*37 + i*13) % 4001 - 2000`` — a closed form a SQL oracle can
+    re-derive. Payload bytes are built executor-side per Arrow batch;
+    nothing collects."""
+    import numpy as np
+
+    schema = StructType(
+        [StructField("media_id", LongType()), StructField("payload", BinaryType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                n = 50 + mid % 64
+                i = np.arange(n, dtype=np.int64)
+                s = ((mid * 37 + i * 13) % 4001 - 2000).astype(np.int16)
+                ids.append(mid)
+                payloads.append(
+                    encode_wav_pcm16(s, sample_rate=8000 + (mid % 3) * 4000)
+                )
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return df.select(F.col(id_col)).mapInPandas(run, schema)
+
+
 def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
     """Image resize operator shape: passthrough metadata update (the pixel
     transform is part of the stubbed codec layer). Keeps the operator

@@ -1179,6 +1179,49 @@ def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "multimodal_wav_decode",
+    oracle="""
+    WITH wav AS (
+        SELECT doc_id AS media_id, 50 + doc_id % 64 AS n
+        FROM documents),
+    s AS (
+        SELECT media_id, n, i,
+               (media_id * 37 + i * 13) % 4001 - 2000 AS v,
+               CASE WHEN i > 0
+                    THEN (media_id * 37 + (i - 1) * 13) % 4001 - 2000 END AS pv
+        FROM wav, range(0, 113) t(i) WHERE i < n)
+    SELECT media_id,
+           CAST(8000 + (media_id % 3) * 4000 AS INT) AS sample_rate,
+           CAST(1 AS INT) AS n_channels,
+           CAST(MAX(n) AS BIGINT) AS n_samples,
+           CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+           CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+           CAST(SUM(CASE WHEN pv IS NOT NULL
+                          AND ((v >= 0) <> (pv >= 0)) THEN 1 ELSE 0 END)
+                AS BIGINT) AS zero_cross,
+           CAST(SUM(v * (i % 97 + 1)) AS BIGINT) AS checksum
+    FROM s GROUP BY media_id
+    """,
+)
+def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, value-oracled end to end (VERDICT r06 #8, the
+    second dependency-free codec anchor after BMP): deterministic mono
+    PCM16 WAVs are synthesized executor-side (closed-form samples,
+    varying length and sample rate, a JUNK chunk before fmt so the
+    decoder must walk the chunk list), then decode_wav_pcm16 parses the
+    RIFF structure inside an Arrow mapInPandas. The oracle re-derives
+    every sample from the generation formula — the position-weighted
+    checksum and zero-crossing count only match if sample order, byte
+    order, and chunk offsets are byte-exact."""
+    from pos_dlt_spark.operators import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents", spread=True).select(
+        F.col("doc_id").alias("media_id")
+    )
+    return M.wav_features(M.synth_wav_media(docs))
+
+
 @query("multimodal_media_features", oracle=None)  # rows-only: decode is a stub
 def multimodal_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Opaque-binary media pipeline over Arrow batches: documents stand in

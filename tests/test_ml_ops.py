@@ -412,3 +412,65 @@ def test_profile_table_counts_nulls_and_distincts(spark):
     assert got["a"].min_num == 1.0 and got["a"].max_num == 2.0
     assert got["b"].n_nulls == 1 and got["b"].n_distinct == 2
     assert got["b"].min_num is None and got["b"].min_str == "x"
+
+
+def test_wav_roundtrip_mono_and_stereo():
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    mono = rng.integers(-32768, 32767, size=101, dtype=np.int16)
+    frames, rate = M.decode_wav_pcm16(M.encode_wav_pcm16(mono, 44100))
+    assert rate == 44100 and frames.shape == (101, 1)
+    assert (frames[:, 0] == mono).all()
+    stereo = rng.integers(-32768, 32767, size=(50, 2), dtype=np.int16)
+    frames, rate = M.decode_wav_pcm16(M.encode_wav_pcm16(stereo, 8000))
+    assert rate == 8000 and frames.shape == (50, 2)
+    assert (frames == stereo).all()
+
+
+def test_wav_odd_data_chunk_word_alignment():
+    """A 1-sample mono clip has a 2-byte data chunk (even), but a
+    3-channel 1-frame clip is 6 bytes... force oddness via a stereo
+    frame count making data size % 4 != 0 is still even — PCM16 data is
+    always even, so the alignment path is exercised through the JUNK
+    chunk walk instead; assert the decoder skips JUNK correctly."""
+    import numpy as np
+
+    s = np.array([5, -5, 7], dtype=np.int16)
+    payload = M.encode_wav_pcm16(s, 8000)
+    assert b"JUNK" in payload  # decoder must walk past it
+    frames, _ = M.decode_wav_pcm16(payload)
+    assert list(frames[:, 0]) == [5, -5, 7]
+
+
+def test_wav_rejects_non_wav_and_compressed():
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not a RIFF"):
+        M.decode_wav_pcm16(b"OggS....")
+    payload = bytearray(M.encode_wav_pcm16(np.zeros(4, dtype=np.int16)))
+    off = payload.index(b"fmt ") + 8
+    struct.pack_into("<H", payload, off, 85)  # MP3 format tag
+    with _pytest.raises(ValueError, match="unsupported WAV"):
+        M.decode_wav_pcm16(bytes(payload))
+    with _pytest.raises(ValueError, match="missing fmt/data"):
+        M.decode_wav_pcm16(b"RIFF" + struct.pack("<I", 4) + b"WAVE")
+
+
+def test_wav_checksum_catches_byte_order():
+    """The position-weighted checksum differs if samples are decoded
+    big-endian (what the oracle pins)."""
+    import numpy as np
+
+    s = np.array([1000, -2000, 3000, 17], dtype=np.int16)
+    payload = M.encode_wav_pcm16(s, 8000)
+    frames, _ = M.decode_wav_pcm16(payload)
+    good = int(
+        (frames[:, 0].astype(np.int64) * (np.arange(4) % 97 + 1)).sum()
+    )
+    swapped = frames[:, 0].byteswap().astype(np.int64)
+    bad = int((swapped * (np.arange(4) % 97 + 1)).sum())
+    assert good != bad
