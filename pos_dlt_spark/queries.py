@@ -1006,6 +1006,79 @@ def supplier_delta_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "supplier_cdf_merge_on_read",
+    oracle="""
+    WITH s AS (
+      SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier),
+    v1 AS (
+      SELECT s_suppkey, s_name, s_nationkey,
+             CASE WHEN s_suppkey % 10 = 5 THEN s_acctbal + 100
+                  ELSE s_acctbal END AS s_acctbal
+      FROM s)
+    SELECT s_suppkey, s_name, s_nationkey, s_acctbal,
+           'update_preimage' AS _change_type,
+           CAST(1 AS BIGINT) AS _commit_version
+    FROM s WHERE s_suppkey % 10 = 5
+    UNION ALL
+    SELECT s_suppkey, s_name, s_nationkey, s_acctbal + 100,
+           'update_postimage', 1
+    FROM s WHERE s_suppkey % 10 = 5
+    UNION ALL
+    SELECT s_suppkey, s_name, s_nationkey, s_acctbal,
+           'update_preimage', 2
+    FROM v1 WHERE s_suppkey % 7 = 0
+    UNION ALL
+    SELECT s_suppkey, 'u-' || s_name, s_nationkey, s_acctbal,
+           'update_postimage', 2
+    FROM v1 WHERE s_suppkey % 7 = 0
+    """,
+)
+def supplier_cdf_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ CDF — the row-tracking payoff: two UPDATEs commit
+    with ``write_change_files=False`` (zero change-file write
+    amplification) and ``table_changes`` derives the exact
+    update_preimage/update_postimage pairs by full-outer-joining old and
+    new file contents on the stable row id; CARRIED rows contribute
+    nothing (the legacy derivation would misreport them as whole-file
+    delete+insert). The oracle recomputes both commits' change sets from
+    the update predicates — values only match if id stability, the
+    rewrite join, and the diff filter are all exact."""
+    from pos_dlt_spark.sources.delta_cdf import read_change_feed
+    from pos_dlt_spark.sources.delta_writer import delta_update, write_delta
+    from pos_dlt_spark.tables import scratch_dir
+
+    key = os.path.abspath(sf_dir) + "#cdfmor"
+    if key not in _DELTA_RT_CACHE:
+        import atexit
+        import shutil
+
+        work = scratch_dir("delta_cdfmor_")
+        atexit.register(shutil.rmtree, work, ignore_errors=True)
+        table = os.path.join(work, "supplier")
+        supp = load_table(spark, sf_dir, "supplier").select(
+            "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+        )
+        write_delta(
+            supp.orderBy("s_suppkey").coalesce(1),
+            table,
+            configuration={
+                "delta.enableRowTracking": "true",
+                "delta.enableChangeDataFeed": "true",
+            },
+        )
+        delta_update(
+            spark, table, "s_suppkey % 10 = 5",
+            {"s_acctbal": "s_acctbal + 100"}, write_change_files=False,
+        )
+        delta_update(
+            spark, table, "s_suppkey % 7 = 0",
+            {"s_name": "concat('u-', s_name)"}, write_change_files=False,
+        )
+        _DELTA_RT_CACHE[key] = table
+    return read_change_feed(spark, _DELTA_RT_CACHE[key], start_version=1)
+
+
+@query(
     "supplier_cdf_dv_derived_deletes",
     oracle="""
     SELECT *, 'delete' AS _change_type, CAST(1 AS BIGINT) AS _commit_version
@@ -1962,5 +2035,9 @@ def prepare_bench_fixtures(spark: SparkSession, sf_dir: str) -> None:
     REGISTRY["supplier_delta_update_purge"].fn(spark, sf_dir)
     REGISTRY["supplier_delta_schema_evolution"].fn(spark, sf_dir)
     REGISTRY["supplier_delta_identity"].fn(spark, sf_dir)
+    # row-tracking DML chains: the fixture IS the interesting op; the
+    # timed region should measure the id-resolving / merge-on-read reads
+    REGISTRY["supplier_delta_row_tracking"].fn(spark, sf_dir)
+    REGISTRY["supplier_cdf_merge_on_read"].fn(spark, sf_dir)
     # the write-roundtrip and cdc-merge tables ARE their own fixture (the
     # query measures the write+merge). Leave them in the timed region.

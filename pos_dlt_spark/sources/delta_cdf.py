@@ -184,7 +184,10 @@ def _changes_by_commit(
         return df
 
     def pinned_read(
-        fpaths: list[str], with_change_type: bool, with_row_index: bool = False
+        fpaths: list[str],
+        with_change_type: bool,
+        with_row_index: bool = False,
+        extra_fields: list[str] | None = None,
     ) -> DataFrame:
         """One pinned-schema scan of data/change files resolving COLUMN
         MAPPING exactly like the main read path: 'name' reads physical
@@ -192,10 +195,15 @@ def _changes_by_commit(
         field ids (rename-proof). ``_change_type`` in change files is an
         unmapped physical column read by its literal name; the
         ``_metadata.row_index`` pseudo-column is appended BEFORE any
-        projection (it only resolves against the scan itself)."""
-        from pyspark.sql.types import StringType, StructField, StructType
+        projection (it only resolves against the scan itself).
+        ``extra_fields`` appends nullable int64 PHYSICAL columns (the
+        row-tracking materialized columns; cm 'none' only, like
+        scan_rels)."""
+        from pyspark.sql.types import LongType, StringType, StructField, StructType
 
         base = [f for f in snap.schema.fields if f.name not in snap.partition_columns]
+        if extra_fields and snap.column_mapping != "none":
+            raise ValueError("extra_fields requires column mapping 'none'")
         if snap.column_mapping == "name":
             fields = [
                 StructField(snap.physical_names[f.name], f.dataType, True)
@@ -217,6 +225,7 @@ def _changes_by_commit(
             fields = [StructField(f.name, f.dataType, True) for f in base]
         if with_change_type:
             fields = fields + [StructField(CHANGE_TYPE, StringType())]
+        fields = fields + [StructField(n, LongType(), True) for n in (extra_fields or [])]
         d = spark.read.schema(StructType(fields)).parquet(*fpaths)
         extra = (
             [F.col("_metadata.row_index").alias("__ri")] if with_row_index else []
@@ -231,6 +240,34 @@ def _changes_by_commit(
                 *extra,
             )
         return d.select("*", *extra) if extra else d
+
+    def index_filter(d: DataFrame, idx: list[int], keep_matching: bool) -> DataFrame:
+        """Filter a row-indexed scan by a file-absolute index set: small
+        sets render as a BETWEEN-runs predicate (pure scan filter),
+        larger ones as a broadcast semi/anti join. Bounded by a commit's
+        delete cardinality, like the DV derivation."""
+        runs: list[tuple[int, int]] = []
+        for i in sorted(idx):
+            if runs and i == runs[-1][1] + 1:
+                runs[-1] = (runs[-1][0], i)
+            else:
+                runs.append((i, i))
+        if len(runs) <= 256:
+            cond = None
+            for lo, hi in runs:
+                c = (F.col("__ri") >= lo) & (F.col("__ri") <= hi)
+                cond = c if cond is None else (cond | c)
+            if cond is None:
+                cond = F.lit(False)
+            return d.filter(cond if keep_matching else ~cond)
+        from pos_dlt_spark.tables import local_df
+
+        excl = local_df(spark, [(int(i),) for i in idx], "__xri bigint")
+        return d.join(
+            F.broadcast(excl),
+            F.col("__ri") == F.col("__xri"),
+            "left_semi" if keep_matching else "left_anti",
+        )
 
     def scan_groups(
         entries: list[tuple[str, dict]], extra_schema: str | None
@@ -261,32 +298,100 @@ def _changes_by_commit(
         d = pinned_read(
             [_abs_file(path, rel)], with_change_type=False, with_row_index=True
         )
-        runs: list[tuple[int, int]] = []
-        for i in sorted(idx):
-            if runs and i == runs[-1][1] + 1:
-                runs[-1] = (runs[-1][0], i)
-            else:
-                runs.append((i, i))
-        if len(runs) <= 256:
-            cond = None
-            for lo, hi in runs:
-                c = (F.col("__ri") >= lo) & (F.col("__ri") <= hi)
-                cond = c if cond is None else (cond | c)
-            if cond is None:
-                cond = F.lit(False)
-            d = d.filter(cond if keep_matching else ~cond)
-        else:
-            from pos_dlt_spark.tables import local_df
-
-            excl = local_df(spark, [(int(i),) for i in idx], "__xri bigint")
-            d = d.join(
-                F.broadcast(excl),
-                F.col("__ri") == F.col("__xri"),
-                "left_semi" if keep_matching else "left_anti",
-            )
+        d = index_filter(d, idx, keep_matching)
         return attach_partitions(d.drop("__ri"), pvals).withColumn(
             CHANGE_TYPE, F.lit(tag)
         )
+
+    from pos_dlt_spark.sources import delta_rowtracking as rtm
+
+    rt_on = rtm.row_tracking_enabled(snap.configuration)
+    mat_id = snap.configuration.get(rtm.MAT_ROW_ID_PROP)
+
+    def rows_with_row_ids(add: dict) -> DataFrame | None:
+        """One rewrite-file scan with each row's STABLE id resolved —
+        ``coalesce(materialized id column, baseRowId + row_index)`` —
+        and the add's own DV-deleted rows excluded. Returns None when
+        the add lacks ``baseRowId`` (foreign non-rt writer): the caller
+        falls back to the legacy whole-file derivation."""
+        base = add.get("baseRowId")
+        if base is None:
+            return None
+        rel = add["path"]
+        pvals = logical_pvals(dict(add.get("partitionValues") or {}))
+        mats = [mat_id] if mat_id else []
+        d = pinned_read(
+            [_abs_file(path, rel)],
+            with_change_type=False,
+            with_row_index=True,
+            extra_fields=mats,
+        )
+        dv = add.get("deletionVector")
+        if dv:
+            from pos_dlt_spark.sources.dv import read_dv_descriptor
+
+            d = index_filter(d, sorted(read_dv_descriptor(path, dv)), False)
+        rid = F.col("__ri") + F.lit(int(base))
+        if mat_id:
+            rid = F.coalesce(F.col(f"`{mat_id}`"), rid)
+        d = d.withColumn("__rid", rid.cast("bigint")).drop("__ri", *mats)
+        return attach_partitions(d, pvals)
+
+    def rt_rewrite_frames(
+        old_actions: list[dict], new_actions: list[dict]
+    ) -> list[DataFrame] | None:
+        """MERGE-ON-READ CDF (the payoff of row tracking): derive a
+        rewrite commit's change set by FULL-OUTER-joining old and new
+        file contents on the stable row id — matched-and-different rows
+        become update_preimage/postimage pairs, old-only rows deletes,
+        new-only rows inserts, and CARRIED rows (same id, same values)
+        contribute nothing. No change files were written for this
+        commit; the derivation cost is bounded by the rewritten files'
+        rows, and the write path saved their full change-file
+        amplification. Returns None if any file lacks row ids (legacy
+        derivation applies)."""
+        olds = [rows_with_row_ids(a) for a in old_actions]
+        news = [rows_with_row_ids(a) for a in new_actions]
+        if any(d is None for d in olds + news):
+            return None
+        old = olds[0]
+        for d in olds[1:]:
+            old = old.unionByName(d)
+        new = news[0]
+        for d in news[1:]:
+            new = new.unionByName(d)
+        o = old.select(
+            F.col("__rid"),
+            F.lit(True).alias("__o_present"),
+            *[F.col(f"`{c}`").alias(f"__o_{c}") for c in out_cols],
+        )
+        n = new.select(
+            F.col("__rid"),
+            F.lit(True).alias("__n_present"),
+            *[F.col(f"`{c}`").alias(f"__n_{c}") for c in out_cols],
+        )
+        j = o.join(n, "__rid", "full_outer")
+        diff = None
+        for c in out_cols:
+            d_ = ~F.col(f"`__o_{c}`").eqNullSafe(F.col(f"`__n_{c}`"))
+            diff = d_ if diff is None else (diff | d_)
+        o_cols = [F.col(f"`__o_{c}`").alias(c) for c in out_cols]
+        n_cols = [F.col(f"`__n_{c}`").alias(c) for c in out_cols]
+        both = F.col("__o_present") & F.col("__n_present")
+        return [
+            j.filter(both & diff).select(*o_cols).withColumn(
+                CHANGE_TYPE, F.lit("update_preimage")
+            ),
+            j.filter(both & diff).select(*n_cols).withColumn(
+                CHANGE_TYPE, F.lit("update_postimage")
+            ),
+            j.filter(F.col("__n_present").isNull()).select(*o_cols).withColumn(
+                CHANGE_TYPE, F.lit("delete")
+            ),
+            j.filter(F.col("__o_present").isNull()).select(*n_cols).withColumn(
+                CHANGE_TYPE, F.lit("insert")
+            ),
+        ]
 
     # incremental prior-live-set state for DV-delta derivation: None
     # until the first DV commit needs it (seeded from ONE snapshot fold
@@ -299,6 +404,7 @@ def _changes_by_commit(
         actions = list(_commit_actions(p))
         cdc_entries: list[tuple[str, dict]] = []
         add_entries: list[tuple[str, dict]] = []
+        plain_add_actions: list[dict] = []
         dv_add_actions: list[dict] = []
         remove_entries: list[tuple[str, dict]] = []
         re_added: set[str] = set()
@@ -312,6 +418,7 @@ def _changes_by_commit(
                 if a["add"].get("deletionVector"):
                     dv_add_actions.append(a["add"])
                 else:
+                    plain_add_actions.append(a["add"])
                     add_entries.append(
                         (a["add"]["path"], dict(a["add"].get("partitionValues") or {}))
                     )
@@ -328,13 +435,33 @@ def _changes_by_commit(
             remove_entries = [
                 (rel, pv) for rel, pv in remove_entries if rel not in re_added
             ]
-            frames = [
-                d.withColumn(CHANGE_TYPE, F.lit("insert"))
-                for d in scan_groups(add_entries, extra_schema=None)
-            ] + [
-                d.withColumn(CHANGE_TYPE, F.lit("delete"))
-                for d in scan_groups(remove_entries, extra_schema=None)
-            ]
+            frames = None
+            if (
+                rt_on
+                and snap.column_mapping == "none"
+                and plain_add_actions
+                and remove_entries
+                and not dv_add_actions
+            ):
+                # rewrite shape (adds AND removes) on a row-tracking
+                # table with no change files: merge-on-read derivation
+                if dv_state is None:
+                    dv_state = (
+                        dict(delta_snapshot(spark, path, v - 1).adds)
+                        if v > 0
+                        else {}
+                    )
+                old_actions = [dv_state.get(rel) for rel, _ in remove_entries]
+                if all(a is not None for a in old_actions):
+                    frames = rt_rewrite_frames(old_actions, plain_add_actions)
+            if frames is None:
+                frames = [
+                    d.withColumn(CHANGE_TYPE, F.lit("insert"))
+                    for d in scan_groups(add_entries, extra_schema=None)
+                ] + [
+                    d.withColumn(CHANGE_TYPE, F.lit("delete"))
+                    for d in scan_groups(remove_entries, extra_schema=None)
+                ]
             if dv_add_actions:
                 from pos_dlt_spark.sources.dv import read_dv_descriptor
 

@@ -253,3 +253,113 @@ def test_fsck_row_tracking_invariants(spark, tmp_path):
     )
     codes = {c for _s, c, _m in delta_fsck(spark, table)}
     assert "rowtracking" in codes
+
+
+# -- merge-on-read CDF (write_change_files=False) -----------------------------
+
+CDF_RT_CONF = {
+    "delta.enableRowTracking": "true",
+    "delta.enableChangeDataFeed": "true",
+}
+
+
+def _changes(spark, table, start=1):
+    from pos_dlt_spark.sources.delta_cdf import read_change_feed
+
+    return sorted(
+        (r._commit_version, r._change_type, r.id, r.name)
+        for r in read_change_feed(spark, table, start_version=start).collect()
+    )
+
+
+def test_merge_on_read_update_matches_explicit_change_files(spark, tmp_path):
+    """The derived change set of write_change_files=False must equal the
+    explicit change files of the same UPDATE on a twin table."""
+    ta, tb = str(tmp_path / "a"), str(tmp_path / "b")
+    for t in (ta, tb):
+        write_delta(_df(spark, 0, 40).repartition(2), t, configuration=CDF_RT_CONF)
+    delta_update(spark, ta, "id % 4 = 1", {"name": "concat(name, '!')"})
+    delta_update(
+        spark, tb, "id % 4 = 1", {"name": "concat(name, '!')"},
+        write_change_files=False,
+    )
+    assert _changes(spark, ta) == _changes(spark, tb)
+    # and the derived table really wrote NO change files
+    assert not os.path.exists(os.path.join(tb, "_change_data"))
+
+
+def test_merge_on_read_carried_rows_contribute_nothing(spark, tmp_path):
+    table = str(tmp_path / "rt")
+    write_delta(_df(spark, 0, 30).coalesce(1), table, configuration=CDF_RT_CONF)
+    delta_update(
+        spark, table, "id = 7", {"name": "'seven'"}, write_change_files=False
+    )
+    got = _changes(spark, table)
+    assert got == [
+        (1, "update_postimage", 7, "seven"),
+        (1, "update_preimage", 7, "n7"),
+    ]
+
+
+def test_merge_on_read_merge_with_inserts_and_tombstones(spark, tmp_path):
+    """MERGE without change files: updated keys derive update pairs,
+    brand-new keys derive inserts, tombstoned keys derive deletes —
+    carried rows nothing."""
+    table = str(tmp_path / "rt")
+    write_delta(
+        spark.range(0, 20).select(
+            F.col("id"),
+            F.concat(F.lit("n"), F.col("id")).alias("name"),
+            F.lit(0).cast("long").alias("seq"),
+            F.lit(False).alias("gone"),
+        ).coalesce(1),
+        table,
+        configuration=CDF_RT_CONF,
+    )
+    upd = spark.createDataFrame(
+        [(3, "three", 1, False), (25, "new25", 1, False), (8, "n8", 1, True)],
+        "id long, name string, seq long, gone boolean",
+    )
+    delta_merge(
+        spark, table, upd, ["id"], "seq",
+        delete_predicate="gone", write_change_files=False,
+    )
+    got = sorted(
+        (r._change_type, r.id, r.name)
+        for r in __import__(
+            "pos_dlt_spark.sources.delta_cdf", fromlist=["read_change_feed"]
+        ).read_change_feed(spark, table, start_version=1).collect()
+    )
+    assert got == [
+        ("delete", 8, "n8"),
+        ("insert", 25, "new25"),
+        ("update_postimage", 3, "three"),
+        ("update_preimage", 3, "n3"),
+    ]
+    assert not os.path.exists(os.path.join(table, "_change_data"))
+
+
+def test_merge_on_read_refused_without_row_tracking(spark, tmp_path):
+    table = str(tmp_path / "plain")
+    write_delta(
+        _df(spark, 0, 10).coalesce(1), table,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    with pytest.raises(ValueError, match="needs row tracking"):
+        delta_update(
+            spark, table, "id = 1", {"name": "'x'"}, write_change_files=False
+        )
+
+
+def test_rewrite_delete_derives_minimal_changes(spark, tmp_path):
+    """DELETE mode='rewrite' on an rt table WITHOUT CDF enabled: the
+    protocol derivation now reports only the deleted rows (old-only row
+    ids), not whole-file delete+insert noise."""
+    table = str(tmp_path / "rt")
+    write_delta(_df(spark, 0, 12).coalesce(1), table, configuration=RT_CONF)
+    delta_delete(spark, table, "id >= 10", mode="rewrite")
+    got = _changes(spark, table)
+    assert got == [
+        (1, "delete", 10, "n10"),
+        (1, "delete", 11, "n11"),
+    ]
