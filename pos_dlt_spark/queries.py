@@ -1364,6 +1364,62 @@ def orders_delta_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "orders_delta_clustered_table",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    WHERE o_custkey < 15
+    GROUP BY o_orderpriority
+    """,
+)
+def orders_delta_clustered_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLUSTERED TABLE (Liquid Clustering's table format) end to end:
+    orders is created with ``cluster_by=['o_custkey','o_orderkey']``
+    (clustering + domainMetadata writer features, the delta.clustering
+    domain storing physical column paths), lands scattered across 8
+    files, and a bare ``OPTIMIZE`` — no zorder argument — re-clusters on
+    the DECLARED columns (the build asserts >=1/3 of the files become
+    provably excludable for a selective o_custkey predicate). The read
+    then prunes on the clustering column; the oracle can't see the
+    layout but the pruned result must match exactly."""
+    from pos_dlt_spark.sources.delta import delta_snapshot, read_delta, skip_files
+    from pos_dlt_spark.sources.delta_writer import delta_optimize, write_delta
+    from pos_dlt_spark.tables import scratch_dir
+
+    key = os.path.abspath(sf_dir) + "#clustered"
+    if key not in _DELTA_RT_CACHE:
+        import atexit
+        import shutil
+
+        work = scratch_dir("delta_cluster_")
+        atexit.register(shutil.rmtree, work, ignore_errors=True)
+        table = os.path.join(work, "orders")
+        orders = load_table(spark, sf_dir, "orders")
+        write_delta(
+            orders.repartition(8), table,
+            cluster_by=["o_custkey", "o_orderkey"],
+        )
+        delta_optimize(spark, table, target_files=12)  # re-cluster, no arg
+        snap = delta_snapshot(spark, table)
+        _, skipped = skip_files(snap, [("o_custkey", "<", 15)])
+        assert skipped * 3 >= len(snap.files), (
+            f"clustered optimize ineffective: {skipped}/{len(snap.files)}"
+        )
+        _DELTA_RT_CACHE[key] = table
+    df = read_delta(
+        spark, _DELTA_RT_CACHE[key], prune=[("o_custkey", "<", 15)]
+    ).filter(F.col("o_custkey") < 15)
+    return df.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+@query(
     "events_cdf_cdc_replay",
     oracle="""
     SELECT user_id, event_type, event_id, ts, value FROM (

@@ -197,6 +197,25 @@ def delta_fsck(spark, path: str) -> list[tuple[str, str, str]]:
                 f"{spans[-1][1]} — future appends would reuse live ids",
             )
 
+    # -- clustering --------------------------------------------------------
+    from pos_dlt_spark.sources import delta_clustering as _cl
+
+    if snap.domain_metadata.get(_cl.CLUSTERING_DOMAIN):
+        if not writer_covers("clustering", 7):
+            add(
+                "warn", "clustering",
+                "clustering domain present but the protocol does not "
+                "declare the clustering writer feature — foreign writers "
+                "are not obliged to preserve the layout",
+            )
+        names = {f.name for f in snap.schema.fields}
+        bad = sorted(set(_cl.clustering_columns(snap)) - names)
+        if bad:
+            add(
+                "error", "clustering",
+                f"clustering columns not in the schema: {bad}",
+            )
+
     # -- column-mapping completeness --------------------------------------
     if snap.column_mapping != "none":
         missing_pn = [
