@@ -1364,6 +1364,58 @@ def orders_delta_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "supplier_delta_ict_time_travel",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+    FROM supplier WHERE s_suppkey % 2 = 0
+    """,
+)
+def supplier_delta_ict_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-COMMIT TIMESTAMPS end to end: a table created with
+    ``delta.enableInCommitTimestamps`` stamps every commitInfo with a
+    strictly-monotonic inCommitTimestamp (enforced at the one commit
+    choke point), and TIMESTAMP AS OF resolves against the STAMPS, not
+    file mtimes — the fixture pins the two commits' stamps to known
+    epoch values, so reading AS OF a point between them must return
+    exactly the first commit's rows (the mtimes of both files say
+    'now' and would resolve to the latest version — the stamp wins)."""
+    import json as _json
+
+    from pos_dlt_spark.sources.delta import read_delta
+    from pos_dlt_spark.sources.delta_writer import write_delta
+    from pos_dlt_spark.tables import scratch_dir
+
+    key = os.path.abspath(sf_dir) + "#ict"
+    if key not in _DELTA_RT_CACHE:
+        import atexit
+        import shutil
+
+        work = scratch_dir("delta_ict_")
+        atexit.register(shutil.rmtree, work, ignore_errors=True)
+        table = os.path.join(work, "supplier")
+        supp = load_table(spark, sf_dir, "supplier").select(
+            "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+        )
+        write_delta(
+            supp.filter("s_suppkey % 2 = 0").coalesce(1), table,
+            configuration={"delta.enableInCommitTimestamps": "true"},
+        )
+        write_delta(supp.filter("s_suppkey % 2 = 1").coalesce(1), table)
+        log = os.path.join(table, "_delta_log")
+        for v, stamp in ((0, 1_000_000), (1, 2_000_000)):
+            p = os.path.join(log, f"{v:020d}.json")
+            lines = [_json.loads(x) for x in open(p)]
+            for a in lines:
+                if "commitInfo" in a:
+                    a["commitInfo"]["inCommitTimestamp"] = stamp
+            with open(p, "w") as fh:
+                for a in lines:
+                    fh.write(_json.dumps(a) + "\n")
+        _DELTA_RT_CACHE[key] = table
+    return read_delta(spark, _DELTA_RT_CACHE[key], timestamp=1_500)
+
+
+@query(
     "orders_delta_clustered_table",
     oracle="""
     SELECT o_orderpriority,

@@ -395,10 +395,14 @@ def _commit_info(commit_path: str) -> dict | None:
 
 
 def _commit_time(commit_path: str) -> float:
-    """Commit wall-clock in epoch seconds: the commitInfo timestamp when
-    present (survives file copies; what real Delta prefers), else the log
-    file's mtime."""
+    """Commit wall-clock in epoch seconds, by the protocol's preference
+    order: ``commitInfo.inCommitTimestamp`` when present (the
+    inCommitTimestamp writer feature — monotonic, survives file copies
+    AND clock skew), else the commitInfo timestamp, else the log file's
+    mtime."""
     ci = _commit_info(commit_path)
+    if ci and ci.get("inCommitTimestamp") is not None:
+        return int(ci["inCommitTimestamp"]) / 1000.0
     if ci and ci.get("timestamp") is not None:
         return int(ci["timestamp"]) / 1000.0
     return os.path.getmtime(commit_path)

@@ -197,6 +197,41 @@ def delta_fsck(spark, path: str) -> list[tuple[str, str, str]]:
                 f"{spans[-1][1]} — future appends would reuse live ids",
             )
 
+    # -- in-commit timestamps ----------------------------------------------
+    if (snap.configuration.get("delta.enableInCommitTimestamps") or "").lower() == "true":
+        from pos_dlt_spark.sources.delta import _commit_info
+
+        if not writer_covers("inCommitTimestamp", 7):
+            add(
+                "error", "ict",
+                "delta.enableInCommitTimestamps set but the protocol does "
+                "not declare the inCommitTimestamp writer feature",
+            )
+        enable_v = int(
+            snap.configuration.get("delta.inCommitTimestampEnablementVersion")
+            or 0
+        )
+        last: tuple[int, int] | None = None  # (version, ict)
+        for v, p in sorted(commits):
+            if v < enable_v:
+                continue
+            ci = _commit_info(p) or {}
+            ict = ci.get("inCommitTimestamp")
+            if ict is None:
+                add(
+                    "error", "ict",
+                    f"commit {v} (>= enablement version {enable_v}) lacks "
+                    "inCommitTimestamp — timestamp time travel is undefined",
+                )
+                continue
+            if last is not None and int(ict) <= last[1]:
+                add(
+                    "error", "ict",
+                    f"inCommitTimestamp not strictly increasing: commit "
+                    f"{v} has {ict} <= commit {last[0]}'s {last[1]}",
+                )
+            last = (v, int(ict))
+
     # -- clustering --------------------------------------------------------
     from pos_dlt_spark.sources import delta_clustering as _cl
 
