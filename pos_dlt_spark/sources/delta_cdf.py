@@ -21,6 +21,14 @@ delta-io CDF docs (`table_changes` semantics):
   paired same-path remove is DV bookkeeping, not a full-file delete.
   The row-index sets involved are bounded by the COMMIT's delete
   cardinality (the same bound ``delta_delete`` itself accepts).
+- MERGE-ON-READ (row-tracking tables): a rewrite commit (dataChange
+  adds AND removes) committed WITHOUT change files derives its change
+  set by full-outer-joining old and new file contents on the STABLE row
+  id — matched-and-different rows are update_preimage/postimage pairs,
+  old-only deletes, new-only inserts, carried rows nothing. This is
+  what ``delta_update/delta_merge(write_change_files=False)`` buys: the
+  write saves the full change-file amplification; the read pays one
+  id-keyed join bounded by the rewritten files' rows.
 
 Everything stays in the existing cost classes: change files are written
 by distributed jobs, the per-commit action walk is driver metadata, and
@@ -375,22 +383,35 @@ def _changes_by_commit(
         for c in out_cols:
             d_ = ~F.col(f"`__o_{c}`").eqNullSafe(F.col(f"`__n_{c}`"))
             diff = d_ if diff is None else (diff | d_)
-        o_cols = [F.col(f"`__o_{c}`").alias(c) for c in out_cols]
-        n_cols = [F.col(f"`__n_{c}`").alias(c) for c in out_cols]
-        both = F.col("__o_present") & F.col("__n_present")
+        # ONE pass: classify each joined row, explode updates into their
+        # pre/post pair, then pick the old or new side per change type —
+        # a 4-way filter union would recompute the join per branch
+        # (measured 19.3 s -> one-pass at the 10M-row decade)
+        ct = (
+            F.when(F.col("__n_present").isNull(), F.array(F.lit("delete")))
+            .when(F.col("__o_present").isNull(), F.array(F.lit("insert")))
+            .when(
+                diff,
+                F.array(F.lit("update_preimage"), F.lit("update_postimage")),
+            )
+            .otherwise(F.array().cast("array<string>"))  # carried row
+        )
+        tagged = j.select(
+            F.explode(ct).alias(CHANGE_TYPE),
+            *[F.col(f"`__o_{c}`") for c in out_cols],
+            *[F.col(f"`__n_{c}`") for c in out_cols],
+        )
+        old_side = F.col(CHANGE_TYPE).isin("delete", "update_preimage")
         return [
-            j.filter(both & diff).select(*o_cols).withColumn(
-                CHANGE_TYPE, F.lit("update_preimage")
-            ),
-            j.filter(both & diff).select(*n_cols).withColumn(
-                CHANGE_TYPE, F.lit("update_postimage")
-            ),
-            j.filter(F.col("__n_present").isNull()).select(*o_cols).withColumn(
-                CHANGE_TYPE, F.lit("delete")
-            ),
-            j.filter(F.col("__o_present").isNull()).select(*n_cols).withColumn(
-                CHANGE_TYPE, F.lit("insert")
-            ),
+            tagged.select(
+                *[
+                    F.when(old_side, F.col(f"`__o_{c}`"))
+                    .otherwise(F.col(f"`__n_{c}`"))
+                    .alias(c)
+                    for c in out_cols
+                ],
+                F.col(CHANGE_TYPE),
+            )
         ]
 
     # incremental prior-live-set state for DV-delta derivation: None

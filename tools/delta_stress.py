@@ -455,6 +455,105 @@ def stress_dv_paths(spark, rows: int = 24_000_000) -> None:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def stress_rowtracking_mor(spark, rows: int = 10_000_000) -> None:
+    """Row tracking + merge-on-read CDF at the 10M-row decade:
+
+    1. id-resolving read (`read_delta_with_row_ids`) vs the plain read —
+       the id path adds one broadcast of the per-file base table.
+    2. a 50%-of-rows UPDATE on twin tables, one writing explicit change
+       files, one with write_change_files=False — compare UPDATE wall,
+       bytes under _change_data/, and the change-feed read wall; counts
+       must match exactly. The MoR claim is: the write saves the full
+       change-file amplification and the read pays one id-keyed join."""
+    from pyspark.sql import functions as F
+
+    from pos_dlt_spark.sources.delta import read_delta
+    from pos_dlt_spark.sources.delta_cdf import read_change_feed
+    from pos_dlt_spark.sources.delta_rowtracking import read_delta_with_row_ids
+    from pos_dlt_spark.sources.delta_writer import delta_update, write_delta
+    from pos_dlt_spark.tables import scratch_dir
+
+    def dir_bytes(p):
+        if not os.path.isdir(p):
+            return 0
+        return sum(
+            os.path.getsize(os.path.join(r, n))
+            for r, _d, fs in os.walk(p)
+            for n in fs
+        )
+
+    work = scratch_dir("delta_mor_")
+    conf = {
+        "delta.enableRowTracking": "true",
+        "delta.enableChangeDataFeed": "true",
+    }
+    try:
+        df = spark.range(rows).select(
+            F.col("id"), (F.col("id") * 7 % 1000).alias("v")
+        )
+        tables = {}
+        for name in ("explicit", "mor"):
+            t = os.path.join(work, name)
+            write_delta(df.repartition(16), t, configuration=conf)
+            tables[name] = t
+
+        # 1) id-resolving read vs plain read (on one of the twins)
+        t0 = time.perf_counter()
+        c_plain = read_delta(spark, tables["mor"]).count()
+        w_plain = time.perf_counter() - t0
+        rss0 = _vm_rss_mb()
+        t0 = time.perf_counter()
+        ids = read_delta_with_row_ids(spark, tables["mor"])
+        c_ids = ids.count()
+        w_ids = time.perf_counter() - t0
+        rss1 = _vm_rss_mb()
+        t0 = time.perf_counter()
+        n_distinct = ids.agg(
+            F.countDistinct("_row_id").alias("n")
+        ).collect()[0]["n"]
+        w_distinct = time.perf_counter() - t0
+        print(
+            f"rt_read rows={rows}: plain={w_plain:.2f}s ids={w_ids:.2f}s "
+            f"(distinct-agg check {w_distinct:.2f}s) "
+            f"ids_distinct={n_distinct} (expect {rows}) correct="
+            f"{c_plain == c_ids == rows and n_distinct == rows} "
+            f"driver_rss delta {rss1 - rss0:+.0f} MB", flush=True,
+        )
+
+        # 2) 50% UPDATE, explicit change files vs merge-on-read
+        walls, cdbytes, feed = {}, {}, {}
+        for name, wcf in (("explicit", True), ("mor", False)):
+            t = tables[name]
+            t0 = time.perf_counter()
+            delta_update(
+                spark, t, "id % 2 = 0", {"v": "v + 1"},
+                write_change_files=wcf,
+            )
+            walls[name] = time.perf_counter() - t0
+            cdbytes[name] = dir_bytes(os.path.join(t, "_change_data"))
+            t0 = time.perf_counter()
+            counts = dict(
+                (r["_change_type"], r["n"])
+                for r in read_change_feed(spark, t, start_version=1)
+                .groupBy("_change_type").agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            feed[name] = (time.perf_counter() - t0, counts)
+        expect = {"update_preimage": rows // 2, "update_postimage": rows // 2}
+        print(
+            f"mor_update rows={rows} (50% updated): "
+            f"explicit wall={walls['explicit']:.1f}s "
+            f"change_data={cdbytes['explicit']/2**20:.1f} MB "
+            f"feed_read={feed['explicit'][0]:.1f}s | "
+            f"mor wall={walls['mor']:.1f}s "
+            f"change_data={cdbytes['mor']/2**20:.1f} MB "
+            f"feed_read={feed['mor'][0]:.1f}s | counts_match="
+            f"{feed['explicit'][1] == feed['mor'][1] == expect}", flush=True,
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def stress_fsck_vacuum(spark, n_files: int = 1_000_000) -> None:
     """VERDICT r06 #5: delta_fsck and delta_vacuum at the 1M-file decade.
     Real (tiny) files on disk so the existence/size probes and the
@@ -554,6 +653,8 @@ def main() -> None:
         stress_dv_paths(spark)
     if which in ("fsckvac", "all"):
         stress_fsck_vacuum(spark, n_files)
+    if which in ("mor", "all"):
+        stress_rowtracking_mor(spark)
 
 
 if __name__ == "__main__":
