@@ -69,6 +69,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
+_COMPACT_RE = re.compile(r"^(\d{20})\.(\d{20})\.compacted\.json$")
 _CKPT_RE = re.compile(r"^(\d{20})\.checkpoint(?:\.(\d+)\.(\d+))?\.parquet$")
 # V2 checkpoints: a single MANIFEST file named with a writer-chosen uuid
 # (json or parquet) whose actions include `sidecar` references to
@@ -152,6 +153,24 @@ def _list_log(log_dir: str) -> tuple[list[tuple[int, str]], dict[int, list[str]]
     for parts in checkpoints.values():
         parts.sort()
     return commits, checkpoints
+
+
+def _list_compacted(log_dir: str) -> dict[int, tuple[int, str]]:
+    """Minor log-compaction files ``{start}.{end}.compacted.json`` —
+    the protocol's aggregated commit segments — as
+    ``{start: (end, path)}`` (largest end wins per start)."""
+    out: dict[int, tuple[int, str]] = {}
+    try:
+        names = os.listdir(log_dir)
+    except FileNotFoundError:
+        return out
+    for name in names:
+        m = _COMPACT_RE.match(name)
+        if m:
+            s, e = int(m.group(1)), int(m.group(2))
+            if s not in out or e > out[s][0]:
+                out[s] = (e, os.path.join(log_dir, name))
+    return out
 
 
 def _checkpoint_complete(parts: list[str]) -> bool:
@@ -532,10 +551,11 @@ def delta_snapshot(
             raise ValueError("pass version OR timestamp, not both")
         version = version_at_timestamp(path, timestamp)
     commits, checkpoints = _list_log(log_dir)
-    if not commits and not checkpoints:
+    compact_tips = [e for e, _p in _list_compacted(log_dir).values()]
+    if not commits and not checkpoints and not compact_tips:
         raise FileNotFoundError(f"empty _delta_log in {path}")
     latest = max(
-        [v for v, _ in commits] + list(checkpoints), default=-1
+        [v for v, _ in commits] + list(checkpoints) + compact_tips, default=-1
     )
     target = latest if version is None else version
     if version is not None and version > latest:
@@ -596,20 +616,30 @@ def delta_snapshot(
             spark, checkpoints[ckpt_version], columnar_adds=True
         ):
             apply(action)
-        replay = [(v, p) for v, p in commits if ckpt_version < v <= target]
-    else:
-        replay = [(v, p) for v, p in commits if v <= target]
-        if not replay or replay[0][0] != 0:
-            raise FileNotFoundError(
-                f"cannot reconstruct version {target}: no checkpoint and commit 0 missing"
-            )
+    elif not any(v == 0 for v, _ in commits) and 0 not in _list_compacted(log_dir):
+        raise FileNotFoundError(
+            f"cannot reconstruct version {target}: no checkpoint and commit 0 missing"
+        )
+    # replay plan: prefer a minor-compaction segment starting at the
+    # expected version (ONE aggregated file instead of its whole span of
+    # per-commit JSONs — the protocol's log-compaction read rule), else
+    # the commit JSON, else the chain is broken.
+    compacted = _list_compacted(log_dir)
+    commit_map = dict(commits)
     expected = (ckpt_version + 1) if ckpt_version is not None else 0
-    for v, p in replay:
-        if v != expected:
+    while expected <= target:
+        seg = compacted.get(expected)
+        if seg is not None and seg[0] <= target:
+            for action in _commit_actions(seg[1]):
+                apply(action)
+            expected = seg[0] + 1
+            continue
+        p = commit_map.get(expected)
+        if p is None:
             raise FileNotFoundError(f"missing commit version {expected} in {log_dir}")
-        expected = v + 1
         for action in _commit_actions(p):
             apply(action)
+        expected += 1
 
     if meta is None:
         raise DeltaProtocolError("no metaData action found in log")

@@ -47,8 +47,13 @@ def delta_fsck(spark, path: str) -> list[tuple[str, str, str]]:
         findings.append((sev, code, msg))
 
     # -- log chain ---------------------------------------------------------
+    from pos_dlt_spark.sources.delta import _list_compacted
+
     commits, _ = _list_log(os.path.join(path, "_delta_log"))
-    versions = sorted(v for v, _ in commits)
+    covered = set(v for v, _ in commits)
+    for s, (e, _p) in _list_compacted(os.path.join(path, "_delta_log")).items():
+        covered.update(range(s, e + 1))  # minor compaction covers its span
+    versions = sorted(covered)
     if versions:
         base = versions[0]
         want = list(range(base, base + len(versions)))

@@ -74,6 +74,21 @@ def stress_fold(spark, n_files: int) -> None:
         fold_json = time.perf_counter() - t0
         assert len(snap.files) == n_files, len(snap.files)
 
+        # -- minor-compaction variant (same chain, one aggregated file)
+        from pos_dlt_spark.sources.delta_writer import delta_log_compact
+
+        t0 = time.perf_counter()
+        delta_log_compact(spark, tj)
+        build_compact = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        snap_c = delta_snapshot(spark, tj)
+        fold_compact = time.perf_counter() - t0
+        assert len(snap_c.files) == n_files
+        # drop the segment so the checkpoint variant below isn't shadowed
+        for n in os.listdir(os.path.join(tj, "_delta_log")):
+            if n.endswith(".compacted.json"):
+                os.remove(os.path.join(tj, "_delta_log", n))
+
         # -- checkpoint variant --------------------------------------
         t0 = time.perf_counter()
         fx.write_checkpoint(
@@ -97,8 +112,10 @@ def stress_fold(spark, n_files: int) -> None:
         ) / 2**20
         print(
             f"fold n_files={n_files}: json_replay={fold_json:.2f}s "
-            f"checkpoint={fold_ckpt:.2f}s (log {log_mb:.0f} MB on disk; "
-            f"build: json {build_json:.1f}s, ckpt {build_ckpt:.1f}s)"
+            f"compacted={fold_compact:.2f}s checkpoint={fold_ckpt:.2f}s "
+            f"(log {log_mb:.0f} MB on disk; build: json {build_json:.1f}s, "
+            f"compact {build_compact:.1f}s, ckpt {build_ckpt:.1f}s)",
+            flush=True,
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
