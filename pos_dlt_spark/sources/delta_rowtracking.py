@@ -186,16 +186,53 @@ def scan_with_row_ids(
             outs.update({q, "file:" + q, "file://" + q})
         return outs
 
-    rows = []
+    entries: list[tuple[str, int | None, int | None]] = []
+    dec_entries: list[tuple[str, int | None, int | None]] = []
     for rel in wanted:
         add = snap.adds[rel]
         base = add.get("baseRowId")
         dcv = add.get("defaultRowCommitVersion")
         fp = os.path.abspath(_abs_file(snap.path, rel))
+        dec_entries.append((fp, base, dcv))
         for r in sorted(renderings(fp)):
-            rows.append((r, base, dcv))
-    bt = local_df(spark, rows, "__rtk string, __rtbase bigint, __rtdcv bigint")
-    scan = scan.join(F.broadcast(bt), F.col("__fpr") == F.col("__rtk"), "left")
+            entries.append((r, base, dcv))
+
+    from pos_dlt_spark.sources.delta import DV_FID_MAP_MAX
+
+    def pair_struct(base, dcv):
+        return F.struct(
+            F.lit(base).cast("bigint").alias("b"),
+            F.lit(dcv).cast("bigint").alias("d"),
+        )
+
+    if len(entries) <= DV_FID_MAP_MAX:
+        # literal struct-valued map: ONE per-row string lookup on the
+        # zero-cost raw path (decoded-path fallback for exotic
+        # renderings) — measured cheaper than a broadcast hash join on
+        # the path string (2.6 -> ~1.6 s over a 10M-row scan)
+        raw_map = F.create_map(
+            *[x for r, b, d in entries for x in (F.lit(r), pair_struct(b, d))]
+        )
+        dec_map = F.create_map(
+            *[x for r, b, d in dec_entries for x in (F.lit(r), pair_struct(b, d))]
+        )
+        hit = F.coalesce(
+            F.try_element_at(raw_map, F.col("__fpr")),
+            F.try_element_at(dec_map, F.col("__fp")),
+        )
+        scan = scan.withColumn(
+            "__rtbase", hit.getField("b")
+        ).withColumn("__rtdcv", hit.getField("d"))
+    else:
+        # many files: literals would bloat the plan; broadcast hash join
+        bt = local_df(
+            spark,
+            entries,
+            "__rtk string, __rtbase bigint, __rtdcv bigint",
+        )
+        scan = scan.join(
+            F.broadcast(bt), F.col("__fpr") == F.col("__rtk"), "left"
+        ).drop("__rtk")
 
     rid = F.col("__rtbase") + F.col("__ri")
     rvr = F.col("__rtdcv")
