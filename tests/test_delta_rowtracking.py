@@ -363,3 +363,23 @@ def test_rewrite_delete_derives_minimal_changes(spark, tmp_path):
         (1, "delete", 10, "n10"),
         (1, "delete", 11, "n11"),
     ]
+
+
+def test_restore_preserves_high_watermark_no_id_reuse(spark, tmp_path):
+    """RESTORE re-points the live set at an OLD version but must NOT
+    regress the rowIdHighWaterMark (it lives in domainMetadata, which
+    restore leaves untouched): ids assigned after the restore must not
+    collide with ids the restored-away commit had used."""
+    from pos_dlt_spark.sources.delta_writer import delta_restore
+
+    table = str(tmp_path / "rt")
+    write_delta(_df(spark, 0, 10).coalesce(1), table, configuration=RT_CONF)  # ids 0-9
+    write_delta(_df(spark, 10, 25).coalesce(1), table)  # ids 10-24
+    delta_restore(spark, table, version=0)
+    snap = delta_snapshot(spark, table)
+    assert row_id_high_water_mark(snap) == 24  # NOT regressed to 9
+    write_delta(_df(spark, 100, 105).coalesce(1), table)  # fresh ids
+    got = _ids(spark, table)
+    assert sorted(got) == list(range(10)) + list(range(100, 105))
+    ids = sorted(rid for rid, _ in got.values())
+    assert ids == list(range(10)) + list(range(25, 30))  # no reuse of 10-24
