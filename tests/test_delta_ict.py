@@ -140,3 +140,25 @@ def test_fsck_flags_gap_and_regression(spark, tmp_path):
             fh.write(json.dumps(a) + "\n")
     findings = delta_fsck(spark, t)
     assert any(c == "ict" and "strictly increasing" in m for _s, c, m in findings)
+
+
+def test_stamping_survives_log_cleanup(spark, tmp_path):
+    """Log cleanup can delete the PREVIOUS commit's JSON (checkpoint at
+    the tip): stamping must continue — the writer decides from the
+    folded table configuration, not only prior-commit inheritance."""
+    from pos_dlt_spark.sources.delta_writer import delta_log_cleanup
+
+    t = str(tmp_path / "ict")
+    write_delta(
+        _df(spark, 0, 5).coalesce(1), t,
+        configuration=ICT_CONF, checkpoint_interval=1,
+    )
+    write_delta(_df(spark, 5, 9).coalesce(1), t, checkpoint_interval=1)
+    gone = delta_log_cleanup(spark, t)
+    assert gone  # the tip JSONs really were removed
+    write_delta(_df(spark, 9, 12).coalesce(1), t)
+    icts = _icts(t)
+    assert icts.get(2) is not None  # still stamped
+    from pos_dlt_spark.sources.delta_check import delta_fsck
+
+    assert not [f for f in delta_fsck(spark, t) if f[1] == "ict"]

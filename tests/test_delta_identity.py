@@ -112,7 +112,7 @@ def test_assigning_append_aborts_on_commit_race(spark, tmp_path):
     orig = dw._try_commit
     calls = {"n": 0}
 
-    def race_once(log_dir, version, actions):
+    def race_once(log_dir, version, actions, **kw):
         if calls["n"] == 0:
             calls["n"] += 1
             # a foreign commit steals our version slot

@@ -210,7 +210,7 @@ def test_retry_restamps_base_ids(spark, tmp_path, monkeypatch):
     real = dw._try_commit
     state = {"raced": False}
 
-    def flaky(log_dir, version, actions):
+    def flaky(log_dir, version, actions, **kw):
         if not state["raced"]:
             state["raced"] = True
             # a concurrent writer lands 6 rows at this version first

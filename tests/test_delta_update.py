@@ -316,7 +316,7 @@ def test_update_retry_absorbs_lost_race(spark, tmp_path, monkeypatch):
     real = dw._try_commit
     fails = {"n": 1}
 
-    def flaky(log_dir, version, actions):
+    def flaky(log_dir, version, actions, **kw):
         if fails["n"]:
             fails["n"] -= 1
             return False
@@ -366,7 +366,7 @@ def test_delete_dv_retry_absorbs_lost_race_and_cleans_sidecars(
     real = dw._try_commit
     fails = {"n": 1}
 
-    def flaky(log_dir, version, actions):
+    def flaky(log_dir, version, actions, **kw):
         if fails["n"]:
             fails["n"] -= 1
             return False

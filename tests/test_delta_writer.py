@@ -83,7 +83,7 @@ def test_append_race_retries_overwrite_race_aborts(spark, tmp_path, monkeypatch)
     real = W._try_commit
     calls = {"n": 0}
 
-    def lose_once(log_dir, version, actions):
+    def lose_once(log_dir, version, actions, **kw):
         calls["n"] += 1
         if calls["n"] == 1:
             return False  # concurrent writer won this version
@@ -94,7 +94,7 @@ def test_append_race_retries_overwrite_race_aborts(spark, tmp_path, monkeypatch)
     assert v == 1 and calls["n"] == 2  # re-folded, retried, succeeded
     assert sorted(r.id for r in read_delta(spark, table).collect()) == list(range(20))
 
-    monkeypatch.setattr(W, "_try_commit", lambda *a: False)
+    monkeypatch.setattr(W, "_try_commit", lambda *a, **kw: False)
     with pytest.raises(DeltaCommitConflict, match="overwrite"):
         write_delta(_df(spark, 0, 5), table, mode="overwrite")
 
@@ -1206,7 +1206,7 @@ def test_merge_lost_race_reruns_against_fresh_snapshot(spark, tmp_path, monkeypa
     real = W._try_commit
     state = {"raced": False}
 
-    def lose_once(log_dir, version, actions):
+    def lose_once(log_dir, version, actions, **kw):
         if not state["raced"]:
             state["raced"] = True
             # the concurrent winner lands an append at THIS version:
@@ -1250,7 +1250,7 @@ def test_merge_lost_race_reruns_against_fresh_snapshot(spark, tmp_path, monkeypa
     assert on_disk == referenced
 
     # retries exhausted -> loud conflict
-    monkeypatch.setattr(W, "_try_commit", lambda *a: False)
+    monkeypatch.setattr(W, "_try_commit", lambda *a, **kw: False)
     with pytest.raises(DeltaCommitConflict, match="retries"):
         delta_merge(
             spark, table,
@@ -1616,7 +1616,7 @@ def test_merge_retry_preserves_tombstones_and_raw_batch(spark, tmp_path, monkeyp
     real = dw._try_commit
     fails = {"n": 1}
 
-    def flaky(log_dir, version, actions):
+    def flaky(log_dir, version, actions, **kw):
         if fails["n"]:
             fails["n"] -= 1
             return False  # simulate losing the O_EXCL race once
