@@ -107,6 +107,26 @@ def assign_base_row_ids(
     return next_id - 1
 
 
+def require_materialized_columns(snap) -> tuple[str, str]:
+    """The (mat_row_id, mat_row_commit_version) physical column names,
+    raising :class:`DeltaProtocolError` when row tracking is enabled but
+    the names were never minted — every rt-aware DML calls this at the
+    top instead of indexing the configuration bare (a bare KeyError told
+    the user nothing; ADVICE r07 #3)."""
+    from pos_dlt_spark.sources.delta import DeltaProtocolError
+
+    mat_id = snap.configuration.get(MAT_ROW_ID_PROP)
+    mat_ver = snap.configuration.get(MAT_ROW_VER_PROP)
+    if not (mat_id and mat_ver):
+        raise DeltaProtocolError(
+            "row tracking is enabled but the materialized column names "
+            f"({MAT_ROW_ID_PROP} / {MAT_ROW_VER_PROP}) are unset — "
+            "row ids cannot be preserved across rewrites; enable row "
+            "tracking via delta_enable_row_tracking (or at creation)"
+        )
+    return mat_id, mat_ver
+
+
 def _require_row_tracking(snap) -> None:
     from pos_dlt_spark.sources.delta import DeltaProtocolError
 
@@ -205,6 +225,19 @@ def scan_with_row_ids(
             F.lit(dcv).cast("bigint").alias("d"),
         )
 
+    # a TOTAL path miss is LOUD (mirrors _resolve_dv_fid): a silent NULL
+    # would make the row's id NULL, a rewrite would materialize that
+    # NULL, and the row would silently take a FRESH id on the next read
+    # — breaking id stability and MoR CDF (ADVICE r07 #2). A file whose
+    # add carries no baseRowId yields a present struct with NULL fields
+    # (pre-enablement files), which is a semantic state, not a miss.
+    miss = F.raise_error(
+        F.concat(
+            F.lit("row-tracking baseRowId lookup failed for file "),
+            F.col("__fpr"),
+        )
+    ).cast("struct<b:bigint,d:bigint>")
+
     if len(entries) <= DV_FID_MAP_MAX:
         # literal struct-valued map: ONE per-row string lookup on the
         # zero-cost raw path (decoded-path fallback for exotic
@@ -219,20 +252,48 @@ def scan_with_row_ids(
         hit = F.coalesce(
             F.try_element_at(raw_map, F.col("__fpr")),
             F.try_element_at(dec_map, F.col("__fp")),
+            miss,
         )
         scan = scan.withColumn(
             "__rtbase", hit.getField("b")
         ).withColumn("__rtdcv", hit.getField("d"))
     else:
         # many files: literals would bloat the plan; broadcast hash join
+        # on the raw path + a second broadcast join on the DECODED path
+        # (exotic renderings; one row per file, still metadata-sized),
+        # then the loud-miss arm — same ladder as the map branch
+        # (__rthit marks a matched entry even when b/d are NULL)
         bt = local_df(
             spark,
-            entries,
-            "__rtk string, __rtbase bigint, __rtdcv bigint",
+            [(r, b, d, True) for r, b, d in entries],
+            "__rtk string, __rtjb bigint, __rtjd bigint, __rthit boolean",
         )
-        scan = scan.join(
-            F.broadcast(bt), F.col("__fpr") == F.col("__rtk"), "left"
-        ).drop("__rtk")
+        btd = local_df(
+            spark,
+            [(r, b, d, True) for r, b, d in dec_entries],
+            "__rtk2 string, __rtdb bigint, __rtdd bigint, __rtdhit boolean",
+        )
+        raw_hit = F.when(
+            F.col("__rthit"),
+            F.struct(F.col("__rtjb").alias("b"), F.col("__rtjd").alias("d")),
+        )
+        dec_hit = F.when(
+            F.col("__rtdhit"),
+            F.struct(F.col("__rtdb").alias("b"), F.col("__rtdd").alias("d")),
+        )
+        hit = F.coalesce(raw_hit, dec_hit, miss)
+        scan = (
+            scan.join(
+                F.broadcast(bt), F.col("__fpr") == F.col("__rtk"), "left"
+            )
+            .join(F.broadcast(btd), F.col("__fp") == F.col("__rtk2"), "left")
+            .withColumn("__rtbase", hit.getField("b"))
+            .withColumn("__rtdcv", hit.getField("d"))
+            .drop(
+                "__rtk", "__rtjb", "__rtjd", "__rthit",
+                "__rtk2", "__rtdb", "__rtdd", "__rtdhit",
+            )
+        )
 
     rid = F.col("__rtbase") + F.col("__ri")
     rvr = F.col("__rtdcv")

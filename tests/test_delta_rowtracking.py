@@ -383,3 +383,112 @@ def test_restore_preserves_high_watermark_no_id_reuse(spark, tmp_path):
     assert sorted(got) == list(range(10)) + list(range(100, 105))
     ids = sorted(rid for rid, _ in got.values())
     assert ids == list(range(10)) + list(range(25, 30))  # no reuse of 10-24
+
+
+# --- ADVICE r07: enablement path + guard fixes --------------------------
+
+
+def test_set_properties_refuses_row_tracking_props(spark, tmp_path):
+    """Bare SET TBLPROPERTIES of delta.enableRowTracking (or the
+    materialized-column props) would land the table half-enabled — every
+    later DML raising; the props are structural (ADVICE r07 #1)."""
+    from pos_dlt_spark.sources.delta_writer import delta_set_properties
+
+    table = str(tmp_path / "t")
+    write_delta(_df(spark, 0, 5).coalesce(1), table)
+    with pytest.raises(ValueError, match="delta_enable_row_tracking"):
+        delta_set_properties(spark, table, {"delta.enableRowTracking": "true"})
+    with pytest.raises(ValueError, match="delta_enable_row_tracking"):
+        delta_set_properties(spark, table, {MAT_ROW_ID_PROP: "bogus"})
+
+
+def test_enable_row_tracking_backfills_existing_table(spark, tmp_path):
+    """delta_enable_row_tracking on a plain table: one commit declares
+    the features, mints the materialized columns, backfills baseRowId on
+    every live file from footer numRecords (no data rewrite), and every
+    later DML preserves the assigned ids."""
+    from pos_dlt_spark.sources.delta_writer import delta_enable_row_tracking
+
+    table = str(tmp_path / "t")
+    write_delta(_df(spark, 0, 10).repartition(2), table)
+    write_delta(_df(spark, 10, 15).coalesce(1), table)
+    data_files_before = sorted(
+        os.path.relpath(os.path.join(dp, n), table)
+        for dp, _, ns in os.walk(table)
+        for n in ns
+        if n.endswith(".parquet") and "_delta_log" not in dp
+    )
+    v = delta_enable_row_tracking(spark, table)
+    snap = delta_snapshot(spark, table)
+    assert v == snap.version
+    assert {"rowTracking", "domainMetadata"} <= set(
+        snap.protocol.get("writerFeatures") or ()
+    )
+    assert snap.configuration.get(MAT_ROW_ID_PROP)
+    assert row_id_high_water_mark(snap) == 14
+    # metadata-only: no data file was rewritten
+    data_files_after = sorted(
+        os.path.relpath(os.path.join(dp, n), table)
+        for dp, _, ns in os.walk(table)
+        for n in ns
+        if n.endswith(".parquet") and "_delta_log" not in dp
+    )
+    assert data_files_after == data_files_before
+    ids0 = _ids(spark, table)
+    assert sorted(ids0) == list(range(15))
+    assert sorted(rid for rid, _ in ids0.values()) == list(range(15))
+    # ids survive a rewrite DML after enablement
+    delta_update(spark, table, "id = 3", {"name": "'patched'"})
+    ids1 = _ids(spark, table)
+    assert {k: v[0] for k, v in ids1.items()} == {
+        k: v[0] for k, v in ids0.items()
+    }
+    # idempotent
+    assert delta_enable_row_tracking(spark, table) == snap.version + 1
+
+
+def test_cm_plus_row_tracking_refused_at_creation(spark, tmp_path):
+    """The unsupported cm+rowTracking pairing is rejected BEFORE data
+    exists, not at the first DML (ADVICE r07 #4)."""
+    from pos_dlt_spark.sources.delta_writer import (
+        delta_create_table,
+        delta_enable_column_mapping,
+        delta_enable_row_tracking,
+    )
+
+    both = {
+        "delta.columnMapping.mode": "name",
+        "delta.enableRowTracking": "true",
+    }
+    with pytest.raises(ValueError, match="not supported"):
+        write_delta(_df(spark, 0, 3), str(tmp_path / "a"), configuration=both)
+    with pytest.raises(ValueError, match="not supported"):
+        delta_create_table(
+            spark, str(tmp_path / "b"), _df(spark, 0, 1).schema,
+            configuration=both,
+        )
+    # ... and the two upgrade paths refuse crossing into the pairing
+    rt_table = str(tmp_path / "rt")
+    write_delta(_df(spark, 0, 3).coalesce(1), rt_table, configuration=RT_CONF)
+    with pytest.raises(ValueError, match="row-tracking"):
+        delta_enable_column_mapping(spark, rt_table)
+    cm_table = str(tmp_path / "cm")
+    write_delta(
+        _df(spark, 0, 3).coalesce(1), cm_table,
+        configuration={"delta.columnMapping.mode": "name"},
+    )
+    with pytest.raises(ValueError, match="column-mapped"):
+        delta_enable_row_tracking(spark, cm_table)
+
+
+def test_row_id_scan_broadcast_branch(spark, tmp_path, monkeypatch):
+    """Past DV_FID_MAP_MAX entries the id resolution switches to the
+    broadcast-join ladder (raw join -> decoded join -> loud miss); force
+    the branch and check ids are identical to the literal-map path."""
+    import pos_dlt_spark.sources.delta as d
+
+    table = str(tmp_path / "rt")
+    write_delta(_df(spark, 0, 20).repartition(3), table, configuration=RT_CONF)
+    want = _ids(spark, table)
+    monkeypatch.setattr(d, "DV_FID_MAP_MAX", 0)
+    assert _ids(spark, table) == want
