@@ -7,11 +7,14 @@ STUBBED: ``decode_media`` raises NotImplementedError unless
 ``fake=True``, in which case a deterministic fake decoder (byte-stats
 pseudo-features) exercises the full Spark-side path — schema handling,
 Arrow batch shapes, partition-parallel execution — which is the part that
-must be right at 100 TB. One REAL decoder needs no library at all:
-uncompressed 24-bit BMP (``decode_bmp24`` — header parse, row padding,
-bottom-up flip, all numpy) — it anchors the honest codec boundary with an
-actually-decoded format and is value-oracled end to end
-(``multimodal_bmp_decode`` gate query).
+must be right at 100 TB. THREE real decoders need no library at all,
+each value-oracled end to end by a gate query: uncompressed 24-bit BMP
+(``decode_bmp24`` — header parse, row padding, bottom-up flip), RIFF/
+WAVE PCM16 (``decode_wav_pcm16`` — chunk walk, sample decode), and
+non-interlaced 8-bit PNG (``decode_png`` — chunk walk + CRC, stdlib
+zlib inflate, all five scanline defilter types incl. paeth). The
+remaining stub boundary is JPEG and compressed audio/video, whose
+entropy coders genuinely need codec libraries.
 
 Scale notes:
 - media rows are large (MBs); keep ``spark.sql.files.maxPartitionBytes``
@@ -58,15 +61,21 @@ MEDIA_FEATURE_SCHEMA = StructType(
 def decode_media(payload: bytes, kind: str, fake: bool = False) -> list[float]:
     """Decode a media payload into a feature vector.
 
-    Real decoding needs codec libraries not present in this container —
-    callers on a real cluster plug in PIL/librosa/ffmpeg here. The
-    deterministic fake derives an 8-dim byte-histogram feature so tests
-    cover the distributed plumbing end-to-end.
+    Only the library-backed codecs are stubbed — three formats decode
+    for REAL with no library at all (BMP24 :func:`decode_bmp24`, WAV
+    PCM16 :func:`decode_wav_pcm16`, PNG :func:`decode_png`); the
+    remaining boundary is JPEG and compressed audio/video, whose
+    entropy coders genuinely need PIL/librosa/ffmpeg — callers on a
+    real cluster plug those in here. The deterministic fake derives an
+    8-dim byte-histogram feature so tests cover the distributed
+    plumbing end-to-end.
     """
     if not fake:
         raise NotImplementedError(
-            "media codecs not available in this environment; pass fake=True "
-            "for the deterministic byte-stats decoder"
+            "JPEG/compressed-AV codecs not available in this environment "
+            "(BMP/WAV/PNG decode for real via decode_bmp24 / "
+            "decode_wav_pcm16 / decode_png); pass fake=True for the "
+            "deterministic byte-stats decoder"
         )
     if payload is None or len(payload) == 0:
         return [0.0] * 8
@@ -150,9 +159,9 @@ def decode_bmp24(payload: bytes):
     BITMAPINFOHEADER headers (little-endian), honor the pixel-data
     offset, strip per-row 4-byte padding, and flip the bottom-up row
     order (negative height = already top-down). Returns an (h, w, 3)
-    uint8 numpy array in BGR channel order. Pure numpy — this is the one
-    genuinely-decoded format in the container; PNG/JPEG stay behind the
-    codec-library boundary."""
+    uint8 numpy array in BGR channel order. Pure numpy — one of the
+    three genuinely-decoded formats in the container (with WAV and PNG);
+    JPEG stays behind the codec-library boundary."""
     import struct
 
     import numpy as np
@@ -379,6 +388,252 @@ def synth_wav_media(df: DataFrame, id_col: str = "media_id") -> DataFrame:
                 payloads.append(
                     encode_wav_pcm16(s, sample_rate=8000 + (mid % 3) * 4000)
                 )
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return df.select(F.col(id_col)).mapInPandas(run, schema)
+
+
+
+# -- real decoder #3: PNG, non-interlaced 8-bit RGB/RGBA (stdlib zlib) --------
+
+PNG_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("n_px", LongType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+        StructField("sum_a", LongType()),
+        StructField("checksum_g", LongType()),
+    ]
+)
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(left: int, up: int, ul: int) -> int:
+    p = left + up - ul
+    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+    if pa <= pb and pa <= pc:
+        return left
+    return up if pb <= pc else ul
+
+
+def encode_png(pixels) -> bytes:
+    """Minimal PNG writer for an (h, w, 3|4) uint8 array: 8-bit
+    truecolor (color type 2) / truecolor+alpha (6), non-interlaced.
+    Row ``y`` uses filter type ``y % 5`` so every defilter path (none /
+    sub / up / average / paeth) is exercised by any image taller than 4
+    rows; the compressed stream is split across TWO IDAT chunks and a
+    tEXt ancillary chunk precedes them, so the decoder's chunk walk and
+    IDAT concatenation are exercised too. Test/fixture support for the
+    decoder — not an image-processing API."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    h, w, ch = arr.shape
+    if ch not in (3, 4):
+        raise ValueError(f"encode_png needs 3 or 4 channels, got {ch}")
+    stride = w * ch
+    flat = arr.reshape(h, stride).astype(np.int32)
+    raw = bytearray()
+    for y in range(h):
+        ft = y % 5
+        line = flat[y]
+        prev = flat[y - 1] if y else np.zeros(stride, np.int32)
+        if ft == 0:
+            out = line.copy()
+        elif ft == 2:
+            out = (line - prev) % 256
+        else:
+            out = np.zeros(stride, np.int32)
+            for x in range(stride):
+                left = int(line[x - ch]) if x >= ch else 0
+                up = int(prev[x])
+                ul = int(prev[x - ch]) if x >= ch else 0
+                if ft == 1:
+                    pred = left
+                elif ft == 3:
+                    pred = (left + up) // 2
+                else:
+                    pred = _paeth(left, up, ul)
+                out[x] = (int(line[x]) - pred) % 256
+        raw.append(ft)
+        raw += out.astype(np.uint8).tobytes()
+    comp = zlib.compress(bytes(raw), 6)
+    half = max(1, len(comp) // 2)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2 if ch == 3 else 6, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"tEXt", b"Comment\x00pos_dlt_spark fixture")
+        + _png_chunk(b"IDAT", comp[:half])
+        + _png_chunk(b"IDAT", comp[half:])
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes):
+    """REAL decode of a non-interlaced 8-bit truecolor PNG (color type 2
+    or 6) with nothing but stdlib ``zlib`` + numpy: verify the
+    signature, walk the chunk list (CRC-checking every chunk, skipping
+    ancillary ones), parse IHDR, concatenate ALL IDAT payloads, inflate,
+    and undo the per-scanline filters (none/sub/up/average/paeth — the
+    paeth predictor per the PNG spec, PNG being public W3C format
+    documentation). Returns an (h, w, 3|4) uint8 array in RGB(A) channel
+    order. The third genuinely-decoded format in the container (with
+    BMP and WAV); palette/interlaced/16-bit PNG and JPEG stay behind the
+    codec-library boundary."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload is None or len(payload) < 8 or bytes(payload[:8]) != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    ihdr = None
+    saw_idat = False
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = bytes(payload[pos + 4 : pos + 8])
+        data = bytes(payload[pos + 8 : pos + 8 + length])
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        pos += 12 + length
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            saw_idat = True
+            idat += data
+        elif ctype == b"IEND":
+            break
+        # ancillary chunks (tEXt, pHYs, ...) are skipped by the walk
+    if ihdr is None or not saw_idat:
+        raise ValueError("PNG missing IHDR/IDAT chunk")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or color not in (2, 6) or comp or filt or interlace:
+        raise ValueError(
+            f"unsupported PNG (depth={depth}, color={color}, "
+            f"interlace={interlace}); only non-interlaced 8-bit RGB/RGBA "
+            "decodes without a codec library"
+        )
+    ch = 3 if color == 2 else 4
+    stride = w * ch
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline payload has the wrong size")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        if ft == 0:
+            cur = line
+        elif ft == 2:
+            cur = (line + prev) % 256
+        elif ft in (1, 3, 4):
+            cur = np.zeros(stride, np.int32)
+            for x in range(stride):
+                left = int(cur[x - ch]) if x >= ch else 0
+                up = int(prev[x])
+                ul = int(prev[x - ch]) if x >= ch else 0
+                if ft == 1:
+                    pred = left
+                elif ft == 3:
+                    pred = (left + up) // 2
+                else:
+                    pred = _paeth(left, up, ul)
+                cur[x] = (int(line[x]) + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[y] = cur.astype(np.uint8)
+    return out.reshape(h, w, ch)
+
+
+def png_features(df: DataFrame) -> DataFrame:
+    """mapInPandas: (media_id, payload) -> decoded PNG statistics with
+    EXACT integer aggregates (per-channel int64 sums, alpha sum 0 for
+    RGB, and a position-weighted green checksum over raster order — it
+    catches a decoder whose defilter or chunk concatenation is off by
+    anything, which channel means alone cannot). Embarrassingly
+    parallel, no shuffle; payloads never leave the executor."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_id", "width", "height", "channels", "n_px",
+                "sum_r", "sum_g", "sum_b", "sum_a", "checksum_g",
+            )}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                img = decode_png(payload)
+                h, w, ch = img.shape
+                px = img.astype(np.int64)
+                pos = np.arange(h * w, dtype=np.int64).reshape(h, w)
+                out["media_id"].append(mid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(ch)
+                out["n_px"].append(h * w)
+                out["sum_r"].append(int(px[:, :, 0].sum()))
+                out["sum_g"].append(int(px[:, :, 1].sum()))
+                out["sum_b"].append(int(px[:, :, 2].sum()))
+                out["sum_a"].append(
+                    int(px[:, :, 3].sum()) if ch == 4 else 0
+                )
+                out["checksum_g"].append(int((px[:, :, 1] * pos).sum()))
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "payload").mapInPandas(run, PNG_FEATURE_SCHEMA)
+
+
+def synth_png_media(df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Deterministic PNG fixture generator AS A DISTRIBUTED OPERATOR:
+    for each id, an RGB (even id) or RGBA (odd id) image of width
+    ``4 + id % 5``, height ``5 + id % 4`` (always >= 5 rows, so every
+    filter type 0-4 appears) whose pixel at (x, y), channel c is
+    ``(id*41 + y*9 + x*5 + c*17) % 256`` — a closed form a SQL oracle
+    can re-derive. Payload bytes are built executor-side per Arrow
+    batch; nothing collects."""
+    import numpy as np
+
+    schema = StructType(
+        [StructField("media_id", LongType()), StructField("payload", BinaryType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                w, h, ch = 4 + mid % 5, 5 + mid % 4, 3 + mid % 2
+                y, x, c = np.ogrid[0:h, 0:w, 0:ch]
+                img = ((mid * 41 + y * 9 + x * 5 + c * 17) % 256).astype(np.uint8)
+                ids.append(mid)
+                payloads.append(encode_png(img))
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
     return df.select(F.col(id_col)).mapInPandas(run, schema)

@@ -1222,6 +1222,65 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.wav_features(M.synth_wav_media(docs))
 
 
+@query(
+    "multimodal_png_decode",
+    oracle="""
+    WITH png_dims AS (
+        SELECT doc_id AS media_id,
+               4 + doc_id % 5 AS w, 5 + doc_id % 4 AS h,
+               3 + doc_id % 2 AS ch
+        FROM documents),
+    png_px AS (
+        SELECT media_id, w, h, ch, x, y, c,
+               (media_id * 41 + y * 9 + x * 5 + c * 17) % 256 AS v
+        FROM png_dims, range(0, 8) tx(x), range(0, 8) ty(y), range(0, 4) tc(c)
+        WHERE x < w AND y < h AND c < ch)
+    SELECT media_id,
+           CAST(MAX(w) AS INT) AS width,
+           CAST(MAX(h) AS INT) AS height,
+           CAST(MAX(ch) AS INT) AS channels,
+           CAST(MAX(w) * MAX(h) AS BIGINT) AS n_px,
+           CAST(SUM(CASE WHEN c = 0 THEN v END) AS DOUBLE) / (MAX(w) * MAX(h)) AS mean_r,
+           CAST(SUM(CASE WHEN c = 1 THEN v END) AS DOUBLE) / (MAX(w) * MAX(h)) AS mean_g,
+           CAST(SUM(CASE WHEN c = 2 THEN v END) AS DOUBLE) / (MAX(w) * MAX(h)) AS mean_b,
+           CAST(COALESCE(SUM(CASE WHEN c = 3 THEN v END), 0) AS BIGINT) AS sum_a,
+           CAST(SUM(CASE WHEN c = 1 THEN v * (y * w + x) END) AS BIGINT) AS checksum_g
+    FROM png_px GROUP BY media_id
+    """,
+)
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode, value-oracled end to end (VERDICT r07 #2, the
+    THIRD dependency-free codec anchor after BMP and WAV): deterministic
+    8-bit RGB/RGBA PNGs are synthesized executor-side — closed-form
+    pixels, row ``y`` filtered with type ``y % 5`` so none/sub/up/
+    average/paeth ALL appear in every image, the deflate stream split
+    across two IDAT chunks behind a tEXt ancillary chunk — then
+    decode_png walks the chunks (CRC-checked), inflates with stdlib
+    zlib, and undoes the filters inside an Arrow mapInPandas. The
+    oracle re-derives every pixel from the generation formula: the
+    position-weighted green checksum only matches if chunk
+    concatenation, inflate, and all five defilter paths are byte-exact.
+    JPEG stays behind the codec-library boundary."""
+    from pos_dlt_spark.operators import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents", spread=True).select(
+        F.col("doc_id").alias("media_id")
+    )
+    feats = M.png_features(M.synth_png_media(docs))
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        "channels",
+        "n_px",
+        (F.col("sum_r").cast("double") / F.col("n_px")).alias("mean_r"),
+        (F.col("sum_g").cast("double") / F.col("n_px")).alias("mean_g"),
+        (F.col("sum_b").cast("double") / F.col("n_px")).alias("mean_b"),
+        "sum_a",
+        "checksum_g",
+    )
+
+
 @query("multimodal_media_features", oracle=None)  # rows-only: decode is a stub
 def multimodal_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Opaque-binary media pipeline over Arrow batches: documents stand in

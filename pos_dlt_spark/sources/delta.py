@@ -258,7 +258,11 @@ class _AddBlock:
         out = {"path": path}
         for fn, col in self._fields.items():
             v = col[i].as_py()
-            out[fn] = _as_dict(v) if fn == "partitionValues" else v
+            if fn == "partitionValues":
+                v = _as_dict(v)
+            elif fn == "tags" and isinstance(v, list):
+                v = dict(v)  # parquet map read-back shape
+            out[fn] = v
         return out
 
 

@@ -233,6 +233,12 @@ def _action_arrow_schema():
                         # re-derive DIFFERENT row ids
                         ("baseRowId", pa.int64()),
                         ("defaultRowCommitVersion", pa.int64()),
+                        # clustering ZCube stamps (clusteringProvider /
+                        # ZCUBE_ID / ZCUBE_ZORDER_BY) must survive the
+                        # checkpoint or the first post-checkpoint
+                        # incremental OPTIMIZE would re-cluster the whole
+                        # table (every file reading as unstamped)
+                        ("tags", smap),
                     ]
                 ),
             ),

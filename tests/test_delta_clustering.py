@@ -131,3 +131,151 @@ def test_create_table_ddl_with_cluster_by(spark, tmp_path):
     assert clustering_columns(snap) == ["b"]
     write_delta(spark.range(5).selectExpr("id a", "id*2 b"), t)
     assert read_delta(spark, t).count() == 5
+
+
+# --- incremental (ZCube-stamped) re-clustering — VERDICT r07 #1 ---------
+
+
+def _live(spark, t):
+    return {rel for rel, _ in delta_snapshot(spark, t).files}
+
+
+def test_incremental_optimize_rewrites_only_new_files(spark, tmp_path):
+    """OPTIMIZE -> append -> OPTIMIZE: the second run rewrites ONLY the
+    appended (unstamped) files; the first run's ZCube is untouched —
+    maintenance is O(new data), not O(table)."""
+    from pos_dlt_spark.sources.delta_clustering import (
+        PROVIDER_TAG,
+        ZCUBE_ID_TAG,
+        is_current_cluster_file,
+    )
+
+    t = str(tmp_path / "c")
+    write_delta(_orders(spark).repartition(8), t, cluster_by=["v"])
+    delta_optimize(spark, t, target_files=4)
+    snap1 = delta_snapshot(spark, t)
+    cube1 = _live(spark, t)
+    assert all(
+        is_current_cluster_file(snap1.adds[r], ["v"]) for r in cube1
+    )
+    zids = {snap1.adds[r]["tags"][ZCUBE_ID_TAG] for r in cube1}
+    assert len(zids) == 1  # one run = one cube
+    # append fresh (unstamped) files
+    write_delta(_orders(spark, 500).repartition(2), t)
+    appended = _live(spark, t) - cube1
+    assert len(appended) == 2
+    v = delta_optimize(spark, t, target_files=4)
+    snap2 = delta_snapshot(spark, t)
+    live2 = _live(spark, t)
+    # the original cube survived untouched; only the appends rewrote
+    assert cube1 <= live2
+    assert appended.isdisjoint(live2)
+    new_cube = live2 - cube1
+    assert all(
+        (snap2.adds[r].get("tags") or {}).get(PROVIDER_TAG) == "liquid"
+        for r in new_cube
+    )
+    assert {snap2.adds[r]["tags"][ZCUBE_ID_TAG] for r in new_cube} not in (
+        set(), zids
+    )
+    # commitInfo records the incremental run
+    import json as _json
+    import os
+
+    with open(
+        os.path.join(t, "_delta_log", f"{v:020d}.json"), encoding="utf-8"
+    ) as fh:
+        ci = next(
+            _json.loads(l)["commitInfo"]
+            for l in fh
+            if '"commitInfo"' in l
+        )
+    assert ci["operationParameters"]["auto"] == "True"
+    assert int(ci["operationParameters"]["skippedFiles"]) == len(cube1)
+    # a third bare OPTIMIZE with nothing new is a NO-OP (no commit)
+    assert delta_optimize(spark, t, target_files=4) == snap2.version
+    # rows intact
+    assert read_delta(spark, t).count() == 4000 + 500
+
+
+def test_optimize_full_consolidates_all_cubes(spark, tmp_path):
+    """full=True (OPTIMIZE FULL) rewrites every file — stamped or not —
+    into one fresh cube (small-cube consolidation)."""
+    from pos_dlt_spark.sources.delta_clustering import ZCUBE_ID_TAG
+
+    t = str(tmp_path / "c")
+    write_delta(_orders(spark).repartition(4), t, cluster_by=["v"])
+    delta_optimize(spark, t, target_files=2)
+    write_delta(_orders(spark, 300).repartition(2), t)
+    delta_optimize(spark, t, target_files=2)  # second small cube
+    snap = delta_snapshot(spark, t)
+    assert len({
+        snap.adds[r]["tags"][ZCUBE_ID_TAG] for r, _ in snap.files
+    }) == 2
+    before = _live(spark, t)
+    delta_optimize(spark, t, target_files=2, full=True)
+    snap2 = delta_snapshot(spark, t)
+    after = _live(spark, t)
+    assert before.isdisjoint(after)
+    assert len({
+        snap2.adds[r]["tags"][ZCUBE_ID_TAG] for r, _ in snap2.files
+    }) == 1
+    assert read_delta(spark, t).count() == 4300
+
+
+def test_alter_cluster_by_invalidates_stamps(spark, tmp_path):
+    """ALTER ... CLUSTER BY changes the columns: files stamped for the
+    OLD columns are stale, so the next bare OPTIMIZE re-clusters them
+    (the documented lazy re-cluster)."""
+    t = str(tmp_path / "c")
+    write_delta(_orders(spark).repartition(4), t, cluster_by=["v"])
+    delta_optimize(spark, t, target_files=2)
+    cube_v = _live(spark, t)
+    delta_alter_cluster_by(spark, t, ["k"])
+    delta_optimize(spark, t, target_files=2)
+    live = _live(spark, t)
+    assert cube_v.isdisjoint(live)
+    _, skipped = skip_files(delta_snapshot(spark, t), [("k", "<", 100)])
+    assert skipped >= 1
+
+
+def test_zcube_stamps_survive_checkpoint(spark, tmp_path):
+    """add.tags must round-trip the checkpoint fold or the first
+    post-checkpoint OPTIMIZE would re-cluster the whole table."""
+    import os
+
+    t = str(tmp_path / "c")
+    write_delta(_orders(spark).repartition(4), t, cluster_by=["v"])
+    delta_optimize(spark, t, target_files=2)
+    cube1 = _live(spark, t)
+    for i in range(12):  # cross the checkpoint cadence
+        write_delta(_orders(spark, 10).coalesce(1), t)
+    assert any(
+        n.endswith(".checkpoint.parquet")
+        for n in os.listdir(os.path.join(t, "_delta_log"))
+    )
+    delta_optimize(spark, t, target_files=2)
+    assert cube1 <= _live(spark, t)  # stamped cube skipped post-fold
+
+
+def test_incremental_optimize_purges_dv_files(spark, tmp_path):
+    """A stamped file that later grew a deletion vector is no longer
+    current: the next incremental OPTIMIZE rewrites it minus the deleted
+    rows (OPTIMIZE stays PURGE) and leaves its un-DV'd siblings alone."""
+    from pos_dlt_spark.sources.delta_writer import delta_delete
+
+    t = str(tmp_path / "c")
+    write_delta(_orders(spark).repartition(4), t, cluster_by=["v"])
+    delta_optimize(spark, t, target_files=4)
+    cube = _live(spark, t)
+    delta_delete(spark, t, "k = 7", mode="dv")
+    snap = delta_snapshot(spark, t)
+    dvd = {
+        r for r, _ in snap.files if snap.adds[r].get("deletionVector")
+    }
+    assert dvd and dvd < cube
+    delta_optimize(spark, t, target_files=4)
+    live = _live(spark, t)
+    assert (cube - dvd) <= live and dvd.isdisjoint(live)
+    assert read_delta(spark, t).filter("k = 7").count() == 0
+    assert read_delta(spark, t).count() == 3999

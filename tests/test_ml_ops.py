@@ -474,3 +474,71 @@ def test_wav_checksum_catches_byte_order():
     swapped = frames[:, 0].byteswap().astype(np.int64)
     bad = int((swapped * (np.arange(4) % 97 + 1)).sum())
     assert good != bad
+
+
+def test_png_roundtrip_all_filters_and_channels():
+    """Every image taller than 4 rows exercises all five scanline
+    filters (encode uses y % 5); RGB and RGBA, widths down to 1 px
+    (where left/upper-left predictors are all zero)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    for h, w, ch in [(5, 1, 3), (6, 4, 4), (8, 8, 3), (9, 7, 4), (40, 33, 3)]:
+        img = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+        got = M.decode_png(M.encode_png(img))
+        assert got.shape == (h, w, ch)
+        assert (got == img).all()
+
+
+def test_png_chunk_walk_and_crc():
+    """IDAT concatenation across chunks is exercised by the encoder's
+    two-IDAT split; a flipped payload byte must fail the CRC check and
+    a truncated/foreign payload must be rejected loudly."""
+    import struct
+    import numpy as np
+    import zlib
+
+    img = np.arange(5 * 4 * 3, dtype=np.uint8).reshape(5, 4, 3)
+    payload = M.encode_png(img)
+    assert payload.count(b"IDAT") == 2 and b"tEXt" in payload
+    corrupted = bytearray(payload)
+    idat_at = payload.index(b"IDAT")
+    corrupted[idat_at + 5] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        M.decode_png(bytes(corrupted))
+    with pytest.raises(ValueError, match="not a PNG"):
+        M.decode_png(b"BMnope")
+    # unsupported shapes refuse with the documented boundary message
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)  # palette
+    pal = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+        + struct.pack(">I", 0) + b"IDAT"
+        + struct.pack(">I", zlib.crc32(b"IDAT") & 0xFFFFFFFF)
+    )
+    with pytest.raises(ValueError, match="unsupported PNG"):
+        M.decode_png(pal)
+
+
+def test_png_features_distributed(spark):
+    """synth -> decode -> exact integer aggregates over mapInPandas;
+    spot-check one id against a numpy re-derivation."""
+    import numpy as np
+
+    ids = spark.range(0, 12).selectExpr("id AS media_id")
+    out = {
+        r.media_id: r
+        for r in M.png_features(M.synth_png_media(ids)).collect()
+    }
+    assert len(out) == 12
+    for mid in (3, 8):
+        w, h, ch = 4 + mid % 5, 5 + mid % 4, 3 + mid % 2
+        y, x, c = np.ogrid[0:h, 0:w, 0:ch]
+        img = ((mid * 41 + y * 9 + x * 5 + c * 17) % 256).astype(np.int64)
+        r = out[mid]
+        assert (r.width, r.height, r.channels, r.n_px) == (w, h, ch, h * w)
+        assert r.sum_g == int(img[:, :, 1].sum())
+        assert r.sum_a == (int(img[:, :, 3].sum()) if ch == 4 else 0)
+        pos = np.arange(h * w, dtype=np.int64).reshape(h, w)
+        assert r.checksum_g == int((img[:, :, 1] * pos).sum())

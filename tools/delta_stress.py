@@ -652,6 +652,77 @@ def stress_fsck_vacuum(spark, n_files: int = 1_000_000) -> None:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def stress_incremental_cluster(spark, rows: int = 20_000_000) -> None:
+    """VERDICT r07 #1 done-criterion: OPTIMIZE -> append 10% -> OPTIMIZE.
+    The second bare OPTIMIZE on a clustered table must rewrite only the
+    appended slice (incremental, ZCube-stamped), with the selective-
+    predicate skip ratio preserved across the stamped cubes."""
+    from pyspark.sql import functions as F
+
+    from pos_dlt_spark.sources.delta import delta_snapshot, skip_files
+    from pos_dlt_spark.sources.delta_writer import delta_optimize, write_delta
+    from pos_dlt_spark.tables import scratch_dir
+
+    work = scratch_dir("delta_incrcluster_")
+    try:
+        table = os.path.join(work, "t")
+
+        def band(lo, n):
+            # v scattered by Knuth hash: initial layout unskippable
+            return spark.range(lo, lo + n).select(
+                F.col("id").alias("k"),
+                ((F.col("id") * 2654435761) % 100_000).alias("v"),
+                F.concat(F.lit("p"), F.col("id") % 977).alias("s"),
+            )
+
+        write_delta(band(0, rows).repartition(64), table, cluster_by=["v", "k"])
+        snap0 = delta_snapshot(spark, table)
+        _, sk0 = skip_files(snap0, [("v", "<", 1000)])
+        print(f"[incrcluster] base: {len(snap0.files)} files, skip(v<1000)={sk0}/{len(snap0.files)}")
+
+        t0 = time.perf_counter()
+        delta_optimize(spark, table, target_files=64)
+        t_full = time.perf_counter() - t0
+        snap1 = delta_snapshot(spark, table)
+        cube1 = {rel for rel, _ in snap1.files}
+        _, sk1 = skip_files(snap1, [("v", "<", 1000)])
+        print(f"[incrcluster] OPTIMIZE#1 (all-new): {t_full:.1f}s, rewrote {len(snap0.files)} -> {len(snap1.files)} files, skip={sk1}/{len(snap1.files)}")
+
+        # append 10%
+        write_delta(band(rows, rows // 10).repartition(7), table)
+        snap2 = delta_snapshot(spark, table)
+        appended = {rel for rel, _ in snap2.files} - cube1
+        print(f"[incrcluster] appended {len(appended)} files ({rows // 10} rows)")
+
+        t0 = time.perf_counter()
+        delta_optimize(spark, table, target_files=64)
+        t_incr = time.perf_counter() - t0
+        snap3 = delta_snapshot(spark, table)
+        live3 = {rel for rel, _ in snap3.files}
+        rewrote = [r for r in appended if r not in live3]
+        untouched = cube1 <= live3
+        _, sk3 = skip_files(snap3, [("v", "<", 1000)])
+        new_files = live3 - cube1
+        bytes_new = sum(snap3.adds[r]["size"] for r in new_files)
+        bytes_all = sum(snap3.adds[r]["size"] for r in live3)
+        print(
+            f"[incrcluster] OPTIMIZE#2 (incremental): {t_incr:.1f}s, "
+            f"rewrote {len(rewrote)}/{len(appended)} appended files, "
+            f"prior cube untouched={untouched}, "
+            f"new-cube bytes {bytes_new / 1e6:.0f}MB / table {bytes_all / 1e6:.0f}MB "
+            f"({100 * bytes_new / bytes_all:.0f}%), skip={sk3}/{len(live3)}"
+        )
+        t0 = time.perf_counter()
+        v_noop = delta_optimize(spark, table, target_files=64)
+        t_noop = time.perf_counter() - t0
+        print(
+            f"[incrcluster] OPTIMIZE#3 (steady state): {t_noop:.2f}s, "
+            f"no-op={v_noop == snap3.version}"
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     n_files = 1_000_000
@@ -672,6 +743,8 @@ def main() -> None:
         stress_fsck_vacuum(spark, n_files)
     if which in ("mor", "all"):
         stress_rowtracking_mor(spark)
+    if which in ("incrcluster", "all"):
+        stress_incremental_cluster(spark)
 
 
 if __name__ == "__main__":
