@@ -1208,6 +1208,79 @@ def supplier_delta_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
+    "supplier_delta_type_widening",
+    oracle="""
+    WITH widened AS (
+        SELECT s_suppkey, s_nationkey,
+               CASE WHEN s_suppkey % 2 = 0
+                    THEN CAST(CAST(s_acctbal AS REAL) AS DOUBLE)
+                    ELSE CAST(s_acctbal AS DOUBLE) END AS bal
+        FROM supplier)
+    SELECT s_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(s_suppkey) AS BIGINT) AS sum_key,
+           MIN(bal) AS min_bal,
+           MAX(bal) AS max_bal
+    FROM widened GROUP BY s_nationkey
+    """,
+)
+def supplier_delta_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TYPE WIDENING end-to-end (protocol typeWidening feature): the
+    even-key half of supplier is committed with NARROW columns
+    (s_suppkey int, s_acctbal float), then ``ALTER COLUMN TYPE`` widens
+    both (int->long, float->double — metadata-only, zero rewrite,
+    delta.typeChanges recorded, feature declared in both lists), then
+    the odd-key half appends at the WIDE types. The read pins the latest
+    schema and Spark's parquet reader upcasts the old int32/float pages
+    at scan; files of both widths coexist in one live set. The oracle
+    re-derives the float32 truncation the narrow half went through
+    (CAST ... AS REAL) — min/max only match if the upcast is bit-exact
+    and no file was rewritten or dropped."""
+    from pos_dlt_spark.sources.delta import delta_snapshot, read_delta
+    from pos_dlt_spark.sources.delta_writer import (
+        delta_alter_column_type,
+        write_delta,
+    )
+    from pos_dlt_spark.tables import scratch_dir
+
+    key = os.path.abspath(sf_dir) + "#widen"
+    if key not in _DELTA_RT_CACHE:
+        import atexit
+        import shutil
+
+        work = scratch_dir("delta_widen_")
+        atexit.register(shutil.rmtree, work, ignore_errors=True)
+        table = os.path.join(work, "supplier")
+        supp = load_table(spark, sf_dir, "supplier")
+        narrow = supp.filter(F.col("s_suppkey") % 2 == 0).select(
+            F.col("s_suppkey").cast("int").alias("s_suppkey"),
+            "s_nationkey",
+            F.col("s_acctbal").cast("float").alias("s_acctbal"),
+        )
+        write_delta(narrow.repartition(2), table)
+        n_before = len(delta_snapshot(spark, table).files)
+        delta_alter_column_type(spark, table, "s_suppkey", "long")
+        delta_alter_column_type(spark, table, "s_acctbal", "double")
+        snap = delta_snapshot(spark, table)
+        assert len(snap.files) == n_before, "widening must not rewrite"
+        assert "typeWidening" in set(snap.protocol.get("readerFeatures") or ())
+        wide = supp.filter(F.col("s_suppkey") % 2 == 1).select(
+            F.col("s_suppkey").cast("long").alias("s_suppkey"),
+            "s_nationkey",
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+        )
+        write_delta(wide.repartition(2), table)
+        _DELTA_RT_CACHE[key] = table
+    df = read_delta(spark, _DELTA_RT_CACHE[key])
+    return df.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("s_suppkey").cast("bigint").alias("sum_key"),
+        F.min("s_acctbal").alias("min_bal"),
+        F.max("s_acctbal").alias("max_bal"),
+    )
+
+
+@query(
     "supplier_delta_identity",
     oracle="""
     SELECT CAST(count(*) AS BIGINT) AS n_rows,

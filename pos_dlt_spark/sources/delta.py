@@ -84,10 +84,15 @@ _SUPPORTED_READER_FEATURES = {
     "columnMapping",
     "deletionVectors",
     "v2Checkpoint",
+    "typeWidening",
 }
 # deletionVectors and v2Checkpoint are genuinely supported (read + write /
 # read paths). columnMapping name/id modes are read-supported; the
 # snapshot fold validates the mapping metadata and raises on gaps.
+# typeWidening: every scan pins the LATEST metadata's schema, and Spark's
+# parquet reader upcasts narrower pages (int32 into a long column,
+# float into double) at scan — widened tables read correctly by
+# construction; delta_alter_column_type is the write side.
 
 
 class DeltaProtocolError(Exception):
@@ -253,6 +258,22 @@ class _AddBlock:
     def __contains__(self, path: str) -> bool:
         return path in self._index
 
+    def dv_paths(self) -> list[str]:
+        """Paths whose add carries a deletionVector — computed C-side on
+        the columnar block (validity mask), so a 1M-file checkpoint
+        yields its (few) DV'd paths without materializing a million add
+        dicts (vacuum's referenced-set walk measured +318 MB doing
+        that)."""
+        col = self._fields.get("deletionVector")
+        if col is None:
+            return []
+        import pyarrow.compute as pc
+
+        mask = pc.is_valid(col)
+        if not pc.any(mask).as_py():
+            return []
+        return [p for p, m in zip(self.paths, mask.to_pylist()) if m]
+
     def row(self, path: str) -> dict:
         i = self._index[path]
         out = {"path": path}
@@ -315,6 +336,20 @@ class _LazyAdds(_Mapping):
                 raise KeyError(path)
         self._cache[path] = v
         return v
+
+    def dv_paths(self) -> list[str]:
+        """Live paths whose add carries a deletionVector, computed on
+        the columnar blocks (see :meth:`_AddBlock.dv_paths`) plus the
+        JSON override layer — no per-row materialization."""
+        out: set[str] = set()
+        for b in self._blocks:
+            for p in b.dv_paths():
+                if p in self._keyset and p not in self._over:
+                    out.add(p)
+        for p, a in self._over.items():
+            if a.get("deletionVector"):
+                out.add(p)
+        return sorted(out)
 
 
 def _parquet_checkpoint_actions(path: str, columnar_adds: bool = False):

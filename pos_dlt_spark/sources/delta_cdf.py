@@ -37,6 +37,7 @@ reads are pinned-schema parquet scans.
 
 from __future__ import annotations
 
+import json
 import os
 import uuid
 
@@ -53,6 +54,14 @@ from pos_dlt_spark.sources.delta import (
 
 CHANGE_TYPE = "_change_type"
 COMMIT_VERSION = "_commit_version"
+
+# merge-on-read CDF guardrail: deriving one rewrite commit's change set
+# joins old+new file contents on the row id — bounded by the rewritten
+# files' rows, but a feed-hot table reading many derived commits pays it
+# on EVERY read (measured 9.1 s derived vs 0.6 s stored at the 10M-row
+# decade, SCALE.md r7). Past this many joined rows per commit the read
+# warns, steering such tables back to explicit change files.
+MOR_CDF_WARN_ROWS = 10_000_000
 
 
 def cdf_enabled(snap: DeltaSnapshot) -> bool:
@@ -362,6 +371,22 @@ def _changes_by_commit(
         news = [rows_with_row_ids(a) for a in new_actions]
         if any(d is None for d in olds + news):
             return None
+        est = 0
+        for a in old_actions + new_actions:
+            st = a.get("stats")
+            vals = (json.loads(st) if isinstance(st, str) else (st or {})) or {}
+            est += int(vals.get("numRecords") or 0)
+        if est > MOR_CDF_WARN_ROWS:
+            import warnings
+
+            warnings.warn(
+                f"merge-on-read CDF derivation will join ~{est:,} "
+                "rewritten-file rows for one commit (write_change_files="
+                "False saved the write, the READ pays the join — 9.1 s vs "
+                "0.6 s stored at the 10M-row decade); feed-hot tables "
+                "should keep explicit change files",
+                stacklevel=2,
+            )
         old = olds[0]
         for d in olds[1:]:
             old = old.unionByName(d)

@@ -274,6 +274,53 @@ def delta_fsck(spark, path: str) -> list[tuple[str, str, str]]:
         if len(set(pns)) != len(pns):
             add("error", "mapping", "duplicate physical names in the mapping")
 
+    # -- version checksum (.crc) cross-check -------------------------------
+    # validate the NEWEST emitted checksum at or before the snapshot
+    # version against a fold at that version — a mismatch means either a
+    # corrupted/hand-edited log or a writer whose accounting lied, both
+    # worth a loud error; one fold, never O(versions)
+    import json as _json
+
+    log_dir = os.path.join(path, "_delta_log")
+    crc_versions = sorted(
+        int(n[:-4]) for n in os.listdir(log_dir)
+        if len(n) == 24 and n.endswith(".crc") and n[:-4].isdigit()
+    )
+    crc_versions = [v for v in crc_versions if v <= snap.version]
+    if crc_versions:
+        cv = crc_versions[-1]
+        try:
+            with open(os.path.join(log_dir, f"{cv:020d}.crc"), encoding="utf-8") as fh:
+                crc = _json.load(fh)
+            at = snap if cv == snap.version else delta_snapshot(spark, path, cv)
+            want_n = len(at.files)
+            want_size = sum(
+                int(at.adds[rel].get("size") or 0) for rel, _ in at.files
+            )
+            if int(crc.get("numFiles", -1)) != want_n:
+                add(
+                    "error", "crc",
+                    f"version {cv} checksum numFiles={crc.get('numFiles')} "
+                    f"but the fold sees {want_n}",
+                )
+            if int(crc.get("tableSizeBytes", -1)) != want_size:
+                add(
+                    "error", "crc",
+                    f"version {cv} checksum tableSizeBytes="
+                    f"{crc.get('tableSizeBytes')} but the fold sees {want_size}",
+                )
+            crc_domains = crc.get("domainMetadata")
+            if crc_domains is not None and dict(crc_domains) != dict(
+                at.domain_metadata
+            ):
+                add(
+                    "error", "crc",
+                    f"version {cv} checksum domainMetadata disagrees with "
+                    "the fold",
+                )
+        except (ValueError, OSError) as e:
+            add("error", "crc", f"version {cv} checksum unreadable: {e}")
+
     return findings
 
 

@@ -58,12 +58,20 @@ def add_action(
     }
 
 
-def remove_action(rel_path: str, data_change: bool = True) -> dict:
+def remove_action(
+    rel_path: str, data_change: bool = True, size: int | None = None
+) -> dict:
     """``data_change=False`` marks a remove that reorganizes bytes without
     changing rows (OPTIMIZE/compaction) — the flag streaming replay and
     CDF derivation key on; emitting True for a compaction would make CDF
-    report the whole rewritten file as deleted."""
-    return {"remove": {"path": rel_path, "deletionTimestamp": 0, "dataChange": data_change}}
+    report the whole rewritten file as deleted. ``size`` (the spec's
+    optional remove field) lets the per-commit version checksum account
+    tableSizeBytes incrementally — this engine's writers always pass it
+    for live files."""
+    out: dict = {"path": rel_path, "deletionTimestamp": 0, "dataChange": data_change}
+    if size is not None:
+        out["size"] = int(size)
+    return {"remove": out}
 
 
 def commit_info_action(operation: str, parameters: dict | None = None) -> dict:

@@ -218,3 +218,113 @@ def test_restore_undoes_alters(spark, tmp_path):
     snap = delta_snapshot(spark, table)
     assert snap.column_mapping == "none"
     assert {r.name for r in got.collect()} == {f"n{i}" for i in range(10)}
+
+
+# --- TYPE WIDENING (protocol typeWidening feature) -----------------------
+
+
+def _narrow(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").cast("int").alias("k"),
+        (F.col("id") / 4).cast("float").alias("x"),
+        F.concat(F.lit("n"), F.col("id")).alias("s"),
+    )
+
+
+def test_widen_int_to_long_mixed_files(spark, tmp_path):
+    from pos_dlt_spark.sources.delta_writer import delta_alter_column_type
+
+    t = str(tmp_path / "w")
+    write_delta(_narrow(spark, 0, 10).coalesce(1), t)
+    files_before = {rel for rel, _ in delta_snapshot(spark, t).files}
+    delta_alter_column_type(spark, t, "k", "long")
+    delta_alter_column_type(spark, t, "x", "double")
+    snap = delta_snapshot(spark, t)
+    # metadata-only: no rewrite; feature in BOTH lists; typeChanges kept
+    assert {rel for rel, _ in snap.files} == files_before
+    assert "typeWidening" in set(snap.protocol.get("readerFeatures") or ())
+    assert "typeWidening" in set(snap.protocol.get("writerFeatures") or ())
+    kf = next(f for f in snap.schema.fields if f.name == "k")
+    assert kf.dataType.typeName() == "long"
+    tc = kf.metadata["delta.typeChanges"]
+    assert tc[0]["fromType"] == "integer" and tc[0]["toType"] == "long"
+    # append at the wide types; both widths coexist and upcast at scan
+    wide = spark.range(10, 15).select(
+        F.col("id").alias("k"),
+        (F.col("id") / 4.0).alias("x"),
+        F.concat(F.lit("n"), F.col("id")).alias("s"),
+    )
+    write_delta(wide.coalesce(1), t)
+    got = {r.k: r.x for r in read_delta(spark, t).collect()}
+    assert sorted(got) == list(range(15))
+    import numpy as np
+
+    for k, x in got.items():
+        want = np.float32(k / 4) if k < 10 else k / 4.0
+        assert x == float(want), (k, x)
+
+
+def test_widen_then_dml_and_checkpoint(spark, tmp_path):
+    """UPDATE after widening rewrites its hit files at the wide type
+    while untouched narrow files keep upcasting; the widened schema and
+    typeChanges survive a checkpoint crossing."""
+    from pos_dlt_spark.sources.delta_writer import delta_alter_column_type
+
+    t = str(tmp_path / "w")
+    write_delta(_narrow(spark, 0, 8).repartition(2), t)
+    delta_alter_column_type(spark, t, "k", "long")
+    delta_update(spark, t, "k = 3", {"s": "'patched'"})
+    for _ in range(10):  # cross the checkpoint cadence
+        write_delta(
+            spark.range(100, 101).selectExpr(
+                "id AS k", "CAST(id AS FLOAT) x", "'z' AS s"
+            ),
+            t,
+        )
+    snap = delta_snapshot(spark, t)
+    kf = next(f for f in snap.schema.fields if f.name == "k")
+    assert kf.dataType.typeName() == "long"
+    assert kf.metadata["delta.typeChanges"][0]["toType"] == "long"
+    assert read_delta(spark, t).filter("s = 'patched'").count() == 1
+    assert read_delta(spark, t).count() == 18
+
+
+def test_widen_refusal_matrix(spark, tmp_path):
+    from pos_dlt_spark.sources.delta_writer import delta_alter_column_type
+
+    t = str(tmp_path / "w")
+    df = spark.range(4).selectExpr(
+        "CAST(id AS INT) k", "CAST(id AS STRING) p", "CAST(id AS LONG) big"
+    )
+    write_delta(df, t, partition_by=["p"])
+    with pytest.raises(ValueError, match="not a widening"):
+        delta_alter_column_type(spark, t, "big", "int")  # narrowing
+    with pytest.raises(ValueError, match="not a widening"):
+        delta_alter_column_type(spark, t, "k", "string")
+    with pytest.raises(ValueError, match="partition column"):
+        delta_alter_column_type(spark, t, "p", "string")
+    with pytest.raises(ValueError, match="does not exist"):
+        delta_alter_column_type(spark, t, "nope", "long")
+
+
+def test_widen_stats_skipping_mixed_widths(spark, tmp_path):
+    """skip_files prunes on a widened column across files whose footer
+    stats were written at different widths."""
+    from pos_dlt_spark.sources.delta import skip_files
+    from pos_dlt_spark.sources.delta_writer import delta_alter_column_type
+
+    t = str(tmp_path / "w")
+    write_delta(_narrow(spark, 0, 100).coalesce(1), t)
+    delta_alter_column_type(spark, t, "k", "long")
+    write_delta(
+        spark.range(1000, 1100).selectExpr(
+            "id AS k", "CAST(id AS FLOAT) x", "'w' AS s"
+        ).coalesce(1),
+        t,
+    )
+    snap = delta_snapshot(spark, t)
+    pruned, skipped = skip_files(snap, [("k", "<", 50)])
+    assert skipped == 1 and len(pruned.files) == 1
+    assert read_delta(spark, t, prune=[("k", "<", 50)]).filter(
+        "k < 50"
+    ).count() == 50

@@ -492,3 +492,25 @@ def test_row_id_scan_broadcast_branch(spark, tmp_path, monkeypatch):
     want = _ids(spark, table)
     monkeypatch.setattr(d, "DV_FID_MAP_MAX", 0)
     assert _ids(spark, table) == want
+
+
+def test_merge_on_read_cost_guardrail_warns(spark, tmp_path, monkeypatch):
+    """Reading a derived (write_change_files=False) feed past the
+    per-commit row threshold warns, steering feed-hot tables back to
+    explicit change files (VERDICT r07 #8); under it, silence."""
+    import warnings
+
+    from pos_dlt_spark.sources import delta_cdf as cdf
+
+    table = str(tmp_path / "rt")
+    write_delta(_df(spark, 0, 30).coalesce(1), table, configuration=CDF_RT_CONF)
+    delta_update(
+        spark, table, "id = 7", {"name": "'seven'"}, write_change_files=False
+    )
+    monkeypatch.setattr(cdf, "MOR_CDF_WARN_ROWS", 10)
+    with pytest.warns(UserWarning, match="merge-on-read CDF derivation"):
+        _changes(spark, table)
+    monkeypatch.setattr(cdf, "MOR_CDF_WARN_ROWS", 10_000_000)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        _changes(spark, table)

@@ -799,7 +799,14 @@ def test_log_cleanup_deletes_only_checkpointed_commits(spark, tmp_path):
     for i in range(7):
         write_delta(_df(spark, i * 10, i * 10 + 10), table, checkpoint_interval=5)
     deleted = delta_log_cleanup(spark, table)
-    assert deleted == [f"{v:020d}.json" for v in range(6)]  # v0..v5 <= ckpt@5
+    # v0..v5 commits <= ckpt@5, plus their version checksums below the
+    # horizon (the horizon's own .crc stays so the chain continues)
+    assert [n for n in deleted if n.endswith(".json")] == [
+        f"{v:020d}.json" for v in range(6)
+    ]
+    assert [n for n in deleted if n.endswith(".crc")] == [
+        f"{v:020d}.crc" for v in range(5)
+    ]
     # post-checkpoint commit v6 survives; table still reads completely
     assert sorted(r.id for r in read_delta(spark, table).collect()) == list(range(70))
     # no checkpoint -> no-op
@@ -964,7 +971,8 @@ def test_writer_v2_checkpoints_roundtrip(spark, tmp_path):
     assert len(manifests) == 1 and len(manifests[0].split(".")) == 4  # uuid name
     assert os.path.isdir(os.path.join(log, "_sidecars"))
     deleted = delta_log_cleanup(spark, table)
-    assert len(deleted) == 6  # v0..v5 <= the v2 checkpoint at 5
+    # v0..v5 json <= the v2 checkpoint at 5 (+ the below-horizon .crc files)
+    assert len([n for n in deleted if n.endswith(".json")]) == 6
     got = read_delta(spark, table)
     assert sorted(r.id for r in got.collect()) == list(range(60))
     snap = delta_snapshot(spark, table)
