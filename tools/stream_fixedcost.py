@@ -59,6 +59,55 @@ def floor_run(spark, land: str, schema, max_files: str | None) -> tuple[float, i
     return wall, batches
 
 
+def stateful_floor_run(
+    spark, land: str, schema, max_files: str | None, key_col: str
+) -> tuple[float, int]:
+    """Minimal applyInPandasWithState stream over the same landing: one
+    int of state per key, emit one row per key per batch — the pandas
+    state-store machinery (JVM<->Arrow round trips, state snapshots,
+    16 state partitions) with near-zero user logic."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pos_dlt_spark.tables import scratch_dir
+    from pos_dlt_spark import queries_streaming as qs
+
+    work = scratch_dir("sfloor_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    name = f"sfloor_{uuid.uuid4().hex[:8]}"
+    rs = spark.readStream.schema(schema)
+    if max_files:
+        rs = rs.option("maxFilesPerTrigger", max_files)
+    stream = rs.parquet(land)
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"k": [key[0]], "n": [n]})
+
+    out = stream.groupBy(key_col).applyInPandasWithState(
+        fn, "k long, n long", "n long",
+        "append", GroupStateTimeout.NoTimeout,
+    )
+    t0 = time.perf_counter()
+    with qs._stream_state_partitions(spark, n=16):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    wall = time.perf_counter() - t0
+    batches = len(q.recentProgress)
+    spark.catalog.dropTempView(name)
+    return wall, batches
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     from pos_dlt_spark.session import get_spark
@@ -96,9 +145,19 @@ def main() -> None:
             continue
         schema = spark.read.parquet(land).schema
         floor_wall, batches = floor_run(spark, land, schema, max_files)
+        key_col = next(
+            (c for c in ("user_id", "doc_id", "store_id", "emb_id", "id")
+             if c in schema.fieldNames()),
+            schema.fieldNames()[0],
+        )
+        sfloor_wall, sbatches = stateful_floor_run(
+            spark, land, schema, max_files, key_col
+        )
         print(
-            f"[fixedcost] {gate}: gate={gate_wall:.2f}s floor={floor_wall:.2f}s "
-            f"({batches} batches) semantic_delta={gate_wall - floor_wall:.2f}s rows={n_rows}"
+            f"[fixedcost] {gate}: gate={gate_wall:.2f}s "
+            f"floor={floor_wall:.2f}s sfloor={sfloor_wall:.2f}s "
+            f"({batches}/{sbatches} batches) "
+            f"semantic_delta={gate_wall - sfloor_wall:.2f}s rows={n_rows}"
         )
 
 
