@@ -279,3 +279,37 @@ def test_incremental_optimize_purges_dv_files(spark, tmp_path):
     assert (cube - dvd) <= live and dvd.isdisjoint(live)
     assert read_delta(spark, t).filter("k = 7").count() == 0
     assert read_delta(spark, t).count() == 3999
+
+
+def test_min_cube_bytes_consolidates_small_cubes(spark, tmp_path):
+    """Incremental OPTIMIZE with min_cube_bytes: stamped cubes below the
+    threshold join the rewrite (many tiny runs coalesce); cubes at or
+    above it stay untouched."""
+    from pos_dlt_spark.sources.delta_clustering import ZCUBE_ID_TAG
+
+    t = str(tmp_path / "c")
+    write_delta(_orders(spark, 4000).repartition(4), t, cluster_by=["v"])
+    delta_optimize(spark, t, target_files=2)  # big cube A (~4000 rows)
+    snap = delta_snapshot(spark, t)
+    big = _live(spark, t)
+    big_bytes = sum(snap.adds[r]["size"] for r in big)
+    # two tiny appends, each reclustered into its own small cube
+    for lo in (100_000, 200_000):
+        write_delta(_orders(spark, 50).coalesce(1), t)
+        delta_optimize(spark, t, target_files=2)
+    snap = delta_snapshot(spark, t)
+    assert len({
+        (snap.adds[r]["tags"] or {})[ZCUBE_ID_TAG] for r, _ in snap.files
+    }) == 3
+    # a fresh append + consolidating OPTIMIZE: threshold above the small
+    # cubes but below the big one -> small cubes + new files rewrite
+    # together, big cube untouched
+    write_delta(_orders(spark, 50).coalesce(1), t)
+    delta_optimize(spark, t, target_files=2, min_cube_bytes=big_bytes // 2)
+    snap = delta_snapshot(spark, t)
+    live = _live(spark, t)
+    assert big <= live  # big cube untouched
+    others = live - big
+    zids = {(snap.adds[r]["tags"] or {})[ZCUBE_ID_TAG] for r in others}
+    assert len(zids) == 1  # small cubes + append coalesced into ONE
+    assert read_delta(spark, t).count() == 4000 + 150
