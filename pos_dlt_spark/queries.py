@@ -1978,6 +1978,59 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_delta_variant",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(MAX(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def events_delta_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT semi-structured type through the Delta protocol
+    (variantType reader-writer feature): events' JSON props are parsed
+    to a VARIANT column (Spark's binary semi-structured encoding, typed
+    access without a declared schema — the open-format answer to
+    schemaless ingestion), committed to a Delta table that declares the
+    feature in BOTH lists (minReader 3 — readers without the codec must
+    refuse), appended in two halves, read back, and queried with
+    variant_get. Variant parquet footers carry a LogicalType pyarrow
+    cannot parse, so these files ship without stats (conservative
+    skipping) — the read still hash-matches the oracle's JSON
+    extraction over the raw strings."""
+    from pos_dlt_spark.sources.delta import delta_snapshot, read_delta
+    from pos_dlt_spark.sources.delta_writer import write_delta
+    from pos_dlt_spark.tables import scratch_dir
+
+    key = os.path.abspath(sf_dir) + "#variant"
+    if key not in _DELTA_RT_CACHE:
+        import atexit
+        import shutil
+
+        work = scratch_dir("delta_variant_")
+        atexit.register(shutil.rmtree, work, ignore_errors=True)
+        table = os.path.join(work, "events")
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            "event_type",
+            F.parse_json(F.col("props")).alias("props_v"),
+        )
+        write_delta(ev.filter(F.col("event_id") % 2 == 0).coalesce(2), table)
+        write_delta(ev.filter(F.col("event_id") % 2 == 1).coalesce(2), table)
+        snap = delta_snapshot(spark, table)
+        assert "variantType" in set(snap.protocol.get("readerFeatures") or ())
+        _DELTA_RT_CACHE[key] = table
+    df = read_delta(spark, _DELTA_RT_CACHE[key])
+    k = F.expr("variant_get(props_v, '$.k', 'long')")
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(k).cast("bigint").alias("sum_k"),
+        F.max(k).cast("bigint").alias("max_k"),
+    )
+
+
+@query(
     "pos_silver_parse_events",
     oracle="""
     SELECT event_id, user_id,

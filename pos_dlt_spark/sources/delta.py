@@ -85,6 +85,7 @@ _SUPPORTED_READER_FEATURES = {
     "deletionVectors",
     "v2Checkpoint",
     "typeWidening",
+    "variantType",
 }
 # deletionVectors and v2Checkpoint are genuinely supported (read + write /
 # read paths). columnMapping name/id modes are read-supported; the

@@ -53,7 +53,10 @@ def add_action(
             "size": size,
             "modificationTime": 0,
             "dataChange": True,
-            **extra,
+            # None-valued extras are omitted, not emitted as JSON null
+            # (e.g. stats=None for files whose footer pyarrow cannot
+            # parse — VARIANT logical type)
+            **{k: v for k, v in extra.items() if v is not None},
         }
     }
 
