@@ -313,3 +313,35 @@ def test_min_cube_bytes_consolidates_small_cubes(spark, tmp_path):
     zids = {(snap.adds[r]["tags"] or {})[ZCUBE_ID_TAG] for r in others}
     assert len(zids) == 1  # small cubes + append coalesced into ONE
     assert read_delta(spark, t).count() == 4000 + 150
+
+
+def test_incremental_recluster_preserves_row_ids(spark, tmp_path):
+    """Clustered + row-tracking table: the incremental recluster's
+    output files carry BOTH the ZCube stamp and materialized row ids —
+    ids survive the rewrite, stamps gate the next run."""
+    from pos_dlt_spark.sources.delta_clustering import PROVIDER_TAG
+    from pos_dlt_spark.sources.delta_rowtracking import read_delta_with_row_ids
+
+    t = str(tmp_path / "c")
+    write_delta(
+        _orders(spark, 2000).repartition(4), t,
+        cluster_by=["v"],
+        configuration={"delta.enableRowTracking": "true"},
+    )
+    ids0 = {
+        r.k: r._row_id for r in read_delta_with_row_ids(spark, t).collect()
+    }
+    delta_optimize(spark, t, target_files=2)
+    snap = delta_snapshot(spark, t)
+    assert all(
+        (snap.adds[r].get("tags") or {}).get(PROVIDER_TAG) == "liquid"
+        for r, _ in snap.files
+    )
+    ids1 = {
+        r.k: r._row_id for r in read_delta_with_row_ids(spark, t).collect()
+    }
+    assert ids1 == ids0  # rewrite preserved every id
+    cube = _live(spark, t)
+    write_delta(_orders(spark, 100).coalesce(1), t)
+    delta_optimize(spark, t, target_files=2)
+    assert cube <= _live(spark, t)  # stamps still gate the next run

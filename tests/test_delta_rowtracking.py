@@ -514,3 +514,32 @@ def test_merge_on_read_cost_guardrail_warns(spark, tmp_path, monkeypatch):
     with warnings.catch_warnings():
         warnings.simplefilter("error")
         _changes(spark, table)
+
+
+def test_clone_preserves_row_id_watermark_and_clustering(spark, tmp_path):
+    """CLONE must carry domainMetadata: dropping delta.rowTracking would
+    reset the clone's watermark to -1 while the copied adds keep their
+    baseRowIds — the first append would mint COLLIDING ids; dropping
+    delta.clustering would silently un-cluster the clone."""
+    from pos_dlt_spark.sources.delta_clustering import clustering_columns
+    from pos_dlt_spark.sources.delta_writer import delta_clone
+
+    src = str(tmp_path / "src")
+    write_delta(_df(spark, 0, 10).coalesce(1), src, configuration=RT_CONF)
+    dst = str(tmp_path / "dst")
+    delta_clone(spark, src, dst)
+    snap = delta_snapshot(spark, dst)
+    assert row_id_high_water_mark(snap) == 9
+    write_delta(_df(spark, 10, 15).coalesce(1), dst)
+    got = _ids(spark, dst)
+    ids = sorted(rid for rid, _ in got.values())
+    assert ids == list(range(15))  # no collisions: appended ids start at 10
+    # clustering domain survives too
+    csrc = str(tmp_path / "csrc")
+    write_delta(
+        spark.range(100).selectExpr("id k", "id*7 % 13 v").repartition(2),
+        csrc, cluster_by=["v"],
+    )
+    cdst = str(tmp_path / "cdst")
+    delta_clone(spark, csrc, cdst)
+    assert clustering_columns(delta_snapshot(spark, cdst)) == ["v"]

@@ -87,6 +87,9 @@ def test_variant_optimize_and_row_tracking_refusal(spark, tmp_path):
     snap = delta_snapshot(spark, t)
     assert len(snap.files) == 1
     assert read_delta(spark, t).count() == 8
+    from pos_dlt_spark.sources.delta_check import delta_fsck
+
+    assert delta_fsck(spark, t) == []  # stats-less variant files are healthy
     # row tracking needs footer numRecords, which variant files cannot
     # provide here — the combination refuses LOUDLY instead of minting
     # broken baseRowIds
