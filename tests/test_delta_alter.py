@@ -328,3 +328,58 @@ def test_widen_stats_skipping_mixed_widths(spark, tmp_path):
     assert read_delta(spark, t, prune=[("k", "<", 50)]).filter(
         "k < 50"
     ).count() == 50
+
+
+def test_widen_cdf_and_streaming_replay_across_commit(spark, tmp_path):
+    """table_changes and the streaming replay must read files written
+    BEFORE a widening commit under the latest (wider) schema — one
+    uniform output type, old pages upcast."""
+    from pos_dlt_spark.sources.delta_cdf import read_change_feed
+    from pos_dlt_spark.sources.delta_writer import delta_alter_column_type
+
+    t = str(tmp_path / "w")
+    write_delta(
+        spark.range(0, 4).selectExpr("CAST(id AS INT) k", "'a' s").coalesce(1),
+        t, configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    delta_alter_column_type(spark, t, "k", "long")
+    write_delta(
+        spark.range(4, 6).selectExpr("id AS k", "'b' s").coalesce(1), t
+    )
+    cf = read_change_feed(spark, t, start_version=0)
+    assert dict(cf.dtypes)["k"] == "bigint"
+    got = sorted(
+        (r.k, r._change_type, r._commit_version) for r in cf.collect()
+    )
+    assert got == [(i, "insert", 0) for i in range(4)] + [
+        (4, "insert", 2), (5, "insert", 2),
+    ]
+    # streaming replay: the plan's pre-widening files read correctly
+    # under the LATEST (wider) schema, exactly as the stream consumer
+    # reads them
+    from pos_dlt_spark.sources.delta import delta_snapshot, replay_adds
+
+    snap = delta_snapshot(spark, t)
+    plan = replay_adds(spark, t)
+    total = 0
+    for _v, files in plan:
+        df = spark.read.schema(snap.data_schema).parquet(*files)
+        assert dict(df.dtypes)["k"] == "bigint"
+        total += df.count()
+    assert total == 6
+
+
+def test_widen_refuses_referenced_column(spark, tmp_path):
+    from pos_dlt_spark.sources.delta_writer import (
+        delta_add_constraint,
+        delta_alter_column_type,
+    )
+
+    t = str(tmp_path / "w")
+    write_delta(
+        spark.range(4).selectExpr("CAST(id AS INT) k", "CAST(id AS INT) b"), t
+    )
+    delta_add_constraint(spark, t, "kpos", "k >= 0")
+    with pytest.raises(ValueError, match="referenced by"):
+        delta_alter_column_type(spark, t, "k", "long")
+    delta_alter_column_type(spark, t, "b", "double")  # unreferenced: fine
