@@ -1208,6 +1208,70 @@ def supplier_delta_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
+    "orders_delta_column_defaults",
+    oracle="""
+    SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'unspecified'
+                ELSE o_orderpriority END AS flag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key
+    FROM orders GROUP BY 1
+    """,
+)
+def orders_delta_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMN DEFAULTS end-to-end (allowColumnDefaults writer feature):
+    a table created with ``flag CURRENT_DEFAULT 'unspecified'`` takes
+    one append WITHOUT the column (the default materializes on exactly
+    those rows — never backfilling) and one WITH explicit values; the
+    grouped read must match the oracle's CASE re-derivation over the
+    raw table."""
+    from pos_dlt_spark.sources.delta import read_delta
+    from pos_dlt_spark.sources.delta_writer import delta_create_table, write_delta
+    from pos_dlt_spark.tables import scratch_dir
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    key = os.path.abspath(sf_dir) + "#defaults"
+    if key not in _DELTA_RT_CACHE:
+        import atexit
+        import shutil
+
+        work = scratch_dir("delta_defaults_")
+        atexit.register(shutil.rmtree, work, ignore_errors=True)
+        table = os.path.join(work, "orders")
+        schema = StructType(
+            [
+                StructField("o_orderkey", LongType()),
+                StructField(
+                    "flag", StringType(), True,
+                    {"CURRENT_DEFAULT": "'unspecified'"},
+                ),
+            ]
+        )
+        delta_create_table(spark, table, schema)
+        orders = load_table(spark, sf_dir, "orders")
+        write_delta(  # no flag column: default fills
+            orders.filter(F.col("o_orderkey") % 2 == 0)
+            .select("o_orderkey")
+            .coalesce(2),
+            table,
+        )
+        write_delta(  # explicit values win
+            orders.filter(F.col("o_orderkey") % 2 == 1)
+            .select("o_orderkey", F.col("o_orderpriority").alias("flag"))
+            .coalesce(2),
+            table,
+        )
+        _DELTA_RT_CACHE[key] = table
+    return (
+        read_delta(spark, _DELTA_RT_CACHE[key])
+        .groupBy("flag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("o_orderkey").cast("bigint").alias("min_key"),
+        )
+    )
+
+
+@query(
     "supplier_delta_type_widening",
     oracle="""
     WITH widened AS (

@@ -383,3 +383,77 @@ def test_widen_refuses_referenced_column(spark, tmp_path):
     with pytest.raises(ValueError, match="referenced by"):
         delta_alter_column_type(spark, t, "k", "long")
     delta_alter_column_type(spark, t, "b", "double")  # unreferenced: fine
+
+
+# --- COLUMN DEFAULTS (allowColumnDefaults writer feature) -----------------
+
+
+def test_column_defaults_fill_on_append(spark, tmp_path):
+    from pos_dlt_spark.sources.delta_writer import delta_alter_column_default
+
+    t = str(tmp_path / "d")
+    write_delta(spark.range(3).selectExpr("id", "'x' AS tag"), t)
+    delta_alter_column_default(spark, t, "tag", "'unspecified'")
+    snap = delta_snapshot(spark, t)
+    assert "allowColumnDefaults" in set(snap.protocol.get("writerFeatures") or ())
+    # append WITHOUT the column: default materializes
+    write_delta(spark.range(3, 5).selectExpr("id"), t)
+    # append WITH the column: provided value wins
+    write_delta(spark.range(5, 6).selectExpr("id", "'explicit' AS tag"), t)
+    got = {r.id: r.tag for r in read_delta(spark, t).collect()}
+    assert got == {0: "x", 1: "x", 2: "x", 3: "unspecified",
+                   4: "unspecified", 5: "explicit"}
+    # existing rows were never backfilled (0-2 keep 'x') — and dropping
+    # the default makes a column-less append refuse again
+    delta_alter_column_default(spark, t, "tag", None)
+    with pytest.raises(ValueError, match="schema drift"):
+        write_delta(spark.range(6, 7).selectExpr("id"), t)
+
+
+def test_column_default_validation_matrix(spark, tmp_path):
+    from pos_dlt_spark.sources.delta_writer import (
+        delta_alter_column_default,
+        delta_create_table,
+    )
+
+    t = str(tmp_path / "d")
+    write_delta(spark.range(3).selectExpr("id", "'x' AS tag"), t)
+    with pytest.raises(ValueError, match="does not exist"):
+        delta_alter_column_default(spark, t, "nope", "'v'")
+    with pytest.raises(ValueError, match="self-contained"):
+        delta_alter_column_default(spark, t, "tag", "id || '!'")  # col ref
+    # identity/generated refusals
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    t2 = str(tmp_path / "ident")
+    schema = StructType([
+        StructField("pk", LongType(), True,
+                    {"delta.identity.start": 1, "delta.identity.step": 1,
+                     "delta.identity.allowExplicitInsert": False}),
+        StructField("s", StringType()),
+    ])
+    delta_create_table(spark, t2, schema)
+    with pytest.raises(ValueError, match="identity"):
+        delta_alter_column_default(spark, t2, "pk", "7")
+
+
+def test_column_defaults_at_creation_and_checkpoint(spark, tmp_path):
+    from pos_dlt_spark.sources.delta_writer import delta_create_table
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    t = str(tmp_path / "d")
+    schema = StructType([
+        StructField("k", LongType()),
+        StructField("flag", StringType(), True, {"CURRENT_DEFAULT": "'new'"}),
+    ])
+    delta_create_table(spark, t, schema)
+    snap = delta_snapshot(spark, t)
+    assert "allowColumnDefaults" in set(snap.protocol.get("writerFeatures") or ())
+    for i in range(11):  # crosses the interval-10 checkpoint
+        write_delta(spark.range(i, i + 1).selectExpr("id AS k"), t)
+    assert read_delta(spark, t).filter("flag = 'new'").count() == 11
+    # default survives the checkpoint fold (schemaString metadata)
+    snap = delta_snapshot(spark, t)
+    f = next(f for f in snap.schema.fields if f.name == "flag")
+    assert f.metadata["CURRENT_DEFAULT"] == "'new'"
