@@ -1208,6 +1208,55 @@ def supplier_delta_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
+    "events_delta_timestamp_ntz",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(ts) AS first_ts,
+           MAX(ts) AS last_ts
+    FROM events GROUP BY event_type
+    """,
+)
+def events_delta_timestamp_ntz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMESTAMP_NTZ through the Delta protocol (timestampNtz
+    reader-writer feature): events' instants are cast to wall-clock
+    NTZ (session UTC, so the wall time equals the oracle's naive
+    parquet timestamps), committed to a table that must declare the
+    feature in BOTH lists — a reader unaware of NTZ would TZ-shift
+    every value — and read back for per-type first/last aggregates."""
+    from pos_dlt_spark.sources.delta import delta_snapshot, read_delta
+    from pos_dlt_spark.sources.delta_writer import write_delta
+    from pos_dlt_spark.tables import scratch_dir
+
+    key = os.path.abspath(sf_dir) + "#ntz"
+    if key not in _DELTA_RT_CACHE:
+        import atexit
+        import shutil
+
+        work = scratch_dir("delta_ntz_")
+        atexit.register(shutil.rmtree, work, ignore_errors=True)
+        table = os.path.join(work, "events")
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            "event_type",
+            F.col("ts").cast("timestamp_ntz").alias("ts_ntz"),
+        )
+        write_delta(ev.coalesce(2), table)
+        snap = delta_snapshot(spark, table)
+        assert "timestampNtz" in set(snap.protocol.get("readerFeatures") or ())
+        _DELTA_RT_CACHE[key] = table
+    return (
+        read_delta(spark, _DELTA_RT_CACHE[key])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("ts_ntz").alias("first_ts"),
+            F.max("ts_ntz").alias("last_ts"),
+        )
+    )
+
+
+@query(
     "orders_delta_column_defaults",
     oracle="""
     SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'unspecified'

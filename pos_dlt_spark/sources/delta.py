@@ -86,6 +86,11 @@ _SUPPORTED_READER_FEATURES = {
     "v2Checkpoint",
     "typeWidening",
     "variantType",
+    # vacuumProtocolCheck only OBLIGES vacuum to fold the protocol
+    # before deleting anything — delta_vacuum starts from a full
+    # delta_snapshot (which runs this very check), so the obligation is
+    # met by construction
+    "vacuumProtocolCheck",
 }
 # deletionVectors and v2Checkpoint are genuinely supported (read + write /
 # read paths). columnMapping name/id modes are read-supported; the

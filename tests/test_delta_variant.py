@@ -99,3 +99,20 @@ def test_variant_optimize_and_row_tracking_refusal(spark, tmp_path):
             _vdf(spark, 0, 5).coalesce(1), t2,
             configuration={"delta.enableRowTracking": "true"},
         )
+
+
+def test_timestamp_ntz_declares_feature(spark, tmp_path):
+    """Writing a TIMESTAMP_NTZ column declares the timestampNtz
+    reader-writer feature — a reader unaware of NTZ would TZ-shift
+    every value, so it must refuse instead."""
+    t = str(tmp_path / "ntz")
+    df = spark.range(3).selectExpr(
+        "id", "CAST(timestamp'2026-01-02 03:04:05' AS TIMESTAMP_NTZ) w"
+    )
+    write_delta(df.coalesce(1), t)
+    snap = delta_snapshot(spark, t)
+    assert snap.protocol["minReaderVersion"] == 3
+    assert "timestampNtz" in set(snap.protocol.get("readerFeatures") or ())
+    assert "timestampNtz" in set(snap.protocol.get("writerFeatures") or ())
+    got = read_delta(spark, t).selectExpr("CAST(w AS STRING) s").first().s
+    assert got == "2026-01-02 03:04:05"
