@@ -457,3 +457,26 @@ def test_column_defaults_at_creation_and_checkpoint(spark, tmp_path):
     snap = delta_snapshot(spark, t)
     f = next(f for f in snap.schema.fields if f.name == "flag")
     assert f.metadata["CURRENT_DEFAULT"] == "'new'"
+
+
+def test_column_defaults_apply_to_merge(spark, tmp_path):
+    """A merge frame omitting a defaulted column behaves as if every
+    supplied row carried the default (this merge is whole-row CDC:
+    supplied rows replace matched rows entirely)."""
+    from pos_dlt_spark.sources.delta_writer import (
+        delta_alter_column_default,
+        delta_merge,
+    )
+
+    t = str(tmp_path / "d")
+    write_delta(
+        spark.range(3).selectExpr("id", "id AS seq", "'old' AS tag"), t
+    )
+    delta_alter_column_default(spark, t, "tag", "'fresh'")
+    delta_merge(
+        spark, t,
+        spark.range(2, 5).selectExpr("id", "id + 10 AS seq"),
+        keys=["id"], sequence_by="seq",
+    )
+    got = {r.id: r.tag for r in read_delta(spark, t).collect()}
+    assert got == {0: "old", 1: "old", 2: "fresh", 3: "fresh", 4: "fresh"}
