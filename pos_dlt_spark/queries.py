@@ -1208,6 +1208,70 @@ def supplier_delta_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
+    "supplier_delta_dv_update",
+    oracle="""
+    WITH upd AS (
+        SELECT s_suppkey, s_nationkey,
+               CASE WHEN s_acctbal < 0 THEN 'credit-hold' ELSE s_name END
+                   AS s_name,
+               CASE WHEN s_acctbal < 0 THEN 0.0 ELSE s_acctbal END AS s_acctbal
+        FROM supplier)
+    SELECT s_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN s_name = 'credit-hold' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_held,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+    FROM upd GROUP BY s_nationkey
+    """,
+)
+def supplier_delta_dv_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ UPDATE end-to-end (``delta_update(mode='dv')``):
+    negative-balance suppliers are updated IN PLACE via deletion
+    vectors — no untouched row rewrites, the originals stay live behind
+    bitmaps and only the updated rows land in new files (the build
+    asserts every original file survived). At 100 TB updating a sliver
+    of rows writes kilobytes of bitmap + the changed rows instead of
+    rewriting every touched file. The read applies the DVs and must
+    hash-match the oracle's CASE re-derivation."""
+    from pos_dlt_spark.sources.delta import delta_snapshot, read_delta
+    from pos_dlt_spark.sources.delta_writer import delta_update, write_delta
+    from pos_dlt_spark.tables import scratch_dir
+
+    key = os.path.abspath(sf_dir) + "#dvupdate"
+    if key not in _DELTA_RT_CACHE:
+        import atexit
+        import shutil
+
+        work = scratch_dir("delta_dvupd_")
+        atexit.register(shutil.rmtree, work, ignore_errors=True)
+        table = os.path.join(work, "supplier")
+        supp = load_table(spark, sf_dir, "supplier").select(
+            "s_suppkey", "s_nationkey", "s_name", "s_acctbal"
+        )
+        write_delta(supp.repartition(4), table)
+        before = {rel for rel, _ in delta_snapshot(spark, table).files}
+        delta_update(
+            spark, table, "s_acctbal < 0",
+            {"s_name": "'credit-hold'", "s_acctbal": "0.0"},
+            mode="dv",
+        )
+        snap = delta_snapshot(spark, table)
+        live = {rel for rel, _ in snap.files}
+        assert before <= live, "dv update must not rewrite original files"
+        _DELTA_RT_CACHE[key] = table
+    df = read_delta(spark, _DELTA_RT_CACHE[key])
+    return df.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            F.when(F.col("s_name") == "credit-hold", 1).otherwise(0)
+        ).cast("bigint").alias("n_held"),
+        F.sum(F.col("s_acctbal").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_bal"),
+    )
+
+
+@query(
     "events_delta_timestamp_ntz",
     oracle="""
     SELECT event_type,

@@ -139,7 +139,8 @@ def _require_row_tracking(snap) -> None:
 
 
 def scan_with_row_ids(
-    spark: SparkSession, snap, rels: list[str] | None = None
+    spark: SparkSession, snap, rels: list[str] | None = None,
+    with_meta: bool = False,
 ) -> DataFrame | None:
     """Id-resolving scan of (a subset of) a row-tracking snapshot's live
     files: the table's logical columns + ``_row_id`` +
@@ -301,10 +302,12 @@ def scan_with_row_ids(
         rid = F.coalesce(F.col(f"`{mat_id}`"), rid)
     if mat_ver:
         rvr = F.coalesce(F.col(f"`{mat_ver}`"), rvr)
+    meta = ["__fp", "__ri"] if with_meta else []
     return scan.select(
         *out_cols,
         rid.cast("bigint").alias(ROW_ID_COL),
         rvr.cast("bigint").alias(ROW_VER_COL),
+        *meta,
     )
 
 

@@ -441,3 +441,113 @@ def test_concurrent_update_delete_append_all_absorbed(spark, tmp_path):
     assert all(got[i] == f"n{i}-u" for i in range(10))       # update landed
     assert all(got[i] == f"n{i}" for i in range(10, 20))
     assert all(got[i] == f"n{i}" for i in range(100, 110))   # append landed
+
+
+# --- MERGE-ON-READ UPDATE (mode='dv') -------------------------------------
+
+
+def test_dv_update_rewrites_no_untouched_rows(spark, tmp_path):
+    """mode='dv': matched rows are deletion-vectored in place; ONLY the
+    updated rows land in new files — original data files stay byte-
+    identical on disk."""
+    table = str(tmp_path / "u")
+    write_delta(_df(spark, 0, 100).repartition(2), table)
+    snap0 = delta_snapshot(spark, table)
+    orig = {rel for rel, _ in snap0.files}
+    sizes0 = {
+        rel: os.path.getsize(os.path.join(table, rel)) for rel in orig
+    }
+    v, n = delta_update(
+        spark, table, "id % 10 = 3", {"name": "concat(name, '!')"}, mode="dv"
+    )
+    assert n == 10
+    snap = delta_snapshot(spark, table)
+    live = {rel for rel, _ in snap.files}
+    assert orig <= live  # originals still live (re-added with DVs)
+    new_files = live - orig
+    assert new_files  # the updated rows' new home
+    for rel in orig:  # data bytes untouched
+        assert os.path.getsize(os.path.join(table, rel)) == sizes0[rel]
+        assert snap.adds[rel].get("deletionVector")
+    assert "deletionVectors" in set(snap.protocol.get("readerFeatures") or ())
+    got = {r.id: r.name for r in read_delta(spark, table).collect()}
+    assert len(got) == 100
+    for i in range(100):
+        assert got[i] == (f"n{i}!" if i % 10 == 3 else f"n{i}")
+
+
+def test_dv_update_equals_rewrite_update(spark, tmp_path):
+    """The two modes produce row-identical tables (including on a table
+    already carrying DVs from a prior delete, where the new bitmap must
+    UNION with the old)."""
+    ta, tb = str(tmp_path / "a"), str(tmp_path / "b")
+    for t in (ta, tb):
+        write_delta(_df(spark, 0, 60).repartition(3), t)
+        delta_delete(spark, t, "id % 7 = 0", mode="dv")  # prior DVs
+    delta_update(spark, ta, "bucket = 4", {"name": "'four'"}, mode="dv")
+    delta_update(spark, tb, "bucket = 4", {"name": "'four'"}, mode="rewrite")
+    rows = lambda t: sorted(
+        (r.id, r.bucket, r.name) for r in read_delta(spark, t).collect()
+    )
+    assert rows(ta) == rows(tb)
+    # dead rows were NOT resurrected as updates
+    assert all(i % 7 != 0 for i, _, _ in rows(ta))
+
+
+def test_dv_update_cdf_matches_rewrite_cdf(spark, tmp_path):
+    ta, tb = str(tmp_path / "a"), str(tmp_path / "b")
+    conf = {"delta.enableChangeDataFeed": "true"}
+    for t in (ta, tb):
+        write_delta(_df(spark, 0, 30).coalesce(1), t, configuration=conf)
+    delta_update(spark, ta, "id < 3", {"name": "upper(name)"}, mode="dv")
+    delta_update(spark, tb, "id < 3", {"name": "upper(name)"}, mode="rewrite")
+    feed = lambda t: sorted(
+        (r._commit_version, r._change_type, r.id, r.name)
+        for r in read_change_feed(spark, t, start_version=1).collect()
+    )
+    assert feed(ta) == feed(tb)
+    assert len(feed(ta)) == 6  # 3 pre + 3 post
+
+
+def test_dv_update_preserves_row_ids(spark, tmp_path):
+    """Row-tracking + mode='dv': the updated rows move files but keep
+    their ids (materialized), take the new commit version; untouched
+    rows keep id AND version."""
+    from pos_dlt_spark.sources.delta_rowtracking import read_delta_with_row_ids
+
+    table = str(tmp_path / "rt")
+    write_delta(
+        _df(spark, 0, 20).coalesce(1), table,
+        configuration={"delta.enableRowTracking": "true"},
+    )
+    before = {
+        r.id: (r._row_id, r._row_commit_version)
+        for r in read_delta_with_row_ids(spark, table).collect()
+    }
+    v, n = delta_update(spark, table, "id >= 18", {"name": "'x'"}, mode="dv")
+    assert n == 2
+    after = {
+        r.id: (r._row_id, r._row_commit_version)
+        for r in read_delta_with_row_ids(spark, table).collect()
+    }
+    for i in range(20):
+        assert after[i][0] == before[i][0]  # ids stable
+        assert after[i][1] == (v if i >= 18 else before[i][1])
+
+
+def test_dv_update_mode_validation(spark, tmp_path):
+    table = str(tmp_path / "u")
+    write_delta(
+        _df(spark, 0, 5).coalesce(1), table,
+        configuration={
+            "delta.enableRowTracking": "true",
+            "delta.enableChangeDataFeed": "true",
+        },
+    )
+    with pytest.raises(ValueError, match="mode must be"):
+        delta_update(spark, table, "id=1", {"name": "'x'"}, mode="nope")
+    with pytest.raises(ValueError, match="mode='rewrite'"):
+        delta_update(
+            spark, table, "id=1", {"name": "'x'"}, mode="dv",
+            write_change_files=False,
+        )
