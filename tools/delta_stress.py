@@ -723,6 +723,78 @@ def stress_incremental_cluster(spark, rows: int = 20_000_000) -> None:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def stress_dv_update(spark, rows: int = 20_000_000) -> None:
+    """Merge-on-read UPDATE decade: update 0.1% of rows scattered across
+    EVERY file of a 20M-row table, mode='dv' vs mode='rewrite' twins —
+    the bytes-written asymmetry is the whole point (narrow updates over
+    huge files should write bitmaps + changed rows, not re-copies of
+    every touched file)."""
+    from pyspark.sql import functions as F
+
+    from pos_dlt_spark.sources.delta import delta_snapshot, read_delta
+    from pos_dlt_spark.sources.delta_writer import delta_update, write_delta
+    from pos_dlt_spark.tables import scratch_dir
+
+    work = scratch_dir("delta_dvupd_")
+    try:
+        def build(t):
+            write_delta(
+                spark.range(rows).select(
+                    F.col("id").alias("k"),
+                    (F.col("id") % 997).alias("v"),
+                    F.concat(F.lit("payload-"), F.col("id")).alias("s"),
+                ).repartition(32),
+                t,
+            )
+
+        def dir_bytes(t):
+            n = 0
+            for root, _d, fs in os.walk(t):
+                if "_delta_log" in root:
+                    continue
+                n += sum(os.path.getsize(os.path.join(root, f)) for f in fs)
+            return n
+
+        results = {}
+        for mode in ("dv", "rewrite"):
+            t = os.path.join(work, mode)
+            build(t)
+            b0 = dir_bytes(t)
+            t0 = time.perf_counter()
+            v, n = delta_update(
+                spark, t, "k % 1000 = 7", {"s": "concat(s, '!')"}, mode=mode
+            )
+            wall = time.perf_counter() - t0
+            wrote = dir_bytes(t) - b0 if mode == "dv" else None
+            if mode == "rewrite":
+                # rewrite leaves old files on disk until vacuum; count
+                # the NEW live bytes written by the commit
+                snap = delta_snapshot(spark, t)
+                import json as _json
+                with open(os.path.join(t, "_delta_log", f"{v:020d}.json")) as fh:
+                    acts = [_json.loads(l) for l in fh]
+                wrote = sum(
+                    a["add"]["size"] for a in acts if "add" in a
+                )
+            t0 = time.perf_counter()
+            got = read_delta(spark, t).filter("s LIKE '%!'").count()
+            read_wall = time.perf_counter() - t0
+            assert got == n, (got, n)
+            results[mode] = (wall, wrote, read_wall, n)
+            print(
+                f"[dvupdate] mode={mode}: updated {n} rows in {wall:.1f}s, "
+                f"bytes written {wrote / 1e6:.1f} MB, "
+                f"post-update filtered read {read_wall:.1f}s"
+            )
+        dvw, rww = results["dv"][1], results["rewrite"][1]
+        print(
+            f"[dvupdate] write amplification rewrite/dv = {rww / max(dvw, 1):.0f}x "
+            f"({rww / 1e6:.0f} MB vs {dvw / 1e6:.1f} MB)"
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     n_files = 1_000_000
@@ -745,6 +817,8 @@ def main() -> None:
         stress_rowtracking_mor(spark)
     if which in ("incrcluster", "all"):
         stress_incremental_cluster(spark)
+    if which in ("dvupdate", "all"):
+        stress_dv_update(spark)
 
 
 if __name__ == "__main__":
