@@ -332,6 +332,68 @@ def pos_cdc_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "pos_cdc_delta_merge_dv",
+    oracle="""
+    SELECT user_id, event_type, event_id, ts, value FROM (
+        SELECT user_id, event_type, event_id, ts, value,
+               row_number() OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events) t
+    WHERE rn = 1
+    """,
+)
+def pos_cdc_delta_merge_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same CDC merge as ``pos_cdc_delta_merge`` but MERGE-ON-READ
+    (``delta_merge(mode='dv')``): replaced rows are deletion-vectored
+    in place in the seed's files — which stay byte-identical and live,
+    asserted by the build — and only the winning batch rows land in new
+    files. At a 100 TB CDC target this turns every merge's write cost
+    from 'rewrite all touched files' into 'bitmaps + the changed rows'
+    (measured 677x on the UPDATE decade, SCALE.md r8). The read applies
+    the DVs and must equal the same batch row_number oracle."""
+    from pos_dlt_spark.sources.delta import delta_snapshot, read_delta
+    from pos_dlt_spark.sources.delta_writer import delta_merge, write_delta
+    from pos_dlt_spark.tables import scratch_dir
+
+    key = os.path.abspath(sf_dir) + "#cdcmergedv"
+    if key not in _DELTA_RT_CACHE:
+        import atexit
+        import shutil
+
+        work = scratch_dir("delta_cdcdv_")
+        atexit.register(shutil.rmtree, work, ignore_errors=True)
+        table = os.path.join(work, "cdc_target")
+        ev = load_table(spark, sf_dir, "events").select(
+            "user_id", "event_type", "event_id", "ts", "value"
+        )
+        seed = latest_per_key(
+            ev.filter(F.col("event_id") % 2 == 0),
+            ["user_id", "event_type"],
+            "ts",
+            tiebreakers=["event_id"],
+        )
+        write_delta(seed.repartition(4), table)
+        before = {rel for rel, _ in delta_snapshot(spark, table).files}
+        delta_merge(
+            spark,
+            table,
+            ev.filter(F.col("event_id") % 2 != 0),
+            keys=["user_id", "event_type"],
+            sequence_by="ts",
+            tiebreakers=["event_id"],
+            mode="dv",
+        )
+        live = {rel for rel, _ in delta_snapshot(spark, table).files}
+        assert before <= live, "dv merge must not rewrite the seed's files"
+        _DELTA_RT_CACHE[key] = table
+    return read_delta(spark, _DELTA_RT_CACHE[key]).select(
+        "user_id", "event_type", "event_id", "ts", "value"
+    )
+
+
 _DELTA_RT_CACHE: dict[str, str] = {}
 
 

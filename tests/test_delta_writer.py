@@ -1695,3 +1695,129 @@ def test_merge_partition_prune_bails_on_high_cardinality(spark, tmp_path, monkey
     )
     got = {r.k: r.v for r in read_delta(spark, table).collect()}
     assert got == {0: "a", 1: "B", 2: "C", 3: "d", 5: "E"}
+
+
+# --- MERGE-ON-READ MERGE (mode='dv') ---------------------------------------
+
+
+def _merge_batch(spark, specs):
+    from pyspark.sql import functions as F
+
+    return spark.createDataFrame(specs, "id long, seq long, name string")
+
+
+def test_dv_merge_equals_rewrite_merge(spark, tmp_path):
+    """dv-mode merge and rewrite-mode merge produce row-identical
+    tables across updates, stale updates, inserts and tombstones —
+    and dv-mode never rewrites an original data file."""
+    from pos_dlt_spark.sources.delta_writer import delta_merge
+
+    def seed(t):
+        write_delta(
+            spark.range(40).selectExpr(
+                "id", "CAST(5 AS LONG) seq", "concat('n', id) name"
+            ).repartition(2),
+            t,
+        )
+
+    batch = (
+        # fresh updates
+        [(1, 9, "upd1"), (2, 9, "upd2")]
+        # stale update (seq 3 < 5): old row must survive untouched
+        + [(3, 3, "stale3")]
+        # insert
+        + [(100, 9, "new100")]
+        # tombstone (name marks it; delete_predicate keys on it)
+        + [(4, 9, "DEL")]
+    )
+    ta, tb = str(tmp_path / "a"), str(tmp_path / "b")
+    rows = lambda t: sorted(
+        (r.id, r.seq, r.name) for r in read_delta(spark, t).collect()
+    )
+    for t, mode in ((ta, "dv"), (tb, "rewrite")):
+        seed(t)
+        before = {rel for rel, _ in delta_snapshot(spark, t).files}
+        sizes = {
+            rel: os.path.getsize(os.path.join(t, rel)) for rel in before
+        }
+        delta_merge(
+            spark, t, _merge_batch(spark, batch), keys=["id"],
+            sequence_by="seq", delete_predicate="name = 'DEL'", mode=mode,
+        )
+        if mode == "dv":
+            snap = delta_snapshot(spark, t)
+            live = {rel for rel, _ in snap.files}
+            assert before <= live  # originals live behind DVs
+            for rel in before:
+                assert os.path.getsize(os.path.join(t, rel)) == sizes[rel]
+            dvd = [r for r in before if snap.adds[r].get("deletionVector")]
+            assert dvd  # updated/deleted keys' files carry DVs
+    assert rows(ta) == rows(tb)
+    got = dict((i, n) for i, _s, n in rows(ta))
+    assert got[1] == "upd1" and got[2] == "upd2"
+    assert got[3] == "n3"            # stale update lost
+    assert got[100] == "new100"      # insert landed
+    assert 4 not in got              # tombstone deleted
+    assert len(got) == 40            # 40 - 1 deleted + 1 inserted
+
+
+def test_dv_merge_cdf_and_row_ids(spark, tmp_path):
+    """dv-mode merge: CDF change files equal rewrite-mode's, and on a
+    row-tracking table updated keys keep their ids."""
+    from pos_dlt_spark.sources.delta_cdf import read_change_feed
+    from pos_dlt_spark.sources.delta_rowtracking import read_delta_with_row_ids
+    from pos_dlt_spark.sources.delta_writer import delta_merge
+
+    conf = {
+        "delta.enableChangeDataFeed": "true",
+        "delta.enableRowTracking": "true",
+    }
+    ta, tb = str(tmp_path / "a"), str(tmp_path / "b")
+    for t in (ta, tb):
+        write_delta(
+            spark.range(20).selectExpr(
+                "id", "CAST(1 AS LONG) seq", "concat('n', id) name"
+            ).coalesce(1),
+            t, configuration=conf,
+        )
+    ids_before = {
+        r.id: r._row_id for r in read_delta_with_row_ids(spark, ta).collect()
+    }
+    batch = [(5, 9, "five"), (777, 9, "new")]
+    delta_merge(spark, ta, _merge_batch(spark, batch), ["id"], "seq", mode="dv")
+    delta_merge(spark, tb, _merge_batch(spark, batch), ["id"], "seq", mode="rewrite")
+    feed = lambda t: sorted(
+        (r._change_type, r.id, r.name)
+        for r in read_change_feed(spark, t, start_version=1).collect()
+    )
+    assert feed(ta) == feed(tb)
+    assert feed(ta) == [
+        ("insert", 777, "new"),
+        ("update_postimage", 5, "five"),
+        ("update_preimage", 5, "n5"),
+    ]
+    ids_after = {
+        r.id: r._row_id for r in read_delta_with_row_ids(spark, ta).collect()
+    }
+    for i in range(20):
+        assert ids_after[i] == ids_before[i]  # incl. updated key 5
+    assert ids_after[777] not in set(ids_before.values())
+
+
+def test_dv_merge_txn_idempotent_and_validation(spark, tmp_path):
+    from pos_dlt_spark.sources.delta_writer import delta_merge
+
+    t = str(tmp_path / "t")
+    write_delta(
+        spark.range(10).selectExpr(
+            "id", "CAST(1 AS LONG) seq", "concat('n', id) name"
+        ).coalesce(1),
+        t,
+    )
+    batch = _merge_batch(spark, [(1, 9, "one")])
+    v1 = delta_merge(spark, t, batch, ["id"], "seq", txn=("app", 1), mode="dv")
+    v2 = delta_merge(spark, t, batch, ["id"], "seq", txn=("app", 1), mode="dv")
+    assert v2 == v1  # replay skipped
+    assert read_delta(spark, t).filter("name = 'one'").count() == 1
+    with pytest.raises(ValueError, match="mode must be"):
+        delta_merge(spark, t, batch, ["id"], "seq", mode="zzz")
