@@ -13,7 +13,20 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+# executor python workers are spawned by the JVM with the DRIVER's env,
+# not the driver's sys.path: when the harness imports this module from a
+# foreign cwd, closures shipped to executors (applyInPandas encoders in
+# the DV writers, mapInPandas codecs) reference pos_dlt_spark by module
+# name and must be importable THERE too. Prepending PYTHONPATH before
+# the session's JVM starts covers every such worker.
+if _REPO not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
+    os.environ["PYTHONPATH"] = (
+        _REPO + os.pathsep + os.environ["PYTHONPATH"]
+        if os.environ.get("PYTHONPATH")
+        else _REPO
+    )
 
 from pos_dlt_spark.queries import REGISTRY  # noqa: E402
 import pos_dlt_spark.queries_analytics  # noqa: E402,F401  (registers analytics queries)

@@ -1274,9 +1274,10 @@ def supplier_delta_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFra
     oracle="""
     WITH upd AS (
         SELECT s_suppkey, s_nationkey,
-               CASE WHEN s_acctbal < 0 THEN 'credit-hold' ELSE s_name END
-                   AS s_name,
-               CASE WHEN s_acctbal < 0 THEN 0.0 ELSE s_acctbal END AS s_acctbal
+               CASE WHEN s_suppkey % 7 = 3 OR s_acctbal < 0
+                    THEN 'credit-hold' ELSE s_name END AS s_name,
+               CASE WHEN s_suppkey % 7 = 3 OR s_acctbal < 0
+                    THEN 0.0 ELSE s_acctbal END AS s_acctbal
         FROM supplier)
     SELECT s_nationkey,
            CAST(COUNT(*) AS BIGINT) AS n,
@@ -1313,11 +1314,14 @@ def supplier_delta_dv_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_delta(supp.repartition(4), table)
         before = {rel for rel, _ in delta_snapshot(spark, table).files}
         delta_update(
-            spark, table, "s_acctbal < 0",
+            spark, table, "s_suppkey % 7 = 3 OR s_acctbal < 0",
             {"s_name": "'credit-hold'", "s_acctbal": "0.0"},
             mode="dv",
         )
         snap = delta_snapshot(spark, table)
+        assert any(
+            snap.adds[rel].get("deletionVector") for rel, _ in snap.files
+        ), "dv update must have produced deletion vectors"
         live = {rel for rel, _ in snap.files}
         assert before <= live, "dv update must not rewrite original files"
         _DELTA_RT_CACHE[key] = table

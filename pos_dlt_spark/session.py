@@ -22,6 +22,18 @@ import tempfile
 
 from pyspark.sql import SparkSession
 
+# executor python workers inherit the DRIVER's env, not its sys.path:
+# make the package importable on workers even when the caller sits in a
+# foreign cwd (closures shipped via applyInPandas/mapInPandas reference
+# pos_dlt_spark by module name). Must run before the JVM starts.
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
+    os.environ["PYTHONPATH"] = (
+        _REPO_ROOT + os.pathsep + os.environ["PYTHONPATH"]
+        if os.environ.get("PYTHONPATH")
+        else _REPO_ROOT
+    )
+
 
 def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
