@@ -1524,6 +1524,91 @@ def supplier_delta_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "orders_delta_replace_where",
+    oracle="""
+    WITH final AS (
+        SELECT o_orderpriority,
+               CASE WHEN o_orderpriority = '1-URGENT'
+                    THEN CAST(o_totalprice * 2 AS DECIMAL(18,2))
+                    ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS price,
+               o_orderkey
+        FROM orders)
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(price) AS DOUBLE) AS total,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key
+    FROM final GROUP BY o_orderpriority
+    """,
+)
+def orders_delta_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``replaceWhere`` selective overwrite — the scale-correct rendering
+    of the reference's periodic gold recompute (`04_Silver-to-Gold
+    ETL.sql:68`): a 100 TB pipeline atomically replaces a slice, never
+    the table. Orders land partitioned by o_orderpriority; one slice
+    ('1-URGENT') is then reloaded in a single ``write_delta(mode=
+    'overwrite', replace_where=...)`` commit with its prices doubled.
+    The predicate is decided from partition values alone, so NO data is
+    scanned and no DV is minted; the fixture asserts every untouched
+    partition's file entry survived BYTE-IDENTICAL (add action
+    equality) — the property that makes a partial reload idempotent and
+    cheap. The oracle re-derives the final state from raw orders
+    (urgent prices doubled), so the hash only matches if exactly the
+    slice was replaced: a lost non-urgent file or a surviving stale
+    urgent row breaks it."""
+    from pos_dlt_spark.sources.delta import delta_snapshot, read_delta
+    from pos_dlt_spark.sources.delta_writer import write_delta
+    from pos_dlt_spark.tables import scratch_dir
+
+    key = os.path.abspath(sf_dir) + "#replace_where"
+    if key not in _DELTA_RT_CACHE:
+        import atexit
+        import shutil
+
+        work = scratch_dir("delta_rw_")
+        atexit.register(shutil.rmtree, work, ignore_errors=True)
+        table = os.path.join(work, "orders")
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority", "o_totalprice"
+        )
+        write_delta(
+            orders.repartition(2), table, partition_by=["o_orderpriority"]
+        )
+        snap0 = delta_snapshot(spark, table)
+        untouched0 = {
+            rel: snap0.adds[rel]
+            for rel, pv in snap0.files
+            if pv.get("o_orderpriority") != "1-URGENT"
+        }
+        reload_df = orders.filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        ).withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        write_delta(
+            reload_df.repartition(2),
+            table,
+            mode="overwrite",
+            partition_by=["o_orderpriority"],
+            replace_where="o_orderpriority = '1-URGENT'",
+        )
+        snap1 = delta_snapshot(spark, table)
+        for rel, add in untouched0.items():
+            assert snap1.adds.get(rel) == add, (
+                f"replaceWhere disturbed untouched partition file {rel}"
+            )
+        assert not any(
+            a.get("deletionVector") for a in snap1.adds.values()
+        ), "partition-decidable replaceWhere must not mint DVs"
+        _DELTA_RT_CACHE[key] = table
+    df = read_delta(spark, _DELTA_RT_CACHE[key])
+    return df.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total"),
+        F.min("o_orderkey").cast("bigint").alias("min_key"),
+    )
+
+
+@query(
     "supplier_delta_identity",
     oracle="""
     SELECT CAST(count(*) AS BIGINT) AS n_rows,
@@ -2516,5 +2601,8 @@ def prepare_bench_fixtures(spark: SparkSession, sf_dir: str) -> None:
     # timed region should measure the id-resolving / merge-on-read reads
     REGISTRY["supplier_delta_row_tracking"].fn(spark, sf_dir)
     REGISTRY["supplier_cdf_merge_on_read"].fn(spark, sf_dir)
+    # the replaceWhere reload IS the fixture; the timed region should
+    # measure the post-reload partitioned read
+    REGISTRY["orders_delta_replace_where"].fn(spark, sf_dir)
     # the write-roundtrip and cdc-merge tables ARE their own fixture (the
     # query measures the write+merge). Leave them in the timed region.

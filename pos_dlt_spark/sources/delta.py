@@ -936,6 +936,19 @@ def skip_files(
     return out, skipped
 
 
+def decoded_fp_expr(raw):
+    """DECODED plain absolute path from a raw scheme-qualified,
+    percent-encoded ``_metadata.file_path`` rendering — matches the
+    os.path rendering even for partition directories with spaces/colons
+    (url_decode alone would also map literal '+' to a space, so '+' is
+    pre-escaped to %2B; the composition is an exact pure-JVM
+    percent-decoder). Two regexes + a url_decode PER ROW (~36 s over a
+    24M-row scan) — keep it OUT of unconditional hot paths; consumers
+    evaluate it only where the zero-cost raw path misses."""
+    stripped = F.regexp_replace(raw, "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
+    return F.url_decode(F.regexp_replace(stripped, r"\+", "%2B"))
+
+
 def scan_rels(
     spark: SparkSession,
     snap: DeltaSnapshot,
@@ -988,12 +1001,9 @@ def scan_rels(
         # '+' to a space, so '+' is pre-escaped to %2B; the composition
         # is an exact pure-JVM percent-decoder). Consumers reference one
         # or the other; Catalyst prunes whichever goes unused.
-        stripped = F.regexp_replace(
-            F.col("_metadata.file_path"), "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"
-        )
         return [
             F.col("_metadata.file_path").alias("__fpr"),
-            F.url_decode(F.regexp_replace(stripped, r"\+", "%2B")).alias("__fp"),
+            decoded_fp_expr(F.col("_metadata.file_path")).alias("__fp"),
             F.col("_metadata.row_index").alias("__ri"),
         ]
 

@@ -283,15 +283,28 @@ def scan_with_row_ids(
             F.struct(F.col("__rtdb").alias("b"), F.col("__rtdd").alias("d")),
         )
         hit = F.coalesce(raw_hit, dec_hit, miss)
+        from pos_dlt_spark.sources.delta import decoded_fp_expr
+
+        # the DECODED key (two regexes + url_decode) is derived ONLY for
+        # rows whose raw join missed — joining on __fp directly would
+        # force the decode into the per-row hot path for EVERY row
+        # (measured ~36 s over a 24M-row scan), and unlike the map
+        # branch's coalesce a join key cannot short-circuit on a raw-path
+        # hit (ADVICE r08). A NULL join key never matches, so raw-hit
+        # rows pass the second broadcast join for free.
         scan = (
             scan.join(
                 F.broadcast(bt), F.col("__fpr") == F.col("__rtk"), "left"
             )
-            .join(F.broadcast(btd), F.col("__fp") == F.col("__rtk2"), "left")
+            .withColumn(
+                "__fpd",
+                F.when(F.col("__rthit").isNull(), decoded_fp_expr(F.col("__fpr"))),
+            )
+            .join(F.broadcast(btd), F.col("__fpd") == F.col("__rtk2"), "left")
             .withColumn("__rtbase", hit.getField("b"))
             .withColumn("__rtdcv", hit.getField("d"))
             .drop(
-                "__rtk", "__rtjb", "__rtjd", "__rthit",
+                "__rtk", "__rtjb", "__rtjd", "__rthit", "__fpd",
                 "__rtk2", "__rtdb", "__rtdd", "__rtdhit",
             )
         )

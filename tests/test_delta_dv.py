@@ -429,3 +429,59 @@ def test_fid_join_resolution_matches_literal_map(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(D, "DV_RUN_JOIN_MAX", 0)
     got2 = sorted(r.id for r in read_delta(spark, table).collect())
     assert got2 == want
+
+
+def test_vacuum_keeps_superseded_dv_of_retained_version(spark, tmp_path):
+    """ADVICE r08 (high): a DV sidecar live at the OLDEST retained
+    version but superseded by a second dv-mode DML inside the retention
+    window appears in no window action (removes record only the data
+    path), yet time travel to the retained version still reads it.
+    Vacuum must protect it via the window-start snapshot's descriptors."""
+    from pos_dlt_spark.sources.delta_writer import delta_vacuum
+
+    table = str(tmp_path / "dvsuper")
+    write_delta(_df(spark, 0, 5000).coalesce(1), table)          # v0
+    delta_delete(spark, table, "id < 1000", inline_threshold=8)  # v1: dv1
+    snap1 = delta_snapshot(spark, table)
+    (add1,) = snap1.adds.values()
+    dv1 = DV.dv_relative_path(add1["deletionVector"])
+    assert dv1 and os.path.exists(os.path.join(table, dv1))
+    delta_delete(spark, table, "id >= 4000", inline_threshold=8)  # v2: dv2
+    snap2 = delta_snapshot(spark, table)
+    (add2,) = snap2.adds.values()
+    dv2 = DV.dv_relative_path(add2["deletionVector"])
+    assert dv2 and dv2 != dv1
+
+    # retain v1 and v2 — v1's snapshot references dv1
+    deleted = delta_vacuum(spark, table, retain_versions=1, grace_seconds=-3600)
+    assert dv1 not in deleted, "superseded DV of a retained version collected"
+    assert read_delta(spark, table, version=1).count() == 4000
+    assert read_delta(spark, table).count() == 3000
+
+    # shrink the window past v1: dv1 is now genuinely unreferenced
+    deleted2 = delta_vacuum(spark, table, retain_versions=0, grace_seconds=-3600)
+    assert dv1 in deleted2
+    assert read_delta(spark, table).count() == 3000
+
+
+def test_dv_readd_carries_datachange_true_after_optimize(spark, tmp_path):
+    """ADVICE r08 (medium): a dv-mode DML on a file last written by
+    OPTIMIZE (dataChange=false) must emit its re-add with
+    dataChange=true — streaming replay and derived CDF key on it."""
+    import json as _json
+
+    from pos_dlt_spark.sources.delta import _commit_actions, _list_log
+    from pos_dlt_spark.sources.delta_writer import delta_optimize
+
+    table = str(tmp_path / "dvdc")
+    write_delta(_df(spark, 0, 500).repartition(4), table)   # v0
+    delta_optimize(spark, table, target_files=1)            # v1: dataChange=false add
+    delta_delete(spark, table, "id % 7 = 0")                # v2: dv re-add
+    log_dir = os.path.join(table, "_delta_log")
+    commits = dict(_list_log(log_dir)[0])
+    actions = list(_commit_actions(commits[2]))
+    readds = [a["add"] for a in actions if "add" in a and a["add"].get("deletionVector")]
+    assert readds, "dv delete emitted no re-add"
+    assert all(a.get("dataChange") is True for a in readds)
+    removes = [a["remove"] for a in actions if "remove" in a]
+    assert removes and all(r.get("dataChange", True) for r in removes)
