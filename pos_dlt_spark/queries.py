@@ -2359,6 +2359,80 @@ def events_delta_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_delta_variant_shredded",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(MIN(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS min_k
+    FROM events
+    WHERE CAST(props->>'$.k' AS BIGINT) >= 50
+    GROUP BY event_type
+    """,
+)
+def events_delta_variant_shredded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT SHREDDING — the scale answer to stats-less variant files
+    (pyarrow cannot parse variant footers, so an unshredded 100 TB
+    variant table is always a full scan). ``write_delta(...,
+    shred_variant={'props_v': {'k': 'long'}})`` persists a typed
+    ``variant_get`` twin as an EXTRA physical parquet column (invisible
+    to the logical schema — any protocol reader still reads the table)
+    and derives its per-file min/max/nullCount + numRecords with one
+    distributed pass over the staged files, written into add.stats. The
+    fixture appends the low-k and high-k halves separately and ASSERTS
+    the selective predicate provably skips the low files from the log
+    alone; the returned frame is the pruned scan with the real filter on
+    top, hash-matched against the oracle's unpruned JSON extraction —
+    green only if pruning dropped no qualifying row."""
+    from pos_dlt_spark.sources.delta import (
+        delta_snapshot,
+        read_delta,
+        skip_files,
+        variant_shred_col,
+    )
+    from pos_dlt_spark.sources.delta_writer import write_delta
+    from pos_dlt_spark.tables import scratch_dir
+
+    key = os.path.abspath(sf_dir) + "#variant_shred"
+    sc = variant_shred_col("props_v", "k")
+    if key not in _DELTA_RT_CACHE:
+        import atexit
+        import shutil
+
+        work = scratch_dir("delta_vshred_")
+        atexit.register(shutil.rmtree, work, ignore_errors=True)
+        table = os.path.join(work, "events")
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            "event_type",
+            F.parse_json(F.col("props")).alias("props_v"),
+        )
+        k = F.expr("variant_get(props_v, '$.k', 'long')")
+        write_delta(
+            ev.filter(k < 50).coalesce(2),
+            table,
+            shred_variant={"props_v": {"k": "long"}},
+        )
+        write_delta(ev.filter(k >= 50).coalesce(2), table)
+        snap = delta_snapshot(spark, table)
+        assert "variantType" in set(snap.protocol.get("readerFeatures") or ())
+        _pruned, skipped = skip_files(snap, [(sc, ">=", 50)])
+        assert skipped >= 1, "shredded stats must prove the low-k files out"
+        _DELTA_RT_CACHE[key] = table
+    df = read_delta(spark, _DELTA_RT_CACHE[key], prune=[(sc, ">=", 50)])
+    k = F.expr("variant_get(props_v, '$.k', 'long')")
+    return (
+        df.filter(k >= 50)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(k).cast("bigint").alias("sum_k"),
+            F.min(k).cast("bigint").alias("min_k"),
+        )
+    )
+
+
+@query(
     "pos_silver_parse_events",
     oracle="""
     SELECT event_id, user_id,

@@ -936,6 +936,36 @@ def skip_files(
     return out, skipped
 
 
+SHRED_CONF_PREFIX = "pos_dlt.variantShredding."
+
+
+def variant_shred_col(col: str, field: str) -> str:
+    """Physical column name of the shredded typed twin of VARIANT column
+    ``col``'s top-level field ``field`` — a principled subset of the
+    public variantShredding idea: the typed value is persisted as an
+    EXTRA physical parquet column next to the variant binary (invisible
+    to the logical schema, so any protocol-conformant reader still reads
+    the table), and its footer-equivalent stats ride add.stats so
+    variant-predicate scans can SKIP files. Without this, every variant
+    file ships stats-less (pyarrow cannot parse variant footers) and a
+    100 TB variant table is always a full scan."""
+    return "__vshred_%s_%s" % (col, re.sub(r"[^A-Za-z0-9_]", "_", field))
+
+
+def variant_shred_spec(configuration: dict | None) -> dict[str, dict[str, str]]:
+    """The table's shredding spec from its configuration:
+    ``{variant_col: {field: sql_type}}`` (set at creation via
+    ``write_delta(..., shred_variant=...)``)."""
+    out: dict[str, dict[str, str]] = {}
+    for k, v in (configuration or {}).items():
+        if k.startswith(SHRED_CONF_PREFIX):
+            try:
+                out[k[len(SHRED_CONF_PREFIX):]] = json.loads(v)
+            except (TypeError, ValueError):
+                continue
+    return out
+
+
 def decoded_fp_expr(raw):
     """DECODED plain absolute path from a raw scheme-qualified,
     percent-encoded ``_metadata.file_path`` rendering — matches the

@@ -116,3 +116,100 @@ def test_timestamp_ntz_declares_feature(spark, tmp_path):
     assert "timestampNtz" in set(snap.protocol.get("writerFeatures") or ())
     got = read_delta(spark, t).selectExpr("CAST(w AS STRING) s").first().s
     assert got == "2026-01-02 03:04:05"
+
+
+# --- variant shredding (typed physical twins + backfilled stats) ----------
+
+
+def test_shredded_variant_stats_and_skipping(spark, tmp_path):
+    """shred_variant persists typed variant_get twins as EXTRA physical
+    columns with Spark-derived add.stats — the low-k files are provably
+    excluded from a selective predicate, the logical schema stays clean,
+    and the filtered read matches the unpruned one."""
+    from pos_dlt_spark.sources.delta import variant_shred_col
+
+    t = str(tmp_path / "vs")
+    write_delta(
+        _vdf(spark, 0, 500).coalesce(1), t, shred_variant={"v": {"k": "long"}}
+    )
+    write_delta(_vdf(spark, 500, 1000).coalesce(1), t)  # spec inherited
+    snap = delta_snapshot(spark, t)
+    sc = variant_shred_col("v", "k")
+    for rel, a in snap.adds.items():
+        st = json.loads(a["stats"])
+        assert st["numRecords"] == 500
+        assert sc in st["minValues"] and sc in st["maxValues"]
+    _pruned, skipped = skip_files(snap, [(sc, ">", 1600)])
+    assert skipped == 1  # k = id*3: first file maxes at 1497
+    out = read_delta(spark, t, prune=[(sc, ">", 1600)])
+    assert sorted(out.columns) == ["id", "v"]  # twins invisible logically
+    got = sorted(
+        r.id
+        for r in out.filter(F.expr("variant_get(v, '$.k', 'long') > 1600")).collect()
+    )
+    assert got == list(range(534, 1000))
+
+
+def test_shredded_variant_optimize_reshreds(spark, tmp_path):
+    """OPTIMIZE on a shredded table re-derives the typed twins and their
+    stats — compaction must not demote the table to the stats-less
+    full-scan posture."""
+    from pos_dlt_spark.sources.delta import variant_shred_col
+
+    t = str(tmp_path / "vso")
+    write_delta(
+        _vdf(spark, 0, 300).repartition(3), t, shred_variant={"v": {"k": "long"}}
+    )
+    write_delta(_vdf(spark, 300, 600).repartition(3), t)
+    delta_optimize(spark, t, target_files=1)
+    snap = delta_snapshot(spark, t)
+    assert len(snap.files) == 1
+    (add,) = snap.adds.values()
+    st = json.loads(add["stats"])
+    sc = variant_shred_col("v", "k")
+    assert st["numRecords"] == 600
+    assert st["minValues"][sc] == 0 and st["maxValues"][sc] == 599 * 3
+    got = read_delta(spark, t).filter(
+        F.expr("variant_get(v, '$.k', 'long') = 900")
+    ).collect()
+    assert len(got) == 1 and got[0].id == 300
+
+
+def test_shred_spec_validation(spark, tmp_path):
+    t = str(tmp_path / "vbad")
+    with pytest.raises(ValueError, match="not a VARIANT column"):
+        write_delta(_vdf(spark, 0, 10), t, shred_variant={"id": {"k": "long"}})
+    with pytest.raises(ValueError, match="not a plain identifier"):
+        write_delta(
+            _vdf(spark, 0, 10), t, shred_variant={"v": {"k'); drop": "long"}}
+        )
+    with pytest.raises(ValueError, match="not in"):
+        write_delta(_vdf(spark, 0, 10), t, shred_variant={"v": {"k": "decimal"}})
+    # spec is creation-only: a conflicting later declaration refuses
+    write_delta(_vdf(spark, 0, 10), t, shred_variant={"v": {"k": "long"}})
+    with pytest.raises(ValueError, match="creation only"):
+        write_delta(
+            _vdf(spark, 10, 20), t, shred_variant={"v": {"k": "string"}}
+        )
+
+
+def test_shredded_missing_field_yields_null_stats_conservative(spark, tmp_path):
+    """Rows lacking the shredded field produce NULL twins; files whose
+    rows ALL lack it carry no min/max for the twin and are never
+    skipped (conservative, like any stats-less column)."""
+    from pos_dlt_spark.sources.delta import variant_shred_col
+
+    t = str(tmp_path / "vnull")
+    nok = spark.range(0, 50).select(
+        F.col("id"), F.parse_json(F.lit('{"other": 1}')).alias("v")
+    )
+    write_delta(nok.coalesce(1), t, shred_variant={"v": {"k": "long"}})
+    write_delta(_vdf(spark, 50, 100).coalesce(1), t)
+    snap = delta_snapshot(spark, t)
+    sc = variant_shred_col("v", "k")
+    stats = [json.loads(a["stats"]) for a in snap.adds.values()]
+    nullfile = [s for s in stats if s["nullCount"].get(sc) == 50]
+    assert len(nullfile) == 1 and sc not in nullfile[0]["minValues"]
+    _pruned, skipped = skip_files(snap, [(sc, ">", 0)])
+    assert skipped == 0  # the all-null file cannot be proven out
+    assert read_delta(spark, t).count() == 100
