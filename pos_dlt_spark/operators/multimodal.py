@@ -7,14 +7,17 @@ STUBBED: ``decode_media`` raises NotImplementedError unless
 ``fake=True``, in which case a deterministic fake decoder (byte-stats
 pseudo-features) exercises the full Spark-side path — schema handling,
 Arrow batch shapes, partition-parallel execution — which is the part that
-must be right at 100 TB. THREE real decoders need no library at all,
+must be right at 100 TB. FOUR real decoders need no library at all,
 each value-oracled end to end by a gate query: uncompressed 24-bit BMP
 (``decode_bmp24`` — header parse, row padding, bottom-up flip), RIFF/
-WAVE PCM16 (``decode_wav_pcm16`` — chunk walk, sample decode), and
+WAVE PCM16 (``decode_wav_pcm16`` — chunk walk, sample decode),
 non-interlaced 8-bit PNG (``decode_png`` — chunk walk + CRC, stdlib
-zlib inflate, all five scanline defilter types incl. paeth). The
-remaining stub boundary is JPEG and compressed audio/video, whose
-entropy coders genuinely need codec libraries.
+zlib inflate, all five scanline defilter types incl. paeth), and
+baseline sequential JPEG (``decode_jpeg`` — marker walk, canonical
+Huffman entropy decode with restart markers, dequant + IDCT, 4:2:0
+upsampling, YCbCr->RGB). The remaining stub boundary is progressive/
+arithmetic JPEG and compressed audio/video, whose coders genuinely
+need codec libraries.
 
 Scale notes:
 - media rows are large (MBs); keep ``spark.sql.files.maxPartitionBytes``
@@ -61,21 +64,21 @@ MEDIA_FEATURE_SCHEMA = StructType(
 def decode_media(payload: bytes, kind: str, fake: bool = False) -> list[float]:
     """Decode a media payload into a feature vector.
 
-    Only the library-backed codecs are stubbed — three formats decode
+    Only the library-backed codecs are stubbed — four formats decode
     for REAL with no library at all (BMP24 :func:`decode_bmp24`, WAV
-    PCM16 :func:`decode_wav_pcm16`, PNG :func:`decode_png`); the
-    remaining boundary is JPEG and compressed audio/video, whose
-    entropy coders genuinely need PIL/librosa/ffmpeg — callers on a
-    real cluster plug those in here. The deterministic fake derives an
-    8-dim byte-histogram feature so tests cover the distributed
-    plumbing end-to-end.
+    PCM16 :func:`decode_wav_pcm16`, PNG :func:`decode_png`, baseline
+    JPEG :func:`decode_jpeg`); the remaining boundary is progressive/
+    arithmetic JPEG and compressed audio/video, whose coders genuinely
+    need PIL/librosa/ffmpeg — callers on a real cluster plug those in
+    here. The deterministic fake derives an 8-dim byte-histogram
+    feature so tests cover the distributed plumbing end-to-end.
     """
     if not fake:
         raise NotImplementedError(
-            "JPEG/compressed-AV codecs not available in this environment "
-            "(BMP/WAV/PNG decode for real via decode_bmp24 / "
-            "decode_wav_pcm16 / decode_png); pass fake=True for the "
-            "deterministic byte-stats decoder"
+            "progressive-JPEG/compressed-AV codecs not available in this "
+            "environment (BMP/WAV/PNG/baseline-JPEG decode for real via "
+            "decode_bmp24 / decode_wav_pcm16 / decode_png / decode_jpeg); "
+            "pass fake=True for the deterministic byte-stats decoder"
         )
     if payload is None or len(payload) == 0:
         return [0.0] * 8
@@ -160,8 +163,8 @@ def decode_bmp24(payload: bytes):
     offset, strip per-row 4-byte padding, and flip the bottom-up row
     order (negative height = already top-down). Returns an (h, w, 3)
     uint8 numpy array in BGR channel order. Pure numpy — one of the
-    three genuinely-decoded formats in the container (with WAV and PNG);
-    JPEG stays behind the codec-library boundary."""
+    four genuinely-decoded formats in the container (with WAV, PNG and
+    baseline JPEG)."""
     import struct
 
     import numpy as np
@@ -499,8 +502,8 @@ def decode_png(payload: bytes):
     and undo the per-scanline filters (none/sub/up/average/paeth — the
     paeth predictor per the PNG spec, PNG being public W3C format
     documentation). Returns an (h, w, 3|4) uint8 array in RGB(A) channel
-    order. The third genuinely-decoded format in the container (with
-    BMP and WAV); palette/interlaced/16-bit PNG and JPEG stay behind the
+    order. Genuinely decoded in-container alongside BMP, WAV and
+    baseline JPEG; palette/interlaced/16-bit PNG stays behind the
     codec-library boundary."""
     import struct
     import zlib
@@ -637,6 +640,694 @@ def synth_png_media(df: DataFrame, id_col: str = "media_id") -> DataFrame:
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
     return df.select(F.col(id_col)).mapInPandas(run, schema)
+
+
+# -- real decoder #4: baseline sequential JPEG (ITU T.81, stdlib+numpy) ------
+#
+# The fourth dependency-free codec: SOI/DQT/DHT/SOF0/DRI/SOS marker walk,
+# canonical Huffman entropy decode (with byte unstuffing and restart
+# markers), dequantization, inverse zigzag, floating 8x8 IDCT, level
+# shift, chroma upsampling and YCbCr->RGB for 3-component scans.
+# Baseline SEQUENTIAL only — progressive (SOF2), arithmetic coding, and
+# 12-bit precision stay behind the codec-library boundary and raise
+# loudly. All constants below (zigzag order, Annex K quantization and
+# Huffman tables) are from the public ITU T.81 / JFIF specifications.
+
+_ZIGZAG = [
+     0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Annex K.1 example quantization tables (the de-facto standard ones)
+_STD_LUMA_Q = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+_STD_CHROMA_Q = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+# Annex K.3 typical Huffman tables: (BITS counts per code length 1..16,
+# HUFFVAL symbol list)
+_STD_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_STD_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_STD_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+_STD_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+_DCT_T = None  # cached 8x8 DCT-II basis matrix
+
+
+def _dct_matrix():
+    import numpy as np
+
+    global _DCT_T
+    if _DCT_T is None:
+        x = np.arange(8)
+        u = x.reshape(-1, 1)
+        t = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16)
+        t[0, :] /= np.sqrt(2)
+        _DCT_T = t
+    return _DCT_T
+
+
+def _huff_encode_table(bits, vals):
+    """symbol -> (code, length) for a canonical JPEG Huffman table."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_decode_table(bits, vals):
+    """(code, length) -> symbol map for decoding (codes are short —
+    a dict lookup per code is fine for this reference decoder)."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    __slots__ = ("buf", "acc", "nbits")
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, value: int, length: int) -> None:
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+
+    def align(self) -> None:
+        """Pad to a byte boundary with 1-bits (the spec's fill bits)."""
+        if self.nbits:
+            self.put((1 << (8 - self.nbits)) - 1, 8 - self.nbits)
+
+
+class _BitReader:
+    __slots__ = ("data", "pos", "acc", "nbits")
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> bool:
+        d = self.data
+        if self.pos >= len(d):
+            return False
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else None
+            if nxt == 0x00:
+                self.pos += 2  # stuffed FF
+            else:
+                return False  # a real marker terminates the scan data
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+        return True
+
+    def bit(self) -> int:
+        if self.nbits == 0 and not self._fill():
+            return 0  # past-the-end reads decode as 0 (truncated stream)
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align_to_marker(self) -> None:
+        self.acc = 0
+        self.nbits = 0
+
+    def read_symbol(self, table: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+
+def _bit_size(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def _scale_quant(base, quality: int):
+    """IJG-style quality scaling of an Annex K table (public libjpeg
+    convention): 1..100, 50 = the base table, clamped to [1, 255]."""
+    q = max(1, min(100, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    return [max(1, min(255, (b * scale + 50) // 100)) for b in base]
+
+
+def encode_jpeg(
+    pixels,
+    quality: int = 90,
+    subsample: str = "444",
+    quant=None,
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline sequential JPEG writer for an (h, w) grayscale or
+    (h, w, 3) RGB uint8 array — fixture support for :func:`decode_jpeg`,
+    not an image-processing API. ``subsample='420'`` writes 2x2-
+    subsampled chroma (box mean); ``quant`` overrides the (quality-
+    scaled Annex K) luma table with an explicit 64-entry list — the
+    exactness gate uses an all-8 table so per-block-constant images
+    round-trip bit-exactly (a constant block is DC-only; DC = 8*(v-128)
+    is divisible by 8, so quantization is lossless and the IDCT of a
+    DC-only block is exactly constant). ``restart_interval`` emits DRI +
+    RSTn markers every N MCUs."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    gray = arr.ndim == 2
+    if not gray and (arr.ndim != 3 or arr.shape[2] != 3):
+        raise ValueError("encode_jpeg needs (h,w) gray or (h,w,3) RGB")
+    h, w = arr.shape[:2]
+    if subsample not in ("444", "420"):
+        raise ValueError("subsample must be 444 or 420")
+
+    qluma = list(quant) if quant is not None else _scale_quant(_STD_LUMA_Q, quality)
+    qchroma = (
+        list(quant) if quant is not None else _scale_quant(_STD_CHROMA_Q, quality)
+    )
+
+    if gray:
+        planes = [arr.astype(np.float64)]
+        samp = [(1, 1)]
+        qsel = [0]
+    else:
+        rgb = arr.astype(np.float64)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsample == "420":
+            # box-mean 2x2 after replicate-padding to even dims
+            def down(p):
+                ph = p if p.shape[0] % 2 == 0 else np.vstack([p, p[-1:]])
+                ph = ph if ph.shape[1] % 2 == 0 else np.hstack([ph, ph[:, -1:]])
+                return (
+                    ph[0::2, 0::2] + ph[1::2, 0::2] + ph[0::2, 1::2] + ph[1::2, 1::2]
+                ) / 4.0
+
+            planes = [y, down(cb), down(cr)]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [y, cb, cr]
+            samp = [(1, 1), (1, 1), (1, 1)]
+        qsel = [0, 1, 1]
+
+    hmax = max(sx for sx, _ in samp)
+    vmax = max(sy for _, sy in samp)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+
+    # pad every plane to its MCU-covered size by edge replication
+    padded = []
+    for p, (sx, sy) in zip(planes, samp):
+        tw, th = mcus_x * 8 * sx, mcus_y * 8 * sy
+        ph, pw = p.shape
+        p2 = np.pad(p, ((0, th - ph), (0, tw - pw)), mode="edge")
+        padded.append(p2)
+
+    t = _dct_matrix()
+    enc_dc = [_huff_encode_table(*_STD_DC_LUMA), _huff_encode_table(*_STD_DC_CHROMA)]
+    enc_ac = [_huff_encode_table(*_STD_AC_LUMA), _huff_encode_table(*_STD_AC_CHROMA)]
+    qtabs = [np.array(qluma, np.float64), np.array(qchroma, np.float64)]
+
+    bw = _BitWriter()
+    preds = [0] * len(planes)
+    mcu_count = 0
+    rst = 0
+    out_chunks: list[bytes] = []
+
+    def emit_block(ci: int, block) -> None:
+        nonlocal preds
+        qa = qtabs[qsel[ci]].reshape(8, 8)
+        f = t @ (block - 128.0) @ t.T
+        coef = np.rint(f / qa).astype(np.int64)
+        zz = coef.reshape(64)[_ZIGZAG]
+        hsel = 0 if qsel[ci] == 0 else 1
+        dct, act = enc_dc[hsel], enc_ac[hsel]
+        diff = int(zz[0]) - preds[ci]
+        preds[ci] = int(zz[0])
+        s = _bit_size(diff)
+        code, ln = dct[s]
+        bw.put(code, ln)
+        if s:
+            bw.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+        run = 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run >= 16:
+                code, ln = act[0xF0]  # ZRL
+                bw.put(code, ln)
+                run -= 16
+            s = _bit_size(v)
+            code, ln = act[(run << 4) | s]
+            bw.put(code, ln)
+            bw.put(v if v > 0 else v + (1 << s) - 1, s)
+            run = 0
+        if run:
+            code, ln = act[0x00]  # EOB
+            bw.put(code, ln)
+
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                bw.align()
+                out_chunks.append(bytes(bw.buf))
+                bw.buf = bytearray()
+                out_chunks.append(struct.pack(">H", 0xFFD0 + rst))
+                rst = (rst + 1) % 8
+                preds = [0] * len(planes)
+            for ci, (p, (sx, sy)) in enumerate(zip(padded, samp)):
+                for by in range(sy):
+                    for bx in range(sx):
+                        y0 = (my * sy + by) * 8
+                        x0 = (mx * sx + bx) * 8
+                        emit_block(ci, p[y0 : y0 + 8, x0 : x0 + 8])
+            mcu_count += 1
+    bw.align()
+    out_chunks.append(bytes(bw.buf))
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    parts = [struct.pack(">H", 0xFFD8)]  # SOI
+    dqt = bytes([0]) + bytes(int(qluma[z]) for z in _ZIGZAG)
+    if not gray:
+        dqt += bytes([1]) + bytes(int(qchroma[z]) for z in _ZIGZAG)
+    parts.append(seg(0xFFDB, dqt))
+    comps = b""
+    for ci, (sx, sy) in enumerate(samp):
+        comps += bytes([ci + 1, (sx << 4) | sy, qsel[ci]])
+    parts.append(
+        seg(0xFFC0, struct.pack(">BHHB", 8, h, w, len(planes)) + comps)
+    )
+    dht = (
+        bytes([0x00]) + bytes(_STD_DC_LUMA[0]) + bytes(_STD_DC_LUMA[1])
+        + bytes([0x10]) + bytes(_STD_AC_LUMA[0]) + bytes(_STD_AC_LUMA[1])
+    )
+    if not gray:
+        dht += (
+            bytes([0x01]) + bytes(_STD_DC_CHROMA[0]) + bytes(_STD_DC_CHROMA[1])
+            + bytes([0x11]) + bytes(_STD_AC_CHROMA[0]) + bytes(_STD_AC_CHROMA[1])
+        )
+    parts.append(seg(0xFFC4, dht))
+    if restart_interval:
+        parts.append(seg(0xFFDD, struct.pack(">H", restart_interval)))
+    scomps = b""
+    for ci in range(len(planes)):
+        hsel = 0 if qsel[ci] == 0 else 1
+        scomps += bytes([ci + 1, (hsel << 4) | hsel])
+    parts.append(
+        seg(0xFFDA, bytes([len(planes)]) + scomps + bytes([0, 63, 0]))
+    )
+    parts.extend(out_chunks)
+    parts.append(struct.pack(">H", 0xFFD9))  # EOI
+    return b"".join(parts)
+
+
+def decode_jpeg(payload: bytes):
+    """REAL decode of a baseline sequential JPEG (SOF0) with stdlib +
+    numpy only: marker walk, DQT/DHT/DRI/SOS parse, canonical Huffman
+    entropy decode with byte unstuffing and RSTn handling, dequantize,
+    inverse zigzag, floating 8x8 IDCT, level shift, nearest-neighbor
+    chroma upsampling and BT.601 YCbCr->RGB for 3-component images.
+    Returns an (h, w) uint8 array for grayscale or (h, w, 3) RGB.
+    Progressive (SOF2) / arithmetic / 12-bit JPEGs raise loudly — that
+    is the remaining codec-library boundary."""
+    import struct
+
+    import numpy as np
+
+    data = bytes(payload or b"")
+    if len(data) < 4 or data[0:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qtabs: dict[int, "np.ndarray"] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) -> decode table
+    frame = None  # (h, w, [(cid, sx, sy, qsel), ...])
+    restart_interval = 0
+    out_planes = None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"marker expected at offset {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if 0xD0 <= marker <= 0xD7:
+            continue  # stray RST outside a scan
+        (ln,) = struct.unpack_from(">H", data, pos)
+        body = data[pos + 2 : pos + ln]
+        if marker == 0xDB:  # DQT
+            o = 0
+            while o < len(body):
+                pq, tq = body[o] >> 4, body[o] & 0xF
+                o += 1
+                if pq:
+                    vals = struct.unpack_from(f">{64}H", body, o)
+                    o += 128
+                else:
+                    vals = body[o : o + 64]
+                    o += 64
+                tab = np.zeros(64, np.float64)
+                for i, z in enumerate(_ZIGZAG):
+                    tab[z] = vals[i]
+                qtabs[tq] = tab.reshape(8, 8)
+        elif marker == 0xC4:  # DHT
+            o = 0
+            while o < len(body):
+                tc, th = body[o] >> 4, body[o] & 0xF
+                bits = list(body[o + 1 : o + 17])
+                n = sum(bits)
+                vals = list(body[o + 17 : o + 17 + n])
+                huff[(tc, th)] = _huff_decode_table(bits, vals)
+                o += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline DCT)
+            prec, fh, fw, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise ValueError("only 8-bit precision JPEG is supported")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+            frame = (fh, fw, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "progressive/extended/arithmetic JPEG is not supported by "
+                "this baseline decoder (codec-library boundary)"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            fh, fw, comps = frame
+            ns = body[0]
+            sel = {}
+            for i in range(ns):
+                cs, tt = body[1 + 2 * i : 3 + 2 * i]
+                sel[cs] = (tt >> 4, tt & 0xF)
+            hmax = max(sx for _, sx, _, _ in comps)
+            vmax = max(sy for _, _, sy, _ in comps)
+            mcus_x = -(-fw // (8 * hmax))
+            mcus_y = -(-fh // (8 * vmax))
+            t = _dct_matrix()
+            planes = []
+            for _, sx, sy, _ in comps:
+                planes.append(
+                    np.zeros((mcus_y * 8 * sy, mcus_x * 8 * sx), np.float64)
+                )
+            br = _BitReader(data, pos + ln)
+            preds = [0] * len(comps)
+            mcu_count = 0
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    if (
+                        restart_interval
+                        and mcu_count
+                        and mcu_count % restart_interval == 0
+                    ):
+                        br.align_to_marker()
+                        # consume the RSTn marker
+                        if (
+                            br.pos + 2 <= len(data)
+                            and data[br.pos] == 0xFF
+                            and 0xD0 <= data[br.pos + 1] <= 0xD7
+                        ):
+                            br.pos += 2
+                        preds = [0] * len(comps)
+                    for ci, (cid, sx, sy, tq) in enumerate(comps):
+                        dc_t, ac_t = sel[cid]
+                        dct = huff[(0, dc_t)]
+                        act = huff[(1, ac_t)]
+                        qa = qtabs[tq]
+                        for by in range(sy):
+                            for bx in range(sx):
+                                zz = np.zeros(64, np.float64)
+                                s = br.read_symbol(dct)
+                                if s:
+                                    v = br.bits(s)
+                                    if v < (1 << (s - 1)):
+                                        v -= (1 << s) - 1
+                                    preds[ci] += v
+                                zz[0] = preds[ci]
+                                k = 1
+                                while k < 64:
+                                    rs = br.read_symbol(act)
+                                    if rs == 0x00:  # EOB
+                                        break
+                                    if rs == 0xF0:  # ZRL
+                                        k += 16
+                                        continue
+                                    k += rs >> 4
+                                    s = rs & 0xF
+                                    v = br.bits(s)
+                                    if v < (1 << (s - 1)):
+                                        v -= (1 << s) - 1
+                                    if k > 63:
+                                        raise ValueError("AC index overflow")
+                                    zz[k] = v
+                                    k += 1
+                                coef = np.zeros(64, np.float64)
+                                coef[_ZIGZAG] = zz
+                                block = t.T @ (coef.reshape(8, 8) * qa) @ t
+                                y0 = (my * sy + by) * 8
+                                x0 = (mx * sx + bx) * 8
+                                planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block + 128.0
+                    mcu_count += 1
+            # upsample to full frame resolution (nearest) and crop
+            full = []
+            for p, (_, sx, sy, _) in zip(planes, comps):
+                rx, ry = hmax // sx, vmax // sy
+                if rx > 1 or ry > 1:
+                    p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+                full.append(p[:fh, :fw])
+            out_planes = full
+            pos = br.pos
+            continue
+        pos += ln
+    if out_planes is None:
+        raise ValueError("no scan decoded (missing SOS)")
+    if len(out_planes) == 1:
+        return np.clip(np.rint(out_planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+JPEG_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_px", LongType()),
+        StructField("mean_px", DoubleType()),
+        StructField("checksum", LongType()),
+    ]
+)
+
+
+def jpeg_features(df: DataFrame) -> DataFrame:
+    """mapInPandas operator: (media_id, payload) -> real grayscale-JPEG
+    decode features (dims, mean pixel, position-weighted checksum) —
+    Arrow-batched, embarrassingly parallel, payloads never reach the
+    driver."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = decode_jpeg(payload)
+                hh, ww = px.shape[:2]
+                flat = px.astype(np.int64)
+                idx = np.arange(hh * ww).reshape(hh, ww)
+                rows.append(
+                    (
+                        int(mid),
+                        int(ww),
+                        int(hh),
+                        int(hh * ww),
+                        float(flat.mean()),
+                        int((flat * idx).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "n_px", "mean_px", "checksum",
+                ],
+            )
+
+    return df.select("media_id", "payload").mapInPandas(run, JPEG_FEATURE_SCHEMA)
+
+
+def synth_jpeg_media(df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Deterministic grayscale baseline JPEGs synthesized EXECUTOR-side:
+    per-8x8-block-constant pixels (value ``(id*37 + by*11 + bx*7) % 256``)
+    with an all-8 quantization table — a constant block is DC-only and
+    ``8*(v-128)`` is divisible by 8, so quantization is exact and
+    decode returns every pixel bit-exactly (the closed form the gate's
+    SQL oracle re-derives). Dims ``w = 16 + (id%3)*8 + id%5`` /
+    ``h = 16 + (id%2)*8 + id%7`` exercise partial edge MCUs (edge
+    replication keeps edge blocks constant); every third image uses a
+    restart interval so DRI/RSTn paths run under the oracle too."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                w = 16 + (mid % 3) * 8 + mid % 5
+                h = 16 + (mid % 2) * 8 + mid % 7
+                by, bx = np.meshgrid(
+                    np.arange(-(-h // 8)), np.arange(-(-w // 8)), indexing="ij"
+                )
+                blocks = (mid * 37 + by * 11 + bx * 7) % 256
+                px = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)[
+                    :h, :w
+                ].astype(np.uint8)
+                out.append(
+                    (
+                        mid,
+                        encode_jpeg(
+                            px,
+                            quant=[8] * 64,
+                            restart_interval=2 if mid % 3 == 0 else 0,
+                        ),
+                    )
+                )
+            yield pd.DataFrame(out, columns=["media_id", "payload"])
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        run, schema
+    )
 
 
 def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:

@@ -542,3 +542,117 @@ def test_png_features_distributed(spark):
         assert r.sum_a == (int(img[:, :, 3].sum()) if ch == 4 else 0)
         pos = np.arange(h * w, dtype=np.int64).reshape(h, w)
         assert r.checksum_g == int((img[:, :, 1] * pos).sum())
+
+
+# --- JPEG baseline codec (fourth dependency-free decoder) -------------------
+
+
+def test_jpeg_grayscale_blockconstant_bitexact():
+    """Per-8x8-block-constant images with an all-8 quant table round-trip
+    BIT-exactly: a constant block is DC-only, DC = 8*(v-128) is divisible
+    by the quant step, and the IDCT of a DC-only block is exactly
+    constant — the closed form the oracle gate relies on."""
+    import numpy as np
+
+    from pos_dlt_spark.operators import multimodal as M
+
+    rng = np.random.default_rng(11)
+    for trial in range(5):
+        blocks = rng.integers(0, 256, (int(rng.integers(2, 5)), int(rng.integers(2, 5))))
+        px = np.repeat(np.repeat(blocks, 8, 0), 8, 1).astype(np.uint8)
+        h = px.shape[0] - int(rng.integers(0, 7))
+        w = px.shape[1] - int(rng.integers(0, 7))
+        px = px[:h, :w]
+        for ri in (0, 3):
+            got = M.decode_jpeg(M.encode_jpeg(px, quant=[8] * 64, restart_interval=ri))
+            assert got.shape == px.shape
+            assert (got == px).all()
+
+
+def test_jpeg_rgb_444_and_420_tolerance():
+    """Smooth RGB images survive q95 encode/decode within a small bound.
+
+    Why a tolerance, not bit-exactness: the forward DCT/quantization
+    rounds real coefficients to integers and the YCbCr conversion rounds
+    twice more, so even a perfect pair of codecs disagrees with the
+    source by +-1-2 LSB at high quality (the same bound libjpeg
+    documents for itself). The bit-exact contract lives in the
+    grayscale block-constant test above, where rounding provably
+    vanishes."""
+    import numpy as np
+
+    from pos_dlt_spark.operators import multimodal as M
+
+    yy, xx = np.mgrid[0:40, 0:52]
+    img = (
+        np.stack([(yy * 3 + xx) % 256, (yy + 2 * xx) % 256, (255 - 2 * xx) % 256], -1)
+        // 4
+        + 60
+    ).astype(np.uint8)
+    for ss in ("444", "420"):
+        got = M.decode_jpeg(M.encode_jpeg(img, quality=95, subsample=ss))
+        assert got.shape == img.shape
+        err = int(np.abs(got.astype(int) - img.astype(int)).max())
+        assert err <= 3, (ss, err)
+
+
+def test_jpeg_standard_tables_and_quality_sweep():
+    import numpy as np
+
+    from pos_dlt_spark.operators import multimodal as M
+
+    yy, xx = np.mgrid[0:24, 0:24]
+    img = ((yy * 5 + xx * 3) // 3 % 200 + 20).astype(np.uint8)
+    prev_err = None
+    for q in (95, 75, 50):
+        got = M.decode_jpeg(M.encode_jpeg(img, quality=q))
+        err = float(np.abs(got.astype(int) - img.astype(int)).mean())
+        if prev_err is not None:
+            assert err >= prev_err - 0.05  # lower quality, no better fidelity
+        prev_err = err
+    # q95 of a smooth-ish gradient stays close
+    got95 = M.decode_jpeg(M.encode_jpeg(img, quality=95))
+    assert np.abs(got95.astype(int) - img.astype(int)).max() <= 4
+
+
+def test_jpeg_rejects_progressive_and_garbage():
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from pos_dlt_spark.operators import multimodal as M
+
+    with _pytest.raises(ValueError, match="SOI"):
+        M.decode_jpeg(b"\x89PNG")
+    payload = bytearray(M.encode_jpeg(np.zeros((8, 8), np.uint8)))
+    # flip SOF0 -> SOF2 (progressive): loud refusal, not garbage output
+    i = payload.find(b"\xff\xc0")
+    payload[i + 1] = 0xC2
+    with _pytest.raises(ValueError, match="progressive"):
+        M.decode_jpeg(bytes(payload))
+
+
+def test_jpeg_features_gate_formula(spark):
+    """The synth->decode mapInPandas path reproduces the closed-form
+    pixels the SQL oracle derives (dims, mean, position-weighted
+    checksum) for a handful of ids."""
+    import numpy as np
+
+    from pos_dlt_spark.operators import multimodal as M
+
+    ids = spark.createDataFrame([(i,) for i in range(12)], "media_id long")
+    got = {
+        r.media_id: r
+        for r in M.jpeg_features(M.synth_jpeg_media(ids)).collect()
+    }
+    for mid in range(12):
+        w = 16 + (mid % 3) * 8 + mid % 5
+        h = 16 + (mid % 2) * 8 + mid % 7
+        by, bx = np.meshgrid(np.arange(-(-h // 8)), np.arange(-(-w // 8)), indexing="ij")
+        px = np.repeat(np.repeat((mid * 37 + by * 11 + bx * 7) % 256, 8, 0), 8, 1)[:h, :w]
+        idx = np.arange(h * w).reshape(h, w)
+        r = got[mid]
+        assert (r.width, r.height, r.n_px) == (w, h, h * w)
+        assert abs(r.mean_px - px.mean()) < 1e-9
+        assert r.checksum == int((px.astype(np.int64) * idx).sum())
