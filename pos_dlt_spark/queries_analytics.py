@@ -923,6 +923,12 @@ def events_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
     daily = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("d")).agg(
         F.hll_sketch_agg("user_id", 14).alias("sk")
     )
+    # deliberately UNPARTITIONED window (Spark warns): its input is the
+    # per-DAY sketch table — one row per calendar day by construction,
+    # bounded by the calendar, not the data (100 TB of events is still
+    # ~36.5k rows/decade here). A partition key would break the
+    # cross-day trailing range the query exists to compute; the
+    # single-partition WindowExec is the right plan at every scale.
     w = (
         Window.orderBy(F.unix_micros(F.col("d")))
         .rangeBetween(-6 * 86400 * 1_000_000, Window.currentRow)

@@ -1,0 +1,641 @@
+"""UniForm-style Iceberg metadata emission for append-only Delta tables
+— the public interop surface delta-spark ships as "Universal Format"
+(`delta.universalFormat.enabledFormats=iceberg`): every commit ALSO
+writes Apache Iceberg table metadata (version-hint + metadata JSON +
+manifest list + manifest, per the public Iceberg table spec v2)
+referencing the SAME parquet data files, so an Iceberg reader can scan
+the table without understanding the Delta log.
+
+Everything here is built from the public Iceberg specification
+(iceberg.apache.org/spec) — the metadata JSON layout, the Avro object
+container format (Avro 1.11 spec: zigzag-varint binary encoding, `Obj1`
+container with embedded schema + sync markers), the manifest-list and
+manifest-entry schemas with their REQUIRED field-ids. No Avro or
+Iceberg library exists in this container, so the Avro writer/reader
+below implement the needed subset by hand, the same dependency-free
+posture as the BMP/WAV/PNG/JPEG codecs.
+
+HONEST BOUNDARY (enforced at enablement): only APPEND-ONLY tables
+qualify (`delta.appendOnly=true` required). Row-level deletes (deletion
+vectors), column mapping, and any remove-producing DML have no
+rendering here — a stale Iceberg snapshot after a Delta DELETE would
+resurrect rows for Iceberg readers, so enablement refuses the table
+shapes that could ever produce one. Each sync writes ONE manifest
+listing the full live file set (append-only ⇒ monotone); incremental
+manifest reuse is an optimization real UniForm applies and is noted,
+not silently claimed.
+
+Scale: the sync is O(live files) driver-side metadata — the same cost
+class as the Delta log fold that feeds it, and it reuses the fold the
+commit already performed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+import uuid
+
+# --------------------------------------------------------------------------
+# Avro binary encoding (Avro 1.11 spec, the subset Iceberg metadata needs)
+# --------------------------------------------------------------------------
+
+
+def _enc_long(out: bytearray, n: int) -> None:
+    z = (n << 1) ^ (n >> 63)  # arithmetic shift keeps the sign trick exact
+    z &= (1 << 64) - 1
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            break
+
+
+def _enc_bytes(out: bytearray, b: bytes) -> None:
+    _enc_long(out, len(b))
+    out += b
+
+
+def _enc_str(out: bytearray, s: str) -> None:
+    _enc_bytes(out, s.encode("utf-8"))
+
+
+def _enc_value(out: bytearray, schema, value) -> None:
+    """Encode ``value`` per the (parsed-JSON) Avro ``schema``. Supports
+    the subset Iceberg metadata uses: primitives, record, array, map,
+    fixed, and ``[null, X]`` unions."""
+    if isinstance(schema, list):  # union — Iceberg only uses [null, X]
+        if value is None:
+            _enc_long(out, schema.index("null"))
+            return
+        idx = next(i for i, s in enumerate(schema) if s != "null")
+        _enc_long(out, idx)
+        _enc_value(out, schema[idx], value)
+        return
+    t = schema["type"] if isinstance(schema, dict) else schema
+    if t == "null":
+        return
+    if t == "boolean":
+        out.append(1 if value else 0)
+    elif t in ("int", "long"):
+        _enc_long(out, int(value))
+    elif t == "float":
+        out += struct.pack("<f", float(value))
+    elif t == "double":
+        out += struct.pack("<d", float(value))
+    elif t == "string":
+        _enc_str(out, value)
+    elif t == "bytes":
+        _enc_bytes(out, bytes(value))
+    elif t == "fixed":
+        out += bytes(value)
+    elif t == "record":
+        for f in schema["fields"]:
+            _enc_value(out, f["type"], value.get(f["name"]))
+    elif t == "array":
+        items = list(value or [])
+        if items:
+            _enc_long(out, len(items))
+            for it in items:
+                _enc_value(out, schema["items"], it)
+        _enc_long(out, 0)
+    elif t == "map":
+        entries = dict(value or {})
+        if entries:
+            _enc_long(out, len(entries))
+            for k, v in entries.items():
+                _enc_str(out, k)
+                _enc_value(out, schema["values"], v)
+        _enc_long(out, 0)
+    else:
+        raise ValueError(f"unsupported Avro type {t!r}")
+
+
+class _AvroCursor:
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+
+    def long(self) -> int:
+        shift = 0
+        acc = 0
+        while True:
+            b = self.data[self.pos]
+            self.pos += 1
+            acc |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+        return (acc >> 1) ^ -(acc & 1)
+
+    def raw(self, n: int) -> bytes:
+        b = self.data[self.pos : self.pos + n]
+        self.pos += n
+        return b
+
+
+def _dec_value(cur: _AvroCursor, schema):
+    if isinstance(schema, list):
+        idx = cur.long()
+        return _dec_value(cur, schema[idx]) if schema[idx] != "null" else None
+    t = schema["type"] if isinstance(schema, dict) else schema
+    if t == "null":
+        return None
+    if t == "boolean":
+        return cur.raw(1) != b"\x00"
+    if t in ("int", "long"):
+        return cur.long()
+    if t == "float":
+        return struct.unpack("<f", cur.raw(4))[0]
+    if t == "double":
+        return struct.unpack("<d", cur.raw(8))[0]
+    if t == "string":
+        return cur.raw(cur.long()).decode("utf-8")
+    if t == "bytes":
+        return cur.raw(cur.long())
+    if t == "fixed":
+        return cur.raw(schema["size"])
+    if t == "record":
+        return {f["name"]: _dec_value(cur, f["type"]) for f in schema["fields"]}
+    if t == "array":
+        out = []
+        while True:
+            n = cur.long()
+            if n == 0:
+                break
+            if n < 0:  # block with byte-size prefix
+                cur.long()
+                n = -n
+            for _ in range(n):
+                out.append(_dec_value(cur, schema["items"]))
+        return out
+    if t == "map":
+        out = {}
+        while True:
+            n = cur.long()
+            if n == 0:
+                break
+            if n < 0:
+                cur.long()
+                n = -n
+            for _ in range(n):
+                k = cur.raw(cur.long()).decode("utf-8")
+                out[k] = _dec_value(cur, schema["values"])
+        return out
+    raise ValueError(f"unsupported Avro type {t!r}")
+
+
+def write_avro(path: str, schema: dict, records: list[dict], meta: dict | None = None) -> None:
+    """Write an Avro OBJECT CONTAINER file (null codec): Obj1 magic,
+    file-metadata map carrying the embedded schema, 16-byte sync marker,
+    one data block."""
+    sync = uuid.uuid5(uuid.NAMESPACE_URL, path).bytes  # deterministic
+    body = bytearray()
+    for r in records:
+        _enc_value(body, schema, r)
+    head = bytearray()
+    head += b"Obj\x01"
+    md = {"avro.schema": json.dumps(schema), "avro.codec": "null"}
+    for k, v in (meta or {}).items():
+        md[k] = v
+    _enc_long(head, len(md))
+    for k, v in md.items():
+        _enc_str(head, k)
+        _enc_bytes(head, v.encode("utf-8") if isinstance(v, str) else v)
+    _enc_long(head, 0)
+    head += sync
+    _enc_long(head, len(records))
+    _enc_long(head, len(body))
+    tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "wb") as fh:
+        fh.write(bytes(head) + bytes(body) + sync)
+    os.replace(tmp, path)
+
+
+def read_avro(path: str) -> tuple[dict, list[dict]]:
+    """Read back an Avro object container (null codec) using its
+    EMBEDDED schema — the generic reader the round-trip tests use, so
+    the writer cannot be self-consistently wrong about the container
+    layout."""
+    with open(path, "rb") as fh:
+        data = fh.read()
+    if data[:4] != b"Obj\x01":
+        raise ValueError("not an Avro object container")
+    cur = _AvroCursor(data, 4)
+    md: dict[str, bytes] = {}
+    while True:
+        n = cur.long()
+        if n == 0:
+            break
+        if n < 0:
+            cur.long()
+            n = -n
+        for _ in range(n):
+            k = cur.raw(cur.long()).decode("utf-8")
+            md[k] = cur.raw(cur.long())
+    if md.get("avro.codec", b"null") not in (b"null", b""):
+        raise ValueError("only null-codec Avro containers are supported")
+    schema = json.loads(md["avro.schema"])
+    sync = cur.raw(16)
+    records: list[dict] = []
+    while cur.pos < len(data):
+        n = cur.long()
+        cur.long()  # block byte length
+        for _ in range(n):
+            records.append(_dec_value(cur, schema))
+        if cur.raw(16) != sync:
+            raise ValueError("sync marker mismatch")
+    return schema, records
+
+
+# --------------------------------------------------------------------------
+# Iceberg schema / metadata rendering (table spec v2)
+# --------------------------------------------------------------------------
+
+_SPARK_TO_ICEBERG = {
+    "boolean": "boolean",
+    "integer": "int",
+    "short": "int",
+    "byte": "int",
+    "long": "long",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "binary": "binary",
+    "date": "date",
+    "timestamp": "timestamptz",
+    "timestamp_ntz": "timestamp",
+}
+
+
+def iceberg_schema(spark_schema) -> tuple[dict, int]:
+    """Iceberg schema JSON (top-level struct with sequential field-ids)
+    from a flat Spark schema; returns (schema, last_column_id). Nested
+    types are outside the supported boundary and refuse loudly."""
+    fields = []
+    fid = 0
+    for f in spark_schema.fields:
+        tn = f.dataType.typeName()
+        if tn.startswith("decimal"):
+            it = f"decimal({f.dataType.precision}, {f.dataType.scale})"
+        elif tn in _SPARK_TO_ICEBERG:
+            it = _SPARK_TO_ICEBERG[tn]
+        else:
+            raise ValueError(
+                f"uniform: column {f.name!r} type {tn!r} has no supported "
+                "Iceberg rendering (nested/variant columns are outside the "
+                "UniForm boundary here)"
+            )
+        fid += 1
+        fields.append(
+            {"id": fid, "name": f.name, "required": False, "type": it}
+        )
+    return (
+        {"type": "struct", "schema-id": 0, "fields": fields},
+        fid,
+    )
+
+
+def _partition_spec(schema_fields: list[dict], partition_columns: list[str]) -> dict:
+    by_name = {f["name"]: f["id"] for f in schema_fields}
+    return {
+        "spec-id": 0,
+        "fields": [
+            {
+                "name": c,
+                "transform": "identity",
+                "source-id": by_name[c],
+                "field-id": 1000 + i,
+            }
+            for i, c in enumerate(partition_columns)
+        ],
+    }
+
+
+def _partition_avro_schema(spec: dict, schema_fields: list[dict]) -> dict:
+    """Avro record schema for the manifest entry's typed partition
+    struct (identity transforms only — values keep the source type)."""
+    by_id = {f["id"]: f for f in schema_fields}
+    _ICE_TO_AVRO = {
+        "boolean": "boolean",
+        "int": "int",
+        "long": "long",
+        "float": "float",
+        "double": "double",
+        "string": "string",
+        "date": {"type": "int", "logicalType": "date"},
+        "timestamp": {"type": "long", "logicalType": "timestamp-micros"},
+        "timestamptz": {"type": "long", "logicalType": "timestamp-micros"},
+    }
+    fields = []
+    for pf in spec["fields"]:
+        src = by_id[pf["source-id"]]
+        av = _ICE_TO_AVRO.get(src["type"], "string")
+        fields.append(
+            {
+                "name": pf["name"],
+                "type": ["null", av],
+                "field-id": pf["field-id"],
+                "default": None,
+            }
+        )
+    return {"type": "record", "name": "r102", "fields": fields}
+
+
+def _manifest_entry_schema(partition_schema: dict) -> dict:
+    """manifest_entry Avro schema with the spec's REQUIRED v2 field-ids
+    (status=0, snapshot_id=1, data_file=2; data_file: content=134,
+    file_path=100, file_format=101, partition=102, record_count=103,
+    file_size_in_bytes=104)."""
+    data_file = {
+        "type": "record",
+        "name": "r2",
+        "fields": [
+            {"name": "content", "type": "int", "field-id": 134},
+            {"name": "file_path", "type": "string", "field-id": 100},
+            {"name": "file_format", "type": "string", "field-id": 101},
+            {"name": "partition", "type": partition_schema, "field-id": 102},
+            {"name": "record_count", "type": "long", "field-id": 103},
+            {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+        ],
+    }
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {
+                "name": "snapshot_id",
+                "type": ["null", "long"],
+                "field-id": 1,
+                "default": None,
+            },
+            {
+                "name": "sequence_number",
+                "type": ["null", "long"],
+                "field-id": 3,
+                "default": None,
+            },
+            {
+                "name": "file_sequence_number",
+                "type": ["null", "long"],
+                "field-id": 4,
+                "default": None,
+            },
+            {"name": "data_file", "type": data_file, "field-id": 2},
+        ],
+    }
+
+
+_MANIFEST_LIST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+    ],
+}
+
+UNIFORM_PROP = "delta.universalFormat.enabledFormats"
+
+
+def uniform_enabled(configuration: dict | None) -> bool:
+    return "iceberg" in (configuration or {}).get(UNIFORM_PROP, "")
+
+
+def refuse_unsupported_uniform(configuration: dict, schema, partition_by) -> None:
+    """Enablement-time refusal of every table shape that could make the
+    Iceberg rendering lie later: non-append-only tables (a remove-
+    producing DML would leave a stale Iceberg snapshot resurrecting
+    rows), column mapping (physical names diverge), and unsupported
+    column types (checked via iceberg_schema)."""
+    if (configuration.get("delta.appendOnly") or "").lower() != "true":
+        raise ValueError(
+            "uniform (iceberg) requires delta.appendOnly=true: row-level "
+            "deletes and rewrites have no Iceberg rendering here, and a "
+            "stale Iceberg snapshot after one would resurrect rows for "
+            "Iceberg readers"
+        )
+    if (configuration.get("delta.columnMapping.mode") or "none") != "none":
+        raise ValueError("uniform (iceberg) with column mapping is not supported")
+    iceberg_schema(schema)  # raises on unsupported types
+
+
+def _typed_partition_value(raw: str | None, ice_type: str):
+    if raw is None:
+        return None
+    if ice_type in ("int", "long"):
+        return int(raw)
+    if ice_type in ("float", "double"):
+        return float(raw)
+    if ice_type == "boolean":
+        return raw.lower() == "true"
+    return raw  # string / date / timestamp rendered as source strings
+
+
+def uniform_sync(spark, path: str, snap=None) -> str:
+    """Write Iceberg metadata for the CURRENT Delta snapshot under
+    ``<table>/metadata/``: one manifest (full live file set — append-only
+    tables only grow, incremental manifest reuse is a real-UniForm
+    optimization not claimed here), a manifest list, a v2 table-metadata
+    JSON whose snapshot history carries one entry per synced Delta
+    version, and ``version-hint.text`` for HadoopTables-style discovery.
+    Returns the metadata JSON path. O(live files) driver-side metadata."""
+    from pos_dlt_spark.sources.delta import delta_snapshot
+
+    if snap is None:
+        snap = delta_snapshot(spark, path)
+    md_dir = os.path.join(path, "metadata")
+    os.makedirs(md_dir, exist_ok=True)
+    schema, last_col = iceberg_schema(snap.schema)
+    spec = _partition_spec(schema["fields"], list(snap.partition_columns))
+    pav = _partition_avro_schema(spec, schema["fields"])
+    ptypes = {
+        pf["name"]: next(
+            f["type"] for f in schema["fields"] if f["id"] == pf["source-id"]
+        )
+        for pf in spec["fields"]
+    }
+
+    version = snap.version
+    snapshot_id = version + 1  # Iceberg forbids snapshot-id 0 semantics? keep 1-based
+    entries = []
+    total_rows = 0
+    for rel, pv in snap.files:
+        add = snap.adds.get(rel, {})
+        nrec = None
+        try:
+            nrec = json.loads(add.get("stats") or "{}").get("numRecords")
+        except (TypeError, ValueError):
+            pass
+        nrec = int(nrec) if nrec is not None else 0
+        total_rows += nrec
+        entries.append(
+            {
+                "status": 1,  # ADDED (full rewrite of the manifest each sync)
+                "snapshot_id": snapshot_id,
+                "sequence_number": None,  # inherited from the manifest list
+                "file_sequence_number": None,
+                "data_file": {
+                    "content": 0,
+                    "file_path": os.path.join(path, rel.replace("/", os.sep)),
+                    "file_format": "PARQUET",
+                    "partition": {
+                        c: _typed_partition_value((pv or {}).get(c), ptypes[c])
+                        for c in ptypes
+                    },
+                    "record_count": nrec,
+                    "file_size_in_bytes": int(add.get("size") or 0),
+                },
+            }
+        )
+    man_path = os.path.join(md_dir, f"manifest-{snapshot_id}-{uuid.uuid4().hex[:8]}.avro")
+    write_avro(
+        man_path,
+        _manifest_entry_schema(pav),
+        entries,
+        meta={
+            "schema": json.dumps(schema),
+            "partition-spec": json.dumps(spec["fields"]),
+            "partition-spec-id": str(spec["spec-id"]),
+            "format-version": "2",
+            "content": "data",
+        },
+    )
+    mlist_path = os.path.join(md_dir, f"snap-{snapshot_id}-{uuid.uuid4().hex[:8]}.avro")
+    write_avro(
+        mlist_path,
+        _MANIFEST_LIST_SCHEMA,
+        [
+            {
+                "manifest_path": man_path,
+                "manifest_length": os.path.getsize(man_path),
+                "partition_spec_id": 0,
+                "content": 0,
+                "sequence_number": snapshot_id,
+                "min_sequence_number": snapshot_id,
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": len(entries),
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": total_rows,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            }
+        ],
+        meta={"format-version": "2"},
+    )
+
+    # commit wall time from the Delta commit file itself (deterministic
+    # for a given table; no independent clock)
+    commit_json = os.path.join(path, "_delta_log", f"{version:020d}.json")
+    try:
+        ts_ms = int(os.path.getmtime(commit_json) * 1000)
+    except OSError:
+        ts_ms = 0
+    prior = _read_prior_metadata(md_dir)
+    snapshots = [
+        s for s in (prior.get("snapshots") or []) if s["snapshot-id"] < snapshot_id
+    ]
+    snapshots.append(
+        {
+            "snapshot-id": snapshot_id,
+            "sequence-number": snapshot_id,
+            "timestamp-ms": ts_ms,
+            "manifest-list": mlist_path,
+            "summary": {
+                "operation": "append",
+                "added-data-files": str(len(entries)),
+                "total-records": str(total_rows),
+            },
+            "schema-id": 0,
+        }
+    )
+    meta = {
+        "format-version": 2,
+        "table-uuid": prior.get("table-uuid")
+        or str(uuid.uuid5(uuid.NAMESPACE_URL, snap.table_id or path)),
+        "location": path,
+        "last-sequence-number": snapshot_id,
+        "last-updated-ms": ts_ms,
+        "last-column-id": last_col,
+        "current-schema-id": 0,
+        "schemas": [schema],
+        "default-spec-id": 0,
+        "partition-specs": [spec],
+        "last-partition-id": max(
+            [pf["field-id"] for pf in spec["fields"]], default=999
+        ),
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {"write.format.default": "parquet"},
+        "current-snapshot-id": snapshot_id,
+        "snapshots": snapshots,
+        "snapshot-log": [
+            {"snapshot-id": s["snapshot-id"], "timestamp-ms": s["timestamp-ms"]}
+            for s in snapshots
+        ],
+        "metadata-log": [],
+    }
+    md_path = os.path.join(md_dir, f"v{snapshot_id}.metadata.json")
+    tmp = md_path + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, md_path)
+    hint = os.path.join(md_dir, "version-hint.text")
+    tmp = hint + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(str(snapshot_id))
+    os.replace(tmp, hint)
+    return md_path
+
+
+def _read_prior_metadata(md_dir: str) -> dict:
+    hint = os.path.join(md_dir, "version-hint.text")
+    try:
+        with open(hint, encoding="utf-8") as fh:
+            v = int(fh.read().strip())
+        with open(
+            os.path.join(md_dir, f"v{v}.metadata.json"), encoding="utf-8"
+        ) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return {}
+
+
+def read_uniform_files(path: str) -> list[dict]:
+    """Resolve the CURRENT Iceberg snapshot's data files purely from the
+    emitted metadata (version-hint -> metadata JSON -> manifest list ->
+    manifests), never touching the Delta log — what an Iceberg reader
+    does, and what the round-trip test drives."""
+    md_dir = os.path.join(path, "metadata")
+    meta = _read_prior_metadata(md_dir)
+    if not meta:
+        raise FileNotFoundError(f"no Iceberg metadata under {md_dir}")
+    cur = meta["current-snapshot-id"]
+    snap = next(s for s in meta["snapshots"] if s["snapshot-id"] == cur)
+    _, manifests = read_avro(snap["manifest-list"])
+    out: list[dict] = []
+    for m in manifests:
+        _, entries = read_avro(m["manifest_path"])
+        for e in entries:
+            if e["status"] in (0, 1):  # EXISTING / ADDED
+                out.append(e["data_file"])
+    return out

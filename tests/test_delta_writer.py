@@ -1821,3 +1821,41 @@ def test_dv_merge_txn_idempotent_and_validation(spark, tmp_path):
     assert read_delta(spark, t).filter("name = 'one'").count() == 1
     with pytest.raises(ValueError, match="mode must be"):
         delta_merge(spark, t, batch, ["id"], "seq", mode="zzz")
+
+
+def test_vacuum_parallel_walk_matches_sequential(spark, tmp_path, monkeypatch):
+    """The executor-side candidate walk (big tables) must produce exactly
+    the sequential walk's deletable set — partitioned layout, orphans in
+    subdirs and at the root, sidecar naming filter included."""
+    from pyspark.sql import functions as F
+
+    from pos_dlt_spark.sources import delta_writer as W
+    from pos_dlt_spark.sources.delta import read_delta
+    from pos_dlt_spark.sources.delta_writer import (
+        delta_optimize,
+        delta_vacuum,
+        write_delta,
+    )
+
+    t = str(tmp_path / "vpar")
+    df = spark.range(0, 2000).withColumn("p", (F.col("id") % 4).cast("string"))
+    write_delta(df.repartition(8), t, partition_by=["p"])
+    delta_optimize(spark, t, target_files=1)  # old files become deletable
+    for orphan in ("orphan-a.parquet", "p=0/orphan-b.parquet", "junk.txt"):
+        fp = os.path.join(t, orphan)
+        os.makedirs(os.path.dirname(fp), exist_ok=True)
+        with open(fp, "wb") as fh:
+            fh.write(b"x")
+    seq = sorted(
+        delta_vacuum(spark, t, retain_versions=0, grace_seconds=-3600, dry_run=True)
+    )
+    monkeypatch.setattr(W, "VACUUM_PARALLEL_WALK_MIN", 0)
+    par = sorted(
+        delta_vacuum(spark, t, retain_versions=0, grace_seconds=-3600, dry_run=True)
+    )
+    assert par == seq and len(seq) >= 10
+    assert "orphan-a.parquet" in seq and os.path.join("p=0", "orphan-b.parquet") in seq
+    assert "junk.txt" not in seq  # only data/sidecar shapes are collected
+    gone = delta_vacuum(spark, t, retain_versions=0, grace_seconds=-3600)
+    assert sorted(gone) == seq
+    assert read_delta(spark, t).count() == 2000

@@ -1,0 +1,158 @@
+"""UniForm (Iceberg) metadata emission: hand-rolled Avro object
+container round-trips, commit-time sync on append-only tables, the
+boundary refusals, and the optimize->resync->vacuum ordering that keeps
+Iceberg readers from ever holding a stale manifest."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pos_dlt_spark.sources import iceberg_uniform as uf
+from pos_dlt_spark.sources.delta import delta_snapshot, read_delta
+from pos_dlt_spark.sources.delta_writer import (
+    delta_optimize,
+    delta_vacuum,
+    write_delta,
+)
+
+UNIFORM_CONF = {
+    "delta.appendOnly": "true",
+    "delta.universalFormat.enabledFormats": "iceberg",
+}
+
+
+def test_avro_container_roundtrip(tmp_path):
+    schema = {
+        "type": "record",
+        "name": "t",
+        "fields": [
+            {"name": "a", "type": "long"},
+            {"name": "b", "type": ["null", "string"], "default": None},
+            {"name": "c", "type": {"type": "map", "values": "int"}},
+            {"name": "d", "type": {"type": "array", "items": "double"}},
+            {
+                "name": "e",
+                "type": {
+                    "type": "record",
+                    "name": "inner",
+                    "fields": [{"name": "x", "type": "boolean"}],
+                },
+            },
+        ],
+    }
+    rows = [
+        {"a": -1, "b": None, "c": {}, "d": [], "e": {"x": True}},
+        {"a": 2**40, "b": "héllo", "c": {"k": -7}, "d": [1.5, -2.25], "e": {"x": False}},
+    ]
+    p = str(tmp_path / "t.avro")
+    uf.write_avro(p, schema, rows, meta={"custom": "yes"})
+    got_schema, got = uf.read_avro(p)
+    assert got_schema == schema
+    assert got == rows
+
+
+def test_avro_long_zigzag_edges(tmp_path):
+    schema = {
+        "type": "record",
+        "name": "z",
+        "fields": [{"name": "v", "type": "long"}],
+    }
+    vals = [0, -1, 1, 63, -64, 64, 2**31, -(2**31), 2**62, -(2**62)]
+    p = str(tmp_path / "z.avro")
+    uf.write_avro(p, schema, [{"v": v} for v in vals])
+    _, got = uf.read_avro(p)
+    assert [r["v"] for r in got] == vals
+
+
+def test_uniform_sync_on_commit_and_reader_resolution(spark, tmp_path):
+    t = str(tmp_path / "uni")
+    df = spark.range(0, 100).withColumn("p", (F.col("id") % 2).cast("string"))
+    write_delta(df.repartition(2), t, partition_by=["p"], configuration=UNIFORM_CONF)
+    write_delta(
+        spark.range(100, 150).withColumn("p", F.lit("0")), t, partition_by=["p"]
+    )
+    files = uf.read_uniform_files(t)
+    snap = delta_snapshot(spark, t)
+    assert len(files) == len(snap.files)
+    assert sum(f["record_count"] for f in files) == 150
+    assert {f["partition"]["p"] for f in files} == {"0", "1"}
+    assert all(f["file_format"] == "PARQUET" for f in files)
+    # the data itself is reachable through the Iceberg metadata alone
+    got = spark.read.parquet(*[f["file_path"] for f in files]).count()
+    assert got == 150
+    # snapshot history grew: one Iceberg snapshot per synced commit
+    meta = json.load(
+        open(
+            os.path.join(
+                t,
+                "metadata",
+                f"v{int(open(os.path.join(t, 'metadata', 'version-hint.text')).read())}.metadata.json",
+            )
+        )
+    )
+    assert meta["format-version"] == 2
+    assert len(meta["snapshots"]) == 2
+    assert meta["current-snapshot-id"] == meta["snapshots"][-1]["snapshot-id"]
+    for k in ("schemas", "partition-specs", "last-column-id", "table-uuid"):
+        assert k in meta
+
+
+def test_uniform_optimize_resync_before_vacuum(spark, tmp_path):
+    """OPTIMIZE (legal on appendOnly: dataChange=false) re-emits the
+    Iceberg snapshot in the same call, so the following VACUUM never
+    collects a file the last manifest still references."""
+    t = str(tmp_path / "uo")
+    write_delta(spark.range(0, 200).repartition(4), t, configuration=UNIFORM_CONF)
+    delta_optimize(spark, t, target_files=1)
+    delta_vacuum(spark, t, retain_versions=0, grace_seconds=-3600)
+    files = uf.read_uniform_files(t)
+    assert all(os.path.exists(f["file_path"]) for f in files)
+    assert spark.read.parquet(*[f["file_path"] for f in files]).count() == 200
+    assert read_delta(spark, t).count() == 200
+
+
+def test_uniform_refusals(spark, tmp_path):
+    df = spark.range(0, 10).withColumn("v", F.col("id"))
+    with pytest.raises(ValueError, match="appendOnly"):
+        write_delta(
+            df,
+            str(tmp_path / "u1"),
+            configuration={"delta.universalFormat.enabledFormats": "iceberg"},
+        )
+    with pytest.raises(ValueError, match="column mapping"):
+        write_delta(
+            df,
+            str(tmp_path / "u2"),
+            configuration={
+                **UNIFORM_CONF,
+                "delta.columnMapping.mode": "name",
+            },
+        )
+    nested = spark.range(0, 5).select(
+        F.col("id"), F.struct(F.col("id").alias("x")).alias("s")
+    )
+    with pytest.raises(ValueError, match="Iceberg rendering"):
+        write_delta(nested, str(tmp_path / "u3"), configuration=UNIFORM_CONF)
+
+
+def test_uniform_manifest_field_ids_follow_spec(spark, tmp_path):
+    """The emitted Avro schemas carry the spec's REQUIRED field-ids —
+    what a real Iceberg reader keys on."""
+    t = str(tmp_path / "ui")
+    write_delta(spark.range(0, 20), t, configuration=UNIFORM_CONF)
+    meta_dir = os.path.join(t, "metadata")
+    snaps = [n for n in os.listdir(meta_dir) if n.startswith("snap-")]
+    schema, manifests = uf.read_avro(os.path.join(meta_dir, snaps[0]))
+    ids = {f["name"]: f.get("field-id") for f in schema["fields"]}
+    assert ids["manifest_path"] == 500 and ids["added_snapshot_id"] == 503
+    eschema, entries = uf.read_avro(manifests[0]["manifest_path"])
+    eids = {f["name"]: f.get("field-id") for f in eschema["fields"]}
+    assert eids["status"] == 0 and eids["data_file"] == 2
+    dfields = next(f for f in eschema["fields"] if f["name"] == "data_file")
+    dids = {f["name"]: f.get("field-id") for f in dfields["type"]["fields"]}
+    assert dids["file_path"] == 100 and dids["record_count"] == 103
+    assert entries and all(e["status"] == 1 for e in entries)

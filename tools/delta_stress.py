@@ -571,12 +571,16 @@ def stress_rowtracking_mor(spark, rows: int = 10_000_000) -> None:
         shutil.rmtree(work, ignore_errors=True)
 
 
-def stress_fsck_vacuum(spark, n_files: int = 1_000_000) -> None:
-    """VERDICT r06 #5: delta_fsck and delta_vacuum at the 1M-file decade.
-    Real (tiny) files on disk so the existence/size probes and the
-    directory walk pay their true cost; 10k orphan files created BEFORE
-    the last commit so vacuum has genuine work to find. Reports wall +
-    driver RSS for fsck, vacuum dry-run, and the real vacuum."""
+def stress_fsck_vacuum(spark, n_files: int = 1_000_000, dirs: int = 0) -> None:
+    """VERDICT r06 #5 (and r08 #5 at 10M): delta_fsck and delta_vacuum
+    at the N-file decade. Real (tiny) files on disk so the existence/
+    size probes and the directory walk pay their true cost; 10k orphan
+    files created BEFORE the last commit so vacuum has genuine work to
+    find. ``dirs>0`` spreads files over that many subdirectories — the
+    realistic shape of a table this large, and what the executor-side
+    vacuum walk parallelizes over (a FLAT 10M-file directory degrades to
+    one listing task by design). Reports wall + driver RSS for fsck,
+    vacuum dry-run, and the real vacuum."""
     from pyspark.sql.types import LongType, StructField, StructType
 
     from pos_dlt_spark.sources import delta_fixture as fx
@@ -597,13 +601,23 @@ def stress_fsck_vacuum(spark, n_files: int = 1_000_000) -> None:
         )
         schema = StructType([StructField("k", LongType())])
         t0 = time.perf_counter()
+        def sub(c: int) -> str:
+            return f"d{c % dirs}/" if dirs else ""
+
+        for d in range(dirs):
+            os.makedirs(os.path.join(t, f"d{d}"), exist_ok=True)
         for i in range(10_000):
-            with open(os.path.join(t, f"orphan-{i}.parquet"), "wb") as fh:
+            with open(
+                os.path.join(t, sub(i).replace("/", os.sep) + f"orphan-{i}.parquet"),
+                "wb",
+            ) as fh:
                 fh.write(payload)
         for c in range(n_commits):
-            names = [f"part-{c:05d}-{i:04d}.parquet" for i in range(per_commit)]
+            names = [
+                sub(c) + f"part-{c:05d}-{i:04d}.parquet" for i in range(per_commit)
+            ]
             for n in names:
-                with open(os.path.join(t, n), "wb") as fh:
+                with open(os.path.join(t, n.replace("/", os.sep)), "wb") as fh:
                     fh.write(payload)
             actions = []
             if c == 0:
@@ -812,7 +826,10 @@ def main() -> None:
     if which in ("dvpaths", "all"):
         stress_dv_paths(spark)
     if which in ("fsckvac", "all"):
-        stress_fsck_vacuum(spark, n_files)
+        dirs = 0
+        if "--dirs" in sys.argv:
+            dirs = int(sys.argv[sys.argv.index("--dirs") + 1])
+        stress_fsck_vacuum(spark, n_files, dirs=dirs)
     if which in ("mor", "all"):
         stress_rowtracking_mor(spark)
     if which in ("incrcluster", "all"):
