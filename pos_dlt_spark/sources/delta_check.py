@@ -33,6 +33,48 @@ import os
 from pos_dlt_spark.sources.delta import _abs_file, _list_log, delta_snapshot
 
 
+FSCK_PARALLEL_MIN = 100_000
+
+
+def _probe_files_parallel(spark, path: str, snap) -> list[tuple[str, str, str]]:
+    """The existence/size probes of :func:`delta_fsck`, distributed:
+    live (rel, declared_size) pairs ship in 100k-file chunks, each task
+    stats its chunk, and ONLY findings come back — driver memory rides
+    the finding count, wall rides files/parallelism."""
+    pairs = [
+        (rel, int((snap.adds.get(rel) or {}).get("size") or 0))
+        for rel, _ in snap.files
+    ]
+    chunk = 100_000
+    tasks = [pairs[i : i + chunk] for i in range(0, len(pairs), chunk)]
+
+    def run(batch):
+        from pos_dlt_spark.sources.delta import _abs_file as _af
+
+        out = []
+        for rel, declared in batch:
+            full = _af(path, rel)  # handles URL-encoding + absolute clones
+            try:
+                actual = os.path.getsize(full)
+            except OSError:
+                out.append(("error", "files", f"live file missing on disk: {rel}"))
+                continue
+            if declared and declared != actual:
+                out.append(
+                    (
+                        "error", "files",
+                        f"size mismatch for {rel}: add says {declared}, disk {actual}",
+                    )
+                )
+        return out
+
+    return [
+        f
+        for part in spark.sparkContext.parallelize(tasks, len(tasks)).map(run).collect()
+        for f in part
+    ]
+
+
 def delta_fsck(spark, path: str) -> list[tuple[str, str, str]]:
     """Run every invariant check against the CURRENT snapshot; returns
     the findings list — empty means healthy. Never raises on a finding
@@ -66,19 +108,27 @@ def delta_fsck(spark, path: str) -> list[tuple[str, str, str]]:
         snap.physical_names.get(c, c) for c in snap.partition_columns
     ]
     uses_dv = False
+    # existence/size probes: two stat syscalls per live file — the one
+    # O(files) piece with real I/O. Big tables probe EXECUTOR-side in
+    # chunks (only findings return to the driver); the metadata checks
+    # below stay in the fold's own cost class either way.
+    probe_parallel = len(snap.files) >= FSCK_PARALLEL_MIN
+    if probe_parallel:
+        findings.extend(_probe_files_parallel(spark, path, snap))
     for rel, _pv in snap.files:
         a = snap.adds.get(rel, {})
-        full = _abs_file(path, rel)
-        if not os.path.exists(full):
-            add("error", "files", f"live file missing on disk: {rel}")
-        else:
-            declared = int(a.get("size") or 0)
-            actual = os.path.getsize(full)
-            if declared and declared != actual:
-                add(
-                    "error", "files",
-                    f"size mismatch for {rel}: add says {declared}, disk {actual}",
-                )
+        if not probe_parallel:
+            full = _abs_file(path, rel)
+            if not os.path.exists(full):
+                add("error", "files", f"live file missing on disk: {rel}")
+            else:
+                declared = int(a.get("size") or 0)
+                actual = os.path.getsize(full)
+                if declared and declared != actual:
+                    add(
+                        "error", "files",
+                        f"size mismatch for {rel}: add says {declared}, disk {actual}",
+                    )
         raw = a.get("stats")
         if raw:
             try:

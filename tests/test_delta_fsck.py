@@ -74,3 +74,27 @@ def test_unparseable_stats_warns(spark, tmp_path):
     assert ("warn", "stats") in {(s, c) for s, c, _m in findings}
     # stats damage is a WARN, never an error: reads stay correct
     assert not [f for f in findings if f[0] == "error"]
+
+
+def test_fsck_parallel_probe_matches_sequential(spark, tmp_path, monkeypatch):
+    """The executor-side existence/size probe must report exactly the
+    sequential loop's findings (missing file + size mismatch)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pos_dlt_spark.sources import delta_check as C
+    from pos_dlt_spark.sources.delta import delta_snapshot
+    from pos_dlt_spark.sources.delta_writer import write_delta
+
+    t = str(tmp_path / "fpar")
+    write_delta(spark.range(0, 400).withColumn("v", F.col("id")).repartition(4), t)
+    snap = delta_snapshot(spark, t)
+    rels = sorted(r for r, _ in snap.files)
+    os.remove(os.path.join(t, rels[0]))          # missing
+    with open(os.path.join(t, rels[1]), "ab") as fh:
+        fh.write(b"xx")                           # size mismatch
+    seq = sorted(f for f in C.delta_fsck(spark, t) if f[1] == "files")
+    monkeypatch.setattr(C, "FSCK_PARALLEL_MIN", 0)
+    par = sorted(f for f in C.delta_fsck(spark, t) if f[1] == "files")
+    assert par == seq and len(seq) == 2
