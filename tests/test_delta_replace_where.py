@@ -313,3 +313,24 @@ def test_replace_where_lost_race_rederives_fresh_snapshot(spark, tmp_path, monke
     snap = delta_snapshot(spark, t)
     live_dvs = sum(1 for a in snap.adds.values() if a.get("deletionVector"))
     assert len(stray) <= live_dvs + 1  # lost-attempt sidecars cleaned
+
+
+def test_replace_where_on_column_mapped_table(spark, tmp_path):
+    """Predicates speak LOGICAL names; cm tables stage physical files
+    and DV straddlers exactly like plain ones."""
+    t = str(tmp_path / "rw_cm")
+    write_delta(
+        spark.range(0, 100).withColumn("v", F.col("id") * 2).coalesce(2),
+        t,
+        configuration={"delta.columnMapping.mode": "name"},
+    )
+    write_delta(
+        spark.range(10, 20).withColumn("v", F.lit(-1).cast("bigint")),
+        t,
+        mode="overwrite",
+        replace_where="id >= 10 AND id < 20",
+    )
+    out = read_delta(spark, t)
+    assert out.count() == 100
+    assert out.filter("id = 15").collect()[0].v == -1
+    assert out.filter("id = 50").collect()[0].v == 100
