@@ -452,13 +452,20 @@ def _typed_partition_value(raw: str | None, ice_type: str):
 
 def uniform_sync(spark, path: str, snap=None) -> str:
     """Write Iceberg metadata for the CURRENT Delta snapshot under
-    ``<table>/metadata/``: one manifest (full live file set — append-only
-    tables only grow, incremental manifest reuse is a real-UniForm
-    optimization not claimed here), a manifest list, a v2 table-metadata
-    JSON whose snapshot history carries one entry per synced Delta
-    version, and ``version-hint.text`` for HadoopTables-style discovery.
-    Returns the metadata JSON path. O(live files) driver-side metadata."""
-    from pos_dlt_spark.sources.delta import delta_snapshot
+    ``<table>/metadata/``: a manifest, a manifest list, a v2
+    table-metadata JSON whose snapshot history carries one entry per
+    synced Delta version, and ``version-hint.text`` for
+    HadoopTables-style discovery. Returns the metadata JSON path.
+
+    INCREMENTAL like real UniForm: the emitted metadata records the
+    synced Delta version; a pure-append window since then (replayed
+    from the commit JSONs, O(window)) writes a manifest holding ONLY
+    the new files and APPENDS it to the prior manifest list — per-commit
+    metadata cost rides the commit, not the table. Any remove in the
+    window (OPTIMIZE's dataChange=false compaction — the one legal
+    remove on appendOnly tables) or a schema/partition change falls
+    back to one full-manifest rewrite, O(live files) driver-side."""
+    from pos_dlt_spark.sources.delta import _commit_actions, _list_log, delta_snapshot
 
     if snap is None:
         snap = delta_snapshot(spark, path)
@@ -475,10 +482,56 @@ def uniform_sync(spark, path: str, snap=None) -> str:
     }
 
     version = snap.version
-    snapshot_id = version + 1  # Iceberg forbids snapshot-id 0 semantics? keep 1-based
+    snapshot_id = version + 1  # 1-based so snapshot ids stay nonzero
+    prior = _read_prior_metadata(md_dir)
+
+    # incremental window: prior synced version -> current, adds only
+    sync_files = None  # None = full rewrite of one manifest
+    prior_manifest_entries: list[dict] = []
+    prior_v = prior.get("properties", {}).get("pos_dlt.synced-delta-version")
+    if (
+        prior_v is not None
+        and int(prior_v) < version
+        and prior.get("schemas") == [schema]
+        and prior.get("partition-specs") == [spec]
+    ):
+        commit_map = dict(_list_log(os.path.join(path, "_delta_log"))[0])
+        window_adds: list[str] = []
+        clean = True
+        for v in range(int(prior_v) + 1, version + 1):
+            cp = commit_map.get(v)
+            if cp is None:
+                clean = False  # compacted away: cannot replay the window
+                break
+            for a in _commit_actions(cp):
+                if "remove" in a:
+                    clean = False
+                    break
+                if "add" in a:
+                    window_adds.append(a["add"]["path"])
+            if not clean:
+                break
+        if clean:
+            try:
+                cur_snap = next(
+                    s
+                    for s in prior.get("snapshots") or []
+                    if s["snapshot-id"] == prior["current-snapshot-id"]
+                )
+                _, prior_manifest_entries = read_avro(cur_snap["manifest-list"])
+                live = {rel for rel, _ in snap.files}
+                sync_files = [rel for rel in window_adds if rel in live]
+            except (OSError, ValueError, KeyError, StopIteration):
+                sync_files = None
+                prior_manifest_entries = []
+
     entries = []
     total_rows = 0
-    for rel, pv in snap.files:
+    live_pv = dict(snap.files)
+    file_list = (
+        snap.files if sync_files is None else [(rel, live_pv.get(rel)) for rel in sync_files]
+    )
+    for rel, pv in file_list:
         add = snap.adds.get(rel, {})
         nrec = None
         try:
@@ -506,6 +559,12 @@ def uniform_sync(spark, path: str, snap=None) -> str:
                 },
             }
         )
+    prev_total = 0
+    if sync_files is not None:
+        prev_total = sum(
+            int(m.get("added_rows_count") or 0) + int(m.get("existing_rows_count") or 0)
+            for m in prior_manifest_entries
+        )
     man_path = os.path.join(md_dir, f"manifest-{snapshot_id}-{uuid.uuid4().hex[:8]}.avro")
     write_avro(
         man_path,
@@ -520,26 +579,31 @@ def uniform_sync(spark, path: str, snap=None) -> str:
         },
     )
     mlist_path = os.path.join(md_dir, f"snap-{snapshot_id}-{uuid.uuid4().hex[:8]}.avro")
+    new_entry = {
+        "manifest_path": man_path,
+        "manifest_length": os.path.getsize(man_path),
+        "partition_spec_id": 0,
+        "content": 0,
+        "sequence_number": snapshot_id,
+        "min_sequence_number": snapshot_id,
+        "added_snapshot_id": snapshot_id,
+        "added_files_count": len(entries),
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": total_rows,
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+    }
+    if entries or sync_files is None:
+        mlist_entries = prior_manifest_entries + [new_entry]
+    else:
+        # empty window manifest: reuse the prior list untouched
+        os.remove(man_path)
+        mlist_entries = prior_manifest_entries
     write_avro(
         mlist_path,
         _MANIFEST_LIST_SCHEMA,
-        [
-            {
-                "manifest_path": man_path,
-                "manifest_length": os.path.getsize(man_path),
-                "partition_spec_id": 0,
-                "content": 0,
-                "sequence_number": snapshot_id,
-                "min_sequence_number": snapshot_id,
-                "added_snapshot_id": snapshot_id,
-                "added_files_count": len(entries),
-                "existing_files_count": 0,
-                "deleted_files_count": 0,
-                "added_rows_count": total_rows,
-                "existing_rows_count": 0,
-                "deleted_rows_count": 0,
-            }
-        ],
+        mlist_entries,
         meta={"format-version": "2"},
     )
 
@@ -550,7 +614,6 @@ def uniform_sync(spark, path: str, snap=None) -> str:
         ts_ms = int(os.path.getmtime(commit_json) * 1000)
     except OSError:
         ts_ms = 0
-    prior = _read_prior_metadata(md_dir)
     snapshots = [
         s for s in (prior.get("snapshots") or []) if s["snapshot-id"] < snapshot_id
     ]
@@ -563,7 +626,7 @@ def uniform_sync(spark, path: str, snap=None) -> str:
             "summary": {
                 "operation": "append",
                 "added-data-files": str(len(entries)),
-                "total-records": str(total_rows),
+                "total-records": str(prev_total + total_rows),
             },
             "schema-id": 0,
         }
@@ -585,7 +648,10 @@ def uniform_sync(spark, path: str, snap=None) -> str:
         ),
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],
-        "properties": {"write.format.default": "parquet"},
+        "properties": {
+            "write.format.default": "parquet",
+            "pos_dlt.synced-delta-version": str(version),
+        },
         "current-snapshot-id": snapshot_id,
         "snapshots": snapshots,
         "snapshot-log": [

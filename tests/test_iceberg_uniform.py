@@ -156,3 +156,36 @@ def test_uniform_manifest_field_ids_follow_spec(spark, tmp_path):
     dids = {f["name"]: f.get("field-id") for f in dfields["type"]["fields"]}
     assert dids["file_path"] == 100 and dids["record_count"] == 103
     assert entries and all(e["status"] == 1 for e in entries)
+
+
+def test_uniform_incremental_manifests(spark, tmp_path):
+    """Appends reuse the prior manifests and add one manifest holding
+    only the NEW files (per-commit metadata rides the commit, not the
+    table); OPTIMIZE's compaction falls back to one full rewrite."""
+    t = str(tmp_path / "uinc")
+    write_delta(spark.range(0, 50).coalesce(1), t, configuration=UNIFORM_CONF)
+    write_delta(spark.range(50, 100).coalesce(1), t)
+    write_delta(spark.range(100, 150).coalesce(1), t)
+
+    def mlist():
+        md = os.path.join(t, "metadata")
+        v = int(open(os.path.join(md, "version-hint.text")).read())
+        meta = json.load(open(os.path.join(md, f"v{v}.metadata.json")))
+        cur = next(
+            s for s in meta["snapshots"] if s["snapshot-id"] == meta["current-snapshot-id"]
+        )
+        return uf.read_avro(cur["manifest-list"])[1], meta
+
+    manifests, meta = mlist()
+    assert len(manifests) == 3  # one manifest per commit, earlier ones reused
+    assert [m["added_files_count"] for m in manifests] == [1, 1, 1]
+    assert meta["snapshots"][-1]["summary"]["total-records"] == "150"
+    files = uf.read_uniform_files(t)
+    assert len(files) == 3
+    assert spark.read.parquet(*[f["file_path"] for f in files]).count() == 150
+
+    delta_optimize(spark, t, target_files=1)  # removes -> full rewrite
+    manifests2, _ = mlist()
+    assert len(manifests2) == 1
+    files2 = uf.read_uniform_files(t)
+    assert spark.read.parquet(*[f["file_path"] for f in files2]).count() == 150
