@@ -1609,6 +1609,89 @@ def orders_delta_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "orders_iceberg_uniform_scan",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def orders_iceberg_uniform_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniForm interop, read side: a Delta table with
+    `delta.universalFormat.enabledFormats=iceberg` is scanned through its
+    ICEBERG metadata alone (version-hint → metadata JSON → manifest list
+    → manifests → parquet; the Delta log is never consulted) — the
+    engine-switch path real UniForm exists for. The fixture appends in
+    two commits so the metadata carries two snapshots, then asserts
+    (a) the Iceberg-resolved file set equals the Delta live set,
+    (b) snapshot-id time travel back to commit 1 sees exactly the first
+    batch, and (c) manifest-level partition pruning routes a one-
+    partition read to strictly fewer files. The returned aggregate runs
+    over the Iceberg-read DataFrame, so the hash only matches if the
+    metadata rendering (typed partition re-attachment included) is
+    faithful row-for-row."""
+    from pos_dlt_spark.sources import iceberg_uniform as uf
+    from pos_dlt_spark.sources.delta import delta_snapshot
+    from pos_dlt_spark.sources.delta_writer import write_delta
+    from pos_dlt_spark.tables import scratch_dir
+
+    key = os.path.abspath(sf_dir) + "#uniform"
+    if key not in _DELTA_RT_CACHE:
+        import atexit
+        import shutil
+
+        work = scratch_dir("delta_uniform_")
+        atexit.register(shutil.rmtree, work, ignore_errors=True)
+        table = os.path.join(work, "orders")
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority", "o_totalprice"
+        )
+        first = orders.filter(F.col("o_orderkey") % 3 != 0)
+        write_delta(
+            first.repartition(2),
+            table,
+            partition_by=["o_orderpriority"],
+            configuration={
+                "delta.appendOnly": "true",
+                "delta.universalFormat.enabledFormats": "iceberg",
+            },
+        )
+        n_first = first.count()
+        write_delta(
+            orders.filter(F.col("o_orderkey") % 3 == 0).repartition(2),
+            table,
+            partition_by=["o_orderpriority"],
+        )
+        ice_paths = {
+            os.path.relpath(f["file_path"], table)
+            for f in uf.read_uniform_files(table)
+        }
+        delta_paths = {
+            rel.replace("/", os.sep)
+            for rel, _ in delta_snapshot(spark, table).files
+        }
+        assert ice_paths == delta_paths, "Iceberg file set != Delta live set"
+        assert uf.read_iceberg(spark, table, snapshot_id=1).count() == n_first
+        pruned = uf.read_iceberg(
+            spark, table, partition_filter={"o_orderpriority": "1-URGENT"}
+        )
+        assert len(pruned.inputFiles()) < len(ice_paths), (
+            "manifest partition pruning must cut the scanned file set"
+        )
+        _DELTA_RT_CACHE[key] = table
+    df = uf.read_iceberg(spark, _DELTA_RT_CACHE[key])
+    return df.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total"),
+        F.min("o_orderkey").cast("bigint").alias("min_key"),
+    )
+
+
+@query(
     "supplier_delta_identity",
     oracle="""
     SELECT CAST(count(*) AS BIGINT) AS n_rows,
@@ -2678,5 +2761,8 @@ def prepare_bench_fixtures(spark: SparkSession, sf_dir: str) -> None:
     # the replaceWhere reload IS the fixture; the timed region should
     # measure the post-reload partitioned read
     REGISTRY["orders_delta_replace_where"].fn(spark, sf_dir)
+    # the two-commit UniForm emission IS the fixture; the timed region
+    # should measure the Iceberg-metadata-resolved scan
+    REGISTRY["orders_iceberg_uniform_scan"].fn(spark, sf_dir)
     # the write-roundtrip and cdc-merge tables ARE their own fixture (the
     # query measures the write+merge). Leave them in the timed region.

@@ -695,13 +695,180 @@ def read_uniform_files(path: str) -> list[dict]:
     meta = _read_prior_metadata(md_dir)
     if not meta:
         raise FileNotFoundError(f"no Iceberg metadata under {md_dir}")
+    return _snapshot_data_files(meta, _resolve_snapshot(meta))
+
+
+def _resolve_snapshot(
+    meta: dict,
+    snapshot_id: int | None = None,
+    as_of_timestamp_ms: int | None = None,
+) -> dict:
+    """Pick a snapshot from the table metadata: by id, by timestamp
+    (latest snapshot at-or-before — Iceberg's time travel contract), or
+    the current one."""
+    snaps = meta.get("snapshots") or []
+    if snapshot_id is not None:
+        for s in snaps:
+            if s["snapshot-id"] == snapshot_id:
+                return s
+        raise ValueError(
+            f"snapshot {snapshot_id} not in table metadata "
+            f"(have {[s['snapshot-id'] for s in snaps]})"
+        )
+    if as_of_timestamp_ms is not None:
+        eligible = [s for s in snaps if s["timestamp-ms"] <= as_of_timestamp_ms]
+        if not eligible:
+            raise ValueError(
+                f"no snapshot at or before timestamp {as_of_timestamp_ms}"
+            )
+        return max(eligible, key=lambda s: s["timestamp-ms"])
     cur = meta["current-snapshot-id"]
-    snap = next(s for s in meta["snapshots"] if s["snapshot-id"] == cur)
+    return next(s for s in snaps if s["snapshot-id"] == cur)
+
+
+def _snapshot_data_files(meta: dict, snap: dict) -> list[dict]:
+    """Data files of one snapshot, from its manifest list. Refuses
+    delete manifests/files loudly (content != 0): silently ignoring them
+    would resurrect deleted rows for this reader."""
     _, manifests = read_avro(snap["manifest-list"])
     out: list[dict] = []
     for m in manifests:
+        if m.get("content", 0) != 0:
+            raise ValueError(
+                "Iceberg table carries DELETE manifests (v2 row-level "
+                "deletes) — outside this reader's supported boundary"
+            )
         _, entries = read_avro(m["manifest_path"])
         for e in entries:
-            if e["status"] in (0, 1):  # EXISTING / ADDED
-                out.append(e["data_file"])
+            if e["status"] not in (0, 1):  # skip DELETED entries
+                continue
+            df_ = e["data_file"]
+            if df_.get("content", 0) != 0:
+                raise ValueError(
+                    "Iceberg manifest references delete files — outside "
+                    "this reader's supported boundary"
+                )
+            if (df_.get("file_format") or "").upper() != "PARQUET":
+                raise ValueError(
+                    f"unsupported Iceberg file format {df_.get('file_format')!r}"
+                )
+            out.append(df_)
     return out
+
+
+_ICEBERG_TO_SPARK = {
+    "boolean": "boolean",
+    "int": "int",
+    "long": "long",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "binary": "binary",
+    "date": "date",
+    "timestamptz": "timestamp",
+    "timestamp": "timestamp_ntz",
+}
+
+
+def _iceberg_type_to_spark(it: str) -> str:
+    if it.startswith("decimal("):
+        return it  # same textual rendering Spark's cast parser accepts
+    try:
+        return _ICEBERG_TO_SPARK[it]
+    except KeyError:
+        raise ValueError(f"unsupported Iceberg type {it!r}") from None
+
+
+def read_iceberg(
+    spark,
+    path: str,
+    snapshot_id: int | None = None,
+    as_of_timestamp_ms: int | None = None,
+    partition_filter: dict | None = None,
+):
+    """Scan an Iceberg v2 table as a DataFrame using ONLY its Iceberg
+    metadata — version-hint → metadata JSON → manifest list → manifests
+    → parquet. The Delta log (when the table is a UniForm twin) is never
+    consulted, so this is the engine-switch path: a table written by any
+    engine that emits spec-v2 metadata within the supported boundary
+    (data manifests only, identity partition transforms, null-codec Avro)
+    reads here.
+
+    ``snapshot_id`` / ``as_of_timestamp_ms`` select historical snapshots
+    (Iceberg time travel — the metadata keeps every synced snapshot, so
+    no log replay is needed; a snapshot whose files were since vacuumed
+    fails on read, the same contract as Delta time travel).
+
+    ``partition_filter`` ({column: value} equality) prunes at the
+    MANIFEST level: entries whose typed partition struct doesn't match
+    never reach the scan — Iceberg's metadata pruning, so a 100 TB
+    table's one-partition read plans from kilobytes of Avro instead of
+    listing the filesystem.
+
+    Partition columns are not stored in the data files (the UniForm twin
+    shares Delta's hive-layout files); they are re-attached from the
+    directory layout via Spark's ``basePath`` partition discovery and
+    cast to the metadata's declared types, keeping the scan one
+    multi-file parquet read — no per-file unions, no Python row path."""
+    md_dir = os.path.join(path, "metadata")
+    meta = _read_prior_metadata(md_dir)
+    if not meta:
+        raise FileNotFoundError(f"no Iceberg metadata under {md_dir}")
+    if int(meta.get("format-version", 0)) != 2:
+        raise ValueError(
+            f"unsupported Iceberg format-version {meta.get('format-version')!r}"
+        )
+    snap = _resolve_snapshot(meta, snapshot_id, as_of_timestamp_ms)
+    files = _snapshot_data_files(meta, snap)
+
+    schema = next(
+        s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
+    )
+    spec = next(
+        p for p in meta["partition-specs"] if p["spec-id"] == meta["default-spec-id"]
+    )
+    for pf in spec["fields"]:
+        if pf["transform"] != "identity":
+            raise ValueError(
+                f"unsupported partition transform {pf['transform']!r} "
+                "(identity only)"
+            )
+    by_id = {f["id"]: f["name"] for f in schema["fields"]}
+    part_cols = [by_id[pf["source-id"]] for pf in spec["fields"]]
+
+    if partition_filter:
+        unknown = set(partition_filter) - set(part_cols)
+        if unknown:
+            raise ValueError(
+                f"partition_filter columns {sorted(unknown)} are not "
+                f"partition columns {part_cols}"
+            )
+        files = [
+            f
+            for f in files
+            if all(
+                (f.get("partition") or {}).get(c) == v
+                for c, v in partition_filter.items()
+            )
+        ]
+
+    paths = [f["file_path"] for f in files]
+    if not paths:
+        from pyspark.sql.types import StructType
+
+        sp = StructType()
+        for f in schema["fields"]:
+            sp = sp.add(f["name"], _iceberg_type_to_spark(f["type"]))
+        return spark.createDataFrame([], sp)
+    if part_cols:
+        df = spark.read.option("basePath", meta["location"]).parquet(*paths)
+    else:
+        df = spark.read.parquet(*paths)
+    from pyspark.sql import functions as F
+
+    return df.select(
+        *[
+            F.col(f["name"]).cast(_iceberg_type_to_spark(f["type"])).alias(f["name"])
+            for f in schema["fields"]
+        ]
+    )

@@ -189,3 +189,86 @@ def test_uniform_incremental_manifests(spark, tmp_path):
     assert len(manifests2) == 1
     files2 = uf.read_uniform_files(t)
     assert spark.read.parquet(*[f["file_path"] for f in files2]).count() == 150
+
+
+def test_read_iceberg_dataframe_scan(spark, tmp_path):
+    """read_iceberg is a metadata-pure DataFrame scan: same rows as the
+    Delta read, partition columns re-attached from the hive layout and
+    cast to the metadata's declared types."""
+    t = str(tmp_path / "ri")
+    df = spark.range(0, 120).select(
+        F.col("id"),
+        (F.col("id") % 3).cast("int").alias("bucket"),
+        (F.col("id") * 1.5).alias("v"),
+    )
+    write_delta(
+        df.repartition(2), t, partition_by=["bucket"], configuration=UNIFORM_CONF
+    )
+    got = uf.read_iceberg(spark, t)
+    assert set(got.columns) == {"id", "bucket", "v"}
+    assert dict(got.dtypes)["bucket"] == "int"
+    delta_rows = {
+        (r["id"], r["bucket"], r["v"]) for r in read_delta(spark, t).collect()
+    }
+    ice_rows = {(r["id"], r["bucket"], r["v"]) for r in got.collect()}
+    assert ice_rows == delta_rows
+
+
+def test_read_iceberg_snapshot_time_travel(spark, tmp_path):
+    t = str(tmp_path / "rtt")
+    write_delta(spark.range(0, 40).coalesce(1), t, configuration=UNIFORM_CONF)
+    write_delta(spark.range(40, 100).coalesce(1), t)
+    assert uf.read_iceberg(spark, t).count() == 100
+    assert uf.read_iceberg(spark, t, snapshot_id=1).count() == 40
+    # timestamp travel: the first snapshot's own timestamp selects it
+    md = os.path.join(t, "metadata")
+    v = int(open(os.path.join(md, "version-hint.text")).read())
+    meta = json.load(open(os.path.join(md, f"v{v}.metadata.json")))
+    ts0 = meta["snapshots"][0]["timestamp-ms"]
+    assert uf.read_iceberg(spark, t, as_of_timestamp_ms=ts0).count() == 40
+    with pytest.raises(ValueError, match="not in table metadata"):
+        uf.read_iceberg(spark, t, snapshot_id=99)
+    with pytest.raises(ValueError, match="at or before"):
+        uf.read_iceberg(spark, t, as_of_timestamp_ms=ts0 - 10_000_000)
+
+
+def test_read_iceberg_manifest_partition_pruning(spark, tmp_path):
+    """Equality partition_filter prunes at the manifest level: only the
+    matching partition's files reach the parquet scan."""
+    t = str(tmp_path / "rp")
+    df = spark.range(0, 90).select(
+        F.col("id"), (F.col("id") % 3).cast("int").alias("bucket")
+    )
+    write_delta(
+        df.repartition(3, "bucket"),
+        t,
+        partition_by=["bucket"],
+        configuration=UNIFORM_CONF,
+    )
+    pruned = uf.read_iceberg(spark, t, partition_filter={"bucket": 1})
+    all_files = {f["file_path"] for f in uf.read_uniform_files(t)}
+    used = {"/" + p.split("://", 1)[-1].lstrip("/") for p in pruned.inputFiles()}
+    assert used < all_files  # strictly fewer files than the full scan
+    assert all(f"bucket=1" in p for p in used)
+    rows = pruned.collect()
+    assert len(rows) == 30 and all(r["bucket"] == 1 for r in rows)
+    with pytest.raises(ValueError, match="not partition columns"):
+        uf.read_iceberg(spark, t, partition_filter={"id": 1})
+
+
+def test_read_iceberg_refuses_delete_manifests(spark, tmp_path):
+    """A manifest-list entry with content=1 (delete manifest) refuses
+    loudly — ignoring it would resurrect deleted rows."""
+    t = str(tmp_path / "rd")
+    write_delta(spark.range(0, 10).coalesce(1), t, configuration=UNIFORM_CONF)
+    md = os.path.join(t, "metadata")
+    v = int(open(os.path.join(md, "version-hint.text")).read())
+    meta = json.load(open(os.path.join(md, f"v{v}.metadata.json")))
+    cur = next(
+        s for s in meta["snapshots"] if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    schema, entries = uf.read_avro(cur["manifest-list"])
+    entries[0]["content"] = 1
+    uf.write_avro(cur["manifest-list"], schema, entries, meta={"format-version": "2"})
+    with pytest.raises(ValueError, match="DELETE manifests"):
+        uf.read_iceberg(spark, t)
