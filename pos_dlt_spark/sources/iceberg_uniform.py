@@ -191,17 +191,31 @@ def _dec_value(cur: _AvroCursor, schema):
     raise ValueError(f"unsupported Avro type {t!r}")
 
 
-def write_avro(path: str, schema: dict, records: list[dict], meta: dict | None = None) -> None:
-    """Write an Avro OBJECT CONTAINER file (null codec): Obj1 magic,
-    file-metadata map carrying the embedded schema, 16-byte sync marker,
-    one data block."""
+def write_avro(
+    path: str,
+    schema: dict,
+    records: list[dict],
+    meta: dict | None = None,
+    codec: str = "null",
+) -> None:
+    """Write an Avro OBJECT CONTAINER file: Obj1 magic, file-metadata
+    map carrying the embedded schema, 16-byte sync marker, one data
+    block. ``codec``: ``null`` (stored) or ``deflate`` (raw DEFLATE per
+    the Avro spec — what real Iceberg writers emit by default)."""
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported Avro codec {codec!r}")
     sync = uuid.uuid5(uuid.NAMESPACE_URL, path).bytes  # deterministic
     body = bytearray()
     for r in records:
         _enc_value(body, schema, r)
+    if codec == "deflate":
+        import zlib
+
+        co = zlib.compressobj(wbits=-15)  # raw DEFLATE, no zlib header
+        body = co.compress(bytes(body)) + co.flush()
     head = bytearray()
     head += b"Obj\x01"
-    md = {"avro.schema": json.dumps(schema), "avro.codec": "null"}
+    md = {"avro.schema": json.dumps(schema), "avro.codec": codec}
     for k, v in (meta or {}).items():
         md[k] = v
     _enc_long(head, len(md))
@@ -219,10 +233,11 @@ def write_avro(path: str, schema: dict, records: list[dict], meta: dict | None =
 
 
 def read_avro(path: str) -> tuple[dict, list[dict]]:
-    """Read back an Avro object container (null codec) using its
-    EMBEDDED schema — the generic reader the round-trip tests use, so
-    the writer cannot be self-consistently wrong about the container
-    layout."""
+    """Read back an Avro object container using its EMBEDDED schema —
+    the generic reader the round-trip tests use, so the writer cannot be
+    self-consistently wrong about the container layout. Accepts the
+    ``null`` and ``deflate`` codecs (deflate is what real Iceberg
+    writers emit by default, so foreign tables read here too)."""
     with open(path, "rb") as fh:
         data = fh.read()
     if data[:4] != b"Obj\x01":
@@ -239,16 +254,26 @@ def read_avro(path: str) -> tuple[dict, list[dict]]:
         for _ in range(n):
             k = cur.raw(cur.long()).decode("utf-8")
             md[k] = cur.raw(cur.long())
-    if md.get("avro.codec", b"null") not in (b"null", b""):
-        raise ValueError("only null-codec Avro containers are supported")
+    codec = md.get("avro.codec", b"null") or b"null"
+    if codec not in (b"null", b"deflate"):
+        raise ValueError(
+            f"unsupported Avro codec {codec!r} (null and deflate supported)"
+        )
     schema = json.loads(md["avro.schema"])
     sync = cur.raw(16)
     records: list[dict] = []
     while cur.pos < len(data):
         n = cur.long()
-        cur.long()  # block byte length
+        blen = cur.long()  # block byte length (compressed size for deflate)
+        if codec == b"deflate":
+            import zlib
+
+            block = zlib.decompressobj(-15).decompress(cur.raw(blen))
+            bcur = _AvroCursor(block)
+        else:
+            bcur = cur
         for _ in range(n):
-            records.append(_dec_value(cur, schema))
+            records.append(_dec_value(bcur, schema))
         if cur.raw(16) != sync:
             raise ValueError("sync marker mismatch")
     return schema, records

@@ -272,3 +272,50 @@ def test_read_iceberg_refuses_delete_manifests(spark, tmp_path):
     uf.write_avro(cur["manifest-list"], schema, entries, meta={"format-version": "2"})
     with pytest.raises(ValueError, match="DELETE manifests"):
         uf.read_iceberg(spark, t)
+
+
+def test_avro_deflate_codec_roundtrip(tmp_path):
+    """Deflate-codec containers (real Iceberg writers' default) read
+    back identically — the foreign-table half of the reader boundary."""
+    schema = {
+        "type": "record",
+        "name": "t",
+        "fields": [
+            {"name": "a", "type": "long"},
+            {"name": "b", "type": ["null", "string"], "default": None},
+        ],
+    }
+    rows = [{"a": i, "b": None if i % 3 == 0 else f"s{i}" * 20} for i in range(500)]
+    p = str(tmp_path / "d.avro")
+    uf.write_avro(p, schema, rows, codec="deflate")
+    got_schema, got = uf.read_avro(p)
+    assert got_schema == schema and got == rows
+    pn = str(tmp_path / "n.avro")
+    uf.write_avro(pn, schema, rows, codec="null")
+    assert os.path.getsize(p) < os.path.getsize(pn)  # actually compressed
+
+
+def test_read_iceberg_deflate_manifests(spark, tmp_path):
+    """A table whose manifest list + manifests were rewritten with the
+    deflate codec (a foreign writer's shape) scans identically."""
+    t = str(tmp_path / "rdz")
+    df = spark.range(0, 60).select(
+        F.col("id"), (F.col("id") % 2).cast("int").alias("bucket")
+    )
+    write_delta(
+        df.repartition(2), t, partition_by=["bucket"], configuration=UNIFORM_CONF
+    )
+    before = {(r["id"], r["bucket"]) for r in uf.read_iceberg(spark, t).collect()}
+    md = os.path.join(t, "metadata")
+    v = int(open(os.path.join(md, "version-hint.text")).read())
+    meta = json.load(open(os.path.join(md, f"v{v}.metadata.json")))
+    cur = next(
+        s for s in meta["snapshots"] if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    ls, entries = uf.read_avro(cur["manifest-list"])
+    for m in entries:
+        ms, es = uf.read_avro(m["manifest_path"])
+        uf.write_avro(m["manifest_path"], ms, es, codec="deflate")
+    uf.write_avro(cur["manifest-list"], ls, entries, codec="deflate")
+    after = {(r["id"], r["bucket"]) for r in uf.read_iceberg(spark, t).collect()}
+    assert after == before
