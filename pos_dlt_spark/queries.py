@@ -1796,6 +1796,81 @@ def nation_convert_to_delta_roundtrip(spark: SparkSession, sf_dir: str) -> DataF
 
 
 @query(
+    "supplier_iceberg_convert_roundtrip",
+    oracle="""
+    SELECT CAST(s_nationkey AS INT) AS s_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
+           CAST(MIN(s_suppkey) AS BIGINT) AS min_key
+    FROM supplier GROUP BY CAST(s_nationkey AS INT)
+    """,
+)
+def supplier_iceberg_convert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONVERT TO DELTA over an Iceberg table: a UniForm twin of supplier
+    (partitioned by a nationkey bucket) has its Delta log REMOVED —
+    leaving a pure Iceberg table — then ``convert_iceberg_to_delta``
+    rebuilds a Delta commit 0 from the manifests alone. An orphan parquet
+    dropped next to the data files proves the file list comes from the
+    manifests, not a directory walk (the orphan stays out). The returned
+    aggregate runs over the CONVERTED table via read_delta, so the hash
+    matches only if schema, partition values, and every referenced file
+    carried over exactly."""
+    from pos_dlt_spark.sources.delta import delta_snapshot, read_delta
+    from pos_dlt_spark.sources.delta_writer import (
+        convert_iceberg_to_delta,
+        write_delta,
+    )
+    from pos_dlt_spark.tables import scratch_dir
+
+    key = os.path.abspath(sf_dir) + "#iceconv"
+    if key not in _DELTA_RT_CACHE:
+        import atexit
+        import shutil
+
+        work = scratch_dir("delta_iceconv_")
+        atexit.register(shutil.rmtree, work, ignore_errors=True)
+        table = os.path.join(work, "supplier")
+        supp = load_table(spark, sf_dir, "supplier").select(
+            "s_suppkey",
+            F.col("s_nationkey").cast("int").alias("s_nationkey"),
+            "s_acctbal",
+            (F.col("s_nationkey") % 4).cast("int").alias("bucket"),
+        )
+        write_delta(
+            supp.repartition(2),
+            table,
+            partition_by=["bucket"],
+            configuration={
+                "delta.appendOnly": "true",
+                "delta.universalFormat.enabledFormats": "iceberg",
+            },
+        )
+        shutil.rmtree(os.path.join(table, "_delta_log"))
+        bucket_dir = os.path.join(table, "bucket=0")
+        src = next(
+            os.path.join(bucket_dir, n)
+            for n in os.listdir(bucket_dir)
+            if n.endswith(".parquet")
+        )
+        shutil.copy(src, os.path.join(bucket_dir, "part-orphan.parquet"))
+        convert_iceberg_to_delta(spark, table)
+        snap = delta_snapshot(spark, table)
+        assert snap.partition_columns == ["bucket"]
+        assert not any("orphan" in rel for rel, _ in snap.files), (
+            "manifest-driven convert must exclude unreferenced files"
+        )
+        _DELTA_RT_CACHE[key] = table
+    df = read_delta(spark, _DELTA_RT_CACHE[key])
+    return df.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("s_acctbal").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_bal"),
+        F.min("s_suppkey").cast("bigint").alias("min_key"),
+    )
+
+
+@query(
     "orders_delta_zorder_skipping",
     oracle="""
     SELECT o_orderstatus,
@@ -2764,5 +2839,8 @@ def prepare_bench_fixtures(spark: SparkSession, sf_dir: str) -> None:
     # the two-commit UniForm emission IS the fixture; the timed region
     # should measure the Iceberg-metadata-resolved scan
     REGISTRY["orders_iceberg_uniform_scan"].fn(spark, sf_dir)
+    # the log-drop + manifest-driven convert IS the fixture; the timed
+    # region should measure the converted table's read path
+    REGISTRY["supplier_iceberg_convert_roundtrip"].fn(spark, sf_dir)
     # the write-roundtrip and cdc-merge tables ARE their own fixture (the
     # query measures the write+merge). Leave them in the timed region.

@@ -879,11 +879,15 @@ def read_iceberg(
 
     paths = [f["file_path"] for f in files]
     if not paths:
-        from pyspark.sql.types import StructType
+        from pyspark.sql.types import StructType, _parse_datatype_string
 
         sp = StructType()
         for f in schema["fields"]:
-            sp = sp.add(f["name"], _iceberg_type_to_spark(f["type"]))
+            # DDL parser: accepts cast-style names ("int"), unlike the
+            # JSON type parser StructType.add(str) routes through
+            sp = sp.add(
+                f["name"], _parse_datatype_string(_iceberg_type_to_spark(f["type"]))
+            )
         return spark.createDataFrame([], sp)
     if part_cols:
         df = spark.read.option("basePath", meta["location"]).parquet(*paths)

@@ -319,3 +319,59 @@ def test_read_iceberg_deflate_manifests(spark, tmp_path):
     uf.write_avro(cur["manifest-list"], ls, entries, codec="deflate")
     after = {(r["id"], r["bucket"]) for r in uf.read_iceberg(spark, t).collect()}
     assert after == before
+
+
+def test_convert_iceberg_to_delta_roundtrip(spark, tmp_path):
+    """An Iceberg-only table (UniForm twin with its Delta log removed)
+    converts to Delta from the MANIFESTS alone: schema, partition
+    values, and footer stats carried over; an on-disk orphan parquet the
+    snapshot never referenced stays excluded (a directory-walk converter
+    would have swallowed it)."""
+    import shutil
+
+    from pos_dlt_spark.sources.delta_writer import convert_iceberg_to_delta
+
+    t = str(tmp_path / "ci")
+    df = spark.range(0, 100).select(
+        F.col("id"), (F.col("id") % 4).cast("int").alias("bucket")
+    )
+    write_delta(
+        df.repartition(2), t, partition_by=["bucket"], configuration=UNIFORM_CONF
+    )
+    expected = {(r["id"], r["bucket"]) for r in read_delta(spark, t).collect()}
+    shutil.rmtree(os.path.join(t, "_delta_log"))
+    # an orphan file the Iceberg snapshot does not reference
+    orphan_dir = os.path.join(t, "bucket=0")
+    orphan = os.path.join(orphan_dir, "part-orphan.parquet")
+    src = next(
+        os.path.join(orphan_dir, n)
+        for n in os.listdir(orphan_dir)
+        if n.endswith(".parquet")
+    )
+    shutil.copy(src, orphan)
+
+    assert convert_iceberg_to_delta(spark, t) == 0
+    snap = delta_snapshot(spark, t)
+    assert snap.partition_columns == ["bucket"]
+    assert not any("orphan" in rel for rel, _ in snap.files)
+    got = {(r["id"], r["bucket"]) for r in read_delta(spark, t).collect()}
+    assert got == expected
+    # footer stats rode the conversion: every add carries numRecords
+    assert all(
+        json.loads(a["stats"])["numRecords"] > 0 for a in snap.adds.values()
+    )
+
+
+def test_convert_iceberg_snapshot_and_refusals(spark, tmp_path):
+    import shutil
+
+    from pos_dlt_spark.sources.delta_writer import convert_iceberg_to_delta
+
+    t = str(tmp_path / "cs")
+    write_delta(spark.range(0, 30).coalesce(1), t, configuration=UNIFORM_CONF)
+    write_delta(spark.range(30, 80).coalesce(1), t)
+    with pytest.raises(ValueError, match="already a Delta table"):
+        convert_iceberg_to_delta(spark, t)
+    shutil.rmtree(os.path.join(t, "_delta_log"))
+    assert convert_iceberg_to_delta(spark, t, snapshot_id=1) == 0
+    assert read_delta(spark, t).count() == 30
