@@ -1859,3 +1859,104 @@ def test_vacuum_parallel_walk_matches_sequential(spark, tmp_path, monkeypatch):
     gone = delta_vacuum(spark, t, retain_versions=0, grace_seconds=-3600)
     assert sorted(gone) == seq
     assert read_delta(spark, t).count() == 2000
+
+
+def _v2_manifest_sidecars(table: str) -> tuple[str, set[str]]:
+    """(manifest path, sidecar names) of the NEWEST v2 manifest."""
+    import pyarrow.parquet as pq
+
+    from pos_dlt_spark.sources.delta import _CKPT_V2_RE, _list_log
+
+    log = os.path.join(table, "_delta_log")
+    _, ckpts = _list_log(log)
+    v = max(ckpts)
+    manifest = next(
+        p for p in ckpts[v] if _CKPT_V2_RE.match(os.path.basename(p))
+    )
+    rows = pq.read_table(manifest, columns=["sidecar"]).to_pylist()
+    names = {
+        r["sidecar"]["path"] for r in rows if r.get("sidecar") and r["sidecar"].get("path")
+    }
+    return manifest, names
+
+
+def test_v2_incremental_checkpoint_reuses_sidecars_on_append(
+    spark, tmp_path, monkeypatch
+):
+    """A pure-append window reuses EVERY prior sidecar verbatim and adds
+    exactly one new sidecar with the window's adds. The folded state
+    after log cleanup is exact."""
+    from pos_dlt_spark.sources import delta_writer as dw
+    from pos_dlt_spark.sources.delta_writer import delta_log_cleanup
+
+    monkeypatch.setattr(dw, "V2_SIDECAR_TARGET_ADDS", 2)
+    table = str(tmp_path / "v2inc")
+    for i in range(5):  # v0..v4, checkpoint at v4: 5 files over 3 sidecars
+        write_delta(_df(spark, i * 10, i * 10 + 10).coalesce(1), table,
+                    checkpoint_interval=4, checkpoint_format="v2")
+    _, names1 = _v2_manifest_sidecars(table)
+    assert len(names1) == 3  # ceil(5/2)
+    for i in range(5, 9):  # v5..v8, checkpoint at v8
+        write_delta(_df(spark, i * 10, i * 10 + 10).coalesce(1), table,
+                    checkpoint_interval=4, checkpoint_format="v2")
+    _, names2 = _v2_manifest_sidecars(table)
+    assert names1 < names2, "append window must reuse every prior sidecar"
+    assert len(names2) == len(names1) + 1  # one new sidecar for the window
+    delta_log_cleanup(spark, table)
+    got = sorted(r.id for r in read_delta(spark, table).collect())
+    assert got == list(range(90))
+
+
+def test_v2_incremental_checkpoint_rewrites_touched_sidecar(
+    spark, tmp_path, monkeypatch
+):
+    """A DV DELETE inside the window re-adds its file: the ONE sidecar
+    holding that path is rewritten, the others are reused, and the fold
+    carries the deletion after log cleanup."""
+    from pos_dlt_spark.sources import delta_writer as dw
+    from pos_dlt_spark.sources.delta_writer import delta_delete, delta_log_cleanup
+
+    monkeypatch.setattr(dw, "V2_SIDECAR_TARGET_ADDS", 1)
+    table = str(tmp_path / "v2del")
+    for i in range(5):  # checkpoint at v4: 5 files, one sidecar each
+        write_delta(_df(spark, i * 10, i * 10 + 10).coalesce(1), table,
+                    checkpoint_interval=4, checkpoint_format="v2")
+    _, names1 = _v2_manifest_sidecars(table)
+    assert len(names1) == 5
+    delta_delete(spark, table, "id < 5", checkpoint_interval=0)  # v5: one file DV'd
+    write_delta(_df(spark, 50, 60).coalesce(1), table,
+                checkpoint_interval=3, checkpoint_format="v2")  # v6: checkpoint
+    _, names2 = _v2_manifest_sidecars(table)
+    # 4 of the 5 prior sidecars reused; the DV'd file's sidecar dropped
+    # its only row (now empty -> no rewrite emitted); one new sidecar
+    # carries the re-added (DV) file and the appended file
+    assert len(names1 & names2) == 4
+    assert len(names2 - names1) == 1
+    delta_log_cleanup(spark, table)
+    got = sorted(r.id for r in read_delta(spark, table).collect())
+    assert got == list(range(5, 60))
+    snap = delta_snapshot(spark, table)
+    assert any(a.get("deletionVector") for a in snap.adds.values())
+
+
+def test_v2_incremental_respreads_when_sidecars_accumulate(
+    spark, tmp_path, monkeypatch
+):
+    """Append-only checkpoints grow one sidecar each; once the plan
+    would exceed max(4, 2x need) the layout respreads into need-sized
+    slices and incremental reuse resumes on top of it."""
+    from pos_dlt_spark.sources import delta_writer as dw
+
+    monkeypatch.setattr(dw, "V2_SIDECAR_TARGET_ADDS", 100)
+    table = str(tmp_path / "v2grow")
+    sizes = []
+    for i in range(7):
+        write_delta(_df(spark, i * 10, i * 10 + 10).coalesce(1), table,
+                    checkpoint_interval=1, checkpoint_format="v2")
+        if i > 0:  # v0 never checkpoints (version <= 0 guard)
+            sizes.append(len(_v2_manifest_sidecars(table)[1]))
+    assert sizes[:4] == [1, 2, 3, 4]  # full spread, then +1 per window
+    assert sizes[4] == 1  # plan of 5 refs > max(4, 2*need=2): respread
+    assert sizes[5] == 2  # reuse resumes on the respread layout
+    got = sorted(r.id for r in read_delta(spark, table).collect())
+    assert got == list(range(70))

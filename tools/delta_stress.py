@@ -809,6 +809,98 @@ def stress_dv_update(spark, rows: int = 20_000_000) -> None:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def stress_v2_checkpoint(spark, n_files: int = 1_000_000) -> None:
+    """Round-9: checkpoint write amplification at the 1M-add decade.
+    Classic checkpoints (and a FIRST v2 checkpoint) materialize every
+    add; an INCREMENTAL v2 checkpoint after a 1% append window should
+    rewrite ~1% of the sidecar bytes and reuse the rest. Reports wall,
+    driver RSS, bytes written, and sidecar reuse counts."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from pos_dlt_spark.sources import delta_fixture as fx
+    from pos_dlt_spark.sources import delta_writer as dw
+    from pos_dlt_spark.tables import scratch_dir
+
+    work = scratch_dir("delta_v2ckpt_")
+    try:
+        t = os.path.join(work, "big")
+        os.makedirs(t, exist_ok=True)
+        log_dir = os.path.join(t, "_delta_log")
+        per_commit = 1000
+        n_commits = n_files // per_commit
+        stats = json.dumps(
+            {"numRecords": 1000, "minValues": {"k": 0}, "maxValues": {"k": 999}}
+        )
+        schema = StructType([StructField("k", LongType())])
+        for c in range(n_commits):
+            actions = []
+            if c == 0:
+                actions += [fx.protocol_action(), fx.metadata_action(schema)]
+            actions += [
+                fx.add_action(f"part-{c:05d}-{i:04d}.parquet", size=8, stats=stats)
+                for i in range(per_commit)
+            ]
+            fx.write_commit(t, c, actions)
+        v = n_commits - 1
+
+        def log_bytes() -> int:
+            total = 0
+            for root, _d, files in os.walk(log_dir):
+                for n in files:
+                    total += os.path.getsize(os.path.join(root, n))
+            return total
+
+        def run(label: str, fmt: str, version: int) -> None:
+            b0, r0 = log_bytes(), _vm_rss_mb()
+            t0 = time.perf_counter()
+            dw._maybe_checkpoint(spark, t, version, version, fmt)
+            wall = time.perf_counter() - t0
+            print(
+                f"v2ckpt {label}: wall={wall:.1f}s wrote={(log_bytes() - b0) / 1e6:.1f} MB "
+                f"driver_rss {r0:.0f} -> {_vm_rss_mb():.0f} MB"
+            )
+
+        run("classic full", "classic", v)
+        run("v2 first (full spread)", "v2", v)
+        # 1% churn window: 10 commits x 1000 fresh adds
+        for c in range(n_commits, n_commits + 10):
+            fx.write_commit(
+                t,
+                c,
+                [
+                    fx.add_action(f"part-{c:05d}-{i:04d}.parquet", size=8, stats=stats)
+                    for i in range(per_commit)
+                ],
+            )
+        run("v2 incremental (1% append window)", "v2", n_commits + 9)
+        import pyarrow.parquet as pq
+
+        from pos_dlt_spark.sources.delta import _CKPT_V2_RE, _list_log
+
+        _, ckpts = _list_log(log_dir)
+        newest = max(v2 for v2 in ckpts)
+        manifest = next(
+            p for p in ckpts[newest]
+            if _CKPT_V2_RE.match(os.path.basename(p))
+        )
+        rows = pq.read_table(manifest, columns=["sidecar"]).to_pylist()
+        names = [r["sidecar"]["path"] for r in rows if r.get("sidecar") and r["sidecar"].get("path")]
+        sc_dir = os.path.join(log_dir, "_sidecars")
+        mtimes = sorted(os.path.getmtime(os.path.join(sc_dir, n)) for n in names)
+        # sidecars written in the FIRST spread predate the incremental
+        # run; count how many the newest manifest reuses
+        from pos_dlt_spark.sources.delta import delta_snapshot
+
+        snap = delta_snapshot(spark, t)
+        print(
+            f"v2ckpt reuse: manifest references {len(names)} sidecars, "
+            f"mtime spread {mtimes[-1] - mtimes[0]:.1f}s (old=reused); "
+            f"fold sees {len(snap.files)} files (expect {n_files + 10_000})"
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     n_files = 1_000_000
@@ -836,6 +928,8 @@ def main() -> None:
         stress_incremental_cluster(spark)
     if which in ("dvupdate", "all"):
         stress_dv_update(spark)
+    if which in ("v2ckpt", "all"):
+        stress_v2_checkpoint(spark, n_files)
 
 
 if __name__ == "__main__":
