@@ -433,6 +433,109 @@ def supplier_delta_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
     return read_delta(spark, _DELTA_RT_CACHE[key])
 
 
+@query(
+    "supplier_delta_v2_checkpoint",
+    oracle="""
+    SELECT CAST(s_nationkey AS INT) AS s_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM supplier WHERE NOT (s_suppkey % 6 = 4 AND s_suppkey % 2 = 0)
+    GROUP BY CAST(s_nationkey AS INT)
+    """,
+)
+def supplier_delta_v2_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V2 checkpoints end to end, INCREMENTAL sidecar reuse included:
+    supplier lands in six key-slice commits with
+    ``checkpoint_format='v2'`` on a 2-commit cadence (full spread at v2,
+    incremental at v4), a DV DELETE then touches ONLY the v3/v4-era
+    slice, and the final v6 checkpoint must reuse the v2-era sidecar
+    verbatim while rewriting the touched one. The JSON chain at or below
+    the last checkpoint is CLEANED, so the read folds from the v2
+    manifest + sidecars alone. The fixture asserts the reuse property
+    via sidecar mtimes (a reused file predates its manifest) and that
+    v2Checkpoint rides the protocol; the oracle re-derives the final
+    state from raw supplier, so the hash only matches if the manifest
+    fold, the sidecar reuse, and the DV all survive log cleanup."""
+    from pos_dlt_spark.sources.delta import (
+        _CKPT_V2_RE,
+        _list_log,
+        delta_snapshot,
+        read_delta,
+    )
+    from pos_dlt_spark.sources.delta_writer import (
+        delta_delete,
+        delta_log_cleanup,
+        write_delta,
+    )
+    from pos_dlt_spark.tables import scratch_dir
+
+    key = os.path.abspath(sf_dir) + "#v2ckpt"
+    if key not in _DELTA_RT_CACHE:
+        import atexit
+        import shutil
+
+        work = scratch_dir("delta_v2ck_")
+        atexit.register(shutil.rmtree, work, ignore_errors=True)
+        table = os.path.join(work, "supplier")
+        supp = load_table(spark, sf_dir, "supplier").select(
+            "s_suppkey",
+            F.col("s_nationkey").cast("int").alias("s_nationkey"),
+            "s_acctbal",
+        )
+        for b in range(5):  # v0..v4: v2-format checkpoints at v2 and v4
+            write_delta(
+                supp.filter(F.col("s_suppkey") % 6 == b).coalesce(1),
+                table,
+                checkpoint_interval=2,
+                checkpoint_format="v2",
+            )
+        # v5: DV DELETE confined to the %6==4 slice — the v2-era sidecar
+        # (slices 0..2) holds none of its paths and must survive reuse
+        delta_delete(
+            spark, table, "s_suppkey % 6 = 4 AND s_suppkey % 2 = 0",
+            checkpoint_interval=0,
+        )
+        write_delta(  # v6: incremental v2 checkpoint over the window
+            supp.filter(F.col("s_suppkey") % 6 == 5).coalesce(1),
+            table,
+            checkpoint_interval=2,
+            checkpoint_format="v2",
+        )
+        log_dir = os.path.join(table, "_delta_log")
+        _, ckpts = _list_log(log_dir)
+        import pyarrow.parquet as pq
+
+        manifest = next(
+            p
+            for p in ckpts[max(ckpts)]
+            if _CKPT_V2_RE.match(os.path.basename(p))
+        )
+        rows = pq.read_table(manifest, columns=["sidecar"]).to_pylist()
+        names = [
+            r["sidecar"]["path"]
+            for r in rows
+            if r.get("sidecar") and r["sidecar"].get("path")
+        ]
+        m_mtime = os.path.getmtime(manifest)
+        sc_dir = os.path.join(log_dir, "_sidecars")
+        reused = [
+            n for n in names
+            if os.path.getmtime(os.path.join(sc_dir, n)) < m_mtime - 0.001
+        ]
+        assert reused, "final v2 manifest must reuse at least one prior sidecar"
+        snap = delta_snapshot(spark, table)
+        assert "v2Checkpoint" in (snap.protocol.get("readerFeatures") or ())
+        delta_log_cleanup(spark, table)
+        _DELTA_RT_CACHE[key] = table
+    df = read_delta(spark, _DELTA_RT_CACHE[key])
+    return df.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("s_acctbal").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_bal"),
+    )
+
+
 _DELTA_ORDERS_CACHE: dict[str, str] = {}
 _DELTA_SKIP_CUTOFF = 1000  # static so the oracle can embed it
 
