@@ -2945,5 +2945,8 @@ def prepare_bench_fixtures(spark: SparkSession, sf_dir: str) -> None:
     # the log-drop + manifest-driven convert IS the fixture; the timed
     # region should measure the converted table's read path
     REGISTRY["supplier_iceberg_convert_roundtrip"].fn(spark, sf_dir)
+    # the checkpoint/delete/cleanup chain IS the fixture; the timed
+    # region should measure the manifest+sidecar fold read
+    REGISTRY["supplier_delta_v2_checkpoint"].fn(spark, sf_dir)
     # the write-roundtrip and cdc-merge tables ARE their own fixture (the
     # query measures the write+merge). Leave them in the timed region.
