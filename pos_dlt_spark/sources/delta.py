@@ -292,6 +292,21 @@ class _AddBlock:
             out[fn] = v
         return out
 
+    def size_of(self, path: str):
+        col = self._fields.get("size")
+        return col[self._index[path]].as_py() if col is not None else None
+
+    def total_size(self):
+        """Sum of the size column, computed C-side — feeds the
+        checksum's tableSizeBytes without materializing a single add
+        dict. None when the checkpoint lacks sizes (foreign layouts)."""
+        col = self._fields.get("size")
+        if col is None:
+            return None
+        import pyarrow.compute as pc
+
+        return pc.sum(col).as_py() or 0
+
 
 class _LazyAdds(_Mapping):
     """Mapping[path -> add action] over checkpoint columnar blocks plus
@@ -299,11 +314,12 @@ class _LazyAdds(_Mapping):
     it replaces (get/[]/values/items/iteration in sorted-path order) but
     checkpoint rows materialize only on access."""
 
-    __slots__ = ("_blocks", "_over", "_keys", "_keyset", "_cache")
+    __slots__ = ("_blocks", "_over", "_keys", "_keyset", "_cache", "_removed")
 
     def __init__(self, blocks: list[_AddBlock], overrides: dict[str, dict], removed: set[str]):
         self._blocks = blocks
         self._over = overrides
+        self._removed = set(removed)
         keys: dict[str, None] = {}
         for b in blocks:
             for p in b.paths:
@@ -356,6 +372,38 @@ class _LazyAdds(_Mapping):
             if a.get("deletionVector"):
                 out.add(p)
         return sorted(out)
+
+    def total_live_size(self):
+        """tableSizeBytes of the LIVE set, columnar: block-level C-side
+        size sums, minus the (few) removed/overridden rows looked up
+        O(1) each, plus the JSON override layer — the checksum emission
+        at a checkpoint stops being the one remaining O(table) dict
+        materialization on the v2 path. None (caller falls back to the
+        per-row walk) when a block lacks sizes or paths repeat across
+        blocks (foreign layouts)."""
+        n_block_paths = sum(len(b.paths) for b in self._blocks)
+        uniq: set[str] = set()
+        for b in self._blocks:
+            uniq.update(b._index)
+        if len(uniq) != n_block_paths:
+            return None  # duplicate paths across blocks: ambiguous
+        total = 0
+        for b in self._blocks:
+            t = b.total_size()
+            if t is None:
+                return None
+            total += int(t)
+        for p in self._removed | set(self._over):
+            for b in self._blocks:
+                if p in b:
+                    v = b.size_of(p)
+                    if v is None:
+                        return None
+                    total -= int(v)
+                    break
+        for a in self._over.values():
+            total += int(a.get("size") or 0)
+        return total
 
 
 def _parquet_checkpoint_actions(path: str, columnar_adds: bool = False):

@@ -149,3 +149,39 @@ def test_log_cleanup_retires_old_crcs(spark, tmp_path):
     write_delta(_df(spark, 50, 51).coalesce(1), t)
     assert _crc(t, 12) is not None
     assert delta_fsck(spark, t) == []
+
+
+def test_total_live_size_matches_per_row_walk(spark, tmp_path):
+    """The columnar tableSizeBytes (block sums minus removed/overridden
+    rows plus the JSON override layer) equals the per-row walk on a fold
+    with a checkpoint, post-checkpoint appends, a DV re-add, and an
+    OPTIMIZE's remove+re-add window."""
+    from pyspark.sql import functions as F
+
+    from pos_dlt_spark.sources.delta import delta_snapshot
+    from pos_dlt_spark.sources.delta_writer import (
+        delta_delete,
+        delta_optimize,
+        write_delta,
+    )
+
+    table = str(tmp_path / "tls")
+    for i in range(4):  # v0..v3, classic checkpoint at v3
+        write_delta(
+            spark.range(i * 10, i * 10 + 10).withColumn("v", F.col("id") * 2)
+            .coalesce(1),
+            table,
+            checkpoint_interval=3,
+        )
+    delta_delete(spark, table, "id < 3", checkpoint_interval=0)  # DV re-add
+    write_delta(
+        spark.range(100, 120).withColumn("v", F.col("id") * 2).coalesce(2),
+        table,
+        checkpoint_interval=0,
+    )
+    delta_optimize(spark, table, target_files=1)  # removes + re-adds
+    snap = delta_snapshot(spark, table)
+    assert hasattr(snap.adds, "total_live_size")
+    columnar = snap.adds.total_live_size()
+    walk = sum(int(snap.adds[rel].get("size") or 0) for rel, _ in snap.files)
+    assert columnar == walk and walk > 0
