@@ -860,7 +860,10 @@ def stress_v2_checkpoint(spark, n_files: int = 1_000_000) -> None:
                 f"driver_rss {r0:.0f} -> {_vm_rss_mb():.0f} MB"
             )
 
-        run("classic full", "classic", v)
+        # classic and v2 land at ADJACENT versions: a shared version
+        # would make the fold read both checkpoint layouts (duplicate
+        # add blocks), a shape no real single-format table has
+        run("classic full", "classic", v - 1)
         run("v2 first (full spread)", "v2", v)
         # 1% churn window: 10 commits x 1000 fresh adds
         for c in range(n_commits, n_commits + 10):
