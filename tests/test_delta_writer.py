@@ -1960,3 +1960,46 @@ def test_v2_incremental_respreads_when_sidecars_accumulate(
     assert sizes[5] == 2  # reuse resumes on the respread layout
     got = sorted(r.id for r in read_delta(spark, table).collect())
     assert got == list(range(70))
+
+
+def test_log_cleanup_gcs_superseded_checkpoints_and_sidecars(
+    spark, tmp_path, monkeypatch
+):
+    """Incremental v2 reuse leaves rewritten sidecars and superseded
+    manifests behind; log cleanup retires below-horizon checkpoints and
+    every sidecar no SURVIVING manifest references, while the horizon
+    checkpoint still folds the exact state."""
+    from pos_dlt_spark.sources import delta_writer as dw
+    from pos_dlt_spark.sources.delta_writer import delta_delete, delta_log_cleanup
+
+    monkeypatch.setattr(dw, "V2_SIDECAR_TARGET_ADDS", 1)
+    table = str(tmp_path / "scgc")
+    for i in range(5):  # checkpoints at v2 and v4
+        write_delta(_df(spark, i * 10, i * 10 + 10).coalesce(1), table,
+                    checkpoint_interval=2, checkpoint_format="v2")
+    delta_delete(spark, table, "id < 5", checkpoint_interval=0)  # v5
+    write_delta(_df(spark, 50, 60).coalesce(1), table,
+                checkpoint_interval=3, checkpoint_format="v2")  # v6 ckpt
+    log = os.path.join(table, "_delta_log")
+    sc_dir = os.path.join(log, "_sidecars")
+    on_disk_before = set(os.listdir(sc_dir))
+    _, live = _v2_manifest_sidecars(table)
+    assert live < on_disk_before  # rewrites left orphans behind
+    # age everything so the in-flight grace (mtime >= newest log entry)
+    # cannot mask the GC
+    import time as _time
+
+    old = _time.time() - 3600
+    for n in on_disk_before:
+        os.utime(os.path.join(sc_dir, n), (old, old))
+    for n in os.listdir(log):
+        p = os.path.join(log, n)
+        if os.path.isfile(p):
+            os.utime(p, (old + 1, old + 1))
+    deleted = delta_log_cleanup(spark, table)
+    assert any(n.startswith("_sidecars") for n in deleted)
+    manifests_left = [n for n in os.listdir(log) if ".checkpoint." in n]
+    assert len(manifests_left) == 1  # only the horizon checkpoint
+    assert set(os.listdir(sc_dir)) == live  # exactly the referenced set
+    got = sorted(r.id for r in read_delta(spark, table).collect())
+    assert got == list(range(5, 60))
