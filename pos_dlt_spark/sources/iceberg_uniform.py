@@ -373,11 +373,34 @@ def _partition_avro_schema(spec: dict, schema_fields: list[dict]) -> dict:
     return {"type": "record", "name": "r102", "fields": fields}
 
 
+def _bounds_map_schema(name: str, key_id: int, val_id: int) -> dict:
+    """Iceberg's rendering of map<int, binary> in Avro: keys must be
+    strings in plain Avro maps, so the spec uses an array of key/value
+    records with ``logicalType: map``."""
+    return [
+        "null",
+        {
+            "type": "array",
+            "logicalType": "map",
+            "items": {
+                "type": "record",
+                "name": name,
+                "fields": [
+                    {"name": "key", "type": "int", "field-id": key_id},
+                    {"name": "value", "type": "bytes", "field-id": val_id},
+                ],
+            },
+        },
+    ]
+
+
 def _manifest_entry_schema(partition_schema: dict) -> dict:
     """manifest_entry Avro schema with the spec's REQUIRED v2 field-ids
     (status=0, snapshot_id=1, data_file=2; data_file: content=134,
     file_path=100, file_format=101, partition=102, record_count=103,
-    file_size_in_bytes=104)."""
+    file_size_in_bytes=104) plus the OPTIONAL per-column bounds
+    (lower_bounds=125, upper_bounds=128) that make Iceberg-side file
+    skipping possible."""
     data_file = {
         "type": "record",
         "name": "r2",
@@ -388,6 +411,18 @@ def _manifest_entry_schema(partition_schema: dict) -> dict:
             {"name": "partition", "type": partition_schema, "field-id": 102},
             {"name": "record_count", "type": "long", "field-id": 103},
             {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+            {
+                "name": "lower_bounds",
+                "type": _bounds_map_schema("k126_v127", 126, 127),
+                "field-id": 125,
+                "default": None,
+            },
+            {
+                "name": "upper_bounds",
+                "type": _bounds_map_schema("k129_v130", 129, 130),
+                "field-id": 128,
+                "default": None,
+            },
         ],
     }
     return {
@@ -461,6 +496,99 @@ def refuse_unsupported_uniform(configuration: dict, schema, partition_by) -> Non
     if (configuration.get("delta.columnMapping.mode") or "none") != "none":
         raise ValueError("uniform (iceberg) with column mapping is not supported")
     iceberg_schema(schema)  # raises on unsupported types
+
+
+def _bound_bytes(ice_type: str, value) -> bytes | None:
+    """Iceberg single-value binary serialization (spec Appendix D) for
+    the bound types this emitter supports: int/date 4-byte LE, long 8 LE,
+    float 4 LE, double 8 LE, boolean 1 byte, string UTF-8, timestamps
+    8-byte LE micros from the ISO rendering Delta stats carry.
+    Unsupported types return None — the bound is simply omitted
+    (conservative: that column never prunes)."""
+    import datetime
+
+    try:
+        if ice_type == "int":
+            return struct.pack("<i", int(value))
+        if ice_type == "long":
+            return struct.pack("<q", int(value))
+        if ice_type == "float":
+            return struct.pack("<f", float(value))
+        if ice_type == "double":
+            return struct.pack("<d", float(value))
+        if ice_type == "boolean":
+            return b"\x01" if value in (True, "true", "True") else b"\x00"
+        if ice_type == "string":
+            return str(value).encode("utf-8")
+        if ice_type == "date":
+            d = datetime.date.fromisoformat(str(value)[:10])
+            return struct.pack("<i", (d - datetime.date(1970, 1, 1)).days)
+        if ice_type in ("timestamp", "timestamptz"):
+            ts = datetime.datetime.fromisoformat(
+                str(value).replace("Z", "+00:00")
+            )
+            if ts.tzinfo is not None:
+                ts = ts.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+            epoch = datetime.datetime(1970, 1, 1)
+            return struct.pack(
+                "<q", int((ts - epoch).total_seconds() * 1_000_000)
+            )
+    except (TypeError, ValueError, OverflowError):
+        return None
+    return None
+
+
+def _bound_value(ice_type: str, raw: bytes):
+    """Inverse of :func:`_bound_bytes` for the reader's pruning."""
+    import datetime
+
+    if ice_type == "int":
+        return struct.unpack("<i", raw)[0]
+    if ice_type == "long":
+        return struct.unpack("<q", raw)[0]
+    if ice_type == "float":
+        return struct.unpack("<f", raw)[0]
+    if ice_type == "double":
+        return struct.unpack("<d", raw)[0]
+    if ice_type == "boolean":
+        return raw != b"\x00"
+    if ice_type == "string":
+        return raw.decode("utf-8")
+    if ice_type == "date":
+        return (
+            datetime.date(1970, 1, 1) + datetime.timedelta(days=struct.unpack("<i", raw)[0])
+        ).isoformat()
+    if ice_type in ("timestamp", "timestamptz"):
+        us = struct.unpack("<q", raw)[0]
+        return (
+            datetime.datetime(1970, 1, 1) + datetime.timedelta(microseconds=us)
+        ).isoformat()
+    raise ValueError(f"no bound decoding for {ice_type!r}")
+
+
+def _file_bounds(add: dict, schema_fields: list[dict]) -> tuple[list | None, list | None]:
+    """lower/upper bounds (as the Avro array-of-record map rendering)
+    from a Delta add action's stats JSON; (None, None) when stats are
+    absent or nothing serializes."""
+    try:
+        stats = json.loads(add.get("stats") or "{}")
+    except (TypeError, ValueError):
+        return None, None
+    by_name = {f["name"]: f for f in schema_fields}
+
+    def render(side: str) -> list | None:
+        vals = stats.get(side) or {}
+        out = []
+        for name, v in vals.items():
+            f = by_name.get(name)
+            if f is None or v is None:
+                continue
+            b = _bound_bytes(f["type"], v)
+            if b is not None:
+                out.append({"key": f["id"], "value": b})
+        return out or None
+
+    return render("minValues"), render("maxValues")
 
 
 def _typed_partition_value(raw: str | None, ice_type: str):
@@ -565,6 +693,7 @@ def uniform_sync(spark, path: str, snap=None) -> str:
             pass
         nrec = int(nrec) if nrec is not None else 0
         total_rows += nrec
+        lower, upper = _file_bounds(add, schema["fields"])
         entries.append(
             {
                 "status": 1,  # ADDED (full rewrite of the manifest each sync)
@@ -581,6 +710,8 @@ def uniform_sync(spark, path: str, snap=None) -> str:
                     },
                     "record_count": nrec,
                     "file_size_in_bytes": int(add.get("size") or 0),
+                    "lower_bounds": lower,
+                    "upper_bounds": upper,
                 },
             }
         )
@@ -804,12 +935,52 @@ def _iceberg_type_to_spark(it: str) -> str:
         raise ValueError(f"unsupported Iceberg type {it!r}") from None
 
 
+def _bounds_excluded(data_file: dict, field: dict, op: str, value) -> bool:
+    """True when the manifest entry's lower/upper bounds PROVE no row of
+    the file can satisfy ``col op value`` — Iceberg's metadata file
+    skipping. Conservative: absent/undecodable bounds keep the file."""
+    def side(name: str):
+        m = data_file.get(name)
+        if not m:
+            return None
+        if isinstance(m, list):  # avro array-of-record map rendering
+            m = {e["key"]: e["value"] for e in m}
+        raw = m.get(field["id"])
+        if raw is None:
+            return None
+        try:
+            return _bound_value(field["type"], bytes(raw))
+        except (ValueError, struct.error):
+            return None
+
+    lo, hi = side("lower_bounds"), side("upper_bounds")
+    if lo is None or hi is None:
+        return False
+    try:
+        if op == "=":
+            return value < lo or value > hi
+        if op == "<":
+            return lo >= value
+        if op == "<=":
+            return lo > value
+        if op == ">":
+            return hi <= value
+        if op == ">=":
+            return hi < value
+        if op == "in":
+            return all(v < lo or v > hi for v in value)
+    except TypeError:
+        return False
+    return False
+
+
 def read_iceberg(
     spark,
     path: str,
     snapshot_id: int | None = None,
     as_of_timestamp_ms: int | None = None,
     partition_filter: dict | None = None,
+    prune: list | None = None,
 ):
     """Scan an Iceberg v2 table as a DataFrame using ONLY its Iceberg
     metadata — version-hint → metadata JSON → manifest list → manifests
@@ -829,6 +1000,13 @@ def read_iceberg(
     never reach the scan — Iceberg's metadata pruning, so a 100 TB
     table's one-partition read plans from kilobytes of Avro instead of
     listing the filesystem.
+
+    ``prune`` ([(col, op, value)] with op in ``= < <= > >= in``) skips
+    files whose manifest lower/upper COLUMN BOUNDS (spec field-ids
+    125/128, emitted from the Delta adds' stats) prove no row matches —
+    the Iceberg rendering of per-file stats skipping. Note this prunes
+    the scan only; apply the same predicate with ``.filter`` for row-
+    level semantics, exactly like ``read_delta(prune=...)``.
 
     Partition columns are not stored in the data files (the UniForm twin
     shares Delta's hive-layout files); they are re-attached from the
@@ -874,6 +1052,18 @@ def read_iceberg(
             if all(
                 (f.get("partition") or {}).get(c) == v
                 for c, v in partition_filter.items()
+            )
+        ]
+    if prune:
+        by_name = {f["name"]: f for f in schema["fields"]}
+        for col, _op, _v in prune:
+            if col not in by_name:
+                raise ValueError(f"prune column {col!r} not in table schema")
+        files = [
+            f
+            for f in files
+            if not any(
+                _bounds_excluded(f, by_name[col], op, v) for col, op, v in prune
             )
         ]
 

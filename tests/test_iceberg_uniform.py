@@ -375,3 +375,50 @@ def test_convert_iceberg_snapshot_and_refusals(spark, tmp_path):
     shutil.rmtree(os.path.join(t, "_delta_log"))
     assert convert_iceberg_to_delta(spark, t, snapshot_id=1) == 0
     assert read_delta(spark, t).count() == 30
+
+
+def test_uniform_manifest_column_bounds(spark, tmp_path):
+    """Manifest entries carry spec field-id 125/128 column bounds
+    serialized from the Delta adds' stats (LE single-value encoding)."""
+    import struct as _struct
+
+    t = str(tmp_path / "ub")
+    df = spark.range(0, 100).select(
+        F.col("id"), (F.col("id") * 1.5).alias("v"),
+        F.concat(F.lit("doc-"), F.format_string("%03d", F.col("id"))).alias("s"),
+    )
+    write_delta(df.coalesce(1), t, configuration=UNIFORM_CONF)
+    files = uf.read_uniform_files(t)
+    assert len(files) == 1
+    lb = {e["key"]: e["value"] for e in files[0]["lower_bounds"]}
+    ub_ = {e["key"]: e["value"] for e in files[0]["upper_bounds"]}
+    # field ids follow schema order: id=1, v=2, s=3
+    assert _struct.unpack("<q", lb[1])[0] == 0
+    assert _struct.unpack("<q", ub_[1])[0] == 99
+    assert _struct.unpack("<d", ub_[2])[0] == 99 * 1.5
+    assert lb[3] == b"doc-000" and ub_[3] == b"doc-099"
+
+
+def test_read_iceberg_bounds_pruning(spark, tmp_path):
+    """read_iceberg(prune=...) skips files whose manifest bounds prove
+    exclusion — fewer input files, identical qualifying rows."""
+    t = str(tmp_path / "up")
+    df = spark.range(0, 400).select(F.col("id"))
+    # 4 files with disjoint id ranges
+    write_delta(df.repartitionByRange(4, "id"), t, configuration=UNIFORM_CONF)
+    all_files = {f["file_path"] for f in uf.read_uniform_files(t)}
+    assert len(all_files) == 4
+    pruned = uf.read_iceberg(spark, t, prune=[("id", ">=", 300)])
+    assert len(pruned.inputFiles()) < len(all_files)
+    rows = sorted(r["id"] for r in pruned.filter("id >= 300").collect())
+    assert rows == list(range(300, 400))
+    # string bounds prune too
+    t2 = str(tmp_path / "up2")
+    sdf = spark.range(0, 200).select(
+        F.concat(F.lit("k"), F.format_string("%04d", F.col("id"))).alias("s")
+    )
+    write_delta(sdf.repartitionByRange(2, "s"), t2, configuration=UNIFORM_CONF)
+    p2 = uf.read_iceberg(spark, t2, prune=[("s", "<", "k0050")])
+    assert len(p2.inputFiles()) == 1
+    with pytest.raises(ValueError, match="not in table schema"):
+        uf.read_iceberg(spark, t, prune=[("nope", "=", 1)])
