@@ -830,12 +830,36 @@ def uniform_sync(spark, path: str, snap=None) -> str:
 
 
 def _read_prior_metadata(md_dir: str) -> dict:
+    """Resolve the current table metadata: ``version-hint.text`` first
+    (HadoopTables discovery — what this emitter writes), falling back to
+    the HIGHEST ``v<N>.metadata.json`` when the hint is absent or stale
+    (foreign tables don't always write one; the spec's rule for
+    hint-less discovery is exactly max-version)."""
     hint = os.path.join(md_dir, "version-hint.text")
     try:
         with open(hint, encoding="utf-8") as fh:
             v = int(fh.read().strip())
         with open(
             os.path.join(md_dir, f"v{v}.metadata.json"), encoding="utf-8"
+        ) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        pass
+    import re as _re
+
+    best = -1
+    try:
+        for n in os.listdir(md_dir):
+            m = _re.fullmatch(r"v(\d+)\.metadata\.json", n)
+            if m:
+                best = max(best, int(m.group(1)))
+    except OSError:
+        return {}
+    if best < 0:
+        return {}
+    try:
+        with open(
+            os.path.join(md_dir, f"v{best}.metadata.json"), encoding="utf-8"
         ) as fh:
             return json.load(fh)
     except (OSError, ValueError):

@@ -422,3 +422,14 @@ def test_read_iceberg_bounds_pruning(spark, tmp_path):
     assert len(p2.inputFiles()) == 1
     with pytest.raises(ValueError, match="not in table schema"):
         uf.read_iceberg(spark, t, prune=[("nope", "=", 1)])
+
+
+def test_read_iceberg_without_version_hint(spark, tmp_path):
+    """Foreign tables may lack version-hint.text: discovery falls back
+    to the highest v<N>.metadata.json, per the spec's hint-less rule."""
+    t = str(tmp_path / "nh")
+    write_delta(spark.range(0, 30).coalesce(1), t, configuration=UNIFORM_CONF)
+    write_delta(spark.range(30, 50).coalesce(1), t)
+    os.remove(os.path.join(t, "metadata", "version-hint.text"))
+    assert uf.read_iceberg(spark, t).count() == 50  # newest snapshot wins
+    assert uf.read_iceberg(spark, t, snapshot_id=1).count() == 30
