@@ -866,6 +866,88 @@ def _read_prior_metadata(md_dir: str) -> dict:
         return {}
 
 
+def uniform_expire_snapshots(path: str, keep: int = 5) -> list[str]:
+    """Iceberg ``expireSnapshots`` for the emitted metadata: keep the
+    newest ``keep`` snapshots (the current one always survives), rewrite
+    the current metadata JSON without the expired entries (atomic
+    tmp+replace — snapshot ids are unchanged, so the version-hint stays
+    valid), and delete the files only expired snapshots used: their
+    ``v<id>.metadata.json``, their manifest lists, and any manifest
+    referenced by NO surviving manifest list (incremental emission
+    REUSES manifests across snapshots, so reference-counting against
+    every retained list is the correctness condition — symmetric to the
+    Delta log's sidecar GC).
+
+    DATA files are never touched: they belong to the Delta side, whose
+    VACUUM owns their retention. Time travel to an expired snapshot id
+    then raises the usual "not in table metadata" — Iceberg's own
+    retention trade. Returns the deleted metadata file names."""
+    if keep < 1:
+        raise ValueError("keep must be >= 1")
+    md_dir = os.path.join(path, "metadata")
+    meta = _read_prior_metadata(md_dir)
+    if not meta:
+        raise FileNotFoundError(f"no Iceberg metadata under {md_dir}")
+    snaps = sorted(meta.get("snapshots") or [], key=lambda s: s["snapshot-id"])
+    cur = meta["current-snapshot-id"]
+    kept = snaps[-keep:]
+    if not any(s["snapshot-id"] == cur for s in kept):  # pragma: no cover
+        kept.append(next(s for s in snaps if s["snapshot-id"] == cur))
+    expired = [s for s in snaps if s["snapshot-id"] not in {k["snapshot-id"] for k in kept}]
+    if not expired:
+        return []
+    kept_ids = {s["snapshot-id"] for s in kept}
+    meta = dict(meta)
+    meta["snapshots"] = kept
+    meta["snapshot-log"] = [
+        e for e in meta.get("snapshot-log") or [] if e["snapshot-id"] in kept_ids
+    ]
+    md_path = os.path.join(md_dir, f"v{cur}.metadata.json")
+    tmp = md_path + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, md_path)
+
+    referenced: set[str] = set()
+    for s in kept:
+        try:
+            _, manifests = read_avro(s["manifest-list"])
+        except (OSError, ValueError):
+            continue  # unreadable retained list: delete nothing it might use
+        for m in manifests:
+            referenced.add(os.path.basename(m["manifest_path"]))
+    deleted: list[str] = []
+
+    def _rm(p: str) -> None:
+        try:
+            os.remove(p)
+            deleted.append(os.path.basename(p))
+        except OSError:
+            pass
+
+    expired_ids = {s["snapshot-id"] for s in expired}
+    for s in expired:
+        _rm(s["manifest-list"])
+        old_md = os.path.join(md_dir, f"v{s['snapshot-id']}.metadata.json")
+        if s["snapshot-id"] != cur and os.path.exists(old_md):
+            _rm(old_md)
+    # manifests referenced by no surviving list (expired lists already
+    # deleted above cannot re-reference them)
+    for n in sorted(os.listdir(md_dir)):
+        if not n.startswith("manifest-") or not n.endswith(".avro"):
+            continue
+        if n not in referenced:
+            _rm(os.path.join(md_dir, n))
+    # metadata JSONs of expired snapshots may survive the loop above
+    # when their snapshot never became current — sweep by version number
+    for n in sorted(os.listdir(md_dir)):
+        m = n.removeprefix("v").removesuffix(".metadata.json")
+        if n.startswith("v") and n.endswith(".metadata.json") and m.isdigit():
+            if int(m) in expired_ids:
+                _rm(os.path.join(md_dir, n))
+    return deleted
+
+
 def read_uniform_files(path: str) -> list[dict]:
     """Resolve the CURRENT Iceberg snapshot's data files purely from the
     emitted metadata (version-hint -> metadata JSON -> manifest list ->

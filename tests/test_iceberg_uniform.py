@@ -433,3 +433,36 @@ def test_read_iceberg_without_version_hint(spark, tmp_path):
     os.remove(os.path.join(t, "metadata", "version-hint.text"))
     assert uf.read_iceberg(spark, t).count() == 50  # newest snapshot wins
     assert uf.read_iceberg(spark, t, snapshot_id=1).count() == 30
+
+
+def test_uniform_expire_snapshots(spark, tmp_path):
+    """expireSnapshots keeps the newest K snapshots, deletes expired
+    metadata JSONs / manifest lists / manifests referenced by NO
+    surviving list (incremental reuse means shared manifests must
+    survive), never touches data files, and leaves the current read and
+    retained time travel exact."""
+    t = str(tmp_path / "exp")
+    for i in range(6):  # snapshots 1..6, manifests reused incrementally
+        write_delta(spark.range(i * 10, i * 10 + 10).coalesce(1), t,
+                    configuration=UNIFORM_CONF if i == 0 else None)
+    md = os.path.join(t, "metadata")
+    before_manifests = {n for n in os.listdir(md) if n.startswith("manifest-")}
+    assert len(before_manifests) == 6
+    deleted = uf.uniform_expire_snapshots(t, keep=2)
+    assert deleted
+    meta = uf._read_prior_metadata(md)
+    assert [s["snapshot-id"] for s in meta["snapshots"]] == [5, 6]
+    # shared manifests: snapshot 5's list references manifests 1..5 —
+    # ALL must survive even though snapshots 1..4 expired
+    assert uf.read_iceberg(spark, t).count() == 60
+    assert uf.read_iceberg(spark, t, snapshot_id=5).count() == 50
+    with pytest.raises(ValueError, match="not in table metadata"):
+        uf.read_iceberg(spark, t, snapshot_id=2)
+    # expired metadata JSONs and manifest lists are gone
+    left = set(os.listdir(md))
+    assert not any(n == f"v{i}.metadata.json" for i in (1, 2, 3, 4) for n in left)
+    assert sum(1 for n in left if n.startswith("snap-")) == 2
+    # data files untouched: the Delta read still sees every row
+    assert read_delta(spark, t).count() == 60
+    with pytest.raises(ValueError, match="keep must be"):
+        uf.uniform_expire_snapshots(t, keep=0)
