@@ -1974,6 +1974,106 @@ def supplier_iceberg_convert_roundtrip(spark: SparkSession, sf_dir: str) -> Data
 
 
 @query(
+    "orders_iceberg_dv_deletes",
+    oracle="""
+    SELECT prio,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key
+    FROM (
+        SELECT CASE WHEN o_orderkey % 7 = 0 THEN 'X-UPDATED'
+                    ELSE o_orderpriority END AS prio,
+               o_totalprice, o_orderkey
+        FROM orders
+        WHERE o_orderkey % 5 <> 0
+    ) t
+    GROUP BY prio
+    """,
+)
+def orders_iceberg_dv_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniForm row-level deletes end to end: a DML-capable (non-
+    appendOnly) UniForm orders table takes a merge-on-read DELETE
+    (``o_orderkey % 5 = 0``) and a merge-on-read UPDATE
+    (``o_orderkey % 7 = 0`` → priority 'X-UPDATED'), both dv-mode —
+    zero data files rewritten. Each commit re-renders the deletion
+    vectors as Iceberg v2 POSITION DELETE files (parquet of
+    (file_path, pos) under a content=1 delete manifest, spec field-ids
+    2147483546/2147483545), and the returned aggregate runs over
+    ``read_iceberg`` — the Delta log is never consulted — so the hash
+    matches only if the Iceberg merge-on-read rendering (delete-file
+    application via ``_metadata.row_index`` anti-joins with
+    sequence-number applicability) reproduces the Delta row set
+    exactly. The fixture also pins that the DV'd data files were NOT
+    rewritten (merge-on-read, the 100 TB write path) and that a delete
+    manifest is present."""
+    from pos_dlt_spark.sources import iceberg_uniform as uf
+    from pos_dlt_spark.sources.delta import delta_snapshot
+    from pos_dlt_spark.sources.delta_writer import (
+        delta_delete,
+        delta_update,
+        write_delta,
+    )
+    from pos_dlt_spark.tables import scratch_dir
+
+    key = os.path.abspath(sf_dir) + "#uniform_dv"
+    if key not in _DELTA_RT_CACHE:
+        import atexit
+        import shutil
+
+        work = scratch_dir("delta_unidv_")
+        atexit.register(shutil.rmtree, work, ignore_errors=True)
+        table = os.path.join(work, "orders")
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority", "o_totalprice"
+        )
+        write_delta(
+            orders.repartition(4),
+            table,
+            configuration={"delta.universalFormat.enabledFormats": "iceberg"},
+        )
+        files_before = {rel for rel, _ in delta_snapshot(spark, table).files}
+        delta_delete(spark, table, "o_orderkey % 5 = 0", mode="dv")
+        delta_update(
+            spark,
+            table,
+            "o_orderkey % 7 = 0",
+            {"o_orderpriority": "'X-UPDATED'"},
+            mode="dv",
+        )
+        files_after = {rel for rel, _ in delta_snapshot(spark, table).files}
+        assert files_before <= files_after, (
+            "dv-mode DML must not rewrite the original data files"
+        )
+        cur = uf._resolve_snapshot(uf._read_prior_metadata(
+            os.path.join(table, "metadata")
+        ))
+        _, manifests = uf.read_avro(cur["manifest-list"])
+        assert any(m["content"] == 1 for m in manifests), (
+            "expected a content=1 (delete) manifest in the manifest list"
+        )
+        _DELTA_RT_CACHE[key] = table
+    df = uf.read_iceberg(spark, _DELTA_RT_CACHE[key])
+    # the UPDATE's effect is read back RAW (no query-side CASE): only
+    # the oracle recomputes it, so a silently-unapplied UPDATE or DELETE
+    # hash-mismatches instead of being masked by the query
+    return (
+        df.select(
+            F.col("o_orderpriority").alias("prio"),
+            "o_totalprice",
+            "o_orderkey",
+        )
+        .groupBy("prio")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+            F.min("o_orderkey").cast("bigint").alias("min_key"),
+        )
+    )
+
+
+@query(
     "orders_delta_zorder_skipping",
     oracle="""
     SELECT o_orderstatus,

@@ -1,5 +1,5 @@
-"""UniForm-style Iceberg metadata emission for append-only Delta tables
-— the public interop surface delta-spark ships as "Universal Format"
+"""UniForm-style Iceberg metadata emission for Delta tables — the
+public interop surface delta-spark ships as "Universal Format"
 (`delta.universalFormat.enabledFormats=iceberg`): every commit ALSO
 writes Apache Iceberg table metadata (version-hint + metadata JSON +
 manifest list + manifest, per the public Iceberg table spec v2)
@@ -15,15 +15,22 @@ Iceberg library exists in this container, so the Avro writer/reader
 below implement the needed subset by hand, the same dependency-free
 posture as the BMP/WAV/PNG/JPEG codecs.
 
-HONEST BOUNDARY (enforced at enablement): only APPEND-ONLY tables
-qualify (`delta.appendOnly=true` required). Row-level deletes (deletion
-vectors), column mapping, and any remove-producing DML have no
-rendering here — a stale Iceberg snapshot after a Delta DELETE would
-resurrect rows for Iceberg readers, so enablement refuses the table
-shapes that could ever produce one. Each sync writes ONE manifest
-listing the full live file set (append-only ⇒ monotone); incremental
-manifest reuse is an optimization real UniForm applies and is noted,
-not silently claimed.
+ROW-LEVEL DELETES: Delta deletion vectors are rendered as Iceberg v2
+POSITION DELETE files (spec §Position Delete Files: parquet rows of
+(file_path: 2147483546, pos: 2147483545), referenced by a content=1
+delete manifest) — the exact Iceberg analog of a DV, so dv-mode
+DELETE/UPDATE/MERGE tables stay readable through the Iceberg metadata
+with identical row semantics. Whole-file removes (copy-on-write DML,
+OPTIMIZE, replaceWhere) fall back to one full-manifest rewrite of the
+live set, so no stale snapshot can resurrect rows: the sync rides the
+SAME call that commits the Delta change. Each pure-append window still
+reuses the prior manifests and appends one manifest of only the new
+files (incremental, like real UniForm).
+
+HONEST BOUNDARY (enforced at enablement): column mapping is refused
+(physical names diverge from the Iceberg schema), as are column types
+with no Iceberg rendering. Equality deletes are a READ-side surface
+only (foreign tables); this emitter never writes them.
 
 Scale: the sync is O(live files) driver-side metadata — the same cost
 class as the Delta log fold that feeds it, and it reuses the fold the
@@ -361,7 +368,8 @@ def _partition_avro_schema(spec: dict, schema_fields: list[dict]) -> dict:
     fields = []
     for pf in spec["fields"]:
         src = by_id[pf["source-id"]]
-        av = _ICE_TO_AVRO.get(src["type"], "string")
+        rt = _transform_result_type(pf.get("transform", "identity"), src["type"])
+        av = _ICE_TO_AVRO.get(rt, "string")
         fields.append(
             {
                 "name": pf["name"],
@@ -423,6 +431,16 @@ def _manifest_entry_schema(partition_schema: dict) -> dict:
                 "field-id": 128,
                 "default": None,
             },
+            {
+                # spec field-id 135: set only on EQUALITY delete files
+                # (content=2); this emitter writes position deletes, so
+                # its own entries leave it null — present for foreign
+                # equality-delete manifests and the read-side tests
+                "name": "equality_ids",
+                "type": ["null", {"type": "array", "items": "int"}],
+                "field-id": 135,
+                "default": None,
+            },
         ],
     }
     return {
@@ -482,17 +500,11 @@ def uniform_enabled(configuration: dict | None) -> bool:
 
 def refuse_unsupported_uniform(configuration: dict, schema, partition_by) -> None:
     """Enablement-time refusal of every table shape that could make the
-    Iceberg rendering lie later: non-append-only tables (a remove-
-    producing DML would leave a stale Iceberg snapshot resurrecting
-    rows), column mapping (physical names diverge), and unsupported
-    column types (checked via iceberg_schema)."""
-    if (configuration.get("delta.appendOnly") or "").lower() != "true":
-        raise ValueError(
-            "uniform (iceberg) requires delta.appendOnly=true: row-level "
-            "deletes and rewrites have no Iceberg rendering here, and a "
-            "stale Iceberg snapshot after one would resurrect rows for "
-            "Iceberg readers"
-        )
+    Iceberg rendering lie later: column mapping (physical names diverge
+    from the Iceberg schema) and unsupported column types (checked via
+    iceberg_schema). DML tables are fine — removes trigger a
+    full-manifest resync and deletion vectors are rendered as Iceberg
+    position deletes in the same call that commits them."""
     if (configuration.get("delta.columnMapping.mode") or "none") != "none":
         raise ValueError("uniform (iceberg) with column mapping is not supported")
     iceberg_schema(schema)  # raises on unsupported types
@@ -603,6 +615,142 @@ def _typed_partition_value(raw: str | None, ice_type: str):
     return raw  # string / date / timestamp rendered as source strings
 
 
+# --------------------------------------------------------------------------
+# Partition transforms (Iceberg spec §Partition Transforms + Appendix B).
+# The EMITTER writes identity specs only (Delta partitioning is identity);
+# these evaluate FOREIGN tables' transforms for read-side manifest pruning.
+# --------------------------------------------------------------------------
+
+_EPOCH_ORD = 719163  # datetime.date(1970, 1, 1).toordinal()
+
+
+def _murmur3_32(data: bytes) -> int:
+    """murmur3_x86_32 with seed 0 — the spec's Appendix B hash (pinned
+    by the spec's own test vectors in tests). Returns a SIGNED 32-bit
+    int, matching the Java int the spec's bucket formula masks."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = 0
+    n = len(data)
+    for i in range(0, n - (n % 4), 4):
+        k = int.from_bytes(data[i:i + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    tail = data[n - (n % 4):]
+    if tail:
+        k = 0
+        for i, b in enumerate(tail):
+            k |= b << (8 * i)
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= n
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h - 2**32 if h >= 2**31 else h
+
+
+def _days_from_epoch(value) -> int:
+    import datetime
+
+    if isinstance(value, datetime.datetime):
+        value = value.date()
+    if isinstance(value, datetime.date):
+        return value.toordinal() - _EPOCH_ORD
+    return int(value)  # already days
+
+
+def _bucket_hash(value, ice_type: str) -> int:
+    """Appendix B single-value hash: ints/longs/dates widen to 8-byte
+    little-endian longs, strings hash their UTF-8 bytes."""
+    if ice_type in ("int", "long"):
+        return _murmur3_32(struct.pack("<q", int(value)))
+    if ice_type == "date":
+        return _murmur3_32(struct.pack("<q", _days_from_epoch(value)))
+    if ice_type == "string":
+        return _murmur3_32(str(value).encode("utf-8"))
+    raise ValueError(f"bucket transform over unsupported type {ice_type!r}")
+
+
+def _apply_transform(transform: str, value, ice_type: str):
+    """Evaluate one spec transform on a SOURCE value — what a foreign
+    writer stored in the manifest's partition struct for that row's
+    file. Used to translate a source-column equality filter into
+    manifest-level pruning."""
+    import datetime
+    import re
+
+    if value is None:
+        return None
+    if transform == "identity":
+        return value
+    if transform == "void":
+        return None
+    m = re.fullmatch(r"bucket\[(\d+)\]", transform)
+    if m:
+        n = int(m.group(1))
+        return (_bucket_hash(value, ice_type) & 0x7FFFFFFF) % n
+    m = re.fullmatch(r"truncate\[(\d+)\]", transform)
+    if m:
+        w = int(m.group(1))
+        if ice_type in ("int", "long"):
+            return int(value) - (int(value) % w)  # floor, negatives included
+        if ice_type == "string":
+            return str(value)[:w]
+        raise ValueError(f"truncate transform over unsupported type {ice_type!r}")
+    if transform in ("year", "month", "day", "hour"):
+        if ice_type == "date":
+            d = value
+            if not isinstance(d, datetime.date):
+                d = datetime.date(1970, 1, 1) + datetime.timedelta(days=int(d))
+            if transform == "year":
+                return d.year - 1970
+            if transform == "month":
+                return (d.year - 1970) * 12 + (d.month - 1)
+            if transform == "day":
+                return _days_from_epoch(d)
+            raise ValueError("hour transform is invalid over date columns")
+        if ice_type in ("timestamp", "timestamptz"):
+            ts = value
+            if not isinstance(ts, datetime.datetime):
+                # micros from epoch, the Iceberg physical rendering
+                ts = datetime.datetime(1970, 1, 1) + datetime.timedelta(
+                    microseconds=int(ts)
+                )
+            if transform == "year":
+                return ts.year - 1970
+            if transform == "month":
+                return (ts.year - 1970) * 12 + (ts.month - 1)
+            if transform == "day":
+                return _days_from_epoch(ts)
+            micros = int(
+                (ts - datetime.datetime(1970, 1, 1)).total_seconds() * 1_000_000
+            )
+            return micros // 3_600_000_000
+        raise ValueError(
+            f"{transform} transform over unsupported type {ice_type!r}"
+        )
+    raise ValueError(f"unsupported partition transform {transform!r}")
+
+
+def _transform_result_type(transform: str, src_type: str) -> str:
+    """Iceberg result type of a partition transform (spec table)."""
+    if transform in ("identity", "void") or transform.startswith("truncate"):
+        return src_type
+    if transform.startswith("bucket") or transform in ("year", "month", "hour"):
+        return "int"
+    if transform == "day":
+        return "date"
+    raise ValueError(f"unsupported partition transform {transform!r}")
+
+
 def uniform_sync(spark, path: str, snap=None) -> str:
     """Write Iceberg metadata for the CURRENT Delta snapshot under
     ``<table>/metadata/``: a manifest, a manifest list, a v2
@@ -615,9 +763,16 @@ def uniform_sync(spark, path: str, snap=None) -> str:
     from the commit JSONs, O(window)) writes a manifest holding ONLY
     the new files and APPENDS it to the prior manifest list — per-commit
     metadata cost rides the commit, not the table. Any remove in the
-    window (OPTIMIZE's dataChange=false compaction — the one legal
-    remove on appendOnly tables) or a schema/partition change falls
-    back to one full-manifest rewrite, O(live files) driver-side."""
+    window (DML rewrites, OPTIMIZE compaction, replaceWhere), any
+    in-window deletion-vector change, or a schema/partition change
+    falls back to one full-manifest rewrite, O(live files) driver-side.
+
+    DELETION VECTORS are rendered as Iceberg v2 POSITION DELETE files:
+    each full-rewrite sync decodes every live DV (O(deleted rows) — the
+    same cost any engine pays to write position deletes) into
+    per-partition parquet files of (file_path, pos) plus one content=1
+    delete manifest, so Iceberg readers see exactly the Delta row set.
+    Clean append windows reuse the prior delete manifest untouched."""
     from pos_dlt_spark.sources.delta import _commit_actions, _list_log, delta_snapshot
 
     if snap is None:
@@ -661,6 +816,11 @@ def uniform_sync(spark, path: str, snap=None) -> str:
                     clean = False
                     break
                 if "add" in a:
+                    if a["add"].get("deletionVector"):
+                        # DV change in-window: the prior delete manifest
+                        # is stale — full rewrite re-renders every DV
+                        clean = False
+                        break
                     window_adds.append(a["add"]["path"])
             if not clean:
                 break
@@ -734,6 +894,131 @@ def uniform_sync(spark, path: str, snap=None) -> str:
             "content": "data",
         },
     )
+    # ---- deletion vectors -> Iceberg position delete files ----
+    # Only on FULL-rewrite syncs: a clean (append-only, DV-free) window
+    # reuses the prior manifest list, whose delete manifest is still
+    # exact; any window that touches a DV forces the full path above.
+    # One parquet delete file per PARTITION (spec: a position delete
+    # file's partition must match the data it applies to), rows sorted
+    # by (file_path, pos), written with the spec's reserved field-ids
+    # (2147483546/2147483545) so foreign Iceberg readers bind them.
+    delete_mlist_entries: list[dict] = []
+    if sync_files is None:
+        dv_groups: dict[tuple, list] = {}
+        for rel, pv in snap.files:
+            dv = (snap.adds.get(rel) or {}).get("deletionVector")
+            if dv:
+                key = tuple(sorted((pv or {}).items()))
+                dv_groups.setdefault(key, []).append((rel, dv))
+        if dv_groups:
+            import numpy as np
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            from pos_dlt_spark.sources.dv import decode_dv_runs, read_dv_bytes
+
+            del_entries: list[dict] = []
+            del_rows_total = 0
+            for key, group in sorted(dv_groups.items()):
+                tbls = []
+                for rel, dv in sorted(group):
+                    runs = decode_dv_runs(read_dv_bytes(path, dv)) or []
+                    if not runs:
+                        continue
+                    pos = np.concatenate(
+                        [np.arange(s, e + 1, dtype=np.int64) for s, e in runs]
+                    )
+                    fp = os.path.join(path, rel.replace("/", os.sep))
+                    tbls.append(
+                        pa.table(
+                            {
+                                "file_path": pa.array([fp] * len(pos), pa.string()),
+                                "pos": pa.array(pos, pa.int64()),
+                            }
+                        )
+                    )
+                if not tbls:
+                    continue
+                big = pa.concat_tables(tbls).cast(
+                    pa.schema(
+                        [
+                            pa.field(
+                                "file_path",
+                                pa.string(),
+                                nullable=False,
+                                metadata={"PARQUET:field_id": "2147483546"},
+                            ),
+                            pa.field(
+                                "pos",
+                                pa.int64(),
+                                nullable=False,
+                                metadata={"PARQUET:field_id": "2147483545"},
+                            ),
+                        ]
+                    )
+                )
+                dfile = os.path.join(
+                    md_dir, f"delete-{snapshot_id}-{uuid.uuid4().hex[:8]}.parquet"
+                )
+                pq.write_table(big, dfile)
+                del_rows_total += big.num_rows
+                del_entries.append(
+                    {
+                        "status": 1,
+                        "snapshot_id": snapshot_id,
+                        "sequence_number": None,  # inherited: == data's seq,
+                        # and position deletes apply at EQUAL-or-lower
+                        # data sequence numbers per the spec
+                        "file_sequence_number": None,
+                        "data_file": {
+                            "content": 1,
+                            "file_path": dfile,
+                            "file_format": "PARQUET",
+                            "partition": {
+                                c: _typed_partition_value(dict(key).get(c), ptypes[c])
+                                for c in ptypes
+                            },
+                            "record_count": big.num_rows,
+                            "file_size_in_bytes": os.path.getsize(dfile),
+                            "lower_bounds": None,
+                            "upper_bounds": None,
+                        },
+                    }
+                )
+            if del_entries:
+                dman_path = os.path.join(
+                    md_dir, f"manifest-del-{snapshot_id}-{uuid.uuid4().hex[:8]}.avro"
+                )
+                write_avro(
+                    dman_path,
+                    _manifest_entry_schema(pav),
+                    del_entries,
+                    meta={
+                        "schema": json.dumps(schema),
+                        "partition-spec": json.dumps(spec["fields"]),
+                        "partition-spec-id": str(spec["spec-id"]),
+                        "format-version": "2",
+                        "content": "deletes",
+                    },
+                )
+                delete_mlist_entries.append(
+                    {
+                        "manifest_path": dman_path,
+                        "manifest_length": os.path.getsize(dman_path),
+                        "partition_spec_id": 0,
+                        "content": 1,
+                        "sequence_number": snapshot_id,
+                        "min_sequence_number": snapshot_id,
+                        "added_snapshot_id": snapshot_id,
+                        "added_files_count": len(del_entries),
+                        "existing_files_count": 0,
+                        "deleted_files_count": 0,
+                        "added_rows_count": del_rows_total,
+                        "existing_rows_count": 0,
+                        "deleted_rows_count": 0,
+                    }
+                )
+
     mlist_path = os.path.join(md_dir, f"snap-{snapshot_id}-{uuid.uuid4().hex[:8]}.avro")
     new_entry = {
         "manifest_path": man_path,
@@ -751,7 +1036,7 @@ def uniform_sync(spark, path: str, snap=None) -> str:
         "deleted_rows_count": 0,
     }
     if entries or sync_files is None:
-        mlist_entries = prior_manifest_entries + [new_entry]
+        mlist_entries = prior_manifest_entries + [new_entry] + delete_mlist_entries
     else:
         # empty window manifest: reuse the prior list untouched
         os.remove(man_path)
@@ -780,7 +1065,11 @@ def uniform_sync(spark, path: str, snap=None) -> str:
             "timestamp-ms": ts_ms,
             "manifest-list": mlist_path,
             "summary": {
-                "operation": "append",
+                "operation": (
+                    "overwrite"
+                    if delete_mlist_entries or (sync_files is None and prior)
+                    else "append"
+                ),
                 "added-data-files": str(len(entries)),
                 "total-records": str(prev_total + total_rows),
             },
@@ -916,6 +1205,21 @@ def uniform_expire_snapshots(path: str, keep: int = 5) -> list[str]:
             continue  # unreadable retained list: delete nothing it might use
         for m in manifests:
             referenced.add(os.path.basename(m["manifest_path"]))
+    # position-delete parquet files referenced by surviving DELETE
+    # manifests (same reference-counting posture as the manifests: an
+    # unreadable manifest protects everything it might reference by
+    # keeping its name out of the sweep below)
+    referenced_deletes: set[str] = set()
+    for name in referenced:
+        mp = os.path.join(md_dir, name)
+        try:
+            _, entries = read_avro(mp)
+        except (OSError, ValueError):
+            continue
+        for e in entries:
+            df_ = e.get("data_file") or {}
+            if int(df_.get("content") or 0) != 0 and df_.get("file_path"):
+                referenced_deletes.add(os.path.basename(df_["file_path"]))
     deleted: list[str] = []
 
     def _rm(p: str) -> None:
@@ -938,6 +1242,12 @@ def uniform_expire_snapshots(path: str, keep: int = 5) -> list[str]:
             continue
         if n not in referenced:
             _rm(os.path.join(md_dir, n))
+    # position-delete parquets referenced by no surviving manifest
+    for n in sorted(os.listdir(md_dir)):
+        if not n.startswith("delete-") or not n.endswith(".parquet"):
+            continue
+        if n not in referenced_deletes:
+            _rm(os.path.join(md_dir, n))
     # metadata JSONs of expired snapshots may survive the loop above
     # when their snapshot never became current — sweep by version number
     for n in sorted(os.listdir(md_dir)):
@@ -949,15 +1259,20 @@ def uniform_expire_snapshots(path: str, keep: int = 5) -> list[str]:
 
 
 def read_uniform_files(path: str) -> list[dict]:
-    """Resolve the CURRENT Iceberg snapshot's data files purely from the
+    """Resolve the CURRENT Iceberg snapshot's DATA files purely from the
     emitted metadata (version-hint -> metadata JSON -> manifest list ->
     manifests), never touching the Delta log — what an Iceberg reader
-    does, and what the round-trip test drives."""
+    does, and what the round-trip test drives. Delete files (position
+    deletes rendered from DVs) are metadata-level and intentionally not
+    returned: this helper answers "which parquet files are live", the
+    file-set identity the round-trip gate checks; row-level semantics go
+    through :func:`read_iceberg`, which applies them."""
     md_dir = os.path.join(path, "metadata")
     meta = _read_prior_metadata(md_dir)
     if not meta:
         raise FileNotFoundError(f"no Iceberg metadata under {md_dir}")
-    return _snapshot_data_files(meta, _resolve_snapshot(meta))
+    data, _deletes = _snapshot_data_files(meta, _resolve_snapshot(meta))
+    return data
 
 
 def _resolve_snapshot(
@@ -988,34 +1303,47 @@ def _resolve_snapshot(
     return next(s for s in snaps if s["snapshot-id"] == cur)
 
 
-def _snapshot_data_files(meta: dict, snap: dict) -> list[dict]:
-    """Data files of one snapshot, from its manifest list. Refuses
-    delete manifests/files loudly (content != 0): silently ignoring them
-    would resurrect deleted rows for this reader."""
+def _snapshot_data_files(meta: dict, snap: dict) -> tuple[list[dict], list[dict]]:
+    """(data_files, delete_files) of one snapshot, from its manifest
+    list. Every returned dict gains ``_seq`` — the entry's explicit
+    sequence number or, for ADDED entries carrying null, the manifest's
+    (the spec's sequence-number inheritance) — which decides delete-file
+    applicability: position deletes apply to data files with
+    ``data._seq <= delete._seq``, equality deletes with strict ``<``.
+    Delete files must be position (content=1) or equality (content=2,
+    with equality_ids) parquet; anything else refuses loudly."""
     _, manifests = read_avro(snap["manifest-list"])
-    out: list[dict] = []
+    data: list[dict] = []
+    deletes: list[dict] = []
     for m in manifests:
-        if m.get("content", 0) != 0:
-            raise ValueError(
-                "Iceberg table carries DELETE manifests (v2 row-level "
-                "deletes) — outside this reader's supported boundary"
-            )
+        mseq = int(m.get("sequence_number") or 0)
         _, entries = read_avro(m["manifest_path"])
         for e in entries:
             if e["status"] not in (0, 1):  # skip DELETED entries
                 continue
             df_ = e["data_file"]
-            if df_.get("content", 0) != 0:
-                raise ValueError(
-                    "Iceberg manifest references delete files — outside "
-                    "this reader's supported boundary"
-                )
+            seq = e.get("sequence_number")
+            df_["_seq"] = int(seq) if seq is not None else mseq
             if (df_.get("file_format") or "").upper() != "PARQUET":
                 raise ValueError(
                     f"unsupported Iceberg file format {df_.get('file_format')!r}"
                 )
-            out.append(df_)
-    return out
+            content = int(df_.get("content") or 0)
+            if content == 0:
+                data.append(df_)
+            elif content == 1:
+                deletes.append(df_)
+            elif content == 2:
+                ids = df_.get("equality_ids")
+                if not ids:
+                    raise ValueError(
+                        "equality delete file without equality_ids — outside "
+                        "this reader's supported boundary"
+                    )
+                deletes.append(df_)
+            else:
+                raise ValueError(f"unsupported Iceberg file content {content!r}")
+    return data, deletes
 
 
 _ICEBERG_TO_SPARK = {
@@ -1093,7 +1421,9 @@ def read_iceberg(
     → parquet. The Delta log (when the table is a UniForm twin) is never
     consulted, so this is the engine-switch path: a table written by any
     engine that emits spec-v2 metadata within the supported boundary
-    (data manifests only, identity partition transforms, null-codec Avro)
+    (identity partition transforms; null- or deflate-codec Avro; v2
+    POSITION and EQUALITY delete files applied merge-on-read with
+    sequence-number applicability — see :func:`_apply_iceberg_deletes`)
     reads here.
 
     ``snapshot_id`` / ``as_of_timestamp_ms`` select historical snapshots
@@ -1128,7 +1458,7 @@ def read_iceberg(
             f"unsupported Iceberg format-version {meta.get('format-version')!r}"
         )
     snap = _resolve_snapshot(meta, snapshot_id, as_of_timestamp_ms)
-    files = _snapshot_data_files(meta, snap)
+    files, delete_files = _snapshot_data_files(meta, snap)
 
     schema = next(
         s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
@@ -1136,30 +1466,59 @@ def read_iceberg(
     spec = next(
         p for p in meta["partition-specs"] if p["spec-id"] == meta["default-spec-id"]
     )
+    by_id = {f["id"]: f for f in schema["fields"]}
+    # validate every transform up front (unknown ones refuse loudly even
+    # without a partition_filter — silently ignoring a spec we cannot
+    # evaluate would break pruning contracts later)
     for pf in spec["fields"]:
-        if pf["transform"] != "identity":
-            raise ValueError(
-                f"unsupported partition transform {pf['transform']!r} "
-                "(identity only)"
-            )
-    by_id = {f["id"]: f["name"] for f in schema["fields"]}
-    part_cols = [by_id[pf["source-id"]] for pf in spec["fields"]]
+        _transform_result_type(pf["transform"], by_id[pf["source-id"]]["type"])
+    identity_only = all(pf["transform"] == "identity" for pf in spec["fields"])
+    src_fields: dict[str, list] = {}
+    for pf in spec["fields"]:
+        src_fields.setdefault(by_id[pf["source-id"]]["name"], []).append(pf)
+    # partition-column re-attachment from the hive layout applies to the
+    # identity-only (UniForm twin) shape, where data files do NOT carry
+    # the partition columns; transform-partitioned tables are written by
+    # foreign engines, which always store source columns in the data
+    # files (the spec requires it), so they read without basePath
+    part_cols = (
+        [by_id[pf["source-id"]]["name"] for pf in spec["fields"]]
+        if identity_only
+        else []
+    )
 
+    residual: list[tuple[str, object]] = []
     if partition_filter:
-        unknown = set(partition_filter) - set(part_cols)
+        unknown = set(partition_filter) - set(src_fields)
         if unknown:
             raise ValueError(
                 f"partition_filter columns {sorted(unknown)} are not "
-                f"partition columns {part_cols}"
+                f"partition source columns {sorted(src_fields)}"
             )
-        files = [
-            f
-            for f in files
-            if all(
-                (f.get("partition") or {}).get(c) == v
-                for c, v in partition_filter.items()
-            )
-        ]
+
+        def _keep(f: dict) -> bool:
+            pv = f.get("partition") or {}
+            for c, v in partition_filter.items():
+                styp = by_id[
+                    next(pf["source-id"] for pf in src_fields[c])
+                ]["type"]
+                for pf in src_fields[c]:
+                    if pf["transform"] == "void":
+                        continue
+                    if pv.get(pf["name"]) != _apply_transform(
+                        pf["transform"], v, styp
+                    ):
+                        return False
+            return True
+
+        files = [f for f in files if _keep(f)]
+        # a transform value is NECESSARY but not sufficient for source
+        # equality (bucket collisions, truncation, calendar grouping):
+        # columns with no identity spec field get a residual row filter
+        # so partition_filter keeps exact row semantics either way
+        for c, v in partition_filter.items():
+            if not any(pf["transform"] == "identity" for pf in src_fields[c]):
+                residual.append((c, v))
     if prune:
         by_name = {f["name"]: f for f in schema["fields"]}
         for col, _op, _v in prune:
@@ -1191,9 +1550,111 @@ def read_iceberg(
         df = spark.read.parquet(*paths)
     from pyspark.sql import functions as F
 
-    return df.select(
-        *[
-            F.col(f["name"]).cast(_iceberg_type_to_spark(f["type"])).alias(f["name"])
-            for f in schema["fields"]
-        ]
+    casts = [
+        F.col(f["name"]).cast(_iceberg_type_to_spark(f["type"])).alias(f["name"])
+        for f in schema["fields"]
+    ]
+    if delete_files:
+        df = _apply_iceberg_deletes(spark, df, casts, files, delete_files, schema)
+    else:
+        df = df.select(*casts)
+    for c, v in residual:
+        df = df.filter(F.col(c) == F.lit(v))
+    return df
+
+
+def _norm_file_path(p: str) -> str:
+    """Strip a ``file:`` / ``file://`` URI scheme so manifest paths,
+    delete-file rows, and Spark's ``_metadata.file_path`` (always a URI)
+    compare on the same rendering."""
+    if p.startswith("file://"):
+        return p[len("file://"):]
+    if p.startswith("file:"):
+        return p[len("file:"):]
+    return p
+
+
+def _apply_iceberg_deletes(spark, df, casts, data_files, delete_files, schema):
+    """Merge-on-read: apply Iceberg v2 delete files to the data scan,
+    Spark-natively. Position deletes (content=1) anti-join on
+    ``(_metadata.file_path, _metadata.row_index)`` — the parquet scan's
+    native row position, so no counter UDF touches the hot path; a
+    delete applies when its sequence number is >= the data file's (the
+    spec's equal-or-lower rule). Equality deletes (content=2, foreign
+    writers) anti-join null-safely on their equality_ids columns with a
+    strictly-greater sequence check, one broadcast anti-join per
+    (ids, seq) group. Everything broadcast is metadata- or
+    deleted-row-scale; the data side stays one distributed scan."""
+    from pyspark.sql import functions as F
+
+    by_id = {f["id"]: f for f in schema["fields"]}
+    norm_meta = F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", "")
+    df = df.select(
+        *casts,
+        norm_meta.alias("__ice_path"),
+        F.col("_metadata.row_index").alias("__ice_pos"),
     )
+    # data-file sequence numbers: metadata-sized, broadcast
+    seq_rows = [
+        (_norm_file_path(d["file_path"]), int(d["_seq"])) for d in data_files
+    ]
+    seq_df = spark.createDataFrame(seq_rows, "__ice_path string, __data_seq long")
+    df = df.join(F.broadcast(seq_df), "__ice_path", "left").withColumn(
+        "__data_seq", F.coalesce(F.col("__data_seq"), F.lit(0))
+    )
+
+    pos_dels = [d for d in delete_files if int(d.get("content") or 0) == 1]
+    if pos_dels:
+        dseq_rows = [
+            (_norm_file_path(d["file_path"]), int(d["_seq"])) for d in pos_dels
+        ]
+        dseq = spark.createDataFrame(dseq_rows, "__del_file string, __del_seq long")
+        pdf = (
+            spark.read.parquet(*[d["file_path"] for d in pos_dels])
+            .select(
+                F.regexp_replace(F.col("file_path"), "^file:(//)?", "").alias(
+                    "__del_path"
+                ),
+                F.col("pos").cast("long").alias("__del_pos"),
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:(//)?", ""
+                ).alias("__del_file"),
+            )
+            .join(F.broadcast(dseq), "__del_file")
+        )
+        df = df.join(
+            F.broadcast(pdf),
+            (F.col("__ice_path") == F.col("__del_path"))
+            & (F.col("__ice_pos") == F.col("__del_pos"))
+            & (F.col("__del_seq") >= F.col("__data_seq")),
+            "left_anti",
+        )
+
+    eq_dels = [d for d in delete_files if int(d.get("content") or 0) == 2]
+    if eq_dels:
+        groups: dict[tuple, list] = {}
+        for d in eq_dels:
+            ids = tuple(int(i) for i in d["equality_ids"])
+            groups.setdefault((ids, int(d["_seq"])), []).append(d["file_path"])
+        for (ids, dseq_n), dpaths in sorted(groups.items()):
+            cols = []
+            for i in ids:
+                if i not in by_id:
+                    raise ValueError(
+                        f"equality_ids field {i} not in table schema"
+                    )
+                cols.append(by_id[i])
+            edf = spark.read.parquet(*dpaths).select(
+                *[
+                    F.col(c["name"])
+                    .cast(_iceberg_type_to_spark(c["type"]))
+                    .alias(f"__eq_{c['name']}")
+                    for c in cols
+                ]
+            )
+            cond = F.lit(dseq_n) > F.col("__data_seq")
+            for c in cols:
+                cond = cond & F.col(c["name"]).eqNullSafe(F.col(f"__eq_{c['name']}"))
+            df = df.join(F.broadcast(edf), cond, "left_anti")
+
+    return df.select(*[f["name"] for f in schema["fields"]])

@@ -117,12 +117,14 @@ def test_uniform_optimize_resync_before_vacuum(spark, tmp_path):
 
 def test_uniform_refusals(spark, tmp_path):
     df = spark.range(0, 10).withColumn("v", F.col("id"))
-    with pytest.raises(ValueError, match="appendOnly"):
-        write_delta(
-            df,
-            str(tmp_path / "u1"),
-            configuration={"delta.universalFormat.enabledFormats": "iceberg"},
-        )
+    # DML-capable (non-appendOnly) tables are ACCEPTED: removes trigger
+    # a full resync and DVs render as Iceberg position deletes
+    write_delta(
+        df,
+        str(tmp_path / "u1"),
+        configuration={"delta.universalFormat.enabledFormats": "iceberg"},
+    )
+    assert uf.read_iceberg(spark, str(tmp_path / "u1")).count() == 10
     with pytest.raises(ValueError, match="column mapping"):
         write_delta(
             df,
@@ -252,13 +254,15 @@ def test_read_iceberg_manifest_partition_pruning(spark, tmp_path):
     assert all(f"bucket=1" in p for p in used)
     rows = pruned.collect()
     assert len(rows) == 30 and all(r["bucket"] == 1 for r in rows)
-    with pytest.raises(ValueError, match="not partition columns"):
+    with pytest.raises(ValueError, match="not partition source columns"):
         uf.read_iceberg(spark, t, partition_filter={"id": 1})
 
 
-def test_read_iceberg_refuses_delete_manifests(spark, tmp_path):
-    """A manifest-list entry with content=1 (delete manifest) refuses
-    loudly — ignoring it would resurrect deleted rows."""
+def test_read_iceberg_refuses_unknown_file_content(spark, tmp_path):
+    """A data_file whose ``content`` is neither data (0), position
+    delete (1) nor equality delete (2) refuses loudly — silently
+    skipping an unknown row-level format could resurrect deleted rows.
+    An equality delete missing its equality_ids refuses too."""
     t = str(tmp_path / "rd")
     write_delta(spark.range(0, 10).coalesce(1), t, configuration=UNIFORM_CONF)
     md = os.path.join(t, "metadata")
@@ -267,10 +271,16 @@ def test_read_iceberg_refuses_delete_manifests(spark, tmp_path):
     cur = next(
         s for s in meta["snapshots"] if s["snapshot-id"] == meta["current-snapshot-id"]
     )
-    schema, entries = uf.read_avro(cur["manifest-list"])
-    entries[0]["content"] = 1
-    uf.write_avro(cur["manifest-list"], schema, entries, meta={"format-version": "2"})
-    with pytest.raises(ValueError, match="DELETE manifests"):
+    _, manifests = uf.read_avro(cur["manifest-list"])
+    mp = manifests[0]["manifest_path"]
+    schema, entries = uf.read_avro(mp)
+    entries[0]["data_file"]["content"] = 7
+    uf.write_avro(mp, schema, entries, meta={"content": "data"})
+    with pytest.raises(ValueError, match="content"):
+        uf.read_iceberg(spark, t)
+    entries[0]["data_file"]["content"] = 2  # equality delete, no ids
+    uf.write_avro(mp, schema, entries, meta={"content": "data"})
+    with pytest.raises(ValueError, match="equality_ids"):
         uf.read_iceberg(spark, t)
 
 
@@ -466,3 +476,501 @@ def test_uniform_expire_snapshots(spark, tmp_path):
     assert read_delta(spark, t).count() == 60
     with pytest.raises(ValueError, match="keep must be"):
         uf.uniform_expire_snapshots(t, keep=0)
+
+
+# ----------------------------------------------------------------------
+# Row-level deletes: DV -> position-delete emission and the v2
+# merge-on-read read path (position + equality deletes, sequence rules)
+# ----------------------------------------------------------------------
+
+
+def _ice_rows(spark, t):
+    return sorted(tuple(r) for r in uf.read_iceberg(spark, t).collect())
+
+
+def _delta_rows(spark, t, cols):
+    return sorted(tuple(r) for r in read_delta(spark, t).select(*cols).collect())
+
+
+def test_uniform_dv_position_delete_roundtrip(spark, tmp_path):
+    """dv-mode DELETE and UPDATE on a UniForm table: every live DV is
+    rendered as an Iceberg position-delete parquet (spec field-ids
+    2147483546/2147483545) under a content=1 delete manifest, and
+    read_iceberg — Delta log never consulted — returns exactly the
+    Delta rows."""
+    from pos_dlt_spark.sources.delta_writer import delta_delete, delta_update
+
+    t = str(tmp_path / "dvp")
+    df = spark.range(0, 600).select(
+        "id",
+        (F.col("id") % 3).cast("string").alias("p"),
+        (F.col("id") * 2).alias("v"),
+    )
+    write_delta(
+        df.repartition(4),
+        t,
+        partition_by=["p"],
+        configuration={"delta.universalFormat.enabledFormats": "iceberg"},
+    )
+    delta_delete(spark, t, "id % 7 = 0", mode="dv")
+    assert _ice_rows(spark, t) == _delta_rows(spark, t, ["id", "p", "v"])
+    # the delete parquet carries the spec's reserved field-ids
+    import glob
+
+    import pyarrow.parquet as pq
+
+    dfiles = glob.glob(os.path.join(t, "metadata", "delete-*.parquet"))
+    assert dfiles
+    sch = pq.read_schema(dfiles[0])
+    assert sch.field("file_path").metadata[b"PARQUET:field_id"] == b"2147483546"
+    assert sch.field("pos").metadata[b"PARQUET:field_id"] == b"2147483545"
+    # the manifest list carries a content=1 delete manifest
+    md = os.path.join(t, "metadata")
+    v = int(open(os.path.join(md, "version-hint.text")).read())
+    meta = json.load(open(os.path.join(md, f"v{v}.metadata.json")))
+    cur = next(
+        s for s in meta["snapshots"] if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _, manifests = uf.read_avro(cur["manifest-list"])
+    assert {m["content"] for m in manifests} == {0, 1}
+    assert cur["summary"]["operation"] == "overwrite"
+    # dv-mode UPDATE stacks a second DV generation; rows still exact
+    delta_update(spark, t, "id % 11 = 0", {"v": "v + 1"}, mode="dv")
+    assert _ice_rows(spark, t) == _delta_rows(spark, t, ["id", "p", "v"])
+
+
+def test_uniform_dv_then_append_reuses_delete_manifest(spark, tmp_path):
+    """A clean append AFTER a DV sync takes the incremental path: the
+    prior manifests — including the delete manifest — are reused, one
+    new data manifest is appended, and the new file's higher sequence
+    number keeps old position deletes from ever applying to it."""
+    from pos_dlt_spark.sources.delta_writer import delta_delete
+
+    t = str(tmp_path / "dvi")
+    write_delta(
+        spark.range(0, 100).coalesce(1),
+        t,
+        configuration={"delta.universalFormat.enabledFormats": "iceberg"},
+    )
+    delta_delete(spark, t, "id < 10", mode="dv")
+    md = os.path.join(t, "metadata")
+
+    def cur_manifests():
+        v = int(open(os.path.join(md, "version-hint.text")).read())
+        meta = json.load(open(os.path.join(md, f"v{v}.metadata.json")))
+        cur = next(
+            s
+            for s in meta["snapshots"]
+            if s["snapshot-id"] == meta["current-snapshot-id"]
+        )
+        return uf.read_avro(cur["manifest-list"])[1]
+
+    before = cur_manifests()
+    write_delta(spark.range(100, 150).coalesce(1), t)
+    after = cur_manifests()
+    # prior manifests (data + delete) reused byte-identical, one appended
+    assert [m["manifest_path"] for m in after[: len(before)]] == [
+        m["manifest_path"] for m in before
+    ]
+    assert len(after) == len(before) + 1
+    assert after[-1]["content"] == 0
+    assert uf.read_iceberg(spark, t).count() == 140
+    assert _ice_rows(spark, t) == _delta_rows(spark, t, ["id"])
+
+
+def test_uniform_dv_vacuum_expire_gc(spark, tmp_path):
+    """OPTIMIZE purges the DVs and re-syncs; VACUUM's walk never touches
+    metadata/ (position-delete parquets are Iceberg-owned); expire
+    reference-counts delete parquets like manifests and collects the
+    ones only expired snapshots used."""
+    from pos_dlt_spark.sources.delta_writer import delta_delete, delta_vacuum
+
+    t = str(tmp_path / "dvg")
+    write_delta(
+        spark.range(0, 200).repartition(2),
+        t,
+        configuration={"delta.universalFormat.enabledFormats": "iceberg"},
+    )
+    delta_delete(spark, t, "id % 5 = 0", mode="dv")
+    import glob
+
+    dels_before = set(glob.glob(os.path.join(t, "metadata", "delete-*.parquet")))
+    assert dels_before
+    # vacuum must not collect the delete parquets (they are referenced
+    # by Iceberg manifests, not the Delta log)
+    delta_vacuum(spark, t, retain_versions=0, grace_seconds=-3600)
+    assert all(os.path.exists(p) for p in dels_before)
+    assert _ice_rows(spark, t) == _delta_rows(spark, t, ["id"])
+    delta_optimize(spark, t, target_files=1)  # purges DVs, full resync
+    assert _ice_rows(spark, t) == _delta_rows(spark, t, ["id"])
+    # expire to the current snapshot only: the DV snapshot's delete
+    # parquets are referenced by no surviving manifest -> collected
+    uf.uniform_expire_snapshots(t, keep=1)
+    assert not glob.glob(os.path.join(t, "metadata", "delete-*.parquet"))
+    assert uf.read_iceberg(spark, t).count() == 160
+
+
+def _mini_iceberg_table(
+    root: str,
+    data_files: list,
+    delete_manifests: list,
+    spec_fields: list | None = None,
+) -> None:
+    """Hand-build a from-scratch Iceberg v2 table (schema: id long,
+    grp string) with explicit per-manifest sequence numbers — the shapes
+    foreign engines write, which the emitter never produces itself.
+    ``data_files``: [(parquet_path, n_rows, seq)] or
+    [(parquet_path, n_rows, seq, partition_dict)];
+    ``delete_manifests``: [(content, entries, seq)];
+    ``spec_fields``: Iceberg partition-spec fields (default
+    unpartitioned), transforms included."""
+    md = os.path.join(root, "metadata")
+    os.makedirs(md, exist_ok=True)
+    schema = {
+        "type": "struct",
+        "schema-id": 0,
+        "fields": [
+            {"id": 1, "name": "id", "required": False, "type": "long"},
+            {"id": 2, "name": "grp", "required": False, "type": "string"},
+        ],
+    }
+    spec = {"spec-id": 0, "fields": spec_fields or []}
+    pav = uf._partition_avro_schema(spec, schema["fields"])
+    eschema = uf._manifest_entry_schema(pav)
+    mlist_entries = []
+    seq = 0
+    for i, entry in enumerate(data_files):
+        fp, n, fseq = entry[0], entry[1], entry[2]
+        pv = entry[3] if len(entry) > 3 else {}
+        man = os.path.join(md, f"manifest-data-{i}.avro")
+        uf.write_avro(
+            man,
+            eschema,
+            [
+                {
+                    "status": 1,
+                    "snapshot_id": 1,
+                    "sequence_number": None,  # inherited from the list
+                    "file_sequence_number": None,
+                    "data_file": {
+                        "content": 0,
+                        "file_path": fp,
+                        "file_format": "PARQUET",
+                        "partition": pv,
+                        "record_count": n,
+                        "file_size_in_bytes": os.path.getsize(fp),
+                    },
+                }
+            ],
+            meta={"content": "data"},
+        )
+        mlist_entries.append(
+            {
+                "manifest_path": man,
+                "manifest_length": os.path.getsize(man),
+                "partition_spec_id": 0,
+                "content": 0,
+                "sequence_number": fseq,
+                "min_sequence_number": fseq,
+                "added_snapshot_id": 1,
+                "added_files_count": 1,
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": n,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            }
+        )
+        seq = max(seq, fseq)
+    for i, (content, entries, dseq) in enumerate(delete_manifests):
+        man = os.path.join(md, f"manifest-del-{i}.avro")
+        uf.write_avro(man, eschema, entries, meta={"content": "deletes"})
+        mlist_entries.append(
+            {
+                "manifest_path": man,
+                "manifest_length": os.path.getsize(man),
+                "partition_spec_id": 0,
+                "content": 1,
+                "sequence_number": dseq,
+                "min_sequence_number": dseq,
+                "added_snapshot_id": 1,
+                "added_files_count": len(entries),
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": sum(
+                    e["data_file"]["record_count"] for e in entries
+                ),
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            }
+        )
+        seq = max(seq, dseq)
+    mlist = os.path.join(md, "snap-1.avro")
+    uf.write_avro(mlist, uf._MANIFEST_LIST_SCHEMA, mlist_entries)
+    meta = {
+        "format-version": 2,
+        "table-uuid": "00000000-0000-0000-0000-000000000001",
+        "location": root,
+        "last-sequence-number": seq,
+        "last-updated-ms": 0,
+        "last-column-id": 2,
+        "current-schema-id": 0,
+        "schemas": [schema],
+        "default-spec-id": 0,
+        "partition-specs": [spec],
+        "last-partition-id": 999,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {},
+        "current-snapshot-id": 1,
+        "snapshots": [
+            {
+                "snapshot-id": 1,
+                "sequence-number": seq,
+                "timestamp-ms": 0,
+                "manifest-list": mlist,
+                "summary": {"operation": "append"},
+                "schema-id": 0,
+            }
+        ],
+        "snapshot-log": [],
+        "metadata-log": [],
+    }
+    with open(os.path.join(md, "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(md, "version-hint.text"), "w") as fh:
+        fh.write("1")
+
+
+def _write_parquet(path: str, ids: list[int], grps: list[str]) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({"id": pa.array(ids, pa.int64()), "grp": pa.array(grps)}), path
+    )
+
+
+def test_position_delete_sequence_applicability(spark, tmp_path):
+    """The spec's rule: a position delete applies to data files with
+    EQUAL-OR-LOWER data sequence number. A delete at seq 1 referencing
+    the same row position in a seq-1 file (applies) and a seq-2 file
+    (must NOT apply) — the seq-2 row survives. Also exercises
+    sequence-number INHERITANCE: every entry carries null and inherits
+    from its manifest-list entry."""
+    root = str(tmp_path / "seqp")
+    os.makedirs(root)
+    a = os.path.join(root, "a.parquet")
+    b = os.path.join(root, "b.parquet")
+    _write_parquet(a, list(range(0, 10)), ["x"] * 10)
+    _write_parquet(b, list(range(10, 20)), ["y"] * 10)
+    dpath = os.path.join(root, "pd.parquet")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "file_path": pa.array([a, b]),
+                "pos": pa.array([0, 0], pa.int64()),
+            }
+        ),
+        dpath,
+    )
+    del_entry = {
+        "status": 1,
+        "snapshot_id": 1,
+        "sequence_number": None,
+        "file_sequence_number": None,
+        "data_file": {
+            "content": 1,
+            "file_path": dpath,
+            "file_format": "PARQUET",
+            "partition": {},
+            "record_count": 2,
+            "file_size_in_bytes": os.path.getsize(dpath),
+        },
+    }
+    _mini_iceberg_table(
+        root, [(a, 10, 1), (b, 10, 2)], [(1, [del_entry], 1)]
+    )
+    got = sorted(r["id"] for r in uf.read_iceberg(spark, root).collect())
+    # id 0 (pos 0 of the seq-1 file) deleted; id 10 (pos 0 of the seq-2
+    # file) SURVIVES the seq-1 delete
+    assert got == list(range(1, 20))
+
+
+def test_equality_deletes_read(spark, tmp_path):
+    """Equality deletes (content=2, foreign writers): rows matching the
+    equality_ids columns are dropped from data files with STRICTLY
+    LOWER sequence numbers; a same-or-newer data file keeps its rows.
+    Null-safe matching per the spec."""
+    root = str(tmp_path / "eqd")
+    os.makedirs(root)
+    a = os.path.join(root, "a.parquet")  # seq 1: affected
+    c = os.path.join(root, "c.parquet")  # seq 3: newer than the delete
+    _write_parquet(a, [0, 1, 2, 3], ["x", "y", "x", None])
+    _write_parquet(c, [10, 11], ["x", "y"])
+    dpath = os.path.join(root, "eq.parquet")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.table({"grp": pa.array(["x", None])}), dpath)
+    del_entry = {
+        "status": 1,
+        "snapshot_id": 1,
+        "sequence_number": None,
+        "file_sequence_number": None,
+        "data_file": {
+            "content": 2,
+            "file_path": dpath,
+            "file_format": "PARQUET",
+            "partition": {},
+            "record_count": 2,
+            "file_size_in_bytes": os.path.getsize(dpath),
+            "equality_ids": [2],  # field-id of grp
+        },
+    }
+    _mini_iceberg_table(root, [(a, 4, 1), (c, 2, 3)], [(1, [del_entry], 2)])
+    got = sorted(
+        (r["id"], r["grp"]) for r in uf.read_iceberg(spark, root).collect()
+    )
+    # seq-1 file: grp='x' rows AND the null row deleted (null-safe);
+    # seq-3 file survives whole (3 >= delete seq 2, strict rule)
+    assert got == [(1, "y"), (10, "x"), (11, "y")]
+
+
+def test_convert_refuses_delete_files(spark, tmp_path):
+    """CONVERT TO DELTA refuses a snapshot carrying delete files —
+    in-place conversion would resurrect their rows."""
+    from pos_dlt_spark.sources.delta_writer import convert_iceberg_to_delta
+
+    root = str(tmp_path / "cvd")
+    os.makedirs(root)
+    a = os.path.join(root, "a.parquet")
+    _write_parquet(a, [0, 1], ["x", "y"])
+    dpath = os.path.join(root, "pd.parquet")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({"file_path": pa.array([a]), "pos": pa.array([0], pa.int64())}),
+        dpath,
+    )
+    del_entry = {
+        "status": 1,
+        "snapshot_id": 1,
+        "sequence_number": None,
+        "file_sequence_number": None,
+        "data_file": {
+            "content": 1,
+            "file_path": dpath,
+            "file_format": "PARQUET",
+            "partition": {},
+            "record_count": 1,
+            "file_size_in_bytes": os.path.getsize(dpath),
+        },
+    }
+    _mini_iceberg_table(root, [(a, 2, 1)], [(1, [del_entry], 1)])
+    with pytest.raises(ValueError, match="delete files"):
+        convert_iceberg_to_delta(spark, root)
+
+
+# ----------------------------------------------------------------------
+# Partition transforms (spec §Partition Transforms + Appendix B)
+# ----------------------------------------------------------------------
+
+
+def test_transform_spec_vectors():
+    """The spec's own Appendix B test vectors pin the murmur3 hash and
+    each transform's semantics — the interop contract with every real
+    Iceberg writer."""
+    import datetime
+
+    assert uf._bucket_hash(34, "int") == 2017239379
+    assert uf._bucket_hash(34, "long") == 2017239379
+    assert uf._bucket_hash("iceberg", "string") == 1210000089
+    assert uf._bucket_hash(datetime.date(2017, 11, 16), "date") == -653330422
+    d = datetime.date(2017, 11, 16)
+    assert uf._apply_transform("year", d, "date") == 47
+    assert uf._apply_transform("month", d, "date") == 574
+    assert uf._apply_transform("day", d, "date") == 17486
+    ts = datetime.datetime(2017, 11, 16, 22, 31, 8)
+    # 17486 days * 24 + 22 hours
+    assert uf._apply_transform("hour", ts, "timestamptz") == 419686
+    assert uf._apply_transform("truncate[10]", -1, "int") == -10
+    assert uf._apply_transform("truncate[10]", 1, "int") == 0
+    assert uf._apply_transform("truncate[3]", "iceberg", "string") == "ice"
+    assert uf._apply_transform("void", 34, "int") is None
+    with pytest.raises(ValueError, match="transform"):
+        uf._apply_transform("zorder", 1, "int")
+
+
+def test_read_iceberg_bucket_transform_pruning(spark, tmp_path):
+    """A foreign bucket[4]-partitioned table: partition_filter on the
+    SOURCE column prunes manifests through the spec's murmur3 bucket
+    transform AND applies a residual row filter (a bucket value is
+    necessary, not sufficient, for source equality)."""
+    root = str(tmp_path / "bkt")
+    os.makedirs(root)
+    ids = list(range(100))
+    buckets: dict[int, list[int]] = {}
+    for i in ids:
+        buckets.setdefault(
+            uf._apply_transform("bucket[4]", i, "long"), []
+        ).append(i)
+    assert len(buckets) == 4  # 100 ids cover all four buckets
+    data_files = []
+    for b, members in sorted(buckets.items()):
+        fp = os.path.join(root, f"b{b}.parquet")
+        _write_parquet(fp, members, [f"g{v % 5}" for v in members])
+        data_files.append((fp, len(members), 1, {"id_bucket": b}))
+    spec_fields = [
+        {
+            "name": "id_bucket",
+            "transform": "bucket[4]",
+            "source-id": 1,
+            "field-id": 1000,
+        }
+    ]
+    _mini_iceberg_table(root, data_files, [], spec_fields=spec_fields)
+    # unfiltered read sees every row (source columns live in the files)
+    assert uf.read_iceberg(spark, root).count() == 100
+    got = uf.read_iceberg(spark, root, partition_filter={"id": 34})
+    assert len(got.inputFiles()) == 1  # pruned to bucket(34)'s one file
+    rows = got.collect()
+    assert [(r["id"], r["grp"]) for r in rows] == [(34, "g4")]
+
+
+def test_read_iceberg_truncate_transform_pruning(spark, tmp_path):
+    """truncate[10] partitioning on the long column: the filter value's
+    truncation picks the right file; rows outside the exact value are
+    cut by the residual filter."""
+    root = str(tmp_path / "trc")
+    os.makedirs(root)
+    data_files = []
+    for lo in (0, 10, 20):
+        fp = os.path.join(root, f"t{lo}.parquet")
+        members = list(range(lo, lo + 10))
+        _write_parquet(fp, members, ["x"] * 10)
+        data_files.append((fp, 10, 1, {"id_trunc": lo}))
+    spec_fields = [
+        {
+            "name": "id_trunc",
+            "transform": "truncate[10]",
+            "source-id": 1,
+            "field-id": 1000,
+        }
+    ]
+    _mini_iceberg_table(root, data_files, [], spec_fields=spec_fields)
+    got = uf.read_iceberg(spark, root, partition_filter={"id": 17})
+    assert len(got.inputFiles()) == 1
+    assert [r["id"] for r in got.collect()] == [17]
+    # unknown transform in the spec refuses even without a filter
+    mdp = os.path.join(root, "metadata", "v1.metadata.json")
+    meta = json.load(open(mdp))
+    meta["partition-specs"][0]["fields"][0]["transform"] = "zorder"
+    with open(mdp, "w") as fh:
+        json.dump(meta, fh)
+    with pytest.raises(ValueError, match="transform"):
+        uf.read_iceberg(spark, root)
