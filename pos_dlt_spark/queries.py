@@ -3042,6 +3042,9 @@ def prepare_bench_fixtures(spark: SparkSession, sf_dir: str) -> None:
     # the two-commit UniForm emission IS the fixture; the timed region
     # should measure the Iceberg-metadata-resolved scan
     REGISTRY["orders_iceberg_uniform_scan"].fn(spark, sf_dir)
+    # the dv DELETE/UPDATE + position-delete emission IS the fixture;
+    # the timed region should measure the merge-on-read Iceberg scan
+    REGISTRY["orders_iceberg_dv_deletes"].fn(spark, sf_dir)
     # the log-drop + manifest-driven convert IS the fixture; the timed
     # region should measure the converted table's read path
     REGISTRY["supplier_iceberg_convert_roundtrip"].fn(spark, sf_dir)

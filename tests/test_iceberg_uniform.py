@@ -974,3 +974,41 @@ def test_read_iceberg_truncate_transform_pruning(spark, tmp_path):
         json.dump(meta, fh)
     with pytest.raises(ValueError, match="transform"):
         uf.read_iceberg(spark, root)
+
+
+def test_uniform_create_table_and_clone(spark, tmp_path):
+    """Data-less CREATE on a UniForm table emits an empty Iceberg
+    snapshot (discoverable before the first row); CLONE of a UniForm
+    table (DVs included) emits the clone's own metadata at commit 0,
+    with the shallow clone's absolute source paths rendered verbatim."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from pos_dlt_spark.sources.delta_writer import (
+        delta_clone,
+        delta_create_table,
+        delta_delete,
+    )
+
+    t = str(tmp_path / "uc")
+    delta_create_table(
+        spark,
+        t,
+        StructType([StructField("id", LongType())]),
+        configuration={"delta.universalFormat.enabledFormats": "iceberg"},
+    )
+    empty = uf.read_iceberg(spark, t)
+    assert empty.count() == 0 and empty.columns == ["id"]
+    write_delta(spark.range(0, 25).coalesce(1), t)
+    assert uf.read_iceberg(spark, t).count() == 25
+
+    src = str(tmp_path / "src")
+    write_delta(
+        spark.range(0, 100).coalesce(2),
+        src,
+        configuration={"delta.universalFormat.enabledFormats": "iceberg"},
+    )
+    delta_delete(spark, src, "id < 20", mode="dv")
+    dst = str(tmp_path / "dst")
+    delta_clone(spark, src, dst)
+    got = sorted(r["id"] for r in uf.read_iceberg(spark, dst).collect())
+    assert got == list(range(20, 100))
