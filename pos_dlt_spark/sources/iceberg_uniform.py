@@ -615,6 +615,51 @@ def _typed_partition_value(raw: str | None, ice_type: str):
     return raw  # string / date / timestamp rendered as source strings
 
 
+def _evolved_schema(spark_schema, prior: dict):
+    """Schema evolution with STABLE FIELD IDS (the Iceberg contract:
+    a field keeps its id across type widening and re-ordering; new
+    fields get fresh ids above last-column-id — uniform tables cannot
+    rename or drop columns, both require column mapping, which uniform
+    refuses, so name-keyed matching is sound here). Returns
+    ``(schema, last_column_id, schema_id, schemas_history)``: when the
+    rendering matches the prior newest schema the history is unchanged,
+    otherwise the new schema is APPENDED with the next schema-id —
+    snapshots record which schema-id they wrote, so time travel reads
+    each snapshot with its own schema."""
+    base, _ = iceberg_schema(spark_schema)
+    prior_schemas = prior.get("schemas") or []
+    if not prior_schemas:
+        n = len(base["fields"])
+        return base, n, 0, [base]
+    known: dict[str, int] = {}
+    for s in prior_schemas:
+        for f in s["fields"]:
+            known[f["name"]] = f["id"]
+    last = max(
+        int(prior.get("last-column-id") or 0),
+        max((f["id"] for s in prior_schemas for f in s["fields"]), default=0),
+    )
+    fields = []
+    for f in base["fields"]:
+        if f["name"] in known:
+            fid = known[f["name"]]
+        else:
+            last += 1
+            fid = last
+        fields.append({**f, "id": fid})
+    newest = max(prior_schemas, key=lambda s: s["schema-id"])
+    if fields == newest["fields"]:
+        return (
+            newest,
+            last,
+            newest["schema-id"],
+            prior_schemas,
+        )
+    schema_id = max(s["schema-id"] for s in prior_schemas) + 1
+    evolved = {"type": "struct", "schema-id": schema_id, "fields": fields}
+    return evolved, last, schema_id, prior_schemas + [evolved]
+
+
 # --------------------------------------------------------------------------
 # Partition transforms (Iceberg spec §Partition Transforms + Appendix B).
 # The EMITTER writes identity specs only (Delta partitioning is identity);
@@ -779,7 +824,8 @@ def uniform_sync(spark, path: str, snap=None) -> str:
         snap = delta_snapshot(spark, path)
     md_dir = os.path.join(path, "metadata")
     os.makedirs(md_dir, exist_ok=True)
-    schema, last_col = iceberg_schema(snap.schema)
+    prior = _read_prior_metadata(md_dir)
+    schema, last_col, schema_id, schemas_hist = _evolved_schema(snap.schema, prior)
     spec = _partition_spec(schema["fields"], list(snap.partition_columns))
     pav = _partition_avro_schema(spec, schema["fields"])
     ptypes = {
@@ -791,7 +837,6 @@ def uniform_sync(spark, path: str, snap=None) -> str:
 
     version = snap.version
     snapshot_id = version + 1  # 1-based so snapshot ids stay nonzero
-    prior = _read_prior_metadata(md_dir)
 
     # incremental window: prior synced version -> current, adds only
     sync_files = None  # None = full rewrite of one manifest
@@ -800,7 +845,7 @@ def uniform_sync(spark, path: str, snap=None) -> str:
     if (
         prior_v is not None
         and int(prior_v) < version
-        and prior.get("schemas") == [schema]
+        and schema_id == prior.get("current-schema-id")
         and prior.get("partition-specs") == [spec]
     ):
         commit_map = dict(_list_log(os.path.join(path, "_delta_log"))[0])
@@ -1073,7 +1118,7 @@ def uniform_sync(spark, path: str, snap=None) -> str:
                 "added-data-files": str(len(entries)),
                 "total-records": str(prev_total + total_rows),
             },
-            "schema-id": 0,
+            "schema-id": schema_id,
         }
     )
     meta = {
@@ -1084,8 +1129,8 @@ def uniform_sync(spark, path: str, snap=None) -> str:
         "last-sequence-number": snapshot_id,
         "last-updated-ms": ts_ms,
         "last-column-id": last_col,
-        "current-schema-id": 0,
-        "schemas": [schema],
+        "current-schema-id": schema_id,
+        "schemas": schemas_hist,
         "default-spec-id": 0,
         "partition-specs": [spec],
         "last-partition-id": max(
@@ -1460,9 +1505,13 @@ def read_iceberg(
     snap = _resolve_snapshot(meta, snapshot_id, as_of_timestamp_ms)
     files, delete_files = _snapshot_data_files(meta, snap)
 
-    schema = next(
-        s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
-    )
+    # time travel reads each snapshot with ITS OWN schema (the spec's
+    # snapshot schema-id): an added column does not appear when reading
+    # a snapshot that predates it
+    sid = snap.get("schema-id")
+    if sid is None or not any(s["schema-id"] == sid for s in meta["schemas"]):
+        sid = meta["current-schema-id"]
+    schema = next(s for s in meta["schemas"] if s["schema-id"] == sid)
     spec = next(
         p for p in meta["partition-specs"] if p["spec-id"] == meta["default-spec-id"]
     )
@@ -1533,21 +1582,30 @@ def read_iceberg(
         ]
 
     paths = [f["file_path"] for f in files]
-    if not paths:
-        from pyspark.sql.types import StructType, _parse_datatype_string
+    from pyspark.sql.types import StructType, _parse_datatype_string
 
-        sp = StructType()
-        for f in schema["fields"]:
-            # DDL parser: accepts cast-style names ("int"), unlike the
-            # JSON type parser StructType.add(str) routes through
-            sp = sp.add(
-                f["name"], _parse_datatype_string(_iceberg_type_to_spark(f["type"]))
-            )
+    sp = StructType()
+    for f in schema["fields"]:
+        # DDL parser: accepts cast-style names ("int"), unlike the
+        # JSON type parser StructType.add(str) routes through
+        sp = sp.add(
+            f["name"], _parse_datatype_string(_iceberg_type_to_spark(f["type"]))
+        )
+    if not paths:
         return spark.createDataFrame([], sp)
+    # the snapshot's schema is passed EXPLICITLY to the scan: files that
+    # predate an added column null-fill it, files written before a type
+    # widening upcast natively in the parquet reader, and partition
+    # columns (identity layout) parse to their declared types — no
+    # footer-sampled inference can mis-shape the read
     if part_cols:
-        df = spark.read.option("basePath", meta["location"]).parquet(*paths)
+        df = (
+            spark.read.schema(sp)
+            .option("basePath", meta["location"])
+            .parquet(*paths)
+        )
     else:
-        df = spark.read.parquet(*paths)
+        df = spark.read.schema(sp).parquet(*paths)
     from pyspark.sql import functions as F
 
     casts = [

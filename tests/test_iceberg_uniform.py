@@ -1012,3 +1012,95 @@ def test_uniform_create_table_and_clone(spark, tmp_path):
     delta_clone(spark, src, dst)
     got = sorted(r["id"] for r in uf.read_iceberg(spark, dst).collect())
     assert got == list(range(20, 100))
+
+
+def test_uniform_schema_evolution_stable_field_ids(spark, tmp_path):
+    """ALTERs on a UniForm table re-emit the metadata in the same call,
+    appending an EVOLVED schema with the next schema-id; existing fields
+    keep their ids (the Iceberg stability contract), new fields get ids
+    above last-column-id; time travel reads each snapshot with its own
+    schema (the added column is absent before, null-filled after for
+    old files); widened files upcast natively under the explicit read
+    schema."""
+    from pos_dlt_spark.sources.delta_writer import (
+        delta_alter_add_column,
+        delta_alter_column_type,
+    )
+    from pyspark.sql.types import StringType
+
+    t = str(tmp_path / "sev")
+    df = spark.range(0, 40).select(
+        "id", (F.col("id") % 100).cast("int").alias("v")
+    )
+    write_delta(
+        df.coalesce(1),
+        t,
+        configuration={"delta.universalFormat.enabledFormats": "iceberg"},
+    )
+    delta_alter_add_column(spark, t, "note", StringType())
+    write_delta(
+        spark.range(40, 60).select(
+            "id",
+            (F.col("id") % 100).cast("int").alias("v"),
+            F.lit("n").alias("note"),
+        ).coalesce(1),
+        t,
+    )
+    md = os.path.join(t, "metadata")
+    meta = uf._read_prior_metadata(md)
+    assert meta["current-schema-id"] == 1
+    assert [s["schema-id"] for s in meta["schemas"]] == [0, 1]
+    ids0 = {f["name"]: f["id"] for f in meta["schemas"][0]["fields"]}
+    ids1 = {f["name"]: f["id"] for f in meta["schemas"][1]["fields"]}
+    assert ids1["id"] == ids0["id"] and ids1["v"] == ids0["v"]  # stable
+    assert ids1["note"] == meta["last-column-id"]  # fresh id above all
+    # current read: old files null-fill the added column
+    cur = uf.read_iceberg(spark, t)
+    assert cur.count() == 60
+    assert cur.filter("note is null").count() == 40
+    # time travel to snapshot 1 (pre-ALTER) uses ITS schema: no 'note'
+    old = uf.read_iceberg(spark, t, snapshot_id=1)
+    assert old.columns == ["id", "v"] and old.count() == 40
+    # type widening: int -> long keeps the field id, bumps the schema-id,
+    # and the pre-widening file upcasts natively at scan
+    delta_alter_column_type(spark, t, "v", "long")
+    meta2 = uf._read_prior_metadata(md)
+    assert meta2["current-schema-id"] == 2
+    ids2 = {f["name"]: f["id"] for f in meta2["schemas"][2]["fields"]}
+    assert ids2["v"] == ids0["v"]
+    wide = uf.read_iceberg(spark, t)
+    assert dict(wide.dtypes)["v"] == "bigint"
+    assert wide.agg(F.sum("v")).collect()[0][0] == sum(i % 100 for i in range(60))
+
+
+def test_uniform_enable_via_set_properties(spark, tmp_path):
+    """Enabling uniform on an EXISTING table through SET TBLPROPERTIES
+    validates the shape before the commit and emits the initial Iceberg
+    snapshot of the current state (DVs included, as position deletes);
+    a non-renderable table refuses with nothing committed."""
+    from pos_dlt_spark.sources.delta_writer import (
+        delta_delete,
+        delta_set_properties,
+    )
+
+    t = str(tmp_path / "en")
+    write_delta(spark.range(0, 50).coalesce(1), t)
+    delta_delete(spark, t, "id < 5", mode="dv")
+    v_before = delta_snapshot(spark, t).version
+    delta_set_properties(
+        spark, t, {"delta.universalFormat.enabledFormats": "iceberg"}
+    )
+    got = sorted(r["id"] for r in uf.read_iceberg(spark, t).collect())
+    assert got == list(range(5, 50))
+    # non-renderable (nested) table: refusal BEFORE the commit
+    t2 = str(tmp_path / "en2")
+    write_delta(
+        spark.range(0, 5).select("id", F.struct("id").alias("s")), t2
+    )
+    v2 = delta_snapshot(spark, t2).version
+    with pytest.raises(ValueError, match="Iceberg rendering"):
+        delta_set_properties(
+            spark, t2, {"delta.universalFormat.enabledFormats": "iceberg"}
+        )
+    assert delta_snapshot(spark, t2).version == v2  # nothing committed
+    assert v_before >= 0
