@@ -1200,6 +1200,141 @@ def _read_prior_metadata(md_dir: str) -> dict:
         return {}
 
 
+def iceberg_metadata_table(spark, path: str, kind: str):
+    """Iceberg's inspection/metadata tables (`SELECT * FROM t.snapshots`
+    etc.) as DataFrames built purely from the emitted metadata — the
+    operational surface Iceberg users query for table forensics. Kinds:
+
+    - ``snapshots``: committed_at, snapshot_id, operation, manifest_list,
+      summary (map) — one row per retained snapshot.
+    - ``history``: made_current_at, snapshot_id, is_current_ancestor
+      (this emitter's history is linear, so every retained snapshot is
+      an ancestor of current).
+    - ``manifests``: content, path, length, partition_spec_id,
+      added_snapshot_id, added/existing/deleted data file counts for the
+      CURRENT snapshot's manifest list.
+    - ``files``: content, file_path, file_format, record_count,
+      file_size_in_bytes, partition (map<string,string>) for the CURRENT
+      snapshot — data AND delete files.
+
+    Everything here is metadata-scale (rows = snapshots/manifests/files,
+    never data rows), built driver-side like any Iceberg catalog does."""
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        MapType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    md_dir = os.path.join(path, "metadata")
+    meta = _read_prior_metadata(md_dir)
+    if not meta:
+        raise FileNotFoundError(f"no Iceberg metadata under {md_dir}")
+    snaps = sorted(meta.get("snapshots") or [], key=lambda s: s["snapshot-id"])
+
+    def _ts(ms: int):
+        import datetime
+
+        return datetime.datetime.utcfromtimestamp(ms / 1000.0)
+
+    if kind == "snapshots":
+        schema = StructType(
+            [
+                StructField("committed_at", TimestampType()),
+                StructField("snapshot_id", LongType()),
+                StructField("operation", StringType()),
+                StructField("manifest_list", StringType()),
+                StructField("summary", MapType(StringType(), StringType())),
+            ]
+        )
+        rows = [
+            (
+                _ts(s["timestamp-ms"]),
+                s["snapshot-id"],
+                (s.get("summary") or {}).get("operation"),
+                s["manifest-list"],
+                {k: str(v) for k, v in (s.get("summary") or {}).items()},
+            )
+            for s in snaps
+        ]
+        return spark.createDataFrame(rows, schema)
+    if kind == "history":
+        schema = StructType(
+            [
+                StructField("made_current_at", TimestampType()),
+                StructField("snapshot_id", LongType()),
+                StructField("is_current_ancestor", StringType()),
+            ]
+        )
+        rows = [
+            (_ts(s["timestamp-ms"]), s["snapshot-id"], "true") for s in snaps
+        ]
+        return spark.createDataFrame(rows, schema)
+    cur = _resolve_snapshot(meta)
+    if kind == "manifests":
+        _, manifests = read_avro(cur["manifest-list"])
+        schema = StructType(
+            [
+                StructField("content", IntegerType()),
+                StructField("path", StringType()),
+                StructField("length", LongType()),
+                StructField("partition_spec_id", IntegerType()),
+                StructField("added_snapshot_id", LongType()),
+                StructField("added_data_files_count", IntegerType()),
+                StructField("existing_data_files_count", IntegerType()),
+                StructField("deleted_data_files_count", IntegerType()),
+            ]
+        )
+        rows = [
+            (
+                int(m.get("content") or 0),
+                m["manifest_path"],
+                int(m["manifest_length"]),
+                int(m.get("partition_spec_id") or 0),
+                int(m.get("added_snapshot_id") or 0),
+                int(m.get("added_files_count") or 0),
+                int(m.get("existing_files_count") or 0),
+                int(m.get("deleted_files_count") or 0),
+            )
+            for m in manifests
+        ]
+        return spark.createDataFrame(rows, schema)
+    if kind == "files":
+        data, deletes = _snapshot_data_files(meta, cur)
+        schema = StructType(
+            [
+                StructField("content", IntegerType()),
+                StructField("file_path", StringType()),
+                StructField("file_format", StringType()),
+                StructField("record_count", LongType()),
+                StructField("file_size_in_bytes", LongType()),
+                StructField("partition", MapType(StringType(), StringType())),
+            ]
+        )
+        rows = [
+            (
+                int(f.get("content") or 0),
+                f["file_path"],
+                f.get("file_format"),
+                int(f.get("record_count") or 0),
+                int(f.get("file_size_in_bytes") or 0),
+                {
+                    k: (None if v is None else str(v))
+                    for k, v in (f.get("partition") or {}).items()
+                },
+            )
+            for f in data + deletes
+        ]
+        return spark.createDataFrame(rows, schema)
+    raise ValueError(
+        f"unknown metadata table {kind!r} "
+        "(snapshots, history, manifests, files)"
+    )
+
+
 def uniform_expire_snapshots(path: str, keep: int = 5) -> list[str]:
     """Iceberg ``expireSnapshots`` for the emitted metadata: keep the
     newest ``keep`` snapshots (the current one always survives), rewrite

@@ -1104,3 +1104,57 @@ def test_uniform_enable_via_set_properties(spark, tmp_path):
         )
     assert delta_snapshot(spark, t2).version == v2  # nothing committed
     assert v_before >= 0
+
+
+def test_iceberg_metadata_tables(spark, tmp_path):
+    """The inspection tables (snapshots/history/manifests/files) reflect
+    the emitted metadata exactly: snapshot count and operations, the
+    current manifest list's data+delete split, per-file partition maps."""
+    from pos_dlt_spark.sources.delta_writer import delta_delete
+
+    t = str(tmp_path / "mt")
+    df = spark.range(0, 60).select(
+        "id", (F.col("id") % 2).cast("string").alias("p")
+    )
+    write_delta(
+        df.repartition(2),
+        t,
+        partition_by=["p"],
+        configuration={"delta.universalFormat.enabledFormats": "iceberg"},
+    )
+    write_delta(
+        spark.range(60, 80).select("id", F.lit("0").alias("p")),
+        t,
+        partition_by=["p"],
+    )
+    delta_delete(spark, t, "id < 10", mode="dv")
+
+    snaps = uf.iceberg_metadata_table(spark, t, "snapshots")
+    rows = snaps.orderBy("snapshot_id").collect()
+    assert [r["snapshot_id"] for r in rows] == [1, 2, 3]
+    assert rows[0]["operation"] == "append"
+    assert rows[-1]["operation"] == "overwrite"  # the DV sync
+    assert all(r["manifest_list"] for r in rows)
+
+    hist = uf.iceberg_metadata_table(spark, t, "history")
+    assert hist.count() == 3
+    assert {r["is_current_ancestor"] for r in hist.collect()} == {"true"}
+
+    mans = uf.iceberg_metadata_table(spark, t, "manifests")
+    mrows = mans.collect()
+    assert {r["content"] for r in mrows} == {0, 1}  # data + delete
+
+    files = uf.iceberg_metadata_table(spark, t, "files")
+    frows = files.collect()
+    n_data = sum(1 for r in frows if r["content"] == 0)
+    n_del = sum(1 for r in frows if r["content"] == 1)
+    assert n_del >= 1 and n_data >= 2
+    assert sum(r["record_count"] for r in frows if r["content"] == 0) == 80
+    assert sum(r["record_count"] for r in frows if r["content"] == 1) == 10
+    assert all(
+        r["partition"].get("p") in ("0", "1")
+        for r in frows
+        if r["content"] == 0
+    )
+    with pytest.raises(ValueError, match="unknown metadata table"):
+        uf.iceberg_metadata_table(spark, t, "refs")
