@@ -1595,6 +1595,7 @@ def read_iceberg(
     as_of_timestamp_ms: int | None = None,
     partition_filter: dict | None = None,
     prune: list | None = None,
+    resolve: str = "auto",
 ):
     """Scan an Iceberg v2 table as a DataFrame using ONLY its Iceberg
     metadata — version-hint → metadata JSON → manifest list → manifests
@@ -1628,7 +1629,18 @@ def read_iceberg(
     shares Delta's hive-layout files); they are re-attached from the
     directory layout via Spark's ``basePath`` partition discovery and
     cast to the metadata's declared types, keeping the scan one
-    multi-file parquet read — no per-file unions, no Python row path."""
+    multi-file parquet read — no per-file unions, no Python row path.
+
+    ``resolve`` picks the column-identity contract: ``'field-id'``
+    groups files by their footers' ``PARQUET:field_id`` mapping and
+    aliases each group's physical names to the logical schema by id —
+    Iceberg's rename-proof resolution (pre-rename files keep old
+    physical names; only the id ties them to the current schema).
+    ``'name'`` trusts physical names (zero footer reads). ``'auto'``
+    (default) probes ONE footer: id-stamped files (real Iceberg writers,
+    the only tables that can rename) take the field-id path, id-less
+    files (this emitter's twins — names stable by construction, renames
+    need column mapping which uniform refuses) take the name path."""
     md_dir = os.path.join(path, "metadata")
     meta = _read_prior_metadata(md_dir)
     if not meta:
@@ -1728,29 +1740,79 @@ def read_iceberg(
         )
     if not paths:
         return spark.createDataFrame([], sp)
-    # the snapshot's schema is passed EXPLICITLY to the scan: files that
-    # predate an added column null-fill it, files written before a type
-    # widening upcast natively in the parquet reader, and partition
-    # columns (identity layout) parse to their declared types — no
-    # footer-sampled inference can mis-shape the read
-    if part_cols:
-        df = (
-            spark.read.schema(sp)
-            .option("basePath", meta["location"])
-            .parquet(*paths)
-        )
-    else:
-        df = spark.read.schema(sp).parquet(*paths)
     from pyspark.sql import functions as F
 
-    casts = [
-        F.col(f["name"]).cast(_iceberg_type_to_spark(f["type"])).alias(f["name"])
-        for f in schema["fields"]
-    ]
-    if delete_files:
-        df = _apply_iceberg_deletes(spark, df, casts, files, delete_files, schema)
+    if resolve not in ("auto", "name", "field-id"):
+        raise ValueError(f"resolve must be auto|name|field-id, got {resolve!r}")
+    fid_mode = resolve == "field-id"
+    if resolve == "auto":
+        # one footer probe: id-stamped files (real Iceberg writers — the
+        # only tables that CAN rename) switch to field-id resolution;
+        # id-less files (this emitter's twins, where names are stable by
+        # construction) stay on the zero-footer name path
+        fid_mode = _parquet_field_ids(paths[0]) is not None
+
+    if not fid_mode:
+        # the snapshot's schema is passed EXPLICITLY to the scan: files
+        # that predate an added column null-fill it, files written before
+        # a type widening upcast natively in the parquet reader, and
+        # partition columns (identity layout) parse to their declared
+        # types — no footer-sampled inference can mis-shape the read
+        if part_cols:
+            df = (
+                spark.read.schema(sp)
+                .option("basePath", meta["location"])
+                .parquet(*paths)
+            )
+        else:
+            df = spark.read.schema(sp).parquet(*paths)
+        casts = [
+            F.col(f["name"]).cast(_iceberg_type_to_spark(f["type"])).alias(f["name"])
+            for f in schema["fields"]
+        ]
+        if delete_files:
+            df = _apply_iceberg_deletes(
+                spark, df, casts, files, delete_files, schema
+            )
+        else:
+            df = df.select(*casts)
     else:
-        df = df.select(*casts)
+        # FIELD-ID resolution (the Iceberg column-identity contract):
+        # files group by their footer's id->physical-name mapping, each
+        # group scans under its own physical schema and aliases to the
+        # logical names by id — a renamed column reads correctly from
+        # pre-rename files instead of null-filling. Source columns live
+        # in the data files for these (foreign) writers, so no basePath
+        # re-attachment. Group count is bounded by schema generations,
+        # not file count.
+        import functools
+
+        from pyspark.sql import DataFrame as _DF
+
+        parts = []
+        for sig, gpaths in sorted(
+            _field_id_groups(spark, paths).items(),
+            key=lambda kv: (kv[0] is not None, kv[0] or ()),
+        ):
+            id2phys = dict(sig) if sig else {}
+            phys = StructType()
+            sel = []
+            for f in schema["fields"]:
+                st = _parse_datatype_string(_iceberg_type_to_spark(f["type"]))
+                pname = f["name"] if sig is None else id2phys.get(f["id"])
+                if pname is None:
+                    sel.append(F.lit(None).cast(st).alias(f["name"]))
+                else:
+                    phys = phys.add(pname, st)
+                    sel.append(F.col(pname).cast(st).alias(f["name"]))
+            gdf = spark.read.schema(phys).parquet(*gpaths)
+            meta_cols = _scan_meta_cols() if delete_files else []
+            parts.append(gdf.select(*sel, *meta_cols))
+        df = functools.reduce(_DF.unionByName, parts)
+        if delete_files:
+            df = _apply_iceberg_deletes(
+                spark, df, None, files, delete_files, schema
+            )
     for c, v in residual:
         df = df.filter(F.col(c) == F.lit(v))
     return df
@@ -1767,6 +1829,62 @@ def _norm_file_path(p: str) -> str:
     return p
 
 
+def _parquet_field_ids(path: str) -> dict[int, str] | None:
+    """Top-level parquet fields' ``PARQUET:field_id`` metadata as
+    ``{field_id: physical_name}``, or None when the footer carries no
+    field ids (files this emitter stages; name resolution is then the
+    only contract available, and names are stable here — renames need
+    column mapping, which uniform refuses)."""
+    import pyarrow.parquet as pq
+
+    sch = pq.read_schema(path)
+    out: dict[int, str] = {}
+    for f in sch:
+        md = f.metadata or {}
+        fid = md.get(b"PARQUET:field_id")
+        if fid is not None:
+            out[int(fid)] = f.name
+    return out or None
+
+
+def _field_id_groups(spark, paths: list[str]) -> dict:
+    """Group data files by their footer's (field_id -> physical name)
+    mapping — after an Iceberg RENAME, pre-rename files keep the old
+    physical name and only the field id ties them to the current schema,
+    so each distinct mapping becomes its own scan group. Footer reads go
+    executor-side above a threshold (same posture as the fsck probes);
+    the collected signatures are metadata-scale. Files without field ids
+    group under ``None`` (resolved by name)."""
+    def one(p: str):
+        m = _parquet_field_ids(p)
+        return (tuple(sorted(m.items())) if m else None, p)
+
+    if len(paths) > 2000:
+        rows = spark.sparkContext.parallelize(
+            paths, max(1, len(paths) // 1000)
+        ).map(one).collect()
+    else:
+        rows = [one(p) for p in paths]
+    groups: dict = {}
+    for sig, p in rows:
+        groups.setdefault(sig, []).append(p)
+    return groups
+
+
+def _scan_meta_cols():
+    """Projection of the scan's file identity: normalized file path +
+    native parquet row position — what position deletes key on. Must be
+    selected FROM EACH SCAN (``_metadata`` does not survive a union)."""
+    from pyspark.sql import functions as F
+
+    return [
+        F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", "").alias(
+            "__ice_path"
+        ),
+        F.col("_metadata.row_index").alias("__ice_pos"),
+    ]
+
+
 def _apply_iceberg_deletes(spark, df, casts, data_files, delete_files, schema):
     """Merge-on-read: apply Iceberg v2 delete files to the data scan,
     Spark-natively. Position deletes (content=1) anti-join on
@@ -1777,16 +1895,16 @@ def _apply_iceberg_deletes(spark, df, casts, data_files, delete_files, schema):
     writers) anti-join null-safely on their equality_ids columns with a
     strictly-greater sequence check, one broadcast anti-join per
     (ids, seq) group. Everything broadcast is metadata- or
-    deleted-row-scale; the data side stays one distributed scan."""
+    deleted-row-scale; the data side stays one distributed scan.
+
+    ``casts=None`` means ``df`` already carries the logical columns plus
+    ``__ice_path``/``__ice_pos`` (the field-id-resolved union path,
+    where metadata columns were attached per scan group)."""
     from pyspark.sql import functions as F
 
     by_id = {f["id"]: f for f in schema["fields"]}
-    norm_meta = F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", "")
-    df = df.select(
-        *casts,
-        norm_meta.alias("__ice_path"),
-        F.col("_metadata.row_index").alias("__ice_pos"),
-    )
+    if casts is not None:
+        df = df.select(*casts, *_scan_meta_cols())
     # data-file sequence numbers: metadata-sized, broadcast
     seq_rows = [
         (_norm_file_path(d["file_path"]), int(d["_seq"])) for d in data_files

@@ -1158,3 +1158,80 @@ def test_iceberg_metadata_tables(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="unknown metadata table"):
         uf.iceberg_metadata_table(spark, t, "refs")
+
+
+def test_field_id_resolution_reads_renamed_files(spark, tmp_path):
+    """Iceberg's column-identity contract: after a RENAME, pre-rename
+    files keep the OLD physical name and only the field id ties them to
+    the current schema. Files group by their footer's id->name mapping
+    and each group aliases to the logical names by id — the pre-rename
+    file's values surface under the new name instead of null-filling.
+    'auto' switches to field-id mode off one footer probe; explicit
+    'name' shows exactly the hazard field ids exist to prevent."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "fid")
+    os.makedirs(root)
+
+    def _fid_schema(names):
+        return pa.schema(
+            [
+                pa.field(n, t, metadata={"PARQUET:field_id": str(i + 1)})
+                for i, (n, t) in enumerate(names)
+            ]
+        )
+
+    a = os.path.join(root, "a.parquet")  # pre-rename: grp was 'old_grp'
+    pq.write_table(
+        pa.table(
+            {"id": pa.array([0, 1], pa.int64()), "old_grp": pa.array(["x", "y"])},
+            schema=_fid_schema([("id", pa.int64()), ("old_grp", pa.string())]),
+        ),
+        a,
+    )
+    b = os.path.join(root, "b.parquet")  # post-rename
+    pq.write_table(
+        pa.table(
+            {"id": pa.array([2, 3], pa.int64()), "grp": pa.array(["z", "w"])},
+            schema=_fid_schema([("id", pa.int64()), ("grp", pa.string())]),
+        ),
+        b,
+    )
+    _mini_iceberg_table(root, [(a, 2, 1), (b, 2, 2)], [])
+    got = sorted(
+        (r["id"], r["grp"]) for r in uf.read_iceberg(spark, root).collect()
+    )
+    assert got == [(0, "x"), (1, "y"), (2, "z"), (3, "w")]
+    # name resolution would null-fill the renamed file's column
+    by_name = uf.read_iceberg(spark, root, resolve="name")
+    assert by_name.filter("grp is null").count() == 2
+    # field-id resolution composes with position deletes (meta columns
+    # attach per scan group, before the union)
+    dpath = os.path.join(root, "pd.parquet")
+    pq.write_table(
+        pa.table(
+            {"file_path": pa.array([a, b]), "pos": pa.array([0, 1], pa.int64())}
+        ),
+        dpath,
+    )
+    del_entry = {
+        "status": 1,
+        "snapshot_id": 1,
+        "sequence_number": None,
+        "file_sequence_number": None,
+        "data_file": {
+            "content": 1,
+            "file_path": dpath,
+            "file_format": "PARQUET",
+            "partition": {},
+            "record_count": 2,
+            "file_size_in_bytes": os.path.getsize(dpath),
+        },
+    }
+    _mini_iceberg_table(root, [(a, 2, 1), (b, 2, 2)], [(1, [del_entry], 2)])
+    got2 = sorted(
+        (r["id"], r["grp"]) for r in uf.read_iceberg(spark, root).collect()
+    )
+    # pos 0 of file a (id 0) and pos 1 of file b (id 3) are deleted
+    assert got2 == [(1, "y"), (2, "z")]
