@@ -2074,6 +2074,67 @@ def orders_iceberg_dv_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "supplier_iceberg_bucket_transform",
+    oracle="""
+    SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey,
+           s_name,
+           CAST(s_acctbal AS DOUBLE) AS s_acctbal
+    FROM supplier WHERE s_suppkey IN (1, 2, 7)
+    """,
+)
+def supplier_iceberg_bucket_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg partition transforms end to end: supplier lands as a
+    NATIVE Iceberg v2 table (``write_iceberg_native``) partitioned by
+    ``bucket[8](s_suppkey)`` — the spec's murmur3_x86_32 transform,
+    pinned by Appendix B test vectors — with source columns kept IN the
+    data files and the transformed value only in the manifests, exactly
+    the shape foreign engines produce. Three point lookups go through
+    ``partition_filter={'s_suppkey': k}``: manifest-level pruning routes
+    each to ONE bucket file (asserted), and the residual row filter
+    restores exact equality semantics (a bucket value is necessary, not
+    sufficient). The oracle is plain SQL over the source table, so the
+    hash matches only if transform evaluation, pruning, and the residual
+    filter compose to exact row semantics."""
+    from pos_dlt_spark.sources import iceberg_uniform as uf
+    from pos_dlt_spark.tables import scratch_dir
+
+    key = os.path.abspath(sf_dir) + "#ice_bucket"
+    if key not in _DELTA_RT_CACHE:
+        import atexit
+        import shutil
+
+        work = scratch_dir("ice_bucket_")
+        atexit.register(shutil.rmtree, work, ignore_errors=True)
+        table = os.path.join(work, "supplier")
+        supp = load_table(spark, sf_dir, "supplier").select(
+            F.col("s_suppkey").cast("bigint").alias("s_suppkey"),
+            "s_name",
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+        )
+        uf.write_iceberg_native(
+            spark, supp, table, partition_spec=[("s_suppkey", "bucket[8]")]
+        )
+        n_files = len({f["file_path"] for f in uf.read_uniform_files(table)})
+        assert n_files > 1, "bucket transform must split the table"
+        probe = uf.read_iceberg(
+            spark, table, partition_filter={"s_suppkey": 7}
+        )
+        assert len(probe.inputFiles()) == 1, (
+            "bucket(7) must prune the scan to one file"
+        )
+        _DELTA_RT_CACHE[key] = table
+    table = _DELTA_RT_CACHE[key]
+    parts = [
+        uf.read_iceberg(spark, table, partition_filter={"s_suppkey": k})
+        for k in (1, 2, 7)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select("s_suppkey", "s_name", "s_acctbal")
+
+
+@query(
     "orders_delta_zorder_skipping",
     oracle="""
     SELECT o_orderstatus,

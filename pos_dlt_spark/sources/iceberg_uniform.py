@@ -1200,6 +1200,228 @@ def _read_prior_metadata(md_dir: str) -> dict:
         return {}
 
 
+def write_iceberg_native(
+    spark,
+    df,
+    path: str,
+    partition_spec: list | None = None,
+) -> str:
+    """Write a NATIVE Iceberg v2 table (not a UniForm twin) from a
+    DataFrame: data parquet under ``<path>/data/`` plus the full
+    metadata chain. ``partition_spec`` is ``[(source_col, transform)]``
+    with any transform :func:`_apply_transform` evaluates (identity,
+    bucket[N], truncate[W], year/month/day/hour). Per the spec's
+    transform-partitioning contract, SOURCE columns stay in the data
+    files; the transformed partition value lives only in the manifests —
+    exactly the shape foreign engines hand :func:`read_iceberg`.
+
+    One data file per distinct partition TUPLE (the driver loop is
+    bounded by the spec's partition count, never row count); transform
+    evaluation rides an Arrow-batched pandas UDF (bit-identical to the
+    read side's pruning, which calls the same `_apply_transform`).
+    Unpartitioned tables write one repartition-preserving scan. Returns
+    the metadata JSON path. This writer exists for interop fixtures and
+    engine hand-off at table-build time — the high-volume write path
+    remains Delta + UniForm."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    if os.path.isdir(os.path.join(path, "metadata")) and os.listdir(
+        os.path.join(path, "metadata")
+    ):
+        raise ValueError(f"{path} already has Iceberg metadata")
+    schema, last_col = iceberg_schema(df.schema)
+    by_name = {f["name"]: f for f in schema["fields"]}
+    spec_fields = []
+    for i, (col, transform) in enumerate(partition_spec or []):
+        if col not in by_name:
+            raise ValueError(f"partition source column {col!r} not in schema")
+        _transform_result_type(transform, by_name[col]["type"])  # validate
+        suffix = transform.split("[")[0]
+        spec_fields.append(
+            {
+                "name": col if transform == "identity" else f"{col}_{suffix}",
+                "transform": transform,
+                "source-id": by_name[col]["id"],
+                "field-id": 1000 + i,
+            }
+        )
+    spec = {"spec-id": 0, "fields": spec_fields}
+    pav = _partition_avro_schema(spec, schema["fields"])
+    data_dir = os.path.join(path, "data")
+    md_dir = os.path.join(path, "metadata")
+    os.makedirs(data_dir, exist_ok=True)
+    os.makedirs(md_dir, exist_ok=True)
+
+    work = df
+    pv_cols = []
+    if spec_fields:
+        from pyspark.sql.types import StructField, StructType, _parse_datatype_string
+
+        pv_specs = []
+        out = StructType(list(df.schema.fields))
+        for pf in spec_fields:
+            src = next(
+                f for f in schema["fields"] if f["id"] == pf["source-id"]
+            )
+            rt = _transform_result_type(pf["transform"], src["type"])
+            cname = f"__pv_{pf['name']}"
+            pv_specs.append((cname, pf["transform"], src["name"], src["type"]))
+            out = out.add(
+                StructField(
+                    cname,
+                    _parse_datatype_string(
+                        _iceberg_type_to_spark("int" if rt == "date" else rt)
+                    ),
+                )
+            )
+            pv_cols.append(cname)
+
+        def _gen(it):
+            # Arrow-batched; per-row python only inside the transform —
+            # acceptable here because this writer is fixture/hand-off
+            # scale by contract (see docstring)
+            for pdf in it:
+                for cname, transform, srcn, ice_type in pv_specs:
+                    pdf[cname] = pdf[srcn].map(
+                        lambda v, t=transform, y=ice_type: _apply_transform(
+                            t, v, y
+                        )
+                    )
+                yield pdf
+
+        work = df.mapInPandas(_gen, schema=out)
+
+    entries = []
+    snapshot_id = 1
+
+    def _write_one(part_df, pv: dict) -> None:
+        import shutil as _sh
+        import uuid as _uuid
+
+        tmp = os.path.join(path, f"_staging-{_uuid.uuid4().hex[:8]}")
+        part_df.coalesce(1).write.parquet(tmp)
+        part = next(
+            n for n in os.listdir(tmp) if n.endswith(".parquet")
+        )
+        fp = os.path.join(data_dir, f"data-{_uuid.uuid4().hex[:8]}.parquet")
+        os.replace(os.path.join(tmp, part), fp)
+        _sh.rmtree(tmp, ignore_errors=True)
+        import pyarrow.parquet as pq
+
+        nrec = pq.read_metadata(fp).num_rows
+        entries.append(
+            {
+                "status": 1,
+                "snapshot_id": snapshot_id,
+                "sequence_number": None,
+                "file_sequence_number": None,
+                "data_file": {
+                    "content": 0,
+                    "file_path": fp,
+                    "file_format": "PARQUET",
+                    "partition": pv,
+                    "record_count": nrec,
+                    "file_size_in_bytes": os.path.getsize(fp),
+                },
+            }
+        )
+
+    logical = [f["name"] for f in schema["fields"]]
+    if pv_cols:
+        pvs = [
+            r.asDict() for r in work.select(*pv_cols).distinct().collect()
+        ]  # bounded by the spec's partition count, not rows
+        for pv_row in sorted(pvs, key=lambda d: tuple(str(v) for v in d.values())):
+            cond = None
+            for c, v in pv_row.items():
+                piece = (
+                    F.col(c).isNull() if v is None else (F.col(c) == F.lit(v))
+                )
+                cond = piece if cond is None else (cond & piece)
+            pv = {
+                pf["name"]: pv_row[f"__pv_{pf['name']}"] for pf in spec_fields
+            }
+            _write_one(work.filter(cond).select(*logical), pv)
+    else:
+        _write_one(work.select(*logical), {})
+
+    man_path = os.path.join(md_dir, f"manifest-{snapshot_id}-{uuid.uuid4().hex[:8]}.avro")
+    write_avro(
+        man_path,
+        _manifest_entry_schema(pav),
+        entries,
+        meta={
+            "schema": json.dumps(schema),
+            "partition-spec": json.dumps(spec["fields"]),
+            "partition-spec-id": str(spec["spec-id"]),
+            "format-version": "2",
+            "content": "data",
+        },
+    )
+    total_rows = sum(e["data_file"]["record_count"] for e in entries)
+    mlist_path = os.path.join(md_dir, f"snap-{snapshot_id}-{uuid.uuid4().hex[:8]}.avro")
+    write_avro(
+        mlist_path,
+        _MANIFEST_LIST_SCHEMA,
+        [
+            {
+                "manifest_path": man_path,
+                "manifest_length": os.path.getsize(man_path),
+                "partition_spec_id": 0,
+                "content": 0,
+                "sequence_number": snapshot_id,
+                "min_sequence_number": snapshot_id,
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": len(entries),
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": total_rows,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            }
+        ],
+        meta={"format-version": "2"},
+    )
+    meta = {
+        "format-version": 2,
+        "table-uuid": str(uuid.uuid5(uuid.NAMESPACE_URL, path)),
+        "location": path,
+        "last-sequence-number": snapshot_id,
+        "last-updated-ms": 0,
+        "last-column-id": last_col,
+        "current-schema-id": 0,
+        "schemas": [schema],
+        "default-spec-id": 0,
+        "partition-specs": [spec],
+        "last-partition-id": max(
+            [pf["field-id"] for pf in spec_fields], default=999
+        ),
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {"write.format.default": "parquet"},
+        "current-snapshot-id": snapshot_id,
+        "snapshots": [
+            {
+                "snapshot-id": snapshot_id,
+                "sequence-number": snapshot_id,
+                "timestamp-ms": 0,
+                "manifest-list": mlist_path,
+                "summary": {"operation": "append"},
+                "schema-id": 0,
+            }
+        ],
+        "snapshot-log": [],
+        "metadata-log": [],
+    }
+    md_path = os.path.join(md_dir, f"v{snapshot_id}.metadata.json")
+    with open(md_path, "w", encoding="utf-8") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(md_dir, "version-hint.text"), "w", encoding="utf-8") as fh:
+        fh.write(str(snapshot_id))
+    return md_path
+
+
 def iceberg_metadata_table(spark, path: str, kind: str):
     """Iceberg's inspection/metadata tables (`SELECT * FROM t.snapshots`
     etc.) as DataFrames built purely from the emitted metadata — the

@@ -1235,3 +1235,39 @@ def test_field_id_resolution_reads_renamed_files(spark, tmp_path):
     )
     # pos 0 of file a (id 0) and pos 1 of file b (id 3) are deleted
     assert got2 == [(1, "y"), (2, "z")]
+
+
+def test_write_iceberg_native_transform_partitioning(spark, tmp_path):
+    """The native writer produces the foreign-engine shape: source
+    columns IN the data files, transformed partition values only in the
+    manifests, one data file per partition tuple; read_iceberg round
+    trips and prunes through the transform. Existing metadata refuses."""
+    t = str(tmp_path / "nat")
+    df = spark.range(0, 300).select(
+        "id",
+        (F.col("id") % 5).cast("long").alias("v"),
+        F.concat(F.lit("g"), (F.col("id") % 3).cast("string")).alias("grp"),
+    )
+    uf.write_iceberg_native(spark, df, t, partition_spec=[("id", "bucket[4]")])
+    files = uf.read_uniform_files(t)
+    assert 1 < len(files) <= 4
+    assert sum(f["record_count"] for f in files) == 300
+    # source column physically present; partition value only in manifests
+    import pyarrow.parquet as pq
+
+    sch = pq.read_schema(files[0]["file_path"])
+    assert "id" in sch.names and "id_bucket" not in sch.names
+    assert all(f["partition"]["id_bucket"] is not None for f in files)
+    back = uf.read_iceberg(spark, t)
+    assert sorted(r["id"] for r in back.collect()) == list(range(300))
+    probe = uf.read_iceberg(spark, t, partition_filter={"id": 42})
+    assert len(probe.inputFiles()) == 1
+    assert [(r["id"], r["grp"]) for r in probe.collect()] == [(42, "g0")]
+    with pytest.raises(ValueError, match="already has Iceberg metadata"):
+        uf.write_iceberg_native(spark, df, t)
+    # truncate over strings prunes too
+    t2 = str(tmp_path / "nat2")
+    uf.write_iceberg_native(spark, df, t2, partition_spec=[("grp", "truncate[2]")])
+    p2 = uf.read_iceberg(spark, t2, partition_filter={"grp": "g1"})
+    assert len(p2.inputFiles()) == 1
+    assert p2.count() == 100
