@@ -1150,6 +1150,10 @@ def uniform_sync(spark, path: str, snap=None) -> str:
         ],
         "metadata-log": [],
     }
+    if prior.get("refs"):
+        # tags/branches survive every sync (their snapshots are all
+        # retained here; expire owns their lifecycle)
+        meta["refs"] = prior["refs"]
     md_path = os.path.join(md_dir, f"v{snapshot_id}.metadata.json")
     tmp = md_path + f".tmp-{uuid.uuid4().hex[:8]}"
     with open(tmp, "w", encoding="utf-8") as fh:
@@ -1584,6 +1588,16 @@ def uniform_expire_snapshots(path: str, keep: int = 5) -> list[str]:
     kept = snaps[-keep:]
     if not any(s["snapshot-id"] == cur for s in kept):  # pragma: no cover
         kept.append(next(s for s in snaps if s["snapshot-id"] == cur))
+    # refs PIN their snapshots (the spec's per-ref retention): a tagged
+    # or branched snapshot survives any keep window until the ref drops
+    ref_ids = {
+        r["snapshot-id"] for r in (meta.get("refs") or {}).values()
+    }
+    kept_ids_now = {k["snapshot-id"] for k in kept}
+    for s in snaps:
+        if s["snapshot-id"] in ref_ids and s["snapshot-id"] not in kept_ids_now:
+            kept.append(s)
+    kept.sort(key=lambda s: s["snapshot-id"])
     expired = [s for s in snaps if s["snapshot-id"] not in {k["snapshot-id"] for k in kept}]
     if not expired:
         return []
@@ -1677,14 +1691,82 @@ def read_uniform_files(path: str) -> list[dict]:
     return data
 
 
+def uniform_set_ref(
+    path: str,
+    name: str,
+    snapshot_id: int | None = None,
+    ref_type: str = "tag",
+) -> None:
+    """Write a snapshot REFERENCE into the table metadata (the spec's
+    ``refs`` map — Iceberg's tags and branches, the primitive behind
+    write-audit-publish). ``snapshot_id=None`` points at the current
+    snapshot. Tags and branches here are READ surfaces: ``read_iceberg
+    (ref=...)`` resolves them and ``uniform_expire_snapshots`` keeps
+    every referenced snapshot alive regardless of the keep window (the
+    spec's per-ref retention, rendered as: a ref pins its snapshot).
+    Writing TO a branch is outside this emitter's boundary — commits
+    always advance main (the Delta table is the single writable
+    lineage), exactly like UniForm. ``snapshot_id=<expired id>``
+    refuses. Atomic tmp+replace on the current metadata JSON."""
+    if ref_type not in ("tag", "branch"):
+        raise ValueError(f"ref_type must be tag|branch, got {ref_type!r}")
+    md_dir = os.path.join(path, "metadata")
+    meta = _read_prior_metadata(md_dir)
+    if not meta:
+        raise FileNotFoundError(f"no Iceberg metadata under {md_dir}")
+    sid = snapshot_id if snapshot_id is not None else meta["current-snapshot-id"]
+    if not any(s["snapshot-id"] == sid for s in meta.get("snapshots") or []):
+        raise ValueError(f"snapshot {sid} not in table metadata")
+    meta = dict(meta)
+    refs = dict(meta.get("refs") or {})
+    refs[name] = {"snapshot-id": sid, "type": ref_type}
+    meta["refs"] = refs
+    cur = meta["current-snapshot-id"]
+    md_path = os.path.join(md_dir, f"v{cur}.metadata.json")
+    tmp = md_path + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, md_path)
+
+
+def uniform_drop_ref(path: str, name: str) -> None:
+    """Remove a snapshot reference; missing names are ignored (the SQL
+    command's IF EXISTS posture). The snapshot itself stays until
+    expire's keep window lets it go."""
+    md_dir = os.path.join(path, "metadata")
+    meta = _read_prior_metadata(md_dir)
+    if not meta:
+        raise FileNotFoundError(f"no Iceberg metadata under {md_dir}")
+    refs = dict(meta.get("refs") or {})
+    if name not in refs:
+        return
+    del refs[name]
+    meta = dict(meta)
+    meta["refs"] = refs
+    cur = meta["current-snapshot-id"]
+    md_path = os.path.join(md_dir, f"v{cur}.metadata.json")
+    tmp = md_path + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, md_path)
+
+
 def _resolve_snapshot(
     meta: dict,
     snapshot_id: int | None = None,
     as_of_timestamp_ms: int | None = None,
+    ref: str | None = None,
 ) -> dict:
-    """Pick a snapshot from the table metadata: by id, by timestamp
-    (latest snapshot at-or-before — Iceberg's time travel contract), or
-    the current one."""
+    """Pick a snapshot from the table metadata: by ref (tag/branch), by
+    id, by timestamp (latest snapshot at-or-before — Iceberg's time
+    travel contract), or the current one."""
+    if ref is not None:
+        refs = meta.get("refs") or {}
+        if ref not in refs:
+            raise ValueError(
+                f"ref {ref!r} not in table metadata (have {sorted(refs)})"
+            )
+        snapshot_id = refs[ref]["snapshot-id"]
     snaps = meta.get("snapshots") or []
     if snapshot_id is not None:
         for s in snaps:
@@ -1818,6 +1900,7 @@ def read_iceberg(
     partition_filter: dict | None = None,
     prune: list | None = None,
     resolve: str = "auto",
+    ref: str | None = None,
 ):
     """Scan an Iceberg v2 table as a DataFrame using ONLY its Iceberg
     metadata — version-hint → metadata JSON → manifest list → manifests
@@ -1832,7 +1915,10 @@ def read_iceberg(
     ``snapshot_id`` / ``as_of_timestamp_ms`` select historical snapshots
     (Iceberg time travel — the metadata keeps every synced snapshot, so
     no log replay is needed; a snapshot whose files were since vacuumed
-    fails on read, the same contract as Delta time travel).
+    fails on read, the same contract as Delta time travel). ``ref``
+    resolves a named tag or branch written by :func:`uniform_set_ref`
+    (the spec's refs map); refs pin their snapshots through
+    ``uniform_expire_snapshots``.
 
     ``partition_filter`` ({column: value} equality) prunes at the
     MANIFEST level: entries whose typed partition struct doesn't match
@@ -1871,7 +1957,7 @@ def read_iceberg(
         raise ValueError(
             f"unsupported Iceberg format-version {meta.get('format-version')!r}"
         )
-    snap = _resolve_snapshot(meta, snapshot_id, as_of_timestamp_ms)
+    snap = _resolve_snapshot(meta, snapshot_id, as_of_timestamp_ms, ref=ref)
     files, delete_files = _snapshot_data_files(meta, snap)
 
     # time travel reads each snapshot with ITS OWN schema (the spec's

@@ -1271,3 +1271,45 @@ def test_write_iceberg_native_transform_partitioning(spark, tmp_path):
     p2 = uf.read_iceberg(spark, t2, partition_filter={"grp": "g1"})
     assert len(p2.inputFiles()) == 1
     assert p2.count() == 100
+
+
+def test_snapshot_refs_tags_and_branches(spark, tmp_path):
+    """The spec's refs map: uniform_set_ref tags a snapshot, the tag
+    survives later syncs, read_iceberg(ref=...) resolves it, expire
+    PINS referenced snapshots past the keep window, and dropping the
+    ref lets the next expire collect it."""
+    from pos_dlt_spark.sources.delta_writer import delta_delete
+
+    t = str(tmp_path / "refs")
+    write_delta(
+        spark.range(0, 50).coalesce(1),
+        t,
+        configuration={"delta.universalFormat.enabledFormats": "iceberg"},
+    )
+    uf.uniform_set_ref(t, "v1-audit")  # tag the current (first) snapshot
+    for lo in (50, 100, 150):
+        write_delta(spark.range(lo, lo + 50).coalesce(1), t)
+    delta_delete(spark, t, "id < 10", mode="dv")
+    # the tag survived four more syncs and still reads the first snapshot
+    assert uf.read_iceberg(spark, t, ref="v1-audit").count() == 50
+    with pytest.raises(ValueError, match="not in table metadata"):
+        uf.read_iceberg(spark, t, ref="nope")
+    # expire keeps the tagged snapshot past the keep window
+    uf.uniform_expire_snapshots(t, keep=1)
+    meta = uf._read_prior_metadata(os.path.join(t, "metadata"))
+    kept = {s["snapshot-id"] for s in meta["snapshots"]}
+    assert 1 in kept and meta["current-snapshot-id"] in kept
+    assert uf.read_iceberg(spark, t, ref="v1-audit").count() == 50
+    assert uf.read_iceberg(spark, t).count() == 190
+    # branch ref on current; drop the tag; next expire collects snapshot 1
+    uf.uniform_set_ref(t, "audit-branch", ref_type="branch")
+    uf.uniform_drop_ref(t, "v1-audit")
+    uf.uniform_drop_ref(t, "never-existed")  # IF EXISTS posture
+    uf.uniform_expire_snapshots(t, keep=1)
+    meta2 = uf._read_prior_metadata(os.path.join(t, "metadata"))
+    assert 1 not in {s["snapshot-id"] for s in meta2["snapshots"]}
+    with pytest.raises(ValueError, match="not in table metadata"):
+        uf.read_iceberg(spark, t, ref="v1-audit")
+    assert uf.read_iceberg(spark, t, ref="audit-branch").count() == 190
+    with pytest.raises(ValueError, match="snapshot 1 not in table metadata"):
+        uf.uniform_set_ref(t, "late-tag", snapshot_id=1)
