@@ -2074,6 +2074,62 @@ def orders_iceberg_dv_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "orders_delta_merge_schema",
+    oracle="""
+    SELECT (o_orderkey % 2 = 0) AS legacy,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           MAX(CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END) AS max_prio
+    FROM orders GROUP BY (o_orderkey % 2 = 0)
+    """,
+)
+def orders_delta_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mergeSchema write option end to end: the first batch (even order
+    keys) lands WITHOUT o_orderpriority; the second batch (odd keys) carries it
+    and ``merge_schema=True`` appends the column to the table schema in
+    the SAME commit as the data (one metadata action, no file
+    rewritten). The read null-fills the legacy files, so grouping by
+    ``o_orderpriority IS NULL`` reproduces the batch split exactly and
+    ``max_prio`` hash-checks that the evolved column's values survived;
+    the oracle recomputes both from the source table."""
+    from pos_dlt_spark.sources.delta import read_delta
+    from pos_dlt_spark.sources.delta_writer import write_delta
+    from pos_dlt_spark.tables import scratch_dir
+
+    key = os.path.abspath(sf_dir) + "#merge_schema"
+    if key not in _DELTA_RT_CACHE:
+        import atexit
+        import shutil
+
+        work = scratch_dir("delta_msch_")
+        atexit.register(shutil.rmtree, work, ignore_errors=True)
+        table = os.path.join(work, "orders")
+        orders = load_table(spark, sf_dir, "orders")
+        write_delta(
+            orders.filter(F.col("o_orderkey") % 2 == 0).select(
+                "o_orderkey", "o_totalprice"
+            ),
+            table,
+        )
+        write_delta(
+            orders.filter(F.col("o_orderkey") % 2 == 1).select(
+                "o_orderkey", "o_totalprice", "o_orderpriority"
+            ),
+            table,
+            merge_schema=True,
+        )
+        _DELTA_RT_CACHE[key] = table
+    df = read_delta(spark, _DELTA_RT_CACHE[key])
+    return df.groupBy(F.col("o_orderpriority").isNull().alias("legacy")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total"),
+        F.max("o_orderpriority").alias("max_prio"),
+    )
+
+
+@query(
     "supplier_iceberg_bucket_transform",
     oracle="""
     SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey,

@@ -2003,3 +2003,57 @@ def test_log_cleanup_gcs_superseded_checkpoints_and_sidecars(
     assert set(os.listdir(sc_dir)) == live  # exactly the referenced set
     got = sorted(r.id for r in read_delta(spark, table).collect())
     assert got == list(range(5, 60))
+
+
+def test_merge_schema_append_evolution(spark, tmp_path):
+    """merge_schema=True: new columns append to the table schema in the
+    same commit (nullable; old files null-fill at scan), omitted
+    existing columns null-fill the new files, type conflicts refuse,
+    and without the flag drift still refuses."""
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "ms")
+    write_delta(spark.range(0, 10).select("id", (F.col("id") * 2).alias("v")), t)
+    write_delta(
+        spark.range(10, 15).select(
+            "id", (F.col("id") * 2).alias("v"), F.lit("x").alias("tag")
+        ),
+        t,
+        merge_schema=True,
+    )
+    d = read_delta(spark, t)
+    assert d.columns == ["id", "v", "tag"]
+    assert d.count() == 15 and d.filter("tag is null").count() == 10
+    # omit an existing column: staged files lack it, scan null-fills
+    write_delta(
+        spark.range(15, 18).select("id", F.lit("y").alias("tag")),
+        t,
+        merge_schema=True,
+    )
+    d2 = read_delta(spark, t)
+    assert d2.count() == 18 and d2.filter("v is null").count() == 3
+    with pytest.raises(ValueError, match="type conflict"):
+        write_delta(
+            spark.range(0, 1).select(F.col("id").cast("int").alias("id")),
+            t,
+            merge_schema=True,
+        )
+    with pytest.raises(ValueError, match="schema drift"):
+        write_delta(
+            spark.range(0, 1).select("id", F.lit("z").alias("other")), t
+        )
+    # idempotent when the schema already matches: no metadata action
+    import json as _json
+
+    v = write_delta(
+        spark.range(18, 20).select(
+            "id", (F.col("id") * 2).alias("v"), F.lit("w").alias("tag")
+        ),
+        t,
+        merge_schema=True,
+    )
+    commit = os.path.join(t, "_delta_log", f"{v:020d}.json")
+    acts = [
+        _json.loads(line) for line in open(commit, encoding="utf-8")
+    ]
+    assert not any("metaData" in a for a in acts)
