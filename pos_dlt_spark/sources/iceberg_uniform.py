@@ -1442,6 +1442,7 @@ def iceberg_metadata_table(spark, path: str, kind: str):
     - ``files``: content, file_path, file_format, record_count,
       file_size_in_bytes, partition (map<string,string>) for the CURRENT
       snapshot — data AND delete files.
+    - ``refs``: name, type, snapshot_id — the tags/branches map.
 
     Everything here is metadata-scale (rows = snapshots/manifests/files,
     never data rows), built driver-side like any Iceberg catalog does."""
@@ -1497,6 +1498,19 @@ def iceberg_metadata_table(spark, path: str, kind: str):
         )
         rows = [
             (_ts(s["timestamp-ms"]), s["snapshot-id"], "true") for s in snaps
+        ]
+        return spark.createDataFrame(rows, schema)
+    if kind == "refs":
+        schema = StructType(
+            [
+                StructField("name", StringType()),
+                StructField("type", StringType()),
+                StructField("snapshot_id", LongType()),
+            ]
+        )
+        rows = [
+            (n, r.get("type"), int(r["snapshot-id"]))
+            for n, r in sorted((meta.get("refs") or {}).items())
         ]
         return spark.createDataFrame(rows, schema)
     cur = _resolve_snapshot(meta)
@@ -1557,7 +1571,7 @@ def iceberg_metadata_table(spark, path: str, kind: str):
         return spark.createDataFrame(rows, schema)
     raise ValueError(
         f"unknown metadata table {kind!r} "
-        "(snapshots, history, manifests, files)"
+        "(snapshots, history, manifests, files, refs)"
     )
 
 

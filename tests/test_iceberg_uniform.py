@@ -1156,8 +1156,9 @@ def test_iceberg_metadata_tables(spark, tmp_path):
         for r in frows
         if r["content"] == 0
     )
+    assert uf.iceberg_metadata_table(spark, t, "refs").count() == 0  # no refs set
     with pytest.raises(ValueError, match="unknown metadata table"):
-        uf.iceberg_metadata_table(spark, t, "refs")
+        uf.iceberg_metadata_table(spark, t, "partitions")
 
 
 def test_field_id_resolution_reads_renamed_files(spark, tmp_path):
@@ -1313,3 +1314,7 @@ def test_snapshot_refs_tags_and_branches(spark, tmp_path):
     assert uf.read_iceberg(spark, t, ref="audit-branch").count() == 190
     with pytest.raises(ValueError, match="snapshot 1 not in table metadata"):
         uf.uniform_set_ref(t, "late-tag", snapshot_id=1)
+    refs_tbl = uf.iceberg_metadata_table(spark, t, "refs").collect()
+    assert [(r["name"], r["type"]) for r in refs_tbl] == [
+        ("audit-branch", "branch")
+    ]
