@@ -2221,49 +2221,71 @@ def _apply_iceberg_deletes(spark, df, casts, data_files, delete_files, schema):
 
     ``casts=None`` means ``df`` already carries the logical columns plus
     ``__ice_path``/``__ice_pos`` (the field-id-resolved union path,
-    where metadata columns were attached per scan group)."""
+    where metadata columns were attached per scan group).
+
+    SEQUENCE FAST PATH: the sequence checks exist for files written
+    AFTER a delete (the delete must not apply to them). When the
+    metadata PROVES no such file exists — every position delete's seq is
+    >= the max data seq (equal is fine: equal-or-lower rule), every
+    equality delete's strictly greater — the per-row ``__data_seq``
+    broadcast join and the delete-side seq join are dropped entirely.
+    This is the steady state of the UniForm emitter (a full-rewrite sync
+    stamps data and deletes with the SAME sequence number), so the
+    common MoR plan is exactly one anti-join over the data scan."""
     from pyspark.sql import functions as F
 
     by_id = {f["id"]: f for f in schema["fields"]}
     if casts is not None:
         df = df.select(*casts, *_scan_meta_cols())
-    # data-file sequence numbers: metadata-sized, broadcast
-    seq_rows = [
-        (_norm_file_path(d["file_path"]), int(d["_seq"])) for d in data_files
-    ]
-    seq_df = spark.createDataFrame(seq_rows, "__ice_path string, __data_seq long")
-    df = df.join(F.broadcast(seq_df), "__ice_path", "left").withColumn(
-        "__data_seq", F.coalesce(F.col("__data_seq"), F.lit(0))
-    )
 
     pos_dels = [d for d in delete_files if int(d.get("content") or 0) == 1]
-    if pos_dels:
-        dseq_rows = [
-            (_norm_file_path(d["file_path"]), int(d["_seq"])) for d in pos_dels
+    eq_dels = [d for d in delete_files if int(d.get("content") or 0) == 2]
+    max_data_seq = max((int(d["_seq"]) for d in data_files), default=0)
+    pos_need_seq = any(int(d["_seq"]) < max_data_seq for d in pos_dels)
+    eq_need_seq = any(int(d["_seq"]) <= max_data_seq for d in eq_dels)
+    if pos_need_seq or eq_need_seq:
+        # data-file sequence numbers: metadata-sized, broadcast
+        seq_rows = [
+            (_norm_file_path(d["file_path"]), int(d["_seq"])) for d in data_files
         ]
-        dseq = spark.createDataFrame(dseq_rows, "__del_file string, __del_seq long")
-        pdf = (
-            spark.read.parquet(*[d["file_path"] for d in pos_dels])
-            .select(
-                F.regexp_replace(F.col("file_path"), "^file:(//)?", "").alias(
-                    "__del_path"
-                ),
-                F.col("pos").cast("long").alias("__del_pos"),
-                F.regexp_replace(
-                    F.col("_metadata.file_path"), "^file:(//)?", ""
-                ).alias("__del_file"),
-            )
-            .join(F.broadcast(dseq), "__del_file")
+        seq_df = spark.createDataFrame(
+            seq_rows, "__ice_path string, __data_seq long"
         )
-        df = df.join(
-            F.broadcast(pdf),
-            (F.col("__ice_path") == F.col("__del_path"))
-            & (F.col("__ice_pos") == F.col("__del_pos"))
-            & (F.col("__del_seq") >= F.col("__data_seq")),
-            "left_anti",
+        df = df.join(F.broadcast(seq_df), "__ice_path", "left").withColumn(
+            "__data_seq", F.coalesce(F.col("__data_seq"), F.lit(0))
         )
 
-    eq_dels = [d for d in delete_files if int(d.get("content") or 0) == 2]
+    if pos_dels:
+        pdf = spark.read.parquet(*[d["file_path"] for d in pos_dels]).select(
+            F.regexp_replace(F.col("file_path"), "^file:(//)?", "").alias(
+                "__del_path"
+            ),
+            F.col("pos").cast("long").alias("__del_pos"),
+            *(
+                [
+                    F.regexp_replace(
+                        F.col("_metadata.file_path"), "^file:(//)?", ""
+                    ).alias("__del_file")
+                ]
+                if pos_need_seq
+                else []
+            ),
+        )
+        cond = (F.col("__ice_path") == F.col("__del_path")) & (
+            F.col("__ice_pos") == F.col("__del_pos")
+        )
+        if pos_need_seq:
+            dseq_rows = [
+                (_norm_file_path(d["file_path"]), int(d["_seq"]))
+                for d in pos_dels
+            ]
+            dseq = spark.createDataFrame(
+                dseq_rows, "__del_file string, __del_seq long"
+            )
+            pdf = pdf.join(F.broadcast(dseq), "__del_file")
+            cond = cond & (F.col("__del_seq") >= F.col("__data_seq"))
+        df = df.join(F.broadcast(pdf), cond, "left_anti")
+
     if eq_dels:
         groups: dict[tuple, list] = {}
         for d in eq_dels:
@@ -2285,7 +2307,10 @@ def _apply_iceberg_deletes(spark, df, casts, data_files, delete_files, schema):
                     for c in cols
                 ]
             )
-            cond = F.lit(dseq_n) > F.col("__data_seq")
+            if eq_need_seq:
+                cond = F.lit(dseq_n) > F.col("__data_seq")
+            else:
+                cond = F.lit(True)
             for c in cols:
                 cond = cond & F.col(c["name"]).eqNullSafe(F.col(f"__eq_{c['name']}"))
             df = df.join(F.broadcast(edf), cond, "left_anti")
