@@ -1209,6 +1209,7 @@ def write_iceberg_native(
     df,
     path: str,
     partition_spec: list | None = None,
+    mode: str = "create",
 ) -> str:
     """Write a NATIVE Iceberg v2 table (not a UniForm twin) from a
     DataFrame: data parquet under ``<path>/data/`` plus the full
@@ -1226,30 +1227,71 @@ def write_iceberg_native(
     Unpartitioned tables write one repartition-preserving scan. Returns
     the metadata JSON path. This writer exists for interop fixtures and
     engine hand-off at table-build time — the high-volume write path
-    remains Delta + UniForm."""
+    remains Delta + UniForm.
+
+    ``mode='append'`` adds a snapshot to an EXISTING native table: new
+    data files under the table's spec (inherited; ``partition_spec``
+    must be omitted), one new manifest APPENDED to the prior manifest
+    list (the incremental shape, O(new files)), prior snapshots and
+    refs carried over. The DataFrame's Iceberg rendering must match the
+    table schema exactly — evolution is the UniForm path's job."""
     import pandas as pd
     from pyspark.sql import functions as F
 
-    if os.path.isdir(os.path.join(path, "metadata")) and os.listdir(
-        os.path.join(path, "metadata")
-    ):
-        raise ValueError(f"{path} already has Iceberg metadata")
-    schema, last_col = iceberg_schema(df.schema)
-    by_name = {f["name"]: f for f in schema["fields"]}
-    spec_fields = []
-    for i, (col, transform) in enumerate(partition_spec or []):
-        if col not in by_name:
-            raise ValueError(f"partition source column {col!r} not in schema")
-        _transform_result_type(transform, by_name[col]["type"])  # validate
-        suffix = transform.split("[")[0]
-        spec_fields.append(
-            {
-                "name": col if transform == "identity" else f"{col}_{suffix}",
-                "transform": transform,
-                "source-id": by_name[col]["id"],
-                "field-id": 1000 + i,
-            }
+    md_dir = os.path.join(path, "metadata")
+    existing = os.path.isdir(md_dir) and bool(os.listdir(md_dir))
+    if mode not in ("create", "append"):
+        raise ValueError(f"mode must be create|append, got {mode!r}")
+    if mode == "create":
+        if existing:
+            raise ValueError(f"{path} already has Iceberg metadata")
+        prior: dict = {}
+        snapshot_id = 1
+        schema, last_col = iceberg_schema(df.schema)
+        by_name = {f["name"]: f for f in schema["fields"]}
+        spec_fields = []
+        for i, (col, transform) in enumerate(partition_spec or []):
+            if col not in by_name:
+                raise ValueError(
+                    f"partition source column {col!r} not in schema"
+                )
+            _transform_result_type(transform, by_name[col]["type"])  # validate
+            suffix = transform.split("[")[0]
+            spec_fields.append(
+                {
+                    "name": col if transform == "identity" else f"{col}_{suffix}",
+                    "transform": transform,
+                    "source-id": by_name[col]["id"],
+                    "field-id": 1000 + i,
+                }
+            )
+    else:
+        if partition_spec is not None:
+            raise ValueError("partition_spec is set at table creation only")
+        prior = _read_prior_metadata(md_dir)
+        if not prior:
+            raise ValueError(f"append requires an existing Iceberg table at {path}")
+        schema = next(
+            s
+            for s in prior["schemas"]
+            if s["schema-id"] == prior["current-schema-id"]
         )
+        new_schema, _ = iceberg_schema(df.schema)
+        if [(f["name"], f["type"]) for f in new_schema["fields"]] != [
+            (f["name"], f["type"]) for f in schema["fields"]
+        ]:
+            raise ValueError(
+                "append schema mismatch: table "
+                f"{[(f['name'], f['type']) for f in schema['fields']]} vs "
+                f"dataframe {[(f['name'], f['type']) for f in new_schema['fields']]}"
+            )
+        last_col = int(prior["last-column-id"])
+        spec_fields = next(
+            p
+            for p in prior["partition-specs"]
+            if p["spec-id"] == prior["default-spec-id"]
+        )["fields"]
+        snapshot_id = int(prior["current-snapshot-id"]) + 1
     spec = {"spec-id": 0, "fields": spec_fields}
     pav = _partition_avro_schema(spec, schema["fields"])
     data_dir = os.path.join(path, "data")
@@ -1297,7 +1339,6 @@ def write_iceberg_native(
         work = df.mapInPandas(_gen, schema=out)
 
     entries = []
-    snapshot_id = 1
 
     def _write_one(part_df, pv: dict) -> None:
         import shutil as _sh
@@ -1364,11 +1405,20 @@ def write_iceberg_native(
         },
     )
     total_rows = sum(e["data_file"]["record_count"] for e in entries)
+    prior_manifests: list[dict] = []
+    if mode == "append":
+        cur = next(
+            s
+            for s in prior["snapshots"]
+            if s["snapshot-id"] == prior["current-snapshot-id"]
+        )
+        _, prior_manifests = read_avro(cur["manifest-list"])
     mlist_path = os.path.join(md_dir, f"snap-{snapshot_id}-{uuid.uuid4().hex[:8]}.avro")
     write_avro(
         mlist_path,
         _MANIFEST_LIST_SCHEMA,
-        [
+        prior_manifests
+        + [
             {
                 "manifest_path": man_path,
                 "manifest_length": os.path.getsize(man_path),
@@ -1387,15 +1437,26 @@ def write_iceberg_native(
         ],
         meta={"format-version": "2"},
     )
+    snapshots = list(prior.get("snapshots") or []) + [
+        {
+            "snapshot-id": snapshot_id,
+            "sequence-number": snapshot_id,
+            "timestamp-ms": snapshot_id,  # deterministic, order-preserving
+            "manifest-list": mlist_path,
+            "summary": {"operation": "append"},
+            "schema-id": int(prior.get("current-schema-id") or 0),
+        }
+    ]
     meta = {
         "format-version": 2,
-        "table-uuid": str(uuid.uuid5(uuid.NAMESPACE_URL, path)),
+        "table-uuid": prior.get("table-uuid")
+        or str(uuid.uuid5(uuid.NAMESPACE_URL, path)),
         "location": path,
         "last-sequence-number": snapshot_id,
-        "last-updated-ms": 0,
+        "last-updated-ms": snapshot_id,
         "last-column-id": last_col,
-        "current-schema-id": 0,
-        "schemas": [schema],
+        "current-schema-id": int(prior.get("current-schema-id") or 0),
+        "schemas": prior.get("schemas") or [schema],
         "default-spec-id": 0,
         "partition-specs": [spec],
         "last-partition-id": max(
@@ -1405,19 +1466,15 @@ def write_iceberg_native(
         "sort-orders": [{"order-id": 0, "fields": []}],
         "properties": {"write.format.default": "parquet"},
         "current-snapshot-id": snapshot_id,
-        "snapshots": [
-            {
-                "snapshot-id": snapshot_id,
-                "sequence-number": snapshot_id,
-                "timestamp-ms": 0,
-                "manifest-list": mlist_path,
-                "summary": {"operation": "append"},
-                "schema-id": 0,
-            }
+        "snapshots": snapshots,
+        "snapshot-log": [
+            {"snapshot-id": s["snapshot-id"], "timestamp-ms": s["timestamp-ms"]}
+            for s in snapshots
         ],
-        "snapshot-log": [],
         "metadata-log": [],
     }
+    if prior.get("refs"):
+        meta["refs"] = prior["refs"]
     md_path = os.path.join(md_dir, f"v{snapshot_id}.metadata.json")
     with open(md_path, "w", encoding="utf-8") as fh:
         json.dump(meta, fh)

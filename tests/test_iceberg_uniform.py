@@ -1318,3 +1318,44 @@ def test_snapshot_refs_tags_and_branches(spark, tmp_path):
     assert [(r["name"], r["type"]) for r in refs_tbl] == [
         ("audit-branch", "branch")
     ]
+
+
+def test_write_iceberg_native_append_mode(spark, tmp_path):
+    """Append mode on native tables: one new manifest rides an appended
+    manifest list (incremental shape), snapshots accumulate, refs carry
+    over, snapshot time travel sees each epoch, transform pruning still
+    routes point lookups, and schema mismatch / create-over-existing /
+    spec-on-append refuse."""
+    t = str(tmp_path / "napp")
+    df1 = spark.range(0, 100).select(
+        "id", F.concat(F.lit("g"), (F.col("id") % 3).cast("string")).alias("grp")
+    )
+    uf.write_iceberg_native(spark, df1, t, partition_spec=[("id", "bucket[4]")])
+    uf.uniform_set_ref(t, "epoch1")
+    df2 = spark.range(100, 160).select(
+        "id", F.concat(F.lit("g"), (F.col("id") % 3).cast("string")).alias("grp")
+    )
+    uf.write_iceberg_native(spark, df2, t, mode="append")
+    assert uf.read_iceberg(spark, t).count() == 160
+    assert uf.read_iceberg(spark, t, snapshot_id=1).count() == 100
+    assert uf.read_iceberg(spark, t, ref="epoch1").count() == 100
+    # incremental: the new list holds the prior manifests + one new
+    meta = uf._read_prior_metadata(os.path.join(t, "metadata"))
+    cur = next(
+        s for s in meta["snapshots"] if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _, manifests = uf.read_avro(cur["manifest-list"])
+    assert len(manifests) > len(uf.read_avro(meta["snapshots"][0]["manifest-list"])[1])
+    # pruning still exact across both epochs
+    probe = uf.read_iceberg(spark, t, partition_filter={"id": 123})
+    assert [r["id"] for r in probe.collect()] == [123]
+    with pytest.raises(ValueError, match="schema mismatch"):
+        uf.write_iceberg_native(
+            spark, spark.range(0, 1).select("id"), t, mode="append"
+        )
+    with pytest.raises(ValueError, match="creation only"):
+        uf.write_iceberg_native(
+            spark, df1, t, partition_spec=[("id", "bucket[4]")], mode="append"
+        )
+    with pytest.raises(ValueError, match="already has Iceberg metadata"):
+        uf.write_iceberg_native(spark, df1, t)
