@@ -1354,7 +1354,38 @@ def write_iceberg_native(
         _sh.rmtree(tmp, ignore_errors=True)
         import pyarrow.parquet as pq
 
-        nrec = pq.read_metadata(fp).num_rows
+        fmeta = pq.read_metadata(fp)
+        nrec = fmeta.num_rows
+        # per-column bounds from the parquet footer (spec field-ids
+        # 125/128) so read_iceberg(prune=...) can skip this file — the
+        # same stats a real Iceberg writer records at commit
+        mins: dict = {}
+        maxs: dict = {}
+        for rg in range(fmeta.num_row_groups):
+            rgm = fmeta.row_group(rg)
+            for ci in range(rgm.num_columns):
+                col = rgm.column(ci)
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                n = col.path_in_schema
+                lo, hi = st.min, st.max
+                if isinstance(lo, bytes):
+                    try:
+                        lo, hi = lo.decode("utf-8"), hi.decode("utf-8")
+                    except UnicodeDecodeError:
+                        continue
+                mins[n] = lo if n not in mins else min(mins[n], lo)
+                maxs[n] = hi if n not in maxs else max(maxs[n], hi)
+        lower: list = []
+        upper: list = []
+        for f in schema["fields"]:
+            if f["name"] in mins:
+                b_lo = _bound_bytes(f["type"], mins[f["name"]])
+                b_hi = _bound_bytes(f["type"], maxs[f["name"]])
+                if b_lo is not None and b_hi is not None:
+                    lower.append({"key": f["id"], "value": b_lo})
+                    upper.append({"key": f["id"], "value": b_hi})
         entries.append(
             {
                 "status": 1,
@@ -1368,6 +1399,8 @@ def write_iceberg_native(
                     "partition": pv,
                     "record_count": nrec,
                     "file_size_in_bytes": os.path.getsize(fp),
+                    "lower_bounds": lower or None,
+                    "upper_bounds": upper or None,
                 },
             }
         )

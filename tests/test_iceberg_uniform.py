@@ -1359,3 +1359,23 @@ def test_write_iceberg_native_append_mode(spark, tmp_path):
         )
     with pytest.raises(ValueError, match="already has Iceberg metadata"):
         uf.write_iceberg_native(spark, df1, t)
+
+
+def test_write_iceberg_native_emits_column_bounds(spark, tmp_path):
+    """The native writer records per-column lower/upper bounds from the
+    parquet footers (spec field-ids 125/128), so read_iceberg(prune=...)
+    skips files on NON-partition columns too — composing with transform
+    partition pruning."""
+    t = str(tmp_path / "nbnd")
+    # truncate[100] on id gives 3 files with disjoint id ranges AND
+    # correlated v ranges to prune on
+    df = spark.range(0, 300).select("id", (F.col("id") * 10).alias("v"))
+    uf.write_iceberg_native(
+        spark, df, t, partition_spec=[("id", "truncate[100]")]
+    )
+    files = uf.read_uniform_files(t)
+    assert len(files) == 3
+    assert all(f.get("lower_bounds") for f in files)
+    pruned = uf.read_iceberg(spark, t, prune=[("v", ">=", 2500)])
+    assert len(pruned.inputFiles()) == 1  # only the id in [200,300) file
+    assert pruned.filter("v >= 2500").count() == 50
