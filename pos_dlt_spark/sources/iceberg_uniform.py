@@ -1532,6 +1532,8 @@ def iceberg_metadata_table(spark, path: str, kind: str):
     - ``files``: content, file_path, file_format, record_count,
       file_size_in_bytes, partition (map<string,string>) for the CURRENT
       snapshot — data AND delete files.
+    - ``partitions``: per-partition file_count / record_count /
+      total_size_bytes over the CURRENT snapshot's data files.
     - ``refs``: name, type, snapshot_id — the tags/branches map.
 
     Everything here is metadata-scale (rows = snapshots/manifests/files,
@@ -1659,9 +1661,38 @@ def iceberg_metadata_table(spark, path: str, kind: str):
             for f in data + deletes
         ]
         return spark.createDataFrame(rows, schema)
+    if kind == "partitions":
+        data, deletes = _snapshot_data_files(meta, cur)
+        agg: dict = {}
+        for f in data:
+            key = tuple(
+                sorted(
+                    (k, None if v is None else str(v))
+                    for k, v in (f.get("partition") or {}).items()
+                )
+            )
+            n_files, n_rows, n_bytes = agg.get(key, (0, 0, 0))
+            agg[key] = (
+                n_files + 1,
+                n_rows + int(f.get("record_count") or 0),
+                n_bytes + int(f.get("file_size_in_bytes") or 0),
+            )
+        schema = StructType(
+            [
+                StructField("partition", MapType(StringType(), StringType())),
+                StructField("file_count", IntegerType()),
+                StructField("record_count", LongType()),
+                StructField("total_size_bytes", LongType()),
+            ]
+        )
+        rows = [
+            (dict(k), n_files, n_rows, n_bytes)
+            for k, (n_files, n_rows, n_bytes) in sorted(agg.items())
+        ]
+        return spark.createDataFrame(rows, schema)
     raise ValueError(
         f"unknown metadata table {kind!r} "
-        "(snapshots, history, manifests, files, refs)"
+        "(snapshots, history, manifests, files, partitions, refs)"
     )
 
 

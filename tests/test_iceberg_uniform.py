@@ -1157,8 +1157,13 @@ def test_iceberg_metadata_tables(spark, tmp_path):
         if r["content"] == 0
     )
     assert uf.iceberg_metadata_table(spark, t, "refs").count() == 0  # no refs set
+    parts = uf.iceberg_metadata_table(spark, t, "partitions").collect()
+    # two p-partitions of data files; delete parquets excluded
+    assert sorted(r["partition"]["p"] for r in parts) == ["0", "1"]
+    assert sum(r["record_count"] for r in parts) == 80
+    assert all(r["file_count"] >= 1 for r in parts)
     with pytest.raises(ValueError, match="unknown metadata table"):
-        uf.iceberg_metadata_table(spark, t, "partitions")
+        uf.iceberg_metadata_table(spark, t, "entries")
 
 
 def test_field_id_resolution_reads_renamed_files(spark, tmp_path):
