@@ -2191,6 +2191,95 @@ def supplier_iceberg_bucket_transform(spark: SparkSession, sf_dir: str) -> DataF
 
 
 @query(
+    "supplier_iceberg_partitions_meta",
+    oracle="""
+    SELECT CAST(s_nationkey AS INT) AS s_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS record_count
+    FROM supplier GROUP BY CAST(s_nationkey AS INT)
+    """,
+)
+def supplier_iceberg_partitions_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg inspection tables, value-checked: supplier lands as a
+    native Iceberg table identity-partitioned by nationkey, and the
+    ``partitions`` metadata table's per-partition record_count — built
+    purely from manifests, no data scanned — must hash-match a plain
+    GROUP BY over the source rows. Catches any drift between what the
+    writer records in manifest entries and what the data actually
+    holds."""
+    from pos_dlt_spark.sources import iceberg_uniform as uf
+    from pos_dlt_spark.tables import scratch_dir
+
+    key = os.path.abspath(sf_dir) + "#ice_parts"
+    if key not in _DELTA_RT_CACHE:
+        import atexit
+        import shutil
+
+        work = scratch_dir("ice_parts_")
+        atexit.register(shutil.rmtree, work, ignore_errors=True)
+        table = os.path.join(work, "supplier")
+        supp = load_table(spark, sf_dir, "supplier").select(
+            "s_suppkey", F.col("s_nationkey").cast("int").alias("s_nationkey")
+        )
+        uf.write_iceberg_native(
+            spark, supp, table, partition_spec=[("s_nationkey", "identity")]
+        )
+        _DELTA_RT_CACHE[key] = table
+    meta = uf.iceberg_metadata_table(spark, _DELTA_RT_CACHE[key], "partitions")
+    return meta.select(
+        F.col("partition")["s_nationkey"].cast("int").alias("s_nationkey"),
+        F.col("record_count").cast("bigint").alias("record_count"),
+    )
+
+
+@query(
+    "events_iceberg_day_transform",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM events GROUP BY strftime(ts, '%Y-%m-%d')
+    """,
+)
+def events_iceberg_day_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal partition transforms end to end: events lands as a
+    native Iceberg table partitioned by ``day(ts)`` (days-from-epoch
+    per the spec), one data file per day; a point ``partition_filter``
+    on a sampled timestamp prunes the scan to that day's single file
+    (asserted in-fixture). The returned per-month aggregate over the
+    full Iceberg read hash-matches the source truth, so transform
+    evaluation and the timestamp round trip through the native writer
+    are both value-exact."""
+    from pos_dlt_spark.sources import iceberg_uniform as uf
+    from pos_dlt_spark.tables import scratch_dir
+
+    key = os.path.abspath(sf_dir) + "#ice_day"
+    if key not in _DELTA_RT_CACHE:
+        import atexit
+        import shutil
+
+        work = scratch_dir("ice_day_")
+        atexit.register(shutil.rmtree, work, ignore_errors=True)
+        table = os.path.join(work, "events")
+        ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+        uf.write_iceberg_native(spark, ev, table, partition_spec=[("ts", "day")])
+        files = uf.read_uniform_files(table)
+        assert len(files) > 1, "day transform must split the table"
+        probe_ts = ev.select(F.min("ts")).collect()[0][0]
+        probe = uf.read_iceberg(
+            spark, table, partition_filter={"ts": probe_ts}
+        )
+        assert len(probe.inputFiles()) == 1, (
+            "day(ts) must prune the scan to one file"
+        )
+        _DELTA_RT_CACHE[key] = table
+    df = uf.read_iceberg(spark, _DELTA_RT_CACHE[key])
+    return df.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total"),
+    )
+
+
+@query(
     "orders_delta_zorder_skipping",
     oracle="""
     SELECT o_orderstatus,
@@ -3162,6 +3251,11 @@ def prepare_bench_fixtures(spark: SparkSession, sf_dir: str) -> None:
     # the dv DELETE/UPDATE + position-delete emission IS the fixture;
     # the timed region should measure the merge-on-read Iceberg scan
     REGISTRY["orders_iceberg_dv_deletes"].fn(spark, sf_dir)
+    # the native-writer per-partition build IS the fixture; the timed
+    # region should measure transform pruning / metadata-table reads
+    REGISTRY["supplier_iceberg_bucket_transform"].fn(spark, sf_dir)
+    REGISTRY["supplier_iceberg_partitions_meta"].fn(spark, sf_dir)
+    REGISTRY["events_iceberg_day_transform"].fn(spark, sf_dir)
     # the log-drop + manifest-driven convert IS the fixture; the timed
     # region should measure the converted table's read path
     REGISTRY["supplier_iceberg_convert_roundtrip"].fn(spark, sf_dir)
