@@ -131,6 +131,132 @@ class CycleError(Exception):
     pass
 
 
+# -- DLT-SQL authoring surface (reference `04_Silver-to-Gold ETL.sql`) ----
+
+def _sql_strip_comments(sql: str) -> str:
+    """Remove ``-- ...`` line comments, leaving quoted strings intact."""
+    out: list[str] = []
+    i, n, in_str = 0, len(sql), None
+    while i < n:
+        c = sql[i]
+        if in_str:
+            out.append(c)
+            if c == in_str:
+                if i + 1 < n and sql[i + 1] == in_str:  # '' escape
+                    out.append(sql[i + 1])
+                    i += 2
+                    continue
+                in_str = None
+            i += 1
+        elif c in ("'", '"'):
+            in_str = c
+            out.append(c)
+            i += 1
+        elif c == "-" and i + 1 < n and sql[i + 1] == "-":
+            while i < n and sql[i] != "\n":
+                i += 1
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def _sql_split(sql: str) -> list[str]:
+    """Split a script on ``;`` outside quoted strings."""
+    stmts: list[str] = []
+    cur: list[str] = []
+    in_str = None
+    for c in sql:
+        if in_str:
+            cur.append(c)
+            if c == in_str:
+                in_str = None
+        elif c in ("'", '"'):
+            in_str = c
+            cur.append(c)
+        elif c == ";":
+            stmts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(c)
+    stmts.append("".join(cur))
+    return stmts
+
+
+def _sql_balanced(s: str, open_idx: int) -> tuple[str, str]:
+    """``s[open_idx]`` must be ``(``; return (inner content, remainder
+    after the matching close paren), quote-aware."""
+    depth, in_str = 0, None
+    for i in range(open_idx, len(s)):
+        c = s[i]
+        if in_str:
+            if c == in_str:
+                in_str = None
+        elif c in ("'", '"'):
+            in_str = c
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return s[open_idx + 1 : i], s[i + 1 :]
+    raise ValueError(f"unbalanced parentheses in SQL near {s[open_idx:open_idx+40]!r}")
+
+
+_SQL_SET_RE = re.compile(r"^\s*SET\s+([\w.]+)\s*=\s*(.+?)\s*$", re.I | re.S)
+_SQL_CREATE_RE = re.compile(
+    r"^\s*CREATE\s+(?:OR\s+REFRESH\s+)?(?P<streaming>STREAMING\s+)?LIVE\s+TABLE\s+"
+    r"(?P<name>[A-Za-z_]\w*)(?P<rest>.*)$",
+    re.I | re.S,
+)
+
+
+def _sql_create_clauses(rest: str):
+    """Parse the optional clauses between the table name and ``AS``:
+    COMMENT, TBLPROPERTIES, PARTITIONED BY, CONSTRAINT..EXPECT (any
+    order, each at most once in practice). Returns
+    (comment, props, partition_by, expectations, select_sql)."""
+    comment, props, parts, exps = "", {}, [], []
+    while True:
+        m = re.match(r"\s*COMMENT\s+'((?:[^']|'')*)'", rest, re.I)
+        if m:
+            comment = m.group(1).replace("''", "'")
+            rest = rest[m.end():]
+            continue
+        m = re.match(r"\s*TBLPROPERTIES\s*\(", rest, re.I)
+        if m:
+            body, rest = _sql_balanced(rest, m.end() - 1)
+            props = {
+                k.replace("''", "'"): v.replace("''", "'")
+                for k, v in re.findall(
+                    r"'((?:[^']|'')*)'\s*=\s*'((?:[^']|'')*)'", body
+                )
+            }
+            continue
+        m = re.match(r"\s*PARTITIONED\s+BY\s*\(", rest, re.I)
+        if m:
+            body, rest = _sql_balanced(rest, m.end() - 1)
+            parts = [c.strip() for c in body.split(",") if c.strip()]
+            continue
+        m = re.match(r"\s*CONSTRAINT\s+(\w+)\s+EXPECT\s*\(", rest, re.I)
+        if m:
+            body, rest = _sql_balanced(rest, m.end() - 1)
+            action = "allow"
+            mv = re.match(r"\s*ON\s+VIOLATION\s+(DROP\s+ROW|FAIL\s+UPDATE)", rest, re.I)
+            if mv:
+                action = "drop" if mv.group(1).upper().startswith("DROP") else "fail"
+                rest = rest[mv.end():]
+            exps.append(ExpectationDef(m.group(1), body.strip(), action))
+            continue
+        break
+    m = re.match(r"\s*AS\b", rest, re.I)
+    if not m:
+        raise ValueError(
+            f"CREATE LIVE TABLE requires an AS SELECT body; got {rest.strip()[:60]!r}"
+        )
+    return comment, props, parts, exps, rest[m.end():].strip()
+
+
 class Pipeline:
     def __init__(self, name: str, storage: str, storage_format: str = "parquet") -> None:
         """``storage_format``:
@@ -159,6 +285,8 @@ class Pipeline:
         self.cdc_flows: dict[str, CdcFlowDef] = {}
         self.inc_views: dict[str, IncViewDef] = {}
         self._streams_pending: list[tuple[TableDef, DataFrame]] = []
+        # non-interval SET keys from sql_table scripts (DLT pipeline conf)
+        self.sql_conf: dict[str, str] = {}
 
     # -- declaration -------------------------------------------------------
 
@@ -192,6 +320,132 @@ class Pipeline:
             return fn
 
         return deco
+
+    def sql_table(self, script: str) -> list[str]:
+        """DLT-SQL authoring surface — the reference's own gold entry
+        point is a SQL notebook (`04_Silver-to-Gold ETL.sql:68-103`):
+
+            SET pipelines.trigger.interval = 5 minute;
+            CREATE LIVE TABLE inventory_current
+            COMMENT '...' TBLPROPERTIES ('quality'='gold')
+            AS SELECT ... FROM LIVE.latest_inventory_snapshot a ...
+
+        Accepts a script of ``;``-separated statements and registers each
+        ``CREATE [OR REFRESH] [STREAMING] LIVE TABLE`` exactly like the
+        decorator path (same :class:`TableDef`, runner, storage modes).
+        Grammar supported (the DLT SQL-ref subset the reference exercises
+        plus the natural neighbours):
+
+        - ``SET pipelines.trigger.interval = <n> <unit>`` — becomes the
+          refresh ``interval`` of every table created AFTER it in the
+          same script (DLT's SET-applies-to-what-follows rule); other
+          ``SET`` keys accumulate in :attr:`sql_conf`.
+        - ``COMMENT '...'``, ``TBLPROPERTIES ('k'='v', ...)``,
+          ``PARTITIONED BY (col, ...)``.
+        - ``CONSTRAINT name EXPECT (cond) [ON VIOLATION DROP ROW |
+          FAIL UPDATE]`` — DLT SQL expectations, mapped onto the same
+          :class:`ExpectationDef` machinery as the decorators.
+        - ``LIVE.<table>`` references resolve through :meth:`read` (each
+          becomes a temp view at refresh time, so the body runs as ONE
+          ``spark.sql`` plan — Catalyst sees the whole tree).
+        - ``STREAM(LIVE.<table>)`` inside a ``STREAMING LIVE TABLE``
+          resolves through :meth:`read_stream` — the table runs as a
+          checkpointed stream exactly like ``kind="stream"`` decorator
+          tables. A ``STREAM()`` read in a non-streaming table refuses
+          (DLT's own rule), as does a STREAMING table with no stream
+          source.
+
+        Dependencies are extracted at DECLARATION time from the
+        ``LIVE.`` references, so :meth:`topo_order` is correct before
+        the first run. Returns the created table names."""
+        created: list[str] = []
+        pending_interval: str | None = None
+        for stmt in _sql_split(_sql_strip_comments(script)):
+            if not stmt.strip():
+                continue
+            m = _SQL_SET_RE.match(stmt)
+            if m:
+                key, val = m.group(1), m.group(2).strip().strip("'\"")
+                if key.lower() == "pipelines.trigger.interval":
+                    parse_interval(val)  # fail at declaration, not first tick
+                    pending_interval = val
+                else:
+                    self.sql_conf[key] = val
+                continue
+            m = _SQL_CREATE_RE.match(stmt)
+            if m is None:
+                raise ValueError(
+                    f"unsupported DLT-SQL statement: {stmt.strip()[:80]!r}"
+                )
+            tname = m.group("name")
+            streaming = bool(m.group("streaming"))
+            comment, props, parts, exps, select = _sql_create_clauses(
+                m.group("rest")
+            )
+            stream_deps = sorted(
+                set(
+                    re.findall(
+                        r"STREAM\s*\(\s*LIVE\.([A-Za-z_]\w*)\s*\)", select, re.I
+                    )
+                )
+            )
+            without_stream = re.sub(
+                r"STREAM\s*\(\s*LIVE\.[A-Za-z_]\w*\s*\)", "", select, flags=re.I
+            )
+            batch_deps = sorted(
+                set(re.findall(r"\bLIVE\.([A-Za-z_]\w*)", without_stream, re.I))
+            )
+            if stream_deps and not streaming:
+                raise ValueError(
+                    f"{tname}: STREAM(LIVE.x) requires CREATE STREAMING "
+                    "LIVE TABLE (DLT's rule — a batch table re-reading a "
+                    "stream would double-count)"
+                )
+            if streaming and not stream_deps:
+                raise ValueError(
+                    f"{tname}: STREAMING LIVE TABLE needs at least one "
+                    "STREAM(LIVE.x) source"
+                )
+            if not batch_deps and not stream_deps:
+                raise ValueError(
+                    f"{tname}: no LIVE.<table> reference in the AS body — "
+                    "pipeline SQL tables read other pipeline tables"
+                )
+
+            def fn(
+                spark: SparkSession,
+                _sel: str = select,
+                _sd: tuple = tuple(stream_deps),
+                _bd: tuple = tuple(batch_deps),
+            ) -> DataFrame:
+                q = _sel
+                for d in _sd:
+                    vn = f"__live_stream__{d}"
+                    self.read_stream(spark, d).createOrReplaceTempView(vn)
+                    q = re.sub(
+                        rf"STREAM\s*\(\s*LIVE\.{d}\s*\)", vn, q, flags=re.I
+                    )
+                for d in _bd:
+                    vn = f"__live__{d}"
+                    self.read(spark, d).createOrReplaceTempView(vn)
+                    q = re.sub(rf"\bLIVE\.{d}\b", vn, q, flags=re.I)
+                return spark.sql(q)
+
+            self.tables[tname] = TableDef(
+                name=tname,
+                fn=fn,
+                kind="stream" if streaming else "live",
+                comment=comment,
+                interval=pending_interval,
+                partition_by=parts,
+                table_properties=props,
+                deps=set(batch_deps) | set(stream_deps),
+                expectations=exps,
+            )
+            created.append(tname)
+        if not created:
+            raise ValueError("no CREATE LIVE TABLE statement in script")
+        return created
 
     # -- expectations (DLT @dlt.expect family) ----------------------------
 

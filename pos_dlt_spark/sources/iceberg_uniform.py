@@ -922,9 +922,14 @@ def uniform_sync(spark, path: str, snap=None) -> str:
         )
     prev_total = 0
     if sync_files is not None:
+        # data manifests only (content=0): a delete manifest's
+        # added_rows_count counts deleted POSITIONS, not data rows —
+        # including it would inflate total-records after a DV sync
+        # followed by clean appends
         prev_total = sum(
             int(m.get("added_rows_count") or 0) + int(m.get("existing_rows_count") or 0)
             for m in prior_manifest_entries
+            if int(m.get("content") or 0) == 0
         )
     man_path = os.path.join(md_dir, f"manifest-{snapshot_id}-{uuid.uuid4().hex[:8]}.avro")
     write_avro(
@@ -1286,13 +1291,21 @@ def write_iceberg_native(
                 f"dataframe {[(f['name'], f['type']) for f in new_schema['fields']]}"
             )
         last_col = int(prior["last-column-id"])
-        spec_fields = next(
+        # reuse the prior DEFAULT spec's own id: a foreign table whose
+        # default-spec-id != 0 keeps its manifests' partition_spec_id
+        # references intact, and non-default historical specs are
+        # carried through unchanged below
+        prior_default_spec = next(
             p
             for p in prior["partition-specs"]
             if p["spec-id"] == prior["default-spec-id"]
-        )["fields"]
+        )
+        spec_fields = prior_default_spec["fields"]
         snapshot_id = int(prior["current-snapshot-id"]) + 1
-    spec = {"spec-id": 0, "fields": spec_fields}
+    spec = {
+        "spec-id": int(prior["default-spec-id"]) if mode == "append" else 0,
+        "fields": spec_fields,
+    }
     pav = _partition_avro_schema(spec, schema["fields"])
     data_dir = os.path.join(path, "data")
     md_dir = os.path.join(path, "metadata")
@@ -1455,7 +1468,7 @@ def write_iceberg_native(
             {
                 "manifest_path": man_path,
                 "manifest_length": os.path.getsize(man_path),
-                "partition_spec_id": 0,
+                "partition_spec_id": spec["spec-id"],
                 "content": 0,
                 "sequence_number": snapshot_id,
                 "min_sequence_number": snapshot_id,
@@ -1490,11 +1503,12 @@ def write_iceberg_native(
         "last-column-id": last_col,
         "current-schema-id": int(prior.get("current-schema-id") or 0),
         "schemas": prior.get("schemas") or [schema],
-        "default-spec-id": 0,
-        "partition-specs": [spec],
-        "last-partition-id": max(
-            [pf["field-id"] for pf in spec_fields], default=999
-        ),
+        # append: the prior table's spec history + default id pass
+        # through unchanged (old manifests reference their spec ids)
+        "default-spec-id": spec["spec-id"],
+        "partition-specs": prior.get("partition-specs") or [spec],
+        "last-partition-id": int(prior.get("last-partition-id") or 0)
+        or max([pf["field-id"] for pf in spec_fields], default=999),
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],
         "properties": {"write.format.default": "parquet"},
@@ -1749,23 +1763,34 @@ def uniform_expire_snapshots(path: str, keep: int = 5) -> list[str]:
     os.replace(tmp, md_path)
 
     referenced: set[str] = set()
+    # a retained-but-unreadable manifest list could reference ANY
+    # manifest; its contents cannot enter `referenced`, so sweeping
+    # would delete files retained metadata still points at — abort the
+    # manifest AND delete-parquet sweeps for this run (expired
+    # lists/JSONs still go; re-run after repairing the list)
+    manifest_sweep_safe = True
     for s in kept:
         try:
             _, manifests = read_avro(s["manifest-list"])
-        except (OSError, ValueError):
-            continue  # unreadable retained list: delete nothing it might use
+        except Exception:  # any malformed container, not just clean errors
+            manifest_sweep_safe = False
+            continue
         for m in manifests:
             referenced.add(os.path.basename(m["manifest_path"]))
     # position-delete parquet files referenced by surviving DELETE
-    # manifests (same reference-counting posture as the manifests: an
-    # unreadable manifest protects everything it might reference by
-    # keeping its name out of the sweep below)
+    # manifests. Same posture one level down: an unreadable SURVIVING
+    # manifest might reference any delete parquet, so its failure
+    # aborts the delete-parquet sweep (reads of that snapshot fail on
+    # the manifest anyway, but files referenced by retained metadata
+    # must never be deleted).
+    delete_sweep_safe = manifest_sweep_safe
     referenced_deletes: set[str] = set()
     for name in referenced:
         mp = os.path.join(md_dir, name)
         try:
             _, entries = read_avro(mp)
-        except (OSError, ValueError):
+        except Exception:  # any malformed container, not just clean errors
+            delete_sweep_safe = False
             continue
         for e in entries:
             df_ = e.get("data_file") or {}
@@ -1788,17 +1813,19 @@ def uniform_expire_snapshots(path: str, keep: int = 5) -> list[str]:
             _rm(old_md)
     # manifests referenced by no surviving list (expired lists already
     # deleted above cannot re-reference them)
-    for n in sorted(os.listdir(md_dir)):
-        if not n.startswith("manifest-") or not n.endswith(".avro"):
-            continue
-        if n not in referenced:
-            _rm(os.path.join(md_dir, n))
+    if manifest_sweep_safe:
+        for n in sorted(os.listdir(md_dir)):
+            if not n.startswith("manifest-") or not n.endswith(".avro"):
+                continue
+            if n not in referenced:
+                _rm(os.path.join(md_dir, n))
     # position-delete parquets referenced by no surviving manifest
-    for n in sorted(os.listdir(md_dir)):
-        if not n.startswith("delete-") or not n.endswith(".parquet"):
-            continue
-        if n not in referenced_deletes:
-            _rm(os.path.join(md_dir, n))
+    if delete_sweep_safe:
+        for n in sorted(os.listdir(md_dir)):
+            if not n.startswith("delete-") or not n.endswith(".parquet"):
+                continue
+            if n not in referenced_deletes:
+                _rm(os.path.join(md_dir, n))
     # metadata JSONs of expired snapshots may survive the loop above
     # when their snapshot never became current — sweep by version number
     for n in sorted(os.listdir(md_dir)):
@@ -2188,12 +2215,15 @@ def read_iceberg(
     if resolve not in ("auto", "name", "field-id"):
         raise ValueError(f"resolve must be auto|name|field-id, got {resolve!r}")
     fid_mode = resolve == "field-id"
+    probed_groups = None
     if resolve == "auto":
-        # one footer probe: id-stamped files (real Iceberg writers — the
-        # only tables that CAN rename) switch to field-id resolution;
-        # id-less files (this emitter's twins, where names are stable by
-        # construction) stay on the zero-footer name path
-        fid_mode = _parquet_field_ids(paths[0]) is not None
+        # probe per SCAN GROUP, not one arbitrary footer: a mixed table
+        # (id-stamped files from a real Iceberg engine alongside this
+        # emitter's id-less files, in either order) must not let the
+        # first file's convention decide the whole read — id-stamped
+        # files resolve by field id, id-less files by name, in one scan
+        probed_groups = _field_id_groups(spark, paths)
+        fid_mode = any(sig is not None for sig in probed_groups)
 
     if not fid_mode:
         # the snapshot's schema is passed EXPLICITLY to the scan: files
@@ -2234,15 +2264,33 @@ def read_iceberg(
 
         parts = []
         for sig, gpaths in sorted(
-            _field_id_groups(spark, paths).items(),
+            (probed_groups or _field_id_groups(spark, paths)).items(),
             key=lambda kv: (kv[0] is not None, kv[0] or ()),
         ):
-            id2phys = dict(sig) if sig else {}
+            if sig is None:
+                # id-less group inside a mixed table: name resolution,
+                # WITH the identity-layout basePath re-attachment the
+                # pure-name path uses (emitter-staged files keep
+                # partition columns in the directory structure)
+                reader = spark.read.schema(sp)
+                if part_cols:
+                    reader = reader.option("basePath", meta["location"])
+                gdf = reader.parquet(*gpaths)
+                sel = [
+                    F.col(f["name"])
+                    .cast(_iceberg_type_to_spark(f["type"]))
+                    .alias(f["name"])
+                    for f in schema["fields"]
+                ]
+                meta_cols = _scan_meta_cols() if delete_files else []
+                parts.append(gdf.select(*sel, *meta_cols))
+                continue
+            id2phys = dict(sig)
             phys = StructType()
             sel = []
             for f in schema["fields"]:
                 st = _parse_datatype_string(_iceberg_type_to_spark(f["type"]))
-                pname = f["name"] if sig is None else id2phys.get(f["id"])
+                pname = id2phys.get(f["id"])
                 if pname is None:
                     sel.append(F.lit(None).cast(st).alias(f["name"]))
                 else:

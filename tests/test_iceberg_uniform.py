@@ -1384,3 +1384,191 @@ def test_write_iceberg_native_emits_column_bounds(spark, tmp_path):
     pruned = uf.read_iceberg(spark, t, prune=[("v", ">=", 2500)])
     assert len(pruned.inputFiles()) == 1  # only the id in [200,300) file
     assert pruned.filter("v >= 2500").count() == 50
+
+
+def test_total_records_excludes_delete_manifests_after_dv_sync(spark, tmp_path):
+    """ADVICE r09: on the incremental (clean-window) path, prev_total
+    must sum DATA manifests only — a delete manifest's added_rows_count
+    counts deleted POSITIONS, and including it inflated total-records
+    after a DV sync followed by clean appends."""
+    from pos_dlt_spark.sources.delta_writer import delta_delete
+
+    t = str(tmp_path / "trx")
+    write_delta(
+        spark.range(0, 100).coalesce(1),
+        t,
+        configuration={"delta.universalFormat.enabledFormats": "iceberg"},
+    )
+    delta_delete(spark, t, "id < 20", mode="dv")  # 20-position delete manifest
+    write_delta(spark.range(100, 150).coalesce(1), t)  # clean append window
+    meta = uf._read_prior_metadata(os.path.join(t, "metadata"))
+    cur = next(
+        s for s in meta["snapshots"] if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    # the append rode the incremental path (delete manifest reused)
+    _, manifests = uf.read_avro(cur["manifest-list"])
+    assert {m["content"] for m in manifests} == {0, 1}
+    # data rows only: 100 physical + 50 appended (NOT + 20 delete positions)
+    assert int(cur["summary"]["total-records"]) == 150
+
+
+def test_expire_aborts_delete_sweep_on_unreadable_manifest(spark, tmp_path):
+    """ADVICE r09: an unreadable SURVIVING delete manifest might
+    reference any delete parquet — expire must abort the delete-parquet
+    sweep instead of treating its files as unreferenced and GC'ing
+    position deletes a retained snapshot still points at."""
+    import glob
+
+    from pos_dlt_spark.sources.delta_writer import delta_delete
+
+    t = str(tmp_path / "exd")
+    write_delta(
+        spark.range(0, 100).coalesce(1),
+        t,
+        configuration={"delta.universalFormat.enabledFormats": "iceberg"},
+    )
+    delta_delete(spark, t, "id < 10", mode="dv")
+    write_delta(spark.range(100, 140).coalesce(1), t)  # extra snapshot to expire
+    md = os.path.join(t, "metadata")
+    dels = set(glob.glob(os.path.join(md, "delete-*.parquet")))
+    assert dels
+    meta = uf._read_prior_metadata(md)
+    cur = next(
+        s for s in meta["snapshots"] if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _, manifests = uf.read_avro(cur["manifest-list"])
+    del_man = next(m for m in manifests if int(m["content"]) == 1)
+    # corrupt the SURVIVING delete manifest
+    with open(del_man["manifest_path"], "wb") as fh:
+        fh.write(b"Obj\x01corrupt")
+    uf.uniform_expire_snapshots(t, keep=1)
+    # the sweep aborted: every delete parquet survives
+    assert set(glob.glob(os.path.join(md, "delete-*.parquet"))) == dels
+    # and the surviving (corrupt) manifest itself was not swept either
+    assert os.path.exists(del_man["manifest_path"])
+
+
+def test_read_iceberg_auto_resolves_mixed_id_stamped_and_idless(spark, tmp_path):
+    """ADVICE r09: resolve='auto' probes per SCAN GROUP, not one
+    arbitrary first footer. A table whose FIRST file is id-less (this
+    emitter's) but whose later files are id-stamped under a renamed
+    physical column must still resolve the stamped files by field id —
+    one footer deciding the whole table null-filled them before."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "mixed")
+    os.makedirs(root)
+    # file a: id-LESS footers, current names (the emitter shape)
+    a = os.path.join(root, "a.parquet")
+    _write_parquet(a, [0, 1], ["x", "y"])
+    # file b: id-STAMPED, pre-rename physical name old_grp for field 2
+    b = os.path.join(root, "b.parquet")
+    pq.write_table(
+        pa.table(
+            {"id": pa.array([2, 3], pa.int64()), "old_grp": pa.array(["z", "w"])},
+            schema=pa.schema(
+                [
+                    pa.field("id", pa.int64(), metadata={"PARQUET:field_id": "1"}),
+                    pa.field(
+                        "old_grp", pa.string(), metadata={"PARQUET:field_id": "2"}
+                    ),
+                ]
+            ),
+        ),
+        b,
+    )
+    _mini_iceberg_table(root, [(a, 2, 1), (b, 2, 2)], [])
+    got = sorted((r["id"], r["grp"]) for r in uf.read_iceberg(spark, root).collect())
+    assert got == [(0, "x"), (1, "y"), (2, "z"), (3, "w")]  # no null-fills
+
+
+def test_native_append_preserves_foreign_spec_ids(spark, tmp_path):
+    """ADVICE r09: append mode on a foreign table whose default-spec-id
+    != 0 must carry the prior partition-specs and default id through
+    unchanged (old manifests' partition_spec_id references would dangle
+    otherwise) and stamp the NEW manifest-list entry with the prior
+    default spec's own id."""
+    t = str(tmp_path / "fspec")
+    df1 = spark.range(0, 80).select(
+        "id", F.concat(F.lit("g"), (F.col("id") % 3).cast("string")).alias("grp")
+    )
+    uf.write_iceberg_native(spark, df1, t, partition_spec=[("id", "bucket[4]")])
+    md = os.path.join(t, "metadata")
+    meta = uf._read_prior_metadata(md)
+    # emulate a foreign history: an old empty spec 0 plus the current
+    # spec re-numbered 5 as the default
+    real = dict(meta["partition-specs"][0])
+    real["spec-id"] = 5
+    meta = dict(meta)
+    meta["partition-specs"] = [{"spec-id": 0, "fields": []}, real]
+    meta["default-spec-id"] = 5
+    cur = next(
+        s for s in meta["snapshots"] if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _, mlist = uf.read_avro(cur["manifest-list"])
+    for m in mlist:
+        m["partition_spec_id"] = 5
+    uf.write_avro(
+        cur["manifest-list"], uf._MANIFEST_LIST_SCHEMA, mlist,
+        meta={"format-version": "2"},
+    )
+    v = int(meta["current-snapshot-id"])
+    with open(os.path.join(md, f"v{v}.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+
+    df2 = spark.range(80, 120).select(
+        "id", F.concat(F.lit("g"), (F.col("id") % 3).cast("string")).alias("grp")
+    )
+    uf.write_iceberg_native(spark, df2, t, mode="append")
+    after = uf._read_prior_metadata(md)
+    assert after["default-spec-id"] == 5
+    assert [p["spec-id"] for p in after["partition-specs"]] == [0, 5]
+    cur2 = next(
+        s
+        for s in after["snapshots"]
+        if s["snapshot-id"] == after["current-snapshot-id"]
+    )
+    _, mlist2 = uf.read_avro(cur2["manifest-list"])
+    assert [int(m["partition_spec_id"]) for m in mlist2] == [5, 5]
+    assert uf.read_iceberg(spark, t).count() == 120
+    probe = uf.read_iceberg(spark, t, partition_filter={"id": 99})
+    assert [r["id"] for r in probe.collect()] == [99]
+
+
+def test_restore_uniform_sync_gating(spark, tmp_path):
+    """ADVICE r09: delta_restore gates the Iceberg side on EITHER
+    configuration. Restoring a UniForm table to a pre-uniform version
+    must invalidate the Iceberg metadata (a stale version-hint would
+    serve rows Delta no longer has); restoring between two uniform
+    versions re-syncs to the restored row set."""
+    from pos_dlt_spark.sources.delta_writer import (
+        delta_restore,
+        delta_set_properties,
+    )
+
+    # A: uniform enabled mid-history, restore to before enablement
+    t = str(tmp_path / "rg_a")
+    write_delta(spark.range(0, 50).coalesce(1), t)  # v0, no uniform
+    delta_set_properties(
+        spark, t, {"delta.universalFormat.enabledFormats": "iceberg"}
+    )  # v1 + initial snapshot
+    write_delta(spark.range(50, 80).coalesce(1), t)  # v2, synced
+    assert uf.read_iceberg(spark, t).count() == 80
+    delta_restore(spark, t, version=0)
+    with pytest.raises(FileNotFoundError, match="no Iceberg metadata"):
+        uf.read_iceberg(spark, t)
+
+    # B: uniform on both sides of the restore — re-synced, rows exact
+    t2 = str(tmp_path / "rg_b")
+    write_delta(
+        spark.range(0, 50).coalesce(1),
+        t2,
+        configuration={"delta.universalFormat.enabledFormats": "iceberg"},
+    )
+    write_delta(spark.range(50, 90).coalesce(1), t2)
+    assert uf.read_iceberg(spark, t2).count() == 90
+    delta_restore(spark, t2, version=0)
+    assert sorted(r["id"] for r in uf.read_iceberg(spark, t2).collect()) == list(
+        range(50)
+    )

@@ -1,0 +1,195 @@
+"""DLT-SQL authoring surface: ``Pipeline.sql_table`` parses the
+reference's own gold entry-point dialect (`04_Silver-to-Gold
+ETL.sql:68-103`) — SET trigger interval, CREATE LIVE TABLE with
+COMMENT / TBLPROPERTIES / CONSTRAINT..EXPECT, LIVE. namespace
+resolution, and STREAMING LIVE TABLE over STREAM(LIVE.x)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pos_dlt_spark.pipeline import Pipeline, PipelineRunner
+
+
+def _base_pipe(spark, tmp_path, storage_format="parquet"):
+    pipe = Pipeline("sqlp", str(tmp_path / "storage"), storage_format=storage_format)
+
+    @pipe.table(kind="live")
+    def src(spark_):
+        return spark_.range(0, 100).select(
+            "id",
+            (F.col("id") % 5).alias("grp"),
+            (F.col("id") * 2).alias("qty"),
+        )
+
+    return pipe
+
+
+def test_sql_table_parses_reference_shape(spark, tmp_path):
+    """The reference's exact clause sequence: SET interval; CREATE LIVE
+    TABLE with COMMENT + TBLPROPERTIES + AS SELECT over LIVE refs —
+    registered like a decorator table and producing the right rows."""
+    pipe = _base_pipe(spark, tmp_path)
+    created = pipe.sql_table(
+        """
+        SET pipelines.trigger.interval = 5 minute;
+
+        CREATE LIVE TABLE grp_totals
+        COMMENT 'per-group totals'  -- trailing comment survives stripping
+        TBLPROPERTIES (
+          'quality'='gold'
+          )
+        AS
+          SELECT grp, SUM(qty) AS total_qty   -- LIVE.x resolves via read()
+          FROM LIVE.src
+          GROUP BY grp
+          ORDER BY total_qty DESC
+        """
+    )
+    assert created == ["grp_totals"]
+    t = pipe.tables["grp_totals"]
+    assert t.kind == "live"
+    assert t.comment == "per-group totals"
+    assert t.interval == "5 minute"
+    assert t.table_properties == {"quality": "gold"}
+    assert t.deps == {"src"}
+    # declared deps make topo_order right BEFORE the first run
+    order = pipe.topo_order()
+    assert order.index("src") < order.index("grp_totals")
+    PipelineRunner(pipe).run_once(spark)
+    got = {
+        (r["grp"], r["total_qty"])
+        for r in pipe.read(spark, "grp_totals").collect()
+    }
+    assert got == {(g, sum(2 * i for i in range(100) if i % 5 == g)) for g in range(5)}
+
+
+def test_sql_table_delta_mode_and_expectations(spark, tmp_path):
+    """The same surface over Delta storage, with a DLT SQL CONSTRAINT:
+    ON VIOLATION DROP ROW drops exactly the violating rows and records
+    the metrics, and the stored table is a real Delta table."""
+    pipe = _base_pipe(spark, tmp_path, storage_format="delta")
+    pipe.sql_table(
+        """
+        CREATE LIVE TABLE big_ids
+        CONSTRAINT id_floor EXPECT (id >= 20) ON VIOLATION DROP ROW
+        AS SELECT id, qty FROM LIVE.src
+        """
+    )
+    runner = PipelineRunner(pipe)
+    runner.run_once(spark)
+    assert pipe.read(spark, "big_ids").count() == 80
+    m = runner.expectation_metrics["big_ids"]["id_floor"]
+    assert m["failed"] == 20 and m["action"] == "drop"
+    from pos_dlt_spark.sources.delta import delta_snapshot
+
+    assert delta_snapshot(spark, pipe.table_path("big_ids")).version >= 0
+
+
+def test_sql_table_streaming_live_table(spark, tmp_path):
+    """STREAMING LIVE TABLE over STREAM(LIVE.x): the SQL body runs as a
+    checkpointed stream (AvailableNow per pass) and a second pass with
+    new upstream data appends exactly the new rows."""
+    in_dir = str(tmp_path / "landing")
+    os.makedirs(in_dir)
+    pipe = Pipeline("sqls", str(tmp_path / "storage"))
+
+    @pipe.table(kind="stream")
+    def feed(spark_):
+        schema = "id BIGINT, qty BIGINT"
+        return spark_.readStream.schema(schema).json(in_dir)
+
+    pipe.sql_table(
+        """
+        CREATE STREAMING LIVE TABLE doubled
+        AS SELECT id, qty * 2 AS dqty FROM STREAM(LIVE.feed) WHERE id % 2 = 0
+        """
+    )
+    assert pipe.tables["doubled"].kind == "stream"
+    spark.range(0, 10).select("id", (F.col("id") + 1).alias("qty")).coalesce(
+        1
+    ).write.mode("append").json(in_dir)
+    runner = PipelineRunner(pipe)
+    runner.run_once(spark)
+    assert pipe.read(spark, "doubled").count() == 5
+    spark.range(10, 20).select("id", (F.col("id") + 1).alias("qty")).coalesce(
+        1
+    ).write.mode("append").json(in_dir)
+    runner.run_once(spark)
+    got = sorted(
+        (r["id"], r["dqty"]) for r in pipe.read(spark, "doubled").collect()
+    )
+    assert got == [(i, (i + 1) * 2) for i in range(0, 20, 2)]
+
+
+def test_sql_table_refusals_and_set_conf(spark, tmp_path):
+    pipe = _base_pipe(spark, tmp_path)
+    # STREAM() in a non-streaming table
+    with pytest.raises(ValueError, match="STREAMING"):
+        pipe.sql_table(
+            "CREATE LIVE TABLE x AS SELECT * FROM STREAM(LIVE.src)"
+        )
+    # STREAMING table without a stream source
+    with pytest.raises(ValueError, match="STREAM\\(LIVE"):
+        pipe.sql_table(
+            "CREATE STREAMING LIVE TABLE x AS SELECT * FROM LIVE.src"
+        )
+    # no LIVE reference at all
+    with pytest.raises(ValueError, match="LIVE"):
+        pipe.sql_table("CREATE LIVE TABLE x AS SELECT 1 AS one")
+    # non-CREATE, non-SET statement
+    with pytest.raises(ValueError, match="unsupported"):
+        pipe.sql_table("DROP TABLE src")
+    # bad interval fails at declaration, not first tick
+    with pytest.raises(ValueError, match="bad interval"):
+        pipe.sql_table(
+            "SET pipelines.trigger.interval = sometimes;"
+            "CREATE LIVE TABLE x AS SELECT * FROM LIVE.src"
+        )
+    # empty script
+    with pytest.raises(ValueError, match="no CREATE"):
+        pipe.sql_table("-- just a comment")
+    # other SET keys accumulate as pipeline conf
+    pipe.sql_table(
+        "SET pipelines.custom.flag = 'on';"
+        "CREATE LIVE TABLE y AS SELECT grp FROM LIVE.src"
+    )
+    assert pipe.sql_conf == {"pipelines.custom.flag": "on"}
+
+
+def test_sql_table_interval_applies_to_following_tables(spark, tmp_path):
+    """DLT's SET-applies-to-what-follows rule: tables created before the
+    SET keep no interval; every table after it inherits, until the next
+    SET overrides."""
+    pipe = _base_pipe(spark, tmp_path)
+    pipe.sql_table(
+        """
+        CREATE LIVE TABLE before_set AS SELECT grp FROM LIVE.src;
+        SET pipelines.trigger.interval = 5 minute;
+        CREATE LIVE TABLE after_set AS SELECT grp FROM LIVE.src;
+        SET pipelines.trigger.interval = 1 hour;
+        CREATE LIVE TABLE after_second AS SELECT grp FROM LIVE.src
+        """
+    )
+    assert pipe.tables["before_set"].interval is None
+    assert pipe.tables["after_set"].interval == "5 minute"
+    assert pipe.tables["after_second"].interval == "1 hour"
+
+
+def test_sql_comment_and_quote_handling(spark, tmp_path):
+    """Literals survive the comment stripper and statement splitter:
+    a '--' inside a string is not a comment, a ';' inside a string is
+    not a separator, and '' escapes a quote in COMMENT."""
+    pipe = _base_pipe(spark, tmp_path)
+    pipe.sql_table(
+        """
+        CREATE LIVE TABLE tricky
+        COMMENT 'it''s got -- and ; inside'
+        AS SELECT grp, '--not-a-comment;' AS marker FROM LIVE.src
+        """
+    )
+    assert pipe.tables["tricky"].comment == "it's got -- and ; inside"
+    PipelineRunner(pipe).run_once(spark)
+    rows = pipe.read(spark, "tricky").collect()
+    assert all(r["marker"] == "--not-a-comment;" for r in rows)
