@@ -217,30 +217,68 @@ def main() -> None:
     # the measured number is the SECOND (steady-state) run, with the
     # first retained in BENCH_DETAIL for compile-cost visibility. Every
     # registry query is rerun-idempotent (scratch dirs are per-call).
+    #
+    # Noise self-identification (VERDICT r09 #2): the r9 official bench
+    # recorded a phantom 1.9x on a contended host window. Two additions
+    # make the record distinguish host noise from code on its own:
+    # - ADAPTIVE THIRD PASS: when a query's two samples disagree by more
+    #   than 2x (and the faster one is non-trivial), a third sample runs
+    #   and the min of all three is the steady estimate; the names land
+    #   in `unstable` — many unstable queries = contended host.
+    # - per-query CV (stddev/mean over the samples) in the detail, and a
+    #   CANARY-NORMALIZED total in the compact line: value scaled by the
+    #   measured canaries against the pinned reference canaries below
+    #   (the r9 builder run on this VM's quiet window). value_norm ~=
+    #   value on a quiet host; value_norm << value = the host was slow,
+    #   not the code.
     passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
     times: dict[str, float] = {}
     times_first: dict[str, float] = {}
     times_second: dict[str, float] = {}
-    for name, q in REGISTRY.items():
+    times_third: dict[str, float] = {}
+    cvs: dict[str, float] = {}
+    unstable: list[str] = []
+
+    def run_once(q) -> float:
         t0 = time.perf_counter()
-        df = q.fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        times_first[name] = round(time.perf_counter() - t0, 3)
+        q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t0, 3)
+
+    for name, q in REGISTRY.items():
+        samples = [run_once(q)]
+        times_first[name] = samples[0]
         if passes > 1:
-            t0 = time.perf_counter()
-            df = q.fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            times_second[name] = round(time.perf_counter() - t0, 3)
-            times[name] = min(times_first[name], times_second[name])
-        else:
-            times[name] = times_first[name]
+            samples.append(run_once(q))
+            times_second[name] = samples[1]
+            if max(samples) > 2.0 * min(samples) and min(samples) > 0.2:
+                # the two samples can't both be steady state: take a
+                # third so one scheduler spike can't write the record
+                samples.append(run_once(q))
+                times_third[name] = samples[2]
+                unstable.append(name)
+        times[name] = min(samples)
+        if len(samples) > 1:
+            mean = sum(samples) / len(samples)
+            var = sum((s - mean) ** 2 for s in samples) / len(samples)
+            cvs[name] = round((var ** 0.5) / mean, 3) if mean > 0 else 0.0
         print(
-            f"# {name}: {times[name]:.3f}s (first {times_first[name]:.3f}s)",
+            f"# {name}: {times[name]:.3f}s (first {times_first[name]:.3f}s"
+            + (f", third {times_third[name]:.3f}s" if name in times_third else "")
+            + ")",
             file=sys.stderr,
         )
 
     total = round(sum(times.values()), 3)
     total_first = round(sum(times_first.values()), 3)
+    # Reference canaries: the r9 builder bench on this VM's quiet window
+    # (BENCH_DETAIL committed at 193.7 s / 180 queries). The normalized
+    # total answers "what would this run read on THAT host window".
+    REF_CANARY = {"cpu_sec": 0.779, "scan_sec": 2.159, "stream_sec": 4.583}
+    measured = {"cpu_sec": canary_cpu, "scan_sec": canary_scan, "stream_sec": canary_stream}
+    host_factor = round(
+        sum(measured[k] / REF_CANARY[k] for k in REF_CANARY) / len(REF_CANARY), 3
+    )
+    total_norm = round(total / host_factor, 3) if host_factor > 0 else total
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     with open(detail_path, "w") as f:
         json.dump(
@@ -250,11 +288,17 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf,
                 "n_queries": len(times),
-                "canary": {"cpu_sec": canary_cpu, "scan_sec": canary_scan, "stream_sec": canary_stream},
+                "canary": measured,
+                "canary_ref": REF_CANARY,
+                "host_factor": host_factor,
+                "value_canary_normalized": total_norm,
                 "first_pass_total": total_first,
+                "unstable": sorted(unstable),
                 "queries": times,
                 "queries_first": times_first,
                 "queries_second": times_second,
+                "queries_third": times_third,
+                "queries_cv": cvs,
             },
             f,
             indent=1,
@@ -274,7 +318,10 @@ def main() -> None:
             "unit": "sec",
             "sf": sf,
             "n_queries": len(times),
-            "canary": {"cpu_sec": canary_cpu, "scan_sec": canary_scan, "stream_sec": canary_stream},
+            "canary": measured,
+            "host_factor": host_factor,
+            "value_canary_normalized": total_norm,
+            "n_unstable": len(unstable),
             "first_pass_total": total_first,
             "families": families,
             "queries": slowest,
