@@ -2281,6 +2281,70 @@ def supplier_iceberg_bucket_transform(spark: SparkSession, sf_dir: str) -> DataF
 
 
 @query(
+    "supplier_iceberg_native_delete",
+    oracle="""
+    SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey,
+           s_name,
+           CAST(s_acctbal AS DOUBLE) AS s_acctbal
+    FROM supplier WHERE s_suppkey % 5 <> 0 AND s_suppkey % 7 <> 3
+    """,
+)
+def supplier_iceberg_native_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE on a NATIVE Iceberg table (VERDICT r09 #4):
+    supplier lands via ``write_iceberg_native`` under bucket[8], then
+    TWO stacked ``delete_iceberg_native`` commits (``s_suppkey % 5 = 0``,
+    then ``s_suppkey % 7 = 3``) render position-delete parquets under
+    content=1 delete manifests — ZERO data files rewritten (asserted by
+    mtime in-fixture, mirroring ``orders_iceberg_dv_deletes``'s
+    no-rewrite pin for the UniForm path). The returned rows go through
+    ``read_iceberg``'s merge-on-read application, so the hash matches
+    only if the position-delete rendering, the sequence-number
+    applicability rule, and the broadcast anti-join reproduce the
+    surviving row set exactly."""
+    from pos_dlt_spark.sources import iceberg_uniform as uf
+    from pos_dlt_spark.tables import scratch_dir
+
+    key = os.path.abspath(sf_dir) + "#ice_native_del"
+    if key not in _DELTA_RT_CACHE:
+        import atexit
+        import shutil
+
+        work = scratch_dir("ice_ndel_")
+        atexit.register(shutil.rmtree, work, ignore_errors=True)
+        table = os.path.join(work, "supplier")
+        supp = load_table(spark, sf_dir, "supplier").select(
+            F.col("s_suppkey").cast("bigint").alias("s_suppkey"),
+            "s_name",
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+        )
+        uf.write_iceberg_native(
+            spark, supp, table, partition_spec=[("s_suppkey", "bucket[8]")]
+        )
+        before = {
+            f["file_path"]: os.path.getmtime(f["file_path"])
+            for f in uf.read_uniform_files(table)
+        }
+        assert uf.delete_iceberg_native(spark, table, "s_suppkey % 5 = 0")
+        assert uf.delete_iceberg_native(spark, table, "s_suppkey % 7 = 3")
+        after = {
+            f["file_path"]: os.path.getmtime(f["file_path"])
+            for f in uf.read_uniform_files(table)
+        }
+        assert after == before, "native DELETE must not rewrite data files"
+        cur = uf._resolve_snapshot(
+            uf._read_prior_metadata(os.path.join(table, "metadata"))
+        )
+        _, manifests = uf.read_avro(cur["manifest-list"])
+        assert sum(1 for m in manifests if int(m["content"]) == 1) == 2, (
+            "expected one content=1 delete manifest per DELETE commit"
+        )
+        _DELTA_RT_CACHE[key] = table
+    return uf.read_iceberg(spark, _DELTA_RT_CACHE[key]).select(
+        "s_suppkey", "s_name", "s_acctbal"
+    )
+
+
+@query(
     "supplier_iceberg_partitions_meta",
     oracle="""
     SELECT CAST(s_nationkey AS INT) AS s_nationkey,
@@ -3346,6 +3410,9 @@ def prepare_bench_fixtures(spark: SparkSession, sf_dir: str) -> None:
     REGISTRY["supplier_iceberg_bucket_transform"].fn(spark, sf_dir)
     REGISTRY["supplier_iceberg_partitions_meta"].fn(spark, sf_dir)
     REGISTRY["events_iceberg_day_transform"].fn(spark, sf_dir)
+    # the native DELETE commits ARE the fixture; the timed region should
+    # measure the merge-on-read scan over native position deletes
+    REGISTRY["supplier_iceberg_native_delete"].fn(spark, sf_dir)
     # the log-drop + manifest-driven convert IS the fixture; the timed
     # region should measure the converted table's read path
     REGISTRY["supplier_iceberg_convert_roundtrip"].fn(spark, sf_dir)

@@ -1530,6 +1530,222 @@ def write_iceberg_native(
     return md_path
 
 
+def delete_iceberg_native(spark, path: str, predicate: str) -> str | None:
+    """Row-level DELETE on a NATIVE Iceberg v2 table as POSITION DELETES
+    — no data file is rewritten, moved, or dropped (VERDICT r09 #4: the
+    UniForm path renders DVs this way; this re-targets the same
+    machinery at native manifests). ``predicate`` is a Spark SQL boolean
+    expression over the table columns.
+
+    Shape: one scan of the current snapshot's data files with the
+    parquet reader's native row position (``_metadata.row_index``),
+    already-deleted positions excluded by broadcast anti-join, matching
+    ``(file_path, pos)`` pairs grouped by the owning file's partition
+    tuple, one sorted position-delete parquet per partition (the spec:
+    a position delete file's partition must match the data it applies
+    to) with the reserved field-ids 2147483546/2147483545, all under
+    one content=1 delete manifest appended to the prior manifest list —
+    the incremental O(deleted) commit, exactly what ``orders_iceberg_
+    dv_deletes`` pins for the UniForm path. Matched positions stream to
+    the driver Arrow-batched (~20 B/deleted row — the same
+    driver-bounded posture as the DV render, which collects compressed
+    bitmaps). Prior snapshots, refs, schemas and partition-spec history
+    carry through unchanged; the new snapshot's HIGHER sequence number
+    makes the deletes apply to every current file (equal-or-lower rule)
+    and never to files appended later.
+
+    Zero matching rows commit nothing and return None; otherwise
+    returns the new metadata JSON path. Tables carrying foreign
+    EQUALITY deletes refuse (their row-visibility rule differs and this
+    scan would resurrect their rows into the match set)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType, _parse_datatype_string
+
+    md_dir = os.path.join(path, "metadata")
+    meta = _read_prior_metadata(md_dir)
+    if not meta:
+        raise FileNotFoundError(f"no Iceberg metadata under {md_dir}")
+    snap = _resolve_snapshot(meta)
+    files, delete_files = _snapshot_data_files(meta, snap)
+    if any(int(d.get("content") or 0) == 2 for d in delete_files):
+        raise ValueError(
+            "delete_iceberg_native: table carries equality deletes "
+            "(foreign writer); row-level DELETE must go through that engine"
+        )
+    schema = next(
+        s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
+    )
+    spec = next(
+        p for p in meta["partition-specs"] if p["spec-id"] == meta["default-spec-id"]
+    )
+    by_id = {f["id"]: f for f in schema["fields"]}
+    identity_only = all(pf["transform"] == "identity" for pf in spec["fields"])
+    part_cols = (
+        [by_id[pf["source-id"]]["name"] for pf in spec["fields"]]
+        if identity_only
+        else []
+    )
+    if not files:
+        return None
+    sp = StructType()
+    for f in schema["fields"]:
+        sp = sp.add(
+            f["name"], _parse_datatype_string(_iceberg_type_to_spark(f["type"]))
+        )
+    reader = spark.read.schema(sp)
+    if part_cols:
+        reader = reader.option("basePath", meta["location"])
+    paths = [f["file_path"] for f in files]
+    df = reader.parquet(*paths).select("*", *_scan_meta_cols())
+    # exclude positions an existing delete file already covers — a
+    # conservative superset (re-deleting is idempotent; this keeps the
+    # no-op detection and the new file's row counts honest)
+    pos_dels = [d["file_path"] for d in delete_files]
+    if pos_dels:
+        dd = spark.read.parquet(*pos_dels).select(
+            F.col("file_path").alias("__ice_path"), F.col("pos").alias("__ice_pos")
+        )
+        df = df.join(F.broadcast(dd), ["__ice_path", "__ice_pos"], "left_anti")
+    matched = (
+        df.filter(F.expr(predicate))
+        .select("__ice_path", "__ice_pos")
+        .toPandas()
+    )
+    if len(matched) == 0:
+        return None
+
+    snapshot_id = int(meta["current-snapshot-id"]) + 1
+    pav = _partition_avro_schema(spec, schema["fields"])
+    by_path = {_norm_file_path(f["file_path"]): f for f in files}
+    matched["__key"] = matched["__ice_path"].map(
+        lambda p: tuple(sorted((by_path[p].get("partition") or {}).items()))
+    )
+    del_entries: list[dict] = []
+    del_rows_total = 0
+    for key, grp in sorted(matched.groupby("__key"), key=lambda kv: str(kv[0])):
+        grp = grp.sort_values(["__ice_path", "__ice_pos"])
+        big = pa.table(
+            {
+                "file_path": pa.array(grp["__ice_path"], pa.string()),
+                "pos": pa.array(grp["__ice_pos"], pa.int64()),
+            }
+        ).cast(
+            pa.schema(
+                [
+                    pa.field(
+                        "file_path",
+                        pa.string(),
+                        nullable=False,
+                        metadata={"PARQUET:field_id": "2147483546"},
+                    ),
+                    pa.field(
+                        "pos",
+                        pa.int64(),
+                        nullable=False,
+                        metadata={"PARQUET:field_id": "2147483545"},
+                    ),
+                ]
+            )
+        )
+        dfile = os.path.join(
+            md_dir, f"delete-{snapshot_id}-{uuid.uuid4().hex[:8]}.parquet"
+        )
+        pq.write_table(big, dfile)
+        del_rows_total += big.num_rows
+        del_entries.append(
+            {
+                "status": 1,
+                "snapshot_id": snapshot_id,
+                "sequence_number": None,  # inherited from the list entry
+                "file_sequence_number": None,
+                "data_file": {
+                    "content": 1,
+                    "file_path": dfile,
+                    "file_format": "PARQUET",
+                    "partition": dict(key),
+                    "record_count": big.num_rows,
+                    "file_size_in_bytes": os.path.getsize(dfile),
+                    "lower_bounds": None,
+                    "upper_bounds": None,
+                },
+            }
+        )
+    dman_path = os.path.join(
+        md_dir, f"manifest-del-{snapshot_id}-{uuid.uuid4().hex[:8]}.avro"
+    )
+    write_avro(
+        dman_path,
+        _manifest_entry_schema(pav),
+        del_entries,
+        meta={
+            "schema": json.dumps(schema),
+            "partition-spec": json.dumps(spec["fields"]),
+            "partition-spec-id": str(spec["spec-id"]),
+            "format-version": "2",
+            "content": "deletes",
+        },
+    )
+    cur = next(
+        s for s in meta["snapshots"] if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _, prior_manifests = read_avro(cur["manifest-list"])
+    mlist_path = os.path.join(md_dir, f"snap-{snapshot_id}-{uuid.uuid4().hex[:8]}.avro")
+    write_avro(
+        mlist_path,
+        _MANIFEST_LIST_SCHEMA,
+        prior_manifests
+        + [
+            {
+                "manifest_path": dman_path,
+                "manifest_length": os.path.getsize(dman_path),
+                "partition_spec_id": spec["spec-id"],
+                "content": 1,
+                "sequence_number": snapshot_id,
+                "min_sequence_number": snapshot_id,
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": len(del_entries),
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": del_rows_total,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            }
+        ],
+        meta={"format-version": "2"},
+    )
+    new_meta = dict(meta)
+    new_meta["snapshots"] = list(meta.get("snapshots") or []) + [
+        {
+            "snapshot-id": snapshot_id,
+            "sequence-number": snapshot_id,
+            "timestamp-ms": snapshot_id,  # deterministic, order-preserving
+            "manifest-list": mlist_path,
+            "summary": {
+                "operation": "delete",
+                "total-position-deletes": str(del_rows_total),
+            },
+            "schema-id": int(meta["current-schema-id"]),
+        }
+    ]
+    new_meta["snapshot-log"] = [
+        {"snapshot-id": s["snapshot-id"], "timestamp-ms": s["timestamp-ms"]}
+        for s in new_meta["snapshots"]
+    ]
+    new_meta["current-snapshot-id"] = snapshot_id
+    new_meta["last-sequence-number"] = snapshot_id
+    md_path = os.path.join(md_dir, f"v{snapshot_id}.metadata.json")
+    tmp = md_path + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(new_meta, fh)
+    os.replace(tmp, md_path)
+    with open(os.path.join(md_dir, "version-hint.text"), "w", encoding="utf-8") as fh:
+        fh.write(str(snapshot_id))
+    return md_path
+
+
 def iceberg_metadata_table(spark, path: str, kind: str):
     """Iceberg's inspection/metadata tables (`SELECT * FROM t.snapshots`
     etc.) as DataFrames built purely from the emitted metadata — the

@@ -1572,3 +1572,79 @@ def test_restore_uniform_sync_gating(spark, tmp_path):
     assert sorted(r["id"] for r in uf.read_iceberg(spark, t2).collect()) == list(
         range(50)
     )
+
+
+def test_delete_iceberg_native_position_deletes(spark, tmp_path):
+    """VERDICT r09 #4: row-level DELETE on a NATIVE Iceberg table as
+    position deletes — no data file rewritten, content=1 manifest
+    appended incrementally, reserved field-ids in the delete parquet,
+    snapshot travel intact, later appends unaffected by earlier deletes
+    (the equal-or-lower sequence rule), stacked deletes compose, and a
+    zero-match predicate commits nothing."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    t = str(tmp_path / "ndel")
+    df = spark.range(0, 300).select(
+        "id",
+        F.concat(F.lit("g"), (F.col("id") % 3).cast("string")).alias("grp"),
+    )
+    uf.write_iceberg_native(spark, df, t, partition_spec=[("id", "bucket[4]")])
+    data_before = {
+        f["file_path"]: os.path.getmtime(f["file_path"])
+        for f in uf.read_uniform_files(t)
+    }
+    md = uf.delete_iceberg_native(spark, t, "id % 7 = 0")
+    assert md is not None
+    # rows exact, no data file touched
+    survivors = sorted(r["id"] for r in uf.read_iceberg(spark, t).collect())
+    assert survivors == [i for i in range(300) if i % 7 != 0]
+    data_after = {
+        f["file_path"]: os.path.getmtime(f["file_path"])
+        for f in uf.read_uniform_files(t)
+    }
+    assert data_after == data_before, "DELETE must not rewrite data files"
+    # delete parquet carries the reserved field ids; manifest is content=1
+    dfiles = glob.glob(os.path.join(t, "metadata", "delete-*.parquet"))
+    assert dfiles
+    sch = pq.read_schema(dfiles[0])
+    assert sch.field("file_path").metadata[b"PARQUET:field_id"] == b"2147483546"
+    assert sch.field("pos").metadata[b"PARQUET:field_id"] == b"2147483545"
+    meta = uf._read_prior_metadata(os.path.join(t, "metadata"))
+    cur = next(
+        s for s in meta["snapshots"] if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    assert cur["summary"]["operation"] == "delete"
+    _, manifests = uf.read_avro(cur["manifest-list"])
+    assert {int(m["content"]) for m in manifests} == {0, 1}
+    # snapshot travel still sees the pre-delete rows
+    assert uf.read_iceberg(spark, t, snapshot_id=1).count() == 300
+    # append AFTER the delete: new file's higher sequence number keeps
+    # the old position deletes from applying to it
+    df2 = spark.range(300, 350).select(
+        "id",
+        F.concat(F.lit("g"), (F.col("id") % 3).cast("string")).alias("grp"),
+    )
+    uf.write_iceberg_native(spark, df2, t, mode="append")
+    got = sorted(r["id"] for r in uf.read_iceberg(spark, t).collect())
+    assert got == [i for i in range(300) if i % 7 != 0] + list(range(300, 350))
+    # a second delete stacks on both epochs
+    md2 = uf.delete_iceberg_native(spark, t, "id % 10 = 0")
+    assert md2 is not None
+    got2 = sorted(r["id"] for r in uf.read_iceberg(spark, t).collect())
+    assert got2 == [
+        i for i in range(350) if (i % 10 != 0) and (i >= 300 or i % 7 != 0)
+    ]
+    # zero-match predicate: nothing committed
+    v_before = uf._read_prior_metadata(os.path.join(t, "metadata"))[
+        "current-snapshot-id"
+    ]
+    assert uf.delete_iceberg_native(spark, t, "id < 0") is None
+    assert (
+        uf._read_prior_metadata(os.path.join(t, "metadata"))["current-snapshot-id"]
+        == v_before
+    )
+    # metadata files table sees the delete files
+    files_tbl = uf.iceberg_metadata_table(spark, t, "files")
+    assert files_tbl.filter("content = 1").count() >= 1
