@@ -17,7 +17,10 @@ baseline sequential JPEG (``decode_jpeg`` — marker walk, canonical
 Huffman entropy decode with restart markers, dequant + IDCT, 4:2:0
 upsampling, YCbCr->RGB). The remaining stub boundary is progressive/
 arithmetic JPEG and compressed audio/video, whose coders genuinely
-need codec libraries.
+need codec libraries. That boundary is FINAL by design — see
+"Multimodal codec boundary" in docs/API.md §11 for the rationale and
+the refusal tests that pin it; callers on a real cluster plug their
+codec library into the same ``mapInPandas`` seam.
 
 Scale notes:
 - media rows are large (MBs); keep ``spark.sql.files.maxPartitionBytes``

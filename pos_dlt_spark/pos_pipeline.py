@@ -106,11 +106,19 @@ def build_pos_pipeline(
         )
 
     @pipe.table(kind="stream", comment="parsed, deduplicated change events",
-                partition_by=["store_id"], table_properties={"quality": "silver"},
+                partition_by=["store_id", "date_day"],
+                table_properties={"quality": "silver"},
                 deps=["raw_inventory_change"])
     def inventory_change(spark: SparkSession) -> DataFrame:
+        # day partitioning (VERDICT r09 #6): store_id alone leaves the
+        # gold recompute's `a.date_time <= b.date_time` residual scanning
+        # ALL history at 100x; a materialized day column lets the gold
+        # reader prune whole day directories (see inventory_current) and
+        # gives retention jobs a drop-a-directory boundary
         raw = pipe.read_stream(spark, "raw_inventory_change")
-        return dedup_inventory_change(parse_inventory_events(raw), dedup_watermark)
+        return dedup_inventory_change(
+            parse_inventory_events(raw), dedup_watermark
+        ).withColumn("date_day", F.to_date(F.col("date_time")))
 
     @pipe.table(kind="stream", comment="incremental snapshot ingest (Auto Loader equiv)",
                 table_properties={"quality": "silver"})
@@ -134,6 +142,19 @@ def build_pos_pipeline(
         for name in ("latest_inventory_snapshot", "inventory_change", "store",
                      "inventory_change_type"):
             pipe.read(spark, name).createOrReplaceTempView(name)
+        # Day-partition pruning for the recompute: a change strictly
+        # older than the OLDEST snapshot day can never satisfy the
+        # join's `a.date_time <= b.date_time` for any snapshot row, so
+        # those day directories are pruned at the source (conservative
+        # at day granularity — the boundary day is kept). The min is a
+        # 1-row aggregate over the keyed CDC target, not the fact table.
+        min_day = spark.sql(
+            "SELECT CAST(MIN(date_time) AS DATE) AS d FROM latest_inventory_snapshot"
+        ).collect()[0]["d"]
+        chg = pipe.read(spark, "inventory_change")
+        if min_day is not None and "date_day" in chg.columns:
+            chg = chg.filter(F.col("date_day") >= F.lit(min_day))
+        chg.createOrReplaceTempView("inventory_change")
         return spark.sql(GOLD_INVENTORY_SQL)
 
     return pipe

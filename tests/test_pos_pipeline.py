@@ -5,6 +5,7 @@ the generator's flat truth rows (SURVEY §5 correctness cases)."""
 import duckdb
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from pos_dlt_spark.pipeline import PipelineRunner
 from pos_dlt_spark.pos_pipeline import build_pos_pipeline
@@ -243,3 +244,61 @@ def test_delta_mode_cdc_target_change_feed_consumption(spark, tmp_path):
     plain = Pipeline("t2", str(tmp_path / "p2"))
     with _pytest.raises(ValueError, match="delta"):
         plain.table_changes(spark, "x")
+
+
+def test_inventory_change_day_partitioned_and_pruned(spark, pipeline_result):
+    """VERDICT r09 #6: the silver change table is partitioned by
+    (store_id, day) — the physical layout carries date_day directories,
+    a day-equality read prunes to them (PartitionFilters in the scan,
+    parquet mode), and the GOLD recompute's source filter
+    (date_day >= oldest snapshot day) reaches the scan as a partition
+    filter instead of a post-scan residual."""
+    import os
+
+    pipe, _ = pipeline_result
+    root = pipe.table_path("inventory_change")
+    store_dirs = [d for d in os.listdir(root) if d.startswith("store_id=")]
+    assert store_dirs, "expected store_id=... partition directories"
+    inner = os.path.join(root, store_dirs[0])
+    assert any(d.startswith("date_day=") for d in os.listdir(inner)), (
+        "expected nested date_day=... partition directories"
+    )
+    if pipe.storage_format == "parquet":
+        df = pipe.read(spark, "inventory_change")
+        some_day = df.select("date_day").first()["date_day"]
+        plan = (
+            df.filter(F.col("date_day") == F.lit(some_day))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "PartitionFilters" in plan and "date_day" in plan.split(
+            "PartitionFilters", 1
+        )[1].split("]", 1)[0], f"day filter did not reach PartitionFilters:\n{plan[:2000]}"
+        # the gold recompute's own change-side read: the >= min-day
+        # bound lands in PartitionFilters too
+        for name in ("latest_inventory_snapshot", "store", "inventory_change_type"):
+            pipe.read(spark, name).createOrReplaceTempView(name)
+        min_day = spark.sql(
+            "SELECT CAST(MIN(date_time) AS DATE) AS d FROM latest_inventory_snapshot"
+        ).collect()[0]["d"]
+        gold_src = df.filter(F.col("date_day") >= F.lit(min_day))
+        plan2 = gold_src._jdf.queryExecution().executedPlan().toString()
+        pf = plan2.split("PartitionFilters", 1)[1].split("]", 1)[0]
+        assert "date_day" in pf, f"gold min-day bound not pushed:\n{plan2[:2000]}"
+
+
+def test_gold_day_pruning_preserves_oracle(spark, pipeline_result, pos_fixtures):
+    """The pruned gold recompute is semantics-identical: re-derive gold
+    through run_table (which applies the min-day source filter) and it
+    still matches the independent DuckDB oracle."""
+    pipe, _ = pipeline_result
+    runner = PipelineRunner(pipe)
+    runner.run_table(spark, "inventory_current")
+    gold = _read(spark, pipe, "inventory_current").toPandas()
+    expected = oracle_gold(pos_fixtures)
+    g = gold.sort_values(["store_id", "item_id"], ignore_index=True)
+    e = expected.sort_values(["store_id", "item_id"], ignore_index=True)
+    pd.testing.assert_frame_equal(
+        g[sorted(g.columns)], e[sorted(e.columns)], check_dtype=False
+    )

@@ -160,7 +160,15 @@ def test_transform_with_state_twin_contract(spark):
         "user_id", "event_type", "n_events", "sum_value_u", "last_ts_us", "update_seq",
     ]
     if not _has_protobuf():
-        pytest.skip("google.protobuf absent: transformWithState execution waived")
+        pytest.skip(
+            "google.protobuf absent: transformWithState execution PERMANENTLY "
+            "waived in this container (r10 adjudication: offline, no wheel "
+            "reachable; the generated StateMessage_pb2 needs the full "
+            "protobuf runtime — descriptor pool, internal builder, wire "
+            "format — which cannot be responsibly re-implemented as a shim). "
+            "Auto-unskips wherever protobuf exists; semantics pinned by the "
+            "executable GroupState twin + oracle gate."
+        )
     assert plan.count() >= 0
 
 
