@@ -209,6 +209,11 @@ _SQL_CREATE_RE = re.compile(
     r"(?P<name>[A-Za-z_]\w*)(?P<rest>.*)$",
     re.I | re.S,
 )
+_SQL_VIEW_RE = re.compile(
+    r"^\s*CREATE\s+(?:TEMPORARY\s+)?LIVE\s+VIEW\s+"
+    r"(?P<name>[A-Za-z_]\w*)(?P<rest>.*)$",
+    re.I | re.S,
+)
 
 
 def _sql_create_clauses(rest: str):
@@ -287,6 +292,10 @@ class Pipeline:
         self._streams_pending: list[tuple[TableDef, DataFrame]] = []
         # non-interval SET keys from sql_table scripts (DLT pipeline conf)
         self.sql_conf: dict[str, str] = {}
+        # DLT-SQL LIVE VIEWs: name -> (select_sql, batch_deps,
+        # expanded_table_deps). Views are UNPERSISTED — they inline into
+        # each consumer's single spark.sql plan at refresh time.
+        self.sql_views: dict[str, tuple[str, tuple, set]] = {}
 
     # -- declaration -------------------------------------------------------
 
@@ -354,6 +363,13 @@ class Pipeline:
           tables. A ``STREAM()`` read in a non-streaming table refuses
           (DLT's own rule), as does a STREAMING table with no stream
           source.
+        - ``CREATE [TEMPORARY] LIVE VIEW name AS SELECT ...`` — an
+          UNPERSISTED intermediate: consumers referencing ``LIVE.name``
+          inline the view's tree into their own single ``spark.sql``
+          plan (Catalyst optimizes across the boundary), and their topo
+          edges point at the view's underlying TABLES. Views take no
+          TBLPROPERTIES/PARTITIONED BY/CONSTRAINT and refuse
+          ``STREAM()``; declare a view before its consumers.
 
         Dependencies are extracted at DECLARATION time from the
         ``LIVE.`` references, so :meth:`topo_order` is correct before
@@ -371,6 +387,38 @@ class Pipeline:
                     pending_interval = val
                 else:
                     self.sql_conf[key] = val
+                continue
+            mv = _SQL_VIEW_RE.match(stmt)
+            if mv is not None:
+                vname = mv.group("name")
+                comment, props, parts, exps, select = _sql_create_clauses(
+                    mv.group("rest")
+                )
+                if props or parts or exps:
+                    raise ValueError(
+                        f"{vname}: LIVE VIEWs take no TBLPROPERTIES/"
+                        "PARTITIONED BY/CONSTRAINT (they are unpersisted)"
+                    )
+                if re.search(r"STREAM\s*\(\s*LIVE\.", select, re.I):
+                    raise ValueError(
+                        f"{vname}: STREAM() inside a LIVE VIEW is not "
+                        "supported — stream through a STREAMING LIVE TABLE"
+                    )
+                vdeps = tuple(
+                    sorted(set(re.findall(r"\bLIVE\.([A-Za-z_]\w*)", select, re.I)))
+                )
+                if not vdeps:
+                    raise ValueError(
+                        f"{vname}: no LIVE.<table> reference in the view body"
+                    )
+                table_deps: set[str] = set()
+                for d in vdeps:
+                    if d in self.sql_views:
+                        table_deps |= self.sql_views[d][2]
+                    else:
+                        table_deps.add(d)
+                self.sql_views[vname] = (select, vdeps, table_deps)
+                created.append(vname)
                 continue
             m = _SQL_CREATE_RE.match(stmt)
             if m is None:
@@ -427,10 +475,21 @@ class Pipeline:
                     )
                 for d in _bd:
                     vn = f"__live__{d}"
-                    self.read(spark, d).createOrReplaceTempView(vn)
+                    if d in self.sql_views:
+                        self._materialize_sql_view(spark, d)
+                    else:
+                        self.read(spark, d).createOrReplaceTempView(vn)
                     q = re.sub(rf"\bLIVE\.{d}\b", vn, q, flags=re.I)
                 return spark.sql(q)
 
+            # topo edges point at TABLES: a dep that is a LIVE VIEW
+            # contributes the view's own (expanded) table deps instead
+            table_deps = set(stream_deps)
+            for d in batch_deps:
+                if d in self.sql_views:
+                    table_deps |= self.sql_views[d][2]
+                else:
+                    table_deps.add(d)
             self.tables[tname] = TableDef(
                 name=tname,
                 fn=fn,
@@ -439,13 +498,39 @@ class Pipeline:
                 interval=pending_interval,
                 partition_by=parts,
                 table_properties=props,
-                deps=set(batch_deps) | set(stream_deps),
+                deps=table_deps,
                 expectations=exps,
             )
             created.append(tname)
         if not created:
             raise ValueError("no CREATE LIVE TABLE statement in script")
         return created
+
+    def _materialize_sql_view(
+        self, spark: SparkSession, name: str, _stack: tuple = ()
+    ) -> DataFrame:
+        """Inline a DLT-SQL LIVE VIEW: resolve its LIVE. references
+        (tables through :meth:`read`, nested views recursively), run the
+        body as one ``spark.sql``, and register the result under the
+        consumer-visible temp-view name. Unpersisted by design — each
+        consumer's plan subsumes the view's tree, so Catalyst optimizes
+        across the boundary."""
+        if name in _stack:
+            raise CycleError(
+                f"LIVE VIEW cycle: {' -> '.join(_stack + (name,))}"
+            )
+        select, vdeps, _ = self.sql_views[name]
+        q = select
+        for d in vdeps:
+            vn = f"__live__{d}"
+            if d in self.sql_views:
+                self._materialize_sql_view(spark, d, _stack + (name,))
+            else:
+                self.read(spark, d).createOrReplaceTempView(vn)
+            q = re.sub(rf"\bLIVE\.{d}\b", vn, q, flags=re.I)
+        df = spark.sql(q)
+        df.createOrReplaceTempView(f"__live__{name}")
+        return df
 
     # -- expectations (DLT @dlt.expect family) ----------------------------
 

@@ -2345,6 +2345,63 @@ def supplier_iceberg_native_delete(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "supplier_iceberg_native_update",
+    oracle="""
+    SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey,
+           s_name,
+           CAST(CASE WHEN s_suppkey % 4 = 1 THEN s_acctbal + 10.0
+                     ELSE s_acctbal END AS DOUBLE) AS s_acctbal
+    FROM supplier WHERE s_suppkey % 9 <> 0
+    """,
+)
+def supplier_iceberg_native_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read UPDATE on a NATIVE Iceberg table: one overwrite
+    snapshot position-deletes the matched rows in place AND lands their
+    replacements in new data files (simultaneous-SET semantics, shared
+    sequence number — replacements never self-delete), stacked on top of
+    a native DELETE so both DML kinds compose in one history. Original
+    data files asserted untouched in-fixture. The rows go through
+    ``read_iceberg``'s merge-on-read application, so the hash matches
+    only if delete rendering, replacement staging, and sequence
+    applicability compose to the exact surviving row set."""
+    from pos_dlt_spark.sources import iceberg_uniform as uf
+    from pos_dlt_spark.tables import scratch_dir
+
+    key = os.path.abspath(sf_dir) + "#ice_native_upd"
+    if key not in _DELTA_RT_CACHE:
+        import atexit
+        import shutil
+
+        work = scratch_dir("ice_nupd_")
+        atexit.register(shutil.rmtree, work, ignore_errors=True)
+        table = os.path.join(work, "supplier")
+        supp = load_table(spark, sf_dir, "supplier").select(
+            F.col("s_suppkey").cast("bigint").alias("s_suppkey"),
+            "s_name",
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+        )
+        uf.write_iceberg_native(
+            spark, supp, table, partition_spec=[("s_suppkey", "bucket[8]")]
+        )
+        before = {
+            f["file_path"]: os.path.getmtime(f["file_path"])
+            for f in uf.read_uniform_files(table)
+        }
+        assert uf.delete_iceberg_native(spark, table, "s_suppkey % 9 = 0")
+        assert uf.update_iceberg_native(
+            spark, table, "s_suppkey % 4 = 1", {"s_acctbal": "s_acctbal + 10.0"}
+        )
+        for fp, mt in before.items():
+            assert os.path.getmtime(fp) == mt, (
+                "native UPDATE/DELETE must not rewrite original data files"
+            )
+        _DELTA_RT_CACHE[key] = table
+    return uf.read_iceberg(spark, _DELTA_RT_CACHE[key]).select(
+        "s_suppkey", "s_name", "s_acctbal"
+    )
+
+
+@query(
     "supplier_iceberg_partitions_meta",
     oracle="""
     SELECT CAST(s_nationkey AS INT) AS s_nationkey,
@@ -3410,9 +3467,10 @@ def prepare_bench_fixtures(spark: SparkSession, sf_dir: str) -> None:
     REGISTRY["supplier_iceberg_bucket_transform"].fn(spark, sf_dir)
     REGISTRY["supplier_iceberg_partitions_meta"].fn(spark, sf_dir)
     REGISTRY["events_iceberg_day_transform"].fn(spark, sf_dir)
-    # the native DELETE commits ARE the fixture; the timed region should
-    # measure the merge-on-read scan over native position deletes
+    # the native DELETE/UPDATE commits ARE the fixture; the timed region
+    # should measure the merge-on-read scan over native position deletes
     REGISTRY["supplier_iceberg_native_delete"].fn(spark, sf_dir)
+    REGISTRY["supplier_iceberg_native_update"].fn(spark, sf_dir)
     # the log-drop + manifest-driven convert IS the fixture; the timed
     # region should measure the converted table's read path
     REGISTRY["supplier_iceberg_convert_roundtrip"].fn(spark, sf_dir)

@@ -1209,6 +1209,148 @@ def _read_prior_metadata(md_dir: str) -> dict:
         return {}
 
 
+def _stage_native_data(spark, df, path: str, schema: dict, spec: dict, snapshot_id: int) -> list[dict]:
+    """Stage a DataFrame as NATIVE Iceberg data parquet under
+    ``<path>/data/`` — one file per distinct partition TUPLE under the
+    spec's transforms (the driver loop is bounded by partition count,
+    never rows), source columns kept in the files, per-column footer
+    bounds recorded (spec field-ids 125/128). Returns the manifest
+    ENTRIES for the staged files; the caller owns manifest/commit
+    emission. Shared by :func:`write_iceberg_native` (create/append) and
+    :func:`update_iceberg_native` (replacement rows)."""
+    from pyspark.sql import functions as F
+
+    spec_fields = spec["fields"]
+    data_dir = os.path.join(path, "data")
+    os.makedirs(data_dir, exist_ok=True)
+
+    work = df
+    pv_cols = []
+    if spec_fields:
+        from pyspark.sql.types import StructField, StructType, _parse_datatype_string
+
+        pv_specs = []
+        out = StructType(list(df.schema.fields))
+        for pf in spec_fields:
+            src = next(
+                f for f in schema["fields"] if f["id"] == pf["source-id"]
+            )
+            rt = _transform_result_type(pf["transform"], src["type"])
+            cname = f"__pv_{pf['name']}"
+            pv_specs.append((cname, pf["transform"], src["name"], src["type"]))
+            out = out.add(
+                StructField(
+                    cname,
+                    _parse_datatype_string(
+                        _iceberg_type_to_spark("int" if rt == "date" else rt)
+                    ),
+                )
+            )
+            pv_cols.append(cname)
+
+        def _gen(it):
+            # Arrow-batched; per-row python only inside the transform —
+            # acceptable here because this writer is fixture/hand-off
+            # scale by contract (see write_iceberg_native docstring)
+            for pdf in it:
+                for cname, transform, srcn, ice_type in pv_specs:
+                    pdf[cname] = pdf[srcn].map(
+                        lambda v, t=transform, y=ice_type: _apply_transform(
+                            t, v, y
+                        )
+                    )
+                yield pdf
+
+        work = df.mapInPandas(_gen, schema=out)
+
+    entries: list[dict] = []
+
+    def _write_one(part_df, pv: dict) -> None:
+        import shutil as _sh
+        import uuid as _uuid
+
+        tmp = os.path.join(path, f"_staging-{_uuid.uuid4().hex[:8]}")
+        part_df.coalesce(1).write.parquet(tmp)
+        part = next(
+            n for n in os.listdir(tmp) if n.endswith(".parquet")
+        )
+        fp = os.path.join(data_dir, f"data-{_uuid.uuid4().hex[:8]}.parquet")
+        os.replace(os.path.join(tmp, part), fp)
+        _sh.rmtree(tmp, ignore_errors=True)
+        import pyarrow.parquet as pq
+
+        fmeta = pq.read_metadata(fp)
+        nrec = fmeta.num_rows
+        # per-column bounds from the parquet footer (spec field-ids
+        # 125/128) so read_iceberg(prune=...) can skip this file — the
+        # same stats a real Iceberg writer records at commit
+        mins: dict = {}
+        maxs: dict = {}
+        for rg in range(fmeta.num_row_groups):
+            rgm = fmeta.row_group(rg)
+            for ci in range(rgm.num_columns):
+                col = rgm.column(ci)
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                n = col.path_in_schema
+                lo, hi = st.min, st.max
+                if isinstance(lo, bytes):
+                    try:
+                        lo, hi = lo.decode("utf-8"), hi.decode("utf-8")
+                    except UnicodeDecodeError:
+                        continue
+                mins[n] = lo if n not in mins else min(mins[n], lo)
+                maxs[n] = hi if n not in maxs else max(maxs[n], hi)
+        lower: list = []
+        upper: list = []
+        for f in schema["fields"]:
+            if f["name"] in mins:
+                b_lo = _bound_bytes(f["type"], mins[f["name"]])
+                b_hi = _bound_bytes(f["type"], maxs[f["name"]])
+                if b_lo is not None and b_hi is not None:
+                    lower.append({"key": f["id"], "value": b_lo})
+                    upper.append({"key": f["id"], "value": b_hi})
+        entries.append(
+            {
+                "status": 1,
+                "snapshot_id": snapshot_id,
+                "sequence_number": None,
+                "file_sequence_number": None,
+                "data_file": {
+                    "content": 0,
+                    "file_path": fp,
+                    "file_format": "PARQUET",
+                    "partition": pv,
+                    "record_count": nrec,
+                    "file_size_in_bytes": os.path.getsize(fp),
+                    "lower_bounds": lower or None,
+                    "upper_bounds": upper or None,
+                },
+            }
+        )
+
+    logical = [f["name"] for f in schema["fields"]]
+    if pv_cols:
+        pvs = [
+            r.asDict() for r in work.select(*pv_cols).distinct().collect()
+        ]  # bounded by the spec's partition count, not rows
+        for pv_row in sorted(pvs, key=lambda d: tuple(str(v) for v in d.values())):
+            cond = None
+            for c, v in pv_row.items():
+                piece = (
+                    F.col(c).isNull() if v is None else (F.col(c) == F.lit(v))
+                )
+                cond = piece if cond is None else (cond & piece)
+            pv = {
+                pf["name"]: pv_row[f"__pv_{pf['name']}"] for pf in spec_fields
+            }
+            _write_one(work.filter(cond).select(*logical), pv)
+    else:
+        _write_one(work.select(*logical), {})
+    return entries
+
+
 def write_iceberg_native(
     spark,
     df,
@@ -1307,135 +1449,10 @@ def write_iceberg_native(
         "fields": spec_fields,
     }
     pav = _partition_avro_schema(spec, schema["fields"])
-    data_dir = os.path.join(path, "data")
     md_dir = os.path.join(path, "metadata")
-    os.makedirs(data_dir, exist_ok=True)
     os.makedirs(md_dir, exist_ok=True)
 
-    work = df
-    pv_cols = []
-    if spec_fields:
-        from pyspark.sql.types import StructField, StructType, _parse_datatype_string
-
-        pv_specs = []
-        out = StructType(list(df.schema.fields))
-        for pf in spec_fields:
-            src = next(
-                f for f in schema["fields"] if f["id"] == pf["source-id"]
-            )
-            rt = _transform_result_type(pf["transform"], src["type"])
-            cname = f"__pv_{pf['name']}"
-            pv_specs.append((cname, pf["transform"], src["name"], src["type"]))
-            out = out.add(
-                StructField(
-                    cname,
-                    _parse_datatype_string(
-                        _iceberg_type_to_spark("int" if rt == "date" else rt)
-                    ),
-                )
-            )
-            pv_cols.append(cname)
-
-        def _gen(it):
-            # Arrow-batched; per-row python only inside the transform —
-            # acceptable here because this writer is fixture/hand-off
-            # scale by contract (see docstring)
-            for pdf in it:
-                for cname, transform, srcn, ice_type in pv_specs:
-                    pdf[cname] = pdf[srcn].map(
-                        lambda v, t=transform, y=ice_type: _apply_transform(
-                            t, v, y
-                        )
-                    )
-                yield pdf
-
-        work = df.mapInPandas(_gen, schema=out)
-
-    entries = []
-
-    def _write_one(part_df, pv: dict) -> None:
-        import shutil as _sh
-        import uuid as _uuid
-
-        tmp = os.path.join(path, f"_staging-{_uuid.uuid4().hex[:8]}")
-        part_df.coalesce(1).write.parquet(tmp)
-        part = next(
-            n for n in os.listdir(tmp) if n.endswith(".parquet")
-        )
-        fp = os.path.join(data_dir, f"data-{_uuid.uuid4().hex[:8]}.parquet")
-        os.replace(os.path.join(tmp, part), fp)
-        _sh.rmtree(tmp, ignore_errors=True)
-        import pyarrow.parquet as pq
-
-        fmeta = pq.read_metadata(fp)
-        nrec = fmeta.num_rows
-        # per-column bounds from the parquet footer (spec field-ids
-        # 125/128) so read_iceberg(prune=...) can skip this file — the
-        # same stats a real Iceberg writer records at commit
-        mins: dict = {}
-        maxs: dict = {}
-        for rg in range(fmeta.num_row_groups):
-            rgm = fmeta.row_group(rg)
-            for ci in range(rgm.num_columns):
-                col = rgm.column(ci)
-                st = col.statistics
-                if st is None or not st.has_min_max:
-                    continue
-                n = col.path_in_schema
-                lo, hi = st.min, st.max
-                if isinstance(lo, bytes):
-                    try:
-                        lo, hi = lo.decode("utf-8"), hi.decode("utf-8")
-                    except UnicodeDecodeError:
-                        continue
-                mins[n] = lo if n not in mins else min(mins[n], lo)
-                maxs[n] = hi if n not in maxs else max(maxs[n], hi)
-        lower: list = []
-        upper: list = []
-        for f in schema["fields"]:
-            if f["name"] in mins:
-                b_lo = _bound_bytes(f["type"], mins[f["name"]])
-                b_hi = _bound_bytes(f["type"], maxs[f["name"]])
-                if b_lo is not None and b_hi is not None:
-                    lower.append({"key": f["id"], "value": b_lo})
-                    upper.append({"key": f["id"], "value": b_hi})
-        entries.append(
-            {
-                "status": 1,
-                "snapshot_id": snapshot_id,
-                "sequence_number": None,
-                "file_sequence_number": None,
-                "data_file": {
-                    "content": 0,
-                    "file_path": fp,
-                    "file_format": "PARQUET",
-                    "partition": pv,
-                    "record_count": nrec,
-                    "file_size_in_bytes": os.path.getsize(fp),
-                    "lower_bounds": lower or None,
-                    "upper_bounds": upper or None,
-                },
-            }
-        )
-
-    logical = [f["name"] for f in schema["fields"]]
-    if pv_cols:
-        pvs = [
-            r.asDict() for r in work.select(*pv_cols).distinct().collect()
-        ]  # bounded by the spec's partition count, not rows
-        for pv_row in sorted(pvs, key=lambda d: tuple(str(v) for v in d.values())):
-            cond = None
-            for c, v in pv_row.items():
-                piece = (
-                    F.col(c).isNull() if v is None else (F.col(c) == F.lit(v))
-                )
-                cond = piece if cond is None else (cond & piece)
-            pv = {
-                pf["name"]: pv_row[f"__pv_{pf['name']}"] for pf in spec_fields
-            }
-            _write_one(work.filter(cond).select(*logical), pv)
-    else:
-        _write_one(work.select(*logical), {})
+    entries = _stage_native_data(spark, df, path, schema, spec, snapshot_id)
 
     man_path = os.path.join(md_dir, f"manifest-{snapshot_id}-{uuid.uuid4().hex[:8]}.avro")
     write_avro(
@@ -1530,37 +1547,16 @@ def write_iceberg_native(
     return md_path
 
 
-def delete_iceberg_native(spark, path: str, predicate: str) -> str | None:
-    """Row-level DELETE on a NATIVE Iceberg v2 table as POSITION DELETES
-    — no data file is rewritten, moved, or dropped (VERDICT r09 #4: the
-    UniForm path renders DVs this way; this re-targets the same
-    machinery at native manifests). ``predicate`` is a Spark SQL boolean
-    expression over the table columns.
-
-    Shape: one scan of the current snapshot's data files with the
-    parquet reader's native row position (``_metadata.row_index``),
-    already-deleted positions excluded by broadcast anti-join, matching
-    ``(file_path, pos)`` pairs grouped by the owning file's partition
-    tuple, one sorted position-delete parquet per partition (the spec:
-    a position delete file's partition must match the data it applies
-    to) with the reserved field-ids 2147483546/2147483545, all under
-    one content=1 delete manifest appended to the prior manifest list —
-    the incremental O(deleted) commit, exactly what ``orders_iceberg_
-    dv_deletes`` pins for the UniForm path. Matched positions stream to
-    the driver Arrow-batched (~20 B/deleted row — the same
-    driver-bounded posture as the DV render, which collects compressed
-    bitmaps). Prior snapshots, refs, schemas and partition-spec history
-    carry through unchanged; the new snapshot's HIGHER sequence number
-    makes the deletes apply to every current file (equal-or-lower rule)
-    and never to files appended later.
-
-    Zero matching rows commit nothing and return None; otherwise
-    returns the new metadata JSON path. Tables carrying foreign
-    EQUALITY deletes refuse (their row-visibility rule differs and this
-    scan would resurrect their rows into the match set)."""
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
+def _native_dml_scan(spark, path: str, op: str):
+    """Shared preamble for native row-level DML: resolve the current
+    snapshot, refuse foreign equality deletes (their row-visibility rule
+    differs — this scan would resurrect their rows into the match set),
+    and build the data scan with the parquet reader's native row
+    position, prior position deletes excluded by broadcast anti-join (a
+    conservative superset — re-deleting is idempotent; this keeps no-op
+    detection and delete-file row counts honest). Returns
+    (meta, schema, spec, files, df) — df is None when the table has no
+    data files."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType, _parse_datatype_string
 
@@ -1572,8 +1568,8 @@ def delete_iceberg_native(spark, path: str, predicate: str) -> str | None:
     files, delete_files = _snapshot_data_files(meta, snap)
     if any(int(d.get("content") or 0) == 2 for d in delete_files):
         raise ValueError(
-            "delete_iceberg_native: table carries equality deletes "
-            "(foreign writer); row-level DELETE must go through that engine"
+            f"{op}: table carries equality deletes (foreign writer); "
+            "row-level DML must go through that engine"
         )
     schema = next(
         s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
@@ -1581,6 +1577,8 @@ def delete_iceberg_native(spark, path: str, predicate: str) -> str | None:
     spec = next(
         p for p in meta["partition-specs"] if p["spec-id"] == meta["default-spec-id"]
     )
+    if not files:
+        return meta, schema, spec, files, None
     by_id = {f["id"]: f for f in schema["fields"]}
     identity_only = all(pf["transform"] == "identity" for pf in spec["fields"])
     part_cols = (
@@ -1588,8 +1586,6 @@ def delete_iceberg_native(spark, path: str, predicate: str) -> str | None:
         if identity_only
         else []
     )
-    if not files:
-        return None
     sp = StructType()
     for f in schema["fields"]:
         sp = sp.add(
@@ -1598,28 +1594,32 @@ def delete_iceberg_native(spark, path: str, predicate: str) -> str | None:
     reader = spark.read.schema(sp)
     if part_cols:
         reader = reader.option("basePath", meta["location"])
-    paths = [f["file_path"] for f in files]
-    df = reader.parquet(*paths).select("*", *_scan_meta_cols())
-    # exclude positions an existing delete file already covers — a
-    # conservative superset (re-deleting is idempotent; this keeps the
-    # no-op detection and the new file's row counts honest)
+    df = reader.parquet(*[f["file_path"] for f in files]).select(
+        "*", *_scan_meta_cols()
+    )
     pos_dels = [d["file_path"] for d in delete_files]
     if pos_dels:
         dd = spark.read.parquet(*pos_dels).select(
             F.col("file_path").alias("__ice_path"), F.col("pos").alias("__ice_pos")
         )
         df = df.join(F.broadcast(dd), ["__ice_path", "__ice_pos"], "left_anti")
-    matched = (
-        df.filter(F.expr(predicate))
-        .select("__ice_path", "__ice_pos")
-        .toPandas()
-    )
-    if len(matched) == 0:
-        return None
+    return meta, schema, spec, files, df
 
-    snapshot_id = int(meta["current-snapshot-id"]) + 1
-    pav = _partition_avro_schema(spec, schema["fields"])
+
+def _render_native_deletes(
+    md_dir: str, snapshot_id: int, matched, files: list, pav, schema: dict, spec: dict
+):
+    """Render matched ``(__ice_path, __ice_pos)`` pairs as position-
+    delete parquets — grouped by the owning file's partition tuple (the
+    spec: a position delete file's partition must match the data it
+    applies to), sorted by (file_path, pos), reserved field-ids
+    2147483546/2147483545 — under ONE content=1 delete manifest.
+    Returns the delete manifest's manifest-list entry."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     by_path = {_norm_file_path(f["file_path"]): f for f in files}
+    matched = matched.copy()
     matched["__key"] = matched["__ice_path"].map(
         lambda p: tuple(sorted((by_path[p].get("partition") or {}).items()))
     )
@@ -1688,6 +1688,29 @@ def delete_iceberg_native(spark, path: str, predicate: str) -> str | None:
             "content": "deletes",
         },
     )
+    return {
+        "manifest_path": dman_path,
+        "manifest_length": os.path.getsize(dman_path),
+        "partition_spec_id": spec["spec-id"],
+        "content": 1,
+        "sequence_number": snapshot_id,
+        "min_sequence_number": snapshot_id,
+        "added_snapshot_id": snapshot_id,
+        "added_files_count": len(del_entries),
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": del_rows_total,
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+    }
+
+
+def _commit_native_snapshot(
+    md_dir: str, meta: dict, snapshot_id: int, new_mlist_entries: list, summary: dict
+) -> str:
+    """Append one snapshot to a native table: prior manifest-list
+    entries carried verbatim + the new entries, metadata JSON re-emitted
+    with prior snapshots/refs/schemas/spec history unchanged."""
     cur = next(
         s for s in meta["snapshots"] if s["snapshot-id"] == meta["current-snapshot-id"]
     )
@@ -1696,24 +1719,7 @@ def delete_iceberg_native(spark, path: str, predicate: str) -> str | None:
     write_avro(
         mlist_path,
         _MANIFEST_LIST_SCHEMA,
-        prior_manifests
-        + [
-            {
-                "manifest_path": dman_path,
-                "manifest_length": os.path.getsize(dman_path),
-                "partition_spec_id": spec["spec-id"],
-                "content": 1,
-                "sequence_number": snapshot_id,
-                "min_sequence_number": snapshot_id,
-                "added_snapshot_id": snapshot_id,
-                "added_files_count": len(del_entries),
-                "existing_files_count": 0,
-                "deleted_files_count": 0,
-                "added_rows_count": del_rows_total,
-                "existing_rows_count": 0,
-                "deleted_rows_count": 0,
-            }
-        ],
+        prior_manifests + new_mlist_entries,
         meta={"format-version": "2"},
     )
     new_meta = dict(meta)
@@ -1723,10 +1729,7 @@ def delete_iceberg_native(spark, path: str, predicate: str) -> str | None:
             "sequence-number": snapshot_id,
             "timestamp-ms": snapshot_id,  # deterministic, order-preserving
             "manifest-list": mlist_path,
-            "summary": {
-                "operation": "delete",
-                "total-position-deletes": str(del_rows_total),
-            },
+            "summary": summary,
             "schema-id": int(meta["current-schema-id"]),
         }
     ]
@@ -1744,6 +1747,166 @@ def delete_iceberg_native(spark, path: str, predicate: str) -> str | None:
     with open(os.path.join(md_dir, "version-hint.text"), "w", encoding="utf-8") as fh:
         fh.write(str(snapshot_id))
     return md_path
+
+
+def delete_iceberg_native(spark, path: str, predicate: str) -> str | None:
+    """Row-level DELETE on a NATIVE Iceberg v2 table as POSITION DELETES
+    — no data file is rewritten, moved, or dropped (VERDICT r09 #4: the
+    UniForm path renders DVs this way; this re-targets the same
+    machinery at native manifests). ``predicate`` is a Spark SQL boolean
+    expression over the table columns.
+
+    Shape: one scan of the current snapshot's data files with the
+    parquet reader's native row position (``_metadata.row_index``),
+    already-deleted positions excluded by broadcast anti-join, matching
+    ``(file_path, pos)`` pairs grouped by the owning file's partition
+    tuple, one sorted position-delete parquet per partition with the
+    reserved field-ids 2147483546/2147483545, all under one content=1
+    delete manifest appended to the prior manifest list — the
+    incremental O(deleted) commit, exactly what ``orders_iceberg_
+    dv_deletes`` pins for the UniForm path. Matched positions stream to
+    the driver Arrow-batched (~20 B/deleted row — the same
+    driver-bounded posture as the DV render, which collects compressed
+    bitmaps). Prior snapshots, refs, schemas and partition-spec history
+    carry through unchanged; the new snapshot's HIGHER sequence number
+    makes the deletes apply to every current file (equal-or-lower rule)
+    and never to files appended later.
+
+    Zero matching rows commit nothing and return None; otherwise
+    returns the new metadata JSON path. Tables carrying foreign
+    EQUALITY deletes refuse (their row-visibility rule differs and this
+    scan would resurrect their rows into the match set)."""
+    from pyspark.sql import functions as F
+
+    md_dir = os.path.join(path, "metadata")
+    meta, schema, spec, files, df = _native_dml_scan(
+        spark, path, "delete_iceberg_native"
+    )
+    if df is None:
+        return None
+    matched = (
+        df.filter(F.expr(predicate)).select("__ice_path", "__ice_pos").toPandas()
+    )
+    if len(matched) == 0:
+        return None
+    snapshot_id = int(meta["current-snapshot-id"]) + 1
+    pav = _partition_avro_schema(spec, schema["fields"])
+    dman_entry = _render_native_deletes(
+        md_dir, snapshot_id, matched, files, pav, schema, spec
+    )
+    return _commit_native_snapshot(
+        md_dir,
+        meta,
+        snapshot_id,
+        [dman_entry],
+        {
+            "operation": "delete",
+            "total-position-deletes": str(dman_entry["added_rows_count"]),
+        },
+    )
+
+
+def update_iceberg_native(
+    spark, path: str, predicate: str, assignments: dict[str, str]
+) -> str | None:
+    """Row-level UPDATE on a NATIVE Iceberg v2 table as a merge-on-read
+    OVERWRITE snapshot: matched rows are position-DELETED in place (same
+    rendering as :func:`delete_iceberg_native`) and their replacements
+    land in new data files — original data files untouched, ONE snapshot
+    carries both the content=1 delete manifest and the new data
+    manifest. ``assignments`` maps column name -> Spark SQL expression
+    with SIMULTANEOUS-SET semantics (every RHS sees the pre-update row —
+    the same contract as ``delta_update``). Replacement rows re-evaluate
+    the spec's partition transforms, so an UPDATE that changes a
+    partition source column MOVES the row to its new partition tuple.
+
+    The new data files and the delete manifest share the snapshot's
+    sequence number: position deletes apply at equal-or-lower DATA
+    sequence, and they reference only the OLD file paths, so replacement
+    rows are never self-deleted. Zero matches commit nothing and return
+    None."""
+    from pyspark.sql import functions as F
+
+    md_dir = os.path.join(path, "metadata")
+    meta, schema, spec, files, df = _native_dml_scan(
+        spark, path, "update_iceberg_native"
+    )
+    if df is None:
+        return None
+    logical = [f["name"] for f in schema["fields"]]
+    unknown = set(assignments) - set(logical)
+    if unknown:
+        raise ValueError(f"update_iceberg_native: unknown columns {sorted(unknown)}")
+    # one matched frame feeds BOTH the delete render and the replacement
+    # rows; the scan is deterministic (immutable snapshot-pinned files),
+    # so the two derivations cannot disagree
+    matched_rows = df.filter(F.expr(predicate))
+    matched = matched_rows.select("__ice_path", "__ice_pos").toPandas()
+    if len(matched) == 0:
+        return None
+    snapshot_id = int(meta["current-snapshot-id"]) + 1
+    pav = _partition_avro_schema(spec, schema["fields"])
+    dman_entry = _render_native_deletes(
+        md_dir, snapshot_id, matched, files, pav, schema, spec
+    )
+    # simultaneous SET: every RHS evaluates against the pre-update row
+    by_name = {f["name"]: f for f in schema["fields"]}
+    sel = [
+        (
+            F.expr(assignments[c])
+            .cast(_iceberg_type_to_spark(by_name[c]["type"]))
+            .alias(c)
+            if c in assignments
+            else F.col(c)
+        )
+        for c in logical
+    ]
+    replacements = matched_rows.select(*sel)
+    data_entries = _stage_native_data(
+        spark, replacements, path, schema, spec, snapshot_id
+    )
+    man_path = os.path.join(
+        md_dir, f"manifest-{snapshot_id}-{uuid.uuid4().hex[:8]}.avro"
+    )
+    write_avro(
+        man_path,
+        _manifest_entry_schema(pav),
+        data_entries,
+        meta={
+            "schema": json.dumps(schema),
+            "partition-spec": json.dumps(spec["fields"]),
+            "partition-spec-id": str(spec["spec-id"]),
+            "format-version": "2",
+            "content": "data",
+        },
+    )
+    data_entry = {
+        "manifest_path": man_path,
+        "manifest_length": os.path.getsize(man_path),
+        "partition_spec_id": spec["spec-id"],
+        "content": 0,
+        "sequence_number": snapshot_id,
+        "min_sequence_number": snapshot_id,
+        "added_snapshot_id": snapshot_id,
+        "added_files_count": len(data_entries),
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": sum(
+            e["data_file"]["record_count"] for e in data_entries
+        ),
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+    }
+    return _commit_native_snapshot(
+        md_dir,
+        meta,
+        snapshot_id,
+        [data_entry, dman_entry],
+        {
+            "operation": "overwrite",
+            "total-position-deletes": str(dman_entry["added_rows_count"]),
+        },
+    )
 
 
 def iceberg_metadata_table(spark, path: str, kind: str):

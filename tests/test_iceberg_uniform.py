@@ -1648,3 +1648,63 @@ def test_delete_iceberg_native_position_deletes(spark, tmp_path):
     # metadata files table sees the delete files
     files_tbl = uf.iceberg_metadata_table(spark, t, "files")
     assert files_tbl.filter("content = 1").count() >= 1
+
+
+def test_update_iceberg_native_merge_on_read(spark, tmp_path):
+    """UPDATE on a native table: one overwrite snapshot carries BOTH a
+    content=1 delete manifest (matched rows position-deleted in place)
+    and a new data manifest (replacements) — original files untouched,
+    simultaneous-SET semantics, partition-moving updates land in their
+    new bucket, and replacement rows are never self-deleted (the delete
+    files reference only old paths at the shared sequence number)."""
+    t = str(tmp_path / "nupd")
+    df = spark.range(0, 200).select(
+        "id",
+        (F.col("id") * 2).alias("v"),
+        F.concat(F.lit("g"), (F.col("id") % 3).cast("string")).alias("grp"),
+    )
+    uf.write_iceberg_native(spark, df, t, partition_spec=[("grp", "identity")])
+    data_before = {
+        f["file_path"]: os.path.getmtime(f["file_path"])
+        for f in uf.read_uniform_files(t)
+    }
+    # simultaneous SET: v uses pre-update id, id uses pre-update v
+    md = uf.update_iceberg_native(
+        spark, t, "id % 10 = 0", {"v": "v + id", "grp": "'g9'"}
+    )
+    assert md is not None
+    rows = {r["id"]: (r["v"], r["grp"]) for r in uf.read_iceberg(spark, t).collect()}
+    assert len(rows) == 200
+    for i in range(200):
+        if i % 10 == 0:
+            assert rows[i] == (3 * i, "g9"), f"id {i}: {rows[i]}"  # moved partition
+        else:
+            assert rows[i] == (2 * i, f"g{i % 3}")
+    # original data files untouched; the moved rows live in NEW files
+    after_all = uf.read_uniform_files(t)
+    for fp, mt in data_before.items():
+        assert os.path.getmtime(fp) == mt, "UPDATE must not rewrite old files"
+    new_files = [f for f in after_all if f["file_path"] not in data_before]
+    assert new_files and all(
+        f["partition"].get("grp") == "g9" for f in new_files
+    ), "replacements must land under their NEW partition tuple"
+    # one snapshot, both manifest kinds, overwrite op
+    meta = uf._read_prior_metadata(os.path.join(t, "metadata"))
+    cur = next(
+        s for s in meta["snapshots"] if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    assert cur["summary"]["operation"] == "overwrite"
+    _, manifests = uf.read_avro(cur["manifest-list"])
+    assert {int(m["content"]) for m in manifests} == {0, 1}
+    # stacked UPDATE over already-updated rows sees the new values
+    assert uf.update_iceberg_native(spark, t, "grp = 'g9'", {"v": "v + 1"})
+    rows2 = {r["id"]: r["v"] for r in uf.read_iceberg(spark, t).collect()}
+    for i in range(0, 200, 10):
+        assert rows2[i] == 3 * i + 1
+    # no-op predicate commits nothing; unknown column refuses
+    assert uf.update_iceberg_native(spark, t, "id < 0", {"v": "0"}) is None
+    with pytest.raises(ValueError, match="unknown columns"):
+        uf.update_iceberg_native(spark, t, "id = 1", {"nope": "1"})
+    # snapshot travel: snapshot 1 still reads the original values
+    first = {r["id"]: r["v"] for r in uf.read_iceberg(spark, t, snapshot_id=1).collect()}
+    assert first[0] == 0 and first[10] == 20

@@ -193,3 +193,54 @@ def test_sql_comment_and_quote_handling(spark, tmp_path):
     PipelineRunner(pipe).run_once(spark)
     rows = pipe.read(spark, "tricky").collect()
     assert all(r["marker"] == "--not-a-comment;" for r in rows)
+
+
+def test_sql_live_view_inlines_into_consumers(spark, tmp_path):
+    """CREATE TEMPORARY LIVE VIEW: unpersisted, inlined into each
+    consumer's single spark.sql plan; nested views compose; topo edges
+    point through the view at the underlying TABLE; nothing lands on
+    disk for the view itself."""
+    pipe = _base_pipe(spark, tmp_path)
+    created = pipe.sql_table(
+        """
+        CREATE TEMPORARY LIVE VIEW evens AS
+          SELECT id, grp, qty FROM LIVE.src WHERE id % 2 = 0;
+        CREATE LIVE VIEW evens_scaled AS
+          SELECT id, grp, qty * 10 AS qty10 FROM LIVE.evens;
+        CREATE LIVE TABLE even_totals AS
+          SELECT grp, SUM(qty10) AS total FROM LIVE.evens_scaled GROUP BY grp
+        """
+    )
+    assert created == ["evens", "evens_scaled", "even_totals"]
+    assert "evens" in pipe.sql_views and "evens" not in pipe.tables
+    # the table's topo dep is the TABLE src, through two view layers
+    assert pipe.tables["even_totals"].deps == {"src"}
+    order = pipe.topo_order()
+    assert "evens" not in order and order.index("src") < order.index("even_totals")
+    PipelineRunner(pipe).run_once(spark)
+    got = {
+        (r["grp"], r["total"]) for r in pipe.read(spark, "even_totals").collect()
+    }
+    want = {}
+    for i in range(0, 100, 2):
+        want[i % 5] = want.get(i % 5, 0) + i * 20
+    assert got == set(want.items())
+    # no persisted dir for the views
+    import os as _os
+
+    assert not _os.path.exists(pipe.table_path("evens"))
+    assert not _os.path.exists(pipe.table_path("evens_scaled"))
+
+
+def test_sql_live_view_refusals(spark, tmp_path):
+    pipe = _base_pipe(spark, tmp_path)
+    with pytest.raises(ValueError, match="unpersisted"):
+        pipe.sql_table(
+            "CREATE LIVE VIEW v TBLPROPERTIES ('a'='b') AS SELECT * FROM LIVE.src"
+        )
+    with pytest.raises(ValueError, match="STREAM"):
+        pipe.sql_table(
+            "CREATE LIVE VIEW v AS SELECT * FROM STREAM(LIVE.src)"
+        )
+    with pytest.raises(ValueError, match="LIVE"):
+        pipe.sql_table("CREATE LIVE VIEW v AS SELECT 1 AS one")
