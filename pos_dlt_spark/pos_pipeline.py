@@ -60,11 +60,59 @@ ORDER BY date_time DESC
 """
 
 
+# The reference's gold notebook, verbatim (public source:
+# databricks-industry-solutions/pos-dlt `04_Silver-to-Gold
+# ETL.sql:68-103`) — the table names and columns of this pipeline match
+# the reference exactly, so the DLT-SQL text runs UNCHANGED through
+# Pipeline.sql_table. FIRST() is deterministic here: the CDC target
+# holds one row per (store_id, item_id), so snapshot columns are
+# constant within each group.
+REFERENCE_GOLD_DLT_SQL = """
+SET pipelines.trigger.interval = 5 minute;
+
+CREATE LIVE TABLE inventory_current
+COMMENT 'calculate current inventory given the latest inventory snapshots and inventory-relevant events'
+TBLPROPERTIES (
+  'quality'='gold'
+  )
+AS
+  SELECT  -- calculate current inventory
+    a.store_id,
+    a.item_id,
+    FIRST(a.quantity) as snapshot_quantity,
+    COALESCE(SUM(b.quantity), 0) as change_quantity,
+    FIRST(a.quantity) + COALESCE(SUM(b.quantity), 0) as current_inventory,
+    GREATEST(FIRST(a.date_time), MAX(b.date_time)) as date_time
+  FROM LIVE.latest_inventory_snapshot a -- access latest snapshot
+  LEFT OUTER JOIN ( -- calculate inventory change with bopis corrections
+    SELECT
+      x.store_id,
+      x.item_id,
+      x.date_time,
+      x.quantity
+    FROM LIVE.inventory_change x
+      INNER JOIN LIVE.store y ON x.store_id = y.store_id
+      INNER JOIN LIVE.inventory_change_type z ON x.change_type_id = z.change_type_id
+    WHERE NOT( y.name = 'online' AND z.change_type = 'bopis') -- exclude bopis records from online store
+    ) b
+    ON
+      a.store_id = b.store_id AND
+      a.item_id = b.item_id AND
+      a.date_time <= b.date_time
+  GROUP BY
+    a.store_id,
+    a.item_id
+  ORDER BY
+    date_time DESC
+"""
+
+
 def build_pos_pipeline(
     storage: str,
     input_root: str,
     dedup_watermark: str = "1 hour",
     storage_format: str = "parquet",
+    gold_authoring: str = "python",
 ) -> Pipeline:
     """input_root layout (produced by generator.PosFixtures):
     dims/{store,item,inventory_change_type}.csv, events/*.json,
@@ -72,7 +120,18 @@ def build_pos_pipeline(
 
     ``storage_format="delta"`` persists every pipeline table as a real
     protocol Delta table (the reference's storage: `03:124-129`).
+
+    ``gold_authoring`` picks the gold entry point, mirroring the
+    reference's two notebooks: ``"python"`` (default) registers the
+    decorator table with the day-pruned recompute;
+    ``"sql"`` feeds the reference's OWN DLT-SQL text
+    (`04_Silver-to-Gold ETL.sql:68-103`, verbatim — trigger interval,
+    COMMENT, TBLPROPERTIES, LIVE. references) through
+    ``Pipeline.sql_table``. Both produce the same rows (pinned by the
+    pipeline oracle test across authoring modes).
     """
+    if gold_authoring not in ("python", "sql"):
+        raise ValueError(f"gold_authoring must be python|sql, got {gold_authoring!r}")
     pipe = Pipeline("pos", storage, storage_format=storage_format)
 
     @pipe.table(kind="live", interval="24 hours", comment="store dimension",
@@ -133,6 +192,10 @@ def build_pos_pipeline(
         keys=["store_id", "item_id"],
         sequence_by="date_time",
     )
+
+    if gold_authoring == "sql":
+        pipe.sql_table(REFERENCE_GOLD_DLT_SQL)
+        return pipe
 
     @pipe.table(kind="live", interval="5 minutes", comment="gold current inventory",
                 table_properties={"quality": "gold"},

@@ -1708,3 +1708,59 @@ def test_update_iceberg_native_merge_on_read(spark, tmp_path):
     # snapshot travel: snapshot 1 still reads the original values
     first = {r["id"]: r["v"] for r in uf.read_iceberg(spark, t, snapshot_id=1).collect()}
     assert first[0] == 0 and first[10] == 20
+
+
+def test_native_dml_distributed_delete_render(spark, tmp_path, monkeypatch):
+    """The scale path: above NATIVE_DML_COLLECT_MAX the delete parquets
+    are written EXECUTOR-SIDE (Spark parquet field-id emission, sorted
+    within file, per-partition-tuple grouping) — forced here via a zero
+    threshold, asserted identical in effect to the driver path."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    monkeypatch.setattr(uf, "NATIVE_DML_COLLECT_MAX", 0)
+    t = str(tmp_path / "ddist")
+    df = spark.range(0, 400).select(
+        "id",
+        (F.col("id") * 3).alias("v"),
+        F.concat(F.lit("g"), (F.col("id") % 3).cast("string")).alias("grp"),
+    )
+    uf.write_iceberg_native(spark, df, t, partition_spec=[("grp", "identity")])
+    assert uf.delete_iceberg_native(spark, t, "id % 4 = 0")
+    got = sorted(r["id"] for r in uf.read_iceberg(spark, t).collect())
+    assert got == [i for i in range(400) if i % 4 != 0]
+    # delete files: reserved field ids from Spark's native emission,
+    # rows sorted by (file_path, pos), one-or-more files per tuple
+    dfiles = glob.glob(os.path.join(t, "metadata", "delete-*.parquet"))
+    assert dfiles
+    for dfile in dfiles:
+        sch = pq.read_schema(dfile)
+        assert sch.field("file_path").metadata[b"PARQUET:field_id"] == b"2147483546"
+        assert sch.field("pos").metadata[b"PARQUET:field_id"] == b"2147483545"
+        tbl = pq.read_table(dfile)
+        rows = list(zip(tbl["file_path"].to_pylist(), tbl["pos"].to_pylist()))
+        assert rows == sorted(rows), "delete file must be sorted by (path, pos)"
+    # staging dir cleaned up
+    assert not glob.glob(os.path.join(t, "metadata", "_delstage-*"))
+    # the delete manifest's partitions match the table's tuples
+    meta = uf._read_prior_metadata(os.path.join(t, "metadata"))
+    cur = next(
+        s for s in meta["snapshots"] if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _, manifests = uf.read_avro(cur["manifest-list"])
+    dman = next(m for m in manifests if int(m["content"]) == 1)
+    _, dentries = uf.read_avro(dman["manifest_path"])
+    assert {e["data_file"]["partition"]["grp"] for e in dentries} == {
+        "g0", "g1", "g2"
+    }
+    # distributed UPDATE on top: same machinery, replacements land
+    assert uf.update_iceberg_native(spark, t, "id % 9 = 1", {"v": "v + 100"})
+    rows2 = {r["id"]: r["v"] for r in uf.read_iceberg(spark, t).collect()}
+    for i in range(400):
+        if i % 4 == 0:
+            assert i not in rows2
+        elif i % 9 == 1:
+            assert rows2[i] == 3 * i + 100
+        else:
+            assert rows2[i] == 3 * i

@@ -37,14 +37,21 @@ GROUP BY a.store_id, a.item_id
 """
 
 
-@pytest.fixture(scope="module", params=["parquet", "delta"])
+@pytest.fixture(scope="module", params=["parquet", "delta", "sql"])
 def pipeline_result(request, spark, pos_fixtures, tmp_path_factory):
-    """The full e2e pipeline in BOTH storage modes: plain parquet dirs and
-    real protocol Delta tables (atomic overwrite commits, SetTransaction
-    exactly-once streams, MERGE-maintained CDC target)."""
+    """The full e2e pipeline in BOTH storage modes — plain parquet dirs
+    and real protocol Delta tables (atomic overwrite commits,
+    SetTransaction exactly-once streams, MERGE-maintained CDC target) —
+    plus the SQL-AUTHORED gold variant: the reference's own DLT-SQL
+    text (`04_Silver-to-Gold ETL.sql:68-103`, verbatim) through
+    Pipeline.sql_table over parquet storage. Every downstream oracle
+    assertion runs against all three."""
     storage = tmp_path_factory.mktemp(f"pos_storage_{request.param}")
     pipe = build_pos_pipeline(
-        str(storage), pos_fixtures.root, storage_format=request.param
+        str(storage),
+        pos_fixtures.root,
+        storage_format="parquet" if request.param == "sql" else request.param,
+        gold_authoring="sql" if request.param == "sql" else "python",
     )
     runner = PipelineRunner(pipe)
     order = runner.run_once(spark)
