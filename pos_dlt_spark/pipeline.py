@@ -209,6 +209,16 @@ _SQL_CREATE_RE = re.compile(
     r"(?P<name>[A-Za-z_]\w*)(?P<rest>.*)$",
     re.I | re.S,
 )
+_SQL_APPLY_RE = re.compile(
+    r"^\s*APPLY\s+CHANGES\s+INTO\s+(?:LIVE\.)?(?P<target>[A-Za-z_]\w*)\s+"
+    r"FROM\s+(?:STREAM\s*\(\s*LIVE\.(?P<ssource>[A-Za-z_]\w*)\s*\)|LIVE\.(?P<bsource>[A-Za-z_]\w*))\s+"
+    r"KEYS\s*\((?P<keys>[^)]*)\)\s*"
+    r"(?:APPLY\s+AS\s+DELETE\s+WHEN\s+(?P<delwhen>.*?)\s*)?"
+    r"SEQUENCE\s+BY\s+(?P<seq>[A-Za-z_]\w*)\s*"
+    r"(?:COLUMNS\s+\*\s+EXCEPT\s*\((?P<except>[^)]*)\)\s*)?"
+    r"(?:STORED\s+AS\s+SCD\s+TYPE\s+(?P<scd>\d+)\s*)?$",
+    re.I | re.S,
+)
 _SQL_VIEW_RE = re.compile(
     r"^\s*CREATE\s+(?:TEMPORARY\s+)?LIVE\s+VIEW\s+"
     r"(?P<name>[A-Za-z_]\w*)(?P<rest>.*)$",
@@ -256,6 +266,10 @@ def _sql_create_clauses(rest: str):
         break
     m = re.match(r"\s*AS\b", rest, re.I)
     if not m:
+        if not rest.strip():
+            # declaration-only CREATE (DLT: the empty STREAMING LIVE
+            # TABLE an APPLY CHANGES INTO statement later targets)
+            return comment, props, parts, exps, None
         raise ValueError(
             f"CREATE LIVE TABLE requires an AS SELECT body; got {rest.strip()[:60]!r}"
         )
@@ -296,6 +310,9 @@ class Pipeline:
         # expanded_table_deps). Views are UNPERSISTED — they inline into
         # each consumer's single spark.sql plan at refresh time.
         self.sql_views: dict[str, tuple[str, tuple, set]] = {}
+        # DLT-SQL empty STREAMING targets declared ahead of
+        # APPLY CHANGES INTO (comment/props parity bookkeeping)
+        self.sql_declared_targets: dict[str, dict] = {}
 
     # -- declaration -------------------------------------------------------
 
@@ -388,6 +405,41 @@ class Pipeline:
                 else:
                     self.sql_conf[key] = val
                 continue
+            ma = _SQL_APPLY_RE.match(stmt)
+            if ma is not None:
+                # DLT SQL: APPLY CHANGES INTO live.target FROM
+                # stream(live.source) KEYS (...) [APPLY AS DELETE WHEN
+                # cond] SEQUENCE BY seq [COLUMNS * EXCEPT (...)]
+                # [STORED AS SCD TYPE 1] — maps 1:1 onto apply_changes
+                # (the same machinery the Python entry point uses).
+                scd = ma.group("scd")
+                if scd is not None and scd != "1":
+                    raise ValueError(
+                        f"APPLY CHANGES INTO {ma.group('target')}: only "
+                        "SCD TYPE 1 targets are supported here; build "
+                        "type-2 history downstream with "
+                        "operators.cdc.scd2_history over the type-1 feed"
+                    )
+                keys = [k.strip() for k in ma.group("keys").split(",") if k.strip()]
+                if not keys:
+                    raise ValueError(
+                        f"APPLY CHANGES INTO {ma.group('target')}: KEYS () is empty"
+                    )
+                exc = ma.group("except")
+                self.apply_changes(
+                    target=ma.group("target"),
+                    source=ma.group("ssource") or ma.group("bsource"),
+                    keys=keys,
+                    sequence_by=ma.group("seq"),
+                    apply_as_deletes=(ma.group("delwhen") or "").strip() or None,
+                    except_column_list=(
+                        [c.strip() for c in exc.split(",") if c.strip()]
+                        if exc
+                        else None
+                    ),
+                )
+                created.append(ma.group("target"))
+                continue
             mv = _SQL_VIEW_RE.match(stmt)
             if mv is not None:
                 vname = mv.group("name")
@@ -430,6 +482,21 @@ class Pipeline:
             comment, props, parts, exps, select = _sql_create_clauses(
                 m.group("rest")
             )
+            if select is None:
+                if not streaming:
+                    raise ValueError(
+                        f"{tname}: CREATE LIVE TABLE without an AS body is "
+                        "only valid as the empty STREAMING target of a "
+                        "later APPLY CHANGES INTO statement"
+                    )
+                # the empty target DLT declares ahead of APPLY CHANGES;
+                # the flow itself creates/maintains the stored table
+                self.sql_declared_targets[tname] = {
+                    "comment": comment,
+                    "table_properties": props,
+                }
+                created.append(tname)
+                continue
             stream_deps = sorted(
                 set(
                     re.findall(

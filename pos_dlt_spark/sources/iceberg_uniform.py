@@ -2298,10 +2298,14 @@ def uniform_expire_snapshots(path: str, keep: int = 5) -> list[str]:
     every retained list is the correctness condition — symmetric to the
     Delta log's sidecar GC).
 
-    DATA files are never touched: they belong to the Delta side, whose
-    VACUUM owns their retention. Time travel to an expired snapshot id
-    then raises the usual "not in table metadata" — Iceberg's own
-    retention trade. Returns the deleted metadata file names."""
+    UniForm twins' DATA files are never touched: they belong to the
+    Delta side, whose VACUUM owns their retention. NATIVE tables (no
+    ``_delta_log``) have no such janitor, so expire reference-counts
+    their ``data/`` parquets against every surviving manifest and
+    collects the unreachable ones — an UPDATE's superseded replacements
+    and an expired append's files stop leaking (r10). Time travel to an
+    expired snapshot id then raises the usual "not in table metadata" —
+    Iceberg's own retention trade. Returns the deleted file names."""
     if keep < 1:
         raise ValueError("keep must be >= 1")
     md_dir = os.path.join(path, "metadata")
@@ -2361,6 +2365,7 @@ def uniform_expire_snapshots(path: str, keep: int = 5) -> list[str]:
     # must never be deleted).
     delete_sweep_safe = manifest_sweep_safe
     referenced_deletes: set[str] = set()
+    referenced_data: set[str] = set()
     for name in referenced:
         mp = os.path.join(md_dir, name)
         try:
@@ -2370,8 +2375,12 @@ def uniform_expire_snapshots(path: str, keep: int = 5) -> list[str]:
             continue
         for e in entries:
             df_ = e.get("data_file") or {}
-            if int(df_.get("content") or 0) != 0 and df_.get("file_path"):
+            if not df_.get("file_path"):
+                continue
+            if int(df_.get("content") or 0) != 0:
                 referenced_deletes.add(os.path.basename(df_["file_path"]))
+            else:
+                referenced_data.add(os.path.basename(df_["file_path"]))
     deleted: list[str] = []
 
     def _rm(p: str) -> None:
@@ -2402,6 +2411,18 @@ def uniform_expire_snapshots(path: str, keep: int = 5) -> list[str]:
                 continue
             if n not in referenced_deletes:
                 _rm(os.path.join(md_dir, n))
+    # NATIVE tables only (no _delta_log): their data files have no Delta
+    # VACUUM to collect them, so expire reference-counts them here — a
+    # parquet under <path>/data/ referenced by no surviving manifest is
+    # unreachable from any retained snapshot. Same abort rule as the
+    # delete sweep: any unreadable surviving manifest blocks it. UniForm
+    # twins keep the standing split — Delta VACUUM owns their data.
+    if delete_sweep_safe and not os.path.isdir(os.path.join(path, "_delta_log")):
+        ddir = os.path.join(path, "data")
+        if os.path.isdir(ddir):
+            for n in sorted(os.listdir(ddir)):
+                if n.endswith(".parquet") and n not in referenced_data:
+                    _rm(os.path.join(ddir, n))
     # metadata JSONs of expired snapshots may survive the loop above
     # when their snapshot never became current — sweep by version number
     for n in sorted(os.listdir(md_dir)):

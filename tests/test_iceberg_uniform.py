@@ -1764,3 +1764,75 @@ def test_native_dml_distributed_delete_render(spark, tmp_path, monkeypatch):
             assert rows2[i] == 3 * i + 100
         else:
             assert rows2[i] == 3 * i
+
+
+def test_expire_collects_native_orphan_data_files(spark, tmp_path):
+    """NATIVE tables have no Delta VACUUM: expire reference-counts
+    data/ parquets against surviving manifests and collects the ones
+    only expired snapshots referenced — while a UniForm twin's data
+    files stay untouched (Delta owns them), and an unreadable surviving
+    manifest aborts the data sweep too."""
+    import glob
+
+    t = str(tmp_path / "ngc")
+    df1 = spark.range(0, 60).select("id", (F.col("id") % 2).alias("v"))
+    uf.write_iceberg_native(spark, df1, t)
+    first_files = {f["file_path"] for f in uf.read_uniform_files(t)}
+    # UPDATE rewrites every row's file reference: old files become
+    # unreachable once the pre-update snapshot expires
+    assert uf.update_iceberg_native(spark, t, "id >= 0", {"v": "v + 1"})
+    live_files = {f["file_path"] for f in uf.read_uniform_files(t)}
+    assert first_files <= live_files, "MoR UPDATE keeps originals referenced"
+    uf.uniform_expire_snapshots(t, keep=1)
+    remaining = set(glob.glob(os.path.join(t, "data", "*.parquet")))
+    # originals survive: still REFERENCED by the current snapshot's data
+    # manifest (position deletes mask their rows, they don't unreference)
+    assert first_files <= remaining
+    # read still exact after GC
+    got_v = sorted(r["v"] for r in uf.read_iceberg(spark, t).collect())
+    assert got_v == sorted(((i % 2) + 1) for i in range(60))
+    # now DELETE everything and append a fresh epoch: after expire the
+    # fully-masked originals are STILL referenced (delete files target
+    # them) — only files referenced by NO surviving manifest go. Build
+    # that shape directly: append, then expire to current only.
+    df2 = spark.range(100, 130).select("id", F.lit(9).cast("bigint").alias("v"))
+    uf.write_iceberg_native(spark, df2, t, mode="append")
+    # plant an orphan under data/ (a crashed pre-commit staging shape):
+    # referenced files survive the sweep, the orphan is collected
+    orphan = os.path.join(t, "data", "data-deadbeef.parquet")
+    _write_parquet(orphan, [1], ["x"])
+    deleted = uf.uniform_expire_snapshots(t, keep=1)
+    assert not os.path.exists(orphan)
+    assert "data-deadbeef.parquet" in deleted
+    assert uf.read_iceberg(spark, t).count() == 90
+    # the sweep aborts when a surviving manifest is unreadable
+    orphan2 = os.path.join(t, "data", "data-cafebabe.parquet")
+    _write_parquet(orphan2, [2], ["y"])
+    uf.write_iceberg_native(
+        spark, spark.range(130, 140).select("id", F.lit(1).cast("bigint").alias("v")),
+        t, mode="append",
+    )
+    meta2 = uf._read_prior_metadata(os.path.join(t, "metadata"))
+    cur2 = next(
+        sn for sn in meta2["snapshots"]
+        if sn["snapshot-id"] == meta2["current-snapshot-id"]
+    )
+    _, mans2 = uf.read_avro(cur2["manifest-list"])
+    with open(mans2[0]["manifest_path"], "wb") as fh:
+        fh.write(b"Obj\x01corrupt")
+    uf.uniform_expire_snapshots(t, keep=1)
+    assert os.path.exists(orphan2), "unreadable surviving manifest must abort the data sweep"
+    # UniForm twin: data files NEVER collected by expire
+    from pos_dlt_spark.sources.delta_writer import delta_optimize, write_delta
+
+    t2 = str(tmp_path / "uni_gc")
+    write_delta(
+        spark.range(0, 50).coalesce(1),
+        t2,
+        configuration={"delta.universalFormat.enabledFormats": "iceberg"},
+    )
+    write_delta(spark.range(50, 80).coalesce(1), t2)
+    delta_optimize(spark, t2, target_files=1)  # old files now historical
+    before = set(glob.glob(os.path.join(t2, "*.parquet")))
+    uf.uniform_expire_snapshots(t2, keep=1)
+    assert set(glob.glob(os.path.join(t2, "*.parquet"))) == before

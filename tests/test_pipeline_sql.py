@@ -244,3 +244,81 @@ def test_sql_live_view_refusals(spark, tmp_path):
         )
     with pytest.raises(ValueError, match="LIVE"):
         pipe.sql_table("CREATE LIVE VIEW v AS SELECT 1 AS one")
+
+
+def test_sql_apply_changes_into(spark, tmp_path):
+    """DLT-SQL APPLY CHANGES INTO: the declared empty STREAMING target +
+    the flow statement map onto the same apply_changes machinery as the
+    Python entry point — latest-per-key upserts, APPLY AS DELETE WHEN
+    tombstones, COLUMNS * EXCEPT dropping the op marker."""
+    import json as _json
+
+    in_dir = str(tmp_path / "cdc_landing")
+    os.makedirs(in_dir)
+    pipe = Pipeline("sqlc", str(tmp_path / "storage"))
+
+    @pipe.table(kind="stream")
+    def feed(spark_):
+        schema = "k BIGINT, val STRING, seq BIGINT, op STRING"
+        return spark_.readStream.schema(schema).json(in_dir)
+
+    created = pipe.sql_table(
+        """
+        CREATE OR REFRESH STREAMING LIVE TABLE latest
+        COMMENT 'keyed latest state';
+
+        APPLY CHANGES INTO LIVE.latest
+        FROM STREAM(LIVE.feed)
+        KEYS (k)
+        APPLY AS DELETE WHEN op = 'D'
+        SEQUENCE BY seq
+        COLUMNS * EXCEPT (op)
+        """
+    )
+    assert created == ["latest", "latest"] or created == ["latest"] * 2
+    flow = pipe.cdc_flows["latest"]
+    assert flow.source == "feed" and flow.keys == ["k"]
+    assert flow.apply_as_deletes == "op = 'D'"
+    assert flow.except_column_list == ["op"]
+    assert pipe.sql_declared_targets["latest"]["comment"] == "keyed latest state"
+
+    rows = [
+        {"k": 1, "val": "a1", "seq": 1, "op": "U"},
+        {"k": 2, "val": "b1", "seq": 1, "op": "U"},
+        {"k": 3, "val": "c1", "seq": 1, "op": "U"},
+    ]
+    with open(os.path.join(in_dir, "b1.json"), "w") as fh:
+        fh.write("\n".join(_json.dumps(r) for r in rows))
+    runner = PipelineRunner(pipe)
+    runner.run_once(spark)
+    got = {(r["k"], r["val"]) for r in pipe.read(spark, "latest").collect()}
+    assert got == {(1, "a1"), (2, "b1"), (3, "c1")}
+    # second batch: stale update loses, newer wins, tombstone removes
+    rows2 = [
+        {"k": 1, "val": "STALE", "seq": 0, "op": "U"},
+        {"k": 2, "val": "b2", "seq": 5, "op": "U"},
+        {"k": 3, "val": "x", "seq": 5, "op": "D"},
+    ]
+    with open(os.path.join(in_dir, "b2.json"), "w") as fh:
+        fh.write("\n".join(_json.dumps(r) for r in rows2))
+    runner.run_once(spark)
+    df = pipe.read(spark, "latest")
+    assert "op" not in df.columns, "COLUMNS * EXCEPT must drop the marker"
+    got2 = {(r["k"], r["val"]) for r in df.collect()}
+    assert got2 == {(1, "a1"), (2, "b2")}
+
+
+def test_sql_apply_changes_refusals(spark, tmp_path):
+    pipe = _base_pipe(spark, tmp_path)
+    with pytest.raises(ValueError, match="SCD TYPE 1"):
+        pipe.sql_table(
+            "APPLY CHANGES INTO LIVE.t FROM STREAM(LIVE.src) KEYS (id) "
+            "SEQUENCE BY qty STORED AS SCD TYPE 2"
+        )
+    with pytest.raises(ValueError, match="KEYS"):
+        pipe.sql_table(
+            "APPLY CHANGES INTO LIVE.t FROM STREAM(LIVE.src) KEYS () SEQUENCE BY qty"
+        )
+    # declaration-only CREATE must be STREAMING
+    with pytest.raises(ValueError, match="without an AS body"):
+        pipe.sql_table("CREATE LIVE TABLE bare")
