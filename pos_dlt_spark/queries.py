@@ -743,6 +743,23 @@ def _pipeline_delta(spark: SparkSession, sf_dir: str):
         tiebreakers=["l_orderkey", "l_linenumber"],
     )
 
+    # the SAME flow declared through the DLT-SQL surface (reference
+    # dialect; tiebreakers are not part of DLT's grammar, so the SQL
+    # twin drops the tiebreak columns from the stored state instead —
+    # COLUMNS * EXCEPT — and its oracle keys on (quantity, date_time)
+    # aggregates that are tiebreak-insensitive)
+    pipe.sql_table(
+        """
+        CREATE OR REFRESH STREAMING LIVE TABLE latest_inventory_snapshot_sql;
+
+        APPLY CHANGES INTO LIVE.latest_inventory_snapshot_sql
+        FROM STREAM(LIVE.inventory_snapshot)
+        KEYS (store_id, item_id)
+        SEQUENCE BY date_time
+        COLUMNS * EXCEPT (l_orderkey, l_linenumber)
+        """
+    )
+
     @pipe.table(kind="live", comment="gold current inventory",
                 deps=["latest_inventory_snapshot", "inventory_change", "store",
                       "inventory_change_type"])
@@ -850,6 +867,33 @@ def pos_gold_inventory_current_pipeline(spark: SparkSession, sf_dir: str) -> Dat
     _pipe, runner = _pipeline_delta(spark, sf_dir)
     runner.run_table(spark, "inventory_current")
     return _pipe.read(spark, "inventory_current")
+
+
+@query(
+    "pos_cdc_latest_snapshot_sql",
+    oracle="""
+    SELECT l_suppkey AS store_id,
+           l_partkey AS item_id,
+           MAX(l_shipdate) AS date_time
+    FROM lineitem
+    GROUP BY l_suppkey, l_partkey
+    """,
+)
+def pos_cdc_latest_snapshot_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC flow declared through the DLT-SQL surface (``APPLY
+    CHANGES INTO LIVE.x FROM STREAM(LIVE.y) KEYS(...) SEQUENCE BY ...
+    COLUMNS * EXCEPT(...)``) and maintained by the SAME streaming
+    machinery on the Delta-backed pipeline. DLT's SQL grammar has no
+    tiebreaker clause, so equal-sequence ties pick a nondeterministic
+    quantity — the gate therefore checks the tie-INSENSITIVE state: one
+    row per key with the max sequence value, which the oracle recomputes
+    independently. It matches only if the SQL-declared flow's keying,
+    sequencing, and per-batch merge reproduce the latest-per-key
+    contract exactly."""
+    _pipe, _runner = _pipeline_delta(spark, sf_dir)
+    df = _pipe.read(spark, "latest_inventory_snapshot_sql")
+    assert "l_orderkey" not in df.columns  # COLUMNS * EXCEPT applied
+    return df.select("store_id", "item_id", "date_time")
 
 
 @query(
