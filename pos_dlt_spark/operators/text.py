@@ -382,3 +382,108 @@ def dsir_logratio(
             F.expr("CAST(log_ratio_micro AS DOUBLE) / CAST(n_tokens AS DOUBLE) / 1e6"),
         )
     )
+
+
+def nb_classify(
+    train: DataFrame,
+    test: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 2000,
+) -> DataFrame:
+    """Multinomial Naive Bayes text classifier — the model-BASED router/
+    quality filter of an LLM data pipeline (fastText-style source or
+    language routing), complementing the heuristic :func:`langid` and
+    the importance-weighting :func:`dsir_logratio`.
+
+    Train: whitespace tokens of ``train``; vocabulary = top
+    ``vocab_size`` tokens by document frequency (token-asc tiebreak,
+    ranked via :func:`~pos_dlt_spark.operators.corpus.global_rank` — no
+    single-partition window over the token table); per-(token, label)
+    counts and label totals are exact INTEGER aggregates. Score: each
+    vocab-token occurrence of a test doc contributes the Laplace-
+    smoothed log-likelihood ``ln((cnt+1)/(tot_label+V))`` QUANTIZED to
+    micro-nats (``floor(ln(...)*1e6)`` BIGINT — the :func:`dsir_logratio`
+    determinism pattern: every term derives from fixed integers, so the
+    per-(doc,label) SUM is order-independent bigint arithmetic, immune
+    to float reassociation across partitions/engines); the class prior
+    rides the same quantization. Prediction = argmax by
+    ``(score_micro DESC, label ASC)`` — a total order, no float rank.
+
+    Scale shape: vocabulary, per-class counts, totals and priors are
+    bounded MODEL ARTIFACTS (≤ vocab_size × n_labels rows) broadcast to
+    one scan of the test corpus; the only wide shuffles are the train
+    token aggregate and the per-(doc,label) sum. Test docs containing
+    ZERO vocabulary tokens have no likelihood evidence and are omitted
+    (callers route them to the heuristic fallback).
+
+    Returns ``(id_col, pred_<label_col>, score_micro, n_vocab_tok)``.
+    """
+    from pos_dlt_spark.operators.corpus import global_rank
+
+    tok = F.explode(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    ).alias("tok")
+    tr = train.select(F.col(id_col), F.col(label_col).alias("__lbl"), tok).filter(
+        F.col("tok") != ""
+    )
+    dfreq = tr.groupBy("tok").agg(F.countDistinct(id_col).alias("df"))
+    vocab = (
+        global_rank(dfreq, [F.col("df").desc(), F.col("tok").asc()], rank_col="__r")
+        .filter(F.col("__r") <= vocab_size)
+        .select("tok")
+    )
+    counts = (
+        tr.join(F.broadcast(vocab), "tok")
+        .groupBy("tok", "__lbl")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    totals = counts.groupBy("__lbl").agg(F.sum("cnt").alias("tot"))
+    priors = train.groupBy(F.col(label_col).alias("__lbl")).agg(
+        F.count(F.lit(1)).alias("nd")
+    )
+    n_train = train.count()  # 1-row aggregate, bounded
+    v_actual = vocab.count()  # model-artifact cardinality (<= vocab_size)
+
+    te = test.select(F.col(id_col), tok).filter(F.col("tok") != "").join(
+        F.broadcast(vocab), "tok"
+    )
+    # every (vocab-token occurrence x class) contributes one quantized
+    # term; absent (token, class) counts smooth to cnt=0
+    classes = priors.select("__lbl", "nd", F.lit(n_train).alias("n_all"))
+    grid = te.crossJoin(F.broadcast(classes)).join(
+        F.broadcast(counts), ["tok", "__lbl"], "left"
+    )
+    term = F.expr(
+        f"CAST(floor(ln(CAST(coalesce(cnt, 0) + 1 AS DOUBLE) / "
+        f"CAST(tot + {int(v_actual)} AS DOUBLE)) * 1000000) AS BIGINT)"
+    )
+    prior_micro = F.expr(
+        "CAST(floor(ln(CAST(nd AS DOUBLE) / CAST(n_all AS DOUBLE)) * 1000000) AS BIGINT)"
+    )
+    scored = (
+        grid.join(F.broadcast(totals), "__lbl")
+        .withColumn("__term", term)
+        .groupBy(id_col, "__lbl", "nd", "n_all")
+        .agg(
+            F.sum("__term").alias("__ll"),
+            F.count(F.lit(1)).alias("n_vocab_tok"),
+        )
+        .withColumn("score_micro", F.col("__ll") + prior_micro)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score_micro").desc(), F.col("__lbl").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            id_col,
+            F.col("__lbl").alias(f"pred_{label_col}"),
+            "score_micro",
+            "n_vocab_tok",
+        )
+    )

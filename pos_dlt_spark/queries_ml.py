@@ -1847,3 +1847,79 @@ def emb_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("probe_id").alias("contaminated_by"))
     )
     return corpus.select("vec_id").join(hits, "vec_id", "left")
+
+
+@query(
+    "text_nb_lang_classifier",
+    oracle=r"""
+    WITH tr AS (
+        SELECT d.doc_id, d.lang, t.tok
+        FROM (SELECT * FROM documents WHERE doc_id % 2 = 0) d,
+             unnest(regexp_split_to_array(trim(lower(d.text)), '\s+')) AS t(tok)
+        WHERE t.tok <> ''
+    ),
+    vocab AS (
+        SELECT tok FROM (
+            SELECT tok,
+                   ROW_NUMBER() OVER (
+                       ORDER BY COUNT(DISTINCT doc_id) DESC, tok ASC) AS r
+            FROM tr GROUP BY tok
+        ) WHERE r <= 2000
+    ),
+    vsz AS (SELECT COUNT(*) AS v FROM vocab),
+    counts AS (
+        SELECT tok, lang, COUNT(*) AS cnt FROM tr
+        WHERE tok IN (SELECT tok FROM vocab) GROUP BY 1, 2
+    ),
+    totals AS (SELECT lang, SUM(cnt) AS tot FROM counts GROUP BY 1),
+    priors AS (
+        SELECT lang, COUNT(*) AS nd FROM documents WHERE doc_id % 2 = 0 GROUP BY 1
+    ),
+    n_all AS (SELECT COUNT(*) AS n FROM documents WHERE doc_id % 2 = 0),
+    te AS (
+        SELECT d.doc_id, t.tok
+        FROM (SELECT * FROM documents WHERE doc_id % 2 = 1) d,
+             unnest(regexp_split_to_array(trim(lower(d.text)), '\s+')) AS t(tok)
+        WHERE t.tok <> '' AND t.tok IN (SELECT tok FROM vocab)
+    ),
+    terms AS (
+        SELECT g.doc_id, g.lang, g.nd,
+               CAST(FLOOR(LN(
+                   CAST(COALESCE(c.cnt, 0) + 1 AS DOUBLE) /
+                   CAST(t.tot + (SELECT v FROM vsz) AS DOUBLE)
+               ) * 1000000) AS BIGINT) AS term
+        FROM (SELECT te.doc_id, te.tok, p.lang, p.nd FROM te CROSS JOIN priors p) g
+        LEFT JOIN counts c ON c.tok = g.tok AND c.lang = g.lang
+        JOIN totals t ON t.lang = g.lang
+    ),
+    scored AS (
+        SELECT doc_id, lang,
+               CAST(SUM(term) + CAST(FLOOR(LN(
+                   CAST(MAX(nd) AS DOUBLE) / CAST((SELECT n FROM n_all) AS DOUBLE)
+               ) * 1000000) AS BIGINT) AS BIGINT) AS score_micro,
+               CAST(COUNT(*) AS BIGINT) AS n_vocab_tok
+        FROM terms GROUP BY 1, 2
+    )
+    SELECT doc_id, lang AS pred_lang, score_micro, n_vocab_tok
+    FROM scored
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY score_micro DESC, lang ASC) = 1
+    """,
+)
+def text_nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-BASED routing/quality classifier (the fastText-shaped slot
+    in an LLM data pipeline, complementing heuristic ``text_langid`` and
+    DSIR importance weighting): a multinomial Naive Bayes language
+    classifier TRAINED on the even-doc_id half of the corpus and scored
+    on the odd half — vocabulary by document frequency (two-phase global
+    rank, no single-partition window), per-(token, class) integer
+    counts, Laplace-smoothed log-likelihoods quantized to micro-nat
+    BIGINTs (the DSIR determinism pattern — sums stay order-independent
+    integer arithmetic across engines), argmax with a total-order
+    tiebreak. The oracle recomputes the entire train+score pipeline in
+    SQL: it matches only if tokenization, vocabulary ranking, smoothing,
+    quantization, and the argmax agree term for term."""
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    test = docs.filter(F.col("doc_id") % 2 == 1)
+    return T.nb_classify(train, test, label_col="lang")

@@ -656,3 +656,48 @@ def test_jpeg_features_gate_formula(spark):
         assert (r.width, r.height, r.n_px) == (w, h, h * w)
         assert abs(r.mean_px - px.mean()) < 1e-9
         assert r.checksum == int((px.astype(np.int64) * idx).sum())
+
+
+def test_nb_classify_semantics(spark):
+    """Naive Bayes classifier: separable classes predict correctly on
+    held-out docs, scores are exact micro-nat BIGINTs (rerun-identical),
+    prediction ties break by label ascending, and test docs with zero
+    vocabulary tokens are omitted (heuristic-fallback contract)."""
+    from pos_dlt_spark.operators.text import nb_classify
+
+    train_rows = []
+    for i in range(30):
+        train_rows.append((i * 2, "cats", "meow purr whiskers feline meow"))
+        train_rows.append((i * 2 + 100, "dogs", "woof bark fetch canine woof"))
+    train = spark.createDataFrame(train_rows, "doc_id long, lang string, text string")
+    test = spark.createDataFrame(
+        [
+            (1, "?", "meow meow purr"),
+            (3, "?", "bark fetch woof woof"),
+            (5, "?", "zzz qqq www"),  # zero vocab tokens -> omitted
+            (7, "?", "meow bark"),  # balanced evidence -> prior/tie rules
+        ],
+        "doc_id long, lang string, text string",
+    )
+    out = nb_classify(train, test, label_col="lang").orderBy("doc_id")
+    rows = out.collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    assert set(by_id) == {1, 3, 7}, "zero-vocab doc must be omitted"
+    assert by_id[1]["pred_lang"] == "cats"
+    assert by_id[3]["pred_lang"] == "dogs"
+    # doc 7: symmetric evidence and equal priors -> identical scores,
+    # label-asc tiebreak picks 'cats'
+    assert by_id[7]["pred_lang"] == "cats"
+    assert by_id[1]["n_vocab_tok"] == 3 and by_id[3]["n_vocab_tok"] == 4
+    # exact integer scores: a second run is bit-identical
+    again = {
+        r["doc_id"]: r["score_micro"]
+        for r in nb_classify(train, test, label_col="lang").collect()
+    }
+    assert again == {r["doc_id"]: r["score_micro"] for r in rows}
+    # vocab_size cap: every token has df=30, so the tok-asc tiebreak
+    # picks 'bark' as the 1-token vocabulary — only docs containing
+    # 'bark' score, each with one occurrence
+    capped = nb_classify(train, test, label_col="lang", vocab_size=1)
+    got = {r["doc_id"]: r["n_vocab_tok"] for r in capped.collect()}
+    assert got == {3: 1, 7: 1}
