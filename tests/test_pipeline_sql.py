@@ -322,3 +322,29 @@ def test_sql_apply_changes_refusals(spark, tmp_path):
     # declaration-only CREATE must be STREAMING
     with pytest.raises(ValueError, match="without an AS body"):
         pipe.sql_table("CREATE LIVE TABLE bare")
+
+
+def test_sql_partitioned_by_reaches_storage(spark, tmp_path):
+    """PARTITIONED BY in the SQL dialect flows to the stored layout and
+    a partition-key filter reaches PartitionFilters in the scan."""
+    pipe = _base_pipe(spark, tmp_path)
+    pipe.sql_table(
+        """
+        CREATE LIVE TABLE by_grp
+        PARTITIONED BY (grp)
+        AS SELECT grp, id, qty FROM LIVE.src
+        """
+    )
+    assert pipe.tables["by_grp"].partition_by == ["grp"]
+    PipelineRunner(pipe).run_once(spark)
+    root = pipe.table_path("by_grp")
+    assert any(d.startswith("grp=") for d in os.listdir(root))
+    plan = (
+        pipe.read(spark, "by_grp")
+        .filter(F.col("grp") == 3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    pf = plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    assert "grp" in pf
