@@ -70,6 +70,34 @@ def latest_per_key(
     )
 
 
+# the SCD2-computed interval columns (DLT's names) — storage-owned,
+# recomputed on every merge, never accepted from the source
+SCD2_COLS = ("__START_AT", "__END_AT")
+
+
+def scd2_rebuild(
+    df: DataFrame,
+    keys: Sequence[str],
+    sequence_by: str,
+    tiebreakers: Sequence[str] = (),
+    has_tombstones: bool = False,
+) -> DataFrame:
+    """Recompute ``__START_AT`` / ``__END_AT`` over a key's full version
+    set: one lead() window per key partition (the same single key-shuffle
+    as :func:`scd2_history`). Rows must already be deduplicated on the
+    full tuple. With ``has_tombstones`` the ``__tombstone`` flag column orders
+    a tombstone AFTER a same-sequence version (the delete closes it at a
+    zero-width interval rather than racing it); a tombstone's own bounds
+    are irrelevant — reads filter it out."""
+    order = [F.col(sequence_by).asc(), *[F.col(t).asc() for t in tiebreakers]]
+    if has_tombstones:
+        order.append(F.col("__tombstone").asc())
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return df.withColumn("__START_AT", F.col(sequence_by)).withColumn(
+        "__END_AT", F.lead(sequence_by).over(w)
+    )
+
+
 class ApplyChanges:
     """Streaming upsert into a parquet-backed keyed table.
 
@@ -94,6 +122,23 @@ class ApplyChanges:
     operational contract DLT's bounded tombstone retention enforces with
     a window). ``except_column_list`` drops source-only columns (the op
     marker) from the stored state after the predicate is evaluated.
+
+    ``stored_as_scd_type=2`` (DLT's parameter of the same name; the
+    reference's apply_changes API documents both modes alongside the
+    SCD1 call at `03_Bronze-to-Silver ETL.py:379-384`) maintains the
+    target as TYPE-2 HISTORY instead of latest state: every change is a
+    version row with ``__START_AT`` / ``__END_AT`` (DLT's column names;
+    ``__END_AT`` NULL while current). Each micro-batch merges its
+    version rows into the touched keys' histories and recomputes the
+    interval bounds with one lead() window per touched key — so
+    OUT-OF-ORDER rows insert into the middle of a history, closing and
+    re-bounding their neighbors, and re-running a batch is idempotent
+    (version identity is the full row tuple). With ``apply_as_deletes``
+    a winning tombstone CLOSES the key's open interval at the
+    tombstone's sequence without adding a visible version; tombstones
+    are RETAINED in storage (flagged ``__tombstone``, filtered from reads), so
+    SCD2 deletes are correct under cross-batch reordering — unlike
+    SCD1's monotone-sequence contract.
     """
 
     def __init__(
@@ -108,7 +153,13 @@ class ApplyChanges:
         retention: int = 1,
         apply_as_deletes: str | None = None,
         except_column_list: Sequence[str] = (),
+        stored_as_scd_type: int = 1,
     ) -> None:
+        if stored_as_scd_type not in (1, 2):
+            raise ValueError(
+                f"stored_as_scd_type must be 1 or 2, got {stored_as_scd_type!r}"
+            )
+        self.scd_type = stored_as_scd_type
         self.target_path = target_path
         self.keys = list(keys)
         self.sequence_by = sequence_by
@@ -157,8 +208,60 @@ class ApplyChanges:
 
     # -- merge logic (pure DataFrame in / DataFrame out, unit-testable) ----
 
+    def _tag_incoming(self, batch: DataFrame) -> DataFrame:
+        """SCD2 source prep: tombstone flag from the RAW columns (the
+        predicate may reference except-listed ones), then except-listed
+        columns drop. ALL version rows are kept — SCD2 never reduces a
+        batch to latest-per-key."""
+        incoming = batch
+        if self.apply_as_deletes:
+            # NOT named __del: that is delta_merge's transient
+            # delete-predicate tag, and a stored column of that name
+            # would be misread by its change-feed classifier
+            incoming = incoming.withColumn(
+                "__tombstone",
+                F.coalesce(F.expr(self.apply_as_deletes), F.lit(False)),
+            )
+        if self.except_column_list:
+            incoming = incoming.drop(*self.except_column_list)
+        return incoming
+
+    def _scd2_merge(self, target: DataFrame | None, batch: DataFrame) -> DataFrame:
+        """SCD TYPE 2 merge: union the batch's version rows with the
+        target's RAW version set (interval columns stripped — they are
+        storage-owned), dedupe on the full tuple (idempotent reruns and
+        replays), and recompute the interval bounds. Out-of-order rows
+        land in the middle of their key's history and the lead() window
+        re-bounds the neighbors; a retained tombstone closes whatever
+        precedes it, even across batches."""
+        incoming = self._tag_incoming(batch).dropDuplicates()
+        if target is None:
+            rows = incoming
+        else:
+            raw_target = target.drop(*SCD2_COLS)
+            expected = set(incoming.columns)
+            if set(raw_target.columns) != expected and not self.merge_schema:
+                raise ValueError(
+                    "batch schema drifted from target "
+                    f"(target={sorted(raw_target.columns)} "
+                    f"batch={sorted(expected)}); "
+                    "pass merge_schema=True to evolve"
+                )
+            rows = raw_target.unionByName(
+                incoming, allowMissingColumns=self.merge_schema
+            ).dropDuplicates()
+        return scd2_rebuild(
+            rows,
+            self.keys,
+            self.sequence_by,
+            self.tiebreakers,
+            has_tombstones=bool(self.apply_as_deletes),
+        )
+
     def merge(self, target: DataFrame | None, batch: DataFrame) -> DataFrame:
         """Merge a micro-batch into the current target state."""
+        if self.scd_type == 2:
+            return self._scd2_merge(target, batch)
         incoming = latest_per_key(batch, self.keys, self.sequence_by, self.tiebreakers)
         # delete tombstones are tagged from the RAW source columns (the
         # predicate may reference except-listed ones), then the
@@ -230,6 +333,13 @@ class ApplyChanges:
         if manifest is not None:
             # older manifests predate bucket_keys: they bucketed by keys
             m_bucket_keys = manifest.get("bucket_keys", manifest["keys"])
+            if int(manifest.get("scd_type", 1)) != self.scd_type:
+                raise ValueError(
+                    f"SCD-type mismatch: target stores type "
+                    f"{manifest.get('scd_type', 1)}, flow declares type "
+                    f"{self.scd_type}; a latest-state table and a history "
+                    "table are different schemas — recreate the target"
+                )
             if (
                 manifest["n_buckets"] != self.n_buckets
                 or manifest["keys"] != self.keys
@@ -323,6 +433,7 @@ class ApplyChanges:
             # back-compat mirror of history[0] for pre-retention readers
             "prev_buckets": dict(history[0]["buckets"]) if history else None,
             "schema": schema_json,
+            "scd_type": self.scd_type,
         }
         self._commit_manifest(new_manifest)
         for entry in gc_entries:
@@ -343,11 +454,23 @@ class ApplyChanges:
             return True
         return self._read_manifest() is not None
 
+    @staticmethod
+    def _visible(df: DataFrame | None, raw: bool) -> DataFrame | None:
+        """Reader-facing view of stored state: SCD2 tombstones (the
+        ``__tombstone`` flag column, present only when an SCD2 flow was
+        declared with apply_as_deletes) are merge bookkeeping, not
+        versions — filtered and dropped unless the caller asked for the
+        raw stored rows (the merge itself must see them)."""
+        if df is None or raw or "__tombstone" not in df.columns:
+            return df
+        return df.filter(~F.col("__tombstone")).drop("__tombstone")
+
     def read_target(
         self,
         spark: SparkSession,
         previous: bool = False,
         version: int | None = None,
+        raw: bool = False,
     ) -> DataFrame | None:
         """Current committed state. Bucketed targets resolve the manifest to
         concrete bucket directories — path-level pruning, no partition
@@ -392,14 +515,14 @@ class ApplyChanges:
                 # lack the new columns; an explicit schema null-fills them
                 # on scan with NO per-file footer merge (mergeSchema cost)
                 reader = reader.schema(StructType.fromJson(json.loads(manifest["schema"])))
-            return reader.parquet(*paths)
+            return self._visible(reader.parquet(*paths), raw)
         if previous:
             raise ValueError(
                 f"target {self.target_path} is not manifest-tracked: no snapshot history"
             )
         if not self._target_exists():
             return None
-        return spark.read.parquet(self.target_path)
+        return self._visible(spark.read.parquet(self.target_path), raw)
 
     def delete_keys(self, spark: SparkSession, doomed: DataFrame) -> int:
         """Propagate key deletions through the target (right-to-be-forgotten
@@ -499,7 +622,7 @@ class ApplyChanges:
         self._validate_layout(self._read_manifest())
         self._recover_unbucketed()
         spark = batch.sparkSession
-        target = self.read_target(spark)
+        target = self.read_target(spark, raw=True)  # merges must see tombstones
         merged = self.merge(target, batch)
         # Write-then-swap keeps the read path consistent FOR THE WRITER'S
         # OWN cadence; note the two renames are not jointly atomic — a
@@ -534,17 +657,28 @@ class ApplyChanges:
         manifest = self._read_manifest()
         self._validate_layout(manifest)
         pinned = manifest.get("schema") if manifest else None
+        if self.scd_type == 2:
+            # SCD2: keep EVERY version row (no latest-per-key reduction);
+            # tombstone-tag + except-drop first so the stored schema is
+            # what the drift check compares against
+            prepped = self._tag_incoming(batch).dropDuplicates()
+        else:
+            prepped = latest_per_key(
+                batch, self.keys, self.sequence_by, self.tiebreakers
+            )
         if pinned is not None:
-            pinned_cols = {f["name"] for f in json.loads(pinned)["fields"]}
-            if set(batch.columns) != pinned_cols and not self.merge_schema:
+            pinned_cols = {f["name"] for f in json.loads(pinned)["fields"]} - set(
+                SCD2_COLS
+            )
+            if set(prepped.columns) != pinned_cols and not self.merge_schema:
                 raise ValueError(
                     "batch schema drifted from target "
-                    f"(target={sorted(pinned_cols)} batch={sorted(batch.columns)}); "
+                    f"(target={sorted(pinned_cols)} batch={sorted(prepped.columns)}); "
                     "pass merge_schema=True to evolve"
                 )
-        incoming = self._with_bucket(
-            latest_per_key(batch, self.keys, self.sequence_by, self.tiebreakers)
-        ).localCheckpoint(eager=True)  # cut lineage: read once, used thrice
+        incoming = self._with_bucket(prepped).localCheckpoint(
+            eager=True
+        )  # cut lineage: read once, used thrice
         touched = [int(r[0]) for r in incoming.select("__bucket").distinct().collect()]
 
         merged = incoming
@@ -561,14 +695,38 @@ class ApplyChanges:
                 if pinned is not None:
                     reader = reader.schema(StructType.fromJson(json.loads(pinned)))
                 target = self._with_bucket(reader.parquet(*touched_paths))
-                tagged_target = target.withColumn("__is_target", F.lit(1))
-                tagged_in = incoming.withColumn("__is_target", F.lit(0))
-                merged = latest_per_key(
-                    tagged_target.unionByName(tagged_in, allowMissingColumns=self.merge_schema),
-                    self.keys,
-                    self.sequence_by,
-                    tiebreakers=[*self.tiebreakers, "__is_target"],
-                ).drop("__is_target")
+                if self.scd_type == 2:
+                    # interval bounds are storage-owned: strip before the
+                    # union so a re-bounded version collapses with its
+                    # prior self in the full-tuple dedupe
+                    merged = (
+                        target.drop(*SCD2_COLS)
+                        .unionByName(
+                            incoming, allowMissingColumns=self.merge_schema
+                        )
+                        .dropDuplicates()
+                    )
+                else:
+                    tagged_target = target.withColumn("__is_target", F.lit(1))
+                    tagged_in = incoming.withColumn("__is_target", F.lit(0))
+                    merged = latest_per_key(
+                        tagged_target.unionByName(
+                            tagged_in, allowMissingColumns=self.merge_schema
+                        ),
+                        self.keys,
+                        self.sequence_by,
+                        tiebreakers=[*self.tiebreakers, "__is_target"],
+                    ).drop("__is_target")
+        if self.scd_type == 2:
+            # a key's whole history lives in one bucket (bucket_keys ⊆
+            # keys), so the per-key window sees every version it needs
+            merged = scd2_rebuild(
+                merged,
+                self.keys,
+                self.sequence_by,
+                self.tiebreakers,
+                has_tombstones=bool(self.apply_as_deletes),
+            )
 
         # Dir name includes the manifest generation it will commit as: a
         # foreachBatch retry of an epoch whose commit DID land re-runs with a

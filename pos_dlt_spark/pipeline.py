@@ -117,6 +117,7 @@ class CdcFlowDef:
     bucket_keys: list[str] | None = None  # route by a key subset (rollup locality)
     apply_as_deletes: str | None = None  # DLT: source rows matching = tombstones
     except_column_list: list[str] | None = None  # DLT: source-only cols dropped
+    stored_as_scd_type: int = 1  # DLT: 1 = latest state, 2 = maintained history
 
 
 @dataclass
@@ -413,12 +414,10 @@ class Pipeline:
                 # [STORED AS SCD TYPE 1] — maps 1:1 onto apply_changes
                 # (the same machinery the Python entry point uses).
                 scd = ma.group("scd")
-                if scd is not None and scd != "1":
+                if scd is not None and scd not in ("1", "2"):
                     raise ValueError(
-                        f"APPLY CHANGES INTO {ma.group('target')}: only "
-                        "SCD TYPE 1 targets are supported here; build "
-                        "type-2 history downstream with "
-                        "operators.cdc.scd2_history over the type-1 feed"
+                        f"APPLY CHANGES INTO {ma.group('target')}: SCD "
+                        f"TYPE {scd} is not a DLT mode (only 1 and 2)"
                     )
                 keys = [k.strip() for k in ma.group("keys").split(",") if k.strip()]
                 if not keys:
@@ -437,6 +436,7 @@ class Pipeline:
                         if exc
                         else None
                     ),
+                    stored_as_scd_type=int(scd or 1),
                 )
                 created.append(ma.group("target"))
                 continue
@@ -647,21 +647,29 @@ class Pipeline:
         bucket_keys: list[str] | None = None,
         apply_as_deletes: str | None = None,
         except_column_list: list[str] | None = None,
+        stored_as_scd_type: int = 1,
     ) -> None:
         """Declare a CDC-maintained keyed table (reference W3). With
         ``n_buckets`` the target is key-hash-bucketed and each micro-batch
         rewrites only touched buckets — set it for large targets.
         ``bucket_keys`` routes buckets by a key subset so downstream
         incremental views grouped on that subset stay bucket-local.
-        ``apply_as_deletes`` / ``except_column_list`` mirror DLT's
-        parameters (delete tombstones; source-only columns dropped from
-        the stored state)."""
+        ``apply_as_deletes`` / ``except_column_list`` /
+        ``stored_as_scd_type`` mirror DLT's parameters (delete
+        tombstones; source-only columns dropped from the stored state;
+        type 2 maintains the target as version HISTORY with
+        ``__START_AT``/``__END_AT`` — see operators/cdc.py)."""
+        if stored_as_scd_type not in (1, 2):
+            raise ValueError(
+                f"stored_as_scd_type must be 1 or 2, got {stored_as_scd_type!r}"
+            )
         self.cdc_flows[target] = CdcFlowDef(
             target=target, source=source, keys=keys, sequence_by=sequence_by,
             tiebreakers=list(tiebreakers or []), n_buckets=n_buckets,
             bucket_keys=list(bucket_keys) if bucket_keys else None,
             apply_as_deletes=apply_as_deletes,
             except_column_list=list(except_column_list) if except_column_list else None,
+            stored_as_scd_type=stored_as_scd_type,
         )
 
     def incremental_view(
@@ -718,8 +726,28 @@ class Pipeline:
         if self.storage_format == "delta":
             from pos_dlt_spark.sources.delta import read_delta
 
-            return read_delta(spark, self.table_path(name))
-        return spark.read.parquet(self.table_path(name))
+            df = read_delta(spark, self.table_path(name))
+            if (
+                flow is not None
+                and flow.stored_as_scd_type == 2
+                and "__tombstone" in df.columns
+            ):
+                # SCD2 tombstones are merge bookkeeping, not versions —
+                # same reader rule as ApplyChanges.read_target
+                from pyspark.sql import functions as F
+
+                df = df.filter(~F.col("__tombstone")).drop("__tombstone")
+            return df
+        df = spark.read.parquet(self.table_path(name))
+        if (
+            flow is not None
+            and flow.stored_as_scd_type == 2
+            and "__tombstone" in df.columns
+        ):
+            from pyspark.sql import functions as F
+
+            df = df.filter(~F.col("__tombstone")).drop("__tombstone")
+        return df
 
     def read_stream(self, spark: SparkSession, name: str) -> DataFrame:
         """Streaming read of another pipeline table (``dlt.read_stream``).
@@ -1040,6 +1068,7 @@ class PipelineRunner:
             bucket_keys=flow.bucket_keys,
             apply_as_deletes=flow.apply_as_deletes,
             except_column_list=flow.except_column_list or (),
+            stored_as_scd_type=flow.stored_as_scd_type,
         )
 
     def _run_inc_view(self, spark: SparkSession, view) -> None:
@@ -1055,6 +1084,77 @@ class PipelineRunner:
         ikv.refresh(spark)
 
     def _run_cdc(self, spark: SparkSession, flow: CdcFlowDef) -> None:
+        if (
+            self.p.storage_format == "delta"
+            and flow.n_buckets is None
+            and flow.stored_as_scd_type == 2
+        ):
+            # SCD2 on a real Delta table: per batch, the touched keys'
+            # FULL histories (semi-join restricted; delta_merge's own
+            # stats pruning bounds the rewrite) union the batch's
+            # version rows, full-tuple deduped, interval bounds
+            # recomputed, then ONE atomic MERGE commit keyed on the full
+            # version identity (keys + sequence + tiebreakers):
+            # same-version rows update in place (__END_AT re-bound —
+            # equal sequence resolves update-wins), new versions insert,
+            # rows of untouched keys are never rewritten. SetTransaction
+            # makes batch replays no-ops.
+            from pos_dlt_spark.operators.cdc import SCD2_COLS, scd2_rebuild
+            from pos_dlt_spark.sources.delta_writer import delta_merge, write_delta
+
+            path = self.p.table_path(flow.target)
+            app_id = f"pos_dlt:{self.p.name}:{flow.target}"
+
+            def scd2_sink(batch_df: DataFrame, batch_id: int) -> None:
+                from pyspark.sql import functions as F
+
+                if not batch_df.take(1):
+                    return
+                incoming = batch_df
+                if flow.apply_as_deletes:
+                    incoming = incoming.withColumn(
+                        "__tombstone",
+                        F.coalesce(
+                            F.expr(flow.apply_as_deletes), F.lit(False)
+                        ),
+                    )
+                if flow.except_column_list:
+                    incoming = incoming.drop(*flow.except_column_list)
+                incoming = incoming.dropDuplicates()
+                rebuild = lambda rows: scd2_rebuild(  # noqa: E731
+                    rows, flow.keys, flow.sequence_by, flow.tiebreakers,
+                    has_tombstones=bool(flow.apply_as_deletes),
+                )
+                if not os.path.isdir(os.path.join(path, "_delta_log")):
+                    write_delta(
+                        rebuild(incoming), path,
+                        txn=(app_id, int(batch_id)),
+                        configuration={"delta.enableChangeDataFeed": "true"},
+                    )
+                    return
+                from pos_dlt_spark.sources.delta import read_delta
+
+                cur = read_delta(spark, path)
+                existing = cur.join(
+                    incoming.select(*flow.keys).distinct(), flow.keys, "left_semi"
+                ).drop(*SCD2_COLS)
+                rows = existing.unionByName(incoming).dropDuplicates()
+                delta_merge(
+                    spark, path, rebuild(rows),
+                    keys=[*flow.keys, flow.sequence_by, *flow.tiebreakers],
+                    sequence_by=flow.sequence_by,
+                    txn=(app_id, int(batch_id)),
+                )
+
+            src = self.p.read_stream(spark, flow.source)
+            q = (
+                src.writeStream.foreachBatch(scd2_sink)
+                .option("checkpointLocation", self.p.checkpoint_path(flow.target))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return
         if self.p.storage_format == "delta" and flow.n_buckets is None:
             # plain CDC target = a real Delta table maintained by protocol
             # MERGE commits (the reference's `03:379-384`): first batch

@@ -2446,6 +2446,72 @@ def supplier_iceberg_native_update(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "supplier_iceberg_eqdelete_dml",
+    oracle="""
+    SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey,
+           s_name,
+           CAST(CASE WHEN s_suppkey % 4 = 1 THEN s_acctbal + 100.0
+                     ELSE s_acctbal END AS DOUBLE) AS s_acctbal
+    FROM supplier WHERE s_suppkey % 3 <> 0 AND s_suppkey % 5 <> 2
+    """,
+)
+def supplier_iceberg_eqdelete_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VERDICT r10 #3 gate: native Iceberg DML over a table carrying a
+    FOREIGN equality delete (the Flink CDC shape). supplier lands via
+    ``write_iceberg_native``; a synthesized content=2 equality delete
+    removes ``s_suppkey % 3 = 0`` by key column; then a native DELETE
+    (``s_suppkey % 5 = 2``) and a native UPDATE (``% 4 = 1`` gets
+    +100.0) run on top. The eq-deleted rows must be folded out of both
+    match sets — never re-deleted, never resurrected as replacement
+    rows — and no data file may be rewritten. The result goes through
+    ``read_iceberg``'s merge-on-read, so the hash matches only if the
+    equality fold, the position-delete render, and the sequence rules
+    compose to the exact surviving row set."""
+    from pos_dlt_spark.sources import iceberg_uniform as uf
+    from pos_dlt_spark.tables import scratch_dir
+
+    key = os.path.abspath(sf_dir) + "#ice_eqdml"
+    if key not in _DELTA_RT_CACHE:
+        import atexit
+        import shutil
+
+        work = scratch_dir("ice_eqdml_")
+        atexit.register(shutil.rmtree, work, ignore_errors=True)
+        table = os.path.join(work, "supplier")
+        supp = load_table(spark, sf_dir, "supplier").select(
+            F.col("s_suppkey").cast("bigint").alias("s_suppkey"),
+            "s_name",
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+        )
+        uf.write_iceberg_native(spark, supp, table)
+        # foreign equality delete on the key column (field id 1)
+        eq_keys = [
+            r["s_suppkey"]
+            for r in supp.filter("s_suppkey % 3 = 0")
+            .select("s_suppkey")
+            .collect()
+        ]  # bounded: supplier keys at fixture scale
+        assert eq_keys, "fixture must eq-delete something"
+        uf.append_equality_delete(table, {"s_suppkey": eq_keys}, [1])
+        before = {
+            f["file_path"]: os.path.getmtime(f["file_path"])
+            for f in uf.read_uniform_files(table)
+        }
+        assert uf.delete_iceberg_native(spark, table, "s_suppkey % 5 = 2")
+        assert uf.update_iceberg_native(
+            spark, table, "s_suppkey % 4 = 1", {"s_acctbal": "s_acctbal + 100.0"}
+        )
+        for fp, mt in before.items():
+            assert os.path.getmtime(fp) == mt, (
+                "eq-delete fold must not trigger any data-file rewrite"
+            )
+        _DELTA_RT_CACHE[key] = table
+    return uf.read_iceberg(spark, _DELTA_RT_CACHE[key]).select(
+        "s_suppkey", "s_name", "s_acctbal"
+    )
+
+
+@query(
     "supplier_iceberg_partitions_meta",
     oracle="""
     SELECT CAST(s_nationkey AS INT) AS s_nationkey,

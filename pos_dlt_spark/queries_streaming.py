@@ -1132,3 +1132,185 @@ def streaming_delta_replay_counts(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.table(name).select(
         "user_id", "n_events", F.col("sum_dec").cast("double").alias("sum_value")
     )
+
+
+_SCD2_ORACLE = """
+    WITH changes AS (
+        SELECT DISTINCT l_suppkey AS store_id, l_partkey AS item_id,
+               l_shipdate AS date_time, CAST(l_quantity AS INTEGER) AS quantity,
+               l_orderkey, l_linenumber
+        FROM lineitem
+        WHERE l_suppkey < 10
+    )
+    SELECT store_id, item_id, quantity, date_time AS valid_from,
+           lead(date_time) OVER (
+               PARTITION BY store_id, item_id
+               ORDER BY date_time, l_orderkey, l_linenumber
+           ) AS valid_to,
+           CAST(lead(date_time) OVER (
+               PARTITION BY store_id, item_id
+               ORDER BY date_time, l_orderkey, l_linenumber
+           ) IS NULL AS INTEGER) AS is_current
+    FROM changes
+"""
+
+
+@query("pos_scd2_inventory_history_flow", oracle=_SCD2_ORACLE)
+def pos_scd2_inventory_history_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD TYPE 2 as a MAINTAINED apply_changes target (VERDICT r10 #1;
+    DLT's ``stored_as_scd_type=2`` of the same API as the reference's
+    SCD1 call, `03_Bronze-to-Silver ETL.py:379-384`): the POS change
+    stream replays as multiple micro-batches through the BUCKETED
+    manifest engine, each batch merging its version rows into the
+    touched keys' histories — out-of-order arrivals across batch
+    boundaries land in the MIDDLE of histories and re-bound their
+    neighbors. The final target must hash-match the one-shot batch
+    ``scd2_history`` oracle over the same replay (the same SQL that
+    gates ``pos_scd2_inventory_history``)."""
+    from pos_dlt_spark.tables import load_table
+
+    work = scratch_dir("scd2_flow_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    changes = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_suppkey") < 10)
+        .select(
+            F.col("l_suppkey").alias("store_id"),
+            F.col("l_partkey").alias("item_id"),
+            F.col("l_shipdate").alias("date_time"),
+            F.col("l_quantity").cast("integer").alias("quantity"),
+            "l_orderkey",
+            "l_linenumber",
+        )
+        .distinct()
+    )
+    land = _cached_landing(
+        sf_dir, "scd2_flow", lambda p: changes.repartition(6).write.parquet(p)
+    )
+    ac = ApplyChanges(
+        os.path.join(work, "target"),
+        keys=["store_id", "item_id"],
+        sequence_by="date_time",
+        tiebreakers=["l_orderkey", "l_linenumber"],
+        n_buckets=8,
+        stored_as_scd_type=2,
+    )
+    stream = (
+        spark.readStream.schema(changes.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(land)
+    )
+    with _stream_state_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(ac.process_batch)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    hist = ac.read_target(spark)
+    return hist.select(
+        "store_id",
+        "item_id",
+        "quantity",
+        F.col("__START_AT").alias("valid_from"),
+        F.col("__END_AT").alias("valid_to"),
+        F.col("__END_AT").isNull().cast("int").alias("is_current"),
+    )
+
+
+@query(
+    "pos_scd2_inventory_history_sql",
+    oracle="""
+    WITH c AS (
+        SELECT l_suppkey AS store_id, l_partkey AS item_id,
+               CAST(l_shipdate AS DATE) AS date_time,
+               CAST(SUM(l_quantity) AS BIGINT) AS quantity
+        FROM lineitem
+        WHERE l_suppkey < 10
+        GROUP BY 1, 2, 3
+    )
+    SELECT store_id, item_id, quantity, date_time AS valid_from,
+           lead(date_time) OVER (
+               PARTITION BY store_id, item_id ORDER BY date_time
+           ) AS valid_to,
+           CAST(lead(date_time) OVER (
+               PARTITION BY store_id, item_id ORDER BY date_time
+           ) IS NULL AS INTEGER) AS is_current
+    FROM c
+    """,
+)
+def pos_scd2_inventory_history_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCD2 flow authored through the DLT-SQL surface (``APPLY
+    CHANGES INTO ... STORED AS SCD TYPE 2``) over DELTA storage: the
+    history table is maintained by atomic protocol MERGE commits on the
+    full version identity. The feed is the DAILY aggregate (DLT SQL has
+    no tiebreaker clause, so sequence values are made unique per key),
+    landed in TWO pipeline updates split by key-hash — the second update
+    carries days both before and after the first's, exercising
+    cross-update out-of-order re-bounding through the SQL path. The
+    oracle recomputes the intervals independently."""
+    from pos_dlt_spark.pipeline import Pipeline, PipelineRunner
+    from pos_dlt_spark.tables import load_table
+
+    key = os.path.abspath(sf_dir) + "#scd2_sql"
+    if key not in _LANDING_CACHE:
+        work = scratch_dir("scd2_sql_")
+        atexit.register(shutil.rmtree, work, ignore_errors=True)
+        daily = (
+            load_table(spark, sf_dir, "lineitem")
+            .filter(F.col("l_suppkey") < 10)
+            .groupBy(
+                F.col("l_suppkey").alias("store_id"),
+                F.col("l_partkey").alias("item_id"),
+                F.to_date("l_shipdate").alias("date_time"),
+            )
+            .agg(F.sum("l_quantity").cast("bigint").alias("quantity"))
+        )
+        land = os.path.join(work, "landing")
+        os.makedirs(land)
+        split = F.pmod(
+            F.hash("store_id", "item_id", "date_time"), F.lit(2)
+        )
+        pipe = Pipeline(
+            "scd2sql", os.path.join(work, "storage"), storage_format="delta"
+        )
+
+        @pipe.table(kind="stream")
+        def scd2_feed(spark_):
+            return spark_.readStream.schema(
+                "store_id BIGINT, item_id BIGINT, date_time DATE, quantity BIGINT"
+            ).parquet(land)
+
+        pipe.sql_table(
+            """
+            CREATE OR REFRESH STREAMING LIVE TABLE inventory_history_sql
+            COMMENT 'SCD2 history of daily inventory changes';
+
+            APPLY CHANGES INTO LIVE.inventory_history_sql
+            FROM STREAM(LIVE.scd2_feed)
+            KEYS (store_id, item_id)
+            SEQUENCE BY date_time
+            STORED AS SCD TYPE 2
+            """
+        )
+        runner = PipelineRunner(pipe)
+        # flat landing (the file source does not recurse): two appends =
+        # two pipeline updates over disjoint key-hash slices
+        daily.filter(split == 0).write.parquet(land, mode="append")
+        runner.run_once(spark)
+        daily.filter(split == 1).write.parquet(land, mode="append")
+        runner.run_once(spark)
+        _LANDING_CACHE[key] = (work, pipe)
+    _work, pipe = _LANDING_CACHE[key]
+    df = pipe.read(spark, "inventory_history_sql")
+    # DATE renders differently across the two engines' pandas bridges;
+    # compare at timestamp precision (midnight) like the batch gate
+    return df.select(
+        "store_id",
+        "item_id",
+        "quantity",
+        F.col("__START_AT").cast("timestamp").alias("valid_from"),
+        F.col("__END_AT").cast("timestamp").alias("valid_to"),
+        F.col("__END_AT").isNull().cast("int").alias("is_current"),
+    )

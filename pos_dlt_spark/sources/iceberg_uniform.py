@@ -1350,6 +1350,28 @@ def _stage_native_data(spark, df, path: str, schema: dict, spec: dict, snapshot_
         src = next(f for f in schema["fields"] if f["id"] == pf["source-id"])
         rts[pf["name"]] = _transform_result_type(pf["transform"], src["type"])
     one_pass = all(rt in ("int", "long", "date", "string") for rt in rts.values())
+    if one_pass:
+        # hive directory names can't round-trip an EMPTY STRING partition
+        # value — Spark writes '' under __HIVE_DEFAULT_PARTITION__, the
+        # same name as null, so parse-back would record '' as null in the
+        # manifest and read-side pruning (which computes '' via
+        # _apply_transform) would prune wrongly. One column-pruned probe
+        # aggregate; tables with '' values route to the per-tuple loop,
+        # which filters on the typed value and never parses names back.
+        str_cols = [
+            f"__pv_{pf['name']}"
+            for pf in spec_fields
+            if rts[pf["name"]] == "string"
+        ]
+        if str_cols:
+            flags = work.agg(
+                *[
+                    F.max(F.when(F.col(c) == "", 1).otherwise(0)).alias(c)
+                    for c in str_cols
+                ]
+            ).first()
+            if any((flags[c] or 0) == 1 for c in str_cols):
+                one_pass = False
 
     if not one_pass:
         # exotic partition value types (float/timestamp identity):
@@ -1620,28 +1642,45 @@ def write_iceberg_native(
 
 def _native_dml_scan(spark, path: str, op: str):
     """Shared preamble for native row-level DML: resolve the current
-    snapshot, refuse foreign equality deletes (their row-visibility rule
-    differs — this scan would resurrect their rows into the match set),
-    and build the data scan with the parquet reader's native row
-    position, prior position deletes excluded by broadcast anti-join (a
-    conservative superset — re-deleting is idempotent; this keeps no-op
-    detection and delete-file row counts honest). Returns
-    (meta, schema, spec, files, df) — df is None when the table has no
-    data files."""
+    snapshot and build the data scan with the parquet reader's native
+    row position, with every already-deleted row excluded from the match
+    set — prior POSITION deletes by broadcast anti-join on normalized
+    ``(file_path, pos)`` (normalized both sides: foreign writers emit
+    URI-schemed ``file://`` paths in their delete rows, while
+    ``_scan_meta_cols`` strips the scheme), and foreign EQUALITY deletes
+    (content=2, e.g. Flink CDC) folded in by null-safe broadcast
+    anti-join on their equality_ids columns under the spec's
+    strictly-greater sequence rule — the same visibility
+    :func:`_apply_iceberg_deletes` computes on the read side. The DML
+    then emits position deletes as usual; replacement rows land at a
+    HIGHER sequence than every existing equality delete, so they are
+    never swallowed by one.
+
+    UniForm twins (a ``_delta_log`` beside the Iceberg metadata) refuse:
+    the Delta log is the source of truth there, an Iceberg-side commit
+    would diverge the two readers and the next ``uniform_sync`` would
+    silently discard it — route twins' DML through the Delta writer
+    (``delta_delete`` / ``delta_update`` + sync), mirroring the
+    native/twin split ``uniform_expire_snapshots`` encodes.
+
+    Returns (meta, schema, spec, files, df) — df is None when the table
+    has no data files."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType, _parse_datatype_string
 
+    if os.path.isdir(os.path.join(path, "_delta_log")):
+        raise ValueError(
+            f"{op}: {path} is a UniForm twin — the Delta log owns row "
+            "data; Iceberg-side DML would be discarded by the next "
+            "uniform_sync. Use delta_delete/delta_update on the Delta "
+            "table and re-sync."
+        )
     md_dir = os.path.join(path, "metadata")
     meta = _read_prior_metadata(md_dir)
     if not meta:
         raise FileNotFoundError(f"no Iceberg metadata under {md_dir}")
     snap = _resolve_snapshot(meta)
     files, delete_files = _snapshot_data_files(meta, snap)
-    if any(int(d.get("content") or 0) == 2 for d in delete_files):
-        raise ValueError(
-            f"{op}: table carries equality deletes (foreign writer); "
-            "row-level DML must go through that engine"
-        )
     schema = next(
         s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
     )
@@ -1668,12 +1707,58 @@ def _native_dml_scan(spark, path: str, op: str):
     df = reader.parquet(*[f["file_path"] for f in files]).select(
         "*", *_scan_meta_cols()
     )
-    pos_dels = [d["file_path"] for d in delete_files]
+    pos_dels = [d for d in delete_files if int(d.get("content") or 0) == 1]
+    eq_dels = [d for d in delete_files if int(d.get("content") or 0) == 2]
     if pos_dels:
-        dd = spark.read.parquet(*pos_dels).select(
-            F.col("file_path").alias("__ice_path"), F.col("pos").alias("__ice_pos")
+        dd = spark.read.parquet(*[d["file_path"] for d in pos_dels]).select(
+            F.regexp_replace(F.col("file_path"), "^file:(//)?", "").alias(
+                "__ice_path"
+            ),
+            F.col("pos").cast("long").alias("__ice_pos"),
         )
         df = df.join(F.broadcast(dd), ["__ice_path", "__ice_pos"], "left_anti")
+    if eq_dels:
+        by_id = {f["id"]: f for f in schema["fields"]}
+        max_data_seq = max(int(d["_seq"]) for d in files)
+        eq_need_seq = any(int(d["_seq"]) <= max_data_seq for d in eq_dels)
+        if eq_need_seq:
+            seq_rows = [
+                (_norm_file_path(d["file_path"]), int(d["_seq"])) for d in files
+            ]
+            seq_df = spark.createDataFrame(
+                seq_rows, "__ice_path string, __data_seq long"
+            )
+            df = df.join(F.broadcast(seq_df), "__ice_path", "left").withColumn(
+                "__data_seq", F.coalesce(F.col("__data_seq"), F.lit(0))
+            )
+        groups: dict[tuple, list] = {}
+        for d in eq_dels:
+            ids = tuple(int(i) for i in d["equality_ids"])
+            groups.setdefault((ids, int(d["_seq"])), []).append(d["file_path"])
+        for (ids, dseq_n), dpaths in sorted(groups.items()):
+            cols = []
+            for i in ids:
+                if i not in by_id:
+                    raise ValueError(
+                        f"{op}: equality_ids field {i} not in table schema"
+                    )
+                cols.append(by_id[i])
+            edf = spark.read.parquet(*dpaths).select(
+                *[
+                    F.col(c["name"])
+                    .cast(_iceberg_type_to_spark(c["type"]))
+                    .alias(f"__eq_{c['name']}")
+                    for c in cols
+                ]
+            )
+            cond = (
+                F.lit(dseq_n) > F.col("__data_seq") if eq_need_seq else F.lit(True)
+            )
+            for c in cols:
+                cond = cond & F.col(c["name"]).eqNullSafe(F.col(f"__eq_{c['name']}"))
+            df = df.join(F.broadcast(edf), cond, "left_anti")
+        if eq_need_seq:
+            df = df.drop("__data_seq")
     return meta, schema, spec, files, df
 
 
@@ -1853,6 +1938,11 @@ def _render_native_deletes_distributed(
     finally:
         if prior_conf is not None:
             spark.conf.set("spark.sql.parquet.fieldId.write.enabled", prior_conf)
+        else:
+            # leaving it 'true' would silently flip footer emission for
+            # every later parquet write in the session (e.g. staged
+            # native data files would start carrying field ids)
+            spark.conf.unset("spark.sql.parquet.fieldId.write.enabled")
     del_entries: list[dict] = []
     del_rows_total = 0
     for d in sorted(os.listdir(stage)):
@@ -1936,6 +2026,70 @@ def _commit_native_snapshot(
     return md_path
 
 
+def append_equality_delete(
+    path: str, columns: dict[str, list], equality_ids: list[int]
+) -> str:
+    """FIXTURE/INTEROP utility: commit one foreign-style EQUALITY delete
+    (content=2) snapshot onto a native table — the shape a Flink CDC
+    writer leaves behind, which this emitter never produces itself (its
+    own row-level DML renders position deletes). ``columns`` maps the
+    delete key columns to their value lists; ``equality_ids`` are their
+    Iceberg field ids. The delete lands global (empty partition tuple)
+    under a content=1 delete manifest at the NEW snapshot's sequence
+    number, so it applies to every existing data file (strictly-lower
+    rule) and to nothing committed later. Exists so tests and gates can
+    synthesize the interop surface :func:`_native_dml_scan` and
+    :func:`_apply_iceberg_deletes` must honor; not a production write
+    path."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    md_dir = os.path.join(path, "metadata")
+    meta = _read_prior_metadata(md_dir)
+    if not meta:
+        raise FileNotFoundError(f"no Iceberg metadata under {md_dir}")
+    schema = next(
+        s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
+    )
+    spec = next(
+        p for p in meta["partition-specs"] if p["spec-id"] == meta["default-spec-id"]
+    )
+    snapshot_id = int(meta["current-snapshot-id"]) + 1
+    pav = _partition_avro_schema(spec, schema["fields"])
+    dfile = os.path.join(
+        md_dir, f"eqdelete-{snapshot_id}-{uuid.uuid4().hex[:8]}.parquet"
+    )
+    pq.write_table(pa.table(columns), dfile)
+    nrows = len(next(iter(columns.values())))
+    entry = {
+        "status": 1,
+        "snapshot_id": snapshot_id,
+        "sequence_number": None,  # inherited from the list entry
+        "file_sequence_number": None,
+        "data_file": {
+            "content": 2,
+            "file_path": dfile,
+            "file_format": "PARQUET",
+            "partition": {},
+            "record_count": nrows,
+            "file_size_in_bytes": os.path.getsize(dfile),
+            "equality_ids": list(equality_ids),
+            "lower_bounds": None,
+            "upper_bounds": None,
+        },
+    }
+    dman_entry = _write_delete_manifest(
+        md_dir, snapshot_id, [entry], nrows, pav, schema, spec
+    )
+    return _commit_native_snapshot(
+        md_dir,
+        meta,
+        snapshot_id,
+        [dman_entry],
+        {"operation": "delete", "equality-deletes": str(nrows)},
+    )
+
+
 def delete_iceberg_native(spark, path: str, predicate: str) -> str | None:
     """Row-level DELETE on a NATIVE Iceberg v2 table as POSITION DELETES
     — no data file is rewritten, moved, or dropped (VERDICT r09 #4: the
@@ -1961,8 +2115,10 @@ def delete_iceberg_native(spark, path: str, predicate: str) -> str | None:
 
     Zero matching rows commit nothing and return None; otherwise
     returns the new metadata JSON path. Tables carrying foreign
-    EQUALITY deletes refuse (their row-visibility rule differs and this
-    scan would resurrect their rows into the match set)."""
+    EQUALITY deletes (e.g. written by Flink CDC) fold them into the
+    match-set visibility first (see :func:`_native_dml_scan`), so the
+    DELETE never re-deletes or resurrects a row an equality delete
+    already removed."""
     from pyspark.sql import functions as F
 
     md_dir = os.path.join(path, "metadata")

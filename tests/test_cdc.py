@@ -467,3 +467,184 @@ def test_apply_as_deletes_streaming_end_to_end(spark, tmp_path):
     assert "op" not in got.columns
     rows = {(r.store_id, r.item_id) for r in got.collect()}
     assert rows == {(1, "b")}
+
+
+# ----------------------------------------------------------------------
+# SCD TYPE 2 maintained targets (VERDICT r10 #1: DLT stored_as_scd_type=2)
+# ----------------------------------------------------------------------
+
+
+def _hist(df):
+    """(key..., seq, value, start, end) tuples, sorted."""
+    return sorted(
+        (r.store_id, r.item_id, r.date_time, r.quantity,
+         r["__START_AT"], r["__END_AT"])
+        for r in df.collect()
+    )
+
+
+def test_scd2_merge_versions_and_out_of_order(spark, tmp_path):
+    """Every change is a version row with [__START_AT, __END_AT); an
+    out-of-order row inserts into the MIDDLE of a history and re-bounds
+    its neighbors — the case SCD1 drops by design."""
+    ac = ApplyChanges(
+        str(tmp_path / "t"), keys=KEYS, sequence_by="date_time",
+        stored_as_scd_type=2,
+    )
+    t1, t2, t3 = datetime(2021, 1, 1), datetime(2021, 1, 2), datetime(2021, 1, 3)
+    s = ac.merge(None, df_of(spark, [(1, 1, t1, 10), (1, 1, t3, 30)]))
+    assert _hist(s) == [(1, 1, t1, 10, t1, t3), (1, 1, t3, 30, t3, None)]
+    # late middle version: both neighbors re-bound
+    s = ac.merge(s, df_of(spark, [(1, 1, t2, 20)]))
+    assert _hist(s) == [
+        (1, 1, t1, 10, t1, t2),
+        (1, 1, t2, 20, t2, t3),
+        (1, 1, t3, 30, t3, None),
+    ]
+
+
+def test_scd2_idempotent_rerun_and_replay(spark, tmp_path):
+    """Re-running a batch (foreachBatch retry) and replaying already-seen
+    rows must not duplicate versions — version identity is the full
+    tuple."""
+    ac = ApplyChanges(
+        str(tmp_path / "t"), keys=KEYS, sequence_by="date_time",
+        stored_as_scd_type=2,
+    )
+    t1, t2 = datetime(2021, 1, 1), datetime(2021, 1, 2)
+    b1 = df_of(spark, [(1, 1, t1, 10), (2, 2, t1, 5)])
+    b2 = df_of(spark, [(1, 1, t2, 20), (1, 1, t1, 10)])  # replays (1,1,t1)
+    s = ac.merge(ac.merge(None, b1), b2)
+    expect = [
+        (1, 1, t1, 10, t1, t2),
+        (1, 1, t2, 20, t2, None),
+        (2, 2, t1, 5, t1, None),
+    ]
+    assert _hist(s) == expect
+    assert _hist(ac.merge(s, b2)) == expect  # rerun: no change
+
+
+def test_scd2_streaming_end_to_end_matches_batch_oracle(spark, tmp_path):
+    """process_batch across epochs == scd2_history over the union of all
+    batches (the batch operator is the oracle, same as the VERDICT's gate
+    contract)."""
+    from pos_dlt_spark.operators.cdc import scd2_history
+
+    ac = ApplyChanges(
+        str(tmp_path / "t"), keys=KEYS, sequence_by="date_time",
+        stored_as_scd_type=2,
+    )
+    batches = [
+        [(1, 1, datetime(2021, 1, 2), 20), (2, 2, datetime(2021, 1, 1), 5)],
+        [(1, 1, datetime(2021, 1, 1), 10), (3, 3, datetime(2021, 1, 4), 40)],
+        [(2, 2, datetime(2021, 1, 9), 9), (1, 1, datetime(2021, 1, 8), 80)],
+    ]
+    for i, rows in enumerate(batches):
+        ac.process_batch(df_of(spark, rows), i)
+    got = _hist(ac.read_target(spark))
+    all_rows = df_of(spark, [r for b in batches for r in b]).distinct()
+    oracle = scd2_history(all_rows, KEYS, "date_time").select(
+        *COLS,
+        F.col("valid_from").alias("__START_AT"),
+        F.col("valid_to").alias("__END_AT"),
+    )
+    assert got == _hist(oracle)
+
+
+def test_scd2_bucketed_matches_unbucketed(spark, tmp_path):
+    """The bucketed manifest engine must converge to the identical
+    history, and untouched buckets must not be rewritten."""
+    import glob
+    import os as _os
+
+    batches = [
+        [(k, k, datetime(2021, 1, 1), k) for k in range(1, 30)],
+        [(1, 1, datetime(2021, 1, 5), 99)],
+        [(1, 1, datetime(2021, 1, 3), 50), (2, 2, datetime(2021, 1, 6), 7)],
+    ]
+    full = ApplyChanges(
+        str(tmp_path / "f"), keys=KEYS, sequence_by="date_time",
+        stored_as_scd_type=2,
+    )
+    buck = ApplyChanges(
+        str(tmp_path / "b"), keys=KEYS, sequence_by="date_time",
+        stored_as_scd_type=2, n_buckets=8,
+    )
+    for i, rows in enumerate(batches):
+        full.process_batch(df_of(spark, rows), i)
+        buck.process_batch(df_of(spark, rows), i)
+    assert _hist(full.read_target(spark)) == _hist(buck.read_target(spark))
+    # key (1,1) has three versions, middle one out-of-order
+    t = dict()
+    for r in buck.read_target(spark).filter("store_id = 1").collect():
+        t[r.date_time] = (r.quantity, r["__END_AT"])
+    assert t == {
+        datetime(2021, 1, 1): (1, datetime(2021, 1, 3)),
+        datetime(2021, 1, 3): (50, datetime(2021, 1, 5)),
+        datetime(2021, 1, 5): (99, None),
+    }
+    # partial rewrite: a batch touching one key leaves other buckets alone
+    files_before = {
+        f: _os.path.getmtime(f)
+        for f in glob.glob(str(tmp_path / "b" / "epoch_*" / "__bucket=*" / "*.parquet"))
+    }
+    buck.process_batch(df_of(spark, [(1, 1, datetime(2021, 2, 1), 1)]), 3)
+    manifest = buck._read_manifest()
+    touched_rel = {p for p in manifest["buckets"].values() if "epoch_3" in p}
+    assert len(touched_rel) == 1, "one key must touch exactly one bucket"
+    for f, mt in files_before.items():
+        if _os.path.exists(f):
+            assert _os.path.getmtime(f) == mt, f"untouched bucket rewritten: {f}"
+
+
+def test_scd2_tombstone_closes_and_later_version_reopens(spark, tmp_path):
+    """apply_as_deletes under SCD2: a winning tombstone CLOSES the open
+    interval (no visible version added); tombstones are retained in
+    storage, so an OLDER row arriving in a later batch slots into
+    history without resurrecting the key's currency — and a NEWER
+    version after the delete reopens the key."""
+    ac = ApplyChanges(
+        str(tmp_path / "t"), keys=KEYS, sequence_by="date_time",
+        apply_as_deletes="op = 'DELETE'", except_column_list=["op"],
+        stored_as_scd_type=2,
+    )
+    t1, t2, t3, t4 = (datetime(2021, 1, d) for d in (1, 2, 3, 4))
+    cols = COLS + ["op"]
+    b0 = spark.createDataFrame([(1, 1, t1, 10, "U")], cols)
+    b1 = spark.createDataFrame([(1, 1, t3, 0, "DELETE")], cols)
+    ac.process_batch(b0, 0)
+    ac.process_batch(b1, 1)
+    vis = ac.read_target(spark)
+    assert "__tombstone" not in vis.columns and "op" not in vis.columns
+    assert _hist(vis) == [(1, 1, t1, 10, t1, t3)]  # closed, no current row
+    # late OLDER version (cross-batch out-of-order): inserts BEFORE the
+    # tombstone; the key stays non-current
+    ac.process_batch(spark.createDataFrame([(1, 1, t2, 20, "U")], cols), 2)
+    assert _hist(ac.read_target(spark)) == [
+        (1, 1, t1, 10, t1, t2),
+        (1, 1, t2, 20, t2, t3),
+    ]
+    # newer version after the delete reopens the key
+    ac.process_batch(spark.createDataFrame([(1, 1, t4, 40, "U")], cols), 3)
+    assert _hist(ac.read_target(spark)) == [
+        (1, 1, t1, 10, t1, t2),
+        (1, 1, t2, 20, t2, t3),
+        (1, 1, t4, 40, t4, None),
+    ]
+
+
+def test_scd2_layout_mismatch_fails_fast(spark, tmp_path):
+    """An SCD1 flow pointed at an SCD2 manifest target (or vice versa)
+    refuses instead of silently merging incompatible schemas."""
+    t = str(tmp_path / "t")
+    ac2 = ApplyChanges(
+        t, keys=KEYS, sequence_by="date_time", n_buckets=4,
+        stored_as_scd_type=2,
+    )
+    ac2.process_batch(df_of(spark, [(1, 1, datetime(2021, 1, 1), 10)]), 0)
+    ac1 = ApplyChanges(t, keys=KEYS, sequence_by="date_time", n_buckets=4)
+    with pytest.raises(ValueError, match="SCD-type mismatch"):
+        ac1.process_batch(df_of(spark, [(1, 1, datetime(2021, 1, 2), 20)]), 1)
+    with pytest.raises(ValueError):
+        ApplyChanges(t, keys=KEYS, sequence_by="date_time",
+                     stored_as_scd_type=3)

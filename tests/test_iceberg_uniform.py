@@ -1766,6 +1766,137 @@ def test_native_dml_distributed_delete_render(spark, tmp_path, monkeypatch):
             assert rows2[i] == 3 * i
 
 
+def test_native_dml_folds_foreign_equality_deletes(spark, tmp_path):
+    """VERDICT r10 #3: a native table carrying FOREIGN equality deletes
+    (e.g. Flink CDC) no longer refuses row-level DML — the eq-deleted
+    rows are folded out of the match set (null-safe anti-join at the
+    strictly-greater sequence rule), so DELETE never re-deletes them and
+    UPDATE never RESURRECTS them as replacement rows."""
+    t = str(tmp_path / "eqdml")
+    df = spark.range(0, 100).select(
+        "id",
+        F.concat(F.lit("g"), (F.col("id") % 4).cast("string")).alias("grp"),
+    )
+    uf.write_iceberg_native(spark, df, t)
+    # foreign writer equality-deletes grp='g0' (ids ≡ 0 mod 4)
+    uf.append_equality_delete(t, {"grp": ["g0"]}, [2])
+    assert sorted(r["id"] for r in uf.read_iceberg(spark, t).collect()) == [
+        i for i in range(100) if i % 4 != 0
+    ]
+    # DELETE overlapping the eq-deleted set: id % 2 = 0 matches live
+    # ids ≡ 2 (mod 4) ONLY — exactly 25 position deletes, not 50
+    md = uf.delete_iceberg_native(spark, t, "id % 2 = 0")
+    assert md is not None
+    meta = uf._read_prior_metadata(os.path.join(t, "metadata"))
+    cur = next(
+        s for s in meta["snapshots"] if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    assert cur["summary"]["total-position-deletes"] == "25"
+    assert sorted(r["id"] for r in uf.read_iceberg(spark, t).collect()) == [
+        i for i in range(100) if i % 2 == 1
+    ]
+    # UPDATE matching everything: replacements only for the 50 live rows
+    assert uf.update_iceberg_native(spark, t, "id >= 0", {"grp": "'z'"})
+    rows = uf.read_iceberg(spark, t).collect()
+    assert sorted(r["id"] for r in rows) == [i for i in range(100) if i % 2 == 1]
+    assert all(r["grp"] == "z" for r in rows), "no eq-deleted row resurrected"
+
+
+def test_native_dml_normalizes_uri_schemed_prior_delete_paths(spark, tmp_path):
+    """ADVICE r10: prior position-delete rows written by a foreign
+    engine carry ``file://`` URI-schemed paths; the DML scan must
+    normalize them like the read side does, or the anti-join excludes
+    nothing — DELETE would re-delete and UPDATE would resurrect."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = str(tmp_path / "uridel")
+    df = spark.range(0, 60).select(
+        "id", F.concat(F.lit("g"), (F.col("id") % 3).cast("string")).alias("grp")
+    )
+    uf.write_iceberg_native(spark, df, t)
+    assert uf.delete_iceberg_native(spark, t, "id % 2 = 0")
+    # rewrite the delete rows the way a URI-scheming engine would
+    for dfile in glob.glob(os.path.join(t, "metadata", "delete-*.parquet")):
+        tbl = pq.read_table(dfile)
+        uri = pa.array(
+            ["file://" + p for p in tbl["file_path"].to_pylist()], pa.string()
+        )
+        pq.write_table(
+            pa.table({"file_path": uri, "pos": tbl["pos"]}).cast(tbl.schema), dfile
+        )
+    # read side still sees the deletes (it normalizes)
+    assert sorted(r["id"] for r in uf.read_iceberg(spark, t).collect()) == [
+        i for i in range(60) if i % 2 == 1
+    ]
+    # DML scan too: every id%2=0 row is already deleted — nothing commits
+    assert uf.delete_iceberg_native(spark, t, "id % 2 = 0") is None
+    assert uf.update_iceberg_native(spark, t, "id % 2 = 0", {"grp": "'z'"}) is None
+    assert sorted(r["id"] for r in uf.read_iceberg(spark, t).collect()) == [
+        i for i in range(60) if i % 2 == 1
+    ], "UPDATE must not resurrect URI-schemed prior deletes"
+
+
+def test_native_dml_refuses_uniform_twin(spark, tmp_path):
+    """ADVICE r10: Iceberg-side DML on a UniForm twin would commit
+    position deletes the Delta log never sees — divergent readers until
+    the next uniform_sync silently discards them. Refuse and point at
+    the Delta writer."""
+    t = str(tmp_path / "twin")
+    write_delta(spark.range(0, 50).withColumn("v", F.col("id") * 2), t,
+                configuration=UNIFORM_CONF)
+    with pytest.raises(ValueError, match="UniForm twin"):
+        uf.delete_iceberg_native(spark, t, "id % 2 = 0")
+    with pytest.raises(ValueError, match="UniForm twin"):
+        uf.update_iceberg_native(spark, t, "id % 2 = 0", {"v": "0"})
+
+
+def test_distributed_render_restores_unset_fieldid_conf(spark, tmp_path, monkeypatch):
+    """ADVICE r10: when fieldId.write was UNSET before the distributed
+    delete render, the finally block must unset it again — leaving it
+    'true' silently flips footer emission for every later parquet write
+    in the session."""
+    key = "spark.sql.parquet.fieldId.write.enabled"
+    try:
+        spark.conf.unset(key)
+    except Exception:
+        pass
+    monkeypatch.setattr(uf, "NATIVE_DML_COLLECT_MAX", 0)
+    t = str(tmp_path / "confdel")
+    uf.write_iceberg_native(
+        spark, spark.range(0, 40).withColumn("v", F.col("id") * 2), t
+    )
+    assert uf.delete_iceberg_native(spark, t, "id % 5 = 0")
+    assert spark.conf.get(key, None) is None, "conf must be unset again"
+    # and when it WAS set, the prior value is restored
+    spark.conf.set(key, "false")
+    try:
+        assert uf.delete_iceberg_native(spark, t, "id % 7 = 0")
+        assert spark.conf.get(key) == "false"
+    finally:
+        spark.conf.unset(key)
+
+
+def test_native_write_empty_string_partition_value(spark, tmp_path):
+    """ADVICE r10: Spark's hive layout writes '' under
+    __HIVE_DEFAULT_PARTITION__ — indistinguishable from null on
+    parse-back — so the one-pass staging must route tables with
+    empty-string identity partition values to the per-tuple fallback,
+    keeping '' and null distinct in the manifests and in pruning."""
+    t = str(tmp_path / "emptypv")
+    df = spark.createDataFrame(
+        [(1, ""), (2, "a"), (3, None), (4, ""), (5, "a")], "id long, grp string"
+    )
+    uf.write_iceberg_native(spark, df, t, partition_spec=[("grp", "identity")])
+    pvs = {f["partition"].get("grp") for f in uf.read_uniform_files(t)}
+    assert pvs == {None, "", "a"}, f"manifest partitions wrong: {pvs}"
+    got = uf.read_iceberg(spark, t, partition_filter={"grp": ""})
+    assert sorted(r["id"] for r in got.collect()) == [1, 4]
+    assert uf.read_iceberg(spark, t).count() == 5
+
+
 def test_expire_collects_native_orphan_data_files(spark, tmp_path):
     """NATIVE tables have no Delta VACUUM: expire reference-counts
     data/ parquets against surviving manifests and collects the ones
