@@ -705,6 +705,23 @@ class Pipeline:
     def checkpoint_path(self, name: str) -> str:
         return os.path.join(self.storage, "checkpoints", name)
 
+    def event_log(self, spark: SparkSession) -> DataFrame:
+        """The pipeline's queryable run ledger (DLT's event log surface,
+        implied by the reference's job UI at `05_DLT Job
+        Scheduling.py:32-36`): one row per event across every update —
+        update_start/complete, flow_start/complete with row counts,
+        per-CDC-batch flow_progress, and one ``expectation`` event per
+        constraint per refresh (name/action/passed/failed inside the
+        ``details`` JSON string). Distributed read with a pinned schema
+        (no inference pass); empty until the first update runs."""
+        d = os.path.join(self.storage, "_event_log")
+        schema = _EventLog.READ_SCHEMA
+        if not os.path.isdir(d) or not any(
+            n.endswith(".jsonl") for n in os.listdir(d)
+        ):
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).json(os.path.join(d, "*.jsonl"))
+
     # -- reads used inside table fns (the LIVE./read()/read_stream() edges)
 
     def read(self, spark: SparkSession, name: str) -> DataFrame:
@@ -872,6 +889,78 @@ class Pipeline:
         return out
 
 
+class _EventLog:
+    """Persistent, queryable run ledger — the engine's DLT event log
+    (the surface the reference's job UI renders, `05_DLT Job
+    Scheduling.py:32-36`). One JSONL file per pipeline UPDATE under
+    ``storage/_event_log/``; every event is ONE complete line emitted
+    with a single buffered write + flush, so a reader never parses a
+    torn record and a crash mid-update loses at most the event being
+    written — everything already flushed stays readable (append
+    atomicity; pinned by test). Update ids are monotone: the next update
+    scans existing file names, so a failed update never reuses an id.
+
+    Event kinds: ``update_start`` / ``update_complete`` (status,
+    tables), ``flow_start`` / ``flow_complete`` (rows_written for
+    live/stream tables; num_source_rows / num_upserted_rows /
+    num_deleted_rows / num_batches for apply_changes flows),
+    ``flow_progress`` (per CDC micro-batch), ``expectation`` (one per
+    constraint per refresh: name, action, passed, failed). ``details``
+    is a JSON object string, like DLT's event log."""
+
+    READ_SCHEMA = (
+        "update_id BIGINT, seq BIGINT, ts DOUBLE, event_type STRING, "
+        "table_name STRING, details STRING"
+    )
+
+    def __init__(self, storage: str) -> None:
+        self.dir = os.path.join(storage, "_event_log")
+        self._fh = None
+        self.update_id: int | None = None
+        self._seq = 0
+
+    @property
+    def active(self) -> bool:
+        return self._fh is not None
+
+    def begin_update(self) -> int:
+        os.makedirs(self.dir, exist_ok=True)
+        prior = [
+            int(n[len("update_"):-len(".jsonl")])
+            for n in os.listdir(self.dir)
+            if n.startswith("update_") and n.endswith(".jsonl")
+        ]
+        self.update_id = (max(prior) + 1) if prior else 0
+        self._seq = 0
+        self._fh = open(
+            os.path.join(self.dir, f"update_{self.update_id:06d}.jsonl"), "a"
+        )
+        return self.update_id
+
+    def emit(self, event_type: str, table: str | None = None, **details) -> None:
+        if self._fh is None:
+            return
+        line = json.dumps(
+            {
+                "update_id": self.update_id,
+                "seq": self._seq,
+                "ts": time.time(),
+                "event_type": event_type,
+                "table_name": table,
+                "details": json.dumps(details, sort_keys=True),
+            }
+        )
+        self._seq += 1
+        self._fh.write(line + "\n")  # one write per complete line
+        self._fh.flush()
+
+    def end_update(self, status: str, tables: list[str]) -> None:
+        self.emit("update_complete", status=status, tables=tables)
+        self._fh.close()
+        self._fh = None
+        self.update_id = None
+
+
 class PipelineRunner:
     """Executes a Pipeline: live tables recompute in topo order; stream
     tables run an AvailableNow pass; CDC flows upsert their targets.
@@ -888,6 +977,8 @@ class PipelineRunner:
         self.p = pipeline
         # table -> expectation name -> {action, condition, passed, failed}
         self.expectation_metrics: dict[str, dict[str, dict]] = {}
+        # persistent run ledger (Pipeline.event_log reads it back)
+        self.log = _EventLog(pipeline.storage)
 
     # -- expectations ------------------------------------------------------
 
@@ -930,25 +1021,35 @@ class PipelineRunner:
         os.makedirs(events, exist_ok=True)
         with open(os.path.join(events, "expectations.jsonl"), "a") as f:
             f.write(json.dumps({"ts": time.time(), "table": table, "expectations": metrics}) + "\n")
+        for name, m in metrics.items():
+            self.log.emit(
+                "expectation", table=table, name=name, action=m["action"],
+                passed=m["passed"], failed=m["failed"],
+            )
         return metrics
 
     @staticmethod
     def _fail_violations(metrics: dict[str, dict]) -> bool:
         return any(m["failed"] for m in metrics.values() if m["action"] == "fail")
 
-    def _write_live(self, df: DataFrame, t: TableDef) -> None:
+    def _write_live(self, df: DataFrame, t: TableDef) -> int:
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
         exps = t.expectations
         obs = None
         if exps:
-            from pyspark.sql import Observation
-
             obs = Observation()
             # observe BEFORE drop filters: failed == dropped by definition
             df = df.observe(obs, *self._expectation_aggs(exps))
             df = self._apply_drops(df, exps)
+        # rows_written rides the SAME write job (post-drop count) — the
+        # event-log entry costs zero extra scans
+        out_obs = Observation()
+        df = df.observe(out_obs, F.count(F.lit(1)).cast("bigint").alias("n"))
         if self.p.storage_format == "delta":
             self._write_live_delta(df, t, obs)
-            return
+            return int(out_obs.get["n"] or 0)
         final = self.p.table_path(t.name)
         has_fail = any(e.action == "fail" for e in exps)
         # fail-mode updates are atomic: write beside the live table, check
@@ -974,6 +1075,7 @@ class PipelineRunner:
                     os.replace(final, old)
                 os.replace(dest, final)
                 shutil.rmtree(old, ignore_errors=True)
+        return int(out_obs.get["n"] or 0)
 
     def _write_live_delta(self, df: DataFrame, t: TableDef, obs) -> None:
         """Live recompute as ONE atomic Delta OVERWRITE commit. Expectation
@@ -1018,7 +1120,9 @@ class PipelineRunner:
             .start()
         )
 
-    def _run_stream(self, df: DataFrame, t: TableDef) -> None:
+    def _run_stream(self, df: DataFrame, t: TableDef) -> int:
+        from pyspark.sql import functions as F
+
         exps = t.expectations
         obs_name = f"__expectations_{t.name}"
         if exps:
@@ -1026,6 +1130,8 @@ class PipelineRunner:
             # StreamingQueryProgress.observedMetrics; totals are the sum
             df = df.observe(obs_name, *self._expectation_aggs(exps))
             df = self._apply_drops(df, exps)
+        out_name = f"__rows_out_{t.name}"
+        df = df.observe(out_name, F.count(F.lit(1)).cast("bigint").alias("n"))
         if self.p.storage_format == "delta":
             q = self._run_stream_delta(df, t)
         else:
@@ -1040,6 +1146,12 @@ class PipelineRunner:
                 writer = writer.partitionBy(*t.partition_by)
             q = writer.start()
         q.awaitTermination()
+        rows_out = 0
+        for prog in q.recentProgress:
+            om = getattr(prog, "observedMetrics", None) or {}
+            row = om.get(out_name)
+            if row is not None:
+                rows_out += int(row["n"] or 0)
         if exps:
             totals = {e.name: 0 for e in exps}
             totals["__rows"] = 0
@@ -1057,6 +1169,7 @@ class PipelineRunner:
                 # pipeline before downstream tables consume the batch),
                 # not a rollback; use expect_or_drop for containment
                 raise ExpectationFailed(t.name, metrics)
+        return rows_out
 
     def _flow_ac(self, flow: CdcFlowDef) -> ApplyChanges:
         return ApplyChanges(
@@ -1083,7 +1196,7 @@ class PipelineRunner:
         )
         ikv.refresh(spark)
 
-    def _run_cdc(self, spark: SparkSession, flow: CdcFlowDef) -> None:
+    def _run_cdc(self, spark: SparkSession, flow: CdcFlowDef) -> dict:
         if (
             self.p.storage_format == "delta"
             and flow.n_buckets is None
@@ -1146,16 +1259,8 @@ class PipelineRunner:
                     txn=(app_id, int(batch_id)),
                 )
 
-            src = self.p.read_stream(spark, flow.source)
-            q = (
-                src.writeStream.foreachBatch(scd2_sink)
-                .option("checkpointLocation", self.p.checkpoint_path(flow.target))
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
-            return
-        if self.p.storage_format == "delta" and flow.n_buckets is None:
+            batch_fn = scd2_sink
+        elif self.p.storage_format == "delta" and flow.n_buckets is None:
             # plain CDC target = a real Delta table maintained by protocol
             # MERGE commits (the reference's `03:379-384`): first batch
             # seeds it with the batch's latest-per-key rows, every later
@@ -1207,25 +1312,97 @@ class PipelineRunner:
             batch_fn = sink
         else:
             batch_fn = self._flow_ac(flow).process_batch
+
+        # Event-log counters (DLT flow_progress): per micro-batch, the
+        # batch's WINNING rows after the intra-batch latest-per-key reduce
+        # (SCD2 keeps every version, so there the raw deduped rows) split
+        # into upserts and tombstones. One window + one 1-row aggregate
+        # per batch, O(batch) — target-exact counts would need a
+        # target-side join per batch, so the logged contract is
+        # source-side: a tombstone for an absent key still counts as
+        # deleted, an upsert the target already supersedes still counts
+        # as upserted.
+        stats = {
+            "num_source_rows": 0, "num_upserted_rows": 0,
+            "num_deleted_rows": 0, "num_batches": 0,
+        }
+        inner_fn = batch_fn
+
+        def counted(batch_df: DataFrame, batch_id: int) -> None:
+            from pyspark.sql import functions as F
+
+            from pos_dlt_spark.operators.cdc import latest_per_key
+
+            inner_fn(batch_df, batch_id)
+            n_src = batch_df.count()
+            if n_src == 0:
+                return
+            if flow.stored_as_scd_type == 2:
+                winners = batch_df.dropDuplicates()
+            else:
+                winners = latest_per_key(
+                    batch_df, flow.keys, flow.sequence_by, flow.tiebreakers
+                )
+            if flow.apply_as_deletes:
+                row = winners.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(
+                        F.coalesce(
+                            F.expr(flow.apply_as_deletes), F.lit(False)
+                        ).cast("int")
+                    ).alias("d"),
+                ).first()
+                n_win, n_del = int(row["n"]), int(row["d"] or 0)
+            else:
+                n_win, n_del = winners.count(), 0
+            stats["num_source_rows"] += n_src
+            stats["num_upserted_rows"] += n_win - n_del
+            stats["num_deleted_rows"] += n_del
+            stats["num_batches"] += 1
+            self.log.emit(
+                "flow_progress", table=flow.target, batch_id=int(batch_id),
+                num_source_rows=n_src, num_upserted_rows=n_win - n_del,
+                num_deleted_rows=n_del,
+            )
+
         src = self.p.read_stream(spark, flow.source)
         q = (
-            src.writeStream.foreachBatch(batch_fn)
+            src.writeStream.foreachBatch(counted)
             .option("checkpointLocation", self.p.checkpoint_path(flow.target))
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
+        return stats
 
     def run_table(self, spark: SparkSession, name: str) -> None:
         """Refresh a single table (dependencies are NOT recursed — callers
-        order by topo_order())."""
+        order by topo_order()). A standalone call (outside run_once)
+        ledgers itself as a one-table update."""
+        standalone = not self.log.active
+        if standalone:
+            self.log.begin_update()
+            self.log.emit("update_start", pipeline=self.p.name)
+        try:
+            self._run_table_logged(spark, name)
+            if standalone:
+                self.log.end_update("COMPLETED", [name])
+        except BaseException:
+            if standalone:
+                self.log.end_update("FAILED", [name])
+            raise
+
+    def _run_table_logged(self, spark: SparkSession, name: str) -> None:
+        self.log.emit("flow_start", table=name)
         if name in self.p.cdc_flows:
             self.p._current = None
-            self._run_cdc(spark, self.p.cdc_flows[name])
+            stats = self._run_cdc(spark, self.p.cdc_flows[name])
+            self.log.emit("flow_complete", table=name, **stats)
             return
         if name in self.p.inc_views:
             self.p._current = None
             self._run_inc_view(spark, self.p.inc_views[name])
+            self.log.emit("flow_complete", table=name)
             return
         t = self.p.tables[name]
         self.p._current = name
@@ -1234,20 +1411,30 @@ class PipelineRunner:
         finally:
             self.p._current = None
         if t.kind == "live":
-            self._write_live(df, t)
+            rows = self._write_live(df, t)
         else:
-            self._run_stream(df, t)
+            rows = self._run_stream(df, t)
+        self.log.emit("flow_complete", table=name, rows_written=rows)
 
     def run_once(self, spark: SparkSession) -> list[str]:
         """One full pass: every table refreshed once, in dependency order.
 
         The first pass discovers dependencies while running in declared
         order (which must therefore be topologically valid, as in DLT
-        notebooks); later passes use the recorded DAG.
-        """
+        notebooks); later passes use the recorded DAG. Every pass is one
+        ledgered UPDATE in the event log — update_start, per-table
+        flow_start/flow_complete (+ expectation and flow_progress
+        events), update_complete with COMPLETED/FAILED status."""
         order = self.p.topo_order()
-        for name in order:
-            self.run_table(spark, name)
+        self.log.begin_update()
+        self.log.emit("update_start", pipeline=self.p.name)
+        try:
+            for name in order:
+                self.run_table(spark, name)
+        except BaseException:
+            self.log.end_update("FAILED", order)
+            raise
+        self.log.end_update("COMPLETED", order)
         return order
 
 
