@@ -66,6 +66,9 @@ def get_spark(app_name: str = "pos_dlt_spark", shuffle_partitions: int | None = 
         # reader rejects; read as long and convert in the loader (ns -> us,
         # same truncation DuckDB applies).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # cap the explicit-path listing job width (default = one task per
+        # path; see tables.ensure_session_confs for the measurement)
+        .config("spark.sql.sources.parallelPartitionDiscovery.parallelism", "64")
         .config("spark.ui.enabled", "false")
         # managed tables (bucketed layouts) land in tmp, not the repo cwd
         .config(

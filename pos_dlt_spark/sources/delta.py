@@ -1053,6 +1053,14 @@ def scan_rels(
         raise DeltaProtocolError(
             "extra_fields scan is only supported without column mapping"
         )
+    # explicit-path reads trip Spark's parallel partition discovery at
+    # ONE LISTING TASK PER PATH by default (a 3100-file table = a
+    # 3100-task stat-only stage per read, ~10 s of scheduling at
+    # local[32] — r11 POS decade); cap the listing job width here so the
+    # fix rides every session, not just our tuned one
+    spark.conf.set(
+        "spark.sql.sources.parallelPartitionDiscovery.parallelism", "64"
+    )
     path = snap.path
     wanted = [(rel, pv) for rel, pv in snap.files if rels is None or rel in set(rels)]
     if not wanted:

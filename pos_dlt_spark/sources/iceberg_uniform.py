@@ -2864,6 +2864,11 @@ def read_iceberg(
     the only tables that can rename) take the field-id path, id-less
     files (this emitter's twins — names stable by construction, renames
     need column mapping which uniform refuses) take the name path."""
+    # explicit-path reads: cap Spark's listing job width (default = one
+    # stat task PER PATH; see delta.scan_rels for the r11 measurement)
+    spark.conf.set(
+        "spark.sql.sources.parallelPartitionDiscovery.parallelism", "64"
+    )
     md_dir = os.path.join(path, "metadata")
     meta = _read_prior_metadata(md_dir)
     if not meta:

@@ -44,6 +44,14 @@ def ensure_session_confs(spark: SparkSession) -> None:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Explicit-file-list reads (Delta/Iceberg snapshots pass every live
+    # file path) trip Spark's parallel partition discovery, whose default
+    # parallelism is one listing task PER PATH — a 3100-file silver table
+    # cost a 3100-task stat-only stage (~10 s pure scheduling at
+    # local[32], r11 POS decade) on EVERY read. Cap the listing job at a
+    # sane width; below the threshold (32 paths) listing stays
+    # driver-side as before.
+    spark.conf.set("spark.sql.sources.parallelPartitionDiscovery.parallelism", "64")
 
 
 def normalize_timestamps(df: DataFrame, name: str = "") -> DataFrame:
