@@ -81,6 +81,7 @@ def scd2_rebuild(
     sequence_by: str,
     tiebreakers: Sequence[str] = (),
     has_tombstones: bool = False,
+    untracked: Sequence[str] = (),
 ) -> DataFrame:
     """Recompute ``__START_AT`` / ``__END_AT`` over a key's full version
     set: one lead() window per key partition (the same single key-shuffle
@@ -88,11 +89,75 @@ def scd2_rebuild(
     full tuple. With ``has_tombstones`` the ``__tombstone`` flag column orders
     a tombstone AFTER a same-sequence version (the delete closes it at a
     zero-width interval rather than racing it); a tombstone's own bounds
-    are irrelevant — reads filter it out."""
+    are irrelevant — reads filter it out.
+
+    ``untracked`` is DLT's ``track_history_except_column_list``: a change
+    touching ONLY those columns does not open a new version — consecutive
+    rows whose TRACKED columns are equal collapse into one version that
+    KEEPS the run's first ``__START_AT`` and carries the run's LATEST
+    untracked values (DLT's update-in-place contract). Implemented as a
+    run-grouping over the same key window (lag-change flag -> running
+    sum -> last-row-per-run), so the result is still a pure function of
+    the version set — reruns and replays stay idempotent. Tombstones
+    never collapse into a run (a delete always closes)."""
     order = [F.col(sequence_by).asc(), *[F.col(t).asc() for t in tiebreakers]]
     if has_tombstones:
         order.append(F.col("__tombstone").asc())
     w = Window.partitionBy(*keys).orderBy(*order)
+    if untracked:
+        bad = set(untracked) & (set(keys) | {sequence_by})
+        if bad:
+            raise ValueError(
+                f"track_history_except_column_list cannot contain keys or "
+                f"sequence_by: {sorted(bad)}"
+            )
+        tracked = [
+            c
+            for c in df.columns
+            if c not in set(untracked)
+            and c not in set(keys)
+            and c != sequence_by
+            and c not in (*SCD2_COLS, "__tombstone")
+        ]
+        same_as_prev = F.lit(True)
+        for c in tracked:
+            same_as_prev = same_as_prev & F.col(c).eqNullSafe(
+                F.lag(c).over(w)
+            )
+        if has_tombstones:
+            # a tombstone is its own run, and nothing runs PAST one
+            same_as_prev = (
+                same_as_prev
+                & ~F.col("__tombstone")
+                & ~F.lag("__tombstone").over(w)
+            )
+        df = df.withColumn(
+            "__new_run",
+            F.when(F.lag(sequence_by).over(w).isNull() | ~same_as_prev, 1)
+            .otherwise(0),
+        ).withColumn("__run", F.sum("__new_run").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ))
+        # last row of each run wins (latest untracked values), but the
+        # version OPENS at the run's first sequence value
+        rw = Window.partitionBy(*keys, "__run").orderBy(*order)
+        df = (
+            df.withColumn("__run_start", F.first(sequence_by).over(rw))
+            .withColumn(
+                "__rn",
+                F.row_number().over(
+                    Window.partitionBy(*keys, "__run").orderBy(
+                        F.col(sequence_by).desc(),
+                        *[F.col(t).desc() for t in tiebreakers],
+                    )
+                ),
+            )
+            .filter(F.col("__rn") == 1)
+            .withColumn(sequence_by, F.col("__run_start"))
+            .drop("__new_run", "__run", "__run_start", "__rn")
+        )
+        # re-derive the window over the collapsed set
+        w = Window.partitionBy(*keys).orderBy(*order)
     return df.withColumn("__START_AT", F.col(sequence_by)).withColumn(
         "__END_AT", F.lead(sequence_by).over(w)
     )
@@ -154,11 +219,18 @@ class ApplyChanges:
         apply_as_deletes: str | None = None,
         except_column_list: Sequence[str] = (),
         stored_as_scd_type: int = 1,
+        track_history_except_column_list: Sequence[str] = (),
     ) -> None:
         if stored_as_scd_type not in (1, 2):
             raise ValueError(
                 f"stored_as_scd_type must be 1 or 2, got {stored_as_scd_type!r}"
             )
+        if track_history_except_column_list and stored_as_scd_type != 2:
+            raise ValueError(
+                "track_history_except_column_list requires "
+                "stored_as_scd_type=2 (SCD1 keeps no history to track)"
+            )
+        self.track_history_except = list(track_history_except_column_list)
         self.scd_type = stored_as_scd_type
         self.target_path = target_path
         self.keys = list(keys)
@@ -256,6 +328,7 @@ class ApplyChanges:
             self.sequence_by,
             self.tiebreakers,
             has_tombstones=bool(self.apply_as_deletes),
+            untracked=self.track_history_except,
         )
 
     def merge(self, target: DataFrame | None, batch: DataFrame) -> DataFrame:
@@ -333,6 +406,14 @@ class ApplyChanges:
         if manifest is not None:
             # older manifests predate bucket_keys: they bucketed by keys
             m_bucket_keys = manifest.get("bucket_keys", manifest["keys"])
+            if manifest.get("track_history_except", []) != self.track_history_except:
+                raise ValueError(
+                    "track_history_except_column_list mismatch: target "
+                    f"stores {manifest.get('track_history_except', [])}, "
+                    f"flow declares {self.track_history_except}; changing "
+                    "the tracked-column set mid-life makes old runs and "
+                    "new runs collapse differently — recreate the target"
+                )
             if int(manifest.get("scd_type", 1)) != self.scd_type:
                 raise ValueError(
                     f"SCD-type mismatch: target stores type "
@@ -434,6 +515,7 @@ class ApplyChanges:
             "prev_buckets": dict(history[0]["buckets"]) if history else None,
             "schema": schema_json,
             "scd_type": self.scd_type,
+            "track_history_except": self.track_history_except,
         }
         self._commit_manifest(new_manifest)
         for entry in gc_entries:
@@ -726,6 +808,7 @@ class ApplyChanges:
                 self.sequence_by,
                 self.tiebreakers,
                 has_tombstones=bool(self.apply_as_deletes),
+                untracked=self.track_history_except,
             )
 
         # Dir name includes the manifest generation it will commit as: a
@@ -782,3 +865,179 @@ def scd2_history(
         .withColumn("valid_to", F.lead(sequence_by).over(w))
         .withColumn("is_current", F.col("valid_to").isNull().cast("int"))
     )
+
+
+class ApplyChangesFromSnapshot:
+    """DLT's ``dlt.apply_changes_from_snapshot``: CDC derived by DIFFING
+    successive FULL SNAPSHOTS against the maintained target — the mode
+    for sources that republish complete state (a nightly dimension dump)
+    instead of emitting a change feed. Same public API family as the
+    reference's apply_changes call (`03_Bronze-to-Silver ETL.py:379-384`).
+
+    Snapshot versions must be strictly increasing (DLT's contract);
+    :meth:`process_snapshot` returns False (a no-op) for a version at or
+    below the last processed one, so replays are idempotent.
+
+    ``stored_as_scd_type=1``: the target BECOMES the snapshot — keys
+    absent from it are deleted, present rows updated (the snapshot is
+    total truth).
+
+    ``stored_as_scd_type=2``: version history with ``__START_AT`` /
+    ``__END_AT`` in snapshot-version units. Per snapshot v, one
+    FULL OUTER JOIN of the snapshot against the OPEN rows classifies:
+
+    - key only in snapshot        -> open a version [v, null)
+    - in both, TRACKED cols differ-> close old at v, open new [v, null)
+    - in both, tracked same       -> keep the version; UNTRACKED columns
+      refresh in place (``track_history_except_column_list`` — DLT's
+      update-in-place contract)
+    - key only in open state      -> close at v (deleted from the source)
+
+    Closed history rows carry through untouched, so per-snapshot cost is
+    O(snapshot + open keys) — one join shuffle — never O(history).
+
+    Storage: the unbucketed write-then-swap parquet dir (the target is
+    recomputed state, not an append log), plus a ``_snapshot_meta.json``
+    pinning the last processed version. Crash between swap and meta
+    write is safe: reprocessing the same snapshot against the
+    post-swap state classifies every key as unchanged."""
+
+    META = "_snapshot_meta.json"
+
+    def __init__(
+        self,
+        target_path: str,
+        keys: Sequence[str],
+        stored_as_scd_type: int = 2,
+        track_history_except_column_list: Sequence[str] = (),
+    ) -> None:
+        if stored_as_scd_type not in (1, 2):
+            raise ValueError(
+                f"stored_as_scd_type must be 1 or 2, got {stored_as_scd_type!r}"
+            )
+        if track_history_except_column_list and stored_as_scd_type != 2:
+            raise ValueError(
+                "track_history_except_column_list requires stored_as_scd_type=2"
+            )
+        self.target_path = target_path
+        self.keys = list(keys)
+        self.scd_type = stored_as_scd_type
+        self.untracked = list(track_history_except_column_list)
+
+    # -- version bookkeeping ------------------------------------------------
+
+    def _meta_path(self) -> str:
+        return self.target_path + "." + self.META
+
+    def last_version(self):
+        try:
+            with open(self._meta_path()) as f:
+                return json.load(f)["version"]
+        except FileNotFoundError:
+            return None
+
+    def _save_version(self, version) -> None:
+        tmp = self._meta_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"version": version}, f)
+        os.replace(tmp, self._meta_path())
+
+    # -- state io (write-then-swap, same shape as ApplyChanges unbucketed) --
+
+    def read_target(self, spark: SparkSession) -> DataFrame | None:
+        if not os.path.exists(os.path.join(self.target_path, "_SUCCESS")):
+            return None
+        return spark.read.parquet(self.target_path)
+
+    def _swap_in(self, df: DataFrame, epoch) -> None:
+        tmp = self.target_path + f".__snap_{epoch}"
+        df.write.mode("overwrite").parquet(tmp)
+        old = self.target_path + ".__old"
+        if os.path.exists(self.target_path):
+            os.rename(self.target_path, old)
+        os.rename(tmp, self.target_path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    # -- the diff -------------------------------------------------------------
+
+    def process_snapshot(self, snap_df: DataFrame, version) -> bool:
+        """Fold one full snapshot (all rows, all keys) at ``version``
+        into the target. Returns False when the version was already
+        processed (replay) or is out of order."""
+        last = self.last_version()
+        if last is not None and version <= last:
+            return False
+        spark = snap_df.sparkSession
+        data_cols = list(snap_df.columns)
+        missing = set(self.keys) - set(data_cols)
+        if missing:
+            raise ValueError(f"snapshot lacks key columns {sorted(missing)}")
+        cur = self.read_target(spark)
+
+        if self.scd_type == 1:
+            self._swap_in(snap_df, version)
+            self._save_version(version)
+            return True
+
+        lit_v = F.lit(version)
+        null_v = F.when(F.lit(False), lit_v)  # typed NULL of version's type
+        opened = snap_df.withColumn("__START_AT", lit_v).withColumn(
+            "__END_AT", null_v
+        )
+        if cur is None:
+            self._swap_in(opened, version)
+            self._save_version(version)
+            return True
+
+        if set(cur.columns) != set(data_cols) | set(SCD2_COLS):
+            raise ValueError(
+                "snapshot schema drifted from target "
+                f"(target={sorted(set(cur.columns) - set(SCD2_COLS))} "
+                f"snapshot={sorted(data_cols)})"
+            )
+        open_rows = cur.filter(F.col("__END_AT").isNull())
+        closed = cur.filter(F.col("__END_AT").isNotNull())
+        tracked = [
+            c
+            for c in data_cols
+            if c not in set(self.keys) and c not in set(self.untracked)
+        ]
+        s = snap_df.select(*[F.col(c).alias(f"__s_{c}") for c in data_cols])
+        cond = None
+        for k in self.keys:
+            piece = F.col(k).eqNullSafe(F.col(f"__s_{k}"))
+            cond = piece if cond is None else (cond & piece)
+        j = open_rows.join(s, cond, "full_outer").localCheckpoint(eager=True)
+        # bounded by open-key cardinality + snapshot size; checkpointed so
+        # the four derivations below read it once instead of re-joining
+        in_open = F.col("__START_AT").isNotNull()
+        in_snap = F.col(f"__s_{self.keys[0]}").isNotNull()
+        same_tracked = F.lit(True)
+        for c in tracked:
+            same_tracked = same_tracked & F.col(c).eqNullSafe(F.col(f"__s_{c}"))
+
+        keep_open = j.filter(in_open & in_snap & same_tracked).select(
+            *[
+                # untracked columns refresh from the snapshot in place
+                (F.col(f"__s_{c}") if c in set(self.untracked) else F.col(c)).alias(c)
+                for c in data_cols
+            ],
+            "__START_AT",
+            "__END_AT",
+        )
+        close_old = j.filter(in_open & (~in_snap | ~same_tracked)).select(
+            *data_cols, "__START_AT", lit_v.alias("__END_AT")
+        )
+        open_new = j.filter(in_snap & (~in_open | ~same_tracked)).select(
+            *[F.col(f"__s_{c}").alias(c) for c in data_cols],
+            lit_v.alias("__START_AT"),
+            null_v.alias("__END_AT"),
+        )
+        new_state = (
+            closed.unionByName(keep_open)
+            .unionByName(close_old)
+            .unionByName(open_new)
+        )
+        self._swap_in(new_state, version)
+        self._save_version(version)
+        return True

@@ -118,6 +118,21 @@ class CdcFlowDef:
     apply_as_deletes: str | None = None  # DLT: source rows matching = tombstones
     except_column_list: list[str] | None = None  # DLT: source-only cols dropped
     stored_as_scd_type: int = 1  # DLT: 1 = latest state, 2 = maintained history
+    # DLT: SCD2 changes touching ONLY these columns update in place
+    track_history_except_column_list: list[str] | None = None
+
+
+@dataclass
+class SnapshotFlowDef:
+    """DLT's apply_changes_from_snapshot: the source table republishes
+    COMPLETE state each update; changes are derived by diffing it against
+    the maintained target (operators/cdc.ApplyChangesFromSnapshot)."""
+
+    target: str
+    source: str
+    keys: list[str]
+    stored_as_scd_type: int = 2
+    track_history_except_column_list: list[str] | None = None
 
 
 @dataclass
@@ -217,7 +232,8 @@ _SQL_APPLY_RE = re.compile(
     r"(?:APPLY\s+AS\s+DELETE\s+WHEN\s+(?P<delwhen>.*?)\s*)?"
     r"SEQUENCE\s+BY\s+(?P<seq>[A-Za-z_]\w*)\s*"
     r"(?:COLUMNS\s+\*\s+EXCEPT\s*\((?P<except>[^)]*)\)\s*)?"
-    r"(?:STORED\s+AS\s+SCD\s+TYPE\s+(?P<scd>\d+)\s*)?$",
+    r"(?:STORED\s+AS\s+SCD\s+TYPE\s+(?P<scd>\d+)\s*)?"
+    r"(?:TRACK\s+HISTORY\s+ON\s+\*\s+EXCEPT\s*\((?P<trackexc>[^)]*)\)\s*)?$",
     re.I | re.S,
 )
 _SQL_VIEW_RE = re.compile(
@@ -303,6 +319,7 @@ class Pipeline:
         self.storage_format = storage_format
         self.tables: dict[str, TableDef] = {}
         self.cdc_flows: dict[str, CdcFlowDef] = {}
+        self.snapshot_flows: dict[str, SnapshotFlowDef] = {}
         self.inc_views: dict[str, IncViewDef] = {}
         self._streams_pending: list[tuple[TableDef, DataFrame]] = []
         # non-interval SET keys from sql_table scripts (DLT pipeline conf)
@@ -437,6 +454,15 @@ class Pipeline:
                         else None
                     ),
                     stored_as_scd_type=int(scd or 1),
+                    track_history_except_column_list=(
+                        [
+                            c.strip()
+                            for c in ma.group("trackexc").split(",")
+                            if c.strip()
+                        ]
+                        if ma.group("trackexc")
+                        else None
+                    ),
                 )
                 created.append(ma.group("target"))
                 continue
@@ -648,6 +674,7 @@ class Pipeline:
         apply_as_deletes: str | None = None,
         except_column_list: list[str] | None = None,
         stored_as_scd_type: int = 1,
+        track_history_except_column_list: list[str] | None = None,
     ) -> None:
         """Declare a CDC-maintained keyed table (reference W3). With
         ``n_buckets`` the target is key-hash-bucketed and each micro-batch
@@ -663,6 +690,10 @@ class Pipeline:
             raise ValueError(
                 f"stored_as_scd_type must be 1 or 2, got {stored_as_scd_type!r}"
             )
+        if track_history_except_column_list and stored_as_scd_type != 2:
+            raise ValueError(
+                "track_history_except_column_list requires stored_as_scd_type=2"
+            )
         self.cdc_flows[target] = CdcFlowDef(
             target=target, source=source, keys=keys, sequence_by=sequence_by,
             tiebreakers=list(tiebreakers or []), n_buckets=n_buckets,
@@ -670,6 +701,42 @@ class Pipeline:
             apply_as_deletes=apply_as_deletes,
             except_column_list=list(except_column_list) if except_column_list else None,
             stored_as_scd_type=stored_as_scd_type,
+            track_history_except_column_list=(
+                list(track_history_except_column_list)
+                if track_history_except_column_list
+                else None
+            ),
+        )
+
+    def apply_changes_from_snapshot(
+        self,
+        *,
+        target: str,
+        source: str,
+        keys: list[str],
+        stored_as_scd_type: int = 2,
+        track_history_except_column_list: list[str] | None = None,
+    ) -> None:
+        """Declare a target maintained by SNAPSHOT DIFFING (DLT's
+        ``apply_changes_from_snapshot``): every pipeline update reads the
+        source table's CURRENT full state as one snapshot (version = the
+        event log's update id, strictly increasing) and folds it into the
+        target — SCD1 replaces, SCD2 maintains [__START_AT, __END_AT)
+        history with keys ABSENT from a snapshot closed at its version.
+        See operators/cdc.ApplyChangesFromSnapshot for the diff
+        semantics and cost shape."""
+        if stored_as_scd_type not in (1, 2):
+            raise ValueError(
+                f"stored_as_scd_type must be 1 or 2, got {stored_as_scd_type!r}"
+            )
+        self.snapshot_flows[target] = SnapshotFlowDef(
+            target=target, source=source, keys=list(keys),
+            stored_as_scd_type=stored_as_scd_type,
+            track_history_except_column_list=(
+                list(track_history_except_column_list)
+                if track_history_except_column_list
+                else None
+            ),
         )
 
     def incremental_view(
@@ -740,6 +807,10 @@ class Pipeline:
             return ApplyChanges(
                 self.table_path(name), keys=["__r"], sequence_by="__r", n_buckets=1
             ).read_target(spark)
+        if name in self.snapshot_flows:
+            # snapshot-diff targets use the write-then-swap parquet store
+            # in both storage modes (recomputed state, not an append log)
+            return spark.read.parquet(self.table_path(name))
         if self.storage_format == "delta":
             from pos_dlt_spark.sources.delta import read_delta
 
@@ -865,6 +936,7 @@ class Pipeline:
         names = (
             list(self.tables)
             + [t for t in self.cdc_flows if t not in self.tables]
+            + [t for t in self.snapshot_flows if t not in self.tables]
             + [t for t in self.inc_views if t not in self.tables]
         )
         deps = {n: set() for n in names}
@@ -872,6 +944,8 @@ class Pipeline:
             deps[n] = {d for d in t.deps if d in deps and d != n}
         for target, flow in self.cdc_flows.items():
             deps[target] = {flow.source} if flow.source in deps else set()
+        for target, sflow in self.snapshot_flows.items():
+            deps[target] = {sflow.source} if sflow.source in deps else set()
         for target, view in self.inc_views.items():
             deps[target] = {view.source}
         out, ready = [], [n for n in names if not deps[n]]
@@ -1194,6 +1268,9 @@ class PipelineRunner:
             apply_as_deletes=flow.apply_as_deletes,
             except_column_list=flow.except_column_list or (),
             stored_as_scd_type=flow.stored_as_scd_type,
+            track_history_except_column_list=(
+                flow.track_history_except_column_list or ()
+            ),
         )
 
     def _run_inc_view(self, spark: SparkSession, view) -> None:
@@ -1207,6 +1284,27 @@ class PipelineRunner:
             keys=view.keys,
         )
         ikv.refresh(spark)
+
+    def _run_snapshot_flow(self, spark: SparkSession, sflow: SnapshotFlowDef) -> dict:
+        from pos_dlt_spark.operators.cdc import ApplyChangesFromSnapshot
+
+        ac = ApplyChangesFromSnapshot(
+            self.p.table_path(sflow.target),
+            keys=sflow.keys,
+            stored_as_scd_type=sflow.stored_as_scd_type,
+            track_history_except_column_list=(
+                sflow.track_history_except_column_list or ()
+            ),
+        )
+        snap = self.p.read(spark, sflow.source)
+        # snapshot version = this update's ledger id: strictly increasing
+        # across the pipeline's lifetime (the event log never reuses one)
+        version = self.log.update_id
+        if version is None:  # no ledger active (direct internal call)
+            last = ac.last_version()
+            version = (last + 1) if last is not None else 0
+        processed = ac.process_snapshot(snap, int(version))
+        return {"snapshot_version": int(version), "processed": bool(processed)}
 
     def _run_cdc(self, spark: SparkSession, flow: CdcFlowDef) -> dict:
         if (
@@ -1246,9 +1344,11 @@ class PipelineRunner:
                 if flow.except_column_list:
                     incoming = incoming.drop(*flow.except_column_list)
                 incoming = incoming.dropDuplicates()
+                untracked = tuple(flow.track_history_except_column_list or ())
                 rebuild = lambda rows: scd2_rebuild(  # noqa: E731
                     rows, flow.keys, flow.sequence_by, flow.tiebreakers,
                     has_tombstones=bool(flow.apply_as_deletes),
+                    untracked=untracked,
                 )
                 if not os.path.isdir(os.path.join(path, "_delta_log")):
                     write_delta(
@@ -1260,13 +1360,38 @@ class PipelineRunner:
                 from pos_dlt_spark.sources.delta import read_delta
 
                 cur = read_delta(spark, path)
-                existing = cur.join(
+                existing_full = cur.join(
                     incoming.select(*flow.keys).distinct(), flow.keys, "left_semi"
-                ).drop(*SCD2_COLS)
-                rows = existing.unionByName(incoming).dropDuplicates()
+                )
+                rows = (
+                    existing_full.drop(*SCD2_COLS)
+                    .unionByName(incoming)
+                    .dropDuplicates()
+                )
+                rebuilt = rebuild(rows)
+                vk = [*flow.keys, flow.sequence_by, *flow.tiebreakers]
+                if untracked:
+                    # track-history collapse can REMOVE stored version rows
+                    # (a run extended by an out-of-order row re-opens at an
+                    # earlier sequence): mark versions the rebuild no longer
+                    # contains as tombstones so the SAME merge commit drops
+                    # them — one atomic remove+add, no phantom versions
+                    stale = existing_full.join(
+                        rebuilt.select(*vk).distinct(), vk, "left_anti"
+                    )
+                    updates = rebuilt.withColumn(
+                        "__scd2_stale", F.lit(False)
+                    ).unionByName(stale.withColumn("__scd2_stale", F.lit(True)))
+                    delta_merge(
+                        spark, path, updates, keys=vk,
+                        sequence_by=flow.sequence_by,
+                        txn=(app_id, int(batch_id)),
+                        delete_predicate="__scd2_stale",
+                    )
+                    return
                 delta_merge(
-                    spark, path, rebuild(rows),
-                    keys=[*flow.keys, flow.sequence_by, *flow.tiebreakers],
+                    spark, path, rebuilt,
+                    keys=vk,
                     sequence_by=flow.sequence_by,
                     txn=(app_id, int(batch_id)),
                 )
@@ -1409,6 +1534,11 @@ class PipelineRunner:
         if name in self.p.cdc_flows:
             self.p._current = None
             stats = self._run_cdc(spark, self.p.cdc_flows[name])
+            self.log.emit("flow_complete", table=name, **stats)
+            return
+        if name in self.p.snapshot_flows:
+            self.p._current = None
+            stats = self._run_snapshot_flow(spark, self.p.snapshot_flows[name])
             self.log.emit("flow_complete", table=name, **stats)
             return
         if name in self.p.inc_views:

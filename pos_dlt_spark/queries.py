@@ -3711,3 +3711,175 @@ def pipeline_event_log(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").cast("bigint").alias("value"),
         )
     )
+
+
+@query(
+    "pos_scd2_track_history",
+    oracle="""
+    WITH c AS (
+        SELECT l_suppkey AS store_id, l_partkey AS item_id,
+               CAST(l_shipdate AS DATE) AS d,
+               CAST(SUM(l_quantity) AS BIGINT) AS quantity
+        FROM lineitem WHERE l_suppkey < 10
+        GROUP BY 1, 2, 3
+    ), lv AS (
+        SELECT *, CAST(FLOOR(quantity / 50) AS BIGINT) AS level FROM c
+    ), fl AS (
+        SELECT *, CASE WHEN lag(level) OVER (
+                           PARTITION BY store_id, item_id ORDER BY d
+                       ) IS DISTINCT FROM level THEN 1 ELSE 0 END AS nr
+        FROM lv
+    ), rn AS (
+        SELECT *, SUM(nr) OVER (
+                      PARTITION BY store_id, item_id ORDER BY d
+                      ROWS UNBOUNDED PRECEDING
+                  ) AS run
+        FROM fl
+    ), coll AS (
+        SELECT store_id, item_id, level,
+               MIN(d) AS start_d,
+               arg_max(quantity, d) AS quantity
+        FROM rn GROUP BY store_id, item_id, run, level
+    )
+    SELECT store_id, item_id, level, quantity,
+           CAST(start_d AS TIMESTAMP) AS valid_from,
+           CAST(lead(start_d) OVER (
+               PARTITION BY store_id, item_id ORDER BY start_d
+           ) AS TIMESTAMP) AS valid_to
+    FROM coll
+    """,
+)
+def pos_scd2_track_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DLT ``track_history_except_column_list`` under SCD2 (r11; the
+    same apply_changes API family as `03:379-384`): daily inventory
+    levels (quantity div 50) are TRACKED, the raw quantity is NOT — so
+    consecutive days at the same level collapse into ONE version that
+    keeps the run's first start date and the run's LATEST raw quantity
+    (DLT's update-in-place contract). The replay runs as two
+    DATE-ORDERED batches (collapse is exact when arrival order respects
+    sequence order; an out-of-order row that would SPLIT an
+    already-collapsed run re-bounds against the collapsed survivor —
+    update-in-place loses that provenance by design, in DLT too), and
+    the final history must hash-match an independent SQL run-collapse
+    (lag-flag -> run-sum -> group -> arg_max)."""
+    from pos_dlt_spark.operators.cdc import ApplyChanges
+    from pos_dlt_spark.tables import scratch_dir
+
+    key = os.path.abspath(sf_dir) + "#scd2_track"
+    if key not in _DELTA_RT_CACHE:
+        import atexit
+        import shutil
+
+        work = scratch_dir("scd2_track_")
+        atexit.register(shutil.rmtree, work, ignore_errors=True)
+        daily = (
+            load_table(spark, sf_dir, "lineitem")
+            .filter(F.col("l_suppkey") < 10)
+            .groupBy(
+                F.col("l_suppkey").alias("store_id"),
+                F.col("l_partkey").alias("item_id"),
+                F.to_date("l_shipdate").alias("date_day"),
+            )
+            .agg(F.sum("l_quantity").cast("bigint").alias("quantity"))
+            .withColumn(
+                "level", F.floor(F.col("quantity") / 50).cast("bigint")
+            )
+        )
+        ac = ApplyChanges(
+            os.path.join(work, "t"),
+            keys=["store_id", "item_id"],
+            sequence_by="date_day",
+            stored_as_scd_type=2,
+            track_history_except_column_list=["quantity"],
+        )
+        cut = F.lit("1995-01-01").cast("date")
+        ac.process_batch(daily.filter(F.col("date_day") < cut), 0)
+        ac.process_batch(daily.filter(F.col("date_day") >= cut), 1)
+        _DELTA_RT_CACHE[key] = ac
+    ac = _DELTA_RT_CACHE[key]
+    return ac.read_target(spark).select(
+        "store_id",
+        "item_id",
+        "level",
+        "quantity",
+        F.col("__START_AT").cast("timestamp").alias("valid_from"),
+        F.col("__END_AT").cast("timestamp").alias("valid_to"),
+    )
+
+
+@query(
+    "orders_scd2_from_snapshots",
+    oracle="""
+    WITH o AS (SELECT o_orderkey AS k, o_totalprice AS price FROM orders)
+    SELECT k AS o_orderkey, price, note, valid_from, valid_to FROM (
+        SELECT k, price, 'n1' AS note, 1 AS valid_from,
+               CAST(2 AS INTEGER) AS valid_to
+        FROM o WHERE k % 10 = 0
+        UNION ALL
+        SELECT k, price, 'n1', 1, 2
+        FROM o WHERE k % 10 <> 0 AND k % 7 = 1
+        UNION ALL
+        SELECT k, price + 1,
+               CASE WHEN k % 3 = 0 THEN 'n2' ELSE 'n1' END, 2,
+               CAST(NULL AS INTEGER)
+        FROM o WHERE k % 10 <> 0 AND k % 7 = 1
+        UNION ALL
+        SELECT k, price,
+               CASE WHEN k % 3 = 0 THEN 'n2' ELSE 'n1' END, 1,
+               CAST(NULL AS INTEGER)
+        FROM o WHERE k % 10 <> 0 AND k % 7 <> 1
+    ) t
+    """,
+)
+def orders_scd2_from_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DLT ``apply_changes_from_snapshot`` (r11): two successive FULL
+    snapshots of orders diff into SCD2 history — snapshot 2 deletes keys
+    ≡0 (mod 10) (their versions CLOSE at 2), changes the TRACKED price
+    for keys ≡1 (mod 7) (close + reopen), and changes only the UNTRACKED
+    note column for keys ≡0 (mod 3) (update in place, no new version).
+    The oracle reconstructs the exact expected interval set from the
+    source table. Matches only if the full-outer snapshot diff, the
+    tracked/untracked split, and the version bookkeeping are exact."""
+    from pos_dlt_spark.operators.cdc import ApplyChangesFromSnapshot
+    from pos_dlt_spark.tables import scratch_dir
+
+    key = os.path.abspath(sf_dir) + "#scd2_snap"
+    if key not in _DELTA_RT_CACHE:
+        import atexit
+        import shutil
+
+        work = scratch_dir("scd2_snap_")
+        atexit.register(shutil.rmtree, work, ignore_errors=True)
+        orders = load_table(spark, sf_dir, "orders")
+        s1 = orders.select(
+            "o_orderkey",
+            F.col("o_totalprice").alias("price"),
+            F.lit("n1").alias("note"),
+        )
+        s2 = orders.filter(F.col("o_orderkey") % 10 != 0).select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 7 == 1, F.col("o_totalprice") + 1
+            ).otherwise(F.col("o_totalprice")).alias("price"),
+            F.when(F.col("o_orderkey") % 3 == 0, F.lit("n2"))
+            .otherwise(F.lit("n1"))
+            .alias("note"),
+        )
+        ac = ApplyChangesFromSnapshot(
+            os.path.join(work, "t"),
+            keys=["o_orderkey"],
+            stored_as_scd_type=2,
+            track_history_except_column_list=["note"],
+        )
+        assert ac.process_snapshot(s1, 1)
+        assert ac.process_snapshot(s2, 2)
+        assert not ac.process_snapshot(s1, 1), "replay must be a no-op"
+        _DELTA_RT_CACHE[key] = ac
+    ac = _DELTA_RT_CACHE[key]
+    return ac.read_target(spark).select(
+        "o_orderkey",
+        "price",
+        "note",
+        F.col("__START_AT").alias("valid_from"),
+        F.col("__END_AT").alias("valid_to"),
+    )

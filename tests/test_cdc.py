@@ -648,3 +648,161 @@ def test_scd2_layout_mismatch_fails_fast(spark, tmp_path):
     with pytest.raises(ValueError):
         ApplyChanges(t, keys=KEYS, sequence_by="date_time",
                      stored_as_scd_type=3)
+
+
+def test_scd2_track_history_except_columns(spark, tmp_path):
+    """DLT track_history_except_column_list: a change touching only
+    untracked columns does not open a version — the current row updates
+    in place (latest untracked values, original __START_AT); tracked
+    changes still version; the collapse is idempotent under replays and
+    out-of-order arrivals."""
+    from pos_dlt_spark.operators.cdc import ApplyChanges
+
+    ac = ApplyChanges(
+        str(tmp_path / "t"), keys=["k"], sequence_by="seq",
+        stored_as_scd_type=2, track_history_except_column_list=["note"],
+    )
+    cols = "k int, seq int, v string, note string"
+    b1 = spark.createDataFrame(
+        [(1, 10, "a", "n1"), (1, 20, "a", "n2"), (1, 30, "b", "n3")], cols
+    )
+    ac.process_batch(b1, 0)
+    got = sorted(
+        (r["k"], r["v"], r["note"], r["__START_AT"], r["__END_AT"])
+        for r in ac.read_target(spark).collect()
+    )
+    assert got == [(1, "a", "n2", 10, 30), (1, "b", "n3", 30, None)], got
+    # out-of-order untracked-only row inside the first run: absorbed —
+    # no new version, same __START_AT. Its note value wins update-in-place
+    # because the collapsed stored row keeps only the run START's sequence
+    # (the seq-20 provenance of 'n2' is gone after collapse — the same
+    # information loss DLT's update-in-place has).
+    ac.process_batch(
+        spark.createDataFrame([(1, 15, "a", "nX")], cols), 1
+    )
+    got2 = sorted(
+        (r["k"], r["v"], r["note"], r["__START_AT"], r["__END_AT"])
+        for r in ac.read_target(spark).collect()
+    )
+    assert got2 == [(1, "a", "nX", 10, 30), (1, "b", "n3", 30, None)], got2
+    # replaying batch 0 re-introduces the seq-20 'n2' row, whose LATER
+    # sequence reclaims the update-in-place slot from the seq-15 'nX' —
+    # the replay is order-insensitive over the retained version set
+    ac.process_batch(b1, 2)
+    got3 = sorted(
+        (r["k"], r["v"], r["note"], r["__START_AT"], r["__END_AT"])
+        for r in ac.read_target(spark).collect()
+    )
+    assert got3 == [(1, "a", "n2", 10, 30), (1, "b", "n3", 30, None)], got3
+    # and replaying the SAME state again is a fixpoint
+    ac.process_batch(b1, 3)
+    got4 = sorted(
+        (r["k"], r["v"], r["note"], r["__START_AT"], r["__END_AT"])
+        for r in ac.read_target(spark).collect()
+    )
+    assert got4 == got3
+    # SCD1 + track history refuses; tracked set mismatch refuses
+    with pytest.raises(ValueError, match="stored_as_scd_type=2"):
+        ApplyChanges(str(tmp_path / "x"), keys=["k"], sequence_by="seq",
+                     track_history_except_column_list=["note"])
+
+
+def test_scd2_track_history_bucketed_manifest_pins_list(spark, tmp_path):
+    from pos_dlt_spark.operators.cdc import ApplyChanges
+
+    t = str(tmp_path / "t")
+    cols = "k int, seq int, v string, note string"
+    ac = ApplyChanges(t, keys=["k"], sequence_by="seq", n_buckets=4,
+                      stored_as_scd_type=2,
+                      track_history_except_column_list=["note"])
+    ac.process_batch(spark.createDataFrame(
+        [(1, 10, "a", "n1"), (1, 20, "a", "n2")], cols), 0)
+    got = sorted(
+        (r["k"], r["v"], r["note"], r["__START_AT"], r["__END_AT"])
+        for r in ac.read_target(spark).collect()
+    )
+    assert got == [(1, "a", "n2", 10, None)], got
+    bad = ApplyChanges(t, keys=["k"], sequence_by="seq", n_buckets=4,
+                       stored_as_scd_type=2)
+    with pytest.raises(ValueError, match="track_history_except"):
+        bad.process_batch(spark.createDataFrame([(1, 30, "b", "n")], cols), 1)
+
+
+def test_apply_changes_from_snapshot_scd2(spark, tmp_path):
+    """DLT apply_changes_from_snapshot: diffing successive FULL snapshots
+    — inserts open versions, tracked changes close+open, untracked-only
+    changes refresh in place, keys absent from a snapshot close, replays
+    and out-of-order versions are no-ops, and a deleted key re-appearing
+    later reopens."""
+    from pos_dlt_spark.operators.cdc import ApplyChangesFromSnapshot
+
+    ac = ApplyChangesFromSnapshot(
+        str(tmp_path / "t"), keys=["k"], stored_as_scd_type=2,
+        track_history_except_column_list=["note"],
+    )
+    cols = "k int, v string, note string"
+    s1 = spark.createDataFrame([(1, "a", "n1"), (2, "b", "n1"), (3, "c", "n1")], cols)
+    s2 = spark.createDataFrame([(1, "a2", "n1"), (2, "b", "n2")], cols)
+    assert ac.process_snapshot(s1, 1)
+    assert ac.process_snapshot(s2, 2)
+    got = sorted(
+        (r["k"], r["v"], r["note"], r["__START_AT"], r["__END_AT"])
+        for r in ac.read_target(spark).collect()
+    )
+    assert got == [
+        (1, "a", "n1", 1, 2), (1, "a2", "n1", 2, None),
+        (2, "b", "n2", 1, None),
+        (3, "c", "n1", 1, 2),
+    ], got
+    assert not ac.process_snapshot(s2, 2)   # replay
+    assert not ac.process_snapshot(s1, 1)   # out of order
+    # key 3 returns in snapshot 3: a NEW version opens at 3
+    s3 = spark.createDataFrame([(1, "a2", "n1"), (2, "b", "n2"), (3, "c9", "n9")], cols)
+    assert ac.process_snapshot(s3, 3)
+    k3 = sorted(
+        (r["v"], r["__START_AT"], r["__END_AT"])
+        for r in ac.read_target(spark).filter("k = 3").collect()
+    )
+    assert k3 == [("c", 1, 2), ("c9", 3, None)], k3
+
+
+def test_apply_changes_from_snapshot_pipeline_flow(spark, tmp_path):
+    """Pipeline wiring: apply_changes_from_snapshot targets refresh once
+    per update with the ledger's update id as the snapshot version."""
+    import json as _json
+    import os
+
+    from pos_dlt_spark.pipeline import Pipeline, PipelineRunner
+
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    pipe = Pipeline("snapflow", str(tmp_path / "storage"))
+
+    @pipe.table(kind="live")
+    def dim(spark_):
+        return spark_.read.schema("k INT, v STRING").json(src_dir)
+
+    pipe.apply_changes_from_snapshot(
+        target="dim_history", source="dim", keys=["k"], stored_as_scd_type=2
+    )
+    runner = PipelineRunner(pipe)
+    with open(os.path.join(src_dir, "s.json"), "w") as fh:
+        fh.write("\n".join(_json.dumps(r) for r in [
+            {"k": 1, "v": "a"}, {"k": 2, "v": "b"}]))
+    runner.run_once(spark)
+    with open(os.path.join(src_dir, "s.json"), "w") as fh:
+        fh.write(_json.dumps({"k": 1, "v": "a2"}))
+    runner.run_once(spark)
+    got = sorted(
+        (r["k"], r["v"], r["__START_AT"], r["__END_AT"])
+        for r in pipe.read(spark, "dim_history").collect()
+    )
+    assert got == [(1, "a", 0, 1), (1, "a2", 1, None), (2, "b", 0, 1)], got
+    ev = pipe.event_log(spark).filter(
+        "event_type = 'flow_complete' AND table_name = 'dim_history'"
+    ).collect()
+    details = sorted(
+        (r["update_id"], __import__("json").loads(r["details"])["snapshot_version"])
+        for r in ev
+    )
+    assert details == [(0, 0), (1, 1)], details

@@ -479,3 +479,23 @@ def test_scd2_flow_delta_mode(spark, tmp_path):
         for r in pipe.read(spark, "hist").collect()
     )
     assert got3 == got + [(3, 5, "c1", 5, None)], got3
+
+
+def test_sql_apply_changes_track_history(spark, tmp_path):
+    """DLT SQL: TRACK HISTORY ON * EXCEPT (cols) parses into
+    track_history_except_column_list on an SCD2 flow."""
+    pipe = _base_pipe(spark, tmp_path)
+    pipe.sql_table(
+        "APPLY CHANGES INTO LIVE.t3 FROM STREAM(LIVE.src) KEYS (id) "
+        "SEQUENCE BY qty STORED AS SCD TYPE 2 "
+        "TRACK HISTORY ON * EXCEPT (grp)"
+    )
+    flow = pipe.cdc_flows["t3"]
+    assert flow.stored_as_scd_type == 2
+    assert flow.track_history_except_column_list == ["grp"]
+    # track history without SCD2 refuses at declaration
+    with pytest.raises(ValueError, match="stored_as_scd_type=2"):
+        pipe.apply_changes(
+            target="t4", source="src", keys=["id"], sequence_by="qty",
+            track_history_except_column_list=["grp"],
+        )
