@@ -284,10 +284,12 @@ def main() -> None:
 
     total = round(sum(times.values()), 3)
     total_first = round(sum(times_first.values()), 3)
-    # Reference canaries: the r9 builder bench on this VM's quiet window
-    # (BENCH_DETAIL committed at 193.7 s / 180 queries). The normalized
+    # Reference canaries: the r11 builder bench on this VM's quiet window
+    # (183.9 s / 191 queries), each the MIN OF 3 interleaved samples —
+    # re-pinned per VERDICT r10 #5 (the old single-shot pins were
+    # themselves one sample each and could carry a spike). The normalized
     # total answers "what would this run read on THAT host window".
-    REF_CANARY = {"cpu_sec": 0.779, "scan_sec": 2.159, "stream_sec": 4.583}
+    REF_CANARY = {"cpu_sec": 0.498, "scan_sec": 0.767, "stream_sec": 6.471}
     measured = {"cpu_sec": canary_cpu, "scan_sec": canary_scan, "stream_sec": canary_stream}
     host_factor = round(
         sum(measured[k] / REF_CANARY[k] for k in REF_CANARY) / len(REF_CANARY), 3
