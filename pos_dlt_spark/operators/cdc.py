@@ -220,6 +220,8 @@ class ApplyChanges:
         except_column_list: Sequence[str] = (),
         stored_as_scd_type: int = 1,
         track_history_except_column_list: Sequence[str] = (),
+        column_list: Sequence[str] | None = None,
+        ignore_null_updates: bool = False,
     ) -> None:
         if stored_as_scd_type not in (1, 2):
             raise ValueError(
@@ -250,6 +252,28 @@ class ApplyChanges:
             raise ValueError("except_column_list cannot contain merge keys")
         if sequence_by in self.except_column_list:
             raise ValueError("except_column_list cannot contain sequence_by")
+        # DLT's column_list: the POSITIVE projection (keep only these
+        # columns in the stored state) — the complement of
+        # except_column_list, applied at the same point (after the delete
+        # predicate is evaluated). Keys and sequence_by must be listed.
+        if column_list is not None and except_column_list:
+            raise ValueError(
+                "column_list and except_column_list are mutually exclusive "
+                "(DLT's contract)"
+            )
+        self.column_list = list(column_list) if column_list is not None else None
+        if self.column_list is not None:
+            missing = (set(self.keys) | {sequence_by}) - set(self.column_list)
+            if missing:
+                raise ValueError(
+                    f"column_list must include keys and sequence_by; "
+                    f"missing {sorted(missing)}"
+                )
+        # DLT's ignore_null_updates: a NULL in a source column means "no
+        # change" — the value inherits from the key's previous state /
+        # version (a last-non-null fold over the key's sequence order)
+        # instead of overwriting with NULL.
+        self.ignore_null_updates = bool(ignore_null_updates)
         # How many PRIOR commit generations stay readable (time travel) and
         # how long superseded bucket dirs survive before GC — Delta VACUUM
         # retention, counted in commits. 1 = the original behavior.
@@ -296,7 +320,64 @@ class ApplyChanges:
             )
         if self.except_column_list:
             incoming = incoming.drop(*self.except_column_list)
+        if self.column_list is not None:
+            keep = list(self.column_list) + (
+                ["__tombstone"] if self.apply_as_deletes else []
+            )
+            incoming = incoming.select(*keep)
         return incoming
+
+    def _null_fold(self, df: DataFrame) -> DataFrame:
+        """ignore_null_updates: every data column becomes the LAST
+        NON-NULL value at-or-before the row in the key's sequence order —
+        a running fold, so chained partial updates compose and a NULL
+        never overwrites. On exact sequence ties the existing target row
+        (``__is_target`` = 1) orders last, consistent with the merge's
+        target-wins tie rule."""
+        order = [
+            F.col(self.sequence_by).asc(),
+            *[F.col(t).asc() for t in self.tiebreakers],
+        ]
+        if "__is_target" in df.columns:
+            order.append(F.col("__is_target").asc())
+        if "__tombstone" in df.columns:
+            order.append(F.col("__tombstone").asc())
+        w = (
+            Window.partitionBy(*self.keys)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        skip = (
+            set(self.keys)
+            | {self.sequence_by, "__is_target", "__del", "__bucket",
+               "__tombstone", *SCD2_COLS}
+            | set(self.tiebreakers)
+        )
+        return df.select(
+            *[
+                F.last(c, ignorenulls=True).over(w).alias(c)
+                if c not in skip
+                else F.col(c)
+                for c in df.columns
+            ]
+        )
+
+    def _scd2_dedupe(self, rows: DataFrame) -> DataFrame:
+        """Version-set dedupe. Plain mode: full-tuple distinct. With
+        ignore_null_updates: group by the VERSION IDENTITY (keys +
+        sequence + tiebreakers + tombstone flag) taking max per data
+        column — a stored null-filled row and its replayed null-bearing
+        source row collapse to one version deterministically (max skips
+        nulls), keeping reruns idempotent."""
+        if not self.ignore_null_updates:
+            return rows.dropDuplicates()
+        ident = [*self.keys, self.sequence_by, *self.tiebreakers]
+        if self.apply_as_deletes:
+            ident.append("__tombstone")
+        data = [c for c in rows.columns if c not in set(ident)]
+        return rows.groupBy(*ident).agg(
+            *[F.max(c).alias(c) for c in data]
+        )
 
     def _scd2_merge(self, target: DataFrame | None, batch: DataFrame) -> DataFrame:
         """SCD TYPE 2 merge: union the batch's version rows with the
@@ -306,7 +387,7 @@ class ApplyChanges:
         land in the middle of their key's history and the lead() window
         re-bounds the neighbors; a retained tombstone closes whatever
         precedes it, even across batches."""
-        incoming = self._tag_incoming(batch).dropDuplicates()
+        incoming = self._scd2_dedupe(self._tag_incoming(batch))
         if target is None:
             rows = incoming
         else:
@@ -319,9 +400,13 @@ class ApplyChanges:
                     f"batch={sorted(expected)}); "
                     "pass merge_schema=True to evolve"
                 )
-            rows = raw_target.unionByName(
-                incoming, allowMissingColumns=self.merge_schema
-            ).dropDuplicates()
+            rows = self._scd2_dedupe(
+                raw_target.unionByName(
+                    incoming, allowMissingColumns=self.merge_schema
+                )
+            )
+        if self.ignore_null_updates:
+            rows = self._null_fold(rows)
         return scd2_rebuild(
             rows,
             self.keys,
@@ -335,7 +420,15 @@ class ApplyChanges:
         """Merge a micro-batch into the current target state."""
         if self.scd_type == 2:
             return self._scd2_merge(target, batch)
-        incoming = latest_per_key(batch, self.keys, self.sequence_by, self.tiebreakers)
+        if self.ignore_null_updates:
+            # no intra-batch pre-reduce: the fold needs EVERY row's
+            # non-null contributions in sequence order; the final
+            # latest-per-key below still picks one row per key
+            incoming = batch
+        else:
+            incoming = latest_per_key(
+                batch, self.keys, self.sequence_by, self.tiebreakers
+            )
         # delete tombstones are tagged from the RAW source columns (the
         # predicate may reference except-listed ones), then the
         # except-listed columns drop so the union schema matches the
@@ -347,7 +440,17 @@ class ApplyChanges:
             )
         if self.except_column_list:
             incoming = incoming.drop(*self.except_column_list)
+        if self.column_list is not None:
+            incoming = incoming.select(
+                *self.column_list,
+                *(["__del"] if self.apply_as_deletes else []),
+            )
         if target is None:
+            if self.ignore_null_updates:
+                incoming = self._null_fold(incoming)
+            incoming = latest_per_key(
+                incoming, self.keys, self.sequence_by, self.tiebreakers
+            )
             if self.apply_as_deletes:
                 incoming = incoming.filter(~F.col("__del")).drop("__del")
             return incoming
@@ -366,8 +469,13 @@ class ApplyChanges:
         tagged_in = incoming.withColumn("__is_target", F.lit(0))
         if self.apply_as_deletes:
             tagged_target = tagged_target.withColumn("__del", F.lit(False))
+        unioned = tagged_target.unionByName(
+            tagged_in, allowMissingColumns=self.merge_schema
+        )
+        if self.ignore_null_updates:
+            unioned = self._null_fold(unioned)
         merged = latest_per_key(
-            tagged_target.unionByName(tagged_in, allowMissingColumns=self.merge_schema),
+            unioned,
             self.keys,
             self.sequence_by,
             tiebreakers=[*self.tiebreakers, "__is_target"],
@@ -743,16 +851,37 @@ class ApplyChanges:
             # SCD2: keep EVERY version row (no latest-per-key reduction);
             # tombstone-tag + except-drop first so the stored schema is
             # what the drift check compares against
-            prepped = self._tag_incoming(batch).dropDuplicates()
+            prepped = self._scd2_dedupe(self._tag_incoming(batch))
         else:
-            prepped = latest_per_key(
-                batch, self.keys, self.sequence_by, self.tiebreakers
-            )
+            inc = batch
+            if self.apply_as_deletes:
+                inc = inc.withColumn(
+                    "__del",
+                    F.coalesce(F.expr(self.apply_as_deletes), F.lit(False)),
+                )
+            if self.except_column_list:
+                inc = inc.drop(*self.except_column_list)
+            if self.column_list is not None:
+                inc = inc.select(
+                    *self.column_list,
+                    *(["__del"] if self.apply_as_deletes else []),
+                )
+            if self.ignore_null_updates:
+                # the fold needs every row's non-null contributions; the
+                # final latest-per-key below still picks one row per key
+                prepped = inc
+            else:
+                prepped = latest_per_key(
+                    inc, self.keys, self.sequence_by, self.tiebreakers
+                )
         if pinned is not None:
             pinned_cols = {f["name"] for f in json.loads(pinned)["fields"]} - set(
                 SCD2_COLS
             )
-            if set(prepped.columns) != pinned_cols and not self.merge_schema:
+            if (
+                set(prepped.columns) - {"__del"} != pinned_cols
+                and not self.merge_schema
+            ):
                 raise ValueError(
                     "batch schema drifted from target "
                     f"(target={sorted(pinned_cols)} batch={sorted(prepped.columns)}); "
@@ -780,26 +909,46 @@ class ApplyChanges:
                 if self.scd_type == 2:
                     # interval bounds are storage-owned: strip before the
                     # union so a re-bounded version collapses with its
-                    # prior self in the full-tuple dedupe
-                    merged = (
-                        target.drop(*SCD2_COLS)
-                        .unionByName(
+                    # prior self in the version-set dedupe
+                    merged = self._scd2_dedupe(
+                        target.drop(*SCD2_COLS).unionByName(
                             incoming, allowMissingColumns=self.merge_schema
                         )
-                        .dropDuplicates()
                     )
                 else:
                     tagged_target = target.withColumn("__is_target", F.lit(1))
                     tagged_in = incoming.withColumn("__is_target", F.lit(0))
+                    if self.apply_as_deletes:
+                        tagged_target = tagged_target.withColumn(
+                            "__del", F.lit(False)
+                        )
+                    unioned = tagged_target.unionByName(
+                        tagged_in, allowMissingColumns=self.merge_schema
+                    )
+                    if self.ignore_null_updates:
+                        unioned = self._null_fold(unioned)
                     merged = latest_per_key(
-                        tagged_target.unionByName(
-                            tagged_in, allowMissingColumns=self.merge_schema
-                        ),
+                        unioned,
                         self.keys,
                         self.sequence_by,
                         tiebreakers=[*self.tiebreakers, "__is_target"],
                     ).drop("__is_target")
+        if self.scd_type == 1:
+            if merged is incoming and self.ignore_null_updates:
+                # no prior state for the touched buckets, raw batch: fold
+                # then reduce to one row per key (the non-fold path was
+                # already reduced in prepped)
+                merged = latest_per_key(
+                    self._null_fold(merged),
+                    self.keys, self.sequence_by, self.tiebreakers,
+                )
+            if self.apply_as_deletes:
+                # a delete that won the ordering removes its key; SCD1
+                # does not retain tombstones (same contract as unbucketed)
+                merged = merged.filter(~F.col("__del")).drop("__del")
         if self.scd_type == 2:
+            if self.ignore_null_updates:
+                merged = self._null_fold(merged)
             # a key's whole history lives in one bucket (bucket_keys ⊆
             # keys), so the per-key window sees every version it needs
             merged = scd2_rebuild(

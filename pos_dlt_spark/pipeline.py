@@ -120,6 +120,8 @@ class CdcFlowDef:
     stored_as_scd_type: int = 1  # DLT: 1 = latest state, 2 = maintained history
     # DLT: SCD2 changes touching ONLY these columns update in place
     track_history_except_column_list: list[str] | None = None
+    column_list: list[str] | None = None  # DLT: positive projection
+    ignore_null_updates: bool = False  # DLT: NULL = no change (inherit)
 
 
 @dataclass
@@ -229,9 +231,10 @@ _SQL_APPLY_RE = re.compile(
     r"^\s*APPLY\s+CHANGES\s+INTO\s+(?:LIVE\.)?(?P<target>[A-Za-z_]\w*)\s+"
     r"FROM\s+(?:STREAM\s*\(\s*LIVE\.(?P<ssource>[A-Za-z_]\w*)\s*\)|LIVE\.(?P<bsource>[A-Za-z_]\w*))\s+"
     r"KEYS\s*\((?P<keys>[^)]*)\)\s*"
+    r"(?:(?P<ignorenull>IGNORE\s+NULL\s+UPDATES)\s+)?"
     r"(?:APPLY\s+AS\s+DELETE\s+WHEN\s+(?P<delwhen>.*?)\s*)?"
     r"SEQUENCE\s+BY\s+(?P<seq>[A-Za-z_]\w*)\s*"
-    r"(?:COLUMNS\s+\*\s+EXCEPT\s*\((?P<except>[^)]*)\)\s*)?"
+    r"(?:COLUMNS\s+(?:\*\s+EXCEPT\s*\((?P<except>[^)]*)\)|\((?P<collist>[^)]*)\))\s*)?"
     r"(?:STORED\s+AS\s+SCD\s+TYPE\s+(?P<scd>\d+)\s*)?"
     r"(?:TRACK\s+HISTORY\s+ON\s+\*\s+EXCEPT\s*\((?P<trackexc>[^)]*)\)\s*)?$",
     re.I | re.S,
@@ -454,6 +457,16 @@ class Pipeline:
                         else None
                     ),
                     stored_as_scd_type=int(scd or 1),
+                    column_list=(
+                        [
+                            c.strip()
+                            for c in ma.group("collist").split(",")
+                            if c.strip()
+                        ]
+                        if ma.group("collist")
+                        else None
+                    ),
+                    ignore_null_updates=bool(ma.group("ignorenull")),
                     track_history_except_column_list=(
                         [
                             c.strip()
@@ -675,6 +688,8 @@ class Pipeline:
         except_column_list: list[str] | None = None,
         stored_as_scd_type: int = 1,
         track_history_except_column_list: list[str] | None = None,
+        column_list: list[str] | None = None,
+        ignore_null_updates: bool = False,
     ) -> None:
         """Declare a CDC-maintained keyed table (reference W3). With
         ``n_buckets`` the target is key-hash-bucketed and each micro-batch
@@ -694,6 +709,13 @@ class Pipeline:
             raise ValueError(
                 "track_history_except_column_list requires stored_as_scd_type=2"
             )
+        if ignore_null_updates and self.storage_format == "delta" and n_buckets is None:
+            raise ValueError(
+                "ignore_null_updates on a Delta-stored flow is not "
+                "supported: the protocol MERGE has no last-non-null fold; "
+                "use the bucketed manifest engine (n_buckets=...) or "
+                "parquet storage"
+            )
         self.cdc_flows[target] = CdcFlowDef(
             target=target, source=source, keys=keys, sequence_by=sequence_by,
             tiebreakers=list(tiebreakers or []), n_buckets=n_buckets,
@@ -706,6 +728,8 @@ class Pipeline:
                 if track_history_except_column_list
                 else None
             ),
+            column_list=list(column_list) if column_list else None,
+            ignore_null_updates=ignore_null_updates,
         )
 
     def apply_changes_from_snapshot(
@@ -1271,6 +1295,8 @@ class PipelineRunner:
             track_history_except_column_list=(
                 flow.track_history_except_column_list or ()
             ),
+            column_list=flow.column_list,
+            ignore_null_updates=flow.ignore_null_updates,
         )
 
     def _run_inc_view(self, spark: SparkSession, view) -> None:
@@ -1343,6 +1369,11 @@ class PipelineRunner:
                     )
                 if flow.except_column_list:
                     incoming = incoming.drop(*flow.except_column_list)
+                if flow.column_list:
+                    incoming = incoming.select(
+                        *flow.column_list,
+                        *(["__tombstone"] if flow.apply_as_deletes else []),
+                    )
                 incoming = incoming.dropDuplicates()
                 untracked = tuple(flow.track_history_except_column_list or ())
                 rebuild = lambda rows: scd2_rebuild(  # noqa: E731
@@ -1428,6 +1459,11 @@ class PipelineRunner:
                         )
                     if flow.except_column_list:
                         seed = seed.drop(*flow.except_column_list)
+                    if flow.column_list:
+                        # positive projection; later batches' extra source
+                        # columns never reach the files (delta_merge casts
+                        # updates to the table schema)
+                        seed = seed.select(*flow.column_list)
                     # CDF on from birth: downstream flows consume the
                     # target's precise change feed (table_changes /
                     # replay_changes) instead of a forbidden file stream

@@ -3883,3 +3883,66 @@ def orders_scd2_from_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__START_AT").alias("valid_from"),
         F.col("__END_AT").alias("valid_to"),
     )
+
+
+@query(
+    "orders_cdc_ignore_null_updates",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 4 = 1 THEN 'Z'
+                ELSE o_orderstatus END AS o_orderstatus,
+           CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice + 5
+                ELSE o_totalprice END AS o_totalprice,
+           CASE WHEN o_orderkey % 4 IN (0, 1) THEN 2 ELSE 1 END AS seq
+    FROM orders
+    """,
+)
+def orders_cdc_ignore_null_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DLT ``ignore_null_updates`` + ``column_list`` (r11): batch 1
+    seeds every order; batch 2 carries PARTIAL updates — keys ≡0 (mod 4)
+    change only the price (status NULL = keep), keys ≡1 change only the
+    status (price NULL = keep) — plus a junk column that ``column_list``
+    keeps out of storage. The stored state must hash-match a per-column
+    CASE recomputation: it does only if the last-non-null fold, the
+    sequence ordering, and the projection are all exact."""
+    from pos_dlt_spark.operators.cdc import ApplyChanges
+    from pos_dlt_spark.tables import scratch_dir
+
+    key = os.path.abspath(sf_dir) + "#cdc_inu"
+    if key not in _DELTA_RT_CACHE:
+        import atexit
+        import shutil
+
+        work = scratch_dir("cdc_inu_")
+        atexit.register(shutil.rmtree, work, ignore_errors=True)
+        orders = load_table(spark, sf_dir, "orders")
+        ac = ApplyChanges(
+            os.path.join(work, "t"),
+            keys=["o_orderkey"],
+            sequence_by="__seq",
+            ignore_null_updates=True,
+            column_list=["o_orderkey", "o_orderstatus", "o_totalprice", "__seq"],
+        )
+        b1 = orders.select(
+            "o_orderkey", "o_orderstatus", "o_totalprice",
+            F.lit(1).alias("__seq"), F.lit("junk").alias("noise"),
+        )
+        b2 = orders.filter(F.col("o_orderkey") % 4 <= 1).select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 4 == 1, F.lit("Z"))
+            .otherwise(F.lit(None).cast("string"))
+            .alias("o_orderstatus"),
+            F.when(
+                F.col("o_orderkey") % 4 == 0, F.col("o_totalprice") + 5
+            ).alias("o_totalprice"),
+            F.lit(2).alias("__seq"),
+            F.lit("junk").alias("noise"),
+        )
+        ac.process_batch(b1, 0)
+        ac.process_batch(b2, 1)
+        _DELTA_RT_CACHE[key] = ac
+    ac = _DELTA_RT_CACHE[key]
+    return ac.read_target(spark).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        F.col("__seq").alias("seq"),
+    )

@@ -806,3 +806,137 @@ def test_apply_changes_from_snapshot_pipeline_flow(spark, tmp_path):
         for r in ev
     )
     assert details == [(0, 0), (1, 1)], details
+
+
+def test_ignore_null_updates_scd1(spark, tmp_path):
+    """DLT ignore_null_updates: NULL in a source column means 'keep the
+    previous value' — partial updates chain through the sequence order,
+    and the unbucketed and bucketed engines agree."""
+    from pos_dlt_spark.operators.cdc import ApplyChanges
+
+    cols = "k int, seq int, a string, b string"
+    batches = [
+        [(1, 1, "a1", "b1"), (2, 1, "a2", "b2")],
+        [(1, 2, None, "B1"), (2, 2, "A2", None)],   # partial updates
+        [(1, 3, "AA1", None), (3, 3, None, "b3")],  # chained; new key w/ null
+    ]
+    expect = {
+        (1, 3, "AA1", "B1"),  # a from seq3, b survived from seq2
+        (2, 2, "A2", "b2"),   # b survived from seq1
+        (3, 3, None, "b3"),   # no prior value to inherit
+    }
+    for nb in (None, 4):
+        ac = ApplyChanges(
+            str(tmp_path / f"t{nb}"), keys=["k"], sequence_by="seq",
+            n_buckets=nb, ignore_null_updates=True,
+        )
+        for i, rows in enumerate(batches):
+            ac.process_batch(spark.createDataFrame(rows, cols), i)
+        got = {
+            (r["k"], r["seq"], r["a"], r["b"])
+            for r in ac.read_target(spark).collect()
+        }
+        assert got == expect, (nb, got)
+    # intra-batch chaining: two partial updates in ONE batch compose
+    ac2 = ApplyChanges(
+        str(tmp_path / "t1b"), keys=["k"], sequence_by="seq",
+        ignore_null_updates=True,
+    )
+    ac2.process_batch(
+        spark.createDataFrame(
+            [(1, 1, "a", None), (1, 2, None, "b"), (1, 3, None, None)], cols
+        ),
+        0,
+    )
+    got = [
+        (r["k"], r["seq"], r["a"], r["b"])
+        for r in ac2.read_target(spark).collect()
+    ]
+    assert got == [(1, 3, "a", "b")], got
+
+
+def test_ignore_null_updates_scd2_versions_inherit(spark, tmp_path):
+    """SCD2 + ignore_null_updates: each version's NULL columns inherit
+    from the previous version; replaying the raw null-bearing rows does
+    not duplicate versions (version-identity dedupe)."""
+    from pos_dlt_spark.operators.cdc import ApplyChanges
+
+    ac = ApplyChanges(
+        str(tmp_path / "t"), keys=["k"], sequence_by="seq",
+        stored_as_scd_type=2, ignore_null_updates=True,
+    )
+    cols = "k int, seq int, a string, b string"
+    b1 = spark.createDataFrame([(1, 1, "a1", "b1"), (1, 2, None, "b2")], cols)
+    ac.process_batch(b1, 0)
+    got = sorted(
+        (r["seq"], r["a"], r["b"], r["__START_AT"], r["__END_AT"])
+        for r in ac.read_target(spark).collect()
+    )
+    assert got == [(1, "a1", "b1", 1, 2), (2, "a1", "b2", 2, None)], got
+    ac.process_batch(b1, 1)  # replay: no duplicate versions
+    got2 = sorted(
+        (r["seq"], r["a"], r["b"], r["__START_AT"], r["__END_AT"])
+        for r in ac.read_target(spark).collect()
+    )
+    assert got2 == got, got2
+
+
+def test_column_list_projection_and_validation(spark, tmp_path):
+    """DLT column_list: positive projection of the stored state; keys and
+    sequence_by must be listed; mutually exclusive with
+    except_column_list."""
+    from pos_dlt_spark.operators.cdc import ApplyChanges
+
+    ac = ApplyChanges(
+        str(tmp_path / "t"), keys=["k"], sequence_by="seq",
+        column_list=["k", "seq", "v"],
+        apply_as_deletes="op = 'D'",
+    )
+    cols = "k int, seq int, v string, junk string, op string"
+    ac.process_batch(
+        spark.createDataFrame(
+            [(1, 1, "x", "noise", "U"), (2, 1, "y", "noise", "D")], cols
+        ),
+        0,
+    )
+    df = ac.read_target(spark)
+    assert set(df.columns) == {"k", "seq", "v"}
+    assert {(r["k"], r["v"]) for r in df.collect()} == {(1, "x")}
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        ApplyChanges(str(tmp_path / "x"), keys=["k"], sequence_by="seq",
+                     column_list=["k", "seq"], except_column_list=["v"])
+    with pytest.raises(ValueError, match="must include keys"):
+        ApplyChanges(str(tmp_path / "y"), keys=["k"], sequence_by="seq",
+                     column_list=["seq", "v"])
+
+
+def test_bucketed_apply_as_deletes_and_except(spark, tmp_path):
+    """The bucketed manifest engine honors apply_as_deletes +
+    except_column_list (r11 — previously only the unbucketed path did):
+    a winning tombstone removes its key from its bucket, the op marker
+    never reaches storage, and a stale tombstone loses."""
+    from pos_dlt_spark.operators.cdc import ApplyChanges
+
+    ac = ApplyChanges(
+        str(tmp_path / "t"), keys=["k"], sequence_by="seq", n_buckets=4,
+        apply_as_deletes="op = 'D'", except_column_list=["op"],
+    )
+    cols = "k int, seq int, v string, op string"
+    ac.process_batch(
+        spark.createDataFrame(
+            [(1, 1, "a", "U"), (2, 1, "b", "U"), (3, 1, "c", "U")], cols
+        ),
+        0,
+    )
+    ac.process_batch(
+        spark.createDataFrame(
+            [(1, 2, "", "D"), (2, 0, "", "D"), (3, 2, "c2", "U")], cols
+        ),
+        1,
+    )
+    df = ac.read_target(spark)
+    assert "op" not in df.columns
+    got = {(r["k"], r["v"]) for r in df.collect()}
+    # key 1 deleted (newer tombstone); key 2 survives (stale tombstone);
+    # key 3 updated
+    assert got == {(2, "b"), (3, "c2")}, got

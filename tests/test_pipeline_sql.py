@@ -499,3 +499,26 @@ def test_sql_apply_changes_track_history(spark, tmp_path):
             target="t4", source="src", keys=["id"], sequence_by="qty",
             track_history_except_column_list=["grp"],
         )
+
+
+def test_sql_apply_changes_ignore_null_and_column_list(spark, tmp_path):
+    """DLT SQL: IGNORE NULL UPDATES and COLUMNS (positive list) parse
+    into the flow definition."""
+    pipe = _base_pipe(spark, tmp_path)
+    pipe.sql_table(
+        "APPLY CHANGES INTO LIVE.t5 FROM STREAM(LIVE.src) KEYS (id) "
+        "IGNORE NULL UPDATES "
+        "SEQUENCE BY qty "
+        "COLUMNS (id, qty, grp)"
+    )
+    flow = pipe.cdc_flows["t5"]
+    assert flow.ignore_null_updates is True
+    assert flow.column_list == ["id", "qty", "grp"]
+    assert flow.except_column_list is None
+    # delta-mode boundary: unbucketed delta flow + ignore_null refuses
+    dpipe = _base_pipe(spark, tmp_path, storage_format="delta")
+    with pytest.raises(ValueError, match="ignore_null_updates"):
+        dpipe.apply_changes(
+            target="t6", source="src", keys=["id"], sequence_by="qty",
+            ignore_null_updates=True,
+        )
