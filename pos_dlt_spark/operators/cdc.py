@@ -803,6 +803,61 @@ class ApplyChanges:
         if not os.path.exists(self.target_path) and os.path.exists(old):
             os.rename(old, self.target_path)
 
+    # Unbucketed targets have no manifest to pin layout-shaping flow
+    # parameters, so the scd_type / tracked-column contract lives in a
+    # sidecar meta file (same shape as ApplyChangesFromSnapshot's
+    # _snapshot_meta.json). Without it, re-declaring an existing SCD1
+    # target with stored_as_scd_type=2 would pass _scd2_merge's schema
+    # check (dropping absent __START_AT/__END_AT is a no-op) and silently
+    # reinterpret latest-state rows as the full version history.
+    def _ac_meta_path(self) -> str:
+        return self.target_path + "._ac_meta.json"
+
+    def _pin_unbucketed_meta(self) -> None:
+        declared = {
+            "scd_type": self.scd_type,
+            "track_history_except": self.track_history_except,
+        }
+        try:
+            with open(self._ac_meta_path()) as f:
+                stored = json.load(f)
+        except FileNotFoundError:
+            if os.path.exists(os.path.join(self.target_path, "_SUCCESS")):
+                # legacy target predating the sidecar: every pre-sidecar
+                # target was written by some flow declaration — pin THIS
+                # one only if it claims the historical default (SCD1,
+                # nothing untracked); anything else is indistinguishable
+                # from a reinterpretation and must recreate the target
+                if self.scd_type != 1 or self.track_history_except:
+                    raise ValueError(
+                        f"target {self.target_path} predates the scd_type "
+                        "sidecar and cannot prove it was written with "
+                        f"scd_type={self.scd_type} "
+                        f"track_history_except={self.track_history_except}; "
+                        "recreate the target to change its SCD contract"
+                    )
+            tmp = self._ac_meta_path() + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(declared, f)
+            os.replace(tmp, self._ac_meta_path())
+            return
+        if int(stored.get("scd_type", 1)) != self.scd_type:
+            raise ValueError(
+                f"SCD-type mismatch: target {self.target_path} stores type "
+                f"{stored.get('scd_type', 1)}, flow declares type "
+                f"{self.scd_type}; a latest-state table and a history "
+                "table are different schemas — recreate the target"
+            )
+        if stored.get("track_history_except", []) != self.track_history_except:
+            raise ValueError(
+                "track_history_except_column_list mismatch: target "
+                f"{self.target_path} stores "
+                f"{stored.get('track_history_except', [])}, flow declares "
+                f"{self.track_history_except}; changing the tracked-column "
+                "set mid-life makes old runs and new runs collapse "
+                "differently — recreate the target"
+            )
+
     def process_batch(self, batch: DataFrame, epoch_id: int) -> None:
         if len(batch.take(1)) == 0:
             return
@@ -811,6 +866,7 @@ class ApplyChanges:
             return
         self._validate_layout(self._read_manifest())
         self._recover_unbucketed()
+        self._pin_unbucketed_meta()
         spark = batch.sparkSession
         target = self.read_target(spark, raw=True)  # merges must see tombstones
         merged = self.merge(target, batch)
@@ -1049,7 +1105,9 @@ class ApplyChangesFromSnapshot:
     recomputed state, not an append log), plus a ``_snapshot_meta.json``
     pinning the last processed version. Crash between swap and meta
     write is safe: reprocessing the same snapshot against the
-    post-swap state classifies every key as unchanged."""
+    post-swap state classifies every key as unchanged. Crash between
+    the swap's two renames is healed by ``_recover`` (state restored
+    from ``.__old``) before any read or snapshot fold."""
 
     META = "_snapshot_meta.json"
 
@@ -1093,7 +1151,19 @@ class ApplyChangesFromSnapshot:
 
     # -- state io (write-then-swap, same shape as ApplyChanges unbucketed) --
 
+    def _recover(self) -> None:
+        """A crash between _swap_in's two renames strands the live state
+        in ``.__old`` with no target dir; without this, the next
+        process_snapshot would see read_target()=None and silently
+        re-seed from the snapshot alone, losing every closed SCD2
+        version. Same healing contract as
+        ApplyChanges._recover_unbucketed."""
+        old = self.target_path + ".__old"
+        if not os.path.exists(self.target_path) and os.path.exists(old):
+            os.rename(old, self.target_path)
+
     def read_target(self, spark: SparkSession) -> DataFrame | None:
+        self._recover()
         if not os.path.exists(os.path.join(self.target_path, "_SUCCESS")):
             return None
         return spark.read.parquet(self.target_path)
@@ -1113,6 +1183,7 @@ class ApplyChangesFromSnapshot:
         """Fold one full snapshot (all rows, all keys) at ``version``
         into the target. Returns False when the version was already
         processed (replay) or is out of order."""
+        self._recover()
         last = self.last_version()
         if last is not None and version <= last:
             return False
@@ -1151,16 +1222,24 @@ class ApplyChangesFromSnapshot:
             for c in data_cols
             if c not in set(self.keys) and c not in set(self.untracked)
         ]
-        s = snap_df.select(*[F.col(c).alias(f"__s_{c}") for c in data_cols])
+        # explicit presence markers on BOTH join sides: the join condition
+        # is eqNullSafe, so a row whose key columns are NULL still matches —
+        # inferring presence from key/START_AT nullability would misclassify
+        # it as absent (close its open version and drop the snapshot row)
+        s = snap_df.select(
+            *[F.col(c).alias(f"__s_{c}") for c in data_cols],
+            F.lit(True).alias("__s_present"),
+        )
+        t = open_rows.withColumn("__t_present", F.lit(True))
         cond = None
         for k in self.keys:
             piece = F.col(k).eqNullSafe(F.col(f"__s_{k}"))
             cond = piece if cond is None else (cond & piece)
-        j = open_rows.join(s, cond, "full_outer").localCheckpoint(eager=True)
+        j = t.join(s, cond, "full_outer").localCheckpoint(eager=True)
         # bounded by open-key cardinality + snapshot size; checkpointed so
         # the four derivations below read it once instead of re-joining
-        in_open = F.col("__START_AT").isNotNull()
-        in_snap = F.col(f"__s_{self.keys[0]}").isNotNull()
+        in_open = F.coalesce(F.col("__t_present"), F.lit(False))
+        in_snap = F.coalesce(F.col("__s_present"), F.lit(False))
         same_tracked = F.lit(True)
         for c in tracked:
             same_tracked = same_tracked & F.col(c).eqNullSafe(F.col(f"__s_{c}"))

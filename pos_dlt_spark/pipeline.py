@@ -143,6 +143,11 @@ class IncViewDef:
     source: str  # a CDC flow target declared with n_buckets
     transform: Callable[[DataFrame], DataFrame]
     keys: list[str]
+    # joined-view form: a second, append-only fact table partitioned by
+    # the flow's bucket-routing column; transform then takes
+    # (cdc_rows, fact_rows)
+    aux_source: str | None = None
+    aux_partition_col: str | None = None
 
 
 class CycleError(Exception):
@@ -770,22 +775,49 @@ class Pipeline:
         source: str,
         transform: Callable[[DataFrame], DataFrame],
         keys: list[str] | None = None,
+        aux_source: str | None = None,
     ) -> None:
         """Declare an incrementally-maintained keyed view over a bucketed
         CDC flow (operators/incremental.py): each pipeline pass refreshes
         only the buckets the CDC merge touched since the last refresh —
         the O(delta) alternative to a full `kind="live"` gold recompute.
         ``keys`` must contain the flow's bucket-routing columns; defaults
-        to the flow's keys."""
+        to the flow's keys.
+
+        ``aux_source`` (the joined-view form, the flagship gold's shape):
+        a SECOND pipeline table — an append-only streaming fact table
+        whose ``partition_by`` starts with the flow's single
+        bucket-routing column. The view then also goes stale when a fact
+        partition receives rows, and ``transform`` takes TWO DataFrames
+        ``(cdc_rows, fact_rows)`` — the stale buckets' CDC state and the
+        fact rows partition-pruned to those buckets' routing values."""
         flow = self.cdc_flows.get(source)
         if flow is None or flow.n_buckets is None:
             raise ValueError(
                 f"incremental_view source {source!r} must be a CDC flow "
                 "declared with n_buckets"
             )
+        aux_col = None
+        if aux_source is not None:
+            aux_t = self.tables.get(aux_source)
+            if aux_t is None:
+                raise ValueError(
+                    f"incremental_view aux_source {aux_source!r} is not a "
+                    "declared pipeline table"
+                )
+            part = list(aux_t.partition_by or ())
+            bks = flow.bucket_keys or flow.keys
+            if len(bks) != 1 or not part or part[0] != bks[0]:
+                raise ValueError(
+                    f"aux_source {aux_source!r} must be partitioned by the "
+                    f"flow's single bucket-routing column (flow routes by "
+                    f"{bks}, aux partition_by={part})"
+                )
+            aux_col = part[0]
         self.inc_views[target] = IncViewDef(
             target=target, source=source, transform=transform,
             keys=list(keys) if keys else list(flow.keys),
+            aux_source=aux_source, aux_partition_col=aux_col,
         )
 
     # -- paths -------------------------------------------------------------
@@ -972,6 +1004,8 @@ class Pipeline:
             deps[target] = {sflow.source} if sflow.source in deps else set()
         for target, view in self.inc_views.items():
             deps[target] = {view.source}
+            if view.aux_source in deps:
+                deps[target].add(view.aux_source)
         out, ready = [], [n for n in names if not deps[n]]
         remaining = {n: set(d) for n, d in deps.items() if deps[n]}
         while ready:
@@ -1300,16 +1334,33 @@ class PipelineRunner:
         )
 
     def _run_inc_view(self, spark: SparkSession, view) -> None:
-        from pos_dlt_spark.operators.incremental import IncrementalKeyedView
+        from pos_dlt_spark.operators.incremental import (
+            IncrementalJoinedView,
+            IncrementalKeyedView,
+        )
 
         flow = self.p.cdc_flows[view.source]
-        ikv = IncrementalKeyedView(
-            self._flow_ac(flow),
-            self.p.table_path(view.target),
-            view.transform,
-            keys=view.keys,
+        if view.aux_source is not None:
+            ikv = IncrementalJoinedView(
+                self._flow_ac(flow),
+                self.p.table_path(view.target),
+                view.transform,
+                aux_path=self.p.table_path(view.aux_source),
+                aux_partition_col=view.aux_partition_col,
+                keys=view.keys,
+            )
+        else:
+            ikv = IncrementalKeyedView(
+                self._flow_ac(flow),
+                self.p.table_path(view.target),
+                view.transform,
+                keys=view.keys,
+            )
+        refreshed = ikv.refresh(spark)
+        self.log.emit(
+            "flow_progress", table=view.target,
+            num_buckets_refreshed=len(refreshed),
         )
-        ikv.refresh(spark)
 
     def _run_snapshot_flow(self, spark: SparkSession, sflow: SnapshotFlowDef) -> dict:
         from pos_dlt_spark.operators.cdc import ApplyChangesFromSnapshot
@@ -1401,6 +1452,15 @@ class PipelineRunner:
                 )
                 rebuilt = rebuild(rows)
                 vk = [*flow.keys, flow.sequence_by, *flow.tiebreakers]
+                if flow.apply_as_deletes:
+                    # __tombstone is part of the stored version identity: a
+                    # retained tombstone and a data version at the SAME
+                    # sequence are distinct rows (scd2_rebuild's zero-width
+                    # close), so leaving it out of the merge key would let
+                    # delta_merge's latest-per-key window collapse them —
+                    # a same-sequence update could silently erase a stored
+                    # tombstone and resurrect the key
+                    vk = [*vk, "__tombstone"]
                 if untracked:
                     # track-history collapse can REMOVE stored version rows
                     # (a run extended by an out-of-order row re-opens at an
@@ -1506,37 +1566,16 @@ class PipelineRunner:
 
             from pos_dlt_spark.operators.cdc import latest_per_key
 
-            inner_fn(batch_df, batch_id)
-            n_src = batch_df.count()
-            if n_src == 0:
-                return
-            if flow.stored_as_scd_type == 2:
-                winners = batch_df.dropDuplicates()
-            else:
-                winners = latest_per_key(
-                    batch_df, flow.keys, flow.sequence_by, flow.tiebreakers
-                )
-            if flow.apply_as_deletes:
-                row = winners.agg(
-                    F.count(F.lit(1)).alias("n"),
-                    F.sum(
-                        F.coalesce(
-                            F.expr(flow.apply_as_deletes), F.lit(False)
-                        ).cast("int")
-                    ).alias("d"),
-                ).first()
-                n_win, n_del = int(row["n"]), int(row["d"] or 0)
-            else:
-                n_win, n_del = winners.count(), 0
-            stats["num_source_rows"] += n_src
-            stats["num_upserted_rows"] += n_win - n_del
-            stats["num_deleted_rows"] += n_del
-            stats["num_batches"] += 1
-            self.log.emit(
-                "flow_progress", table=flow.target, batch_id=int(batch_id),
-                num_source_rows=n_src, num_upserted_rows=n_win - n_del,
-                num_deleted_rows=n_del,
-            )
+            # One source scan per micro-batch: the sink AND the counters
+            # both consume batch_df, so without the cache the counters
+            # would re-execute the source read/parse (and re-evaluate
+            # apply_as_deletes) — a 2x source tax per CDC batch at the
+            # 20M-event decade scale
+            batch_df.persist()
+            try:
+                self._count_batch(batch_df, batch_id, flow, inner_fn, stats)
+            finally:
+                batch_df.unpersist()
 
         src = self.p.read_stream(spark, flow.source)
         q = (
@@ -1547,6 +1586,43 @@ class PipelineRunner:
         )
         q.awaitTermination()
         return stats
+
+    def _count_batch(self, batch_df, batch_id, flow, inner_fn, stats) -> None:
+        from pyspark.sql import functions as F
+
+        from pos_dlt_spark.operators.cdc import latest_per_key
+
+        inner_fn(batch_df, batch_id)
+        n_src = batch_df.count()
+        if n_src == 0:
+            return
+        if flow.stored_as_scd_type == 2:
+            winners = batch_df.dropDuplicates()
+        else:
+            winners = latest_per_key(
+                batch_df, flow.keys, flow.sequence_by, flow.tiebreakers
+            )
+        if flow.apply_as_deletes:
+            row = winners.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.coalesce(
+                        F.expr(flow.apply_as_deletes), F.lit(False)
+                    ).cast("int")
+                ).alias("d"),
+            ).first()
+            n_win, n_del = int(row["n"]), int(row["d"] or 0)
+        else:
+            n_win, n_del = winners.count(), 0
+        stats["num_source_rows"] += n_src
+        stats["num_upserted_rows"] += n_win - n_del
+        stats["num_deleted_rows"] += n_del
+        stats["num_batches"] += 1
+        self.log.emit(
+            "flow_progress", table=flow.target, batch_id=int(batch_id),
+            num_source_rows=n_src, num_upserted_rows=n_win - n_del,
+            num_deleted_rows=n_del,
+        )
 
     def run_table(self, spark: SparkSession, name: str) -> None:
         """Refresh a single table (dependencies are NOT recursed — callers

@@ -940,3 +940,133 @@ def test_bucketed_apply_as_deletes_and_except(spark, tmp_path):
     # key 1 deleted (newer tombstone); key 2 survives (stale tombstone);
     # key 3 updated
     assert got == {(2, "b"), (3, "c2")}, got
+
+
+# -- ADVICE r11 regressions -------------------------------------------------
+
+
+def test_snapshot_swap_crash_recovery(spark, tmp_path):
+    """ADVICE r11 (cdc.py _swap_in): a crash between the swap's two
+    renames strands the live state in `.__old` with no target dir; the
+    next process_snapshot must RESTORE it, not silently re-seed from
+    the snapshot alone (which would lose all closed SCD2 history)."""
+    import os
+    import shutil
+
+    from pos_dlt_spark.operators.cdc import ApplyChangesFromSnapshot
+
+    t = str(tmp_path / "t")
+    ac = ApplyChangesFromSnapshot(t, keys=["k"], stored_as_scd_type=2)
+    cols = "k int, v string"
+    ac.process_snapshot(spark.createDataFrame([(1, "a"), (2, "b")], cols), 1)
+    ac.process_snapshot(spark.createDataFrame([(1, "a2"), (2, "b")], cols), 2)
+    # simulate the crash: target renamed away, replacement never landed
+    os.rename(t, t + ".__old")
+    assert not os.path.exists(t)
+    # read path heals
+    got = sorted(
+        (r["k"], r["v"], r["__START_AT"], r["__END_AT"])
+        for r in ac.read_target(spark).collect()
+    )
+    assert got == [(1, "a", 1, 2), (1, "a2", 2, None), (2, "b", 1, None)], got
+    # crash again; the write path must also heal BEFORE classifying keys
+    os.rename(t, t + ".__old")
+    ac.process_snapshot(spark.createDataFrame([(1, "a3"), (2, "b")], cols), 3)
+    got = sorted(
+        (r["k"], r["v"], r["__START_AT"], r["__END_AT"])
+        for r in ac.read_target(spark).collect()
+    )
+    # closed history from snapshots 1-2 survived the crash
+    assert got == [
+        (1, "a", 1, 2), (1, "a2", 2, 3), (1, "a3", 3, None),
+        (2, "b", 1, None),
+    ], got
+    shutil.rmtree(t, ignore_errors=True)
+
+
+def test_snapshot_null_key_presence(spark, tmp_path):
+    """ADVICE r11 (cdc.py process_snapshot): the diff join is eqNullSafe,
+    so a snapshot row whose key column is NULL still matches its open
+    version — presence must come from explicit markers, not key
+    nullability (which would close the open version AND drop the row)."""
+    from pos_dlt_spark.operators.cdc import ApplyChangesFromSnapshot
+
+    ac = ApplyChangesFromSnapshot(
+        str(tmp_path / "t"), keys=["k"], stored_as_scd_type=2
+    )
+    cols = "k int, v string"
+    s1 = spark.createDataFrame([(None, "x"), (1, "a")], cols)
+    ac.process_snapshot(s1, 1)
+    # unchanged NULL-key row: must stay OPEN, not close-and-vanish
+    ac.process_snapshot(s1, 2)
+    got = sorted(
+        ((r["k"], r["v"], r["__START_AT"], r["__END_AT"])
+         for r in ac.read_target(spark).collect()),
+        key=lambda x: (x[0] is not None, x),
+    )
+    assert got == [(None, "x", 1, None), (1, "a", 1, None)], got
+    # changed NULL-key row: normal close+open, no row loss
+    s3 = spark.createDataFrame([(None, "x2"), (1, "a")], cols)
+    ac.process_snapshot(s3, 3)
+    nulls = sorted(
+        (r["v"], r["__START_AT"], r["__END_AT"])
+        for r in ac.read_target(spark).filter("k IS NULL").collect()
+    )
+    assert nulls == [("x", 1, 3), ("x2", 3, None)], nulls
+
+
+def test_unbucketed_scd_type_sidecar_pins_contract(spark, tmp_path):
+    """ADVICE r11 (cdc.py): unbucketed targets persist scd_type /
+    track_history_except in a sidecar meta file; re-declaring an
+    existing SCD1 target as SCD2 (or changing the tracked-column set)
+    fails fast instead of silently reinterpreting latest-state rows as
+    version history."""
+    t = str(tmp_path / "t")
+    cols = "store_id int, item_id int, date_time int, quantity int"
+    ac1 = ApplyChanges(t, keys=KEYS, sequence_by="date_time")
+    ac1.process_batch(spark.createDataFrame([(1, 1, 10, 5)], cols), 0)
+    # same declaration: keeps working
+    ApplyChanges(t, keys=KEYS, sequence_by="date_time").process_batch(
+        spark.createDataFrame([(1, 1, 20, 6)], cols), 1
+    )
+    bad = ApplyChanges(t, keys=KEYS, sequence_by="date_time",
+                       stored_as_scd_type=2)
+    with pytest.raises(ValueError, match="SCD-type mismatch"):
+        bad.process_batch(spark.createDataFrame([(1, 1, 30, 7)], cols), 2)
+    # SCD2 target re-declared as SCD1 also refuses
+    t2 = str(tmp_path / "t2")
+    ac2 = ApplyChanges(t2, keys=KEYS, sequence_by="date_time",
+                       stored_as_scd_type=2)
+    ac2.process_batch(spark.createDataFrame([(1, 1, 10, 5)], cols), 0)
+    bad2 = ApplyChanges(t2, keys=KEYS, sequence_by="date_time")
+    with pytest.raises(ValueError, match="SCD-type mismatch"):
+        bad2.process_batch(spark.createDataFrame([(1, 1, 20, 6)], cols), 1)
+    # changing the tracked-column set refuses too
+    bad3 = ApplyChanges(t2, keys=KEYS, sequence_by="date_time",
+                        stored_as_scd_type=2,
+                        track_history_except_column_list=["quantity"])
+    with pytest.raises(ValueError, match="track_history_except"):
+        bad3.process_batch(spark.createDataFrame([(1, 1, 20, 6)], cols), 1)
+
+
+def test_unbucketed_legacy_target_without_sidecar(spark, tmp_path):
+    """A pre-sidecar target (meta file absent, data present) keeps
+    working under the historical default declaration and refuses a
+    non-default one it cannot prove."""
+    import os
+
+    t = str(tmp_path / "t")
+    cols = "store_id int, item_id int, date_time int, quantity int"
+    ac = ApplyChanges(t, keys=KEYS, sequence_by="date_time")
+    ac.process_batch(spark.createDataFrame([(1, 1, 10, 5)], cols), 0)
+    os.remove(t + "._ac_meta.json")  # simulate a legacy target
+    # default declaration re-pins and continues
+    ApplyChanges(t, keys=KEYS, sequence_by="date_time").process_batch(
+        spark.createDataFrame([(1, 1, 20, 6)], cols), 1
+    )
+    assert os.path.exists(t + "._ac_meta.json")
+    os.remove(t + "._ac_meta.json")
+    bad = ApplyChanges(t, keys=KEYS, sequence_by="date_time",
+                       stored_as_scd_type=2)
+    with pytest.raises(ValueError, match="predates the scd_type sidecar"):
+        bad.process_batch(spark.createDataFrame([(1, 1, 30, 7)], cols), 2)

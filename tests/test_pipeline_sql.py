@@ -522,3 +522,104 @@ def test_sql_apply_changes_ignore_null_and_column_list(spark, tmp_path):
             target="t6", source="src", keys=["id"], sequence_by="qty",
             ignore_null_updates=True,
         )
+
+
+def test_scd2_delta_same_sequence_tombstone_parity(spark, tmp_path):
+    """ADVICE r11 (pipeline.py delta scd2_sink): a retained tombstone and
+    a data version at the SAME sequence are distinct stored rows; the
+    Delta MERGE key must include __tombstone or the latest-per-key
+    window collapses them — a same-sequence update arriving in a later
+    batch would silently erase the stored tombstone and resurrect the
+    key. Pin engine parity: parquet and delta storage produce identical
+    histories for the same landing sequence."""
+    import json as _json
+
+    def run_engine(fmt):
+        in_dir = str(tmp_path / f"land_{fmt}")
+        os.makedirs(in_dir)
+        pipe = Pipeline(f"par_{fmt}", str(tmp_path / f"s_{fmt}"),
+                        storage_format=fmt)
+
+        @pipe.table(kind="stream")
+        def feed(spark_):
+            schema = "k BIGINT, val STRING, seq BIGINT, op STRING"
+            return spark_.readStream.schema(schema).json(in_dir)
+
+        pipe.apply_changes(
+            target="hist", source="feed", keys=["k"], sequence_by="seq",
+            apply_as_deletes="op = 'D'", except_column_list=["op"],
+            stored_as_scd_type=2,
+        )
+        runner = PipelineRunner(pipe)
+        batches = [
+            [{"k": 1, "val": "a1", "seq": 10, "op": "U"}],
+            # tombstone at seq 20 lands FIRST ...
+            [{"k": 1, "val": "", "seq": 20, "op": "D"}],
+            # ... then a LATER batch carries a data version at the SAME
+            # sequence: it must not erase the stored tombstone
+            [{"k": 1, "val": "a2", "seq": 20, "op": "U"}],
+        ]
+        for i, rows in enumerate(batches):
+            with open(os.path.join(in_dir, f"b{i}.json"), "w") as fh:
+                fh.write("\n".join(_json.dumps(r) for r in rows))
+            runner.run_once(spark)
+        return sorted(
+            (r["k"], r["seq"], r["val"], r["__START_AT"], r["__END_AT"])
+            for r in pipe.read(spark, "hist").collect()
+        )
+
+    parquet = run_engine("parquet")
+    delta = run_engine("delta")
+    assert delta == parquet, (parquet, delta)
+    # and in both engines the key stays DEAD: no open (__END_AT NULL) row
+    assert not [r for r in delta if r[4] is None], delta
+
+
+def test_cdc_counted_caches_micro_batch(spark, tmp_path, monkeypatch):
+    """ADVICE r11 (pipeline.py counted): the event-log counters consume
+    the same micro-batch as the sink; the batch must be persisted ONCE
+    before both, not re-executed from the source per counter pass."""
+    import json as _json
+
+    # patch the CLASSIC subclass: pyspark 4's pyspark.sql.DataFrame is the
+    # dispatch base and its persist is overridden there
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    persisted = []
+    orig_persist = DataFrame.persist
+    orig_unpersist = DataFrame.unpersist
+
+    def spy_persist(self, *a, **kw):
+        persisted.append("persist")
+        return orig_persist(self, *a, **kw)
+
+    def spy_unpersist(self, *a, **kw):
+        persisted.append("unpersist")
+        return orig_unpersist(self, *a, **kw)
+
+    monkeypatch.setattr(DataFrame, "persist", spy_persist)
+    monkeypatch.setattr(DataFrame, "unpersist", spy_unpersist)
+
+    in_dir = str(tmp_path / "land")
+    os.makedirs(in_dir)
+    pipe = Pipeline("cnt", str(tmp_path / "storage"))
+
+    @pipe.table(kind="stream")
+    def feed(spark_):
+        return spark_.readStream.schema("k BIGINT, seq BIGINT").json(in_dir)
+
+    pipe.apply_changes(target="cur", source="feed", keys=["k"],
+                       sequence_by="seq")
+    with open(os.path.join(in_dir, "b0.json"), "w") as fh:
+        fh.write("\n".join(_json.dumps({"k": i, "seq": 1}) for i in range(5)))
+    runner = PipelineRunner(pipe)
+    runner.run_once(spark)
+    # the micro-batch was cached exactly around the sink+counter pass
+    assert "persist" in persisted and "unpersist" in persisted
+    # and the logged counts are right
+    import json as _j
+
+    rows = [_j.loads(e["details"]) for e in pipe.event_log(spark).collect()
+            if e["event_type"] == "flow_progress" and e["table_name"] == "cur"]
+    assert rows and rows[0]["num_source_rows"] == 5
+    assert rows[0]["num_upserted_rows"] == 5
