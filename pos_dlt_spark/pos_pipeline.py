@@ -130,8 +130,17 @@ def build_pos_pipeline(
     ``Pipeline.sql_table``. Both produce the same rows (pinned by the
     pipeline oracle test across authoring modes).
     """
-    if gold_authoring not in ("python", "sql"):
-        raise ValueError(f"gold_authoring must be python|sql, got {gold_authoring!r}")
+    if gold_authoring not in ("python", "sql", "incremental"):
+        raise ValueError(
+            f"gold_authoring must be python|sql|incremental, got {gold_authoring!r}"
+        )
+    if gold_authoring == "incremental" and storage_format != "parquet":
+        # the joined view's fact-side staleness reads raw partition dirs;
+        # on Delta storage the commit log (CDF) is the right signal — not
+        # wired yet, so refuse instead of risking a compacted-file misread
+        raise ValueError(
+            "gold_authoring='incremental' requires storage_format='parquet'"
+        )
     pipe = Pipeline("pos", storage, storage_format=storage_format)
 
     @pipe.table(kind="live", interval="24 hours", comment="store dimension",
@@ -186,15 +195,62 @@ def build_pos_pipeline(
             spark, os.path.join(input_root, "snapshots"), INVENTORY_SNAPSHOT_CSV_SCHEMA
         ).drop("id")
 
+    # Incremental mode buckets the CDC target BY STORE (bucket_keys
+    # subset routing): all of a store's items co-locate, the change
+    # stream is already partitioned by store_id, and the gold query
+    # groups by (store_id, item_id) — so gold becomes maintainable
+    # per store-bucket (VERDICT r11 #1).
     pipe.apply_changes(
         target="latest_inventory_snapshot",
         source="inventory_snapshot",
         keys=["store_id", "item_id"],
         sequence_by="date_time",
+        **(
+            {"n_buckets": 16, "bucket_keys": ["store_id"]}
+            if gold_authoring == "incremental"
+            else {}
+        ),
     )
 
     if gold_authoring == "sql":
         pipe.sql_table(REFERENCE_GOLD_DLT_SQL)
+        return pipe
+
+    if gold_authoring == "incremental":
+        # O(delta) gold: same query text as the python/sql modes, but
+        # maintained per stale store-bucket by IncrementalJoinedView —
+        # a 5-minute tick now costs O(changed stores' slice), not
+        # O(pruned silver). Day pruning still applies WITHIN the slice:
+        # the min is over the stale buckets' snapshot rows only.
+        from pos_dlt_spark.operators.gold import current_inventory
+
+        def _incremental_gold(snap: DataFrame, chg: DataFrame) -> DataFrame:
+            spark = snap.sparkSession
+            store = pipe.read(spark, "store")
+            ict = pipe.read(spark, "inventory_change_type")
+            min_day = snap.agg(
+                F.min(F.to_date("date_time")).alias("d")
+            ).collect()[0]["d"]
+            if min_day is not None and "date_day" in chg.columns:
+                chg = chg.filter(F.col("date_day") >= F.lit(min_day))
+            x = (
+                chg.join(F.broadcast(store), "store_id", "inner")
+                .join(F.broadcast(ict), "change_type_id", "inner")
+                .filter(
+                    ~((F.col("name") == "online") & (F.col("change_type") == "bopis"))
+                )
+            )
+            changes = x.select("store_id", "item_id", "quantity", "date_time")
+            snap_slice = snap.select("store_id", "item_id", "quantity", "date_time")
+            return current_inventory(snap_slice, changes)
+
+        pipe.incremental_view(
+            target="inventory_current",
+            source="latest_inventory_snapshot",
+            aux_source="inventory_change",
+            keys=["store_id", "item_id"],
+            transform=_incremental_gold,
+        )
         return pipe
 
     @pipe.table(kind="live", interval="5 minutes", comment="gold current inventory",

@@ -124,3 +124,138 @@ def test_bucket_keys_must_be_key_subset(tmp_path):
             str(tmp_path / "x"), keys=KEYS, sequence_by="date_time",
             n_buckets=4, bucket_keys=["somewhere_else"],
         )
+
+
+# -- joined view (CDC target + append-only fact input; VERDICT r11 #1) ------
+
+
+def _gold_transform(snap, chg):
+    """The flagship shape: snapshot LEFT JOIN changes grouped by key."""
+    a, b = snap.alias("a"), chg.alias("b")
+    cond = (
+        (F.col("a.store_id") == F.col("b.store_id"))
+        & (F.col("a.item_id") == F.col("b.item_id"))
+        & (F.col("a.date_time") <= F.col("b.date_time"))
+    )
+    return (
+        a.join(b, cond, "left_outer")
+        .groupBy(
+            F.col("a.store_id").alias("store_id"),
+            F.col("a.item_id").alias("item_id"),
+        )
+        .agg(
+            F.max("a.quantity").alias("snapshot_quantity"),
+            F.coalesce(F.sum(F.col("b.quantity").cast("bigint")),
+                       F.lit(0).cast("bigint")).alias("change_quantity"),
+        )
+    )
+
+
+@pytest.fixture()
+def joined(spark, tmp_path):
+    import os
+
+    from pos_dlt_spark.operators.incremental import IncrementalJoinedView
+
+    ac = ApplyChanges(
+        str(tmp_path / "silver"), keys=KEYS, sequence_by="date_time",
+        n_buckets=8, bucket_keys=["store_id"],
+    )
+    fact = str(tmp_path / "changes")
+    os.makedirs(fact, exist_ok=True)
+    view = IncrementalJoinedView(
+        ac, str(tmp_path / "gold"), _gold_transform,
+        aux_path=fact, aux_partition_col="store_id",
+    )
+    return ac, fact, view
+
+
+def _append_fact(spark, fact, rows):
+    _df(spark, rows).write.mode("append").partitionBy("store_id").parquet(fact)
+
+
+def _joined_full(spark, ac, fact, view):
+    snap = ac.read_target(spark)
+    chg = spark.read.parquet(fact)
+    return {tuple(r) for r in view.transform2(snap, chg).collect()}
+
+
+def test_joined_view_matches_full_recompute(spark, joined):
+    ac, fact, view = joined
+    ac.process_batch(_df(spark, [(1, 1, datetime(2021, 1, 2), 10),
+                                 (2, 2, datetime(2021, 1, 2), 5)]), 0)
+    _append_fact(spark, fact, [(1, 1, datetime(2021, 1, 3), 3),
+                               (1, 1, datetime(2021, 1, 1), 99),   # pre-snapshot: excluded
+                               (2, 2, datetime(2021, 1, 4), -2)])
+    assert view.refresh(spark)
+    assert {tuple(r) for r in view.read(spark).collect()} == \
+        _joined_full(spark, ac, fact, view)
+    assert view.refresh(spark) == []  # nothing changed
+
+
+def test_joined_view_fact_append_refreshes_only_its_bucket(spark, joined):
+    ac, fact, view = joined
+    ac.process_batch(_df(spark, [(1, 1, datetime(2021, 1, 1), 10),
+                                 (2, 2, datetime(2021, 1, 1), 5),
+                                 (3, 3, datetime(2021, 1, 1), 7)]), 0)
+    _append_fact(spark, fact, [(1, 1, datetime(2021, 1, 2), 1)])
+    view.refresh(spark)
+    # append facts for store 2 only -> exactly store 2's bucket refreshes
+    _append_fact(spark, fact, [(2, 2, datetime(2021, 1, 3), 4)])
+    refreshed = view.refresh(spark)
+    b2 = ac._with_bucket(
+        _df(spark, [(2, 2, datetime(2021, 1, 1), 0)])
+    ).collect()[0]["__bucket"]
+    assert refreshed == [b2], (refreshed, b2)
+    assert {tuple(r) for r in view.read(spark).collect()} == \
+        _joined_full(spark, ac, fact, view)
+
+
+def test_joined_view_cdc_merge_refreshes_only_its_bucket(spark, joined):
+    ac, fact, view = joined
+    ac.process_batch(_df(spark, [(1, 1, datetime(2021, 1, 1), 10),
+                                 (2, 2, datetime(2021, 1, 1), 5)]), 0)
+    _append_fact(spark, fact, [(1, 1, datetime(2021, 1, 2), 1),
+                               (2, 2, datetime(2021, 1, 2), 2)])
+    view.refresh(spark)
+    # a NEWER snapshot for store 1 moves its cutoff; only its bucket refreshes
+    ac.process_batch(_df(spark, [(1, 1, datetime(2021, 1, 3), 20)]), 1)
+    refreshed = view.refresh(spark)
+    b1 = ac._with_bucket(
+        _df(spark, [(1, 1, datetime(2021, 1, 1), 0)])
+    ).collect()[0]["__bucket"]
+    assert refreshed == [b1], (refreshed, b1)
+    got = {tuple(r) for r in view.read(spark).collect()}
+    assert got == _joined_full(spark, ac, fact, view)
+    # store 1's change at Jan 2 now predates its Jan 3 snapshot: excluded
+    assert (1, 1, 20, 0) in got, got
+
+
+def test_joined_view_out_of_order_and_empty_bucket(spark, joined):
+    """Out-of-order CDC traffic (older snapshot loses) and a fact
+    partition with NO snapshot rows (left-join: contributes nothing,
+    but must not break the refresh)."""
+    ac, fact, view = joined
+    ac.process_batch(_df(spark, [(1, 1, datetime(2021, 1, 5), 10)]), 0)
+    _append_fact(spark, fact, [(9, 9, datetime(2021, 1, 2), 7)])  # no snapshot for 9
+    view.refresh(spark)
+    # out-of-order older snapshot: CDC rejects it; pointer may still move
+    ac.process_batch(_df(spark, [(1, 1, datetime(2021, 1, 1), 999)]), 1)
+    view.refresh(spark)
+    got = {tuple(r) for r in view.read(spark).collect()}
+    assert got == {(1, 1, 10, 0)}, got
+    assert got == _joined_full(spark, ac, fact, view)
+
+
+def test_joined_view_requires_matching_partition_col(spark, tmp_path):
+    from pos_dlt_spark.operators.incremental import IncrementalJoinedView
+
+    ac = ApplyChanges(
+        str(tmp_path / "s"), keys=KEYS, sequence_by="date_time",
+        n_buckets=4, bucket_keys=["store_id"],
+    )
+    with pytest.raises(ValueError, match="bucket-routing column"):
+        IncrementalJoinedView(
+            ac, str(tmp_path / "g"), _gold_transform,
+            aux_path=str(tmp_path / "f"), aux_partition_col="item_id",
+        )

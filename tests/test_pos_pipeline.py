@@ -37,21 +37,23 @@ GROUP BY a.store_id, a.item_id
 """
 
 
-@pytest.fixture(scope="module", params=["parquet", "delta", "sql"])
+@pytest.fixture(scope="module", params=["parquet", "delta", "sql", "incremental"])
 def pipeline_result(request, spark, pos_fixtures, tmp_path_factory):
     """The full e2e pipeline in BOTH storage modes — plain parquet dirs
     and real protocol Delta tables (atomic overwrite commits,
     SetTransaction exactly-once streams, MERGE-maintained CDC target) —
-    plus the SQL-AUTHORED gold variant: the reference's own DLT-SQL
-    text (`04_Silver-to-Gold ETL.sql:68-103`, verbatim) through
-    Pipeline.sql_table over parquet storage. Every downstream oracle
-    assertion runs against all three."""
+    plus the SQL-AUTHORED gold variant (the reference's own DLT-SQL
+    text, `04_Silver-to-Gold ETL.sql:68-103`, through Pipeline.sql_table)
+    AND the INCREMENTAL gold variant (store-bucketed CDC +
+    IncrementalJoinedView maintaining gold O(delta) instead of the
+    5-minute full recompute). Every downstream oracle assertion runs
+    against all four."""
     storage = tmp_path_factory.mktemp(f"pos_storage_{request.param}")
     pipe = build_pos_pipeline(
         str(storage),
         pos_fixtures.root,
-        storage_format="parquet" if request.param == "sql" else request.param,
-        gold_authoring="sql" if request.param == "sql" else "python",
+        storage_format="delta" if request.param == "delta" else "parquet",
+        gold_authoring=request.param if request.param in ("sql", "incremental") else "python",
     )
     runner = PipelineRunner(pipe)
     order = runner.run_once(spark)
