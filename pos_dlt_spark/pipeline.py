@@ -138,6 +138,36 @@ class SnapshotFlowDef:
 
 
 @dataclass
+class AppendFlowDef:
+    """One DLT ``@append_flow``: a streaming query appending into a shared
+    target (``create_streaming_table``) or an external sink
+    (``create_sink``). Each flow owns its checkpoint, so flows can be
+    added or removed across pipeline restarts without disturbing the
+    target or each other. ``once=True`` is DLT's backfill flow: it runs a
+    single time and is skipped on every later update (until its
+    checkpoint is cleared by a full refresh)."""
+
+    name: str
+    target: str
+    fn: Callable[[SparkSession], DataFrame]
+    once: bool = False
+
+
+@dataclass
+class SinkDef:
+    """DLT ``create_sink``: an EXTERNAL egress target for append flows —
+    written by the pipeline, never read back through ``LIVE.``/read().
+    ``format`` is 'parquet' or 'delta'; ``options['path']`` is required
+    (the kafka sink format the reference's cluster would use is
+    environment-blocked here for the same reason sources/kafka.py is)."""
+
+    name: str
+    format: str
+    options: dict[str, str] = field(default_factory=dict)
+    deps: set[str] = field(default_factory=set)
+
+
+@dataclass
 class IncViewDef:
     target: str
     source: str  # a CDC flow target declared with n_buckets
@@ -329,6 +359,11 @@ class Pipeline:
         self.cdc_flows: dict[str, CdcFlowDef] = {}
         self.snapshot_flows: dict[str, SnapshotFlowDef] = {}
         self.inc_views: dict[str, IncViewDef] = {}
+        # DLT multi-flow surfaces: shared streaming targets + their
+        # append flows, and external sinks
+        self.streaming_targets: dict[str, TableDef] = {}
+        self.append_flows: dict[str, AppendFlowDef] = {}
+        self.sinks: dict[str, SinkDef] = {}
         self._streams_pending: list[tuple[TableDef, DataFrame]] = []
         # non-interval SET keys from sql_table scripts (DLT pipeline conf)
         self.sql_conf: dict[str, str] = {}
@@ -820,6 +855,88 @@ class Pipeline:
             aux_source=aux_source, aux_partition_col=aux_col,
         )
 
+    def create_streaming_table(
+        self,
+        name: str,
+        *,
+        comment: str = "",
+        partition_by: list[str] | None = None,
+        table_properties: dict[str, str] | None = None,
+        expectations: list | None = None,
+    ) -> None:
+        """DLT ``dlt.create_streaming_table``: declare a streaming target
+        with NO single defining query — rows arrive from one or more
+        ``@append_flow`` queries (the reference's two-store event union,
+        `02_Bronze-to-Silver ETL.py:89-92`, is the one-flow special case;
+        a regional consolidation is the many-flow general case). The
+        target is one table with one schema; every flow appends into it
+        under its own checkpoint."""
+        if (
+            name in self.tables
+            or name in self.cdc_flows
+            or name in self.streaming_targets
+        ):
+            raise ValueError(f"table {name!r} already declared")
+        self.streaming_targets[name] = TableDef(
+            name=name,
+            fn=None,  # type: ignore[arg-type]
+            kind="stream",
+            comment=comment,
+            partition_by=list(partition_by or []),
+            table_properties=dict(table_properties or {}),
+            expectations=list(expectations or []),
+        )
+
+    def append_flow(
+        self,
+        *,
+        target: str,
+        name: str | None = None,
+        once: bool = False,
+    ):
+        """DLT ``@dlt.append_flow``: register a streaming query that
+        APPENDS into a shared streaming table (``create_streaming_table``)
+        or an external sink (``create_sink``). Flows are independent:
+        each has its own checkpoint (add/remove flows across restarts
+        without touching the others' progress), and with ``once=True``
+        the flow is a one-shot backfill skipped on later updates."""
+
+        def deco(fn):
+            fname = name or fn.__name__
+            if fname in self.append_flows:
+                raise ValueError(f"append flow {fname!r} already declared")
+            if target not in self.streaming_targets and target not in self.sinks:
+                raise ValueError(
+                    f"append_flow target {target!r} is neither a "
+                    "create_streaming_table target nor a create_sink sink"
+                )
+            self.append_flows[fname] = AppendFlowDef(
+                name=fname, target=target, fn=fn, once=once
+            )
+            return fn
+
+        return deco
+
+    def create_sink(
+        self, name: str, format: str, options: dict[str, str] | None = None
+    ) -> None:
+        """DLT ``dlt.create_sink``: declare an EXTERNAL egress target for
+        append flows. Supported formats here: 'parquet' and 'delta'
+        (options['path'] required). Sinks are write-only — they never
+        appear in ``read()``/``LIVE.`` resolution."""
+        options = dict(options or {})
+        if format not in ("parquet", "delta"):
+            raise ValueError(
+                f"sink format must be parquet|delta, got {format!r} "
+                "(kafka egress needs a broker + spark-sql-kafka jar; "
+                "environment-blocked, same waiver as sources/kafka.py)"
+            )
+        if "path" not in options:
+            raise ValueError("sink options must include 'path'")
+        if name in self.sinks:
+            raise ValueError(f"sink {name!r} already declared")
+        self.sinks[name] = SinkDef(name=name, format=format, options=options)
+
     # -- paths -------------------------------------------------------------
 
     def table_path(self, name: str) -> str:
@@ -980,8 +1097,15 @@ class Pipeline:
     _current: str | None = None
 
     def _record_dep(self, name: str) -> None:
-        if self._current is not None:
-            self.tables[self._current].deps.add(name)
+        if self._current is None:
+            return
+        t = self.tables.get(self._current) or self.streaming_targets.get(
+            self._current
+        )
+        if t is not None:
+            t.deps.add(name)
+        elif self._current in self.sinks:
+            self.sinks[self._current].deps.add(name)
 
     # -- ordering ----------------------------------------------------------
 
@@ -994,10 +1118,16 @@ class Pipeline:
             + [t for t in self.cdc_flows if t not in self.tables]
             + [t for t in self.snapshot_flows if t not in self.tables]
             + [t for t in self.inc_views if t not in self.tables]
+            + [t for t in self.streaming_targets if t not in self.tables]
+            + [s for s in self.sinks if s not in self.tables]
         )
         deps = {n: set() for n in names}
         for n, t in self.tables.items():
             deps[n] = {d for d in t.deps if d in deps and d != n}
+        for n, t in self.streaming_targets.items():
+            deps[n] = {d for d in t.deps if d in deps and d != n}
+        for n, s in self.sinks.items():
+            deps[n] = {d for d in s.deps if d in deps and d != n}
         for target, flow in self.cdc_flows.items():
             deps[target] = {flow.source} if flow.source in deps else set()
         for target, sflow in self.snapshot_flows.items():
@@ -1333,6 +1463,106 @@ class PipelineRunner:
             ignore_null_updates=flow.ignore_null_updates,
         )
 
+    def _run_append_flows(self, spark: SparkSession, name: str) -> int:
+        """Refresh a multi-flow streaming target (create_streaming_table)
+        or an external sink: run each of its append flows under that
+        flow's OWN checkpoint, appending into the shared location.
+
+        Exactly-once: in delta format each flow commits with its own
+        SetTransaction appId (pipeline:target:flow), so batch replays
+        after a crash are no-ops per flow. Parquet targets append
+        per-batch files without a transaction log — a crash between
+        sink-write and checkpoint-advance can replay one batch
+        (at-least-once), the same contract as any log-less file sink.
+        ``once`` flows are skipped as soon as their checkpoint shows a
+        committed batch (DLT's backfill contract; a full refresh clears
+        the checkpoint and re-arms them)."""
+        from pyspark.sql import functions as F
+
+        sink_def = self.p.sinks.get(name)
+        if sink_def is not None:
+            t = TableDef(name=name, fn=None, kind="stream")  # type: ignore[arg-type]
+            path = sink_def.options["path"]
+            fmt = sink_def.format
+        else:
+            t = self.p.streaming_targets[name]
+            path = self.p.table_path(name)
+            fmt = self.p.storage_format
+        flows = [f for f in self.p.append_flows.values() if f.target == name]
+        if not flows:
+            raise ValueError(
+                f"streaming target {name!r} has no append flows declared"
+            )
+        total = 0
+        for flow in flows:
+            ckpt = self.p.checkpoint_path(os.path.join(name, f"flow_{flow.name}"))
+            commits = os.path.join(ckpt, "commits")
+            if flow.once and os.path.isdir(commits) and any(
+                not e.startswith(".") for e in os.listdir(commits)
+            ):
+                self.log.emit(
+                    "flow_skipped", table=name, flow=flow.name, reason="once"
+                )
+                continue
+            self.p._current = name
+            try:
+                df = flow.fn(spark)
+            finally:
+                self.p._current = None
+            exps = t.expectations
+            obs_name = f"__expectations_{name}_{flow.name}"
+            if exps:
+                df = df.observe(obs_name, *self._expectation_aggs(exps))
+                df = self._apply_drops(df, exps)
+            out_name = f"__rows_out_{name}_{flow.name}"
+            df = df.observe(out_name, F.count(F.lit(1)).cast("bigint").alias("n"))
+            if t.partition_by:
+                df = df.repartition(*t.partition_by)
+            if fmt == "delta":
+                from pos_dlt_spark.sources.delta_writer import delta_stream_sink
+
+                app_id = f"pos_dlt:{self.p.name}:{name}:{flow.name}"
+                sink = delta_stream_sink(
+                    path, app_id, partition_by=t.partition_by or None
+                )
+            else:
+                def sink(batch_df, batch_id, _p=path, _pb=t.partition_by):
+                    w = batch_df.write.mode("append")
+                    if _pb:
+                        w = w.partitionBy(*_pb)
+                    w.parquet(_p)
+
+            q = (
+                df.writeStream.foreachBatch(sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            rows = 0
+            exp_totals = {e.name: 0 for e in exps}
+            exp_totals["__rows"] = 0
+            for prog in q.recentProgress:
+                om = getattr(prog, "observedMetrics", None) or {}
+                row = om.get(out_name)
+                if row is not None:
+                    rows += int(row["n"] or 0)
+                erow = om.get(obs_name)
+                if erow is not None:
+                    for k in exp_totals:
+                        exp_totals[k] += int(erow[k] or 0)
+            if exps:
+                metrics = self._record_metrics(
+                    f"{name}:{flow.name}", exps, exp_totals
+                )
+                if self._fail_violations(metrics):
+                    raise ExpectationFailed(f"{name}:{flow.name}", metrics)
+            self.log.emit(
+                "flow_progress", table=name, flow=flow.name, rows_written=rows
+            )
+            total += rows
+        return total
+
     def _run_inc_view(self, spark: SparkSession, view) -> None:
         from pos_dlt_spark.operators.incremental import (
             IncrementalJoinedView,
@@ -1657,6 +1887,10 @@ class PipelineRunner:
             self.p._current = None
             self._run_inc_view(spark, self.p.inc_views[name])
             self.log.emit("flow_complete", table=name)
+            return
+        if name in self.p.streaming_targets or name in self.p.sinks:
+            rows = self._run_append_flows(spark, name)
+            self.log.emit("flow_complete", table=name, rows_written=rows)
             return
         t = self.p.tables[name]
         self.p._current = name

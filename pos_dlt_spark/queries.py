@@ -3775,6 +3775,63 @@ def prepare_bench_fixtures(spark: SparkSession, sf_dir: str) -> None:
 
 
 @query(
+    "pipeline_append_flows",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+    FROM orders
+    """,
+)
+def pipeline_append_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DLT multi-flow target (VERDICT r11 #2): ``create_streaming_table``
+    + two ``@append_flow`` streaming queries — the even- and odd-key
+    halves of orders landing as two separate regional feeds — appending
+    into ONE bronze table under independent checkpoints, plus a
+    ``once=True`` backfill flow that must contribute exactly once across
+    the gate's TWO pipeline updates. The oracle is the whole orders
+    table: it matches only if the flows' union is exact — no missing
+    rows, no cross-flow duplication, no double-ingested backfill."""
+    from pos_dlt_spark.pipeline import Pipeline, PipelineRunner
+    from pos_dlt_spark.tables import scratch_dir
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    work = scratch_dir("append_flows_")
+    a_dir = os.path.join(work, "region_a")
+    b_dir = os.path.join(work, "region_b")
+    h_dir = os.path.join(work, "backfill")
+    # backfill = keys % 10 == 0 (historical archive); the two regions
+    # split the live remainder by parity
+    orders.filter(F.col("o_orderkey") % 10 == 0).write.parquet(h_dir)
+    live = orders.filter(F.col("o_orderkey") % 10 != 0)
+    live.filter(F.col("o_orderkey") % 2 == 0).write.parquet(a_dir)
+    live.filter(F.col("o_orderkey") % 2 == 1).write.parquet(b_dir)
+
+    pipe = Pipeline("afgate", os.path.join(work, "storage"))
+    pipe.create_streaming_table("bronze")
+    schema = orders.schema
+
+    @pipe.append_flow(target="bronze", name="region_a")
+    def region_a(spark_):
+        return spark_.readStream.schema(schema).parquet(a_dir)
+
+    @pipe.append_flow(target="bronze", name="region_b")
+    def region_b(spark_):
+        return spark_.readStream.schema(schema).parquet(b_dir)
+
+    @pipe.append_flow(target="bronze", name="backfill", once=True)
+    def backfill(spark_):
+        return spark_.readStream.schema(schema).parquet(h_dir)
+
+    runner = PipelineRunner(pipe)
+    runner.run_once(spark)
+    # second update: no new region data; the once-flow must be SKIPPED
+    # (a re-run would duplicate every backfill row and break the oracle)
+    runner.run_once(spark)
+    return pipe.read(spark, "bronze")
+
+
+@query(
     "pipeline_event_log",
     oracle="""
     WITH p AS (

@@ -49,6 +49,91 @@ def rss_mb() -> float:
     return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
 
 
+def build_fixture(spark, input_root: str, n_events: int, timings: dict) -> int:
+    """Distributed decade fixture: dims + JSON event text feed + snapshot
+    CSVs under input_root. Returns the key count."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from pos_dlt_spark.schemas import TIMESTAMP_FORMAT
+
+    # ---------------- fixture (distributed) -------------------------
+    t0 = time.time()
+    dims = os.path.join(input_root, "dims")
+    os.makedirs(dims)
+    with open(os.path.join(dims, "store.csv"), "w") as fh:
+        fh.write("store_id,name\n")
+        for s in range(1, N_STORES + 1):
+            fh.write(f"{s},{'online' if s == N_STORES else f'store{s:03d}'}\n")
+    with open(os.path.join(dims, "item.csv"), "w") as fh:
+        fh.write("item_id,name,supplier_id,safety_stock_quantity\n")
+        for i in range(1, N_ITEMS + 1):
+            fh.write(f"{i},item{i:05d},{i % 7 + 1},{i % 40 + 5}\n")
+    with open(os.path.join(dims, "inventory_change_type.csv"), "w") as fh:
+        fh.write(
+            "change_type_id,change_type\n1,sale\n2,restock\n3,shrinkage\n4,bopis\n"
+        )
+
+    # events: hash-spread over DAYS, ~1% exact duplicate resends
+    base = spark.range(n_events).select(
+        F.format_string("{%016x}", F.col("id")).alias("trans_id"),
+        (F.pmod(F.hash("id"), F.lit(N_STORES)) + 1).cast("int").alias("store_id"),
+        F.timestamp_seconds(
+            F.lit(START_EPOCH)
+            + F.pmod(F.hash(F.col("id") + 1), F.lit(DAYS * 86400))
+        ).alias("ts"),
+        (F.pmod(F.hash(F.col("id") + 2), F.lit(4)) + 1)
+        .cast("int")
+        .alias("change_type_id"),
+        (F.pmod(F.hash(F.col("id") + 3), F.lit(N_ITEMS)) + 1)
+        .cast("int")
+        .alias("item_id"),
+        (F.pmod(F.hash(F.col("id") + 4), F.lit(9)) - 4).cast("int").alias("qty"),
+    )
+    payload = base.select(
+        F.to_json(
+            F.struct(
+                "trans_id",
+                "store_id",
+                F.date_format("ts", TIMESTAMP_FORMAT).alias("date_time"),
+                "change_type_id",
+                F.array(
+                    F.struct(
+                        F.col("item_id"), F.col("qty").alias("quantity")
+                    )
+                ).alias("items"),
+            )
+        ).alias("value")
+    )
+    dupes = payload.sample(0.01, seed=7)  # exact resends: dedup fodder
+    payload.unionAll(dupes).repartition(64).write.text(
+        os.path.join(input_root, "events")
+    )
+
+    # snapshots: one row per (store, item) key, all on SNAP_DAY
+    n_keys = N_STORES * N_ITEMS
+    snap = spark.range(n_keys).select(
+        F.col("id").cast("int").alias("id"),
+        (F.col("id") % N_ITEMS + 1).cast("int").alias("item_id"),
+        F.lit(1).cast("int").alias("employee_id"),
+        (F.col("id") / N_ITEMS + 1).cast("int").alias("store_id"),
+        F.timestamp_seconds(
+            F.lit(START_EPOCH + SNAP_DAY * 86400)
+        ).alias("date_time"),
+        (F.pmod(F.col("id"), F.lit(500))).cast("int").alias("quantity"),
+    )
+    (
+        snap.repartition(16)
+        .write.option("header", "true")
+        .option("timestampFormat", TIMESTAMP_FORMAT)
+        .csv(os.path.join(input_root, "snapshots"))
+    )
+    timings["fixture_build"] = time.time() - t0
+
+    return n_keys
+
+
 def main() -> None:
     n_events = int(float(sys.argv[1]) * 1e6) if len(sys.argv) > 1 else 20_000_000
     from pyspark.sql import SparkSession
@@ -73,78 +158,7 @@ def main() -> None:
     storage = os.path.join(root, "storage")
     timings: dict[str, float] = {}
     try:
-        # ---------------- fixture (distributed) -------------------------
-        t0 = time.time()
-        dims = os.path.join(input_root, "dims")
-        os.makedirs(dims)
-        with open(os.path.join(dims, "store.csv"), "w") as fh:
-            fh.write("store_id,name\n")
-            for s in range(1, N_STORES + 1):
-                fh.write(f"{s},{'online' if s == N_STORES else f'store{s:03d}'}\n")
-        with open(os.path.join(dims, "item.csv"), "w") as fh:
-            fh.write("item_id,name,supplier_id,safety_stock_quantity\n")
-            for i in range(1, N_ITEMS + 1):
-                fh.write(f"{i},item{i:05d},{i % 7 + 1},{i % 40 + 5}\n")
-        with open(os.path.join(dims, "inventory_change_type.csv"), "w") as fh:
-            fh.write(
-                "change_type_id,change_type\n1,sale\n2,restock\n3,shrinkage\n4,bopis\n"
-            )
-
-        # events: hash-spread over DAYS, ~1% exact duplicate resends
-        base = spark.range(n_events).select(
-            F.format_string("{%016x}", F.col("id")).alias("trans_id"),
-            (F.pmod(F.hash("id"), F.lit(N_STORES)) + 1).cast("int").alias("store_id"),
-            F.timestamp_seconds(
-                F.lit(START_EPOCH)
-                + F.pmod(F.hash(F.col("id") + 1), F.lit(DAYS * 86400))
-            ).alias("ts"),
-            (F.pmod(F.hash(F.col("id") + 2), F.lit(4)) + 1)
-            .cast("int")
-            .alias("change_type_id"),
-            (F.pmod(F.hash(F.col("id") + 3), F.lit(N_ITEMS)) + 1)
-            .cast("int")
-            .alias("item_id"),
-            (F.pmod(F.hash(F.col("id") + 4), F.lit(9)) - 4).cast("int").alias("qty"),
-        )
-        payload = base.select(
-            F.to_json(
-                F.struct(
-                    "trans_id",
-                    "store_id",
-                    F.date_format("ts", TIMESTAMP_FORMAT).alias("date_time"),
-                    "change_type_id",
-                    F.array(
-                        F.struct(
-                            F.col("item_id"), F.col("qty").alias("quantity")
-                        )
-                    ).alias("items"),
-                )
-            ).alias("value")
-        )
-        dupes = payload.sample(0.01, seed=7)  # exact resends: dedup fodder
-        payload.unionAll(dupes).repartition(64).write.text(
-            os.path.join(input_root, "events")
-        )
-
-        # snapshots: one row per (store, item) key, all on SNAP_DAY
-        n_keys = N_STORES * N_ITEMS
-        snap = spark.range(n_keys).select(
-            F.col("id").cast("int").alias("id"),
-            (F.col("id") % N_ITEMS + 1).cast("int").alias("item_id"),
-            F.lit(1).cast("int").alias("employee_id"),
-            (F.col("id") / N_ITEMS + 1).cast("int").alias("store_id"),
-            F.timestamp_seconds(
-                F.lit(START_EPOCH + SNAP_DAY * 86400)
-            ).alias("date_time"),
-            (F.pmod(F.col("id"), F.lit(500))).cast("int").alias("quantity"),
-        )
-        (
-            snap.repartition(16)
-            .write.option("header", "true")
-            .option("timestampFormat", TIMESTAMP_FORMAT)
-            .csv(os.path.join(input_root, "snapshots"))
-        )
-        timings["fixture_build"] = time.time() - t0
+        n_keys = build_fixture(spark, input_root, n_events, timings)
         rss_before = rss_mb()
 
         # ---------------- pipeline run (delta mode) ---------------------
