@@ -113,6 +113,7 @@ class CdcFlowDef:
     keys: list[str]
     sequence_by: str
     tiebreakers: list[str] = field(default_factory=list)
+    reset_allowed: bool = True  # DLT pipelines.reset.allowed
     n_buckets: int | None = None  # partial-rewrite merge (see operators/cdc.py)
     bucket_keys: list[str] | None = None  # route by a key subset (rollup locality)
     apply_as_deletes: str | None = None  # DLT: source rows matching = tombstones
@@ -730,6 +731,7 @@ class Pipeline:
         track_history_except_column_list: list[str] | None = None,
         column_list: list[str] | None = None,
         ignore_null_updates: bool = False,
+        reset_allowed: bool = True,
     ) -> None:
         """Declare a CDC-maintained keyed table (reference W3). With
         ``n_buckets`` the target is key-hash-bucketed and each micro-batch
@@ -758,6 +760,7 @@ class Pipeline:
             )
         self.cdc_flows[target] = CdcFlowDef(
             target=target, source=source, keys=keys, sequence_by=sequence_by,
+            reset_allowed=reset_allowed,
             tiebreakers=list(tiebreakers or []), n_buckets=n_buckets,
             bucket_keys=list(bucket_keys) if bucket_keys else None,
             apply_as_deletes=apply_as_deletes,
@@ -1904,18 +1907,88 @@ class PipelineRunner:
             rows = self._run_stream(df, t)
         self.log.emit("flow_complete", table=name, rows_written=rows)
 
-    def run_once(self, spark: SparkSession) -> list[str]:
+    # -- full refresh (DLT pipelines.reset.allowed) ------------------------
+
+    def _reset_allowed(self, name: str) -> bool:
+        t = self.p.tables.get(name) or self.p.streaming_targets.get(name)
+        if t is not None:
+            return (
+                str(
+                    t.table_properties.get("pipelines.reset.allowed", "true")
+                ).lower()
+                != "false"
+            )
+        flow = self.p.cdc_flows.get(name)
+        if flow is not None:
+            return flow.reset_allowed
+        return True
+
+    def _reset_table(self, name: str) -> None:
+        """Drop one table's stored state + checkpoints so the next refresh
+        recomputes it from scratch (streams re-ingest everything; CDC
+        re-merges from an empty target; once-flows re-arm)."""
+        tp = self.p.table_path(name)
+        shutil.rmtree(tp, ignore_errors=True)
+        for sidecar in (tp + "._ac_meta.json", tp + "._snapshot_meta.json"):
+            try:
+                os.remove(sidecar)
+            except FileNotFoundError:
+                pass
+        for suffix in (".__old", ".__pending__", ".__old__"):
+            shutil.rmtree(tp + suffix, ignore_errors=True)
+        shutil.rmtree(self.p.checkpoint_path(name), ignore_errors=True)
+
+    def _full_refresh_reset(self, order: list[str], selection) -> None:
+        """Reset every (selected) table honoring DLT's
+        ``pipelines.reset.allowed = false`` escape hatch. External sinks
+        are NEVER truncated and their flow checkpoints are kept — a full
+        refresh must not double-publish into egress a downstream consumer
+        already read."""
+        selected = set(order if selection is True else selection)
+        for name in order:
+            if name not in selected or name in self.p.sinks:
+                continue
+            if not self._reset_allowed(name):
+                self.log.emit(
+                    "reset_skipped", table=name,
+                    reason="pipelines.reset.allowed=false",
+                )
+                continue
+            self._reset_table(name)
+            self.log.emit("reset", table=name)
+
+    def run_once(
+        self, spark: SparkSession, full_refresh: bool | list[str] = False
+    ) -> list[str]:
         """One full pass: every table refreshed once, in dependency order.
 
         The first pass discovers dependencies while running in declared
         order (which must therefore be topologically valid, as in DLT
         notebooks); later passes use the recorded DAG. Every pass is one
-        ledgered UPDATE in the event log — update_start, per-table
-        flow_start/flow_complete (+ expectation and flow_progress
-        events), update_complete with COMPLETED/FAILED status."""
+        ledgered UPDATE in the event log — update_start (with its
+        ``update_mode``), per-table flow_start/flow_complete
+        (+ expectation and flow_progress events), update_complete with
+        COMPLETED/FAILED status.
+
+        ``full_refresh=True`` is DLT's full refresh: before running,
+        every table's stored state AND checkpoints are deleted (streams
+        re-ingest from the beginning, CDC targets rebuild, once-flows
+        re-run), EXCEPT tables declaring
+        ``pipelines.reset.allowed = false`` (table_properties / the
+        apply_changes ``reset_allowed`` flag), which keep their data and
+        continue incrementally — DLT's protection for sources with
+        limited retention. A list of names full-refreshes just that
+        selection (DLT's refresh-selection UI)."""
         order = self.p.topo_order()
         self.log.begin_update()
-        self.log.emit("update_start", pipeline=self.p.name)
+        mode = (
+            "FULL_REFRESH"
+            if full_refresh is True
+            else "PARTIAL_FULL_REFRESH" if full_refresh else "INCREMENTAL"
+        )
+        self.log.emit("update_start", pipeline=self.p.name, update_mode=mode)
+        if full_refresh:
+            self._full_refresh_reset(order, full_refresh)
         try:
             for name in order:
                 self.run_table(spark, name)
