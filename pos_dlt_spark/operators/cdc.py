@@ -220,6 +220,7 @@ class ApplyChanges:
         except_column_list: Sequence[str] = (),
         stored_as_scd_type: int = 1,
         track_history_except_column_list: Sequence[str] = (),
+        track_history_column_list: Sequence[str] | None = None,
         column_list: Sequence[str] | None = None,
         ignore_null_updates: bool = False,
     ) -> None:
@@ -232,6 +233,35 @@ class ApplyChanges:
                 "track_history_except_column_list requires "
                 "stored_as_scd_type=2 (SCD1 keeps no history to track)"
             )
+        # DLT's track_history_column_list: the POSITIVE form — ONLY the
+        # listed columns' changes open new versions; every other non-key
+        # column refreshes in place. Complement of the except form,
+        # resolved against the actual batch columns at merge time.
+        if track_history_column_list is not None:
+            if stored_as_scd_type != 2:
+                raise ValueError(
+                    "track_history_column_list requires stored_as_scd_type=2"
+                )
+            if track_history_except_column_list:
+                raise ValueError(
+                    "track_history_column_list and "
+                    "track_history_except_column_list are mutually "
+                    "exclusive (DLT's contract)"
+                )
+            overlap = set(track_history_column_list) & (
+                set(keys) | {sequence_by}
+            )
+            if overlap:
+                raise ValueError(
+                    "track_history_column_list cannot contain keys or "
+                    f"sequence_by: {sorted(overlap)} (keys always identify "
+                    "a history; the sequence always orders it)"
+                )
+        self.track_history_only = (
+            list(track_history_column_list)
+            if track_history_column_list is not None
+            else None
+        )
         self.track_history_except = list(track_history_except_column_list)
         self.scd_type = stored_as_scd_type
         self.target_path = target_path
@@ -295,6 +325,27 @@ class ApplyChanges:
             raise ValueError(
                 f"bucket_keys {self.bucket_keys} must be a subset of keys {self.keys}"
             )
+
+    def _untracked_for(self, columns: Sequence[str]) -> list[str]:
+        """Effective untracked-column list for a merge over ``columns``:
+        the declared except-list, or (positive form) every data column
+        NOT in track_history_column_list."""
+        if self.track_history_only is None:
+            return self.track_history_except
+        # tiebreakers stay tracked: they are part of the version ordering
+        # identity, so collapsing runs across differing tiebreaker values
+        # would make replays order-dependent
+        reserved = (
+            set(self.keys)
+            | {self.sequence_by, "__tombstone", "__bucket"}
+            | set(self.tiebreakers)
+            | set(SCD2_COLS)
+        )
+        return [
+            c
+            for c in columns
+            if c not in reserved and c not in set(self.track_history_only)
+        ]
 
     def _with_bucket(self, df: DataFrame) -> DataFrame:
         return df.withColumn(
@@ -413,7 +464,7 @@ class ApplyChanges:
             self.sequence_by,
             self.tiebreakers,
             has_tombstones=bool(self.apply_as_deletes),
-            untracked=self.track_history_except,
+            untracked=self._untracked_for(rows.columns),
         )
 
     def merge(self, target: DataFrame | None, batch: DataFrame) -> DataFrame:
@@ -522,6 +573,14 @@ class ApplyChanges:
                     "the tracked-column set mid-life makes old runs and "
                     "new runs collapse differently — recreate the target"
                 )
+            if manifest.get("track_history_only") != self.track_history_only:
+                raise ValueError(
+                    "track_history_column_list mismatch: target stores "
+                    f"{manifest.get('track_history_only')}, flow declares "
+                    f"{self.track_history_only}; changing the tracked-column "
+                    "set mid-life makes old runs and new runs collapse "
+                    "differently — recreate the target"
+                )
             if int(manifest.get("scd_type", 1)) != self.scd_type:
                 raise ValueError(
                     f"SCD-type mismatch: target stores type "
@@ -624,6 +683,7 @@ class ApplyChanges:
             "schema": schema_json,
             "scd_type": self.scd_type,
             "track_history_except": self.track_history_except,
+            "track_history_only": self.track_history_only,
         }
         self._commit_manifest(new_manifest)
         for entry in gc_entries:
@@ -817,6 +877,7 @@ class ApplyChanges:
         declared = {
             "scd_type": self.scd_type,
             "track_history_except": self.track_history_except,
+            "track_history_only": self.track_history_only,
         }
         try:
             with open(self._ac_meta_path()) as f:
@@ -828,7 +889,11 @@ class ApplyChanges:
                 # one only if it claims the historical default (SCD1,
                 # nothing untracked); anything else is indistinguishable
                 # from a reinterpretation and must recreate the target
-                if self.scd_type != 1 or self.track_history_except:
+                if (
+                    self.scd_type != 1
+                    or self.track_history_except
+                    or self.track_history_only is not None
+                ):
                     raise ValueError(
                         f"target {self.target_path} predates the scd_type "
                         "sidecar and cannot prove it was written with "
@@ -854,6 +919,15 @@ class ApplyChanges:
                 f"{self.target_path} stores "
                 f"{stored.get('track_history_except', [])}, flow declares "
                 f"{self.track_history_except}; changing the tracked-column "
+                "set mid-life makes old runs and new runs collapse "
+                "differently — recreate the target"
+            )
+        if stored.get("track_history_only") != self.track_history_only:
+            raise ValueError(
+                "track_history_column_list mismatch: target "
+                f"{self.target_path} stores "
+                f"{stored.get('track_history_only')}, flow declares "
+                f"{self.track_history_only}; changing the tracked-column "
                 "set mid-life makes old runs and new runs collapse "
                 "differently — recreate the target"
             )
@@ -1013,7 +1087,7 @@ class ApplyChanges:
                 self.sequence_by,
                 self.tiebreakers,
                 has_tombstones=bool(self.apply_as_deletes),
-                untracked=self.track_history_except,
+                untracked=self._untracked_for(merged.columns),
             )
 
         # Dir name includes the manifest generation it will commit as: a
@@ -1117,6 +1191,7 @@ class ApplyChangesFromSnapshot:
         keys: Sequence[str],
         stored_as_scd_type: int = 2,
         track_history_except_column_list: Sequence[str] = (),
+        track_history_column_list: Sequence[str] | None = None,
     ) -> None:
         if stored_as_scd_type not in (1, 2):
             raise ValueError(
@@ -1126,10 +1201,41 @@ class ApplyChangesFromSnapshot:
             raise ValueError(
                 "track_history_except_column_list requires stored_as_scd_type=2"
             )
+        if track_history_column_list is not None:
+            if stored_as_scd_type != 2:
+                raise ValueError(
+                    "track_history_column_list requires stored_as_scd_type=2"
+                )
+            if track_history_except_column_list:
+                raise ValueError(
+                    "track_history_column_list and "
+                    "track_history_except_column_list are mutually "
+                    "exclusive (DLT's contract)"
+                )
+            if set(track_history_column_list) & set(keys):
+                raise ValueError(
+                    "track_history_column_list cannot contain keys"
+                )
         self.target_path = target_path
         self.keys = list(keys)
         self.scd_type = stored_as_scd_type
+        self.track_only = (
+            list(track_history_column_list)
+            if track_history_column_list is not None
+            else None
+        )
         self.untracked = list(track_history_except_column_list)
+
+    def _untracked_for(self, data_cols: Sequence[str]) -> list[str]:
+        """Effective untracked set: the except form, or (positive form)
+        every non-key data column NOT listed."""
+        if self.track_only is None:
+            return self.untracked
+        return [
+            c
+            for c in data_cols
+            if c not in set(self.keys) and c not in set(self.track_only)
+        ]
 
     # -- version bookkeeping ------------------------------------------------
 
@@ -1217,10 +1323,11 @@ class ApplyChangesFromSnapshot:
             )
         open_rows = cur.filter(F.col("__END_AT").isNull())
         closed = cur.filter(F.col("__END_AT").isNotNull())
+        untracked = set(self._untracked_for(data_cols))
         tracked = [
             c
             for c in data_cols
-            if c not in set(self.keys) and c not in set(self.untracked)
+            if c not in set(self.keys) and c not in untracked
         ]
         # explicit presence markers on BOTH join sides: the join condition
         # is eqNullSafe, so a row whose key columns are NULL still matches —
@@ -1247,7 +1354,7 @@ class ApplyChangesFromSnapshot:
         keep_open = j.filter(in_open & in_snap & same_tracked).select(
             *[
                 # untracked columns refresh from the snapshot in place
-                (F.col(f"__s_{c}") if c in set(self.untracked) else F.col(c)).alias(c)
+                (F.col(f"__s_{c}") if c in untracked else F.col(c)).alias(c)
                 for c in data_cols
             ],
             "__START_AT",

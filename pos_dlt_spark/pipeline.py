@@ -121,6 +121,7 @@ class CdcFlowDef:
     stored_as_scd_type: int = 1  # DLT: 1 = latest state, 2 = maintained history
     # DLT: SCD2 changes touching ONLY these columns update in place
     track_history_except_column_list: list[str] | None = None
+    track_history_column_list: list[str] | None = None
     column_list: list[str] | None = None  # DLT: positive projection
     ignore_null_updates: bool = False  # DLT: NULL = no change (inherit)
 
@@ -136,6 +137,7 @@ class SnapshotFlowDef:
     keys: list[str]
     stored_as_scd_type: int = 2
     track_history_except_column_list: list[str] | None = None
+    track_history_column_list: list[str] | None = None
 
 
 @dataclass
@@ -272,7 +274,7 @@ _SQL_APPLY_RE = re.compile(
     r"SEQUENCE\s+BY\s+(?P<seq>[A-Za-z_]\w*)\s*"
     r"(?:COLUMNS\s+(?:\*\s+EXCEPT\s*\((?P<except>[^)]*)\)|\((?P<collist>[^)]*)\))\s*)?"
     r"(?:STORED\s+AS\s+SCD\s+TYPE\s+(?P<scd>\d+)\s*)?"
-    r"(?:TRACK\s+HISTORY\s+ON\s+\*\s+EXCEPT\s*\((?P<trackexc>[^)]*)\)\s*)?$",
+    r"(?:TRACK\s+HISTORY\s+ON\s+(?:\*\s+EXCEPT\s*\((?P<trackexc>[^)]*)\)|\((?P<trackon>[^)]*)\))\s*)?$",
     re.I | re.S,
 )
 _SQL_VIEW_RE = re.compile(
@@ -517,6 +519,15 @@ class Pipeline:
                         if ma.group("trackexc")
                         else None
                     ),
+                    track_history_column_list=(
+                        [
+                            c.strip()
+                            for c in ma.group("trackon").split(",")
+                            if c.strip()
+                        ]
+                        if ma.group("trackon")
+                        else None
+                    ),
                 )
                 created.append(ma.group("target"))
                 continue
@@ -729,6 +740,7 @@ class Pipeline:
         except_column_list: list[str] | None = None,
         stored_as_scd_type: int = 1,
         track_history_except_column_list: list[str] | None = None,
+        track_history_column_list: list[str] | None = None,
         column_list: list[str] | None = None,
         ignore_null_updates: bool = False,
         reset_allowed: bool = True,
@@ -751,6 +763,10 @@ class Pipeline:
             raise ValueError(
                 "track_history_except_column_list requires stored_as_scd_type=2"
             )
+        if track_history_column_list is not None and stored_as_scd_type != 2:
+            raise ValueError(
+                "track_history_column_list requires stored_as_scd_type=2"
+            )
         if ignore_null_updates and self.storage_format == "delta" and n_buckets is None:
             raise ValueError(
                 "ignore_null_updates on a Delta-stored flow is not "
@@ -771,6 +787,11 @@ class Pipeline:
                 if track_history_except_column_list
                 else None
             ),
+            track_history_column_list=(
+                list(track_history_column_list)
+                if track_history_column_list is not None
+                else None
+            ),
             column_list=list(column_list) if column_list else None,
             ignore_null_updates=ignore_null_updates,
         )
@@ -783,6 +804,7 @@ class Pipeline:
         keys: list[str],
         stored_as_scd_type: int = 2,
         track_history_except_column_list: list[str] | None = None,
+        track_history_column_list: list[str] | None = None,
     ) -> None:
         """Declare a target maintained by SNAPSHOT DIFFING (DLT's
         ``apply_changes_from_snapshot``): every pipeline update reads the
@@ -802,6 +824,11 @@ class Pipeline:
             track_history_except_column_list=(
                 list(track_history_except_column_list)
                 if track_history_except_column_list
+                else None
+            ),
+            track_history_column_list=(
+                list(track_history_column_list)
+                if track_history_column_list is not None
                 else None
             ),
         )
@@ -1462,6 +1489,7 @@ class PipelineRunner:
             track_history_except_column_list=(
                 flow.track_history_except_column_list or ()
             ),
+            track_history_column_list=flow.track_history_column_list,
             column_list=flow.column_list,
             ignore_null_updates=flow.ignore_null_updates,
         )
@@ -1605,6 +1633,7 @@ class PipelineRunner:
             track_history_except_column_list=(
                 sflow.track_history_except_column_list or ()
             ),
+            track_history_column_list=sflow.track_history_column_list,
         )
         snap = self.p.read(spark, sflow.source)
         # snapshot version = this update's ledger id: strictly increasing
@@ -1659,7 +1688,19 @@ class PipelineRunner:
                         *(["__tombstone"] if flow.apply_as_deletes else []),
                     )
                 incoming = incoming.dropDuplicates()
-                untracked = tuple(flow.track_history_except_column_list or ())
+                if flow.track_history_column_list is not None:
+                    listed = set(flow.track_history_column_list)
+                    reserved = (
+                        set(flow.keys)
+                        | {flow.sequence_by, "__tombstone", *SCD2_COLS}
+                        | set(flow.tiebreakers)
+                    )
+                    untracked = tuple(
+                        c for c in incoming.columns
+                        if c not in reserved and c not in listed
+                    )
+                else:
+                    untracked = tuple(flow.track_history_except_column_list or ())
                 rebuild = lambda rows: scd2_rebuild(  # noqa: E731
                     rows, flow.keys, flow.sequence_by, flow.tiebreakers,
                     has_tombstones=bool(flow.apply_as_deletes),

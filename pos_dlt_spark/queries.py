@@ -4048,6 +4048,97 @@ def pos_scd2_track_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pos_scd2_track_history_only",
+    oracle="""
+    WITH c AS (
+        SELECT l_suppkey AS store_id, l_partkey AS item_id,
+               CAST(l_shipdate AS DATE) AS d,
+               CAST(SUM(l_quantity) AS BIGINT) AS quantity
+        FROM lineitem WHERE l_suppkey % 7 = 3
+        GROUP BY 1, 2, 3
+    ), lv AS (
+        SELECT *, CAST(FLOOR(quantity / 25) AS BIGINT) AS level FROM c
+    ), fl AS (
+        SELECT *, CASE WHEN lag(level) OVER (
+                           PARTITION BY store_id, item_id ORDER BY d
+                       ) IS DISTINCT FROM level THEN 1 ELSE 0 END AS nr
+        FROM lv
+    ), rn AS (
+        SELECT *, SUM(nr) OVER (
+                      PARTITION BY store_id, item_id ORDER BY d
+                      ROWS UNBOUNDED PRECEDING
+                  ) AS run
+        FROM fl
+    ), coll AS (
+        SELECT store_id, item_id, level,
+               MIN(d) AS start_d,
+               arg_max(quantity, d) AS quantity
+        FROM rn GROUP BY store_id, item_id, run, level
+    )
+    SELECT store_id, item_id, level, quantity,
+           CAST(start_d AS TIMESTAMP) AS valid_from,
+           CAST(lead(start_d) OVER (
+               PARTITION BY store_id, item_id ORDER BY start_d
+           ) AS TIMESTAMP) AS valid_to
+    FROM coll
+    """,
+)
+def pos_scd2_track_history_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DLT ``track_history_column_list`` — the POSITIVE form (r12,
+    completing the SCD2 parameter matrix next to the r11 except form):
+    ONLY the listed columns' changes open versions; everything else
+    updates in place. Here ``level`` (quantity div 25) is the single
+    tracked column, so the raw quantity refreshes within a run exactly
+    as the except-form twin ``pos_scd2_track_history`` — but resolved
+    from the positive declaration against the batch schema at merge
+    time. Different store slice + granularity than the twin; the oracle
+    is an independent SQL run-collapse."""
+    from pos_dlt_spark.operators.cdc import ApplyChanges
+    from pos_dlt_spark.tables import scratch_dir
+
+    key = os.path.abspath(sf_dir) + "#scd2_track_only"
+    if key not in _DELTA_RT_CACHE:
+        import atexit
+        import shutil
+
+        work = scratch_dir("scd2_trackon_")
+        atexit.register(shutil.rmtree, work, ignore_errors=True)
+        daily = (
+            load_table(spark, sf_dir, "lineitem")
+            .filter(F.col("l_suppkey") % 7 == 3)
+            .groupBy(
+                F.col("l_suppkey").alias("store_id"),
+                F.col("l_partkey").alias("item_id"),
+                F.to_date("l_shipdate").alias("date_day"),
+            )
+            .agg(F.sum("l_quantity").cast("bigint").alias("quantity"))
+            .withColumn(
+                "level", F.floor(F.col("quantity") / 25).cast("bigint")
+            )
+        )
+        ac = ApplyChanges(
+            os.path.join(work, "t"),
+            keys=["store_id", "item_id"],
+            sequence_by="date_day",
+            stored_as_scd_type=2,
+            track_history_column_list=["level"],
+        )
+        cut = F.lit("1995-01-01").cast("date")
+        ac.process_batch(daily.filter(F.col("date_day") < cut), 0)
+        ac.process_batch(daily.filter(F.col("date_day") >= cut), 1)
+        _DELTA_RT_CACHE[key] = ac
+    ac = _DELTA_RT_CACHE[key]
+    return ac.read_target(spark).select(
+        "store_id",
+        "item_id",
+        "level",
+        "quantity",
+        F.col("__START_AT").cast("timestamp").alias("valid_from"),
+        F.col("__END_AT").cast("timestamp").alias("valid_to"),
+    )
+
+
+@query(
     "orders_scd2_from_snapshots",
     oracle="""
     WITH o AS (SELECT o_orderkey AS k, o_totalprice AS price FROM orders)

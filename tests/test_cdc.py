@@ -1070,3 +1070,152 @@ def test_unbucketed_legacy_target_without_sidecar(spark, tmp_path):
                        stored_as_scd_type=2)
     with pytest.raises(ValueError, match="predates the scd_type sidecar"):
         bad.process_batch(spark.createDataFrame([(1, 1, 30, 7)], cols), 2)
+
+
+def test_scd2_track_history_column_list_positive(spark, tmp_path):
+    """DLT track_history_column_list (POSITIVE form, r12): ONLY the
+    listed columns' changes open versions; every other data column
+    refreshes in place. Pinned to the exact semantics of the except-form
+    twin (test_scd2_track_history_except_columns) on the same traffic:
+    declaring track=[v] over schema (k, seq, v, note) must behave
+    byte-identically to except=[note]."""
+    from pos_dlt_spark.operators.cdc import ApplyChanges
+
+    ac = ApplyChanges(
+        str(tmp_path / "t"), keys=["k"], sequence_by="seq",
+        stored_as_scd_type=2, track_history_column_list=["v"],
+    )
+    cols = "k int, seq int, v string, note string"
+    b1 = spark.createDataFrame(
+        [(1, 10, "a", "n1"), (1, 20, "a", "n2"), (1, 30, "b", "n3")], cols
+    )
+    ac.process_batch(b1, 0)
+    got = sorted(
+        (r["k"], r["v"], r["note"], r["__START_AT"], r["__END_AT"])
+        for r in ac.read_target(spark).collect()
+    )
+    assert got == [(1, "a", "n2", 10, 30), (1, "b", "n3", 30, None)], got
+    # out-of-order untracked-only row absorbed in place (same as twin)
+    ac.process_batch(
+        spark.createDataFrame([(1, 15, "a", "nX")], cols), 1
+    )
+    got2 = sorted(
+        (r["k"], r["v"], r["note"], r["__START_AT"], r["__END_AT"])
+        for r in ac.read_target(spark).collect()
+    )
+    assert got2 == [(1, "a", "nX", 10, 30), (1, "b", "n3", 30, None)], got2
+    # replay reclaims; second replay is a fixpoint
+    ac.process_batch(b1, 2)
+    got3 = sorted(
+        (r["k"], r["v"], r["note"], r["__START_AT"], r["__END_AT"])
+        for r in ac.read_target(spark).collect()
+    )
+    assert got3 == [(1, "a", "n2", 10, 30), (1, "b", "n3", 30, None)], got3
+    ac.process_batch(b1, 3)
+    got4 = sorted(
+        (r["k"], r["v"], r["note"], r["__START_AT"], r["__END_AT"])
+        for r in ac.read_target(spark).collect()
+    )
+    assert got4 == got3
+    # sidecar pins the positive list for unbucketed targets: redeclaring
+    # with a different tracked set (or the except form) fails fast
+    other = ApplyChanges(
+        str(tmp_path / "t"), keys=["k"], sequence_by="seq",
+        stored_as_scd_type=2, track_history_column_list=["v", "note"],
+    )
+    with pytest.raises(ValueError, match="track_history_column_list"):
+        other.process_batch(
+            spark.createDataFrame([(2, 10, "c", "n")], cols), 4
+        )
+    asexc = ApplyChanges(
+        str(tmp_path / "t"), keys=["k"], sequence_by="seq",
+        stored_as_scd_type=2, track_history_except_column_list=["note"],
+    )
+    with pytest.raises(ValueError):
+        asexc.process_batch(
+            spark.createDataFrame([(2, 10, "c", "n")], cols), 4
+        )
+
+
+def test_scd2_track_history_column_list_validation(spark, tmp_path):
+    """Positive-form contract: SCD2 only, mutually exclusive with the
+    except form, and never allowed to list keys or sequence_by."""
+    from pos_dlt_spark.operators.cdc import ApplyChanges, ApplyChangesFromSnapshot
+
+    with pytest.raises(ValueError, match="stored_as_scd_type=2"):
+        ApplyChanges(str(tmp_path / "a"), keys=["k"], sequence_by="seq",
+                     track_history_column_list=["v"])
+    with pytest.raises(ValueError, match="mutually"):
+        ApplyChanges(str(tmp_path / "b"), keys=["k"], sequence_by="seq",
+                     stored_as_scd_type=2,
+                     track_history_column_list=["v"],
+                     track_history_except_column_list=["note"])
+    with pytest.raises(ValueError, match="keys or"):
+        ApplyChanges(str(tmp_path / "c"), keys=["k"], sequence_by="seq",
+                     stored_as_scd_type=2,
+                     track_history_column_list=["k", "v"])
+    with pytest.raises(ValueError, match="keys or"):
+        ApplyChanges(str(tmp_path / "d"), keys=["k"], sequence_by="seq",
+                     stored_as_scd_type=2,
+                     track_history_column_list=["seq"])
+    with pytest.raises(ValueError, match="stored_as_scd_type=2"):
+        ApplyChangesFromSnapshot(str(tmp_path / "e"), keys=["k"],
+                                 stored_as_scd_type=1,
+                                 track_history_column_list=["v"])
+    with pytest.raises(ValueError, match="mutually"):
+        ApplyChangesFromSnapshot(str(tmp_path / "f"), keys=["k"],
+                                 track_history_column_list=["v"],
+                                 track_history_except_column_list=["note"])
+    with pytest.raises(ValueError, match="keys"):
+        ApplyChangesFromSnapshot(str(tmp_path / "g"), keys=["k"],
+                                 track_history_column_list=["k"])
+
+
+def test_scd2_track_history_positive_bucketed_manifest(spark, tmp_path):
+    """Bucketed targets pin the positive list in the manifest — a flow
+    redeclared without it (or with a different list) refuses."""
+    from pos_dlt_spark.operators.cdc import ApplyChanges
+
+    t = str(tmp_path / "t")
+    cols = "k int, seq int, v string, note string"
+    ac = ApplyChanges(t, keys=["k"], sequence_by="seq", n_buckets=4,
+                      stored_as_scd_type=2,
+                      track_history_column_list=["v"])
+    ac.process_batch(spark.createDataFrame(
+        [(1, 10, "a", "n1"), (1, 20, "a", "n2")], cols), 0)
+    got = sorted(
+        (r["k"], r["v"], r["note"], r["__START_AT"], r["__END_AT"])
+        for r in ac.read_target(spark).collect()
+    )
+    assert got == [(1, "a", "n2", 10, None)], got
+    bad = ApplyChanges(t, keys=["k"], sequence_by="seq", n_buckets=4,
+                       stored_as_scd_type=2)
+    with pytest.raises(ValueError, match="track_history_column_list"):
+        bad.process_batch(spark.createDataFrame([(1, 30, "b", "n")], cols), 1)
+
+
+def test_apply_changes_from_snapshot_track_history_positive(spark, tmp_path):
+    """Snapshot diffing with the positive form: only changes to the
+    listed columns open versions; others refresh in place — pinned to
+    the except-form snapshot test's traffic and expectations."""
+    from pos_dlt_spark.operators.cdc import ApplyChangesFromSnapshot
+
+    ac = ApplyChangesFromSnapshot(
+        str(tmp_path / "t"), keys=["k"], stored_as_scd_type=2,
+        track_history_column_list=["v"],
+    )
+    cols = "k int, v string, note string"
+    s1 = spark.createDataFrame(
+        [(1, "a", "n1"), (2, "b", "n1"), (3, "c", "n1")], cols)
+    s2 = spark.createDataFrame([(1, "a2", "n1"), (2, "b", "n2")], cols)
+    assert ac.process_snapshot(s1, 1)
+    assert ac.process_snapshot(s2, 2)
+    got = sorted(
+        (r["k"], r["v"], r["note"], r["__START_AT"], r["__END_AT"])
+        for r in ac.read_target(spark).collect()
+    )
+    assert got == [
+        (1, "a", "n1", 1, 2), (1, "a2", "n1", 2, None),
+        (2, "b", "n2", 1, None),
+        (3, "c", "n1", 1, 2),
+    ], got

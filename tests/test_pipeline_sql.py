@@ -623,3 +623,90 @@ def test_cdc_counted_caches_micro_batch(spark, tmp_path, monkeypatch):
             if e["event_type"] == "flow_progress" and e["table_name"] == "cur"]
     assert rows and rows[0]["num_source_rows"] == 5
     assert rows[0]["num_upserted_rows"] == 5
+
+
+def test_sql_apply_changes_track_history_positive(spark, tmp_path):
+    """DLT SQL: TRACK HISTORY ON (cols) — the positive form — parses
+    into track_history_column_list, end-to-end through the pipeline
+    runner: only listed columns' changes open versions."""
+    import json as _json
+
+    in_dir = str(tmp_path / "land")
+    os.makedirs(in_dir)
+    pipe = Pipeline("p_trackon", str(tmp_path / "store"))
+
+    @pipe.table(kind="stream")
+    def src(spark_):
+        schema = "k INT, seq INT, v STRING, note STRING"
+        return spark_.readStream.schema(schema).json(in_dir)
+
+    pipe.sql_table(
+        "APPLY CHANGES INTO LIVE.hist FROM STREAM(LIVE.src) KEYS (k) "
+        "SEQUENCE BY seq STORED AS SCD TYPE 2 "
+        "TRACK HISTORY ON (v)"
+    )
+    flow = pipe.cdc_flows["hist"]
+    assert flow.stored_as_scd_type == 2
+    assert flow.track_history_column_list == ["v"]
+    assert flow.track_history_except_column_list is None
+
+    def land(name, rows):
+        with open(os.path.join(in_dir, name), "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    land("b1.json", [
+        {"k": 1, "seq": 10, "v": "a", "note": "n1"},
+        {"k": 1, "seq": 20, "v": "a", "note": "n2"},
+        {"k": 1, "seq": 30, "v": "b", "note": "n3"},
+    ])
+    runner = PipelineRunner(pipe)
+    runner.run_once(spark)
+    got = sorted(
+        (r["k"], r["v"], r["note"], r["__START_AT"], r["__END_AT"])
+        for r in pipe.read(spark, "hist").collect()
+    )
+    # note-only change at seq 20 absorbed in place; v change versions
+    assert got == [(1, "a", "n2", 10, 30), (1, "b", "n3", 30, None)], got
+
+
+def test_scd2_track_history_positive_delta_mode(spark, tmp_path):
+    """Positive form over Delta storage: the runner's scd2 sink derives
+    the untracked set from the batch schema (everything not listed), so
+    the Delta MERGE engine collapses note-only runs exactly like the
+    parquet engine."""
+    import json as _json
+
+    in_dir = str(tmp_path / "land")
+    os.makedirs(in_dir)
+    pipe = Pipeline("d_trackon", str(tmp_path / "store"),
+                    storage_format="delta")
+
+    @pipe.table(kind="stream")
+    def feed(spark_):
+        schema = "k INT, seq INT, v STRING, note STRING"
+        return spark_.readStream.schema(schema).json(in_dir)
+
+    pipe.apply_changes(
+        target="hist", source="feed", keys=["k"], sequence_by="seq",
+        stored_as_scd_type=2, track_history_column_list=["v"],
+    )
+
+    def land(name, rows):
+        with open(os.path.join(in_dir, name), "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    land("b1.json", [
+        {"k": 1, "seq": 10, "v": "a", "note": "n1"},
+        {"k": 1, "seq": 20, "v": "a", "note": "n2"},
+        {"k": 1, "seq": 30, "v": "b", "note": "n3"},
+    ])
+    runner = PipelineRunner(pipe)
+    runner.run_once(spark)
+    assert os.path.isdir(os.path.join(pipe.table_path("hist"), "_delta_log"))
+    got = sorted(
+        (r["k"], r["v"], r["note"], r["__START_AT"], r["__END_AT"])
+        for r in pipe.read(spark, "hist").collect()
+    )
+    assert got == [(1, "a", "n2", 10, 30), (1, "b", "n3", 30, None)], got
