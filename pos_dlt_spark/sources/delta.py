@@ -66,7 +66,10 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
 from pyspark.sql.types import StructType
+
+from pos_dlt_spark.sources.fileindex import pruned_parquet as _pruned
 
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
 _COMPACT_RE = re.compile(r"^(\d{20})\.(\d{20})\.compacted\.json$")
@@ -1103,13 +1106,13 @@ def scan_rels(
         pseudo-column only resolves against the scan itself."""
         extra = meta_cols() if meta else []
         if snap.column_mapping == "none":
-            df = spark.read.schema(widen(target)).parquet(*fpaths)
+            df = _pruned(spark.read.schema(widen(target)), fpaths)
             return df.select("*", *extra) if meta else df
         if snap.column_mapping == "name":
             phys = _ST(
                 [_SF(snap.physical_names[f.name], f.dataType, True) for f in target.fields]
             )
-            df = spark.read.schema(phys).parquet(*fpaths)
+            df = _pruned(spark.read.schema(phys), fpaths)
             return df.select(
                 *[
                     F.col(f"`{snap.physical_names[f.name]}`").alias(f.name)
@@ -1126,7 +1129,7 @@ def scan_rels(
             _SF(f.name, f.dataType, True, {"parquet.field.id": snap.field_ids[f.name]})
             for f in target.fields
         ]
-        df = spark.read.schema(_ST(fields)).parquet(*fpaths)
+        df = _pruned(spark.read.schema(_ST(fields)), fpaths)
         return df.select("*", *extra) if meta else df
 
     if not snap.partition_columns:
@@ -1135,8 +1138,10 @@ def scan_rels(
         )
 
     if snap.column_mapping == "none" and _hive_style(wanted, snap.partition_columns):
-        df = spark.read.schema(widen(snap.schema)).option("basePath", path).parquet(
-            *[_abs_file(path, rel) for rel, _ in wanted]
+        df = _pruned(
+            spark.read.schema(widen(snap.schema)).option("basePath", path),
+            [_abs_file(path, rel) for rel, _ in wanted],
+            base_dir=path,
         )
         sel = [F.col(c).cast(types[c]).alias(c) for c in out_cols] + [
             F.col(f"`{n}`") for n in (extra_fields or [])

@@ -44,6 +44,8 @@ import os
 import struct
 import uuid
 
+from pos_dlt_spark.sources.fileindex import pruned_parquet as _pruned
+
 # --------------------------------------------------------------------------
 # Avro binary encoding (Avro 1.11 spec, the subset Iceberg metadata needs)
 # --------------------------------------------------------------------------
@@ -1702,11 +1704,14 @@ def _native_dml_scan(spark, path: str, op: str):
             f["name"], _parse_datatype_string(_iceberg_type_to_spark(f["type"]))
         )
     reader = spark.read.schema(sp)
+    fpaths = [_norm_file_path(f["file_path"]) for f in files]
     if part_cols:
         reader = reader.option("basePath", meta["location"])
-    df = reader.parquet(*[f["file_path"] for f in files]).select(
-        "*", *_scan_meta_cols()
-    )
+        df = _pruned(
+            reader, fpaths, base_dir=_norm_file_path(meta["location"])
+        ).select("*", *_scan_meta_cols())
+    else:
+        df = _pruned(reader, fpaths).select("*", *_scan_meta_cols())
     pos_dels = [d for d in delete_files if int(d.get("content") or 0) == 1]
     eq_dels = [d for d in delete_files if int(d.get("content") or 0) == 2]
     if pos_dels:
@@ -2956,7 +2961,7 @@ def read_iceberg(
             )
         ]
 
-    paths = [f["file_path"] for f in files]
+    paths = [_norm_file_path(f["file_path"]) for f in files]
     from pyspark.sql.types import StructType, _parse_datatype_string
 
     sp = StructType()
@@ -2990,13 +2995,13 @@ def read_iceberg(
         # partition columns (identity layout) parse to their declared
         # types — no footer-sampled inference can mis-shape the read
         if part_cols:
-            df = (
-                spark.read.schema(sp)
-                .option("basePath", meta["location"])
-                .parquet(*paths)
+            df = _pruned(
+                spark.read.schema(sp).option("basePath", meta["location"]),
+                paths,
+                base_dir=_norm_file_path(meta["location"]),
             )
         else:
-            df = spark.read.schema(sp).parquet(*paths)
+            df = _pruned(spark.read.schema(sp), paths)
         casts = [
             F.col(f["name"]).cast(_iceberg_type_to_spark(f["type"])).alias(f["name"])
             for f in schema["fields"]
@@ -3033,7 +3038,12 @@ def read_iceberg(
                 reader = spark.read.schema(sp)
                 if part_cols:
                     reader = reader.option("basePath", meta["location"])
-                gdf = reader.parquet(*gpaths)
+                    gdf = _pruned(
+                        reader, gpaths,
+                        base_dir=_norm_file_path(meta["location"]),
+                    )
+                else:
+                    gdf = _pruned(reader, gpaths)
                 sel = [
                     F.col(f["name"])
                     .cast(_iceberg_type_to_spark(f["type"]))
@@ -3054,7 +3064,7 @@ def read_iceberg(
                 else:
                     phys = phys.add(pname, st)
                     sel.append(F.col(pname).cast(st).alias(f["name"]))
-            gdf = spark.read.schema(phys).parquet(*gpaths)
+            gdf = _pruned(spark.read.schema(phys), gpaths)
             meta_cols = _scan_meta_cols() if delete_files else []
             parts.append(gdf.select(*sel, *meta_cols))
         df = functools.reduce(_DF.unionByName, parts)

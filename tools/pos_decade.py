@@ -186,16 +186,37 @@ def main() -> None:
             "SELECT CAST(MIN(date_time) AS DATE) AS d FROM latest_inventory_snapshot"
         ).collect()[0]["d"]
 
+        sc = spark.sparkContext
+        st = sc.statusTracker()
+
         def run_gold(pruned: bool) -> float:
+            """Times one gold tick; also counts distributed LISTING
+            stages ('parquet at ...' — the per-path stat job the
+            r12 log-backed pruned read eliminates; SCALE.md r11/r12)."""
+            import uuid as _uuid
+
             chg = pipe.read(spark, "inventory_change")
             if pruned:
                 chg = chg.filter(F.col("date_day") >= F.lit(min_day))
             chg.createOrReplaceTempView("inventory_change")
             t0 = time.time()
-            spark.sql(GOLD_INVENTORY_SQL).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            return time.time() - t0
+            g = str(_uuid.uuid4())
+            sc.setJobGroup(g, "gold-tick")
+            try:
+                spark.sql(GOLD_INVENTORY_SQL).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            finally:
+                sc.setJobGroup(None, None)
+            wall = time.time() - t0
+            nlist = 0
+            for j in st.getJobIdsForGroup(g) or []:
+                for sid in st.getJobInfo(j).stageIds:
+                    si = st.getStageInfo(sid)
+                    if si and si.name.startswith("parquet at"):
+                        nlist += 1
+            timings.setdefault("gold_listing_stages", []).append(nlist)
+            return wall
 
         # unpruned first so the page cache, if anything, favors it
         timings["gold_unpruned"] = run_gold(pruned=False)
@@ -226,6 +247,9 @@ def main() -> None:
         print(f"- gold recompute, day-PRUNED scan (>= {min_day}): "
               f"{timings['gold_pruned']:.1f} s (2nd: {timings['gold_pruned_2nd']:.1f} s) — "
               f"{timings['gold_unpruned'] / max(timings['gold_pruned_2nd'], 1e-9):.1f}x")
+        print(f"- listing stat stages per gold tick (unpruned/pruned/pruned): "
+              f"{timings.get('gold_listing_stages')} — the r12 log-backed "
+              f"pruned read targets 0 (was one 64-task stat job per Delta scan)")
         print(f"- driver maxrss: {rss_before:.0f} MB before pipeline, "
               f"{rss_after:.0f} MB after (delta = {rss_after - rss_before:.0f} MB)")
     finally:
