@@ -63,7 +63,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 from pos_dlt_spark.operators.cdc import ApplyChanges
 
-TableKind = Literal["live", "stream"]
+# "auto" = resolve from the materialized DataFrame's isStreaming on first
+# refresh — DLT's own python decorator has no kind parameter at all: a
+# function returning a streaming frame IS a streaming table. The facade
+# (pos_dlt_spark/dlt.py) declares auto; explicit kinds stay available for
+# engine-level callers that want the declaration checked up front.
+TableKind = Literal["live", "stream", "auto"]
 
 ExpectationAction = Literal["allow", "drop", "fail"]
 
@@ -374,6 +379,12 @@ class Pipeline:
         # expanded_table_deps). Views are UNPERSISTED — they inline into
         # each consumer's single spark.sql plan at refresh time.
         self.sql_views: dict[str, tuple[str, tuple, set]] = {}
+        # global declaration sequence across ALL dataset categories —
+        # topo_order's Kahn tiebreak must respect cross-category
+        # declaration order (a live table declared AFTER the streaming
+        # target it reads must not jump ahead of it on the first,
+        # dependency-discovering run)
+        self._decl_seq: dict[str, int] = {}
         # DLT-SQL empty STREAMING targets declared ahead of
         # APPLY CHANGES INTO (comment/props parity bookkeeping)
         self.sql_declared_targets: dict[str, dict] = {}
@@ -393,6 +404,7 @@ class Pipeline:
     ):
         def deco(fn: Callable[[SparkSession], DataFrame]):
             tname = name or fn.__name__
+            self._note_decl(tname)
             self.tables[tname] = TableDef(
                 name=tname,
                 fn=fn,
@@ -648,6 +660,7 @@ class Pipeline:
                     table_deps |= self.sql_views[d][2]
                 else:
                     table_deps.add(d)
+            self._note_decl(tname)
             self.tables[tname] = TableDef(
                 name=tname,
                 fn=fn,
@@ -774,6 +787,7 @@ class Pipeline:
                 "use the bucketed manifest engine (n_buckets=...) or "
                 "parquet storage"
             )
+        self._note_decl(target)
         self.cdc_flows[target] = CdcFlowDef(
             target=target, source=source, keys=keys, sequence_by=sequence_by,
             reset_allowed=reset_allowed,
@@ -818,6 +832,7 @@ class Pipeline:
             raise ValueError(
                 f"stored_as_scd_type must be 1 or 2, got {stored_as_scd_type!r}"
             )
+        self._note_decl(target)
         self.snapshot_flows[target] = SnapshotFlowDef(
             target=target, source=source, keys=list(keys),
             stored_as_scd_type=stored_as_scd_type,
@@ -879,6 +894,7 @@ class Pipeline:
                     f"{bks}, aux partition_by={part})"
                 )
             aux_col = part[0]
+        self._note_decl(target)
         self.inc_views[target] = IncViewDef(
             target=target, source=source, transform=transform,
             keys=list(keys) if keys else list(flow.keys),
@@ -907,6 +923,7 @@ class Pipeline:
             or name in self.streaming_targets
         ):
             raise ValueError(f"table {name!r} already declared")
+        self._note_decl(name)
         self.streaming_targets[name] = TableDef(
             name=name,
             fn=None,  # type: ignore[arg-type]
@@ -965,6 +982,7 @@ class Pipeline:
             raise ValueError("sink options must include 'path'")
         if name in self.sinks:
             raise ValueError(f"sink {name!r} already declared")
+        self._note_decl(name)
         self.sinks[name] = SinkDef(name=name, format=format, options=options)
 
     # -- paths -------------------------------------------------------------
@@ -1064,6 +1082,16 @@ class Pipeline:
                     "recomputed Delta tables; stream reads require an "
                     "append-only upstream (use read() in a live consumer)"
                 )
+            if t is not None and t.kind == "auto":
+                # unresolved auto table: inside run_once the producer has
+                # always refreshed (and resolved) before any consumer
+                # materializes, so this only triggers on out-of-order
+                # manual reads — refuse rather than guess append-only-ness
+                raise ValueError(
+                    f"read_stream({name!r}): table kind is still 'auto' — "
+                    "refresh the producer first (run_once orders this) or "
+                    "declare kind='stream' explicitly"
+                )
             flow = self.cdc_flows.get(name)
             if flow is not None and flow.n_buckets is None:
                 # plain CDC targets are maintained by delta_merge, which
@@ -1122,6 +1150,9 @@ class Pipeline:
         self._record_dep(name)
         return replay_changes(spark, self.table_path(name), start_version=start_version)
 
+    def _note_decl(self, name: str) -> None:
+        self._decl_seq.setdefault(name, len(self._decl_seq))
+
     # -- dependency tracking ----------------------------------------------
 
     _current: str | None = None
@@ -1151,6 +1182,9 @@ class Pipeline:
             + [t for t in self.streaming_targets if t not in self.tables]
             + [s for s in self.sinks if s not in self.tables]
         )
+        # declaration order IS the author's topological intent before the
+        # first run discovers real edges — keep it across categories
+        names.sort(key=lambda n: self._decl_seq.get(n, len(self._decl_seq)))
         deps = {n: set() for n in names}
         for n, t in self.tables.items():
             deps[n] = {d for d in t.deps if d in deps and d != n}
@@ -1942,6 +1976,11 @@ class PipelineRunner:
             df = t.fn(spark)
         finally:
             self.p._current = None
+        if t.kind == "auto":
+            # DLT kind inference: the returned frame decides. Persist the
+            # resolution so read_stream()'s append-only checks and later
+            # refreshes see a concrete kind.
+            t.kind = "stream" if df.isStreaming else "live"
         if t.kind == "live":
             rows = self._write_live(df, t)
         else:
