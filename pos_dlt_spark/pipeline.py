@@ -1200,19 +1200,43 @@ class Pipeline:
             deps[target] = {view.source}
             if view.aux_source in deps:
                 deps[target].add(view.aux_source)
-        out, ready = [], [n for n in names if not deps[n]]
-        remaining = {n: set(d) for n, d in deps.items() if deps[n]}
-        while ready:
-            n = ready.pop(0)
-            out.append(n)
-            for m, ds in list(remaining.items()):
-                ds.discard(n)
-                if not ds:
-                    del remaining[m]
-                    ready.append(m)
-        if remaining:
-            raise CycleError(f"dependency cycle among {sorted(remaining)}")
-        return out
+        # First-run gap: a table whose edges are only DISCOVERED at
+        # materialization (no deps= declared — the dlt-facade shape) has
+        # an empty dep set here and Kahn would schedule it before the
+        # upstream it is about to read. Notebook code is written to run
+        # top to bottom, so give every dep-less dataset implicit edges to
+        # everything declared before it — exactly the order the notebook
+        # runtime would execute. Discovered deps replace the implicit
+        # ones from the second refresh on. If the implicit edges collide
+        # with explicit out-of-declaration-order deps (legal in the
+        # engine API), fall back to the explicit graph alone.
+        order_of = {n: self._decl_seq.get(n, len(self._decl_seq)) for n in names}
+
+        def kahn(dep_map):
+            out, ready = [], [n for n in names if not dep_map[n]]
+            remaining = {n: set(d) for n, d in dep_map.items() if dep_map[n]}
+            while ready:
+                n = ready.pop(0)
+                out.append(n)
+                for m, ds in list(remaining.items()):
+                    ds.discard(n)
+                    if not ds:
+                        del remaining[m]
+                        ready.append(m)
+            if remaining:
+                raise CycleError(f"dependency cycle among {sorted(remaining)}")
+            return out
+
+        widened = {n: set(d) for n, d in deps.items()}
+        for n in names:
+            if not widened[n]:
+                widened[n] = {
+                    m for m in names if order_of[m] < order_of[n]
+                }
+        try:
+            return kahn(widened)
+        except CycleError:
+            return kahn(deps)
 
 
 class _EventLog:

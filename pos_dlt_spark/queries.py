@@ -869,6 +869,136 @@ def pos_gold_inventory_current_pipeline(spark: SparkSession, sf_dir: str) -> Dat
     return _pipe.read(spark, "inventory_current")
 
 
+_DLT_MODULE_CACHE: dict[str, tuple] = {}
+
+
+def _pipeline_dlt_module(spark: SparkSession, sf_dir: str):
+    """Build-once: the SAME POS table graph authored through the
+    MODULE-LEVEL dlt facade (pos_dlt_spark/dlt.py) — zero-argument table
+    functions over the ambient ``dlt.spark``, ``dlt.read_stream`` for
+    the feeds, ``dlt.create_target_table`` + ``dlt.apply_changes`` for
+    the CDC target, kind inferred from each returned frame — exactly the
+    authoring surface of the reference notebook (`03_Bronze-to-Silver
+    ETL.py:124-135,306,376-385`). Returns (pipe, runner)."""
+    key = os.path.abspath(sf_dir)
+    if key in _DLT_MODULE_CACHE:
+        return _DLT_MODULE_CACHE[key]
+    import atexit
+    import shutil
+
+    import pos_dlt_spark.dlt as dlt
+    from pos_dlt_spark.operators.gold import current_inventory
+    from pos_dlt_spark.pipeline import PipelineRunner
+    from pos_dlt_spark.tables import scratch_dir
+
+    work = scratch_dir("pipe_dltmod_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    chg_in = os.path.join(work, "in_changes")
+    snap_in = os.path.join(work, "in_snapshots")
+    li.select(
+        F.col("l_suppkey").alias("store_id"),
+        F.col("l_partkey").alias("item_id"),
+        F.col("l_quantity").cast("bigint").alias("quantity"),
+        "l_returnflag",
+        F.col("l_shipdate").alias("date_time"),
+    ).write.parquet(chg_in)
+    li.select(
+        F.col("l_suppkey").alias("store_id"),
+        F.col("l_partkey").alias("item_id"),
+        F.col("l_quantity").cast("int").alias("quantity"),
+        F.col("l_shipdate").alias("date_time"),
+        "l_orderkey",
+        "l_linenumber",
+    ).write.parquet(snap_in)
+    chg_schema = spark.read.parquet(chg_in).schema
+    snap_schema = spark.read.parquet(snap_in).schema
+
+    with dlt.pipeline("pos_dlt_module_gate", os.path.join(work, "storage")) as pipe:
+
+        @dlt.table(comment="store dim (supplier mapping)")
+        def store():
+            return load_table(dlt.spark, sf_dir, "supplier")
+
+        @dlt.table(comment="change-type dim (part mapping)")
+        def inventory_change_type():
+            return load_table(dlt.spark, sf_dir, "part")
+
+        @dlt.table(comment="change feed")
+        def inventory_change():
+            return dlt.spark.readStream.schema(chg_schema).parquet(chg_in)
+
+        @dlt.table(comment="snapshot feed")
+        def inventory_snapshot():
+            return dlt.spark.readStream.schema(snap_schema).parquet(snap_in)
+
+        dlt.create_target_table("latest_inventory_snapshot")
+        dlt.apply_changes(
+            target="latest_inventory_snapshot",
+            source="inventory_snapshot",
+            keys=["store_id", "item_id"],
+            sequence_by="date_time",
+            tiebreakers=["l_orderkey", "l_linenumber"],
+        )
+
+        @dlt.table(comment="gold current inventory")
+        def inventory_current():
+            snap = dlt.read("latest_inventory_snapshot").select(
+                "store_id", "item_id", "quantity", "date_time"
+            )
+            chg = dlt.read("inventory_change")
+            supp = dlt.read("store")
+            part = dlt.read("inventory_change_type")
+            x = (
+                chg.join(F.broadcast(supp), chg.store_id == supp.s_suppkey, "inner")
+                .join(F.broadcast(part), chg.item_id == part.p_partkey, "inner")
+                .filter(~((F.col("s_acctbal") < 0) & (F.col("p_size") < 10)))
+            )
+            signed = F.col("quantity") * F.when(
+                F.col("l_returnflag") == "R", F.lit(-1)
+            ).otherwise(F.lit(1))
+            changes = x.select(
+                "store_id", "item_id", signed.alias("quantity"), "date_time"
+            )
+            return current_inventory(snap, changes)
+
+    runner = PipelineRunner(pipe)
+    runner.run_once(spark)
+    _DLT_MODULE_CACHE[key] = (pipe, runner)
+    return _DLT_MODULE_CACHE[key]
+
+
+@query(
+    "pos_gold_inventory_current_dlt_module",
+    oracle=f"""
+    WITH snap AS ({_SNAP_SQL}), chg AS ({_CHG_SQL})
+    SELECT a.store_id, a.item_id,
+           MAX(a.quantity) AS snapshot_quantity,
+           CAST(COALESCE(SUM(b.quantity), 0) AS BIGINT) AS change_quantity,
+           CAST(MAX(a.quantity) + COALESCE(SUM(b.quantity), 0) AS BIGINT) AS current_inventory,
+           GREATEST(MAX(a.date_time),
+                    COALESCE(MAX(b.date_time), MAX(a.date_time))) AS date_time
+    FROM snap a
+    LEFT OUTER JOIN chg b
+      ON a.store_id = b.store_id AND a.item_id = b.item_id
+         AND a.date_time <= b.date_time
+    GROUP BY a.store_id, a.item_id
+    """,
+)
+def pos_gold_inventory_current_dlt_module(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship gold through the FIFTH authoring mode: the
+    module-level dlt facade (after python-decorator, DLT-SQL, pipeline
+    and delta-pipeline twins) — reference-notebook-shaped zero-arg table
+    functions, ambient spark, create_target_table + apply_changes, kind
+    inference. Same independent SQL oracle as the other four modes: it
+    matches only if the facade routed every declaration into the same
+    engine semantics. The timed region is the gold recompute tick."""
+    pipe, runner = _pipeline_dlt_module(spark, sf_dir)
+    runner.run_table(spark, "inventory_current")
+    return pipe.read(spark, "inventory_current")
+
+
 _PIPELINE_INC_CACHE: dict[str, tuple] = {}
 
 
