@@ -287,6 +287,18 @@ _SQL_VIEW_RE = re.compile(
     r"(?P<name>[A-Za-z_]\w*)(?P<rest>.*)$",
     re.I | re.S,
 )
+# DLT SQL append flows: CREATE FLOW f AS INSERT INTO t BY NAME SELECT ...
+# — several flows appending into ONE streaming table (the SQL twin of
+# @append_flow). BY NAME is required: the flows' SELECTs may project
+# columns in different orders and the shared target aligns by name;
+# positional INSERT semantics are not offered.
+_SQL_FLOW_RE = re.compile(
+    r"^\s*CREATE\s+FLOW\s+(?P<name>[A-Za-z_]\w*)\s*"
+    r"(?:COMMENT\s+'(?P<comment>(?:[^']|'')*)'\s*)?"
+    r"AS\s+INSERT\s+INTO\s+(?:LIVE\.)?(?P<target>[A-Za-z_]\w*)\s+"
+    r"(?:(?P<byname>BY\s+NAME)\s+)?(?P<select>SELECT\s+.*)$",
+    re.I | re.S,
+)
 
 
 def _sql_create_clauses(rest: str):
@@ -574,6 +586,86 @@ class Pipeline:
                         table_deps.add(d)
                 self.sql_views[vname] = (select, vdeps, table_deps)
                 created.append(vname)
+                continue
+            mf = _SQL_FLOW_RE.match(stmt)
+            if mf is not None:
+                fname = mf.group("name")
+                target = mf.group("target")
+                if not mf.group("byname"):
+                    raise ValueError(
+                        f"flow {fname!r}: INSERT INTO must be BY NAME — "
+                        "append flows share one target whose schema aligns "
+                        "by column name, not position"
+                    )
+                select = mf.group("select")
+                stream_deps = sorted(
+                    set(
+                        re.findall(
+                            r"STREAM\s*\(\s*LIVE\.([A-Za-z_]\w*)\s*\)",
+                            select,
+                            re.I,
+                        )
+                    )
+                )
+                batch_deps = sorted(
+                    set(re.findall(r"\bLIVE\.([A-Za-z_]\w*)", select, re.I))
+                    - set(stream_deps)
+                )
+                if not stream_deps:
+                    raise ValueError(
+                        f"flow {fname!r}: an append flow needs a "
+                        "STREAM(LIVE.x) source"
+                    )
+                # an empty STREAMING LIVE TABLE declaration becomes the
+                # shared multi-flow target the first time a flow names it
+                if target in self.sql_declared_targets:
+                    decl = self.sql_declared_targets.pop(target)
+                    self.create_streaming_table(
+                        target,
+                        comment=decl.get("comment", ""),
+                        table_properties=decl.get("table_properties"),
+                    )
+                if target not in self.streaming_targets and target not in self.sinks:
+                    raise ValueError(
+                        f"flow {fname!r}: target {target!r} is neither a "
+                        "streaming table (CREATE STREAMING LIVE TABLE "
+                        "without AS) nor a sink"
+                    )
+
+                def ffn(
+                    spark: SparkSession,
+                    _sel: str = select,
+                    _sd: tuple = tuple(stream_deps),
+                    _bd: tuple = tuple(batch_deps),
+                ) -> DataFrame:
+                    q = _sel
+                    for d in _sd:
+                        vn = f"__live_stream__{d}"
+                        self.read_stream(spark, d).createOrReplaceTempView(vn)
+                        q = re.sub(
+                            rf"STREAM\s*\(\s*LIVE\.{d}\s*\)", vn, q, flags=re.I
+                        )
+                    for d in _bd:
+                        vn = f"__live__{d}"
+                        if d in self.sql_views:
+                            self._materialize_sql_view(spark, d)
+                        else:
+                            self.read(spark, d).createOrReplaceTempView(vn)
+                        q = re.sub(rf"\bLIVE\.{d}\b", vn, q, flags=re.I)
+                    return spark.sql(q)
+
+                self.append_flow(target=target, name=fname)(ffn)
+                # first-run scheduling: the flow's edges are knowable at
+                # declaration — record them on the shared target
+                tgt = self.streaming_targets.get(target)
+                deps_holder = tgt.deps if tgt is not None else self.sinks[target].deps
+                for d in stream_deps + batch_deps:
+                    deps_holder.add(
+                        d
+                        if d not in self.sql_views
+                        else next(iter(self.sql_views[d][2]), d)
+                    )
+                created.append(fname)
                 continue
             m = _SQL_CREATE_RE.match(stmt)
             if m is None:

@@ -182,3 +182,66 @@ def test_declaration_validation(tmp_path):
         pipe.create_sink("s1", "kafka", {"path": "x"})
     with pytest.raises(ValueError, match="path"):
         pipe.create_sink("s2", "parquet", {})
+
+
+def test_sql_create_flow_two_flows_one_target(spark, tmp_path):
+    """DLT SQL append flows: CREATE FLOW f AS INSERT INTO t BY NAME
+    SELECT ... — two SQL-declared flows append into one streaming table
+    declared as an empty STREAMING LIVE TABLE; the union equals the
+    single-source result, and BY NAME is mandatory."""
+    import json as _json
+
+    a_dir = str(tmp_path / "a")
+    b_dir = str(tmp_path / "b")
+    os.makedirs(a_dir)
+    os.makedirs(b_dir)
+    for d, rows in ((a_dir, [1, 2]), (b_dir, [30, 40])):
+        with open(os.path.join(d, "f.json"), "w") as f:
+            for k in rows:
+                f.write(_json.dumps({"k": k}) + "\n")
+
+    pipe = Pipeline("sqlflow", str(tmp_path / "storage"))
+
+    @pipe.table(kind="stream")
+    def src_a(spark_):
+        return spark_.readStream.schema("k INT").json(a_dir)
+
+    @pipe.table(kind="stream")
+    def src_b(spark_):
+        return spark_.readStream.schema("k INT").json(b_dir)
+
+    created = pipe.sql_table(
+        """
+        CREATE OR REFRESH STREAMING LIVE TABLE merged
+        COMMENT 'regional consolidation';
+
+        CREATE FLOW from_a AS INSERT INTO LIVE.merged BY NAME
+        SELECT k, k * 10 AS k10 FROM STREAM(LIVE.src_a);
+
+        CREATE FLOW from_b AS INSERT INTO merged BY NAME
+        SELECT k * 10 AS k10, k FROM STREAM(LIVE.src_b)
+        """
+    )
+    assert created == ["merged", "from_a", "from_b"]
+    assert "merged" in pipe.streaming_targets
+    assert set(pipe.append_flows) == {"from_a", "from_b"}
+
+    PipelineRunner(pipe).run_once(spark)
+    got = sorted(
+        (r["k"], r["k10"]) for r in pipe.read(spark, "merged").collect()
+    )
+    # different SELECT column orders align by name in the shared target
+    assert got == [(1, 10), (2, 20), (30, 300), (40, 400)], got
+
+    # BY NAME is mandatory
+    with pytest.raises(ValueError, match="BY NAME"):
+        pipe.sql_table(
+            "CREATE FLOW bad AS INSERT INTO merged "
+            "SELECT k, k AS k10 FROM STREAM(LIVE.src_a)"
+        )
+    # unknown target refuses
+    with pytest.raises(ValueError, match="neither"):
+        pipe.sql_table(
+            "CREATE FLOW lost AS INSERT INTO nowhere BY NAME "
+            "SELECT k, k AS k10 FROM STREAM(LIVE.src_a)"
+        )
