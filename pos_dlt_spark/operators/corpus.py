@@ -144,6 +144,8 @@ def global_rank(
     order_cols: Sequence,
     rank_col: str = "rank",
     n_parts: int = 64,
+    bucket_expr=None,
+    group_cols: Sequence[str] = (),
 ) -> DataFrame:
     """1-based global row_number over ``order_cols`` WITHOUT funneling the
     dataset through a single-partition window.
@@ -160,7 +162,56 @@ def global_rank(
     ``order_cols`` must be a TOTAL order (include a unique tiebreaker):
     rows tied on a range boundary would otherwise be numbered
     arbitrarily within their partition.
+
+    ``bucket_expr`` — fast path for callers whose LEADING order column
+    admits a closed-form monotone bucketing (e.g. an order key that is a
+    uniform 32-bit hash, bucketed by its high bits): a deterministic
+    integer Column that is non-decreasing in the order (bucket(a) <
+    bucket(b) implies a sorts before b). This replaces
+    ``repartitionByRange`` — whose boundary SAMPLING is an extra pass
+    over the input and whose nondeterminism forces an eager
+    ``localCheckpoint`` materialization — with a pure expression: the
+    two remaining passes are one bounded counts aggregate and the final
+    per-bucket window (pack_sequences already uses this exact shape for
+    id-range bins). Bucket balance only affects speed, never
+    correctness.
+
+    ``group_cols`` (requires ``bucket_expr``) ranks independently WITHIN
+    each group — N per-group two-phase ranks in ONE pass, with the
+    prefix offsets keyed on (group, bucket). The driver artifact stays
+    bounded at n_groups x n_parts entries; intended for small group
+    counts (mixture sources, languages).
     """
+    if bucket_expr is not None:
+        parted = df.withColumn("__pid", bucket_expr.cast("bigint"))
+        gcols = list(group_cols)
+        counts_rows = (
+            parted.groupBy(*gcols, "__pid").agg(F.count(F.lit(1)).alias("__n")).collect()
+        )
+        per_group: dict = {}
+        for r in counts_rows:
+            g = tuple(str(r[c]) for c in gcols)
+            if any("|" in v for v in g):
+                raise ValueError(f"group value with '|' would break offset keying: {g}")
+            per_group.setdefault(g, {})[int(r["__pid"])] = int(r["__n"])
+        if not per_group:
+            return df.withColumn(rank_col, F.lit(None).cast("bigint"))
+        entries: list = []
+        for g in sorted(per_group):
+            acc = 0
+            for p in sorted(per_group[g]):
+                entries.append(("|".join((*g, str(p))), acc))
+                acc += per_group[g][p]
+        offset_map = F.create_map(*[F.lit(v) for kv in entries for v in kv])
+        key = F.concat_ws(
+            "|", *[F.col(c).cast("string") for c in gcols], F.col("__pid").cast("string")
+        )
+        w = Window.partitionBy(*gcols, "__pid").orderBy(*order_cols)
+        return parted.withColumn(
+            rank_col, (offset_map[key] + F.row_number().over(w)).cast("bigint")
+        ).drop("__pid")
+    if group_cols:
+        raise ValueError("group_cols requires bucket_expr")
     # localCheckpoint pins the range partitioning: repartitionByRange
     # reservoir-samples its boundaries, so evaluating `ranged` twice (the
     # counts collect below, then the final window) against nondeterministic
@@ -647,11 +698,16 @@ def epoch_shuffle(
     identical across re-runs and cluster sizes.
     """
     key = phash(F.col(id_col).cast("string"), f"{EPOCH_SALT}{epoch}:")
+    # __shuf is a uniform 32-bit hash: bucket by its high bits (monotone,
+    # closed-form) so global_rank's fast path skips the range-sampling
+    # pass and the checkpoint materialization entirely
+    bucket_width = (1 << 32) // n_parts + 1
     ranked = global_rank(
         df.select(F.col(id_col), key.alias("__shuf")),
         [F.col("__shuf"), F.col(id_col)],
         rank_col="__r",
         n_parts=n_parts,
+        bucket_expr=F.expr(f"__shuf div {bucket_width}"),
     )
     return ranked.select(
         id_col, (F.col("__r") - 1).alias("position"), F.col("__shuf").alias("shuffle_key")
@@ -679,31 +735,45 @@ def mixture_interleave(
     Returns (source, doc_id, position) with position 0-based over the
     combined stream.
     """
-    ranked = []
+    tagged = []
     for df, name, weight in sources:
         if weight <= 0:
             raise ValueError(f"weight for {name!r} must be positive, got {weight}")
         key = phash(F.col(id_col).cast("string"), f"mix:{name}:")
-        r = global_rank(
-            df.select(F.col(id_col), key.alias("__shuf")),
-            [F.col("__shuf"), F.col(id_col)],
-            rank_col="__r",
-            n_parts=n_parts,
-        )
-        ranked.append(
-            r.select(
+        tagged.append(
+            df.select(
                 F.lit(name).alias("source"),
                 F.col(id_col),
-                # integer div, NOT float-divide-then-cast: an IEEE quotient
-                # that rounds up to a whole number would truncate one off
-                # from the exact floor both engines must agree on
-                F.expr(f"(__r * CAST(1000000 AS BIGINT)) div {weight}").alias("__vt"),
-                (F.col("__r") - 1).alias("__sr"),
+                key.alias("__shuf"),
+                F.lit(int(weight)).cast("bigint").alias("__w"),
             )
         )
-    allr = ranked[0]
-    for r in ranked[1:]:
-        allr = allr.unionByName(r)
+    allsrc = tagged[0]
+    for t in tagged[1:]:
+        allsrc = allsrc.unionByName(t)
+    # ONE grouped two-phase rank ranks every source in a single pass
+    # (group_cols=source); __shuf is a uniform 32-bit hash, so the
+    # closed-form high-bits bucketing replaces N range-sampling passes
+    # and N checkpoint materializations (one per source) with one
+    # bounded counts aggregate.
+    bucket_width = (1 << 32) // n_parts + 1
+    ranked = global_rank(
+        allsrc,
+        [F.col("__shuf"), F.col(id_col)],
+        rank_col="__r",
+        n_parts=n_parts,
+        bucket_expr=F.expr(f"__shuf div {bucket_width}"),
+        group_cols=("source",),
+    )
+    allr = ranked.select(
+        "source",
+        F.col(id_col),
+        # integer div, NOT float-divide-then-cast: an IEEE quotient
+        # that rounds up to a whole number would truncate one off
+        # from the exact floor both engines must agree on
+        F.expr("(__r * CAST(1000000 AS BIGINT)) div __w").alias("__vt"),
+        (F.col("__r") - 1).alias("__sr"),
+    )
     out = global_rank(
         allr,
         [F.col("__vt"), F.col("source"), F.col("__sr")],

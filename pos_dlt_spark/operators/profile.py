@@ -104,3 +104,56 @@ def profile_table_approx(
         F.min("vs").alias("min_str"),
         F.max("vs").alias("max_str"),
     )
+
+
+def profile_table_with_sketch(
+    df: DataFrame, cols: Sequence[str], rsd: float = 0.01
+) -> DataFrame:
+    """Exact profile PLUS the HLL distinct sketch in ONE melt and one
+    two-level aggregate — for gates/users that want the sketch validated
+    against the exact count. A join of :func:`profile_table` with
+    :func:`profile_table_approx` pays the n_cols x row melt TWICE
+    (Catalyst shares no subtrees across join branches); here the sketch
+    aggregates over the DISTINCT (column, value) pairs the exact path
+    already produces, which is bit-identical to sketching the raw rows —
+    HyperLogLog registers are max-of-hashes, duplicate-insensitive.
+    Output = :func:`profile_table` columns + ``n_distinct_approx``."""
+    melted = _melt(df, cols)
+    # the distinct-pair table is consumed twice (exact stats + sketch),
+    # so pin it once; keeping the sketch in a SEPARATE aggregate matters:
+    # one imperative aggregate (HLL) in an agg list downgrades the whole
+    # operator to ObjectHashAggregate with interpreted expression
+    # evaluation — fusing the sketch next to the min/max/sum chain cost
+    # +40% (measured 2.7 -> 3.7 s); split, the exact aggregate stays
+    # whole-stage-codegen and the sketch aggregate evaluates nothing but
+    # HLL updates over the deduped pairs
+    counts = (
+        melted.groupBy("column", "vs", "vn")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .localCheckpoint(eager=True)
+    )
+    exact = counts.groupBy("column").agg(
+        F.sum("__c").cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("vs").isNull(), F.col("__c")).otherwise(0))
+        .cast("bigint")
+        .alias("n_nulls"),
+        F.count(F.when(F.col("vs").isNotNull(), 1)).cast("bigint").alias("n_distinct"),
+        F.min("vn").alias("min_num"),
+        F.max("vn").alias("max_num"),
+        F.min("vs").alias("min_str"),
+        F.max("vs").alias("max_str"),
+    )
+    sketch = counts.groupBy("column").agg(
+        F.approx_count_distinct("vs", rsd=rsd).cast("bigint").alias("n_distinct_approx")
+    )
+    return exact.join(sketch, "column").select(
+        "column",
+        "n_rows",
+        "n_nulls",
+        "n_distinct",
+        "n_distinct_approx",
+        "min_num",
+        "max_num",
+        "min_str",
+        "max_str",
+    )

@@ -22,6 +22,22 @@ from pos_dlt_spark.queries import query
 from pos_dlt_spark.queries_ml import _HSH_CTE, _SH_CTE, _TOKS_CTE
 from pos_dlt_spark.tables import load_table
 
+
+def _checkpoint_parallel(*dfs: DataFrame) -> list[DataFrame]:
+    """Eagerly localCheckpoint several INDEPENDENT DataFrames from a small
+    thread pool so their jobs overlap on the cluster (guide §2.6): a
+    sequential chain of eager checkpoints serializes the critical path —
+    each materialization waits for the previous one even though none
+    depends on it — while concurrent submission lets the scheduler
+    back-fill each job's straggler tail with the next job's tasks.
+    Actions are thread-safe on a shared SparkSession."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(dfs) == 1:
+        return [dfs[0].localCheckpoint(eager=True)]
+    with ThreadPoolExecutor(max_workers=len(dfs)) as pool:
+        return list(pool.map(lambda d: d.localCheckpoint(eager=True), dfs))
+
 _BUCKET_SQL = phash_sql("CAST(doc_id AS VARCHAR)", C.SPLIT_SALT) + " % 100"
 _NTOK_SQL = r"CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT)"
 PACK_BUDGET = 512
@@ -531,7 +547,13 @@ def corpus_training_set_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
     )
-    clean = quality.join(exact_canon, "doc_id").join(near_dropped, "doc_id", "left_anti")
+    # clean is a tiny id set consumed TWICE below (train_pool feeds both
+    # the decontamination probe and the split input): pin it so the
+    # quality/exact-dedup/LSH upstream executes once, not twice
+    # (measured 3.33 -> ~2.4 s at sf0.1, identical output)
+    clean = (
+        quality.join(exact_canon, "doc_id").join(near_dropped, "doc_id", "left_anti")
+    ).localCheckpoint(eager=True)
     train_pool = docs.join(
         clean.filter(F.col("doc_id") >= BENCH_MAX_ID), "doc_id", "left_semi"
     )
@@ -656,20 +678,27 @@ def corpus_pipeline_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pos_dlt_spark.queries_ml import BANDS, N_HASHES, SHINGLE_N
 
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    quality = (
-        T.quality_features(docs).filter(F.col("quality_score") >= 0.3).select("doc_id")
-    )
-    exact_canon = D.exact_dedup_groups(docs).select(
-        F.col("canonical_id").alias("doc_id")
-    )
-    near_dropped = (
+    # Each stage id-set is localCheckpoint'ed (tiny: one bigint column):
+    # every set below feeds BOTH its own funnel count and at least one
+    # downstream stage, and Catalyst does not share common subtrees
+    # across a union of aggregates — without the pin the full LSH
+    # near-dup pass executed three times (its own count, `clean`, and
+    # `contam` via train_pool) and quality/exact each three times.
+    # Measured 4.15 -> ~1.9 s at sf0.1 with identical output.
+    quality, exact_canon, near_dropped = _checkpoint_parallel(
+        T.quality_features(docs)
+        .filter(F.col("quality_score") >= 0.3)
+        .select("doc_id"),
+        D.exact_dedup_groups(docs).select(F.col("canonical_id").alias("doc_id")),
         D.minhash_lsh_dedup_pairs(
             docs, n_hashes=N_HASHES, bands=BANDS, shingle_n=SHINGLE_N, threshold=0.5
         )
         .select(F.col("id_b").alias("doc_id"))
-        .distinct()
+        .distinct(),
     )
-    clean = quality.join(exact_canon, "doc_id").join(near_dropped, "doc_id", "left_anti")
+    clean = quality.join(exact_canon, "doc_id").join(
+        near_dropped, "doc_id", "left_anti"
+    ).localCheckpoint(eager=True)
     train_pool = docs.join(
         clean.filter(F.col("doc_id") >= BENCH_MAX_ID), "doc_id", "left_semi"
     )
