@@ -36,7 +36,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -204,24 +204,28 @@ def pagerank(
     iters x (join + agg), embarrassingly rebalanceable.
 
     Returns (node, rank_micro bigint, rank double)."""
-    # e feeds every iteration's contrib join, nodes every iteration's
-    # left join, out_deg every contrib build — without persistence the
-    # caller's edge-construction plan (often a join itself) re-executes
-    # ~2x per iteration (measured 6.4 s -> 2.5 s on the gate graph).
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
+    # e_deg (edges with the src out-degree attached) feeds every
+    # iteration's contrib join, nodes every iteration's left join —
+    # without persistence the caller's edge-construction plan (often a
+    # join itself) re-executes ~2x per iteration (measured 6.4 s -> 2.5 s
+    # on the gate graph). Attaching the degree to the edge list ONCE
+    # hoists the loop-invariant ranks x out_deg join out of every
+    # iteration (3 joins -> 0 on the gate config): floor(rank/deg)
+    # distributes identically whether computed per src node or per edge.
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
         .persist()
     )
-    # rename the degree key so the later re-join against e is unambiguous
-    # (out_deg shares e's lineage — Spark's self-join check rejects the
-    # raw column reference otherwise)
-    out_deg = (
-        e.groupBy("src")
-        .agg(F.count(F.lit(1)).alias("deg"))
-        .select(F.col("src").alias("od_src"), "deg")
+    # rename the join key so the per-iteration re-join against ranks is
+    # unambiguous (ranks shares nodes' lineage — Spark's self-join check
+    # rejects the raw column reference otherwise)
+    w_deg = Window.partitionBy("src")
+    e_deg = (
+        e.withColumn("deg", F.count(F.lit(1)).over(w_deg))
+        .select(F.col("src").alias("ed_src"), "dst", "deg")
         .persist()
     )
     base = 1_000_000
@@ -233,11 +237,9 @@ def pagerank(
         # integral at any magnitude and truncation == floor for the
         # nonnegative values here (DuckDB's // matches).
         contrib = (
-            ranks.join(out_deg, ranks.node == F.col("od_src"), "inner")
-            .select(F.col("od_src").alias("s"), F.expr("CAST(rank DIV deg AS BIGINT)").alias("share"))
-            .join(e, F.col("s") == F.col("src"), "inner")
+            ranks.join(e_deg, ranks.node == F.col("ed_src"), "inner")
             .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum("share").alias("inbound"))
+            .agg(F.sum(F.expr("CAST(rank DIV deg AS BIGINT)")).alias("inbound"))
         )
         ranks = (
             nodes.join(contrib, "node", "left")

@@ -222,17 +222,19 @@ def test_bloom_prefilter_no_extra_exchange_on_fact(q):
 
 def test_epoch_shuffle_uses_range_partition_not_single_sort(q):
     """The distributed rank never funnels through a global single-partition
-    Sort. The rangepartitioning exchange itself now runs inside
-    global_rank's eager localCheckpoint (which pins the sampled range
-    boundaries against double evaluation), so the visible plan starts at
-    the checkpoint scan; what must hold downstream is a partition-local
-    window with NO SinglePartition exchange anywhere."""
+    Sort. global_rank's deterministic fast path buckets by a key-derived
+    hash (one hashpartitioning exchange), ranks within each bucket with a
+    partition-local window, and adds precomputed per-bucket offsets — no
+    sampling job, no checkpoint, NO SinglePartition exchange anywhere."""
     df = q("corpus_epoch_shuffle")
     assert count_op(df, "Exchange SinglePartition") == 0
     from pos_dlt_spark.plans import physical_plan
 
     plan = physical_plan(df)
-    assert "ExistingRDD" in plan or "LocalTableScan" in plan, plan  # checkpointed rank input
+    # exactly one exchange (the bucket hash), reading straight off the scan
+    assert count_op(df, "Exchange") == 1, plan
+    assert "hashpartitioning(__pid" in plan, plan
+    assert "FileScan parquet" in plan, plan
 
 
 def test_streamed_ann_index_prunes_partitions(q):
