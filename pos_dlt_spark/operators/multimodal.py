@@ -85,35 +85,45 @@ def decode_media(payload: bytes, kind: str, fake: bool = False) -> list[float]:
         )
     if payload is None or len(payload) == 0:
         return [0.0] * 8
-    buckets = [0] * 8
-    for by in payload:
-        buckets[by >> 5] += 1
+    import numpy as np
+
+    b = np.frombuffer(payload, dtype=np.uint8)
+    # exact integer bucket counts, divided once in double — identical to
+    # the per-byte Python loop's ``count / n`` (both divide exact ints)
+    buckets = np.bincount(b >> 5, minlength=8).astype(np.int64)
     n = len(payload)
-    return [b / n for b in buckets]
+    return [int(c) / n for c in buckets]
 
 
 def extract_media_features(df: DataFrame, fake: bool = True) -> DataFrame:
     """mapInPandas operator: (media_id, kind, payload) -> features.
 
     Arrow-batched; each task processes its partition's batches
-    independently — embarrassingly parallel, no shuffle.
-    """
+    independently — embarrassingly parallel, no shuffle. Per-payload
+    stats run through numpy (frombuffer + bincount), not per-byte
+    Python — exact int sums divided once, so values are bit-identical
+    to the scalar loop they replaced (guide §4.2)."""
+    import numpy as np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [
-                decode_media(p, k, fake=fake)
-                for p, k in zip(pdf["payload"], pdf["kind"])
-            ]
+            n_bytes, byte_means, feats = [], [], []
+            for p, k in zip(pdf["payload"], pdf["kind"]):
+                if p is None or len(p) == 0:
+                    n_bytes.append(0)
+                    byte_means.append(0.0)
+                    feats.append(decode_media(p, k, fake=fake))
+                    continue
+                arr = np.frombuffer(p, dtype=np.uint8)
+                n_bytes.append(len(p))
+                byte_means.append(int(arr.sum(dtype=np.int64)) / len(p))
+                feats.append(decode_media(p, k, fake=fake))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "n_bytes": [len(p) if p is not None else 0 for p in pdf["payload"]],
-                    "byte_mean": [
-                        (sum(p) / len(p)) if p is not None and len(p) else 0.0
-                        for p in pdf["payload"]
-                    ],
+                    "n_bytes": n_bytes,
+                    "byte_mean": byte_means,
                     "feature": feats,
                 }
             )
@@ -188,6 +198,32 @@ def decode_bmp24(payload: bytes):
     return rows if top_down else rows[::-1]
 
 
+def _bmp_feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Batch transformer behind :func:`bmp_features` — module-level so
+    the fused synth+decode operator can compose it with the synth
+    generator inside ONE Python stage (guide §4: payloads then never
+    cross the JVM boundary at all)."""
+    import numpy as np
+
+    for pdf in batches:
+        out = {k: [] for k in ("media_id", "width", "height", "n_px",
+                               "sum_b", "sum_g", "sum_r", "checksum_r")}
+        for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+            img = decode_bmp24(payload)
+            h, w, _ = img.shape
+            pos = np.arange(h * w, dtype=np.int64).reshape(h, w)
+            px = img.astype(np.int64)
+            out["media_id"].append(mid)
+            out["width"].append(w)
+            out["height"].append(h)
+            out["n_px"].append(h * w)
+            out["sum_b"].append(int(px[:, :, 0].sum()))
+            out["sum_g"].append(int(px[:, :, 1].sum()))
+            out["sum_r"].append(int(px[:, :, 2].sum()))
+            out["checksum_r"].append(int((px[:, :, 2] * pos).sum()))
+        yield pd.DataFrame(out)
+
+
 def bmp_features(df: DataFrame) -> DataFrame:
     """mapInPandas: (media_id, payload) -> decoded BMP statistics with
     EXACT integer aggregates (per-channel int64 pixel sums and a
@@ -197,28 +233,26 @@ def bmp_features(df: DataFrame) -> DataFrame:
     happens in the calling query so both engines divide the same exact
     integers. Embarrassingly parallel, no shuffle; payloads never leave
     the executor."""
+    return df.select("media_id", "payload").mapInPandas(
+        _bmp_feature_batches, BMP_FEATURE_SCHEMA
+    )
+
+
+def _synth_bmp_batches(
+    batches: Iterator[pd.DataFrame], id_col: str = "media_id"
+) -> Iterator[pd.DataFrame]:
     import numpy as np
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {k: [] for k in ("media_id", "width", "height", "n_px",
-                                   "sum_b", "sum_g", "sum_r", "checksum_r")}
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                img = decode_bmp24(payload)
-                h, w, _ = img.shape
-                pos = np.arange(h * w, dtype=np.int64).reshape(h, w)
-                px = img.astype(np.int64)
-                out["media_id"].append(mid)
-                out["width"].append(w)
-                out["height"].append(h)
-                out["n_px"].append(h * w)
-                out["sum_b"].append(int(px[:, :, 0].sum()))
-                out["sum_g"].append(int(px[:, :, 1].sum()))
-                out["sum_r"].append(int(px[:, :, 2].sum()))
-                out["checksum_r"].append(int((px[:, :, 2] * pos).sum()))
-            yield pd.DataFrame(out)
-
-    return df.select("media_id", "payload").mapInPandas(run, BMP_FEATURE_SCHEMA)
+    for pdf in batches:
+        ids, payloads = [], []
+        for mid in pdf[id_col]:
+            mid = int(mid)
+            w, h = 4 + mid % 5, 3 + mid % 4
+            y, x, c = np.ogrid[0:h, 0:w, 0:3]
+            img = ((mid * 31 + y * 7 + x * 3 + c) % 256).astype(np.uint8)
+            ids.append(mid)
+            payloads.append(encode_bmp24(img))
+        yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
 
 def synth_bmp_media(df: DataFrame, id_col: str = "media_id") -> DataFrame:
@@ -227,25 +261,29 @@ def synth_bmp_media(df: DataFrame, id_col: str = "media_id") -> DataFrame:
     at top-down (x, y), channel c is ``(id*31 + y*7 + x*3 + c) % 256`` —
     a closed form a SQL oracle can re-derive. Payload bytes are built
     executor-side per Arrow batch; nothing collects."""
-    import numpy as np
-
     schema = StructType(
         [StructField("media_id", LongType()), StructField("payload", BinaryType())]
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, payloads = [], []
-            for mid in pdf[id_col]:
-                mid = int(mid)
-                w, h = 4 + mid % 5, 3 + mid % 4
-                y, x, c = np.ogrid[0:h, 0:w, 0:3]
-                img = ((mid * 31 + y * 7 + x * 3 + c) % 256).astype(np.uint8)
-                ids.append(mid)
-                payloads.append(encode_bmp24(img))
-            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+        return _synth_bmp_batches(batches, id_col)
 
     return df.select(F.col(id_col)).mapInPandas(run, schema)
+
+
+def synth_bmp_features(df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Fused synth+decode in ONE Arrow pass: composes the exact batch
+    generators behind :func:`synth_bmp_media` and :func:`bmp_features`,
+    so results are identical by construction while the encoded payload
+    bytes never cross the JVM boundary (the unfused chain ships every
+    payload Python->JVM->Python through a second mapInPandas stage —
+    guide §4.1/§8: move heavy bytes zero times when only their stats
+    leave)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        return _bmp_feature_batches(_synth_bmp_batches(batches, id_col))
+
+    return df.select(F.col(id_col)).mapInPandas(run, BMP_FEATURE_SCHEMA)
 
 
 # -- real decoder #2: RIFF/WAVE PCM16 audio (no codec library needed) --------
