@@ -372,6 +372,34 @@ def decode_wav_pcm16(payload: bytes):
     return arr.reshape(-1, ch), int(rate)
 
 
+def _wav_feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Batch transformer behind :func:`wav_features` — module-level so the
+    fused synth+decode operator can compose it with the synth generator
+    inside ONE Python stage (guide §4/§8)."""
+    import numpy as np
+
+    for pdf in batches:
+        out = {k: [] for k in (
+            "media_id", "sample_rate", "n_channels", "n_samples",
+            "sum_abs", "sum_sq", "zero_cross", "checksum",
+        )}
+        for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+            frames, rate = decode_wav_pcm16(payload)
+            s = frames[:, 0].astype(np.int64)
+            nonneg = s >= 0
+            out["media_id"].append(mid)
+            out["sample_rate"].append(rate)
+            out["n_channels"].append(frames.shape[1])
+            out["n_samples"].append(frames.shape[0])
+            out["sum_abs"].append(int(np.abs(s).sum()))
+            out["sum_sq"].append(int((s * s).sum()))
+            out["zero_cross"].append(int((nonneg[1:] != nonneg[:-1]).sum()))
+            out["checksum"].append(
+                int((s * (np.arange(len(s), dtype=np.int64) % 97 + 1)).sum())
+            )
+        yield pd.DataFrame(out)
+
+
 def wav_features(df: DataFrame) -> DataFrame:
     """mapInPandas: (media_id, payload) -> decoded WAV statistics with
     EXACT integer aggregates over channel 0 (|sample| sum, energy as
@@ -380,31 +408,28 @@ def wav_features(df: DataFrame) -> DataFrame:
     a decoder with wrong sample order, byte order, or chunk offsets —
     means alone cannot). Embarrassingly parallel, no shuffle; payloads
     never leave the executor."""
+    return df.select("media_id", "payload").mapInPandas(
+        _wav_feature_batches, WAV_FEATURE_SCHEMA
+    )
+
+
+def _synth_wav_batches(
+    batches: Iterator[pd.DataFrame], id_col: str = "media_id"
+) -> Iterator[pd.DataFrame]:
     import numpy as np
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {k: [] for k in (
-                "media_id", "sample_rate", "n_channels", "n_samples",
-                "sum_abs", "sum_sq", "zero_cross", "checksum",
-            )}
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                frames, rate = decode_wav_pcm16(payload)
-                s = frames[:, 0].astype(np.int64)
-                nonneg = s >= 0
-                out["media_id"].append(mid)
-                out["sample_rate"].append(rate)
-                out["n_channels"].append(frames.shape[1])
-                out["n_samples"].append(frames.shape[0])
-                out["sum_abs"].append(int(np.abs(s).sum()))
-                out["sum_sq"].append(int((s * s).sum()))
-                out["zero_cross"].append(int((nonneg[1:] != nonneg[:-1]).sum()))
-                out["checksum"].append(
-                    int((s * (np.arange(len(s), dtype=np.int64) % 97 + 1)).sum())
-                )
-            yield pd.DataFrame(out)
-
-    return df.select("media_id", "payload").mapInPandas(run, WAV_FEATURE_SCHEMA)
+    for pdf in batches:
+        ids, payloads = [], []
+        for mid in pdf[id_col]:
+            mid = int(mid)
+            n = 50 + mid % 64
+            i = np.arange(n, dtype=np.int64)
+            s = ((mid * 37 + i * 13) % 4001 - 2000).astype(np.int16)
+            ids.append(mid)
+            payloads.append(
+                encode_wav_pcm16(s, sample_rate=8000 + (mid % 3) * 4000)
+            )
+        yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
 
 def synth_wav_media(df: DataFrame, id_col: str = "media_id") -> DataFrame:
@@ -414,27 +439,26 @@ def synth_wav_media(df: DataFrame, id_col: str = "media_id") -> DataFrame:
     ``(id*37 + i*13) % 4001 - 2000`` — a closed form a SQL oracle can
     re-derive. Payload bytes are built executor-side per Arrow batch;
     nothing collects."""
-    import numpy as np
-
     schema = StructType(
         [StructField("media_id", LongType()), StructField("payload", BinaryType())]
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, payloads = [], []
-            for mid in pdf[id_col]:
-                mid = int(mid)
-                n = 50 + mid % 64
-                i = np.arange(n, dtype=np.int64)
-                s = ((mid * 37 + i * 13) % 4001 - 2000).astype(np.int16)
-                ids.append(mid)
-                payloads.append(
-                    encode_wav_pcm16(s, sample_rate=8000 + (mid % 3) * 4000)
-                )
-            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+        return _synth_wav_batches(batches, id_col)
 
     return df.select(F.col(id_col)).mapInPandas(run, schema)
+
+
+def synth_wav_features(df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Fused synth+decode in ONE Arrow pass: composes the exact batch
+    generators behind :func:`synth_wav_media` and :func:`wav_features`,
+    so results are identical by construction while the encoded payload
+    bytes never cross the JVM boundary (guide §4.1/§8)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        return _wav_feature_batches(_synth_wav_batches(batches, id_col))
+
+    return df.select(F.col(id_col)).mapInPandas(run, WAV_FEATURE_SCHEMA)
 
 
 
@@ -617,6 +641,37 @@ def decode_png(payload: bytes):
     return out.reshape(h, w, ch)
 
 
+def _png_feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Batch transformer behind :func:`png_features` — module-level so the
+    fused synth+decode operator can compose it with the synth generator
+    inside ONE Python stage (guide §4/§8)."""
+    import numpy as np
+
+    for pdf in batches:
+        out = {k: [] for k in (
+            "media_id", "width", "height", "channels", "n_px",
+            "sum_r", "sum_g", "sum_b", "sum_a", "checksum_g",
+        )}
+        for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+            img = decode_png(payload)
+            h, w, ch = img.shape
+            px = img.astype(np.int64)
+            pos = np.arange(h * w, dtype=np.int64).reshape(h, w)
+            out["media_id"].append(mid)
+            out["width"].append(w)
+            out["height"].append(h)
+            out["channels"].append(ch)
+            out["n_px"].append(h * w)
+            out["sum_r"].append(int(px[:, :, 0].sum()))
+            out["sum_g"].append(int(px[:, :, 1].sum()))
+            out["sum_b"].append(int(px[:, :, 2].sum()))
+            out["sum_a"].append(
+                int(px[:, :, 3].sum()) if ch == 4 else 0
+            )
+            out["checksum_g"].append(int((px[:, :, 1] * pos).sum()))
+        yield pd.DataFrame(out)
+
+
 def png_features(df: DataFrame) -> DataFrame:
     """mapInPandas: (media_id, payload) -> decoded PNG statistics with
     EXACT integer aggregates (per-channel int64 sums, alpha sum 0 for
@@ -624,34 +679,26 @@ def png_features(df: DataFrame) -> DataFrame:
     catches a decoder whose defilter or chunk concatenation is off by
     anything, which channel means alone cannot). Embarrassingly
     parallel, no shuffle; payloads never leave the executor."""
+    return df.select("media_id", "payload").mapInPandas(
+        _png_feature_batches, PNG_FEATURE_SCHEMA
+    )
+
+
+def _synth_png_batches(
+    batches: Iterator[pd.DataFrame], id_col: str = "media_id"
+) -> Iterator[pd.DataFrame]:
     import numpy as np
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {k: [] for k in (
-                "media_id", "width", "height", "channels", "n_px",
-                "sum_r", "sum_g", "sum_b", "sum_a", "checksum_g",
-            )}
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                img = decode_png(payload)
-                h, w, ch = img.shape
-                px = img.astype(np.int64)
-                pos = np.arange(h * w, dtype=np.int64).reshape(h, w)
-                out["media_id"].append(mid)
-                out["width"].append(w)
-                out["height"].append(h)
-                out["channels"].append(ch)
-                out["n_px"].append(h * w)
-                out["sum_r"].append(int(px[:, :, 0].sum()))
-                out["sum_g"].append(int(px[:, :, 1].sum()))
-                out["sum_b"].append(int(px[:, :, 2].sum()))
-                out["sum_a"].append(
-                    int(px[:, :, 3].sum()) if ch == 4 else 0
-                )
-                out["checksum_g"].append(int((px[:, :, 1] * pos).sum()))
-            yield pd.DataFrame(out)
-
-    return df.select("media_id", "payload").mapInPandas(run, PNG_FEATURE_SCHEMA)
+    for pdf in batches:
+        ids, payloads = [], []
+        for mid in pdf[id_col]:
+            mid = int(mid)
+            w, h, ch = 4 + mid % 5, 5 + mid % 4, 3 + mid % 2
+            y, x, c = np.ogrid[0:h, 0:w, 0:ch]
+            img = ((mid * 41 + y * 9 + x * 5 + c * 17) % 256).astype(np.uint8)
+            ids.append(mid)
+            payloads.append(encode_png(img))
+        yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
 
 def synth_png_media(df: DataFrame, id_col: str = "media_id") -> DataFrame:
@@ -662,25 +709,26 @@ def synth_png_media(df: DataFrame, id_col: str = "media_id") -> DataFrame:
     ``(id*41 + y*9 + x*5 + c*17) % 256`` — a closed form a SQL oracle
     can re-derive. Payload bytes are built executor-side per Arrow
     batch; nothing collects."""
-    import numpy as np
-
     schema = StructType(
         [StructField("media_id", LongType()), StructField("payload", BinaryType())]
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, payloads = [], []
-            for mid in pdf[id_col]:
-                mid = int(mid)
-                w, h, ch = 4 + mid % 5, 5 + mid % 4, 3 + mid % 2
-                y, x, c = np.ogrid[0:h, 0:w, 0:ch]
-                img = ((mid * 41 + y * 9 + x * 5 + c * 17) % 256).astype(np.uint8)
-                ids.append(mid)
-                payloads.append(encode_png(img))
-            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+        return _synth_png_batches(batches, id_col)
 
     return df.select(F.col(id_col)).mapInPandas(run, schema)
+
+
+def synth_png_features(df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Fused synth+decode in ONE Arrow pass: composes the exact batch
+    generators behind :func:`synth_png_media` and :func:`png_features`,
+    so results are identical by construction while the encoded payload
+    bytes never cross the JVM boundary (guide §4.1/§8)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        return _png_feature_batches(_synth_png_batches(batches, id_col))
+
+    return df.select(F.col(id_col)).mapInPandas(run, PNG_FEATURE_SCHEMA)
 
 
 # -- real decoder #4: baseline sequential JPEG (ITU T.81, stdlib+numpy) ------
