@@ -223,17 +223,52 @@ def jaccard_for_pairs(
     )
 
 
+def minhash_doc_profiles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    n_hashes: int = 8, shingle_n: int = 3,
+) -> DataFrame:
+    """ONE tokenize->shingle->hash pass producing everything the near-dup
+    pipeline needs per document: ``(id, hsh array<bigint>, mh0..mhK)``,
+    materialized via an eager ``localCheckpoint``.
+
+    Why: the composed pipeline consumes the heavy text pass three times —
+    once to band signatures and twice (a/b sides) to verify Jaccard on
+    candidate pairs — and Catalyst does not share common subtrees across
+    self-joins, so without pinning, the regexp tokenization and the
+    9x-md5-per-shingle work execute once PER CONSUMER (4 parquet scans +
+    4 Generate pipelines in the measured sf0.1 plan). This is the guide
+    §8.4 "fingerprints only" step: one full read of the texts, then every
+    later decision runs on the small hash frame. The frame is
+    O(docs x shingles) bigints — the 100 TB shape writes it to a table;
+    locally localCheckpoint holds it on the executors."""
+    sh_df = shingle_table(df, text_col, id_col, shingle_n)
+    return sh_df.select(
+        F.col(id_col),
+        F.array_distinct(F.transform(F.col("sh"), lambda s: phash(s))).alias("hsh"),
+        *minhash_signature(F.col("sh"), n_hashes),
+    ).localCheckpoint(eager=True)
+
+
 def minhash_lsh_dedup_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     n_hashes: int = 8, bands: int = 4, shingle_n: int = 3, threshold: float = 0.5,
     max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Full near-dup pipeline: signatures -> LSH candidates -> exact
-    Jaccard verify -> threshold."""
-    sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n)
+    Jaccard verify -> threshold. The per-doc hash profile is computed
+    once and pinned (:func:`minhash_doc_profiles`); bands and both
+    verification sides derive from the pinned frame."""
+    per_doc = minhash_doc_profiles(df, text_col, id_col, n_hashes, shingle_n)
+    sig = per_doc.select(id_col, *[F.col(f"mh{i}") for i in range(n_hashes)])
     pairs = lsh_candidate_pairs(sig, id_col, n_hashes, bands, max_bucket_size)
-    return jaccard_for_pairs(pairs, df, text_col, id_col, shingle_n).filter(
-        F.col("jaccard") >= threshold
+    a = per_doc.select(F.col(id_col).alias("id_a"), F.col("hsh").alias("sh_a"))
+    b = per_doc.select(F.col(id_col).alias("id_b"), F.col("hsh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    return (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .select("id_a", "id_b", (inter / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
     )
 
 

@@ -207,15 +207,24 @@ def dedup_lsh_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines; running it only on LSH candidates keeps the O(len^2)
     comparison off the hot path."""
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    sig = D.minhash_signatures(docs, n_hashes=N_HASHES, shingle_n=SHINGLE_N)
+    # Pin the signature frame: the LSH band self-join consumes it on BOTH
+    # sides, and without the pin the tokenize/shingle/8x-md5 pass executes
+    # twice (guide §8.4 — decide on small pinned rows). 8 bigints/doc.
+    sig = D.minhash_signatures(
+        docs, n_hashes=N_HASHES, shingle_n=SHINGLE_N
+    ).localCheckpoint(eager=True)
     pairs = D.lsh_candidate_pairs(sig, n_hashes=N_HASHES, bands=BANDS)
     a = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
     b = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
-    dist = F.levenshtein("text_a", "text_b")
+    # Threshold-bounded levenshtein (SPARK-40550): the DP runs in a
+    # +-80-wide band and aborts early, returning -1 past the bound —
+    # O(len * 80) instead of O(len^2) per candidate pair, with the exact
+    # distance (bit-identical to the unbounded form) whenever it is <= 80.
+    dist = F.levenshtein("text_a", "text_b", 80)
     return (
         pairs.join(a, "id_a").join(b, "id_b")
         .select("id_a", "id_b", dist.cast("bigint").alias("edit_distance"))
-        .filter(F.col("edit_distance") <= 80)
+        .filter(F.col("edit_distance") >= 0)
     )
 
 
