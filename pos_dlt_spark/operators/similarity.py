@@ -26,6 +26,25 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _sql_json_arr(data, dtype: str) -> str:
+    """Render a nested integer array as ONE foldable literal: a JSON
+    string parsed by ``from_json``, which ConstantFolding collapses to a
+    single Literal node before execution (verified: it folds inside HOF
+    lambdas too, and the folded plan shows the plain array literal).
+
+    Why not ``array(1L,2L,...)``: that form costs a Catalyst node per
+    element — n_centroids x dim nodes per inlined model — and for the
+    small ANN gate queries expression-tree ANALYSIS/codegen, not
+    execution, dominated the wall (the unrolled trees were ~5 KB of SQL
+    per model reference, re-analyzed at every consumer). Values are
+    integers rendered by json.dumps, so the parsed literal is exactly
+    the old literal array."""
+    import json
+
+    payload = json.dumps(data, separators=(",", ":"))
+    return f"from_json('{payload}', '{dtype}')"
+
+
 def quantized(vec: Column, scale: int = 1000) -> Column:
     """array<float> -> array<bigint>, floor(x*scale). floor (not round):
     round's half-way tie-breaking differs between engines; floor never ties."""
@@ -153,15 +172,18 @@ def hyperplane_signature(qvec: str, planes: list[list[int]]) -> Column:
     entries has the same collision guarantee as Gaussian planes
     (Charikar, STOC'02 — SimHash family). ``qvec`` must be a materialized
     attribute (HOF lambdas re-evaluate their inputs per element)."""
-    terms = ["CAST(0 AS BIGINT)"]
-    for i, plane in enumerate(planes):
-        arr = "array(" + ",".join(f"{int(v)}L" for v in plane) + ")"
-        dot = (
-            f"aggregate(zip_with({qvec}, {arr}, (x, y) -> x * y), "
-            "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
-        )
-        terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << i}L ELSE 0L END)")
-    return F.expr(" + ".join(terms))
+    n = len(planes)
+    pl = _sql_json_arr([[int(v) for v in p] for p in planes], "array<array<bigint>>")
+    dot = (
+        f"aggregate(zip_with({qvec}, element_at({pl}, i + 1), (x, y) -> x * y), "
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    # bit i = sign(dot_i): same left-to-right bigint sum as the old
+    # unrolled `0 + t0 + t1 + ...` chain; shiftleft(1L, i) == {1 << i}L
+    return F.expr(
+        f"aggregate(sequence(0, {n - 1}), CAST(0 AS BIGINT), (sig, i) -> "
+        f"sig + (CASE WHEN {dot} >= 0 THEN shiftleft(CAST(1 AS BIGINT), i) ELSE 0L END))"
+    )
 
 
 def make_planes(dim: int, n_planes: int = 12, seed: int = 42) -> list[list[int]]:
@@ -292,17 +314,21 @@ def _centroid_sims(qvec: str, nq: str, centroids: list[tuple[int, list[int]]]) -
     round-trips (4000+ driver calls, ~3 s of plan-build latency per query
     — measured; the parse of the equivalent ~5 KB string is
     milliseconds). Same arithmetic, same plan."""
-    parts = []
-    for cid, cv in centroids:
-        arr = "array(" + ",".join(f"{int(v)}L" for v in cv) + ")"
-        cc = sum(int(v) * int(v) for v in cv)
-        dot = (
-            f"aggregate(zip_with({qvec}, {arr}, (x, y) -> x * y), "
-            "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
-        )
-        sim = f"CAST({dot} AS DOUBLE) / {nq} / sqrt(CAST({cc} AS DOUBLE))"
-        parts.append(f"named_struct('negsim', ({sim}) * -1, 'cid', {int(cid)})")
-    return F.expr("array(" + ", ".join(parts) + ")")
+    n = len(centroids)
+    cqs = _sql_json_arr([[int(v) for v in cv] for _, cv in centroids], "array<array<bigint>>")
+    ccs = _sql_json_arr(
+        [sum(int(v) * int(v) for v in cv) for _, cv in centroids], "array<bigint>"
+    )
+    cids = _sql_json_arr([int(cid) for cid, _ in centroids], "array<int>")
+    dot = (
+        f"aggregate(zip_with({qvec}, element_at({cqs}, i + 1), (x, y) -> x * y), "
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    sim = f"CAST({dot} AS DOUBLE) / {nq} / sqrt(CAST(element_at({ccs}, i + 1) AS DOUBLE))"
+    return F.expr(
+        f"transform(sequence(0, {n - 1}), i -> "
+        f"named_struct('negsim', ({sim}) * -1, 'cid', element_at({cids}, i + 1)))"
+    )
 
 
 def kmeans_fit(
@@ -387,16 +413,19 @@ def _pq_code(sqcol: str, book: list[tuple[int, list[int]]]) -> Column:
     so the argmin of ``|c|^2 - 2x.c`` suffices — exact bigint math, min-cid
     tiebreak via lexicographic array_min on (d, cid) structs. ``sqcol`` is
     a column NAME (materialized attribute; see hyperplane_signature)."""
-    parts = []
-    for cid, cv in book:
-        arr = "array(" + ",".join(f"{int(v)}L" for v in cv) + ")"
-        cc = sum(int(v) * int(v) for v in cv)
-        dot = (
-            f"aggregate(zip_with({sqcol}, {arr}, (x, y) -> x * y), "
-            "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
-        )
-        parts.append(f"named_struct('d', {cc}L - 2 * ({dot}), 'cid', {int(cid)})")
-    return F.expr("array_min(array(" + ", ".join(parts) + "))['cid']")
+    k = len(book)
+    cbs = _sql_json_arr([[int(v) for v in cv] for _, cv in book], "array<array<bigint>>")
+    ccs = _sql_json_arr([sum(int(v) * int(v) for v in cv) for _, cv in book], "array<bigint>")
+    cids = _sql_json_arr([int(cid) for cid, _ in book], "array<int>")
+    dot = (
+        f"aggregate(zip_with({sqcol}, element_at({cbs}, i + 1), (x, y) -> x * y), "
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    return F.expr(
+        f"array_min(transform(sequence(0, {k - 1}), i -> "
+        f"named_struct('d', element_at({ccs}, i + 1) - 2 * ({dot}), "
+        f"'cid', element_at({cids}, i + 1))))['cid']"
+    )
 
 
 def pq_fit(
@@ -484,7 +513,9 @@ def pq_encode(
     )
     normsq_terms = []
     for j, book in enumerate(books):
-        ccs = "array(" + ",".join(f"{sum(int(v) * int(v) for v in cv)}L" for _, cv in book) + ")"
+        ccs = _sql_json_arr(
+            [sum(int(v) * int(v) for v in cv) for _, cv in book], "array<bigint>"
+        )
         normsq_terms.append(f"element_at({ccs}, c{j} + 1)")
     return coded.select(
         "vec_id",
@@ -521,14 +552,13 @@ def pq_topk(
     )
     lut_cols = []
     for j, book in enumerate(books):
-        dots = []
-        for _, cv in book:
-            arr = "array(" + ",".join(f"{int(v)}L" for v in cv) + ")"
-            dots.append(
-                f"aggregate(zip_with(p{j}, {arr}, (x, y) -> x * y), "
-                "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
-            )
-        lut_cols.append(F.expr("array(" + ", ".join(dots) + ")").alias(f"lut{j}"))
+        cbs = _sql_json_arr([[int(v) for v in cv] for _, cv in book], "array<array<bigint>>")
+        lut_cols.append(
+            F.expr(
+                f"transform({cbs}, cv -> aggregate(zip_with(p{j}, cv, (x, y) -> x * y), "
+                "CAST(0 AS BIGINT), (acc, x) -> acc + x))"
+            ).alias(f"lut{j}")
+        )
     pl = p.select("probe_id", "np_", *lut_cols)
     adot = " + ".join(f"element_at(lut{j}, c{j} + 1)" for j in range(m))
     sim = (
@@ -670,7 +700,9 @@ def ivfpq_topk(
     )
     normsq_terms = []
     for j, book in enumerate(books):
-        ccs = "array(" + ",".join(f"{sum(int(v) * int(v) for v in cv)}L" for _, cv in book) + ")"
+        ccs = _sql_json_arr(
+            [sum(int(v) * int(v) for v in cv) for _, cv in book], "array<bigint>"
+        )
         normsq_terms.append(f"element_at({ccs}, c{j} + 1)")
     enc = coded.select(
         "neighbor_id", "cid", *[f"c{j}" for j in range(m)],
@@ -686,14 +718,13 @@ def ivfpq_topk(
     )
     lut_cols = []
     for j, book in enumerate(books):
-        dots = []
-        for _, cv in book:
-            arr = "array(" + ",".join(f"{int(v)}L" for v in cv) + ")"
-            dots.append(
-                f"aggregate(zip_with(p{j}, {arr}, (x, y) -> x * y), "
-                "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
-            )
-        lut_cols.append(F.expr("array(" + ", ".join(dots) + ")").alias(f"lut{j}"))
+        cbs = _sql_json_arr([[int(v) for v in cv] for _, cv in book], "array<array<bigint>>")
+        lut_cols.append(
+            F.expr(
+                f"transform({cbs}, cv -> aggregate(zip_with(p{j}, cv, (x, y) -> x * y), "
+                "CAST(0 AS BIGINT), (acc, x) -> acc + x))"
+            ).alias(f"lut{j}")
+        )
     pl = p.select(
         "probe_id", "np_", *lut_cols,
         F.explode_outer(
