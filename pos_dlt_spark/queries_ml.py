@@ -1175,7 +1175,7 @@ def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", spread=True).select(
         F.col("doc_id").alias("media_id")
     )
-    feats = M.bmp_features(M.synth_bmp_media(docs))
+    feats = M.synth_bmp_features(docs)
     return feats.select(
         "media_id",
         "width",
@@ -1228,7 +1228,7 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", spread=True).select(
         F.col("doc_id").alias("media_id")
     )
-    return M.wav_features(M.synth_wav_media(docs))
+    return M.synth_wav_features(docs)
 
 
 @query(
@@ -1276,7 +1276,7 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", spread=True).select(
         F.col("doc_id").alias("media_id")
     )
-    feats = M.png_features(M.synth_png_media(docs))
+    feats = M.synth_png_features(docs)
     return feats.select(
         "media_id",
         "width",
