@@ -223,13 +223,39 @@ def jaccard_for_pairs(
     )
 
 
+# Frames pinned by pin_frame, oldest first. Spark's ContextCleaner only
+# reclaims dropped persisted blocks after a DRIVER JVM GC, which a
+# mostly-idle 16g heap may not run for hundreds of queries — measured: a
+# bench session accumulating such pins degraded later unrelated queries
+# up to 9x (corpus_repeated_ngrams 0.75 -> 6.8 s) until a System.gc().
+# Explicitly unpersisting superseded frames bounds the pinned footprint
+# to ONE frame per process regardless of session length. Safe because
+# persist (unlike localCheckpoint) keeps lineage: a stale frame that
+# somehow gets re-executed recomputes from source.
+_PINNED_FRAMES: list[DataFrame] = []
+
+
+def pin_frame(df: DataFrame) -> DataFrame:
+    """Persist + eagerly materialize ``df``, unpersisting any frame a
+    previous call pinned (see ``_PINNED_FRAMES``). For model-artifact-
+    sized intermediates consumed by several plan branches within ONE
+    query's lifetime."""
+    pinned = df.persist()
+    pinned.count()
+    while _PINNED_FRAMES:
+        _PINNED_FRAMES.pop(0).unpersist(blocking=False)
+    _PINNED_FRAMES.append(pinned)
+    return pinned
+
+
 def minhash_doc_profiles(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     n_hashes: int = 8, shingle_n: int = 3,
 ) -> DataFrame:
     """ONE tokenize->shingle->hash pass producing everything the near-dup
     pipeline needs per document: ``(id, hsh array<bigint>, mh0..mhK)``,
-    materialized via an eager ``localCheckpoint``.
+    persisted and materialized eagerly via :func:`pin_frame` (superseding
+    any previously pinned frame).
 
     Why: the composed pipeline consumes the heavy text pass three times —
     once to band signatures and twice (a/b sides) to verify Jaccard on
@@ -240,13 +266,15 @@ def minhash_doc_profiles(
     §8.4 "fingerprints only" step: one full read of the texts, then every
     later decision runs on the small hash frame. The frame is
     O(docs x shingles) bigints — the 100 TB shape writes it to a table;
-    locally localCheckpoint holds it on the executors."""
+    locally the block cache holds it."""
     sh_df = shingle_table(df, text_col, id_col, shingle_n)
-    return sh_df.select(
-        F.col(id_col),
-        F.array_distinct(F.transform(F.col("sh"), lambda s: phash(s))).alias("hsh"),
-        *minhash_signature(F.col("sh"), n_hashes),
-    ).localCheckpoint(eager=True)
+    return pin_frame(
+        sh_df.select(
+            F.col(id_col),
+            F.array_distinct(F.transform(F.col("sh"), lambda s: phash(s))).alias("hsh"),
+            *minhash_signature(F.col("sh"), n_hashes),
+        )
+    )
 
 
 def minhash_lsh_dedup_pairs(

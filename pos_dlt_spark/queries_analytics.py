@@ -950,12 +950,21 @@ def events_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
     sketched = daily.select(
         "d", F.hll_sketch_estimate(F.hll_union_agg("sk").over(w)).alias("est")
     )
-    days = ev.select(F.date_trunc("day", F.col("ts")).alias("d")).distinct()
+    # Pre-dedup (day, user) pairs BEFORE the day-grid range join (guide
+    # §2.3 — aggregate before you shuffle; the sketch-agg gates' lesson):
+    # distinct-over-a-window equals distinct over the union of daily
+    # distinct sets, and the day-boundary grid makes the ts range test
+    # equivalent to the same test on date_trunc(ts). The join then
+    # amplifies ~|days| x |daily users| rows instead of 7x raw events.
+    daily_users = ev.select(
+        F.date_trunc("day", F.col("ts")).alias("ud"), "user_id"
+    ).distinct()
+    days = daily_users.select(F.col("ud").alias("d")).distinct()
     exact = (
         days.join(
-            ev,
-            (F.col("ts") >= F.col("d") - F.expr("INTERVAL 6 DAYS"))
-            & (F.col("ts") < F.col("d") + F.expr("INTERVAL 1 DAY")),
+            daily_users,
+            (F.col("ud") >= F.col("d") - F.expr("INTERVAL 6 DAYS"))
+            & (F.col("ud") < F.col("d") + F.expr("INTERVAL 1 DAY")),
         )
         .groupBy("d")
         .agg(F.count_distinct("user_id").alias("n_users_7d_exact"))

@@ -209,10 +209,11 @@ def dedup_lsh_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", spread=True)
     # Pin the signature frame: the LSH band self-join consumes it on BOTH
     # sides, and without the pin the tokenize/shingle/8x-md5 pass executes
-    # twice (guide §8.4 — decide on small pinned rows). 8 bigints/doc.
-    sig = D.minhash_signatures(
-        docs, n_hashes=N_HASHES, shingle_n=SHINGLE_N
-    ).localCheckpoint(eager=True)
+    # twice (guide §8.4 — decide on small pinned rows). 8 bigints/doc;
+    # pin_frame unpersists superseded pins so sessions don't accumulate.
+    sig = D.pin_frame(
+        D.minhash_signatures(docs, n_hashes=N_HASHES, shingle_n=SHINGLE_N)
+    )
     pairs = D.lsh_candidate_pairs(sig, n_hashes=N_HASHES, bands=BANDS)
     a = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
     b = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
