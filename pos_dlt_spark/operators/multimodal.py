@@ -1333,40 +1333,98 @@ JPEG_FEATURE_SCHEMA = StructType(
 )
 
 
+def _jpeg_feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Batch transformer behind :func:`jpeg_features` — module-level so
+    the fused synth+decode operator can compose it with the synth
+    generator inside ONE Python stage (guide §4: payloads then never
+    cross the JVM boundary at all)."""
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+            px = decode_jpeg(payload)
+            hh, ww = px.shape[:2]
+            flat = px.astype(np.int64)
+            idx = np.arange(hh * ww).reshape(hh, ww)
+            rows.append(
+                (
+                    int(mid),
+                    int(ww),
+                    int(hh),
+                    int(hh * ww),
+                    float(flat.mean()),
+                    int((flat * idx).sum()),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "media_id", "width", "height", "n_px", "mean_px", "checksum",
+            ],
+        )
+
+
 def jpeg_features(df: DataFrame) -> DataFrame:
     """mapInPandas operator: (media_id, payload) -> real grayscale-JPEG
     decode features (dims, mean pixel, position-weighted checksum) —
     Arrow-batched, embarrassingly parallel, payloads never reach the
     driver."""
+    return df.select("media_id", "payload").mapInPandas(
+        _jpeg_feature_batches, JPEG_FEATURE_SCHEMA
+    )
+
+
+def _synth_jpeg_batches(
+    batches: Iterator[pd.DataFrame], id_col: str = "media_id"
+) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        out = []
+        for mid in pdf[id_col]:
+            mid = int(mid)
+            w = 16 + (mid % 3) * 8 + mid % 5
+            h = 16 + (mid % 2) * 8 + mid % 7
+            by, bx = np.meshgrid(
+                np.arange(-(-h // 8)), np.arange(-(-w // 8)), indexing="ij"
+            )
+            blocks = (mid * 37 + by * 11 + bx * 7) % 256
+            px = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)[
+                :h, :w
+            ].astype(np.uint8)
+            out.append(
+                (
+                    mid,
+                    encode_jpeg(
+                        px,
+                        quant=[8] * 64,
+                        restart_interval=2 if mid % 3 == 0 else 0,
+                    ),
+                )
+            )
+        yield pd.DataFrame(out, columns=["media_id", "payload"])
+
+
+def synth_jpeg_features(df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Fused synth+decode in ONE Arrow pass: composes the exact batch
+    generators behind :func:`synth_jpeg_media` and :func:`jpeg_features`,
+    so results are identical by construction while the encoded payload
+    bytes never cross the JVM boundary. Beyond the byte-shipping saved,
+    the unfused chain runs TWO concurrent mapInPandas stages, demanding
+    2x cores of Python workers — on a warm 1x pool the second stage
+    cold-spawns a full worker set (fork + interpreter + numpy import per
+    worker) every bench pass; the fused single stage reuses the warm
+    pool (observed 0.96 s isolated vs 3.6-9.0 s in-bench for the
+    two-stage shape, with the sampler showing fresh worker PIDs and a
+    lone cold straggler)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
+        return _jpeg_feature_batches(_synth_jpeg_batches(batches, id_col))
 
-        for pdf in batches:
-            rows = []
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                px = decode_jpeg(payload)
-                hh, ww = px.shape[:2]
-                flat = px.astype(np.int64)
-                idx = np.arange(hh * ww).reshape(hh, ww)
-                rows.append(
-                    (
-                        int(mid),
-                        int(ww),
-                        int(hh),
-                        int(hh * ww),
-                        float(flat.mean()),
-                        int((flat * idx).sum()),
-                    )
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "media_id", "width", "height", "n_px", "mean_px", "checksum",
-                ],
-            )
-
-    return df.select("media_id", "payload").mapInPandas(run, JPEG_FEATURE_SCHEMA)
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        run, JPEG_FEATURE_SCHEMA
+    )
 
 
 def synth_jpeg_media(df: DataFrame, id_col: str = "media_id") -> DataFrame:
@@ -1381,32 +1439,7 @@ def synth_jpeg_media(df: DataFrame, id_col: str = "media_id") -> DataFrame:
     restart interval so DRI/RSTn paths run under the oracle too."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
-        for pdf in batches:
-            out = []
-            for mid in pdf[id_col]:
-                mid = int(mid)
-                w = 16 + (mid % 3) * 8 + mid % 5
-                h = 16 + (mid % 2) * 8 + mid % 7
-                by, bx = np.meshgrid(
-                    np.arange(-(-h // 8)), np.arange(-(-w // 8)), indexing="ij"
-                )
-                blocks = (mid * 37 + by * 11 + bx * 7) % 256
-                px = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)[
-                    :h, :w
-                ].astype(np.uint8)
-                out.append(
-                    (
-                        mid,
-                        encode_jpeg(
-                            px,
-                            quant=[8] * 64,
-                            restart_interval=2 if mid % 3 == 0 else 0,
-                        ),
-                    )
-                )
-            yield pd.DataFrame(out, columns=["media_id", "payload"])
+        return _synth_jpeg_batches(batches, id_col)
 
     schema = StructType(
         [

@@ -1333,7 +1333,7 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", spread=True).select(
         F.col("doc_id").alias("media_id")
     )
-    feats = M.jpeg_features(M.synth_jpeg_media(docs))
+    feats = M.synth_jpeg_features(docs)
     return feats.select(
         "media_id",
         "width",
