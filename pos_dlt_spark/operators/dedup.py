@@ -239,11 +239,22 @@ def pin_frame(df: DataFrame) -> DataFrame:
     """Persist + eagerly materialize ``df``, unpersisting any frame a
     previous call pinned (see ``_PINNED_FRAMES``). For model-artifact-
     sized intermediates consumed by several plan branches within ONE
-    query's lifetime."""
-    pinned = df.persist()
-    pinned.count()
+    query's lifetime.
+
+    Unpersist MUST precede the persist: Spark's CacheManager matches
+    cache entries by canonicalized plan, so when the same query is
+    invoked twice (the bench's two passes), persisting the new
+    identical-plan frame first would (a) let its eager count ride the
+    previous invocation's still-cached data — cross-invocation result
+    caching the bench must not see — and (b) the subsequent unpersist
+    of the old frame would drop the SHARED entry, leaving the new pin
+    uncached so every downstream consumer silently recomputes the full
+    text pass (observed: dedup_minhash_lsh_pairs' second bench pass
+    slower than its first, 1.93 -> 2.34 s)."""
     while _PINNED_FRAMES:
         _PINNED_FRAMES.pop(0).unpersist(blocking=False)
+    pinned = df.persist()
+    pinned.count()
     _PINNED_FRAMES.append(pinned)
     return pinned
 

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pos_dlt_spark.functions import phash_sql
+from pos_dlt_spark.functions import phash, phash_sql
 from pos_dlt_spark.operators import corpus as C
 from pos_dlt_spark.queries import query
 from pos_dlt_spark.queries_ml import _HSH_CTE, _SH_CTE, _TOKS_CTE
@@ -37,6 +37,99 @@ def _checkpoint_parallel(*dfs: DataFrame) -> list[DataFrame]:
         return [dfs[0].localCheckpoint(eager=True)]
     with ThreadPoolExecutor(max_workers=len(dfs)) as pool:
         return list(pool.map(lambda d: d.localCheckpoint(eager=True), dfs))
+
+def stage_profiles(
+    docs: DataFrame, n_hashes: int, shingle_n: int
+) -> DataFrame:
+    """ONE pinned text pass carrying every per-doc decision column the
+    composed cleaning pipelines consume: ``quality_score`` (same
+    expression as text.quality_features), ``content_hash`` (same
+    normalization as dedup.exact_dedup_groups), ``hsh`` (distinct hashed
+    shingles — dedup.hashed_shingle_table) and the ``mh*`` minhash
+    signature. The quality / exact-dedup / LSH / decontamination stages
+    previously each re-read and re-tokenized the corpus (guide §8.4:
+    decide on small pinned rows — the text is read once, every stage
+    decision derives from this frame); the expressions are byte-for-byte
+    the standalone operators', so each stage's output is unchanged."""
+    from pos_dlt_spark.operators.dedup import (
+        _shingles_from_tokens,
+        minhash_signature,
+        pin_frame,
+    )
+    from pos_dlt_spark.operators.text import quality_score, tokens
+
+    normalized = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    toks_df = docs.select(
+        F.col("doc_id"),
+        quality_score(F.col("text")).alias("quality_score"),
+        F.md5(normalized).alias("content_hash"),
+        tokens(F.col("text")).alias("__toks"),
+    )
+    sh_df = toks_df.select(
+        "doc_id",
+        "quality_score",
+        "content_hash",
+        _shingles_from_tokens(F.col("__toks"), shingle_n).alias("sh"),
+    )
+    return pin_frame(
+        sh_df.select(
+            "doc_id",
+            "quality_score",
+            "content_hash",
+            F.array_distinct(F.transform(F.col("sh"), lambda s: phash(s))).alias("hsh"),
+            *minhash_signature(F.col("sh"), n_hashes),
+        )
+    )
+
+
+def _near_dropped_from_profiles(
+    prof: DataFrame, n_hashes: int, bands: int, threshold: float
+) -> DataFrame:
+    """``minhash_lsh_dedup_pairs``'s band + Jaccard-verify tail over an
+    already-pinned profile frame: the dropped (higher-id) side of every
+    verified pair."""
+    from pos_dlt_spark.operators.dedup import lsh_candidate_pairs
+
+    sig = prof.select("doc_id", *[F.col(f"mh{i}") for i in range(n_hashes)])
+    pairs = lsh_candidate_pairs(sig, "doc_id", n_hashes, bands)
+    a = prof.select(F.col("doc_id").alias("id_a"), F.col("hsh").alias("sh_a"))
+    b = prof.select(F.col("doc_id").alias("id_b"), F.col("hsh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", (inter / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+
+
+def _contamination_ids_from_profiles(
+    prof: DataFrame, clean: DataFrame, bench_max_id: int, min_shared: int
+) -> DataFrame:
+    """Decontamination ids over the pinned profile frame — the exploded
+    shingle-hash equi-join of ``corpus.contamination_pairs``, with both
+    sides' ``hsh`` read from the profile instead of re-hashing text."""
+    t = (
+        prof.join(
+            clean.filter(F.col("doc_id") >= bench_max_id), "doc_id", "left_semi"
+        )
+        .select(F.col("doc_id").alias("train_id"), F.explode_outer("hsh").alias("h"))
+    )
+    b = prof.filter(F.col("doc_id") < bench_max_id).select(
+        F.col("doc_id").alias("bench_id"), F.explode_outer("hsh").alias("h")
+    )
+    return (
+        t.join(F.broadcast(b), "h")
+        .groupBy("train_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))  # hsh is distinct per doc
+        .filter(F.col("n_shared") >= min_shared)
+        .select(F.col("train_id").alias("doc_id"))
+        .distinct()
+    )
+
 
 _BUCKET_SQL = phash_sql("CAST(doc_id AS VARCHAR)", C.SPLIT_SALT) + " % 100"
 _NTOK_SQL = r"CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT)"
@@ -529,40 +622,31 @@ def corpus_training_set_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenize/shingle projections, and never materializes an intermediate
     table. Output: the packed training set (doc_id, n_tokens, bin_id,
     bin_offset)."""
-    from pos_dlt_spark.operators import dedup as D
-    from pos_dlt_spark.operators import text as T
     from pos_dlt_spark.queries_ml import BANDS, N_HASHES, SHINGLE_N
 
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    quality = (
-        T.quality_features(docs).filter(F.col("quality_score") >= 0.3).select("doc_id")
+    # ONE pinned text pass (stage_profiles) feeds quality, exact dedup,
+    # LSH and decontamination — previously each stage re-tokenized the
+    # corpus inside this single Catalyst tree (no subtree sharing across
+    # the differently-shaped stages).
+    prof = stage_profiles(docs, N_HASHES, SHINGLE_N)
+    quality = prof.filter(F.col("quality_score") >= 0.3).select("doc_id")
+    exact_canon = (
+        prof.groupBy("content_hash")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
     )
-    exact_canon = D.exact_dedup_groups(docs).select(
-        F.col("canonical_id").alias("doc_id")
-    )
-    near_dropped = (
-        D.minhash_lsh_dedup_pairs(
-            docs, n_hashes=N_HASHES, bands=BANDS, shingle_n=SHINGLE_N, threshold=0.5
-        )
-        .select(F.col("id_b").alias("doc_id"))
-        .distinct()
-    )
-    # clean is a tiny id set consumed TWICE below (train_pool feeds both
-    # the decontamination probe and the split input): pin it so the
-    # quality/exact-dedup/LSH upstream executes once, not twice
-    # (measured 3.33 -> ~2.4 s at sf0.1, identical output)
+    near_dropped = _near_dropped_from_profiles(prof, N_HASHES, BANDS, threshold=0.5)
+    # clean is a tiny id set consumed TWICE below (the decontamination
+    # probe and the split input): pin it so the LSH verify join executes
+    # once, not twice
     clean = (
         quality.join(exact_canon, "doc_id").join(near_dropped, "doc_id", "left_anti")
     ).localCheckpoint(eager=True)
     train_pool = docs.join(
         clean.filter(F.col("doc_id") >= BENCH_MAX_ID), "doc_id", "left_semi"
     )
-    bench = docs.filter(F.col("doc_id") < BENCH_MAX_ID)
-    contam = (
-        C.contamination_pairs(train_pool, bench, shingle_n=SHINGLE_N, min_shared=MIN_SHARED)
-        .select(F.col("train_id").alias("doc_id"))
-        .distinct()
-    )
+    contam = _contamination_ids_from_profiles(prof, clean, BENCH_MAX_ID, MIN_SHARED)
     kept = (
         C.split_assign(train_pool.join(contam, "doc_id", "left_anti"))
         .filter(F.col("split") == "train")
@@ -673,43 +757,31 @@ def corpus_pipeline_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     each stage admitted or dropped, so a filter regression shows up as a
     count cliff, not a silent quality drift). Stages share one cached
     base; each count is a bounded 1-row aggregate."""
-    from pos_dlt_spark.operators import dedup as D
-    from pos_dlt_spark.operators import text as T
     from pos_dlt_spark.queries_ml import BANDS, N_HASHES, SHINGLE_N
 
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    # Each stage id-set is localCheckpoint'ed (tiny: one bigint column):
-    # every set below feeds BOTH its own funnel count and at least one
-    # downstream stage, and Catalyst does not share common subtrees
-    # across a union of aggregates — without the pin the full LSH
-    # near-dup pass executed three times (its own count, `clean`, and
-    # `contam` via train_pool) and quality/exact each three times.
-    # Measured 4.15 -> ~1.9 s at sf0.1 with identical output.
-    quality, exact_canon, near_dropped = _checkpoint_parallel(
-        T.quality_features(docs)
-        .filter(F.col("quality_score") >= 0.3)
-        .select("doc_id"),
-        D.exact_dedup_groups(docs).select(F.col("canonical_id").alias("doc_id")),
-        D.minhash_lsh_dedup_pairs(
-            docs, n_hashes=N_HASHES, bands=BANDS, shingle_n=SHINGLE_N, threshold=0.5
-        )
-        .select(F.col("id_b").alias("doc_id"))
-        .distinct(),
+    # ONE pinned text pass (stage_profiles) replaces the per-stage
+    # re-reads the funnel used to pay (quality, exact dedup, LSH and
+    # decontamination each re-tokenized the corpus): quality and
+    # exact-canonical are now per-row derivations of the profile — cheap
+    # enough to recompute for both their funnel count and the `clean`
+    # join, so their checkpoints (and the checkpoint thread pool) are
+    # gone. Only the LSH verify tail and `clean` stay pinned: both
+    # involve self-joins consumed by several downstream counts.
+    prof = stage_profiles(docs, N_HASHES, SHINGLE_N)
+    quality = prof.filter(F.col("quality_score") >= 0.3).select("doc_id")
+    exact_canon = (
+        prof.groupBy("content_hash")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
     )
+    near_dropped = _near_dropped_from_profiles(
+        prof, N_HASHES, BANDS, threshold=0.5
+    ).localCheckpoint(eager=True)
     clean = quality.join(exact_canon, "doc_id").join(
         near_dropped, "doc_id", "left_anti"
     ).localCheckpoint(eager=True)
-    train_pool = docs.join(
-        clean.filter(F.col("doc_id") >= BENCH_MAX_ID), "doc_id", "left_semi"
-    )
-    bench = docs.filter(F.col("doc_id") < BENCH_MAX_ID)
-    contam = (
-        C.contamination_pairs(
-            train_pool, bench, shingle_n=SHINGLE_N, min_shared=MIN_SHARED
-        )
-        .select(F.col("train_id").alias("doc_id"))
-        .distinct()
-    )
+    contam = _contamination_ids_from_profiles(prof, clean, BENCH_MAX_ID, MIN_SHARED)
 
     def n(label: str, df: DataFrame) -> DataFrame:
         return df.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs")).select(

@@ -659,22 +659,23 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     removal (greedy: the higher id of every verified MinHash-LSH pair at
     jaccard >= 0.5 drops). Returns surviving doc_ids. Each stage is the
     already-gated operator; this query proves they compose into one plan."""
+    from pos_dlt_spark.queries_corpus import (
+        _near_dropped_from_profiles,
+        stage_profiles,
+    )
+
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    quality = (
-        T.quality_features(docs)
-        .filter(F.col("quality_score") >= 0.3)
+    # ONE pinned text pass feeds all three stages (see
+    # queries_corpus.stage_profiles); quality and exact-canonical are
+    # per-row derivations of the profile, LSH is its band+verify tail.
+    prof = stage_profiles(docs, N_HASHES, SHINGLE_N)
+    quality = prof.filter(F.col("quality_score") >= 0.3).select("doc_id")
+    exact_canon = (
+        prof.groupBy("content_hash")
+        .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    exact_canon = D.exact_dedup_groups(docs).select(
-        F.col("canonical_id").alias("doc_id")
-    )
-    near_dropped = (
-        D.minhash_lsh_dedup_pairs(
-            docs, n_hashes=N_HASHES, bands=BANDS, shingle_n=SHINGLE_N, threshold=0.5
-        )
-        .select(F.col("id_b").alias("doc_id"))
-        .distinct()
-    )
+    near_dropped = _near_dropped_from_profiles(prof, N_HASHES, BANDS, threshold=0.5)
     return (
         quality.join(exact_canon, "doc_id")
         .join(near_dropped, "doc_id", "left_anti")
