@@ -220,7 +220,11 @@ def unigram_logprob(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
     )
     tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
-    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    # vocab derives from tf (occurrence count == sum of per-doc tf), so the
+    # tokenize/explode/first-exchange subtree is byte-identical in both
+    # branches and executes ONCE under ReuseExchange instead of once per
+    # consumer.
+    vocab = tf.groupBy("tok").agg(F.sum("tf").alias("c"))
     totals = vocab.agg(
         F.sum("c").alias("N"), F.count(F.lit(1)).alias("V")
     )
@@ -273,25 +277,33 @@ def bigram_logprob(
     broadcastable while the vocab fits); corpus totals ride a 1-row
     crossJoin. Docs with < 2 tokens have no transitions and drop out.
     """
-    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks")).filter(
-        F.size("__toks") >= 2
-    )
-    pairs = toks.select(
+    # ONE tokenize/explode pass: each token row carries its predecessor
+    # (NULL at position 0), so unigram, transition, bigram and context
+    # counts ALL derive from the same (id, prev, tok) aggregate — the
+    # shared exchange executes once (ReuseExchange) where the previous
+    # shape re-tokenized the corpus once per consumer (4 parquet scans).
+    # Position-0 rows keep unigram counts complete (every token appears
+    # exactly once as `tok`) and are excluded from transitions by the
+    # prev-NULL filter, which cannot misfire: split() never yields NULL
+    # tokens.
+    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    pairs0 = toks.select(
         F.col(id_col),
         F.explode(
             F.expr(
-                "transform(sequence(0, size(__toks) - 2), "
-                "i -> struct(__toks[i] AS prev, __toks[i + 1] AS tok))"
+                "transform(__toks, (t, i) -> struct("
+                "CASE WHEN i = 0 THEN CAST(NULL AS STRING) "
+                "ELSE __toks[i - 1] END AS prev, t AS tok))"
             )
         ).alias("p"),
     ).select(id_col, F.col("p.prev").alias("prev"), F.col("p.tok").alias("tok"))
-    tf = pairs.groupBy(id_col, "prev", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    tf0 = pairs0.groupBy(id_col, "prev", "tok").agg(F.count(F.lit(1)).alias("tf"))
 
-    all_toks = df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
-    uni = all_toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cu"))
+    uni = tf0.groupBy("tok").agg(F.sum("tf").alias("cu"))
     totals = uni.agg(F.sum("cu").alias("N"), F.count(F.lit(1)).alias("V"))
-    bi = pairs.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("cb"))
-    ctx = pairs.groupBy("prev").agg(F.count(F.lit(1)).alias("cp"))
+    tf = tf0.filter(F.col("prev").isNotNull())
+    bi = tf.groupBy("prev", "tok").agg(F.sum("tf").alias("cb"))
+    ctx = bi.groupBy("prev").agg(F.sum("cb").alias("cp"))
 
     lam = f"(CAST({lam_num} AS DOUBLE) / CAST({lam_den} AS DOUBLE))"
     p_bi = "(CAST(cb + 1 AS DOUBLE) / CAST(cp + V AS DOUBLE))"
@@ -350,10 +362,15 @@ def dsir_logratio(
     toks = df.select(
         F.col(id_col), target_filter.alias("__t"), F.explode(tokens(F.col(text_col))).alias("tok")
     )
-    tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
-    vocab = toks.groupBy("tok").agg(
-        F.count(F.lit(1)).alias("c_all"),
-        F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("c_t"),
+    # __t is doc-constant, so grouping on it is free; both vocab counts
+    # then derive from the SAME (id, __t, tok) aggregate and the heavy
+    # tokenize/explode/first-exchange subtree executes once
+    # (ReuseExchange) instead of once per consumer.
+    tf0 = toks.groupBy(id_col, "__t", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    tf = tf0.select(id_col, "tok", "tf")
+    vocab = tf0.groupBy("tok").agg(
+        F.sum("tf").alias("c_all"),
+        F.sum(F.when(F.col("__t"), F.col("tf")).otherwise(F.lit(0))).alias("c_t"),
     )
     totals = vocab.agg(
         F.sum("c_all").alias("N_all"),
@@ -428,16 +445,23 @@ def nb_classify(
     tr = train.select(F.col(id_col), F.col(label_col).alias("__lbl"), tok).filter(
         F.col("tok") != ""
     )
-    dfreq = tr.groupBy("tok").agg(F.countDistinct(id_col).alias("df"))
+    # ONE pinned tokenize pass over the training half: document frequency
+    # and per-(token, label) counts both derive from the (id, label, tok)
+    # aggregate — a doc has one label, so its row count per token IS the
+    # distinct-doc count. Without the pin, vocabulary ranking (an eager
+    # two-phase global_rank), the vocab-size count and the final plan each
+    # re-tokenized the corpus from the parquet scan.
+    trf = tr.groupBy(id_col, "__lbl", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = trf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     vocab = (
         global_rank(dfreq, [F.col("df").desc(), F.col("tok").asc()], rank_col="__r")
         .filter(F.col("__r") <= vocab_size)
         .select("tok")
     )
     counts = (
-        tr.join(F.broadcast(vocab), "tok")
+        trf.join(F.broadcast(vocab), "tok")
         .groupBy("tok", "__lbl")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("tf").alias("cnt"))
     )
     totals = counts.groupBy("__lbl").agg(F.sum("cnt").alias("tot"))
     priors = train.groupBy(F.col(label_col).alias("__lbl")).agg(
@@ -446,11 +470,19 @@ def nb_classify(
     n_train = train.count()  # 1-row aggregate, bounded
     v_actual = vocab.count()  # model-artifact cardinality (<= vocab_size)
 
-    te = test.select(F.col(id_col), tok).filter(F.col("tok") != "").join(
-        F.broadcast(vocab), "tok"
+    # test tokens pre-aggregated to (doc, tok, tf): the class grid and the
+    # ln() term then run per DISTINCT (doc, token) instead of per token
+    # occurrence — the per-occurrence sum is recovered exactly as tf*term
+    # (the term depends only on (tok, class)).
+    te = (
+        test.select(F.col(id_col), tok)
+        .filter(F.col("tok") != "")
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .join(F.broadcast(vocab), "tok")
     )
-    # every (vocab-token occurrence x class) contributes one quantized
-    # term; absent (token, class) counts smooth to cnt=0
+    # every (vocab-token x class) contributes one quantized term; absent
+    # (token, class) counts smooth to cnt=0
     classes = priors.select("__lbl", "nd", F.lit(n_train).alias("n_all"))
     grid = te.crossJoin(F.broadcast(classes)).join(
         F.broadcast(counts), ["tok", "__lbl"], "left"
@@ -467,8 +499,8 @@ def nb_classify(
         .withColumn("__term", term)
         .groupBy(id_col, "__lbl", "nd", "n_all")
         .agg(
-            F.sum("__term").alias("__ll"),
-            F.count(F.lit(1)).alias("n_vocab_tok"),
+            F.sum(F.col("tf") * F.col("__term")).alias("__ll"),
+            F.sum("tf").alias("n_vocab_tok"),
         )
         .withColumn("score_micro", F.col("__ll") + prior_micro)
     )
