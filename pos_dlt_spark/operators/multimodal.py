@@ -883,6 +883,67 @@ def _huff_decode_table(bits, vals):
     return out
 
 
+_HUFF_LUT_CACHE: dict = {}
+
+
+def _huff_lut(bits, vals) -> list:
+    """16-bit-peek Huffman decode table: ``lut[window16] = length<<16 | sym``
+    (0 = no code matches, an invalid stream). One list index replaces up
+    to 16 bit-at-a-time reads + dict probes per symbol; cached by table
+    content — the standard Annex K tables repeat across every image."""
+    import numpy as np
+
+    key = (bytes(bits), bytes(vals))
+    lut = _HUFF_LUT_CACHE.get(key)
+    if lut is None:
+        arr = np.zeros(1 << 16, np.uint32)
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            shift = 16 - length
+            for _ in range(bits[length - 1]):
+                arr[code << shift : (code + 1) << shift] = (length << 16) | vals[k]
+                code += 1
+                k += 1
+            code <<= 1
+        lut = arr.tolist()
+        _HUFF_LUT_CACHE[key] = lut
+    return lut
+
+
+def _entropy_segments(data: bytes, start: int) -> list:
+    """Split an entropy-coded scan into RST-delimited segments with FF00
+    byte-stuffing removed: ``[(seg_bytes, end_pos), ...]`` where end_pos
+    is the offset of the marker byte that terminated the segment — the
+    exact position the bit-at-a-time reader stopped at (it never consumes
+    a real marker). The final segment ends at the first non-RST marker
+    (or EOF for a truncated stream)."""
+    segs: list = []
+    chunks: list = []
+    i = seg_start = start
+    n = len(data)
+    while True:
+        j = data.find(b"\xff", i)
+        if j < 0:
+            chunks.append(data[seg_start:n])
+            segs.append((b"".join(chunks), n))
+            break
+        nxt = data[j + 1] if j + 1 < n else None
+        if nxt == 0x00:
+            chunks.append(data[seg_start : j + 1])  # keep the FF, drop stuffing
+            seg_start = i = j + 2
+        elif nxt is not None and 0xD0 <= nxt <= 0xD7:
+            chunks.append(data[seg_start:j])
+            segs.append((b"".join(chunks), j))
+            chunks = []
+            seg_start = i = j + 2
+        else:
+            chunks.append(data[seg_start:j])
+            segs.append((b"".join(chunks), j))
+            break
+    return segs
+
+
 class _BitWriter:
     __slots__ = ("buf", "acc", "nbits")
 
@@ -1057,16 +1118,25 @@ def encode_jpeg(
     rst = 0
     out_chunks: list[bytes] = []
 
-    def emit_block(ci: int, block) -> None:
-        nonlocal preds
-        qa = qtabs[qsel[ci]].reshape(8, 8)
-        f = t @ (block - 128.0) @ t.T
-        coef = np.rint(f / qa).astype(np.int64)
-        zz = coef.reshape(64)[_ZIGZAG]
+    # Batched DCT -> quantize -> zigzag per component (ONE matmul stack
+    # and one rint/gather for the whole plane instead of per-block numpy
+    # calls); zigzag rows convert to plain-int lists so the Huffman emit
+    # below runs on Python ints, not numpy scalars. Bit-identical: the
+    # same 8x8 dgemm, divide, rint and gather per block.
+    plane_zz = []
+    for p2, qi in zip(padded, qsel):
+        nby, nbx = p2.shape[0] // 8, p2.shape[1] // 8
+        bg = p2.reshape(nby, 8, nbx, 8).swapaxes(1, 2) - 128.0
+        f = t @ bg @ t.T
+        qa = qtabs[qi].reshape(8, 8)
+        zz = np.rint(f / qa).astype(np.int64).reshape(nby, nbx, 64)[:, :, _ZIGZAG]
+        plane_zz.append(zz.tolist())
+
+    def emit_block(ci: int, zzl: list) -> None:
         hsel = 0 if qsel[ci] == 0 else 1
         dct, act = enc_dc[hsel], enc_ac[hsel]
-        diff = int(zz[0]) - preds[ci]
-        preds[ci] = int(zz[0])
+        diff = zzl[0] - preds[ci]
+        preds[ci] = zzl[0]
         s = _bit_size(diff)
         code, ln = dct[s]
         bw.put(code, ln)
@@ -1074,7 +1144,7 @@ def encode_jpeg(
             bw.put(diff if diff > 0 else diff + (1 << s) - 1, s)
         run = 0
         for k in range(1, 64):
-            v = int(zz[k])
+            v = zzl[k]
             if v == 0:
                 run += 1
                 continue
@@ -1100,12 +1170,10 @@ def encode_jpeg(
                 out_chunks.append(struct.pack(">H", 0xFFD0 + rst))
                 rst = (rst + 1) % 8
                 preds = [0] * len(planes)
-            for ci, (p, (sx, sy)) in enumerate(zip(padded, samp)):
+            for ci, (zzp, (sx, sy)) in enumerate(zip(plane_zz, samp)):
                 for by in range(sy):
                     for bx in range(sx):
-                        y0 = (my * sy + by) * 8
-                        x0 = (mx * sx + bx) * 8
-                        emit_block(ci, p[y0 : y0 + 8, x0 : x0 + 8])
+                        emit_block(ci, zzp[my * sy + by][mx * sx + bx])
             mcu_count += 1
     bw.align()
     out_chunks.append(bytes(bw.buf))
@@ -1166,7 +1234,7 @@ def decode_jpeg(payload: bytes):
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
     qtabs: dict[int, "np.ndarray"] = {}
-    huff: dict[tuple[int, int], dict] = {}  # (class, id) -> decode table
+    huff: dict[tuple[int, int], tuple] = {}  # (class, id) -> (bits, vals)
     frame = None  # (h, w, [(cid, sx, sy, qsel), ...])
     restart_interval = 0
     out_planes = None
@@ -1203,7 +1271,7 @@ def decode_jpeg(payload: bytes):
                 bits = list(body[o + 1 : o + 17])
                 n = sum(bits)
                 vals = list(body[o + 17 : o + 17 + n])
-                huff[(tc, th)] = _huff_decode_table(bits, vals)
+                huff[(tc, th)] = (bits, vals)  # LUT built (cached) at SOS
                 o += 17 + n
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline DCT)
             prec, fh, fw, nc = struct.unpack_from(">BHHB", body, 0)
@@ -1235,69 +1303,123 @@ def decode_jpeg(payload: bytes):
             mcus_x = -(-fw // (8 * hmax))
             mcus_y = -(-fh // (8 * vmax))
             t = _dct_matrix()
-            planes = []
-            for _, sx, sy, _ in comps:
-                planes.append(
-                    np.zeros((mcus_y * 8 * sy, mcus_x * 8 * sx), np.float64)
-                )
-            br = _BitReader(data, pos + ln)
+            # Entropy decode with a 16-bit-peek LUT over pre-unstuffed,
+            # RST-split segments (one list index per symbol instead of up
+            # to 16 bit()+dict probes); coefficients land in ONE
+            # (n_blocks, 64) int64 array so dequantize, inverse zigzag and
+            # the IDCT run as a single batched matmul per component
+            # instead of per-block numpy calls.
+            n_per_mcu = sum(sx * sy for _, sx, sy, _ in comps)
+            n_mcus = mcus_x * mcus_y
+            coefs = np.zeros((n_mcus * n_per_mcu, 64), np.int64)
+            # per-MCU block slots in scan order: (comp index, DC lut, AC lut)
+            slots = []
+            for ci, (cid, sx, sy, tq) in enumerate(comps):
+                dc_t, ac_t = sel[cid]
+                dlut = _huff_lut(*huff[(0, dc_t)])
+                alut = _huff_lut(*huff[(1, ac_t)])
+                slots.extend([(ci, dlut, alut)] * (sx * sy))
+            segs = _entropy_segments(data, pos + ln)
+            seg_idx = 0
+            buf, end_pos = segs[0]
+            bp = 0
             preds = [0] * len(comps)
-            mcu_count = 0
-            for my in range(mcus_y):
-                for mx in range(mcus_x):
-                    if (
-                        restart_interval
-                        and mcu_count
-                        and mcu_count % restart_interval == 0
-                    ):
-                        br.align_to_marker()
-                        # consume the RSTn marker
-                        if (
-                            br.pos + 2 <= len(data)
-                            and data[br.pos] == 0xFF
-                            and 0xD0 <= data[br.pos + 1] <= 0xD7
-                        ):
-                            br.pos += 2
-                        preds = [0] * len(comps)
-                    for ci, (cid, sx, sy, tq) in enumerate(comps):
-                        dc_t, ac_t = sel[cid]
-                        dct = huff[(0, dc_t)]
-                        act = huff[(1, ac_t)]
-                        qa = qtabs[tq]
-                        for by in range(sy):
-                            for bx in range(sx):
-                                zz = np.zeros(64, np.float64)
-                                s = br.read_symbol(dct)
-                                if s:
-                                    v = br.bits(s)
-                                    if v < (1 << (s - 1)):
-                                        v -= (1 << s) - 1
-                                    preds[ci] += v
-                                zz[0] = preds[ci]
-                                k = 1
-                                while k < 64:
-                                    rs = br.read_symbol(act)
-                                    if rs == 0x00:  # EOB
-                                        break
-                                    if rs == 0xF0:  # ZRL
-                                        k += 16
-                                        continue
-                                    k += rs >> 4
-                                    s = rs & 0xF
-                                    v = br.bits(s)
-                                    if v < (1 << (s - 1)):
-                                        v -= (1 << s) - 1
-                                    if k > 63:
-                                        raise ValueError("AC index overflow")
-                                    zz[k] = v
-                                    k += 1
-                                coef = np.zeros(64, np.float64)
-                                coef[_ZIGZAG] = zz
-                                block = t.T @ (coef.reshape(8, 8) * qa) @ t
-                                y0 = (my * sy + by) * 8
-                                x0 = (mx * sx + bx) * 8
-                                planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block + 128.0
-                    mcu_count += 1
+            bi = 0
+            for mcu_count in range(n_mcus):
+                if (
+                    restart_interval
+                    and mcu_count
+                    and mcu_count % restart_interval == 0
+                ):
+                    seg_idx += 1
+                    if seg_idx < len(segs):
+                        buf, end_pos = segs[seg_idx]
+                    else:
+                        buf = b""  # truncated: reads decode as 0 bits
+                    bp = 0
+                    preds = [0] * len(comps)
+                for ci, dlut, alut in slots:
+                    row = coefs[bi]
+                    byte = bp >> 3
+                    if byte + 3 > len(buf):
+                        buf = buf + b"\x00" * 64  # past-the-end bits read as 0
+                    e = dlut[
+                        (int.from_bytes(buf[byte : byte + 3], "big") >> (8 - (bp & 7)))
+                        & 0xFFFF
+                    ]
+                    if e == 0:
+                        raise ValueError("invalid JPEG Huffman code")
+                    bp += e >> 16
+                    s = e & 0xFFFF
+                    if s:
+                        byte = bp >> 3
+                        if byte + 3 > len(buf):
+                            buf = buf + b"\x00" * 64
+                        v = (
+                            int.from_bytes(buf[byte : byte + 3], "big")
+                            >> (24 - (bp & 7) - s)
+                        ) & ((1 << s) - 1)
+                        bp += s
+                        if v < (1 << (s - 1)):
+                            v -= (1 << s) - 1
+                        preds[ci] += v
+                    row[0] = preds[ci]
+                    k = 1
+                    while k < 64:
+                        byte = bp >> 3
+                        if byte + 3 > len(buf):
+                            buf = buf + b"\x00" * 64
+                        e = alut[
+                            (
+                                int.from_bytes(buf[byte : byte + 3], "big")
+                                >> (8 - (bp & 7))
+                            )
+                            & 0xFFFF
+                        ]
+                        if e == 0:
+                            raise ValueError("invalid JPEG Huffman code")
+                        bp += e >> 16
+                        rs = e & 0xFFFF
+                        if rs == 0x00:  # EOB
+                            break
+                        if rs == 0xF0:  # ZRL
+                            k += 16
+                            continue
+                        k += rs >> 4
+                        s = rs & 0xF
+                        byte = bp >> 3
+                        if byte + 3 > len(buf):
+                            buf = buf + b"\x00" * 64
+                        v = (
+                            int.from_bytes(buf[byte : byte + 3], "big")
+                            >> (24 - (bp & 7) - s)
+                        ) & ((1 << s) - 1)
+                        bp += s
+                        if v < (1 << (s - 1)):
+                            v -= (1 << s) - 1
+                        if k > 63:
+                            raise ValueError("AC index overflow")
+                        row[k] = v
+                        k += 1
+                    bi += 1
+            planes = []
+            mi = np.arange(n_mcus)
+            myv, mxv = mi // mcus_x, mi % mcus_x
+            for ci, (cid, sx, sy, tq) in enumerate(comps):
+                qa = qtabs[tq]
+                off = sum(c[1] * c[2] for c in comps[:ci])
+                byv, bxv = np.divmod(np.arange(sy * sx), sx)
+                biv = (mi[:, None] * n_per_mcu + off + np.arange(sy * sx)[None, :]).ravel()
+                c64 = np.zeros((len(biv), 64), np.float64)
+                c64[:, _ZIGZAG] = coefs[biv]
+                blocks = t.T @ (c64.reshape(-1, 8, 8) * qa) @ t + 128.0
+                plane = np.empty((mcus_y * 8 * sy, mcus_x * 8 * sx), np.float64)
+                pv = plane.reshape(mcus_y * sy, 8, mcus_x * sx, 8).swapaxes(1, 2)
+                pv[
+                    (myv[:, None] * sy + byv[None, :]).ravel(),
+                    (mxv[:, None] * sx + bxv[None, :]).ravel(),
+                ] = blocks
+                planes.append(plane)
             # upsample to full frame resolution (nearest) and crop
             full = []
             for p, (_, sx, sy, _) in zip(planes, comps):
@@ -1306,7 +1428,7 @@ def decode_jpeg(payload: bytes):
                     p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
                 full.append(p[:fh, :fw])
             out_planes = full
-            pos = br.pos
+            pos = end_pos
             continue
         pos += ln
     if out_planes is None:
