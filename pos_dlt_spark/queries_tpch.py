@@ -422,22 +422,25 @@ def tpch_q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFra
             (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("late"),
         )
     )
-    l1 = li.filter(F.col("late")).select("l_orderkey", "l_suppkey").distinct()
-    l2 = li.select(F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2"))
-    l3 = li.filter(F.col("late")).select(
-        F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3")
+    # EXISTS/NOT-EXISTS fold (guide §2.4 — remove passes/shuffles): the
+    # semi+anti pair re-derived li (a lineitem x orders join) once per
+    # side, three scans + two SortMergeJoins. Per (orderkey, suppkey) the
+    # predicates only need per-ORDER supplier counts:
+    #   EXISTS other-supplier line         <=> n_supp >= 2
+    #   NOT EXISTS other-supplier late line <=> n_late == 1 (self is late)
+    # so ONE pass collapses li to distinct (orderkey, suppkey, had late),
+    # a map-side re-aggregate gives the per-order counts, and the late
+    # pairs join them back. Result-identical (oracle-verified).
+    pairs = li.groupBy("l_orderkey", "l_suppkey").agg(F.max("late").alias("late"))
+    ostats = pairs.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum(F.col("late").cast("int")).alias("n_late"),
     )
     supp = load_table(spark, sf_dir, "supplier")
     waiting = (
-        l1.join(
-            l2,
-            (F.col("l_orderkey") == F.col("ok2")) & (F.col("l_suppkey") != F.col("sk2")),
-            "left_semi",
-        ).join(
-            l3,
-            (F.col("l_orderkey") == F.col("ok3")) & (F.col("l_suppkey") != F.col("sk3")),
-            "left_anti",
-        )
+        pairs.filter(F.col("late"))
+        .join(ostats, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
     )
     return (
         waiting.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
