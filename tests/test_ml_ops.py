@@ -701,3 +701,90 @@ def test_nb_classify_semantics(spark):
     capped = nb_classify(train, test, label_col="lang", vocab_size=1)
     got = {r["doc_id"]: r["n_vocab_tok"] for r in capped.collect()}
     assert got == {3: 1, 7: 1}
+
+
+def test_bigram_logprob_edge_docs_match_reference(spark):
+    """The r12 single-pass rewrite (position-0-NULL-prev explode feeding
+    unigram AND transition counts) must keep bit-identical semantics on
+    the edge shapes the gate corpus may not exercise: 1-token docs
+    (contribute to the unigram LM but have no transitions), repeated
+    tokens, and repeated transitions within one doc."""
+    import math
+
+    from pos_dlt_spark.operators.text import bigram_logprob
+
+    rows = [
+        (0, "a b a b"),       # repeated transitions a->b (x2), b->a
+        (1, "solo"),          # 1 token: no transitions, counts toward uni
+        (2, "a a a"),         # self-transitions
+        (3, "b"),             # another 1-token doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in bigram_logprob(df).collect()}
+
+    # reference: literal per-doc computation in python
+    toks = {0: ["a", "b", "a", "b"], 1: ["solo"], 2: ["a", "a", "a"], 3: ["b"]}
+    uni: dict = {}
+    for ts in toks.values():
+        for t in ts:
+            uni[t] = uni.get(t, 0) + 1
+    N, V = sum(uni.values()), len(uni)
+    pairs: dict = {}
+    ctx: dict = {}
+    for ts in toks.values():
+        for p, t in zip(ts, ts[1:]):
+            pairs[(p, t)] = pairs.get((p, t), 0) + 1
+            ctx[p] = ctx.get(p, 0) + 1
+    expect = {}
+    for d, ts in toks.items():
+        if len(ts) < 2:
+            continue
+        n_tr, s = 0, 0
+        seen: dict = {}
+        for p, t in zip(ts, ts[1:]):
+            seen[(p, t)] = seen.get((p, t), 0) + 1
+        for (p, t), tf in seen.items():
+            lam = 7.0 / 10.0
+            pb = (pairs[(p, t)] + 1.0) / (ctx[p] + V)
+            pu = (uni[t] + 1.0) / (N + V)
+            lp = math.floor(math.log(lam * pb + (1.0 - lam) * pu) * 1_000_000)
+            n_tr += tf
+            s += tf * int(lp)
+        expect[d] = (n_tr, s)
+    assert set(got) == set(expect), "1-token docs must drop out"
+    for d, (n_tr, s) in expect.items():
+        assert got[d]["n_transitions"] == n_tr
+        assert got[d]["sum_lp_micro"] == s
+
+
+def test_jpeg_entropy_segments_and_truncation():
+    """Pin the r12 fast-decode machinery: _entropy_segments unstuffs FF00,
+    splits at RSTn with end positions AT the terminating marker (the
+    bit-reader contract), and a truncated scan still decodes (past-the-end
+    bits read as 0) instead of raising."""
+    import numpy as np
+
+    from pos_dlt_spark.operators.multimodal import (
+        _entropy_segments,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    data = bytes(
+        [0xAA, 0xFF, 0x00, 0xBB]          # stuffed FF
+        + [0xFF, 0xD0]                     # RST0
+        + [0xCC]
+        + [0xFF, 0xD9]                     # EOI terminates
+    )
+    segs = _entropy_segments(data, 0)
+    assert segs[0][0] == bytes([0xAA, 0xFF, 0xBB])
+    assert data[segs[0][1]] == 0xFF and data[segs[0][1] + 1] == 0xD0
+    assert segs[1][0] == bytes([0xCC])
+    assert data[segs[1][1]] == 0xFF and data[segs[1][1] + 1] == 0xD9
+
+    # truncated stream: drop the last 6 bytes of a real scan (EOI and some
+    # entropy data) — decode must not raise, and the dims must hold
+    px = (np.arange(24 * 17, dtype=np.uint8) % 251).reshape(24, 17)
+    payload = encode_jpeg(px, quality=90)
+    out = decode_jpeg(payload[:-6])
+    assert out.shape == px.shape
