@@ -44,6 +44,23 @@ import pos_dlt_spark.queries_tpch  # noqa: E402,F401  (registers TPC-H batch-2 q
 from pos_dlt_spark.session import get_spark  # noqa: E402
 
 
+def _cpu_jiffies() -> tuple[int, int]:
+    """(steal, total) jiffies from the aggregate ``cpu`` line of /proc/stat.
+
+    Hypervisor steal bursts (observed 2.5-4.5% average with minutes-long
+    spikes on this VM) inflate individual samples up to 4x; recording the
+    per-sample steal fraction lets round-over-round comparison discount
+    poisoned windows instead of reading them as code regressions
+    (VERDICT r12 item #1).
+    """
+    try:
+        with open("/proc/stat") as f:
+            vals = [int(v) for v in f.readline().split()[1:]]
+        return vals[7], sum(vals)
+    except Exception:
+        return 0, 0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -251,26 +268,48 @@ def main() -> None:
     times_second: dict[str, float] = {}
     times_third: dict[str, float] = {}
     cvs: dict[str, float] = {}
+    steals: dict[str, list[float]] = {}
     unstable: list[str] = []
+    # Steal fraction above which a sample's window counts as poisoned by
+    # the hypervisor (r12 measured 2.5-4.5% AVERAGE during bursts; quiet
+    # windows sit at ~0%). Per-sample, per-query — a poisoned minimum
+    # triggers the same adaptive third pass that a >2x spread does.
+    steal_threshold = float(os.environ.get("SPARK_GRAFT_STEAL_THRESHOLD", "0.02"))
+    run_steal0, run_jiff0 = _cpu_jiffies()
 
-    def run_once(q) -> float:
+    def run_once(q) -> tuple[float, float]:
+        s0, j0 = _cpu_jiffies()
         t0 = time.perf_counter()
         q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        return round(time.perf_counter() - t0, 3)
+        dt = round(time.perf_counter() - t0, 3)
+        s1, j1 = _cpu_jiffies()
+        frac = round((s1 - s0) / (j1 - j0), 4) if j1 > j0 else 0.0
+        return dt, frac
 
     for name, q in REGISTRY.items():
-        samples = [run_once(q)]
+        first = run_once(q)
+        samples = [first[0]]
+        sample_steals = [first[1]]
         times_first[name] = samples[0]
         if passes > 1:
-            samples.append(run_once(q))
+            second = run_once(q)
+            samples.append(second[0])
+            sample_steals.append(second[1])
             times_second[name] = samples[1]
-            if max(samples) > 2.0 * min(samples) and min(samples) > 0.2:
-                # the two samples can't both be steady state: take a
-                # third so one scheduler spike can't write the record
-                samples.append(run_once(q))
+            spread = max(samples) > 2.0 * min(samples)
+            # the sample that would WRITE the record saw hypervisor steal
+            min_poisoned = sample_steals[samples.index(min(samples))] > steal_threshold
+            if (spread or min_poisoned) and min(samples) > 0.2:
+                # the two samples can't both be steady state (or the
+                # faster one is steal-poisoned): take a third so one
+                # scheduler spike can't write the record
+                third = run_once(q)
+                samples.append(third[0])
+                sample_steals.append(third[1])
                 times_third[name] = samples[2]
                 unstable.append(name)
         times[name] = min(samples)
+        steals[name] = sample_steals
         if len(samples) > 1:
             mean = sum(samples) / len(samples)
             var = sum((s - mean) ** 2 for s in samples) / len(samples)
@@ -284,6 +323,12 @@ def main() -> None:
 
     total = round(sum(times.values()), 3)
     total_first = round(sum(times_first.values()), 3)
+    run_steal1, run_jiff1 = _cpu_jiffies()
+    run_steal_pct = (
+        round(100.0 * (run_steal1 - run_steal0) / (run_jiff1 - run_jiff0), 2)
+        if run_jiff1 > run_jiff0
+        else 0.0
+    )
     # Reference canaries: the FLOOR over the r11 builder's two quiet
     # bench runs, each value itself a min-of-3 interleaved samples
     # (re-pinned per VERDICT r10 #5 — single-shot pins carried spikes;
@@ -323,6 +368,12 @@ def main() -> None:
                 "queries_second": times_second,
                 "queries_third": times_third,
                 "queries_cv": cvs,
+                # per-sample hypervisor steal fraction (same order as the
+                # first/second/third samples) + whole-run percentage, so
+                # the round-over-round diff can discount poisoned windows
+                "queries_steal": steals,
+                "steal_pct": run_steal_pct,
+                "steal_threshold": steal_threshold,
                 # streaming gates resume a session-lifetime checkpoint
                 # (r12): the FIRST sample replays the full landing
                 # history, later samples pay only the no-new-data
@@ -359,6 +410,7 @@ def main() -> None:
             "host_factor": host_factor,
             "value_canary_normalized": total_norm,
             "n_unstable": len(unstable),
+            "steal_pct": run_steal_pct,
             "first_pass_total": total_first,
             "families": families,
             "queries": slowest,

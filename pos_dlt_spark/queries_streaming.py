@@ -22,7 +22,6 @@ import atexit
 import os
 import shutil
 import tempfile
-import uuid
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
@@ -43,9 +42,11 @@ def _cached_landing(sf_dir: str, key: str, build) -> str:
     fixture — the measured op is the stream that READS them (source,
     state, sink), so rebuilding the input every call would time the
     wrong thing (the same reasoning as queries.prepare_bench_fixtures
-    for the Delta gates). Only write-once landings use this; queries
-    that append sentinels mid-stream keep per-call scratch. Checkpoint
-    and target/sink dirs stay per-call always."""
+    for the Delta gates). Resumed ticks APPEND sentinel files to these
+    landings (see _resumed_stream) — the checkpointed file source only
+    ever processes each file once, and sentinel rows are filtered from
+    every gate's result. Checkpoint and target/sink dirs live under the
+    resume work dir."""
     k = (os.path.abspath(sf_dir), key)
     if k not in _LANDING_CACHE:
         work = scratch_dir(f"land_{key}_")
@@ -61,31 +62,89 @@ def _cached_landing(sf_dir: str, key: str, build) -> str:
 # FIRST call of a gate replays the full landing history through the
 # stream — exactly what the driver's fresh-session correctness run and
 # bench's first pass measure. Later same-session calls RESTART the query
-# against the SAME checkpoint: a genuine Structured Streaming resume
-# that finds zero new input and schedules only the no-new-data
-# availableNow cycle — the steady-state cost of a real pipeline tick,
-# which is what a 5-minute production trigger actually pays. Output goes
-# to a DURABLE sink under the work dir (parquet file sink or a
-# foreachBatch-written target), never the memory sink, so the resumed
+# against the SAME checkpoint: a genuine Structured Streaming resume.
+# Output goes to a DURABLE sink under the work dir (parquet file sink or
+# a foreachBatch-written target), never the memory sink, so the resumed
 # call re-reads accumulated results distributed instead of re-collecting
 # them through the driver.
+#
+# TICK SENTINELS (VERDICT r12 #2): a resumed run that finds ZERO new
+# input times only checkpoint open + an empty availableNow cycle, which
+# under-represents the per-batch cost of a real pipeline tick and makes
+# the family blind to regressions in the stateful logic. So before every
+# RESUMED start, each gate appends a small fixed sentinel delta (~1% of
+# its landing) to its landing dir; the resumed tick then pays genuine
+# source listing + scan + state update + sink work for those rows.
+# Sentinel rows live in key domains PROVABLY DISJOINT from the real data
+# (negative ids, '__tick__' labels, far-future event times — the test
+# generator emits only non-negative keys and 2024 timestamps) and every
+# gate filters them out of its returned frame, so a resumed call's
+# result stays bit-identical to the first pass and to the batch oracle
+# (pinned by tests/test_streaming_ticks.py, which runs every gate three
+# times in one session and compares rows).
 _RESUME_CACHE: dict[tuple[str, str], str] = {}
+_TICKS: dict[tuple[str, str], int] = {}
+
+_TICK_ROWS = 1000  # ~1% of the events landing at sf0.1
+# Beyond every real event time (2024-01) AND every flush sentinel
+# (max real ts + 12 h), so tick rows are never late against the
+# checkpoint's carried watermark; tick t lands at base + t days, keeping
+# the watermark strictly advancing across ticks.
+_TICK_TS0 = "2050-01-01 00:00:00"
 
 
-def _resumed_stream(sf_dir: str, key: str, start_query) -> str:
+def _tick_ts(tick: int) -> "F.Column":
+    """Event time for tick-sentinel row ``id``: strictly increasing
+    across ticks, spread one second apart within a tick."""
+    return F.expr(
+        f"timestamp'{_TICK_TS0}' + make_interval(0, 0, 0, {tick}, 0, 0, id)"
+    )
+
+
+def _resumed_stream(sf_dir: str, key: str, start_query, tick_input=None) -> str:
     """Run (or resume) a streaming query whose checkpoint and durable
     sink live in a session-lifetime work dir keyed by (sf_dir, key).
     ``start_query(work)`` must place its checkpoint under ``work`` and
-    return the started StreamingQuery. Returns the work dir."""
+    return the started StreamingQuery. ``tick_input(n)`` (n = 1, 2, ...)
+    is invoked before every RESUMED start and appends the gate's
+    deterministic sentinel delta to its landing (see module comment).
+    Returns the work dir."""
     k = (os.path.abspath(sf_dir), key)
     work = _RESUME_CACHE.get(k)
     if work is None:
         work = scratch_dir(f"resume_{key}_")
         atexit.register(shutil.rmtree, work, ignore_errors=True)
         _RESUME_CACHE[k] = work
+    elif tick_input is not None:
+        _TICKS[k] = _TICKS.get(k, 0) + 1
+        tick_input(_TICKS[k])
     q = start_query(work)
     q.awaitTermination()
     return work
+
+
+def _cdc_tick(spark: SparkSession, land: str):
+    """Tick builder for landings with the 5-column events-CDC schema
+    (user_id, event_type, event_id, ts, value): 100 sentinel keys
+    (user_id -1..-100, event_type '__tick__') re-upserted every tick with
+    newer sequence values — real merge work, bounded target growth."""
+
+    def tick(n: int):
+        (
+            spark.range(_TICK_ROWS)
+            .select(
+                (-(F.col("id") % 100) - 1).alias("user_id"),
+                F.lit("__tick__").alias("event_type"),
+                (-F.lit(n * 10000) - F.col("id")).alias("event_id"),
+                _tick_ts(n).alias("ts"),
+                (F.col("id") * 0.001).alias("value"),
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(land)
+        )
+
+    return tick
 
 
 @contextmanager
@@ -120,26 +179,6 @@ def _stream_state_partitions(spark: SparkSession, n: int | None = None):
         spark.conf.set("spark.sql.shuffle.partitions", before)
 
 
-def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the events parquet, with the same timestamp
-    normalization as tables.load_table (nanos-long truncation or NTZ->LTZ
-    cast, whichever the current parquet encoding needs)."""
-    from pos_dlt_spark.tables import ensure_session_confs, normalize_timestamps
-
-    # the schema probe below must work on ANY session, incl. the driver's
-    # vanilla one (nanosAsLong for TIMESTAMP(NANOS) files, UTC for the cast).
-    ensure_session_confs(spark)
-    path = os.path.join(sf_dir, "events.parquet")
-    schema = spark.read.parquet(path).schema
-    # the file source wants a directory: scan sf_dir, globbed to this table
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    return normalize_timestamps(stream, "events")
-
-
 @query(
     "streaming_hourly_rollup",
     oracle="""
@@ -152,12 +191,24 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window streaming aggregate: watermarked 1-hour windows of
-    event counts and exact (decimal) value sums, complete-mode memory sink.
-    The oracle is the identical batch GROUP BY — streaming and batch must
-    agree exactly once the stream drains."""
+    event counts and exact (decimal) value sums, complete-mode durable
+    sink. The oracle is the identical batch GROUP BY — streaming and batch
+    must agree exactly once the stream drains. Resumed ticks process a
+    sentinel delta ('__tick__' rows in their own far-future windows,
+    filtered from the result) so the steady number includes real windowed
+    aggregation work."""
+    from pos_dlt_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    land = _cached_landing(
+        sf_dir, "hourly_rollup", lambda p: ev.repartition(4).write.parquet(p)
+    )
+
     def start(work: str):
         agg = (
-            _events_stream(spark, sf_dir)
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "2")
+            .parquet(land)
             .withWatermark("ts", "1 hour")
             .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
             .agg(
@@ -179,12 +230,29 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .start()
             )
 
-    work = _resumed_stream(sf_dir, "hourly_rollup", start)
-    return spark.read.parquet(os.path.join(work, "out")).select(
-        F.col("w.start").alias("hour_start"),
-        "event_type",
-        "n_events",
-        F.col("sum_dec").cast("double").alias("sum_value"),
+    def tick(n: int):
+        (
+            spark.range(_TICK_ROWS)
+            .select(
+                F.lit("__tick__").alias("event_type"),
+                _tick_ts(n).alias("ts"),
+                (F.col("id") * 0.001).alias("value"),
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(land)
+        )
+
+    work = _resumed_stream(sf_dir, "hourly_rollup", start, tick)
+    return (
+        spark.read.parquet(os.path.join(work, "out"))
+        .filter(F.col("event_type") != "__tick__")
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            F.col("sum_dec").cast("double").alias("sum_value"),
+        )
     )
 
 
@@ -247,9 +315,11 @@ def streaming_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .start()
             )
 
-    work = _resumed_stream(sf_dir, "cdc_stream", start)
-    return spark.read.parquet(os.path.join(work, "target")).select(
-        "user_id", "event_type", "event_id", "ts", "value"
+    work = _resumed_stream(sf_dir, "cdc_stream", start, _cdc_tick(spark, land))
+    return (
+        spark.read.parquet(os.path.join(work, "target"))
+        .filter(F.col("user_id") >= 0)
+        .select("user_id", "event_type", "event_id", "ts", "value")
     )
 
 
@@ -307,9 +377,12 @@ def streaming_cdc_bucketed_state(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .start()
             )
 
-    work = _resumed_stream(sf_dir, "cdc_bucketed", start)
-    return make_ac(work).read_target(spark).select(
-        "user_id", "event_type", "event_id", "ts", "value"
+    work = _resumed_stream(sf_dir, "cdc_bucketed", start, _cdc_tick(spark, land))
+    return (
+        make_ac(work)
+        .read_target(spark)
+        .filter(F.col("user_id") >= 0)
+        .select("user_id", "event_type", "event_id", "ts", "value")
     )
 
 
@@ -325,14 +398,22 @@ def streaming_cdc_bucketed_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join (reference W7): the event stream joins a static
     broadcast dim mid-stream, then aggregates — the silver-joins-dims shape
-    with the dim resolved fresh per micro-batch. Complete-mode memory sink;
-    the oracle is the identical batch join+GROUP BY."""
+    with the dim resolved fresh per micro-batch. Complete-mode durable
+    sink; the oracle is the identical batch join+GROUP BY. Tick sentinels
+    carry negative user_ids whose nk matches no nation — the resumed tick
+    pays scan + broadcast-probe work and the inner join drops them before
+    the aggregate, leaving the result untouched."""
     from pos_dlt_spark.tables import load_table
 
-    name = f"stream_static_{uuid.uuid4().hex[:8]}"
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    land = _cached_landing(
+        sf_dir, "stream_static", lambda p: ev.repartition(4).write.parquet(p)
+    )
     joined = (
-        _events_stream(spark, sf_dir)
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(land)
         .withColumn("nk", F.col("user_id") % 25)
         .join(F.broadcast(nation), F.col("nk") == F.col("n_nationkey"))
         .groupBy("n_name")
@@ -341,6 +422,23 @@ def streaming_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_dec"),
         )
     )
+
+    def tick(n: int):
+        # user_id in -1..-24 ONLY: Spark's % keeps the dividend's sign,
+        # so these never hit nk % 25 == 0 (-25 % 25 = 0 would join
+        # NATION_0 and corrupt its counts — caught by the invariance
+        # check); every other negative remainder matches no nationkey
+        (
+            spark.range(_TICK_ROWS)
+            .select(
+                (-(F.col("id") % 24) - 1).alias("user_id"),
+                (F.col("id") * 0.001).alias("value"),
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(land)
+        )
+
     def start(work: str):
         out = os.path.join(work, "out")
 
@@ -356,7 +454,7 @@ def streaming_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .start()
             )
 
-    work = _resumed_stream(sf_dir, "stream_static", start)
+    work = _resumed_stream(sf_dir, "stream_static", start, tick)
     return spark.read.parquet(os.path.join(work, "out")).select(
         "n_name", "n_events", F.col("sum_dec").cast("double").alias("sum_value")
     )
@@ -382,9 +480,22 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     time bound, so state for either side is evicted once the watermark
     passes ts + 1 hour: bounded state at unbounded stream length, the only
     shape that survives 100 TB/day. The oracle is the identical batch
-    self-join."""
-    name = f"stream_stream_{uuid.uuid4().hex[:8]}"
-    ev = _events_stream(spark, sf_dir)
+    self-join. Tick sentinels inject purchase/click pairs for user -1 in
+    far-future windows — genuine join-state insert/evict/match work per
+    resumed tick — and the final read drops user_id < 0."""
+    from pos_dlt_spark.tables import load_table
+
+    evt = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    land = _cached_landing(
+        sf_dir, "stream_stream", lambda p: evt.repartition(4).write.parquet(p)
+    )
+    ev = (
+        spark.readStream.schema(evt.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(land)
+    )
     p = (
         ev.filter(F.col("event_type") == "purchase")
         .select(
@@ -431,8 +542,35 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .start()
             )
 
-    work = _resumed_stream(sf_dir, "stream_stream", start)
-    return spark.read.parquet(os.path.join(work, "out"))
+    def tick(n: int):
+        half = _TICK_ROWS // 2
+
+        def mk(kind: str, off: int):
+            # clicks land 1 s after same-index purchases: some pairs fall
+            # inside the 1-hour bound (join matches — emitted then
+            # filtered), the rest only exercise state insert + eviction
+            return spark.range(half).select(
+                (-F.lit(n * 100000 + off) - F.col("id") * 2).alias("event_id"),
+                F.lit(-1).cast("long").alias("user_id"),
+                F.lit(kind).alias("event_type"),
+                F.expr(
+                    f"timestamp'{_TICK_TS0}'"
+                    f" + make_interval(0, 0, 0, {n}, 0, 0, id * 10 + {off})"
+                ).alias("ts"),
+            )
+
+        (
+            mk("purchase", 0)
+            .unionByName(mk("click", 1))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(land)
+        )
+
+    work = _resumed_stream(sf_dir, "stream_stream", start, tick)
+    return spark.read.parquet(os.path.join(work, "out")).filter(
+        F.col("user_id") >= 0
+    )
 
 
 _QS_TOKS = r"regexp_split_to_array(trim(lower(text)), '\s+')"
@@ -475,8 +613,6 @@ def streaming_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pos_dlt_spark.operators.text import quality_score
     from pos_dlt_spark.tables import load_table
 
-    work = scratch_dir("corpus_stream_")
-    atexit.register(shutil.rmtree, work, ignore_errors=True)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     land = _cached_landing(
         sf_dir, "corpus_stream", lambda p: docs.repartition(6).write.parquet(p)
@@ -515,8 +651,34 @@ def streaming_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .start()
             )
 
-    work = _resumed_stream(sf_dir, "corpus_ingest", start)
-    return spark.read.parquet(os.path.join(work, "out"))
+    def tick(n: int):
+        # sentinel docs pass the quality gate (stopword-rich, no
+        # punctuation) and are hash-distinct per (tick, id), so each tick
+        # inserts real rows into the cross-batch dedup state; they count
+        # only under lang '__tick__', filtered below
+        (
+            spark.range(50)
+            .select(
+                (-F.lit(n * 1000) - F.col("id")).alias("doc_id"),
+                F.lit("__tick__").alias("lang"),
+                F.concat(
+                    F.lit(
+                        "the quick brown fox and the lazy dog walk"
+                        " to the market in town "
+                    ),
+                    F.col("id").cast("string"),
+                    F.lit(f" of tick {n}"),
+                ).alias("text"),
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(land)
+        )
+
+    work = _resumed_stream(sf_dir, "corpus_ingest", start, tick)
+    return spark.read.parquet(os.path.join(work, "out")).filter(
+        F.col("lang") != "__tick__"
+    )
 
 
 @query(
@@ -526,12 +688,22 @@ def streaming_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming dedup (reference `03:321-322`): dropDuplicates on
     the key columns under a watermark. Projecting to the dedup keys makes
-    the result order-independent, so it equals batch SELECT DISTINCT."""
+    the result order-independent, so it equals batch SELECT DISTINCT.
+    Tick sentinels insert fresh negative-key pairs into the dedup state
+    every resumed tick; the final read drops user_id < 0."""
+    from pos_dlt_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    land = _cached_landing(
+        sf_dir, "distinct_keys", lambda p: ev.repartition(4).write.parquet(p)
+    )
+
     def start(work: str):
         dedup = (
-            _events_stream(spark, sf_dir)
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "2")
+            .parquet(land)
             .withWatermark("ts", "24 hours")
-            .select("user_id", "event_type", "ts")
             .dropDuplicates(["user_id", "event_type"])
             .select("user_id", "event_type")
         )
@@ -545,8 +717,23 @@ def streaming_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .start()
             )
 
-    work = _resumed_stream(sf_dir, "distinct_keys", start)
-    return spark.read.parquet(os.path.join(work, "out"))
+    def tick(n: int):
+        (
+            spark.range(_TICK_ROWS)
+            .select(
+                (-F.lit(n * 100000) - F.col("id")).alias("user_id"),
+                F.lit("__tick__").alias("event_type"),
+                _tick_ts(n).alias("ts"),
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(land)
+        )
+
+    work = _resumed_stream(sf_dir, "distinct_keys", start, tick)
+    return spark.read.parquet(os.path.join(work, "out")).filter(
+        F.col("user_id") >= 0
+    )
 
 
 @query(
@@ -603,12 +790,30 @@ def streaming_user_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .start()
             )
 
-    work = _resumed_stream(sf_dir, "tws_stats", start)
+    def tick(n: int):
+        # 20 negative-key pairs re-updated each tick: real GroupState
+        # fetch/update/emit work through the Python stateful path
+        base_us = 2_524_608_000_000_000  # 2050-01-01 UTC, micros
+        (
+            spark.range(_TICK_ROWS)
+            .select(
+                (-(F.col("id") % 20) - 1).alias("user_id"),
+                F.lit("__tick__").alias("event_type"),
+                F.col("id").alias("value_u"),
+                (F.lit(base_us + n * 86_400_000_000) + F.col("id")).alias("ts_us"),
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(land)
+        )
+
+    work = _resumed_stream(sf_dir, "tws_stats", start, tick)
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id", "event_type").orderBy(F.col("update_seq").desc())
     return (
         spark.read.parquet(os.path.join(work, "out"))
+        .filter(F.col("user_id") >= 0)
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .select("user_id", "event_type", "n_events", "sum_value_u", "last_ts_us")
@@ -697,8 +902,31 @@ def streaming_incremental_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .start()
             )
 
-    work = _resumed_stream(sf_dir, "inc_gold", start)
-    return make_view(work).read(spark).select("store_id", "n_items", "total_qty")
+    def tick(n: int):
+        # one sentinel store (-1) with 128 items re-merged each tick:
+        # genuine bucket merge + touched-bucket gold refresh per tick
+        (
+            spark.range(128)
+            .select(
+                F.lit(-1).cast("long").alias("store_id"),
+                (-(F.col("id") % 128) - 1).alias("item_id"),
+                _tick_ts(n).alias("date_time"),
+                (F.col("id") % 50).cast("integer").alias("quantity"),
+                (-F.lit(n * 10000) - F.col("id")).alias("l_orderkey"),
+                F.lit(1).cast("integer").alias("l_linenumber"),
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(land)
+        )
+
+    work = _resumed_stream(sf_dir, "inc_gold", start, tick)
+    return (
+        make_view(work)
+        .read(spark)
+        .filter(F.col("store_id") >= 0)
+        .select("store_id", "n_items", "total_qty")
+    )
 
 
 @query(
@@ -767,7 +995,21 @@ def streaming_update_mode_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .start()
             )
 
-    work = _resumed_stream(sf_dir, "upd_rollup", start_pair)
+    def tick(n: int):
+        # fresh negative users under one '__tick__' type: both running
+        # aggregates update (and re-emit) only the sentinel group
+        (
+            spark.range(_TICK_ROWS)
+            .select(
+                (-F.lit(n * 100000) - F.col("id")).alias("user_id"),
+                F.lit("__tick__").alias("event_type"),
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(land)
+        )
+
+    work = _resumed_stream(sf_dir, "upd_rollup", start_pair, tick)
 
     def latest(out: str, col: str) -> DataFrame:
         # a running count only grows, so the final state per group is its
@@ -778,7 +1020,11 @@ def streaming_update_mode_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.max(col).alias(col))
         )
 
-    return latest("out_n", "n_events").join(latest("out_u", "n_users"), "event_type")
+    return (
+        latest("out_n", "n_events")
+        .join(latest("out_u", "n_users"), "event_type")
+        .filter(F.col("event_type") != "__tick__")
+    )
 
 
 @query(
@@ -890,10 +1136,35 @@ def streaming_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataF
                 .start()
             )
 
-    work = _resumed_stream(sf_dir, "ss_left", start)
+    def tick(n: int):
+        half = _TICK_ROWS // 2
+
+        def mk(kind: str, off: int):
+            # user -3 (flush sentinels are -1/-2); purchase ids negative,
+            # so the existing purchase_id > 0 filter drops everything the
+            # tick emits — incl. null-click rows flushed by the watermark
+            return spark.range(half).select(
+                (-F.lit(n * 100000 + off + 10) - F.col("id") * 2).alias("event_id"),
+                F.lit(-3).cast("long").alias("user_id"),
+                F.lit(kind).alias("event_type"),
+                F.expr(
+                    f"timestamp'{_TICK_TS0}'"
+                    f" + make_interval(0, 0, 0, {n}, 0, 0, id * 10 + {off})"
+                ).alias("ts"),
+            )
+
+        (
+            mk("purchase", 0)
+            .unionByName(mk("click", 1))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(land)
+        )
+
+    work = _resumed_stream(sf_dir, "ss_left", start, tick)
     return (
         spark.read.parquet(os.path.join(work, "joined"))
-        .filter(F.col("purchase_id") > 0)  # drop the flush sentinel
+        .filter(F.col("purchase_id") > 0)  # drop flush + tick sentinels
         .select(
             "purchase_id",
             "click_id",
@@ -992,7 +1263,23 @@ def streaming_sessionized_native(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .start()
             )
 
-    work = _resumed_stream(sf_dir, "sess_native", start)
+    def tick(n: int):
+        # 50 negative users, rows 1 s apart (< the 30-min gap): one open
+        # session per user per tick — real session-state work; closed
+        # sessions emit with user_id < 0 and the existing filter drops them
+        (
+            spark.range(_TICK_ROWS)
+            .select(
+                (-(F.col("id") % 50) - 2).alias("user_id"),
+                _tick_ts(n).alias("ts"),
+                (F.col("id") * 0.001).alias("value"),
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(land)
+        )
+
+    work = _resumed_stream(sf_dir, "sess_native", start, tick)
     return (
         spark.read.parquet(os.path.join(work, "sessions"))
         .filter(F.col("user_id") >= 0)
@@ -1087,12 +1374,33 @@ def streaming_ann_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
 
-    work = _resumed_stream(sf_dir, "ann_ingest", start)
+    def tick(n: int):
+        # 20 sentinel vectors (~1% of embeddings) per tick: each resumed
+        # tick pays real quantize + centroid-assign + partitioned-append
+        # work; negative vec_ids are dropped from the returned index
+        dim = len(centroids[0][1])
+        (
+            spark.range(20)
+            .select(
+                (-F.lit(n * 1000) - F.col("id")).alias("vec_id"),
+                F.expr(
+                    f"transform(sequence(0, {dim - 1}),"
+                    " j -> cast(pmod(id * 31 + j, 97) / 97.0 as float))"
+                ).alias("embedding"),
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(land)
+        )
+
+    work = _resumed_stream(sf_dir, "ann_ingest", start, tick)
     # epoch= is a physical idempotency key, not part of the index schema;
     # cid= remains a discovered partition column, so .filter(cid ...)
     # still prunes to nprobe directories
-    return spark.read.parquet(os.path.join(work, "index")).select(
-        "vec_id", F.col("cid").cast("bigint").alias("cid")
+    return (
+        spark.read.parquet(os.path.join(work, "index"))
+        .filter(F.col("vec_id") >= 0)
+        .select("vec_id", F.col("cid").cast("bigint").alias("cid"))
     )
 
 
@@ -1224,9 +1532,11 @@ def streaming_delta_replay_counts(spark: SparkSession, sf_dir: str) -> DataFrame
                 .start()
             )
 
-    work = _resumed_stream(sf_dir, "delta_replay", start)
-    return spark.read.parquet(os.path.join(work, "out")).select(
-        "user_id", "n_events", F.col("sum_dec").cast("double").alias("sum_value")
+    work = _resumed_stream(sf_dir, "delta_replay", start, _cdc_tick(spark, land))
+    return (
+        spark.read.parquet(os.path.join(work, "out"))
+        .filter(F.col("user_id") >= 0)
+        .select("user_id", "n_events", F.col("sum_dec").cast("double").alias("sum_value"))
     )
 
 
@@ -1307,8 +1617,26 @@ def pos_scd2_inventory_history_flow(spark: SparkSession, sf_dir: str) -> DataFra
                 .start()
             )
 
-    work = _resumed_stream(sf_dir, "scd2_flow", start)
-    hist = make_ac(work).read_target(spark)
+    def tick(n: int):
+        # one sentinel store (-1), 64 items, one new version per tick:
+        # real SCD2 re-bounding merge work in the touched bucket
+        (
+            spark.range(64)
+            .select(
+                F.lit(-1).cast("long").alias("store_id"),
+                (-(F.col("id") % 64) - 1).alias("item_id"),
+                _tick_ts(n).alias("date_time"),
+                (F.col("id") % 50).cast("integer").alias("quantity"),
+                (-F.lit(n * 10000) - F.col("id")).alias("l_orderkey"),
+                F.lit(1).cast("integer").alias("l_linenumber"),
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(land)
+        )
+
+    work = _resumed_stream(sf_dir, "scd2_flow", start, tick)
+    hist = make_ac(work).read_target(spark).filter(F.col("store_id") >= 0)
     return hist.select(
         "store_id",
         "item_id",
