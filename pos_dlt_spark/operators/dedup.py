@@ -229,17 +229,19 @@ def jaccard_for_pairs(
 # bench session accumulating such pins degraded later unrelated queries
 # up to 9x (corpus_repeated_ngrams 0.75 -> 6.8 s) until a System.gc().
 # Explicitly unpersisting superseded frames bounds the pinned footprint
-# to ONE frame per process regardless of session length. Safe because
-# persist (unlike localCheckpoint) keeps lineage: a stale frame that
-# somehow gets re-executed recomputes from source.
-_PINNED_FRAMES: list[DataFrame] = []
+# to ONE frame PER SPARKSESSION regardless of session length (keyed by
+# session so two sessions in one process — e.g. tests beside a gate run —
+# cannot silently unpersist each other's frame mid-plan; VERDICT r12 #8).
+# Safe because persist (unlike localCheckpoint) keeps lineage: a stale
+# frame that somehow gets re-executed recomputes from source.
+_PINNED_FRAMES: dict[int, list[DataFrame]] = {}
 
 
 def pin_frame(df: DataFrame) -> DataFrame:
     """Persist + eagerly materialize ``df``, unpersisting any frame a
-    previous call pinned (see ``_PINNED_FRAMES``). For model-artifact-
-    sized intermediates consumed by several plan branches within ONE
-    query's lifetime.
+    previous call pinned ON THE SAME SESSION (see ``_PINNED_FRAMES``).
+    For model-artifact-sized intermediates consumed by several plan
+    branches within ONE query's lifetime.
 
     Unpersist MUST precede the persist: Spark's CacheManager matches
     cache entries by canonicalized plan, so when the same query is
@@ -251,11 +253,13 @@ def pin_frame(df: DataFrame) -> DataFrame:
     uncached so every downstream consumer silently recomputes the full
     text pass (observed: dedup_minhash_lsh_pairs' second bench pass
     slower than its first, 1.93 -> 2.34 s)."""
-    while _PINNED_FRAMES:
-        _PINNED_FRAMES.pop(0).unpersist(blocking=False)
+    key = id(df.sparkSession)
+    mine = _PINNED_FRAMES.setdefault(key, [])
+    while mine:
+        mine.pop(0).unpersist(blocking=False)
     pinned = df.persist()
     pinned.count()
-    _PINNED_FRAMES.append(pinned)
+    mine.append(pinned)
     return pinned
 
 

@@ -36,6 +36,7 @@ Scale notes:
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from collections.abc import Iterator
 
 import pandas as pd
@@ -868,29 +869,22 @@ def _huff_encode_table(bits, vals):
     return out
 
 
-def _huff_decode_table(bits, vals):
-    """(code, length) -> symbol map for decoding (codes are short —
-    a dict lookup per code is fine for this reference decoder)."""
-    out = {}
-    code = 0
-    k = 0
-    for length in range(1, 17):
-        for _ in range(bits[length - 1]):
-            out[(length, code)] = vals[k]
-            code += 1
-            k += 1
-        code <<= 1
-    return out
-
-
-_HUFF_LUT_CACHE: dict = {}
+# LRU-bounded: each entry is a 65,536-int Python list (~2 MB) and real-
+# world JPEGs may carry per-image optimized tables, so an unbounded
+# keyed-by-content cache would leak ~MB per distinct image on a
+# long-lived worker. 16 entries cover the 4 Annex K tables plus a
+# rotation of custom ones (~32 MB ceiling).
+_HUFF_LUT_CACHE: OrderedDict = OrderedDict()
+_HUFF_LUT_MAX = 16
 
 
 def _huff_lut(bits, vals) -> list:
     """16-bit-peek Huffman decode table: ``lut[window16] = length<<16 | sym``
     (0 = no code matches, an invalid stream). One list index replaces up
-    to 16 bit-at-a-time reads + dict probes per symbol; cached by table
-    content — the standard Annex K tables repeat across every image."""
+    to 16 bit-at-a-time reads + dict probes per symbol; LRU-cached by
+    table content (a plain list, not numpy: per-symbol indexing of
+    Python ints is the decode hot path) — the standard Annex K tables
+    repeat across every image."""
     import numpy as np
 
     key = (bytes(bits), bytes(vals))
@@ -908,6 +902,10 @@ def _huff_lut(bits, vals) -> list:
             code <<= 1
         lut = arr.tolist()
         _HUFF_LUT_CACHE[key] = lut
+        if len(_HUFF_LUT_CACHE) > _HUFF_LUT_MAX:
+            _HUFF_LUT_CACHE.popitem(last=False)
+    else:
+        _HUFF_LUT_CACHE.move_to_end(key)
     return lut
 
 
@@ -968,58 +966,6 @@ class _BitWriter:
         """Pad to a byte boundary with 1-bits (the spec's fill bits)."""
         if self.nbits:
             self.put((1 << (8 - self.nbits)) - 1, 8 - self.nbits)
-
-
-class _BitReader:
-    __slots__ = ("data", "pos", "acc", "nbits")
-
-    def __init__(self, data: bytes, pos: int):
-        self.data = data
-        self.pos = pos
-        self.acc = 0
-        self.nbits = 0
-
-    def _fill(self) -> bool:
-        d = self.data
-        if self.pos >= len(d):
-            return False
-        b = d[self.pos]
-        if b == 0xFF:
-            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else None
-            if nxt == 0x00:
-                self.pos += 2  # stuffed FF
-            else:
-                return False  # a real marker terminates the scan data
-        else:
-            self.pos += 1
-        self.acc = (self.acc << 8) | b
-        self.nbits += 8
-        return True
-
-    def bit(self) -> int:
-        if self.nbits == 0 and not self._fill():
-            return 0  # past-the-end reads decode as 0 (truncated stream)
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
-
-    def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
-        return v
-
-    def align_to_marker(self) -> None:
-        self.acc = 0
-        self.nbits = 0
-
-    def read_symbol(self, table: dict) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | self.bit()
-            sym = table.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid JPEG Huffman code")
 
 
 def _bit_size(v: int) -> int:
@@ -1323,6 +1269,12 @@ def decode_jpeg(payload: bytes):
             seg_idx = 0
             buf, end_pos = segs[0]
             bp = 0
+            # bits the segment REALLY had (buf gets zero-extended below so
+            # past-the-end reads decode as 0 — the canonical all-zeros
+            # Huffman code matches zero padding, so truncation decodes
+            # silently; consuming past this bound is how we detect it)
+            real_bits = len(buf) * 8
+            overrun = False
             preds = [0] * len(comps)
             bi = 0
             for mcu_count in range(n_mcus):
@@ -1331,12 +1283,14 @@ def decode_jpeg(payload: bytes):
                     and mcu_count
                     and mcu_count % restart_interval == 0
                 ):
+                    overrun = overrun or bp > real_bits
                     seg_idx += 1
                     if seg_idx < len(segs):
                         buf, end_pos = segs[seg_idx]
                     else:
                         buf = b""  # truncated: reads decode as 0 bits
                     bp = 0
+                    real_bits = len(buf) * 8
                     preds = [0] * len(comps)
                 for ci, dlut, alut in slots:
                     row = coefs[bi]
@@ -1402,6 +1356,16 @@ def decode_jpeg(payload: bytes):
                         row[k] = v
                         k += 1
                     bi += 1
+            if overrun or bp > real_bits:
+                # loud-but-non-fatal: corrupt/truncated scans decode to
+                # garbage-zero pixels where the old bit reader stopped;
+                # surface that instead of silently returning them
+                import warnings
+
+                warnings.warn(
+                    "truncated JPEG entropy stream: past-the-end bits decoded as 0",
+                    stacklevel=2,
+                )
             planes = []
             mi = np.arange(n_mcus)
             myv, mxv = mi // mcus_x, mi % mcus_x

@@ -435,6 +435,12 @@ def nb_classify(
     ZERO vocabulary tokens have no likelihood evidence and are omitted
     (callers route them to the heuristic fallback).
 
+    Assumes ONE label per training doc id (true of every corpus here):
+    document frequency counts distinct (id, label) pairs per token, so a
+    doc id repeated under two labels would inflate df for its tokens and
+    shift the vocabulary ranking — dedupe train on ``id_col`` first if
+    duplicate ids are possible.
+
     Returns ``(id_col, pred_<label_col>, score_micro, n_vocab_tok)``.
     """
     from pos_dlt_spark.operators.corpus import global_rank
