@@ -759,45 +759,51 @@ def corpus_pipeline_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     base; each count is a bounded 1-row aggregate."""
     from pos_dlt_spark.queries_ml import BANDS, N_HASHES, SHINGLE_N
 
+    from pyspark.sql import Window
+
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    # ONE pinned text pass (stage_profiles) replaces the per-stage
-    # re-reads the funnel used to pay (quality, exact dedup, LSH and
-    # decontamination each re-tokenized the corpus): quality and
-    # exact-canonical are now per-row derivations of the profile — cheap
-    # enough to recompute for both their funnel count and the `clean`
-    # join, so their checkpoints (and the checkpoint thread pool) are
-    # gone. Only the LSH verify tail and `clean` stay pinned: both
-    # involve self-joins consumed by several downstream counts.
+    # ONE pinned text pass (stage_profiles), then ONE checkpointed
+    # per-doc FLAGS frame carrying every stage decision (q / canon / nd):
+    # the LSH verify tail executes exactly once inside the flags
+    # checkpoint, five of the six funnel counts collapse to conditional
+    # sums of one aggregate over the flags, and `clean` is a cheap filter
+    # of the same frame — 2 driver actions after the pin instead of 3
+    # (near_dropped + clean checkpoints + the 5-subtree count union).
     prof = stage_profiles(docs, N_HASHES, SHINGLE_N)
-    quality = prof.filter(F.col("quality_score") >= 0.3).select("doc_id")
-    exact_canon = (
-        prof.groupBy("content_hash")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
+    near_ids = _near_dropped_from_profiles(prof, N_HASHES, BANDS, threshold=0.5)
+    flags = (
+        prof.withColumn("q", F.col("quality_score") >= 0.3)
+        .withColumn(
+            "canon",
+            F.col("doc_id")
+            == F.min("doc_id").over(Window.partitionBy("content_hash")),
+        )
+        .join(F.broadcast(near_ids.withColumn("nd", F.lit(True))), "doc_id", "left")
+        .select("doc_id", "q", "canon", F.coalesce("nd", F.lit(False)).alias("nd"))
+        .localCheckpoint(eager=True)
     )
-    near_dropped = _near_dropped_from_profiles(
-        prof, N_HASHES, BANDS, threshold=0.5
-    ).localCheckpoint(eager=True)
-    clean = quality.join(exact_canon, "doc_id").join(
-        near_dropped, "doc_id", "left_anti"
-    ).localCheckpoint(eager=True)
+    clean = flags.filter(F.col("q") & F.col("canon") & ~F.col("nd")).select("doc_id")
     contam = _contamination_ids_from_profiles(prof, clean, BENCH_MAX_ID, MIN_SHARED)
 
-    def n(label: str, df: DataFrame) -> DataFrame:
-        return df.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs")).select(
-            F.lit(label).alias("stage"), "n_docs"
-        )
-
-    out = n("ingested", docs)
-    for label, df in [
-        ("quality_pass", quality),
-        ("exact_canonical", exact_canon),
-        ("near_dup_dropped", near_dropped),
-        ("clean", clean),
-        ("contaminated", contam),
-    ]:
-        out = out.unionByName(n(label, df))
-    return out
+    counts = flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("ingested"),
+        F.sum(F.col("q").cast("bigint")).alias("quality_pass"),
+        F.sum(F.col("canon").cast("bigint")).alias("exact_canonical"),
+        F.sum(F.col("nd").cast("bigint")).alias("near_dup_dropped"),
+        F.sum(
+            (F.col("q") & F.col("canon") & ~F.col("nd")).cast("bigint")
+        ).alias("clean"),
+    ).select(
+        F.expr(
+            "stack(5, 'ingested', ingested, 'quality_pass', quality_pass,"
+            " 'exact_canonical', exact_canonical,"
+            " 'near_dup_dropped', near_dup_dropped, 'clean', clean)"
+        ).alias("stage", "n_docs")
+    )
+    contam_row = contam.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    ).select(F.lit("contaminated").alias("stage"), "n_docs")
+    return counts.unionByName(contam_row)
 
 
 BPE_TOP_K = 100
