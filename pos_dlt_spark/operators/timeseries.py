@@ -54,15 +54,35 @@ def resample_ffill(
         .filter(F.col("__rn") == 1)
         .select(*keys, "slot", "value")
     )
-    ranges = obs.groupBy(*keys).agg(
-        F.min("slot").alias("__lo"), F.max("slot").alias("__hi")
-    )
-    grid = ranges.select(
-        *keys, F.explode_outer(F.sequence("__lo", "__hi")).alias("slot")
-    )
-    j = grid.join(obs, [*keys, "slot"], "left")
-
+    # Each observation emits itself plus the gap slots up to (not
+    # including) the key's next observation: exactly one row per slot in
+    # [first, last] per key, value non-null only on observed slots — the
+    # same rows the old grid + left join produced, without them. The old
+    # shape paid the obs subtree TWICE (the per-key range aggregate and
+    # the join side are differently-aliased subtrees Catalyst cannot
+    # share) and attached observations back with a join that broadcast
+    # the whole observation set — O(observed slots) on the driver at
+    # scale. Now: one obs pass, one exchange to per-key ordering (which
+    # the fill windows below then reuse), no join, no broadcast.
     wk = Window.partitionBy(*keys).orderBy("slot")
+    j = (
+        obs.withColumn("__next", F.lead("slot").over(wk))
+        .select(
+            *keys,
+            "slot",
+            "value",
+            F.explode(
+                F.sequence(
+                    "slot", F.coalesce(F.col("__next") - F.lit(1), F.col("slot"))
+                )
+            ).alias("__gslot"),
+        )
+        .select(
+            *keys,
+            F.col("__gslot").alias("slot"),
+            F.when(F.col("__gslot") == F.col("slot"), F.col("value")).alias("value"),
+        )
+    )
     w_prev = wk.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     w_next = wk.rowsBetween(Window.currentRow, Window.unboundedFollowing)
     anchor_slot = F.when(F.col("value").isNotNull(), F.col("slot"))
