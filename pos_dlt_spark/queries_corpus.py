@@ -629,19 +629,24 @@ def corpus_training_set_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # LSH and decontamination — previously each stage re-tokenized the
     # corpus inside this single Catalyst tree (no subtree sharing across
     # the differently-shaped stages).
+    from pyspark.sql import Window
+
     prof = stage_profiles(docs, N_HASHES, SHINGLE_N)
-    quality = prof.filter(F.col("quality_score") >= 0.3).select("doc_id")
-    exact_canon = (
-        prof.groupBy("content_hash")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
     near_dropped = _near_dropped_from_profiles(prof, N_HASHES, BANDS, threshold=0.5)
     # clean is a tiny id set consumed TWICE below (the decontamination
     # probe and the split input): pin it so the LSH verify join executes
-    # once, not twice
+    # once, not twice. Canonical = min-id of the content-hash group via a
+    # window flag over ALL profile rows (no groupBy + join back on
+    # doc_id); the quality filter applies after the window.
     clean = (
-        quality.join(exact_canon, "doc_id").join(near_dropped, "doc_id", "left_anti")
+        prof.withColumn(
+            "__canon",
+            F.col("doc_id")
+            == F.min("doc_id").over(Window.partitionBy("content_hash")),
+        )
+        .filter(F.col("__canon") & (F.col("quality_score") >= 0.3))
+        .select("doc_id")
+        .join(near_dropped, "doc_id", "left_anti")
     ).localCheckpoint(eager=True)
     train_pool = docs.join(
         clean.filter(F.col("doc_id") >= BENCH_MAX_ID), "doc_id", "left_semi"

@@ -664,20 +664,27 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         stage_profiles,
     )
 
+    from pyspark.sql import Window
+
     docs = load_table(spark, sf_dir, "documents", spread=True)
     # ONE pinned text pass feeds all three stages (see
     # queries_corpus.stage_profiles); quality and exact-canonical are
-    # per-row derivations of the profile, LSH is its band+verify tail.
+    # per-row derivations of the profile (canonical = min-id of the
+    # content-hash group via a window flag — no groupBy + self-join back
+    # on doc_id), LSH is its band+verify tail.
     prof = stage_profiles(docs, N_HASHES, SHINGLE_N)
-    quality = prof.filter(F.col("quality_score") >= 0.3).select("doc_id")
-    exact_canon = (
-        prof.groupBy("content_hash")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
     near_dropped = _near_dropped_from_profiles(prof, N_HASHES, BANDS, threshold=0.5)
+    # NOTE: the canon window runs over ALL profile rows (the canonical id
+    # of a content-hash group is its global min, whether or not that doc
+    # passed quality), so the quality filter applies AFTER it.
     return (
-        quality.join(exact_canon, "doc_id")
+        prof.withColumn(
+            "__canon",
+            F.col("doc_id")
+            == F.min("doc_id").over(Window.partitionBy("content_hash")),
+        )
+        .filter(F.col("__canon") & (F.col("quality_score") >= 0.3))
+        .select("doc_id")
         .join(near_dropped, "doc_id", "left_anti")
     )
 
