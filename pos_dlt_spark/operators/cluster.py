@@ -231,6 +231,11 @@ def pagerank(
     base = 1_000_000
     teleport = (base * (damping_den - damping_num)) // damping_den  # floor(0.15e6)
     ranks = nodes.select("node", F.lit(base).cast("bigint").alias("rank"))
+    # nodes without inbound edges used to be reinstated with a LEFT JOIN
+    # per iteration; a zero-contribution row per node folded into the
+    # same inbound aggregate keeps every node with identical sums and
+    # drops that join — per iteration: ONE join + ONE aggregate.
+    zero = nodes.select("node", F.lit(0).cast("bigint").alias("c"))
     for _ in range(iters):
         # integer DIV, not floor(a / b): Spark's `/` on bigints is DOUBLE
         # division, which silently loses exactness past 2^53; DIV stays
@@ -238,20 +243,21 @@ def pagerank(
         # nonnegative values here (DuckDB's // matches).
         contrib = (
             ranks.join(e_deg, ranks.node == F.col("ed_src"), "inner")
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum(F.expr("CAST(rank DIV deg AS BIGINT)")).alias("inbound"))
-        )
-        ranks = (
-            nodes.join(contrib, "node", "left")
             .select(
-                "node",
-                F.expr(
-                    f"CAST({teleport} + (COALESCE(inbound, 0) * {damping_num})"
-                    f" DIV {damping_den} AS BIGINT)"
-                ).alias("rank"),
+                F.col("dst").alias("node"),
+                F.expr("CAST(rank DIV deg AS BIGINT)").alias("c"),
             )
-            .localCheckpoint(eager=False)
+            .unionByName(zero)
+            .groupBy("node")
+            .agg(F.sum("c").alias("inbound"))
         )
+        ranks = contrib.select(
+            "node",
+            F.expr(
+                f"CAST({teleport} + (inbound * {damping_num})"
+                f" DIV {damping_den} AS BIGINT)"
+            ).alias("rank"),
+        ).localCheckpoint(eager=False)
     return ranks.select(
         "node",
         F.col("rank").alias("rank_micro"),
