@@ -662,7 +662,9 @@ def corpus_training_set_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         # upstream execute ONCE instead of once per action (13.5 -> ~4 s
         # at sf0.001). The materialized set is the cleaned corpus —
         # exactly what a real pipeline persists between stages anyway.
-        .localCheckpoint(eager=True)
+        # LAZY: pack's first action (the id min/max) materializes it —
+        # same single execution of the upstream, one fewer job round.
+        .localCheckpoint(eager=False)
     )
     return C.pack_sequences(kept, budget=PACK_BUDGET, n_parts=16)
 
